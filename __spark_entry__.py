@@ -3,36 +3,697 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query exercises operators of :mod:`smartpy_arc_spark` (see SURVEY.md §2
+for the reference mapping).  Aggregated doubles are rounded in BOTH the Spark
+query and the oracle SQL so floating-point summation order can't flip the
+value hash; integer sums in the oracle are cast back to BIGINT because DuckDB
+widens them to HUGEINT.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from smartpy_arc_spark import (  # noqa: E402
+    clamp_timestamps,
+    compat_cast_for_write,
+    copy_oids,
+    create_layer,
+    enrich_join,
+    fill_null_sentinels,
+    restore_null_sentinels,
+    scan,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read via the legacy
+        # nanos-as-long conf and truncate to Spark's µs timestamps.
+        return scan(spark, sf_dir, name, nanos_ts_cols=["ts"])
+    return scan(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: scan → filter → project →
+    enrichment join (J1) → aggregate, exercising the Phase-0 slice of
+    SURVEY.md §7."""
+    sf_dir = "/root/testdata/sf0.001"
+    lineitem = scan(
+        spark,
+        sf_dir,
+        "lineitem",
+        where="l_shipdate >= '1996-01-01'",
+        flds={
+            "l_orderkey": "okey",
+            "l_extendedprice": "price",
+            "l_discount": "disc",
+            "l_returnflag": "rflag",
+        },
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cust_orders = enrich_join(orders, customer, "o_custkey", "c_custkey")
+    joined = lineitem.join(cust_orders, lineitem["okey"] == cust_orders["o_orderkey"])
+    return (
+        joined.groupBy("c_mktsegment", "rflag")
+        .agg(
+            F.round(F.sum(F.col("price") * (1 - F.col("disc"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("c_mktsegment", "rflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (SURVEY.md §2)
+
+
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: where pushdown + column subset + rename + sort (arc_to_pandas)."""
+    return scan(
+        spark,
+        sf_dir,
+        "lineitem",
+        where="l_shipdate >= '1999-06-01' AND l_quantity < 10",
+        flds={
+            "l_orderkey": "okey",
+            "l_linenumber": "lineno",
+            "l_quantity": "qty",
+            "l_extendedprice": "price",
+        },
+        index_fld="okey",
+    )
+
+
+def q_scan_case_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: case-insensitive column resolution, requested casing wins."""
+    return scan(
+        spark,
+        sf_dir,
+        "supplier",
+        flds=["S_SuppKey", "s_NAME", "s_acctbal"],
+    )
+
+
+def _nullable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically inject nulls into orders (testdata has none)."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("nullif(o_orderstatus, 'O')").alias("status"),
+        F.expr("CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_totalprice END").alias(
+            "price"
+        ),
+        F.expr("CASE WHEN o_orderdate < '1996-01-01' THEN NULL ELSE o_orderdate END").alias(
+            "odate"
+        ),
+    )
+
+
+def q_null_sentinel_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 forward: null → type-class sentinel ('' / -1 / 1678-01-01)."""
+    return fill_null_sentinels(_nullable_orders(spark, sf_dir))
+
+
+def q_null_sentinel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 reverse (lossy): sentinel → null after a fill round-trip."""
+    return restore_null_sentinels(fill_null_sentinels(_nullable_orders(spark, sf_dir)))
+
+
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: COUNT(*)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_enrich_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 KEEP_COMMON: inner enrichment join, unqualified output names."""
+    orders = _t(spark, sf_dir, "orders")
+    rich_cust = _t(spark, sf_dir, "customer").where("c_acctbal > 5000")
+    return enrich_join(
+        orders, rich_cust, "o_custkey", "c_custkey", keep_common=True
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def q_enrich_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 KEEP_ALL: left-outer enrichment join."""
+    orders = _t(spark, sf_dir, "orders")
+    rich_cust = _t(spark, sf_dir, "customer").where("c_acctbal > 5000")
+    return enrich_join(
+        orders, rich_cust, "o_custkey", "c_custkey", keep_common=False
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def q_copy_oids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: stable row ids via row_number over an explicit order."""
+    nation = _t(spark, sf_dir, "nation")
+    return copy_oids(nation, "oid", order_by=["n_nationkey"]).select(
+        "oid", "n_nationkey", "n_name"
+    )
+
+
+def q_ap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: Length / (2*sqrt(pi*Area)) compactness expression (pure math on
+    part's numeric columns standing in for perimeter/area)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(
+            F.col("p_retailprice") / (F.lit(2.0) * F.sqrt(F.lit(math.pi) * F.col("p_size"))),
+            4,
+        ).alias("ap_ratio"),
+    )
+
+
+def q_timestamp_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: timestamps outside [lo, hi] → null (narrow bounds to exercise)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return clamp_timestamps(ev, ["ts"], lo="2024-01-08", hi="2024-01-25")
+
+
+def q_compat_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: write-side coercions — in-range int64→int32, bool→int32."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") > 0).alias("positive_bal")
+    )
+    return compat_cast_for_write(cust)
+
+
+def q_copy_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 CTAS shape: filter + field-map projection/rename."""
+    part = _t(spark, sf_dir, "part")
+    return part.where("p_size > 40").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+def q_create_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: layer = lazy named view with projection+rename+filter, queried
+    through SQL."""
+    cust = _t(spark, sf_dir, "customer")
+    create_layer(
+        cust,
+        "cust_layer_v",
+        flds={"c_custkey": "id", "c_mktsegment": "segment", "c_acctbal": "bal"},
+        where="c_acctbal > 0",
+    )
+    return spark.sql(
+        """
+        SELECT segment,
+               count(*)           AS n_cust,
+               round(sum(bal), 2) AS total_bal
+        FROM cust_layer_v
+        GROUP BY segment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation / window / set-op surface (driver TPC-H-style; SURVEY §2.8)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: wide aggregate with 8 measures."""
+    li = _t(spark, sf_dir, "lineitem").where("l_shipdate <= '1998-09-02'")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders").where("o_orderdate < '1998-01-01'")
+    li = _t(spark, sf_dir, "lineitem").where("l_shipdate > '1998-01-01'")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join, broadcast dims, revenue per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .where(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group with deterministic tiebreak."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 3")
+        .select("c_nationkey", "rk", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over returnflag/linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: UNION (distinct) of two key projections."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.select(F.col("o_orderkey").alias("okey")).where("o_totalprice > 100000")
+    b = li.select(F.col("l_orderkey").alias("okey")).where("l_quantity >= 45")
+    return a.union(b).distinct()
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join: customers with orders but no high-value order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    )
+    high = orders.where("o_totalprice > 250000")
+    return with_orders.join(
+        high, with_orders["c_custkey"] == high["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast(T.LongType()).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over events — lag + cumulative
+    sum of new-session flags, then per-session aggregate."""
+    from smartpy_arc_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30,
+                      tiebreak_col="event_id")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity extensions (SURVEY §7 phase 3)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy; keeps min doc_id per group."""
+    from smartpy_arc_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats: chars, tokens, avg token length."""
+    from smartpy_arc_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_stats(docs, text_col="text", id_col="doc_id")
+
+
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    from smartpy_arc_spark.operators.text import regex_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_token_count(docs, text_col="text", id_col="doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased de-spaced text)."""
+    from smartpy_arc_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors (ANN baseline)."""
+    from smartpy_arc_spark.operators.similarity import knn_cosine_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5")
+    return knn_cosine_bruteforce(
+        queries_df, emb, vec_col="embedding", id_col="vec_id", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_project_filter": q_scan_project_filter,
+        "scan_case_rename": q_scan_case_rename,
+        "null_sentinel_fill": q_null_sentinel_fill,
+        "null_sentinel_restore": q_null_sentinel_restore,
+        "row_count": q_row_count,
+        "enrich_join_inner": q_enrich_join_inner,
+        "enrich_join_left": q_enrich_join_left,
+        "copy_oids": q_copy_oids,
+        "ap_ratio": q_ap_ratio,
+        "timestamp_clamp": q_timestamp_clamp,
+        "compat_casts": q_compat_casts,
+        "copy_feats": q_copy_feats,
+        "create_layer": q_create_layer,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "top3_customers_per_nation": q_top3_customers_per_nation,
+        "rollup_revenue": q_rollup_revenue,
+        "union_distinct_keys": q_union_distinct_keys,
+        "semi_anti_join": q_semi_anti_join,
+        "json_props": q_json_props,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "token_count_regex": q_token_count_regex,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_cosine": q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_project_filter": """
+            SELECT l_orderkey AS okey, l_linenumber AS lineno,
+                   l_quantity AS qty, l_extendedprice AS price
+            FROM lineitem
+            WHERE l_shipdate >= '1999-06-01' AND l_quantity < 10
+        """,
+        "scan_case_rename": """
+            SELECT s_suppkey AS "S_SuppKey", s_name AS "s_NAME", s_acctbal
+            FROM supplier
+        """,
+        "null_sentinel_fill": """
+            SELECT o_orderkey AS okey,
+                   coalesce(nullif(o_orderstatus, 'O'), '') AS status,
+                   coalesce(CASE WHEN o_totalprice > 200000 THEN NULL
+                                 ELSE o_totalprice END, -1) AS price,
+                   coalesce(CASE WHEN o_orderdate < '1996-01-01' THEN NULL
+                                 ELSE o_orderdate END,
+                            TIMESTAMP '1678-01-01') AS odate
+            FROM orders
+        """,
+        "null_sentinel_restore": """
+            SELECT o_orderkey AS okey,
+                   nullif(coalesce(nullif(o_orderstatus, 'O'), ''), '') AS status,
+                   nullif(coalesce(CASE WHEN o_totalprice > 200000 THEN NULL
+                                        ELSE o_totalprice END, -1), -1) AS price,
+                   nullif(coalesce(CASE WHEN o_orderdate < '1996-01-01' THEN NULL
+                                        ELSE o_orderdate END,
+                                   TIMESTAMP '1678-01-01'),
+                          TIMESTAMP '1678-01-01') AS odate
+            FROM orders
+        """,
+        "row_count": "SELECT count(*) AS n_rows FROM lineitem",
+        "enrich_join_inner": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+        """,
+        "enrich_join_left": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders
+            LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+              ON o_custkey = c_custkey
+        """,
+        "copy_oids": """
+            SELECT row_number() OVER (ORDER BY n_nationkey) AS oid,
+                   n_nationkey, n_name
+            FROM nation
+        """,
+        "ap_ratio": """
+            SELECT p_partkey,
+                   round(p_retailprice / (2 * sqrt(pi() * p_size)), 4) AS ap_ratio
+            FROM part
+        """,
+        "timestamp_clamp": """
+            SELECT event_id,
+                   CASE WHEN ts BETWEEN TIMESTAMP '2024-01-08'
+                                    AND TIMESTAMP '2024-01-25'
+                        THEN ts ELSE NULL END AS ts
+            FROM events
+        """,
+        "compat_casts": """
+            SELECT CAST(c_custkey AS INTEGER) AS c_custkey,
+                   CAST(c_acctbal > 0 AS INTEGER) AS positive_bal
+            FROM customer
+        """,
+        "copy_feats": """
+            SELECT p_partkey AS pk, p_name AS name, p_brand AS brand,
+                   p_retailprice AS price
+            FROM part WHERE p_size > 40
+        """,
+        "create_layer": """
+            SELECT c_mktsegment AS segment,
+                   count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer WHERE c_acctbal > 0
+            GROUP BY c_mktsegment
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1998-01-01'
+              AND l_shipdate > '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "top3_customers_per_nation": """
+            SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal
+            FROM (
+                SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+                       CAST(row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                       ) AS INTEGER) AS rk
+                FROM customer
+            )
+            WHERE rk <= 3
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "union_distinct_keys": """
+            SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 100000
+            UNION
+            SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 45
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+              )
+        """,
+        "json_props": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   round(length(replace(text, ' ', ''))
+                         * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "token_count_regex": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH pairs AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos_sim
+                FROM embeddings q
+                JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC
+                       ) AS INTEGER) AS rk
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rk
+            FROM ranked WHERE rk <= 5
+        """,
+    }

@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all partition-parallel and free of all-pairs comparisons:
+
+  * exact           — content-hash groupBy (one shuffle on the hash).
+  * minhash + LSH   — shingle → minhash signature (shuffle-free, computed
+                      with higher-order functions) → band → bucket join
+                      (shuffle on band key only; candidate pairs are
+                      generated per-bucket, never across the full corpus).
+  * simhash         — 64-bit signature + banded Hamming candidates.
+  * n-gram Jaccard  — exact Jaccard on shingle sets via explode + self-join
+                      on shingle (for verification of candidates; bounded
+                      input).
+  * embedding       — cosine near-dup via random-hyperplane LSH, see
+                      :mod:`smartpy_arc_spark.operators.similarity`.
+
+At 100 TB the only shuffles are hash/band-keyed groupBys; signatures are
+computed inside whole-stage codegen with no Python and no extra scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup_groups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by exact content hash: (hash, group size, kept id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast(T.BinaryType())).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per content hash.
+    Window over the hash key — one shuffle, no join."""
+    w = W.partitionBy(F.md5(F.col(text_col).cast(T.BinaryType()))).orderBy(
+        F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+
+
+def _char_shingles(text: Column, k: int) -> Column:
+    """Array of character k-shingles via sequence+transform (codegen'd)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+
+
+def _seeded_hash(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit hash family member: xxhash64 with a seed prefix."""
+    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min hash over the document's character shingles.
+
+    Entirely row-local (sequence → transform → array_min), so signature
+    computation costs zero shuffles and scales with scan throughput.
+    """
+    shingles = F.array_distinct(_char_shingles(F.col(text_col), shingle_size))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: _seeded_hash(s, j)))
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(id_col, sig.alias("minhash_sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band hash land in the same bucket and become a candidate
+    pair.  The join is per-(band, bucket) — the classic LSH trick that
+    replaces O(n²) all-pairs with bucket-local pairs.  Output includes the
+    signature-agreement Jaccard estimate.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash_sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash_sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("minhash_sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("minhash_sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree * F.lit(1.0) / F.lit(num_hashes), 4).alias("jaccard_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, computed with higher-order
+    functions (no explode, no shuffle): per bit, sum +1/-1 over token-hash
+    bits; the signature sets bits with positive sums."""
+    tokens = F.split(F.col(text_col), " ", -1)
+    hashes = F.transform(tokens, F.xxhash64)
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.aggregate(
+        F.array(*[bit_sum(b) for b in range(bits)]).alias("bitsums"),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
+    )
+    return df.select(id_col, sig.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates with Hamming distance ≤ ``max_hamming`` via the
+    pigeonhole banding trick: split the 64-bit signature into ``chunks``
+    16-bit chunks; any pair within distance < chunks must agree on ≥1 chunk,
+    so bucket-join on (chunk index, chunk value), then exact-filter by
+    popcount of XOR."""
+    sigs = simhash(df, text_col=text_col, id_col=id_col)
+    width = 64 // chunks
+    chunk_cols = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(chunks)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "simhash", F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val")
+    )
+    left = banded.select(
+        "chunk_idx", "chunk_val",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+    )
+    right = banded.select(
+        "chunk_idx", "chunk_val",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification path)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity over character n-gram sets for all pairs that
+    share at least one shingle.  Explode + self-join on the shingle — the
+    shuffle key is the shingle, so disjoint documents never meet.  Use on
+    bounded/candidate subsets; for full-corpus near-dup use MinHash-LSH."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_char_shingles(F.col(text_col), n))
+        ).alias("shingle"),
+    )
+    set_sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = set_sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = set_sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                * F.lit(1.0)
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out

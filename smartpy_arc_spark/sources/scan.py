@@ -1,0 +1,179 @@
+"""Table scan — the engine's equivalent of the reference's scans.
+
+Reference semantics re-implemented natively (see SURVEY.md §2.1):
+  * ``arc_to_pandas``  (arc_utils.py:614-747)  — legacy scan: column subset +
+    rename, where-clause pushdown, null-sentinel fill, datetime sanitize,
+    optional index+sort.
+  * ``arc_to_polars`` / ``arc_to_pandas_a`` (arc_utils.py:956-1051) — Arrow
+    scan: column-pruned + predicate-pushed columnar extraction with
+    case-insensitive column resolution where the *requested* casing wins in
+    the output (arc_utils.py:1036-1049).
+
+Spark-first translation: one lazy plan
+``read → where → select(+rename) → na-policy → sort`` so Catalyst performs
+projection pruning and predicate pushdown into the parquet reader (the same
+optimizations the reference hand-delegates to the geodatabase engine).
+`.explain("formatted")` on a scan shows ``PushedFilters`` and a pruned
+``ReadSchema`` — verified in tests/test_scan.py.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Null sentinels of the legacy scan (reference defaults,
+# arc_utils.py:614-615: str_fill='', num_fill=-1, date_fill='1678-01-01').
+DEFAULT_STR_FILL = ""
+DEFAULT_NUM_FILL = -1
+DEFAULT_DATE_FILL = "1678-01-01"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _resolve_path(workspace: str, name: str | None) -> str:
+    """``workspace + '//' + class_name`` addressing (arc_utils.py:661-662)
+    mapped to a parquet path: workspace dir + table name."""
+    if name is None:
+        return workspace
+    if name.endswith(".parquet"):
+        return os.path.join(workspace, name)
+    return os.path.join(workspace, f"{name}.parquet")
+
+
+def _case_insensitive_resolve(
+    actual: Sequence[str], requested: Sequence[str]
+) -> list[tuple[str, str]]:
+    """Match requested names case-insensitively against actual columns; the
+    requested casing wins in the output (arc_utils.py:1036-1049).
+
+    Returns [(actual_name, output_name)]. Raises KeyError on a miss, like the
+    underlying engine would.
+    """
+    lower_to_actual = {c.lower(): c for c in actual}
+    out = []
+    for req in requested:
+        hit = lower_to_actual.get(req.lower())
+        if hit is None:
+            raise KeyError(f"column {req!r} not found (have {list(actual)})")
+        out.append((hit, req))
+    return out
+
+
+def scan(
+    spark: SparkSession,
+    workspace: str,
+    class_name: str | None = None,
+    *,
+    flds: Sequence[str] | Mapping[str, str] | None = None,
+    where: str | None = None,
+    index_fld: str | None = None,
+    fill_nulls: bool = False,
+    str_fill: str = DEFAULT_STR_FILL,
+    num_fill: float = DEFAULT_NUM_FILL,
+    date_fill: str = DEFAULT_DATE_FILL,
+    fmt: str = "parquet",
+    drop_geometry: bool = True,
+    nanos_ts_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Scan a table into a lazy DataFrame.
+
+    Parameters mirror the reference scans:
+      * ``flds``: list → keep those columns (case-insensitive, requested
+        casing wins); dict → keep + rename {source: output}.
+      * ``where``: SQL predicate string, pushed down by Catalyst.
+      * ``index_fld``: sort by this column (the reference's
+        ``set_index().sort_index()``, arc_utils.py:734-736).
+      * ``fill_nulls``: legacy sentinel fill (C5). Engine default is real
+        nulls (False) — the reference's sentinel mode is a compat flag.
+      * ``drop_geometry``: geometry-role columns excluded unless explicitly
+        requested, matching the Arrow scan default (arc_utils.py:1020-1024).
+    """
+    path = _resolve_path(workspace, class_name)
+    if nanos_ts_cols:
+        # Parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond
+        # timestamp type; the legacy conf reads them as long, and we
+        # truncate to microseconds (DuckDB/pandas do the same truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if fmt == "parquet":
+        df = reader.parquet(path)
+    elif fmt == "csv":
+        df = reader.csv(path, header=True, inferSchema=True)
+    elif fmt == "json":
+        df = reader.json(path)
+    elif fmt == "orc":
+        df = reader.orc(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+    for c in nanos_ts_cols:
+        # integer div, not float: ns values ~1.7e18 exceed double precision
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    # Filter first, against source column names — reference where-clauses
+    # reference source fields (arc_utils.py:704-708).
+    if where:
+        df = df.where(where)
+
+    # Projection + rename with case-insensitive resolution.
+    if flds is not None:
+        if isinstance(flds, Mapping):
+            resolved = _case_insensitive_resolve(df.columns, list(flds))
+            pairs = [(actual, flds[req]) for (actual, req) in resolved]
+        else:
+            pairs = _case_insensitive_resolve(df.columns, list(flds))
+        df = df.select([F.col(src).alias(out) for src, out in pairs])
+    elif drop_geometry:
+        from smartpy_arc_spark.meta import ROLE_GEOMETRY, field_role
+
+        geom_cols = [f.name for f in df.schema.fields if field_role(f) == ROLE_GEOMETRY]
+        if geom_cols:
+            df = df.drop(*geom_cols)
+
+    if fill_nulls:
+        df = _fill_sentinels(df, str_fill=str_fill, num_fill=num_fill, date_fill=date_fill)
+
+    if index_fld:
+        df = df.orderBy(index_fld)
+    return df
+
+
+def _fill_sentinels(
+    df: DataFrame,
+    *,
+    str_fill: str = DEFAULT_STR_FILL,
+    num_fill: float = DEFAULT_NUM_FILL,
+    date_fill: str = DEFAULT_DATE_FILL,
+) -> DataFrame:
+    """Null → sentinel per type class (C5, arc_utils.py:664-673, :739-745)."""
+    exprs = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.StringType):
+            exprs.append(F.coalesce(c, F.lit(str_fill)).alias(field.name))
+        elif isinstance(field.dataType, _NUMERIC_TYPES):
+            exprs.append(F.coalesce(c, F.lit(num_fill).cast(field.dataType)).alias(field.name))
+        elif isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            exprs.append(
+                F.coalesce(c, F.lit(date_fill).cast(field.dataType)).alias(field.name)
+            )
+        else:
+            exprs.append(c.alias(field.name))
+    return df.select(exprs)
+
+
+def scan_pandas(spark: SparkSession, workspace: str, class_name: str | None = None, **kw):
+    """``arc_to_pandas_a`` equivalent (arc_utils.py:956-988): scan then
+    Arrow-backed conversion to pandas. Only for bounded results — the 100 TB
+    path never materializes to the driver."""
+    return scan(spark, workspace, class_name, **kw).toPandas()
