@@ -88,12 +88,14 @@ def minhash_signatures(
     computation costs zero shuffles and scales with scan throughput.
     """
     shingles = F.array_distinct(_char_shingles(F.col(text_col), shingle_size))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: _seeded_hash(s, j)))
-            for j in range(num_hashes)
-        ]
-    )
+
+    def min_seeded(seed: int) -> Column:
+        # closure factory, NOT a default-arg lambda: pyspark treats a
+        # two-parameter callback as (element, index) and would pass the
+        # array index instead of the seed
+        return F.array_min(F.transform(shingles, lambda s: _seeded_hash(s, seed)))
+
+    sig = F.array(*[min_seeded(j) for j in range(num_hashes)])
     return df.select(id_col, sig.alias("minhash_sig"))
 
 
@@ -189,21 +191,24 @@ def simhash(
     functions (no explode, no shuffle): per bit, sum +1/-1 over token-hash
     bits; the signature sets bits with positive sums."""
     tokens = F.split(F.col(text_col), " ", -1)
-    hashes = F.transform(tokens, F.xxhash64)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def bit_sum(b: int) -> Column:
         return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, b=b: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    sig = F.aggregate(
-        F.array(*[bit_sum(b) for b in range(bits)]).alias("bitsums"),
-        F.lit(0).cast(T.LongType()),
-        lambda acc, s: acc * 2 + F.when(s > 0, 1).otherwise(0),
-    )
+    # pack via shift+OR, not acc*2+bit: multiplication overflows a long
+    # under ANSI mode once bit 63 is set; shifts/OR are wrap-around bitwise
+    one = F.lit(1).cast(T.LongType())
+    sig = F.lit(0).cast(T.LongType())
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(bit_sum(b) > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast(T.LongType()))
+        )
     return df.select(id_col, sig.alias("simhash"))
 
 

@@ -152,7 +152,7 @@ def rolling_hash_fingerprint(
     shingles = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(text, i, window)
     )
-    hashes = F.transform(shingles, F.xxhash64)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     return df.select(
         id_col,
         F.array_min(hashes).alias("min_shingle_hash"),

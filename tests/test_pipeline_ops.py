@@ -1,0 +1,145 @@
+"""LLM-pipeline extension operators: dedup, similarity, text, sessionization."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smartpy_arc_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from smartpy_arc_spark.operators.sessionize import sessionize
+from smartpy_arc_spark.operators.similarity import ann_lsh_topk, knn_cosine_bruteforce
+from smartpy_arc_spark.operators.text import (
+    lang_id_heuristic,
+    quality_score,
+    rolling_hash_fingerprint,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different content about spark query engines and plans"),
+        (5, "der hund und die katze sind im haus und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    sizes = sorted(g.n_dups for g in groups)
+    assert sizes == [1, 1, 1, 2]
+    kept = exact_dedup(docs)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r.doc_id: r.minhash_sig for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree_near > agree_far  # near-dup agrees more than unrelated
+
+
+def test_minhash_lsh_finds_dup_pair(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard_est
+             for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near-dup collides in at least one band
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham13 < ham14
+    cands = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_candidates(docs, max_hamming=8).collect()}
+    assert cands[(1, 2)] == 0 and (1, 3) in cands
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+
+
+def test_knn_bruteforce_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = knn_cosine_bruteforce(df.where("vec_id = 0"), df, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)]
+    assert order == [1, 2, 3]
+    assert out[0].cos_sim <= 1.0
+
+
+def test_ann_lsh_recall_against_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    data = [(int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in knn_cosine_bruteforce(q, df, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_lsh_topk(q, df, k=5, dim=16, n_planes=6,
+                                    n_tables=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # approximate, but must beat random by far
+
+
+def test_text_stats_and_quality(docs):
+    stats = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert stats[1].n_tokens == 13
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert 0 <= q[1].quality_score <= 1
+    assert q[1].stop_ratio > q[5].stop_ratio  # english markers
+
+
+def test_lang_id(docs):
+    pred = {r.doc_id: r.predicted_lang for r in lang_id_heuristic(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "de"
+
+
+def test_rolling_hash_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.min_shingle_hash
+         for r in rolling_hash_fingerprint(docs).collect()}
+    b = {r.doc_id: r.min_shingle_hash
+         for r in rolling_hash_fingerprint(docs).collect()}
+    assert a == b and a[1] == a[2]
+
+
+def test_sessionize_gap_logic(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 100, t0 + dt.timedelta(minutes=50)),   # 40min gap → new session
+        (4, 200, t0),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_id
+           for r in sessionize(df, tiebreak_col="event_id").collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 2 and out[4] == 1

@@ -1,0 +1,94 @@
+"""Scan semantics: S1/S2 + C4/C5 quirks (SURVEY.md §2.1, §2.5)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from smartpy_arc_spark import scan
+from smartpy_arc_spark.functions.scalar import clamp_timestamps
+from smartpy_arc_spark.sources.scan import _fill_sentinels
+
+
+def test_scan_projection_and_rename(spark, sf_dir):
+    df = scan(spark, sf_dir, "nation", flds={"n_nationkey": "key", "n_name": "name"})
+    assert df.columns == ["key", "name"]
+    assert df.count() == 25
+
+
+def test_scan_case_insensitive_requested_casing_wins(spark, sf_dir):
+    # arc_utils.py:1036-1049 — request with different casing, output keeps it
+    df = scan(spark, sf_dir, "nation", flds=["N_NationKey", "n_NAME"])
+    assert df.columns == ["N_NationKey", "n_NAME"]
+
+
+def test_scan_missing_column_raises(spark, sf_dir):
+    with pytest.raises(KeyError, match="n_nope"):
+        scan(spark, sf_dir, "nation", flds=["n_nope"])
+
+
+def test_scan_where_pushdown_reaches_parquet(spark, sf_dir):
+    df = scan(spark, sf_dir, "lineitem", where="l_quantity < 5",
+              flds=["l_orderkey", "l_quantity"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+    # column pruning: scan schema must not include unrequested columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_scan_sort_by_index_fld(spark, sf_dir):
+    df = scan(spark, sf_dir, "region", index_fld="r_name")
+    names = [r.r_name for r in df.collect()]
+    assert names == sorted(names)
+
+
+def test_sentinel_fill_per_type(spark):
+    rows = [(1, None, None, None), (2, "x", 5.0, dt.datetime(2000, 1, 2))]
+    df = spark.createDataFrame(
+        rows, schema="id long, s string, d double, t timestamp"
+    )
+    out = {r.id: r for r in _fill_sentinels(df).collect()}
+    assert out[1].s == "" and out[1].d == -1.0
+    assert out[1].t == dt.datetime(1678, 1, 1)
+    assert out[2].s == "x" and out[2].d == 5.0
+
+
+def test_sentinel_roundtrip_is_lossy(spark):
+    # arc_utils.py:739-745 — a legitimate -1 comes back as null
+    from smartpy_arc_spark import fill_null_sentinels, restore_null_sentinels
+
+    df = spark.createDataFrame([(1, -1.0), (2, None)], "id long, d double")
+    back = restore_null_sentinels(fill_null_sentinels(df))
+    vals = {r.id: r.d for r in back.collect()}
+    assert vals[1] is None and vals[2] is None
+
+
+def test_restore_nan_string_becomes_null(spark):
+    from smartpy_arc_spark import restore_null_sentinels
+
+    df = spark.createDataFrame([(1, "nan"), (2, "ok")], "id long, s string")
+    vals = {r.id: r.s for r in restore_null_sentinels(df).collect()}
+    assert vals[1] is None and vals[2] == "ok"
+
+
+def test_timestamp_clamp_reference_bounds(spark):
+    rows = [
+        (1, dt.datetime(1500, 1, 1)),
+        (2, dt.datetime(2000, 6, 1)),
+        (3, dt.datetime(2500, 1, 1)),
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("t", T.TimestampType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    vals = {r.id: r.t for r in clamp_timestamps(df, ["t"]).collect()}
+    assert vals[1] is None and vals[3] is None
+    assert vals[2] == dt.datetime(2000, 6, 1)
+
+
+def test_nanos_ts_scan(spark):
+    df = scan(spark, "/root/testdata/sf0.001", "events", nanos_ts_cols=["ts"])
+    field = dict(df.dtypes)["ts"]
+    assert field == "timestamp"
+    assert df.where("ts >= '2024-01-01'").count() == df.count()
