@@ -1,0 +1,129 @@
+"""Derived geometry columns — C3 (centroids), the scan's SHAPE@ tokens, and
+encoding conversions (SURVEY.md §1.4, §2.5, §2.6).
+
+Reference behaviors:
+  * legacy scan derives SHAPE@X/SHAPE@Y always, SHAPE@AREA for polygons,
+    SHAPE@LENGTH for polygons/polylines (arc_utils.py:692-701);
+  * ``get_centroids`` (arc_utils.py:522-583) computes an inside-guaranteed
+    point per polygon in a row-at-a-time cursor loop, keeps the original
+    OID as ``src_<oidcol>`` (arc_utils.py:570), fills string nulls
+    (arc_utils.py:571-573) and writes an XY point table;
+  * encoding conversions among WKB/WKT/GeoJSON (arc_utils.py:970-978).
+
+Here each derived column is an Arrow-batched pandas UDF over the WKB
+column — vectorized per batch, no cursor loop, no shuffle; at 100 TB these
+run at scan speed alongside the parquet reader.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smartpy_arc_spark.geometry import core, wkb as wkb_codec
+
+
+def _per_geom(fn, wkb_series: pd.Series) -> list:
+    out = []
+    for w in wkb_series:
+        if w is None:
+            out.append(None)
+            continue
+        try:
+            out.append(fn(bytes(w)))
+        except ValueError:
+            out.append(None)
+    return out
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        _per_geom(lambda w: core.polygon_area(wkb_codec.decode_polygon(w)), wkb),
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def st_length(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        _per_geom(lambda w: core.polygon_perimeter(wkb_codec.decode_polygon(w)), wkb),
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+]))
+def st_centroid_xy(wkb: pd.Series) -> pd.DataFrame:
+    pts = _per_geom(
+        lambda w: core.interior_point(wkb_codec.decode_polygon(w)), wkb
+    )
+    return pd.DataFrame(
+        [(None, None) if p is None else p for p in pts], columns=["x", "y"]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def to_wkt(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_per_geom(wkb_codec.to_wkt_str, wkb), dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def to_geojson(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_per_geom(wkb_codec.to_geojson_str, wkb), dtype="object")
+
+
+def add_geometry_derived(
+    df: DataFrame, geom_col: str = "geometry", prefix: str = "SHAPE@"
+) -> DataFrame:
+    """The legacy scan's derived columns: <prefix>X/Y always, <prefix>AREA
+    and <prefix>LENGTH for polygons (arc_utils.py:692-701)."""
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    c = st_centroid_xy(F.col(geom_col))
+    return (
+        df.withColumn("_c", c)
+        .withColumn(f"{prefix}X", F.col("_c.x"))
+        .withColumn(f"{prefix}Y", F.col("_c.y"))
+        .drop("_c")
+        .withColumn(f"{prefix}AREA", st_area(F.col(geom_col)))
+        .withColumn(f"{prefix}LENGTH", st_length(F.col(geom_col)))
+    )
+
+
+def get_centroids(
+    df: DataFrame,
+    *,
+    geom_col: str = "geometry",
+    oid_col: str = "OBJECTID",
+    flds_to_keep: list[str] | None = None,
+    fill_str_nulls: bool = True,
+) -> DataFrame:
+    """C3 ``get_centroids``: per-polygon inside-guaranteed point as x/y
+    columns, original id kept as ``src_<oidcol>``, optional string null
+    fill — the whole reference cursor loop as one vectorized projection."""
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    keep = flds_to_keep or []
+    c = st_centroid_xy(F.col(geom_col))
+    out = df.select(
+        c.getField("x").alias("x"),
+        c.getField("y").alias("y"),
+        F.col(oid_col).alias(f"src_{oid_col}"),
+        *[F.col(f) for f in keep],
+    )
+    if fill_str_nulls:
+        str_cols = {
+            f.name: "" for f in out.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        }
+        if str_cols:
+            out = out.na.fill(str_cols)
+    return out

@@ -30,6 +30,16 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Python workers must be able to import this package (pandas-UDF
+    # closures reference it by module name).  Must happen before the JVM
+    # starts so the worker env inherits it.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,3 +61,40 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_PYFILE_SESSIONS: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers of a session
+    we didn't create (e.g. the driver harness's own SparkSession started
+    from a different cwd): zip the package and ``addPyFile`` it once per
+    session.  No-op when already registered."""
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:
+        sid = str(id(spark))
+    if sid in _PYFILE_SESSIONS:
+        return
+    import glob
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    files = sorted(glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True))
+    digest = hashlib.md5(
+        "".join(f"{f}:{os.path.getmtime(f)}" for f in files).encode()
+    ).hexdigest()[:10]
+    zpath = os.path.join(tempfile.gettempdir(), f"smartpy_arc_spark_{digest}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in files:
+                z.write(f, os.path.relpath(f, parent))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name in this JVM
+    _PYFILE_SESSIONS.add(sid)

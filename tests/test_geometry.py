@@ -1,0 +1,184 @@
+"""Geometry kernels + split operators (SURVEY.md §2.6) — unit and
+property-based tests."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from smartpy_arc_spark.geometry import core
+from smartpy_arc_spark.geometry.split import (
+    recursive_split,
+    split_poly,
+    split_polygon_wkb,
+)
+from smartpy_arc_spark.geometry.wkb import (
+    decode,
+    decode_polygon,
+    encode_point,
+    encode_polygon,
+    to_geojson_str,
+    to_wkt_str,
+)
+
+
+def rect(x0, y0, x1, y1):
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+
+
+def l_shape():
+    # 10x10 square minus 5x5 upper-right notch → area 75
+    return [np.array([
+        [0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]
+    ], dtype=float)]
+
+
+# --- kernels ----------------------------------------------------------
+
+
+def test_area_perimeter_centroid_rect():
+    r = rect(0, 0, 4, 2)
+    assert core.polygon_area(r) == pytest.approx(8.0)
+    assert core.polygon_perimeter(r) == pytest.approx(12.0)
+    assert core.polygon_centroid(r) == pytest.approx((2.0, 1.0))
+
+
+def test_area_with_hole():
+    rings = rect(0, 0, 10, 10) + rect(2, 2, 4, 4)
+    assert core.polygon_area(rings) == pytest.approx(96.0)
+
+
+def test_point_in_polygon_with_hole():
+    rings = rect(0, 0, 10, 10) + rect(2, 2, 4, 4)
+    assert core.point_in_polygon(5, 5, rings)
+    assert not core.point_in_polygon(3, 3, rings)  # inside the hole
+    assert not core.point_in_polygon(11, 5, rings)
+
+
+def test_interior_point_concave():
+    # U-shape whose area centroid falls inside the notch (outside the shape)
+    rings = [np.array([
+        [0, 0], [9, 0], [9, 9], [6, 9], [6, 2], [3, 2], [3, 9], [0, 9], [0, 0]
+    ], dtype=float)]
+    cx, cy = core.polygon_centroid(rings)
+    px, py = core.interior_point(rings)
+    assert core.point_in_polygon(px, py, rings)
+
+
+def test_wkb_roundtrip_polygon():
+    rings = l_shape()
+    again = decode_polygon(encode_polygon(rings))
+    assert core.polygon_area(again) == pytest.approx(75.0)
+    kind, pt = decode(encode_point(3.5, -2.25))
+    assert kind == "point" and pt == (3.5, -2.25)
+
+
+def test_wkt_geojson_encodings():
+    w = encode_polygon(rect(0, 0, 1, 1))
+    assert to_wkt_str(w).startswith("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert '"type": "Polygon"' in to_geojson_str(w)
+    assert to_wkt_str(encode_point(2, 3)) == "POINT (2 3)"
+
+
+# --- G1 ---------------------------------------------------------------
+
+
+def test_split_poly_halves_rectangle():
+    r = rect(0, 0, 10, 4)
+    left, right = split_poly(r, 20.0)
+    assert left is not None and right is not None
+    assert core.polygon_area(left) == pytest.approx(20.0, rel=0.005)
+    assert core.polygon_area(right) == pytest.approx(20.0, rel=0.01)
+    # split axis is the longer (x) axis: left max x ≈ 5
+    assert core.bbox(left)[2] == pytest.approx(5.0, abs=0.1)
+
+
+def test_split_poly_degenerate_inputs():
+    assert split_poly(None, 5.0) == (None, None)
+    r = rect(0, 0, 2, 2)
+    assert split_poly(r, 10.0) == (None, None)  # target >= area
+
+
+# --- G2/G3 ------------------------------------------------------------
+
+
+def test_recursive_split_counts_and_area():
+    r = rect(0, 0, 12, 3)
+    parts = recursive_split(r, 4, random.Random(1))
+    assert len(parts) == 4
+    areas = [core.polygon_area(p) for p in parts]
+    assert sum(areas) == pytest.approx(36.0, rel=0.01)
+    for a in areas:
+        assert a == pytest.approx(9.0, rel=0.05)
+
+
+def test_split_polygon_wkb_deterministic():
+    w = encode_polygon(rect(0, 0, 30, 10))
+    a = split_polygon_wkb(w, max_area_units=50.0, seed=7)
+    b = split_polygon_wkb(w, max_area_units=50.0, seed=7)
+    assert [bytes(x) for x in a] == [bytes(x) for x in b]
+    assert len(a) == 6  # floor(300/50)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.floats(min_value=5, max_value=200),
+    h=st.floats(min_value=5, max_value=200),
+    parts=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_split_invariants_property(w, h, parts, seed):
+    """Parts' areas sum to the parent area; each part is within tolerance
+    of the target (poly_splitting.py:70, :85-89)."""
+    r = rect(0, 0, w, h)
+    total = core.polygon_area(r)
+    out = recursive_split(r, parts, random.Random(seed))
+    assert len(out) == parts
+    areas = [core.polygon_area(p) for p in out]
+    assert sum(areas) == pytest.approx(total, rel=1e-6)
+    target = total / parts
+    for a in areas:
+        assert abs(a - target) / target < 0.05
+
+
+def test_split_equal_area_spark(spark):
+    from smartpy_arc_spark.geometry import split_equal_area
+
+    rows = [
+        (1, bytearray(encode_polygon(rect(0, 0, 10, 10))), "big"),   # 100 → 4 parts
+        (2, bytearray(encode_polygon(rect(0, 0, 5, 4))), "small"),   # 20 → 1 part
+    ]
+    df = spark.createDataFrame(
+        rows, "OBJECTID long, geometry binary, land_use string"
+    )
+    out = split_equal_area(df, max_area_units=25.0).collect()
+    by_fid = {}
+    for r in out:
+        by_fid.setdefault(r.ORIG_FID, []).append(r)
+    assert len(by_fid[1]) == 4 and len(by_fid[2]) == 1
+    assert sorted(r.SPLIT_SEQ for r in by_fid[1]) == [1, 2, 3, 4]
+    assert all(r.land_use == "big" for r in by_fid[1])
+    total = sum(
+        core.polygon_area(decode_polygon(bytes(r.geometry))) for r in by_fid[1]
+    )
+    assert total == pytest.approx(100.0, rel=1e-6)
+
+
+def test_geometry_derived_columns_spark(spark):
+    from smartpy_arc_spark.geometry import add_geometry_derived, get_centroids
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_polygon(rect(0, 0, 4, 2))), None)],
+        "OBJECTID long, geometry binary, name string",
+    )
+    d = add_geometry_derived(df).collect()[0]
+    assert d["SHAPE@AREA"] == pytest.approx(8.0)
+    assert d["SHAPE@LENGTH"] == pytest.approx(12.0)
+    assert (d["SHAPE@X"], d["SHAPE@Y"]) == (pytest.approx(2.0), pytest.approx(1.0))
+
+    c = get_centroids(df, flds_to_keep=["name"]).collect()[0]
+    assert c.src_OBJECTID == 1
+    assert c.name == ""  # string-null fill (arc_utils.py:571-573)
+    assert (c.x, c.y) == (pytest.approx(2.0), pytest.approx(1.0))
