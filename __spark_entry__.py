@@ -429,6 +429,205 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic with per-language scores."""
+    from smartpy_arc_spark.operators.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id_heuristic(docs, text_col="text", id_col="doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality from length/punct/stopword ratios."""
+    from smartpy_arc_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, text_col="text", id_col="doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a bounded doc subset (near-dup verify tier)."""
+    from smartpy_arc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40")
+    return ngram_jaccard_pairs(docs, n=3)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only: xxhash64 family has
+    no DuckDB equivalent)."""
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming candidates (rows-only)."""
+    from smartpy_arc_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, max_hamming=3)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min/max shingle-hash fingerprint (rows-only)."""
+    from smartpy_arc_spark.operators.text import rolling_hash_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return rolling_hash_fingerprint(docs)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (rows-only; recall vs exact asserted in
+    tests/test_pipeline_ops.py)."""
+    from smartpy_arc_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb.where("vec_id < 5"), emb, k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs above a threshold (bounded query side)."""
+    from smartpy_arc_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 300").select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("_va"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("_vb"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("id_b") > F.col("id_a"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+        )
+        .where("_cos > 0.45")
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm stats over the embedding array column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        emb.select("label", F.sqrt(dot).alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+            F.round(F.max("_norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def _rect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rectangles synthesized from the part table — geometry
+    fixtures whose area/length/centroid an SQL oracle can recompute."""
+    from smartpy_arc_spark.geometry.columns import make_rect_wkb
+
+    part = _t(spark, sf_dir, "part").where("p_partkey < 500")
+    return part.select(
+        "p_partkey",
+        make_rect_wkb(
+            (F.col("p_partkey") % 97).cast("double"),
+            (F.col("p_partkey") % 89).cast("double"),
+            (F.lit(10) + F.col("p_size")).cast("double"),
+            (F.lit(5) + F.col("p_partkey") % 7).cast("double"),
+        ).alias("geometry"),
+    )
+
+
+def q_geom_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB → derived columns (SHAPE@X/Y/AREA/LENGTH) + ap_ratio, verified
+    arithmetically by the oracle (rect geometry)."""
+    from smartpy_arc_spark.geometry import add_geometry_derived
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    rects = _rect_table(spark, sf_dir)
+    d = add_geometry_derived(rects)
+    return d.select(
+        "p_partkey",
+        F.round(F.col("SHAPE@X"), 6).alias("cx"),
+        F.round(F.col("SHAPE@Y"), 6).alias("cy"),
+        F.round(F.col("SHAPE@AREA"), 6).alias("area"),
+        F.round(F.col("SHAPE@LENGTH"), 6).alias("length"),
+        F.round(
+            F.col("SHAPE@LENGTH")
+            / (F.lit(2.0) * F.sqrt(F.lit(math.pi) * F.col("SHAPE@AREA"))),
+            6,
+        ).alias("ap_ratio"),
+    )
+
+
+def q_geom_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-area split over rect geometry: part counts + area conservation,
+    verified arithmetically (n_parts = max(floor(area/max_units), 1))."""
+    from smartpy_arc_spark.geometry import split_equal_area, st_area
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    rects = _rect_table(spark, sf_dir)
+    parts = split_equal_area(
+        rects, oid_col="p_partkey", max_area_units=137.0, flds=[]
+    )
+    return (
+        parts.select("ORIG_FID", st_area(F.col("geometry")).alias("_a"))
+        .groupBy("ORIG_FID")
+        .agg(
+            F.count(F.lit(1)).cast(T.IntegerType()).alias("n_parts"),
+            F.round(F.sum("_a"), 2).alias("total_area"),
+        )
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → metadata via mapInPandas decode stub; the
+    deterministic fake dims let the oracle recompute them from length."""
+    from smartpy_arc_spark.multimodal.binary import attach_payload, decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), "text"
+    )
+    payloads = attach_payload(docs, "text")
+    return decode_image_meta(payloads)
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate drained through a
+    memory sink — same result as the batch equivalent the oracle runs."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(windowed_event_counts(stream))
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window gap sessions (30 min), drained
+    synchronously; matches the batch lag+cumsum construction."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(streaming_sessionize(stream))
+    return out.select("user_id", "session_start", "n_events", "total_value")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -462,6 +661,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_candidates": q_simhash_candidates,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_label_stats": q_embedding_label_stats,
+        "geom_derived": q_geom_derived,
+        "geom_split": q_geom_split,
+        "multimodal_decode": q_multimodal_decode,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -675,6 +888,184 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
             FROM documents
+        """,
+        "lang_id": """
+            WITH padded AS (
+                SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                  CAST((length(p)-length(replace(p,' der ','')))/5
+                     + (length(p)-length(replace(p,' die ','')))/5
+                     + (length(p)-length(replace(p,' und ','')))/5
+                     + (length(p)-length(replace(p,' ist ','')))/5
+                     + (length(p)-length(replace(p,' das ','')))/5 AS INTEGER) AS score_de,
+                  CAST((length(p)-length(replace(p,' the ','')))/5
+                     + (length(p)-length(replace(p,' and ','')))/5
+                     + (length(p)-length(replace(p,' of ','')))/4
+                     + (length(p)-length(replace(p,' to ','')))/4
+                     + (length(p)-length(replace(p,' is ','')))/4 AS INTEGER) AS score_en,
+                  CAST((length(p)-length(replace(p,' el ','')))/4
+                     + (length(p)-length(replace(p,' la ','')))/4
+                     + (length(p)-length(replace(p,' que ','')))/5
+                     + (length(p)-length(replace(p,' de ','')))/4
+                     + (length(p)-length(replace(p,' es ','')))/4 AS INTEGER) AS score_es,
+                  CAST((length(p)-length(replace(p,' le ','')))/4
+                     + (length(p)-length(replace(p,' la ','')))/4
+                     + (length(p)-length(replace(p,' et ','')))/4
+                     + (length(p)-length(replace(p,' est ','')))/5
+                     + (length(p)-length(replace(p,' les ','')))/5 AS INTEGER) AS score_fr
+                FROM padded
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+                   CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                        THEN 'und'
+                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM scored
+        """,
+        "quality_score": """
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       CAST((length(concat(' ', lower(text), ' '))
+                             - length(replace(concat(' ', lower(text), ' '), ' the ', '')))/5
+                          + (length(concat(' ', lower(text), ' '))
+                             - length(replace(concat(' ', lower(text), ' '), ' and ', '')))/5
+                          + (length(concat(' ', lower(text), ' '))
+                             - length(replace(concat(' ', lower(text), ' '), ' of ', '')))/4
+                          + (length(concat(' ', lower(text), ' '))
+                             - length(replace(concat(' ', lower(text), ' '), ' to ', '')))/4
+                          + (length(concat(' ', lower(text), ' '))
+                             - length(replace(concat(' ', lower(text), ' '), ' is ', '')))/4
+                         AS INTEGER) AS stop_hits
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id,
+                       n_alpha * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+                       n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+                       stop_hits * 1.0 / greatest(n_tokens, 1) AS stop_ratio,
+                       least(n_chars / 500.0, 1.0) AS length_score
+                FROM base
+            )
+            SELECT doc_id,
+                   round(alpha_ratio, 4) AS alpha_ratio,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(stop_ratio, 4) AS stop_ratio,
+                   round(0.4 * alpha_ratio + 0.3 * least(stop_ratio * 5, 1.0)
+                         + 0.2 * length_score
+                         + 0.1 * (1 - least(punct_ratio * 10, 1.0)), 4)
+                       AS quality_score
+            FROM ratios
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([substr(text, CAST(i AS INTEGER), 3)
+                               for i in generate_series(1, greatest(length(text) - 2, 1))])
+                           AS shingle
+                FROM documents
+                WHERE doc_id < 40
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        """,
+        "embedding_near_dup": """
+            SELECT q.vec_id AS id_a, e.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings q
+            JOIN embeddings e ON e.vec_id > q.vec_id
+            WHERE q.vec_id < 300
+              AND list_cosine_similarity(
+                      CAST(q.embedding AS DOUBLE[]),
+                      CAST(e.embedding AS DOUBLE[])) > 0.45
+        """,
+        "embedding_label_stats": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))), 4) AS avg_norm,
+                   round(max(sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))), 4) AS max_norm
+            FROM embeddings GROUP BY label
+        """,
+        "geom_derived": """
+            SELECT p_partkey,
+                   round((p_partkey % 97) + (10 + p_size) / 2.0, 6) AS cx,
+                   round((p_partkey % 89) + (5 + p_partkey % 7) / 2.0, 6) AS cy,
+                   round((10.0 + p_size) * (5 + p_partkey % 7), 6) AS area,
+                   round(2.0 * ((10 + p_size) + (5 + p_partkey % 7)), 6) AS length,
+                   round(2.0 * ((10 + p_size) + (5 + p_partkey % 7))
+                         / (2 * sqrt(pi() * (10.0 + p_size)
+                                     * (5 + p_partkey % 7))), 6) AS ap_ratio
+            FROM part WHERE p_partkey < 500
+        """,
+        "geom_split": """
+            SELECT p_partkey AS ORIG_FID,
+                   CAST(greatest(floor(((10.0 + p_size) * (5 + p_partkey % 7))
+                                       / 137.0), 1) AS INTEGER) AS n_parts,
+                   round((10.0 + p_size) * (5 + p_partkey % 7), 2) AS total_area
+            FROM part WHERE p_partkey < 500
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS item_id,
+                   CAST(length(text) AS INTEGER) AS n_bytes,
+                   CAST(length(text) % 640 AS INTEGER) AS width,
+                   CAST((length(text) * 7) % 480 AS INTEGER) AS height,
+                   CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                       AS format
+            FROM documents
+        """,
+        "stream_window_counts": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "stream_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM numbered
+            GROUP BY user_id, session_id
         """,
         "knn_cosine": """
             WITH pairs AS (

@@ -68,6 +68,27 @@ def st_centroid_xy(wkb: pd.Series) -> pd.DataFrame:
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def make_rect_wkb(
+    x0: pd.Series, y0: pd.Series, w: pd.Series, h: pd.Series
+) -> pd.Series:
+    """Axis-aligned rectangle → WKB polygon; the deterministic geometry
+    synthesizer used by oracle-checked geometry queries (an external SQL
+    oracle can recompute area/length/centroid arithmetically)."""
+    import numpy as np
+
+    out = []
+    for a, b, ww, hh in zip(x0, y0, w, h):
+        if a is None or ww is None:
+            out.append(None)
+            continue
+        ring = np.array([
+            [a, b], [a + ww, b], [a + ww, b + hh], [a, b + hh], [a, b]
+        ], dtype=float)
+        out.append(wkb_codec.encode_polygon([ring]))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.StringType())
 def to_wkt(wkb: pd.Series) -> pd.Series:
     return pd.Series(_per_geom(wkb_codec.to_wkt_str, wkb), dtype="object")

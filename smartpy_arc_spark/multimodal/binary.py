@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns plus typed metadata — the pattern
+for 100 TB multimodal training pipelines: Spark moves bytes + metadata,
+per-item decode happens in Arrow-batched Python workers near the data,
+never on the driver.
+
+The real decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode step is stubbed: ``decode_image_meta(..., stub=True)`` produces a
+deterministic fake derived from the payload bytes; ``stub=False`` raises
+``NotImplementedError`` where the real library call belongs.  Everything
+around the stub — schema contract, mapInPandas batch iteration, partition
+parallelism, null passthrough — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "item_id long, n_bytes int, width int, height int, format string"
+)
+
+FRAME_SCHEMA = "item_id long, frame_idx int, frame bytes_not_supported"  # doc only
+
+
+def attach_payload(df: DataFrame, src_col: str, payload_col: str = "payload") -> DataFrame:
+    """Pack a column's UTF-8 bytes as the opaque media payload (the
+    testdata has no real media; callers with real files use
+    ``spark.read.format('binaryFile')`` which yields the same shape)."""
+    return df.withColumn(payload_col, F.col(src_col).cast("binary"))
+
+
+def _stub_image_meta(item_id: int, payload: bytes) -> tuple:
+    """Deterministic fake decode: dimensions derived from payload length so
+    an external oracle can recompute them arithmetically."""
+    n = len(payload)
+    width = n % 640
+    height = (n * 7) % 480
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    return (item_id, n, width, height, fmt)
+
+
+def decode_image_meta(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    stub: bool = True,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Per-item image decode → metadata rows via ``mapInPandas``.
+
+    The iterator-of-batches shape is the real contract: each Arrow batch is
+    decoded in-place on the executor, output schema is fixed
+    (``IMAGE_META_SCHEMA``), null payloads pass through as null metadata.
+    Swap ``_stub_image_meta`` for a PIL ``Image.open(BytesIO(...))`` call
+    when the decoder is available.
+    """
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    if not stub:
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv, not present in this "
+            "container — run with stub=True for the deterministic fake"
+        )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    out.append((item_id, None, None, None, None))
+                else:
+                    out.append(_stub_image_meta(int(item_id), bytes(payload)))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_bytes", "width", "height", "format"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling stub: emits ``n_frames`` evenly-spaced fake
+    frames (slices of the payload) per item — the explode-shaped output a
+    real ffmpeg sampler would produce.  One input row → n output rows, all
+    executor-side."""
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    if not stub:
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, frames, hashes = [], [], [], []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step] or b[-1:]
+                    ids.append(int(item_id))
+                    idxs.append(i)
+                    frames.append(chunk)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"item_id": ids, "frame_idx": idxs, "frame": frames,
+                 "frame_md5": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, "item_id long, frame_idx int, frame binary, frame_md5 string"
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has zero streaming (SURVEY.md §2.8); these are the extension
+operators for the event-log side of a training-data pipeline:
+
+  * ``windowed_event_counts`` — tumbling event-time windows + counts/sums.
+  * ``streaming_sessionize``  — native ``session_window`` gap sessions.
+
+Both read a bounded parquet directory through ``readStream`` for local
+verification (``run_stream_to_memory`` drains synchronously into a memory
+sink); swap the source for kafka/kinesis in production — the transformation
+graph is identical.  Watermarks bound state so a 100 TB/day stream holds
+only the open windows per key in the state store.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long ns
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded parquet dir as a stream source (schema must be explicit for
+    readStream; ts arrives as nanos-long and is truncated to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # readStream needs a directory; the glob narrows it to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native gap sessions: ``session_window`` keeps one open session per
+    user in the state store, closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, *, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain a (bounded-source) streaming query synchronously into a memory
+    sink and return the result table — the local verification harness for
+    streaming operators."""
+    name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,83 @@
+"""Multimodal binary-column plumbing + Structured Streaming operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpy_arc_spark.multimodal.binary import (
+    attach_payload,
+    decode_image_meta,
+    frame_sample,
+)
+from smartpy_arc_spark.streaming.stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_sessionize,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(1, "abcdefgh" * 10), (2, "xy"), (3, None)]
+    df = spark.createDataFrame(rows, "item_id long, text string")
+    return attach_payload(df, "text")
+
+
+def test_decode_stub_metadata(media):
+    out = {r.item_id: r for r in decode_image_meta(media).collect()}
+    assert out[1].n_bytes == 80
+    assert out[1].width == 80 % 640 and out[1].height == (80 * 7) % 480
+    assert out[1].format == "png"
+    assert out[3].n_bytes is None  # null payload passes through
+
+
+def test_decode_real_path_is_gated(media):
+    with pytest.raises(NotImplementedError, match="stub=True"):
+        decode_image_meta(media, stub=False)
+
+
+def test_frame_sample_shapes(media):
+    frames = frame_sample(media, n_frames=4).collect()
+    by_item = {}
+    for r in frames:
+        by_item.setdefault(r.item_id, []).append(r)
+    assert len(by_item[1]) == 4
+    assert sorted(r.frame_idx for r in by_item[1]) == [0, 1, 2, 3]
+    assert b"".join(bytes(r.frame) for r in sorted(by_item[1], key=lambda r: r.frame_idx))
+    assert 3 not in by_item  # null payload skipped
+
+
+def test_streaming_window_counts_matches_batch(spark, sf_dir):
+    from smartpy_arc_spark import scan
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_stream_to_memory(windowed_event_counts(stream))
+    batch = (
+        scan(spark, sf_dir, "events", nanos_ts_cols=["ts"])
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    got = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+           for r in result.collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    from smartpy_arc_spark import scan
+    from smartpy_arc_spark.operators.sessionize import sessionize
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_stream_to_memory(streaming_sessionize(stream))
+    ev = scan(spark, sf_dir, "events", nanos_ts_cols=["ts"])
+    batch = (
+        sessionize(ev, tiebreak_col="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in result.collect()}
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got == want
