@@ -429,6 +429,45 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    'purchase' value at or before the event time (union-tag-window
+    construction; oracle uses DuckDB's native ASOF JOIN)."""
+    from smartpy_arc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median / p90)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns with per-cell sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic with per-language scores."""
     from smartpy_arc_spark.operators.text import lang_id_heuristic
@@ -661,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
+        "pivot_status": q_pivot_status,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
@@ -888,6 +930,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
             FROM documents
+        """,
+        "asof_join": """
+            SELECT a.event_id, a.user_id, b.value AS last_purchase_value
+            FROM events a
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) b ON a.user_id = b.user_id AND b.ts <= a.ts
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS "F",
+                   round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS "O"
+            FROM lineitem GROUP BY l_returnflag
         """,
         "lang_id": """
             WITH padded AS (

@@ -1,0 +1,133 @@
+"""As-of join, scale helpers, and the reference-compat shim."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smartpy_arc_spark.operators.asof import asof_join
+from smartpy_arc_spark.operators.scale import (
+    partition_advice,
+    repartition_for_join,
+    salted_join,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 10, m, 0)
+
+
+def test_asof_join_backward_semantics(spark):
+    probes = spark.createDataFrame(
+        [(1, 100, _ts(0)), (2, 100, _ts(10)), (3, 100, _ts(30)), (4, 200, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    refs = spark.createDataFrame(
+        [(100, _ts(10), 10.0), (100, _ts(20), 20.0), (200, _ts(50), 99.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    out = {r.event_id: r.price for r in asof_join(
+        probes, refs, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["price"],
+    ).collect()}
+    assert out[1] is None          # before any reference row
+    assert out[2] == 10.0          # exact tie matches (<= semantics)
+    assert out[3] == 20.0          # most recent wins
+    assert out[4] is None          # other user's refs are invisible
+
+
+def test_asof_join_null_reference_value(spark):
+    probes = spark.createDataFrame(
+        [(1, 5, _ts(30))], "event_id long, user_id long, ts timestamp"
+    )
+    refs = spark.createDataFrame(
+        [(5, _ts(0), 7.0), (5, _ts(20), None)],
+        "user_id long, ts timestamp, price double",
+    )
+    out = asof_join(probes, refs, on="user_id", left_ts="ts", right_ts="ts").collect()
+    # latest reference row wins even though its value is null
+    assert out[0].price is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k long, v long"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b")], "sk long, name string")
+    plain = big.join(small, big.k == small.sk).drop("sk")
+    salted = salted_join(big, small, "k", "sk", salt=8)
+    assert salted.count() == plain.count() == 200
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert (
+        salted.groupBy("k").count().orderBy("k").collect()
+        == plain.groupBy("k").count().orderBy("k").collect()
+    )
+
+
+def test_repartition_for_join_shares_partitioning(spark):
+    a = spark.range(100).withColumnRenamed("id", "ka")
+    b = spark.range(100).withColumnRenamed("id", "kb")
+    ra, rb = repartition_for_join(a, b, "ka", "kb", n_partitions=8)
+    assert ra.rdd.getNumPartitions() == rb.rdd.getNumPartitions() == 8
+
+
+def test_partition_advice(spark):
+    advice = partition_advice(spark, total_bytes=100 * 2**40)  # 100 TiB
+    assert advice["shuffle_partitions"] >= 800_000  # ~128MB per partition
+
+
+# --- compat shim ------------------------------------------------------
+
+
+def test_compat_arc_to_pandas(spark, sf_dir):
+    from smartpy_arc_spark import compat
+
+    pdf = compat.arc_to_pandas(
+        sf_dir, "nation", index_fld="n_nationkey",
+        flds=["n_nationkey", "n_name"],
+    )
+    assert isinstance(pdf, pd.DataFrame)
+    assert pdf.index.name == "n_nationkey" and len(pdf) == 25
+    assert list(pdf.columns) == ["n_name"]
+
+
+def test_compat_arc_to_spark_workspace_path(spark, sf_dir):
+    from smartpy_arc_spark import compat
+
+    df = compat.arc_to_spark(f"{sf_dir}//region")
+    assert df.count() == 5
+
+
+def test_compat_pandas_to_features(spark, sf_dir, tmp_path):
+    from smartpy_arc_spark import compat
+
+    enrich = pd.DataFrame({"key": [0, 1], "grade": ["x", "y"]})
+    target = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out_path = compat.pandas_to_features(
+        enrich, target, "key", "n_regionkey", f"{tmp_path}//joined",
+        keep_common=True,
+    )
+    back = spark.read.parquet(out_path)
+    assert back.count() == 10  # regions 0,1 → 5 nations each
+    assert "grade" in back.columns and "key" not in back.columns
+
+
+def test_compat_pandas_to_arc_roundtrip(spark, tmp_path):
+    from smartpy_arc_spark import compat
+
+    pdf = pd.DataFrame({"a": [1, 2], "flag": [True, False]})
+    flds, back = compat.pandas_to_arc(
+        pdf, str(tmp_path), "t", get_cursor=True, overwrite=True
+    )
+    assert set(flds) == {"a", "flag"}
+    # reference coercions applied: bool→int32, small int64→int32
+    assert dict(back.dtypes) == {"a": "int", "flag": "int"}
+
+
+def test_compat_deprecated_join_warns():
+    from smartpy_arc_spark import compat
+
+    with pytest.warns(DeprecationWarning):
+        with pytest.raises(NotImplementedError):
+            compat.pandas_join_to_arc()
