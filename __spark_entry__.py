@@ -429,6 +429,112 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: exact countDistinct per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+    )
+
+
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance (TPC-H Q2/Q17-style correlation, de-correlated by Catalyst)."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("cust_corr_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        FROM cust_corr_v c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM cust_corr_v c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-item revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold
+    (aggregate + HAVING)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.max("o_totalprice"), 2).alias("total_price"),
+        )
+        .where("sum_qty > 250")
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window arithmetic: per-user inter-event gap stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("_gap", gap_us)
+        .where(F.col("_gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("_gap") / 1e6, 4).alias("avg_gap_sec"),
+            F.round(F.max("_gap") / 1e6, 4).alias("max_gap_sec"),
+        )
+    )
+
+
+def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the smallest doc_id per content hash — the
+    row-filter form (window, not join)."""
+    from smartpy_arc_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "n_chars", "lang")
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; recall vs brute force asserted in
+    tests)."""
+    from smartpy_arc_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where("vec_id < 5"), emb, k=5)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event annotated with the user's most recent
     'purchase' value at or before the event time (union-tag-window
@@ -498,7 +604,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs)
+    # word trigram shingles: ~10× fewer hashes than char shingles at equal
+    # near-dup quality on prose — the corpus-scale configuration
+    return minhash_lsh_candidates(docs, shingle_mode="word", shingle_size=3)
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,6 +808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "distinct_counts": q_distinct_counts,
+        "correlated_above_avg": q_correlated_above_avg,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        "cube_revenue": q_cube_revenue,
+        "event_gaps": q_event_gaps,
+        "dedup_exact_rows": q_dedup_exact_rows,
+        "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
         "pivot_status": q_pivot_status,
@@ -930,6 +1046,72 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
             FROM documents
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "correlated_above_avg": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer c2
+                WHERE c2.c_nationkey = c.c_nationkey
+            )
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(max(o_totalprice), 2) AS total_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            HAVING sum(l_quantity) > 250
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "event_gaps": """
+            WITH gaps AS (
+                SELECT user_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_gaps,
+                   round(avg(gap_us) / 1e6, 4) AS avg_gap_sec,
+                   round(max(gap_us) / 1e6, 4) AS max_gap_sec
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "dedup_exact_rows": """
+            SELECT doc_id, n_chars, lang
+            FROM (
+                SELECT doc_id, n_chars, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
         """,
         "asof_join": """
             SELECT a.event_id, a.user_id, b.value AS last_purchase_value

@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "text_stats",
     "token_count_regex",
     "knn_cosine",
+    "asof_join",
+    "q10_returned_revenue",
+    "percentiles",
+    "minhash_pairs",
+    "stream_window_counts",
+    "geom_split",
 ]
 
 

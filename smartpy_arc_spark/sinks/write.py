@@ -30,8 +30,8 @@ from smartpy_arc_spark.functions.scalar import compat_cast_for_write
 from smartpy_arc_spark.meta import tag_geometry
 
 
-def _out_path(workspace: str, name: str) -> str:
-    return os.path.join(workspace, f"{name}.parquet")
+def _out_path(workspace: str, name: str, fmt: str = "parquet") -> str:
+    return os.path.join(workspace, f"{name}.{fmt}")
 
 
 def write_table(
@@ -73,7 +73,7 @@ def write_table(
         out = tag_geometry(out, x_col, crs=srs, encoding="POINT_XY")
 
     mode = "overwrite" if overwrite else "errorifexists"
-    path = _out_path(workspace, output_table)
+    path = _out_path(workspace, output_table, fmt)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -88,7 +88,10 @@ def write_table(
 
     if get_df_back:
         spark = df.sparkSession
-        return spark.read.format(fmt).load(path)
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        return reader.load(path)
     return path
 
 

@@ -38,14 +38,14 @@ _NUMERIC_TYPES = (
 )
 
 
-def _resolve_path(workspace: str, name: str | None) -> str:
+def _resolve_path(workspace: str, name: str | None, fmt: str = "parquet") -> str:
     """``workspace + '//' + class_name`` addressing (arc_utils.py:661-662)
-    mapped to a parquet path: workspace dir + table name."""
+    mapped to a file path: workspace dir + table name + format extension."""
     if name is None:
         return workspace
-    if name.endswith(".parquet"):
+    if "." in os.path.basename(name):
         return os.path.join(workspace, name)
-    return os.path.join(workspace, f"{name}.parquet")
+    return os.path.join(workspace, f"{name}.{fmt}")
 
 
 def _case_insensitive_resolve(
@@ -96,7 +96,7 @@ def scan(
       * ``drop_geometry``: geometry-role columns excluded unless explicitly
         requested, matching the Arrow scan default (arc_utils.py:1020-1024).
     """
-    path = _resolve_path(workspace, class_name)
+    path = _resolve_path(workspace, class_name, fmt)
     if nanos_ts_cols:
         # Parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond
         # timestamp type; the legacy conf reads them as long, and we

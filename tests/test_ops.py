@@ -189,6 +189,25 @@ def test_checkout_extension_noop():
         pass
 
 
+def test_csv_write_scan_roundtrip(spark, sf_dir, tmp_path):
+    nation = scan(spark, sf_dir, "nation")
+    write_table(nation, str(tmp_path), "nat_csv", fmt="csv")
+    back = scan(spark, str(tmp_path), "nat_csv.csv", fmt="csv",
+                where="n_regionkey = 0", flds=["n_nationkey", "n_name"])
+    assert back.count() == 5
+    assert back.columns == ["n_nationkey", "n_name"]
+
+
+def test_temp_work_database_scope(spark):
+    from smartpy_arc_spark import TempWork
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tw_test")
+    before = spark.catalog.currentDatabase()
+    with TempWork(spark, "tw_test"):
+        assert spark.catalog.currentDatabase() == "tw_test"
+    assert spark.catalog.currentDatabase() == before
+
+
 # --- S5/S6 ------------------------------------------------------------
 
 

@@ -109,6 +109,21 @@ def test_ann_lsh_recall_against_bruteforce(spark):
     assert recall >= 0.6  # approximate, but must beat random by far
 
 
+def test_ivf_recall_against_bruteforce(spark):
+    from smartpy_arc_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    data = [(int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in knn_cosine_bruteforce(q, df, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(q, df, k=5, n_centroids=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # probing half the lists on random data
+
+
 def test_text_stats_and_quality(docs):
     stats = {r.doc_id: r for r in text_stats(docs).collect()}
     assert stats[1].n_tokens == 13
