@@ -41,7 +41,20 @@ from smartpy_arc_spark import (  # noqa: E402
 # helpers
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Defensive runtime config for a driver-owned session: timestamps must
+    compare in UTC against the DuckDB oracle, and Arrow keeps pandas-UDF
+    paths fast.  Both are runtime-settable; no-ops on our own sessions."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read via the legacy
         # nanos-as-long conf and truncate to Spark's µs timestamps.
@@ -58,6 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
     enrichment join (J1) → aggregate, exercising the Phase-0 slice of
     SURVEY.md §7."""
     sf_dir = "/root/testdata/sf0.001"
+    _prep(spark)
     lineitem = scan(
         spark,
         sf_dir,
@@ -761,6 +775,22 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(windowed_event_counts(stream))
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): first event
+    per key.  Single availableNow batch → deterministic n_in_batch."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_first_seen,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_first_seen(stream), output_mode="append"
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming session_window gap sessions (30 min), drained
     synchronously; matches the batch lag+cumsum construction."""
@@ -833,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
     }
 
 
@@ -1288,6 +1319,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "stream_first_seen": """
+            SELECT user_id,
+                   min(CAST(ts AS TIMESTAMP)) AS first_ts,
+                   CAST(count(*) AS INTEGER) AS n_in_batch
+            FROM events GROUP BY user_id
         """,
         "stream_sessionize": """
             WITH flagged AS (

@@ -92,6 +92,54 @@ def streaming_sessionize(
     )
 
 
+def streaming_first_seen(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    key's FIRST event only (streaming dedup-by-key).  State per key is one
+    boolean — at 100 TB/day the state store holds |distinct keys| bits, not
+    events; use a TTL timeout in production to bound key cardinality.
+
+    This is the extension-surface pattern for operators Spark's built-ins
+    can't express: arbitrary per-group state + arbitrary pandas logic,
+    Arrow-batched per group.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
+
+    out_schema = f"{key_col} long, first_ts timestamp, n_in_batch int"
+
+    def first_seen(key, pdfs, state: GroupState):
+        n = 0
+        first_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            t = pdf[ts_col].min()
+            if first_ts is None or t < first_ts:
+                first_ts = t
+        if state.exists:
+            return iter(())  # key already emitted in a previous batch
+        state.update((True,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "first_ts": [first_ts], "n_in_batch": [n]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, *, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -65,6 +65,23 @@ def test_streaming_window_counts_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_first_seen_stateful(spark, sf_dir):
+    from smartpy_arc_spark import scan
+    from smartpy_arc_spark.streaming.stream import streaming_first_seen
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_stream_to_memory(
+        streaming_first_seen(stream), output_mode="append"
+    )
+    ev = scan(spark, sf_dir, "events", nanos_ts_cols=["ts"])
+    batch_first = {
+        r.user_id: r.first_ts
+        for r in ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).collect()
+    }
+    got = {r.user_id: r.first_ts for r in result.collect()}
+    assert got == batch_first  # one row per key, at the key's first event time
+
+
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
     from smartpy_arc_spark import scan
     from smartpy_arc_spark.operators.sessionize import sessionize
