@@ -52,17 +52,30 @@ def create_layer(
     """P1 ``create_layer`` (arc_utils.py:422-474): register a lazy named view
     with projection/rename + filter.
 
-    ``shp_prefix`` adds a derived ``<prefix>_area`` column when an area
-    source column is available (the reference derives it from the polygon
-    geometry, arc_utils.py:451-455) — pass ``area_col`` naming the source.
-    Returns the underlying DataFrame (the view is also registered under
-    ``layer_name``).
+    ``shp_prefix`` adds a derived ``<prefix>_area`` column (the reference
+    derives it from the polygon geometry, arc_utils.py:451-455): from
+    ``area_col`` when named, else computed from the DataFrame's
+    geometry-role column via ``st_area``.  Returns the underlying DataFrame
+    (the view is also registered under ``layer_name``).
     """
     out = df
     if where:
         out = out.where(where)
-    if shp_prefix and area_col:
-        out = out.withColumn(f"{shp_prefix}_area", F.col(area_col))
+    if shp_prefix:
+        if area_col:
+            out = out.withColumn(f"{shp_prefix}_area", F.col(area_col))
+        else:
+            from smartpy_arc_spark.meta import ROLE_GEOMETRY, field_role
+
+            g = next(
+                (f.name for f in out.schema.fields
+                 if field_role(f) == ROLE_GEOMETRY),
+                "geometry" if "geometry" in out.columns else None,
+            )
+            if g is not None:
+                from smartpy_arc_spark.geometry import st_area
+
+                out = out.withColumn(f"{shp_prefix}_area", st_area(F.col(g)))
     if flds is not None:
         cols = field_map(flds)
         if shp_prefix and area_col:

@@ -81,6 +81,8 @@ def scan(
     date_fill: str = DEFAULT_DATE_FILL,
     fmt: str = "parquet",
     drop_geometry: bool = True,
+    spatial: bool = False,
+    geom_col: str | None = None,
     nanos_ts_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Scan a table into a lazy DataFrame.
@@ -95,6 +97,10 @@ def scan(
         nulls (False) — the reference's sentinel mode is a compat flag.
       * ``drop_geometry``: geometry-role columns excluded unless explicitly
         requested, matching the Arrow scan default (arc_utils.py:1020-1024).
+      * ``spatial=True``: derive the legacy scan's SHAPE@X/SHAPE@Y/
+        SHAPE@AREA/SHAPE@LENGTH columns from the geometry column before it
+        is dropped (arc_utils.py:692-701); ``geom_col`` overrides the
+        role-metadata lookup.
     """
     path = _resolve_path(workspace, class_name, fmt)
     if nanos_ts_cols:
@@ -122,6 +128,17 @@ def scan(
     # reference source fields (arc_utils.py:704-708).
     if where:
         df = df.where(where)
+
+    if spatial:
+        from smartpy_arc_spark.geometry import add_geometry_derived
+        from smartpy_arc_spark.meta import ROLE_GEOMETRY, field_role
+
+        g = geom_col or next(
+            (f.name for f in df.schema.fields if field_role(f) == ROLE_GEOMETRY),
+            "geometry" if "geometry" in df.columns else None,
+        )
+        if g is not None:
+            df = add_geometry_derived(df, geom_col=g)
 
     # Projection + rename with case-insensitive resolution.
     if flds is not None:

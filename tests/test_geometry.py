@@ -166,6 +166,30 @@ def test_split_equal_area_spark(spark):
     assert total == pytest.approx(100.0, rel=1e-6)
 
 
+def test_scan_spatial_derived_and_layer_area(spark, tmp_path):
+    from smartpy_arc_spark import create_layer, scan, write_table
+    from smartpy_arc_spark.meta import tag_geometry
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_polygon(rect(0, 0, 6, 2))), "a")],
+        "OBJECTID long, geometry binary, name string",
+    )
+    df = tag_geometry(df, "geometry", crs="EPSG:3857")
+    write_table(df, str(tmp_path), "polys")
+
+    # S1 legacy spatial scan: derived SHAPE@ columns from the role column
+    scanned = scan(spark, str(tmp_path), "polys", spatial=True)
+    row = scanned.collect()[0]
+    assert row["SHAPE@AREA"] == pytest.approx(12.0)
+    assert row["SHAPE@LENGTH"] == pytest.approx(16.0)
+
+    # P1 layer with geometry-derived <prefix>_area (arc_utils.py:451-455);
+    # geometry kept on this scan so the layer can derive from it
+    with_geom = scan(spark, str(tmp_path), "polys", drop_geometry=False)
+    layer = create_layer(with_geom, "polys_layer", shp_prefix="shp")
+    assert layer.collect()[0]["shp_area"] == pytest.approx(12.0)
+
+
 def test_geometry_derived_columns_spark(spark):
     from smartpy_arc_spark.geometry import add_geometry_derived, get_centroids
 
