@@ -443,6 +443,66 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation) → duplicate clusters with keeper flags.  Oracle
+    is a recursive CTE computing the same reachability closure."""
+    from smartpy_arc_spark.operators.components import dedup_clusters
+    from smartpy_arc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.55)
+    return dedup_clusters(pairs)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (anti-join + union): deterministic updates
+    replace matched rows, others pass through."""
+    from smartpy_arc_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        cust.where("c_custkey % 10 = 0")
+        .select(
+            "c_custkey",
+            F.lit("UPDATED").alias("c_name"),
+            F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+        )
+    )
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return merged.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h length, 1h slide): each event lands
+    in two overlapping windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) wide measures into long form."""
+    li = _t(spark, sf_dir, "lineitem").where("l_linenumber = 1")
+    return li.selectExpr(
+        "l_orderkey",
+        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, val)",
+    )
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates: exact countDistinct per group."""
     li = _t(spark, sf_dir, "lineitem")
@@ -838,6 +898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "dedup_clusters": q_dedup_clusters,
+        "merge_upsert": q_merge_upsert,
+        "sliding_window_counts": q_sliding_window_counts,
+        "unpivot_measures": q_unpivot_measures,
         "distinct_counts": q_distinct_counts,
         "correlated_above_avg": q_correlated_above_avg,
         "q10_returned_revenue": q10_returned_revenue,
@@ -1077,6 +1141,66 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
             FROM documents
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([substr(text, CAST(i AS INTEGER), 3)
+                               for i in generate_series(1, greatest(length(text) - 2, 1))])
+                           AS shingle
+                FROM documents WHERE doc_id < 40
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.55
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), walk(node, label) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, w.label FROM edges e JOIN walk w ON w.node = e.d
+            )
+            SELECT node, min(label) AS component,
+                   (node = min(label)) AS is_keeper
+            FROM walk GROUP BY node
+        """,
+        "merge_upsert": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED'
+                        ELSE c_name END AS c_name,
+                   round(CASE WHEN c_custkey % 10 = 0
+                              THEN round(c_acctbal * 2, 2)
+                              ELSE c_acctbal END, 2) AS bal
+            FROM customer
+        """,
+        "sliding_window_counts": """
+            WITH expanded AS (
+                SELECT event_type, value,
+                       unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                               date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                   - INTERVAL 1 HOUR]) AS window_start
+                FROM events
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM expanded
+            GROUP BY window_start, event_type
+        """,
+        "unpivot_measures": """
+            SELECT l_orderkey, 'qty' AS measure, l_quantity AS val
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, 'price', l_extendedprice
+            FROM lineitem WHERE l_linenumber = 1
         """,
         "distinct_counts": """
             SELECT l_returnflag,

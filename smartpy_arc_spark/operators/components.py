@@ -1,0 +1,97 @@
+"""Connected components over a pair graph — dedup cluster assignment.
+
+The last stage of a near-dup pipeline: candidate pairs (from MinHash-LSH /
+SimHash banding) form a graph; each connected component is one duplicate
+cluster, and the keeper is the minimum id in the component.
+
+Algorithm: iterative minimum-label propagation (a DataFrame-only variant of
+hash-to-min).  Each round every node adopts the smallest label among itself
+and its neighbors; rounds double the reach of small labels, so convergence
+takes O(log(diameter)) iterations — duplicate clusters are near-cliques
+with tiny diameters, so 3-5 rounds in practice.  Each round is one
+shuffle-join keyed by node id; ``localCheckpoint`` truncates the growing
+lineage so round N doesn't replay rounds 1..N-1.
+
+This is the designated "iterative algorithm" surface of the engine: no
+driver-side graph, no collect — state lives in a (node, label) DataFrame
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label each node with the minimum node id reachable from it.
+
+    Input: undirected edges (one row per pair, either orientation).
+    Output: (node, component) — component = min id in the node's component.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    for _ in range(max_iterations):
+        # candidate labels: own label + each neighbor's current label
+        neighbor_labels = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: resolve label(label(node)) so chains collapse in
+        # O(log diameter) rounds instead of O(diameter) one-hop spreading
+        as_parent = new_labels.select(
+            F.col("node").alias("component"), F.col("component").alias("_root")
+        )
+        new_labels = (
+            new_labels.join(as_parent, on="component", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("_root"), F.col("component")).alias("component"),
+            )
+        )
+        # converged when no node's label shrank this round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (node, component, is_keeper).
+    The keeper (minimum id) survives; everything else in the component is
+    dropped by the downstream filter."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return comp.withColumn("is_keeper", F.col("node") == F.col("component"))

@@ -1,0 +1,70 @@
+"""Connected components (dedup clustering) and MERGE/SCD2 emulation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartpy_arc_spark.operators.components import connected_components, dedup_clusters
+from smartpy_arc_spark.operators.merge import merge_upsert, scd2_apply
+
+
+def test_connected_components_two_clusters(spark):
+    # {1,2,3,4} via chain, {10,11}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph of 40 nodes — needs log-rounds, not 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 41
+
+
+def test_dedup_clusters_keeper_flags(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    rows = {r.node: r for r in dedup_clusters(pairs).collect()}
+    assert rows[5].is_keeper and not rows[7].is_keeper and not rows[9].is_keeper
+    assert all(r.component == 5 for r in rows.values())
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame([(2, "B2", 20.0), (9, "new", 9.0)],
+                                    "k long, name string, v double")
+    out = {r.k: (r.name, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 1.0), 2: ("B2", 20.0), 3: ("c", 3.0), 9: ("new", 9.0)}
+
+
+def test_scd2_apply(spark):
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None), (2, "w1", t0, None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", t1)], "k long, attr string, change_ts timestamp"
+    )
+    out = scd2_apply(current, changes, key="k")
+    rows = sorted(
+        [(r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()]
+    )
+    assert rows == [
+        (1, "v1", t0, t1),      # closed at change ts
+        (1, "v2", t1, None),    # new current row
+        (2, "w1", t0, None),    # untouched key passes through
+    ]
+    # open-row uniqueness invariant
+    open_counts = (
+        out.where(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
