@@ -39,6 +39,10 @@ def connected_components(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        # materialize once: every iteration joins against edges, and without
+        # this the full upstream pair pipeline (e.g. shingle explode +
+        # self-join) would re-execute twice per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("s").alias("node"))
@@ -53,8 +57,7 @@ def connected_components(
             .select(F.col("s").alias("node"), F.col("component"))
         )
         new_labels = (
-            labels.select("node", "component")
-            .union(neighbor_labels)
+            labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
@@ -69,6 +72,10 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("_root"), F.col("component")).alias("component"),
             )
+            # checkpoint BEFORE the convergence probe so the round's plan
+            # executes once, not once for the count and again for the
+            # checkpoint
+            .localCheckpoint(eager=True)
         )
         # converged when no node's label shrank this round
         changed = (
@@ -78,7 +85,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -5,23 +5,45 @@ collision, unmatched target rows pass through — semantically MERGE INTO
 WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT for whole rows.
 
 ``scd2_apply`` applies a batch of changes as slowly-changing-dimension
-type 2: matched current rows are closed (valid_to = change ts) and a new
-current row is opened per change.
+type 2: matched current rows are closed at the key's earliest change and
+the changes chain into consecutive validity intervals, the latest staying
+open.
 
-Both are two-shuffle constructions (one join, one union that AQE folds);
-with Delta on the classpath swap for a real ``MERGE INTO`` — the call
-signatures are designed to be drop-in.
+Both are few-shuffle constructions; with Delta on the classpath swap for a
+real ``MERGE INTO`` — the call signatures are designed to be drop-in.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    *,
+    validate: bool = True,
+) -> DataFrame:
     """Updates replace matched target rows; unmatched pass through.
-    Schemas must be union-compatible by name."""
+    Schemas must be union-compatible by name.
+
+    Real MERGE INTO errors when a target row matches multiple source rows;
+    ``validate=True`` (default) enforces the same key-uniqueness on
+    ``updates`` with one extra aggregate over the (small) update side.
+    Pass ``validate=False`` only when uniqueness is guaranteed upstream.
+    """
+    if validate:
+        dup = (
+            updates.groupBy(key).count().where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"updates contain multiple rows for key {key}={dup[0][0]!r}; "
+                "MERGE semantics require a unique update per key "
+                "(deduplicate upstream or pass validate=False deliberately)"
+            )
     kept = target.join(updates.select(key), on=key, how="left_anti")
     return kept.unionByName(updates.select(target.columns))
 
@@ -35,28 +57,38 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
 ) -> DataFrame:
-    """SCD2: close matched current rows at the change timestamp, open a new
-    current row per change.  ``current`` must carry open rows with
-    ``valid_to IS NULL``; ``changes`` carries the new attribute values plus
-    ``ts_col``."""
-    change_keys = changes.select(key, F.col(ts_col).alias("_new_from"))
+    """SCD2: close matched open rows at the key's earliest change timestamp
+    and open chained validity intervals per change — multiple changes for
+    one key in a batch produce consecutive closed rows with only the
+    latest left open (``valid_to IS NULL``).
+
+    Caveat: a change older than the open row's ``valid_from`` produces an
+    inverted interval — out-of-order (late-arriving) feeds need bitemporal
+    handling upstream; this operator assumes event-time-ordered batches
+    relative to the open rows.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    chained = (
+        changes.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lead(ts_col).over(w))
+        .withColumn("_first_change", F.min(ts_col).over(
+            Window.partitionBy(key)
+        ))
+    )
+    first_change = chained.select(key, "_first_change").distinct()
+
     closed = (
-        current.join(change_keys, on=key, how="inner")
-        .where(F.col(valid_to).isNull())
-        .withColumn(valid_to, F.col("_new_from"))
-        .drop("_new_from")
+        current.where(F.col(valid_to).isNull())
+        .join(first_change, on=key, how="inner")
+        .withColumn(valid_to, F.col("_first_change"))
+        .drop("_first_change")
     )
     untouched = current.join(changes.select(key), on=key, how="left_anti")
     already_closed = (
-        current.join(change_keys.select(key), on=key, how="left_semi")
+        current.join(first_change.select(key), on=key, how="left_semi")
         .where(F.col(valid_to).isNotNull())
     )
-    opened = (
-        changes.withColumn(valid_from, F.col(ts_col))
-        .withColumn(valid_to, F.lit(None).cast(current.schema[valid_to].dataType))
-        .drop(ts_col)
-        .select(*[c for c in current.columns])
-    )
+    opened = chained.drop(ts_col, "_first_change").select(*current.columns)
     return (
         untouched.unionByName(already_closed)
         .unionByName(closed)

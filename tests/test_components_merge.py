@@ -45,6 +45,33 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: ("a", 1.0), 2: ("B2", 20.0), 3: ("c", 3.0), 9: ("new", 9.0)}
 
 
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    dups = spark.createDataFrame([(1, "b"), (1, "c")], "k long, name string")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(target, dups, "k")
+
+
+def test_scd2_multiple_changes_same_key_chain(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1, t2 = dt.datetime(2024, 3, 1), dt.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", t1), (1, "v3", t2)], "k long, attr string, change_ts timestamp"
+    )
+    out = sorted(
+        (r.attr, r.valid_from, r.valid_to) for r in scd2_apply(current, changes, key="k").collect()
+    )
+    assert out == [("v1", t0, t1), ("v2", t1, t2), ("v3", t2, None)]
+    # open-row uniqueness holds even with intra-batch chains
+    open_rows = [r for r in scd2_apply(current, changes, key="k").collect()
+                 if r.valid_to is None]
+    assert len(open_rows) == 1
+
+
 def test_scd2_apply(spark):
     t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
     current = spark.createDataFrame(
