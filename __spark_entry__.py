@@ -443,6 +443,69 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window: 7-row trailing moving average per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma7_price"),
+    )
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection over event values."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sd"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 4).alias("zscore"),
+        )
+        .where("abs(zscore) > 3")
+    )
+
+
+def q_regression_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression aggregates: slope/intercept/corr of order total vs time."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    # NTZ → TIMESTAMP cast (session is UTC) so unix_micros accepts it
+    x = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400e6)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.regr_slope(F.col("o_totalprice"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("o_totalprice"), x), 4).alias("intercept"),
+        F.round(F.corr(F.col("o_totalprice"), x), 6).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: candidate pairs → exact-Jaccard verify →
+    connected components → drop non-keepers.  The doc ids that survive."""
+    from smartpy_arc_spark.operators.components import dedup_clusters
+    from smartpy_arc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.55)
+    clusters = dedup_clusters(pairs)
+    dropped = clusters.where(~F.col("is_keeper")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (iterative
     min-label propagation) → duplicate clusters with keeper flags.  Oracle
@@ -898,6 +961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "rolling_avg": q_rolling_avg,
+        "zscore_anomalies": q_zscore_anomalies,
+        "regression_per_segment": q_regression_per_segment,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_clusters": q_dedup_clusters,
         "merge_upsert": q_merge_upsert,
         "sliding_window_counts": q_sliding_window_counts,
@@ -1141,6 +1208,71 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
             FROM documents
+        """,
+        "rolling_avg": """
+            SELECT o_orderkey, o_custkey,
+                   round(avg(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 4) AS ma7_price
+            FROM orders
+        """,
+        "zscore_anomalies": """
+            WITH stats AS (
+                SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events GROUP BY user_id
+            )
+            SELECT event_id, e.user_id,
+                   round((value - mu) / sd, 4) AS zscore
+            FROM events e JOIN stats s ON e.user_id = s.user_id
+            WHERE abs(round((value - mu) / sd, 4)) > 3
+        """,
+        "regression_per_segment": """
+            SELECT c_mktsegment,
+                   round(regr_slope(o_totalprice,
+                       epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 86400e6), 6)
+                       AS slope,
+                   round(regr_intercept(o_totalprice,
+                       epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 86400e6), 4)
+                       AS intercept,
+                   round(corr(o_totalprice,
+                       epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 86400e6), 6)
+                       AS r,
+                   count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "dedup_survivors": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([substr(text, CAST(i AS INTEGER), 3)
+                               for i in generate_series(1, greatest(length(text) - 2, 1))])
+                           AS shingle
+                FROM documents WHERE doc_id < 40
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.55
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), walk(node, label) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, w.label FROM edges e JOIN walk w ON w.node = e.d
+            ), dropped AS (
+                SELECT node FROM walk GROUP BY node HAVING node != min(label)
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id < 40 AND doc_id NOT IN (SELECT node FROM dropped)
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (
