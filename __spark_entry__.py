@@ -1422,31 +1422,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "lang_id": """
-            WITH padded AS (
-                SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
             ), scored AS (
                 SELECT doc_id,
-                  CAST((length(p)-length(replace(p,' der ','')))/5
-                     + (length(p)-length(replace(p,' die ','')))/5
-                     + (length(p)-length(replace(p,' und ','')))/5
-                     + (length(p)-length(replace(p,' ist ','')))/5
-                     + (length(p)-length(replace(p,' das ','')))/5 AS INTEGER) AS score_de,
-                  CAST((length(p)-length(replace(p,' the ','')))/5
-                     + (length(p)-length(replace(p,' and ','')))/5
-                     + (length(p)-length(replace(p,' of ','')))/4
-                     + (length(p)-length(replace(p,' to ','')))/4
-                     + (length(p)-length(replace(p,' is ','')))/4 AS INTEGER) AS score_en,
-                  CAST((length(p)-length(replace(p,' el ','')))/4
-                     + (length(p)-length(replace(p,' la ','')))/4
-                     + (length(p)-length(replace(p,' que ','')))/5
-                     + (length(p)-length(replace(p,' de ','')))/4
-                     + (length(p)-length(replace(p,' es ','')))/4 AS INTEGER) AS score_es,
-                  CAST((length(p)-length(replace(p,' le ','')))/4
-                     + (length(p)-length(replace(p,' la ','')))/4
-                     + (length(p)-length(replace(p,' et ','')))/4
-                     + (length(p)-length(replace(p,' est ','')))/5
-                     + (length(p)-length(replace(p,' les ','')))/5 AS INTEGER) AS score_fr
-                FROM padded
+                  CAST(len(list_filter(t, x -> x = 'der'))
+                     + len(list_filter(t, x -> x = 'die'))
+                     + len(list_filter(t, x -> x = 'und'))
+                     + len(list_filter(t, x -> x = 'ist'))
+                     + len(list_filter(t, x -> x = 'das')) AS INTEGER) AS score_de,
+                  CAST(len(list_filter(t, x -> x = 'the'))
+                     + len(list_filter(t, x -> x = 'and'))
+                     + len(list_filter(t, x -> x = 'of'))
+                     + len(list_filter(t, x -> x = 'to'))
+                     + len(list_filter(t, x -> x = 'is')) AS INTEGER) AS score_en,
+                  CAST(len(list_filter(t, x -> x = 'el'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'que'))
+                     + len(list_filter(t, x -> x = 'de'))
+                     + len(list_filter(t, x -> x = 'es')) AS INTEGER) AS score_es,
+                  CAST(len(list_filter(t, x -> x = 'le'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'et'))
+                     + len(list_filter(t, x -> x = 'est'))
+                     + len(list_filter(t, x -> x = 'les')) AS INTEGER) AS score_fr
+                FROM toks
             )
             SELECT doc_id, score_de, score_en, score_es, score_fr,
                    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
@@ -1467,16 +1467,11 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
                        len(string_split(text, ' ')) AS n_tokens,
-                       CAST((length(concat(' ', lower(text), ' '))
-                             - length(replace(concat(' ', lower(text), ' '), ' the ', '')))/5
-                          + (length(concat(' ', lower(text), ' '))
-                             - length(replace(concat(' ', lower(text), ' '), ' and ', '')))/5
-                          + (length(concat(' ', lower(text), ' '))
-                             - length(replace(concat(' ', lower(text), ' '), ' of ', '')))/4
-                          + (length(concat(' ', lower(text), ' '))
-                             - length(replace(concat(' ', lower(text), ' '), ' to ', '')))/4
-                          + (length(concat(' ', lower(text), ' '))
-                             - length(replace(concat(' ', lower(text), ' '), ' is ', '')))/4
+                       CAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'the'))
+                          + len(list_filter(string_split(lower(text), ' '), x -> x = 'and'))
+                          + len(list_filter(string_split(lower(text), ' '), x -> x = 'of'))
+                          + len(list_filter(string_split(lower(text), ' '), x -> x = 'to'))
+                          + len(list_filter(string_split(lower(text), ' '), x -> x = 'is'))
                          AS INTEGER) AS stop_hits
                 FROM documents
             ), ratios AS (

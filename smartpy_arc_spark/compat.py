@@ -89,14 +89,16 @@ def arc_to_pandas(
     num_fill=-1,
     date_fill: str = "1678-01-01",
 ):
-    """arc_utils.py:614-747 — legacy scan to pandas, sentinel fills on."""
+    """arc_utils.py:614-747 — legacy scan to pandas, sentinel fills on and
+    SHAPE@ geometry columns derived when a geometry column exists
+    (``spatial=True`` is the reference default, arc_utils.py:692-701)."""
     from smartpy_arc_spark.sources.scan import scan
 
     df = scan(
         _spark(), workspace, class_name,
         flds=flds, where=where, index_fld=index_fld,
         fill_nulls=fill_nulls, str_fill=str_fill, num_fill=num_fill,
-        date_fill=date_fill,
+        date_fill=date_fill, spatial=spatial,
     )
     pdf = df.toPandas()
     if index_fld:
@@ -107,15 +109,26 @@ def arc_to_pandas(
     return pdf
 
 
+def _split_workspace(data: str) -> tuple[str, str | None]:
+    """Split ``workspace//class`` addressing without mangling URI schemes —
+    ``s3://bucket/tbl`` has no workspace separator, only a scheme."""
+    import re
+
+    parts = re.split(r"(?<!:)//", data)
+    if len(parts) == 1:
+        return data, None
+    return "//".join(parts[:-1]), parts[-1]
+
+
 def arc_to_pandas_a(data, flds=None, where: str | None = None,
                     geometry_encoding: str | None = None):
     """arc_utils.py:956-988 — Arrow scan to pandas (geometry excluded unless
     an encoding is requested)."""
     from smartpy_arc_spark.sources.scan import scan
 
-    workspace, _, class_name = data.rpartition("//")
+    workspace, class_name = _split_workspace(data)
     df = scan(
-        _spark(), workspace or data, class_name or None,
+        _spark(), workspace, class_name,
         flds=flds, where=where,
         drop_geometry=geometry_encoding is None,
     )
@@ -127,9 +140,8 @@ def arc_to_spark(data, flds=None, where: str | None = None, **kw) -> DataFrame:
     a lazy DataFrame instead of an eager polars frame."""
     from smartpy_arc_spark.sources.scan import scan
 
-    workspace, _, class_name = data.rpartition("//")
-    return scan(_spark(), workspace or data, class_name or None,
-                flds=flds, where=where, **kw)
+    workspace, class_name = _split_workspace(data)
+    return scan(_spark(), workspace, class_name, flds=flds, where=where, **kw)
 
 
 # keep the reference's polars entry-point name as an alias of the modern path

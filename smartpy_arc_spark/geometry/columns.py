@@ -26,6 +26,13 @@ from pyspark.sql import types as T
 from smartpy_arc_spark.geometry import core, wkb as wkb_codec
 
 
+import struct as _struct
+
+# malformed WKB raises struct.error / IndexError, not just ValueError —
+# all three null out instead of failing the whole Spark job
+_DECODE_ERRORS = (ValueError, _struct.error, IndexError)
+
+
 def _per_geom(fn, wkb_series: pd.Series) -> list:
     out = []
     for w in wkb_series:
@@ -34,25 +41,33 @@ def _per_geom(fn, wkb_series: pd.Series) -> list:
             continue
         try:
             out.append(fn(bytes(w)))
-        except ValueError:
+        except _DECODE_ERRORS:
             out.append(None)
     return out
 
 
+def _multipart_area(w: bytes) -> float:
+    return sum(core.polygon_area(p) for p in wkb_codec.decode_polygon_parts(w))
+
+
+def _multipart_length(w: bytes) -> float:
+    return sum(core.polygon_perimeter(p) for p in wkb_codec.decode_polygon_parts(w))
+
+
+def _multipart_interior_point(w: bytes):
+    # interior point of the largest part (guaranteed inside the feature)
+    parts = wkb_codec.decode_polygon_parts(w)
+    return core.interior_point(max(parts, key=core.polygon_area))
+
+
 @F.pandas_udf(T.DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
-    return pd.Series(
-        _per_geom(lambda w: core.polygon_area(wkb_codec.decode_polygon(w)), wkb),
-        dtype="float64",
-    )
+    return pd.Series(_per_geom(_multipart_area, wkb), dtype="float64")
 
 
 @F.pandas_udf(T.DoubleType())
 def st_length(wkb: pd.Series) -> pd.Series:
-    return pd.Series(
-        _per_geom(lambda w: core.polygon_perimeter(wkb_codec.decode_polygon(w)), wkb),
-        dtype="float64",
-    )
+    return pd.Series(_per_geom(_multipart_length, wkb), dtype="float64")
 
 
 @F.pandas_udf(T.StructType([
@@ -60,9 +75,7 @@ def st_length(wkb: pd.Series) -> pd.Series:
     T.StructField("y", T.DoubleType()),
 ]))
 def st_centroid_xy(wkb: pd.Series) -> pd.DataFrame:
-    pts = _per_geom(
-        lambda w: core.interior_point(wkb_codec.decode_polygon(w)), wkb
-    )
+    pts = _per_geom(_multipart_interior_point, wkb)
     return pd.DataFrame(
         [(None, None) if p is None else p for p in pts], columns=["x", "y"]
     )

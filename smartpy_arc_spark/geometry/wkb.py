@@ -53,14 +53,27 @@ def _decode_polygon_body(buf: memoryview, off: int, little: bool) -> tuple[Rings
     return rings, off
 
 
+_EWKB_SRID_FLAG = 0x20000000
+_EWKB_Z_FLAG = 0x80000000
+_EWKB_M_FLAG = 0x40000000
+
+
 def decode(wkb: bytes):
     """Decode WKB → ("point", (x, y)) | ("polygon", rings) |
-    ("multipolygon", list[rings])."""
+    ("multipolygon", list[rings]).
+
+    PostGIS-style EWKB SRID payloads are consumed (the SRID itself is
+    carried as column metadata, not per-value); Z/M geometries raise — a
+    silent 2D misparse would corrupt every coordinate."""
     buf = memoryview(wkb)
     little = buf[0] == 1
     (gtype,) = struct.unpack_from("<I" if little else ">I", buf, 1)
-    gtype = gtype & 0xFF  # strip any SRID/Z flags we don't support
     off = 5
+    if gtype & (_EWKB_Z_FLAG | _EWKB_M_FLAG):
+        raise ValueError("Z/M WKB geometries are not supported (2D only)")
+    if gtype & _EWKB_SRID_FLAG:
+        off += 4  # skip the embedded SRID payload
+    gtype = gtype & 0xFF
     if gtype == WKB_POINT:
         x, y = struct.unpack_from("<dd" if little else ">dd", buf, off)
         return "point", (x, y)
@@ -80,8 +93,10 @@ def decode(wkb: bytes):
 
 
 def decode_polygon(wkb: bytes) -> Rings:
-    """Decode to rings; a multipolygon's largest part wins (parity with the
-    reference's per-feature shape handling)."""
+    """Decode to one polygon's rings; for a multipolygon the largest part
+    wins (used by the splitter, which bisects one part at a time).  For
+    whole-feature measures over multipart geometry use
+    :func:`decode_polygon_parts`."""
     kind, val = decode(wkb)
     if kind == "polygon":
         return val
@@ -89,6 +104,18 @@ def decode_polygon(wkb: bytes) -> Rings:
         from smartpy_arc_spark.geometry.core import polygon_area
 
         return max(val, key=polygon_area)
+    raise ValueError(f"expected polygon, got {kind}")
+
+
+def decode_polygon_parts(wkb: bytes) -> list:
+    """Decode to a list of polygon parts (length 1 for a plain polygon) so
+    area/length/centroid can aggregate over ALL parts — arcpy's SHAPE@AREA
+    covers the whole multipart feature (arc_utils.py:692-701)."""
+    kind, val = decode(wkb)
+    if kind == "polygon":
+        return [val]
+    if kind == "multipolygon":
+        return val
     raise ValueError(f"expected polygon, got {kind}")
 
 

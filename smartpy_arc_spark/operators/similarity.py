@@ -33,8 +33,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """dot(a,b) / sqrt(dot(a,a) * dot(b,b)) on array<double> columns."""
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    """dot(a,b) / sqrt(dot(a,a) * dot(b,b)) on array<double> columns.
+
+    Null (not NaN) for zero-norm vectors: Spark sorts NaN above every
+    number, so a 0/0 NaN would rank a zero vector as the top neighbor of
+    every query; NULL sorts last under ``desc`` and drops out of top-k.
+    """
+    denom = F.sqrt(_dot(a, a) * _dot(b, b))
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def knn_cosine_bruteforce(
@@ -172,7 +178,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -184,7 +190,17 @@ def ann_lsh_topk(
     Recall rises with ``n_tables``; cost per query falls from |C| to the
     occupancy of its buckets (corpus hashed once per table — shuffle on the
     (table, bucket) key, identical at any scale factor).
+
+    ``dim`` defaults to the corpus's actual vector length (one cheap probe
+    of the first row) — a wrong dim would null every plane projection and
+    silently collapse all vectors into one bucket.
     """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            dim = 0
+        else:
+            dim = int(first["d"])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),

@@ -65,14 +65,13 @@ def fingerprint(
 
 
 def _count_occurrences(text: Column, word: str) -> Column:
-    """Occurrences of ' word ' in ' text ' via length arithmetic (identical
-    semantics in any SQL engine — used so oracles can mirror it exactly)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, needle, "")))
-        / F.lit(len(needle))
-    ).cast(T.IntegerType())
+    """Exact whole-token occurrence count: split on spaces and count equal
+    tokens.  (The padded-substring-replace trick undercounts adjacent
+    repeats — ' the the ' counts 1 because the replace consumes the shared
+    space; token filtering has no such overlap problem and mirrors exactly
+    in any engine with list filtering.)"""
+    tokens = F.split(text, " ", -1)
+    return F.size(F.filter(tokens, lambda t: t == F.lit(word)))
 
 
 def lang_id_heuristic(

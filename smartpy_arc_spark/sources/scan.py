@@ -107,6 +107,9 @@ def scan(
         # Parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond
         # timestamp type; the legacy conf reads them as long, and we
         # truncate to microseconds (DuckDB/pandas do the same truncation).
+        # NOTE: the conf is session-wide and intentionally not restored —
+        # get_spark() sets it globally anyway, so nanos columns always read
+        # as long engine-wide (convert explicitly via nanos_ts_cols).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if fmt == "parquet":
@@ -147,6 +150,15 @@ def scan(
             pairs = [(actual, flds[req]) for (actual, req) in resolved]
         else:
             pairs = _case_insensitive_resolve(df.columns, list(flds))
+        if spatial:
+            # derived geometry columns ride along regardless of the field
+            # subset, like the reference's post-projection append
+            # (arc_utils.py:692-701)
+            requested = {out for _, out in pairs}
+            pairs += [
+                (c, c) for c in df.columns
+                if c.startswith("SHAPE@") and c not in requested
+            ]
         df = df.select([F.col(src).alias(out) for src, out in pairs])
     elif drop_geometry:
         from smartpy_arc_spark.meta import ROLE_GEOMETRY, field_role
@@ -159,6 +171,15 @@ def scan(
         df = _fill_sentinels(df, str_fill=str_fill, num_fill=num_fill, date_fill=date_fill)
 
     if index_fld:
+        # the sort key may be given by its SOURCE name even when flds renamed
+        # it (the reference sets the index before its own rename); resolve
+        # through the rename map, then case-insensitively
+        if index_fld not in df.columns:
+            if isinstance(flds, Mapping) and index_fld in flds:
+                index_fld = flds[index_fld]
+            else:
+                lower_map = {c.lower(): c for c in df.columns}
+                index_fld = lower_map.get(index_fld.lower(), index_fld)
         df = df.orderBy(index_fld)
     return df
 
