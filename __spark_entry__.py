@@ -694,10 +694,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median / p90)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+    # one percentile(col, array(...)) per source column: the exact-percentile
+    # buffer for l_extendedprice is collected once, not once per quantile
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("median_price"),
+            F.round(F.col("_p")[1], 4).alias("p90_price"),
+            "p25_qty",
+        )
     )
 
 

@@ -62,29 +62,40 @@ def exact_dedup(
 # shingling + minhash
 
 
-def _char_shingles(text: Column, k: int) -> Column:
-    """Array of character k-shingles via sequence+transform (codegen'd)."""
+def _char_shingle_hashes(text: Column, k: int) -> Column:
+    """array<long> of hashed character k-shingles — each shingle is hashed
+    straight off a substring slice, no intermediate string array."""
     n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(text, i, k)))
 
 
-def _word_shingles(text: Column, k: int) -> Column:
-    """Array of k-word shingles — ~word-count many, an order of magnitude
-    fewer than char shingles on prose; the standard choice for whole-
-    document near-dup at corpus scale."""
+def _word_shingle_hashes(text: Column, k: int) -> Column:
+    """array<long> of hashed k-word shingles — ~word-count many, an order of
+    magnitude fewer than char shingles on prose; the standard choice for
+    whole-document near-dup at corpus scale.
+
+    Each token is string-hashed exactly once; a shingle's hash is then the
+    multi-arg ``xxhash64`` of its k token hashes — pure numeric combining,
+    no per-shingle string concatenation (the concat_ws version allocated a
+    k-word string per shingle and was the hot spot of the whole pipeline).
+    """
     tokens = F.split(text, " ", -1)
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
     n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-    )
+
+    def combine(i: Column) -> Column:
+        # try_element_at: a doc shorter than k tokens still yields one
+        # shingle (nulls hash as absent); plain element_at throws under ANSI
+        return F.xxhash64(*[F.try_element_at(th, i + j) for j in range(1, k + 1)])
+
+    return F.transform(F.sequence(F.lit(0), n - 1), combine)
 
 
-def _shingles(text: Column, k: int, mode: str) -> Column:
+def _shingle_hashes(text: Column, k: int, mode: str) -> Column:
     if mode == "char":
-        return _char_shingles(text, k)
+        return _char_shingle_hashes(text, k)
     if mode == "word":
-        return _word_shingles(text, k)
+        return _word_shingle_hashes(text, k)
     raise ValueError(f"shingle mode {mode!r} (expected 'char' or 'word')")
 
 
@@ -129,14 +140,13 @@ def minhash_signatures(
 
     Entirely row-local (sequence → transform → array_min), so signature
     computation costs zero shuffles and scales with scan throughput.  Each
-    shingle is string-hashed exactly once; the ``num_hashes`` family members
-    are cheap bitwise scrambles of that base hash (16× fewer string hashes
-    than a per-seed rehash — measured 62 s → 12 s on 50k docs).
+    shingle is hashed exactly once (numerically — see
+    :func:`_word_shingle_hashes`); the ``num_hashes`` family members are
+    cheap bitwise scrambles of that base hash (16× fewer string hashes than
+    a per-seed rehash — measured 62 s → 12 s on 50k docs).
     """
-    shingles = F.array_distinct(_shingles(F.col(text_col), shingle_size, shingle_mode))
-    with_hashes = df.select(
-        id_col, F.transform(shingles, lambda s: F.xxhash64(s)).alias("_base")
-    )
+    base = F.array_distinct(_shingle_hashes(F.col(text_col), shingle_size, shingle_mode))
+    with_hashes = df.select(id_col, base.alias("_base"))
 
     def min_member(j: int) -> Column:
         # closure factory, NOT a default-arg lambda: pyspark treats a
@@ -177,43 +187,40 @@ def minhash_lsh_candidates(
         shingle_size=shingle_size,
         shingle_mode=shingle_mode,
     )
+    sigs = sigs.cache()  # read twice: banding pass + signature re-attach
+    # per-band bucket id: multi-arg xxhash64 over the band's signature rows
+    # plus the band index — numeric hashing, no string building
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash_sig"),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash_sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        F.lit(b),
+                        *[
+                            F.col("minhash_sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash_sig").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col("minhash_sig").alias("sig_b"),
-    )
+    # the bucket self-join carries ONLY ids: at corpus scale the shuffle is
+    # bands× the id column, not bands× a num_hashes-long signature array.
+    # Signatures re-attach afterwards to the (far smaller) candidate set.
+    left = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    pairs = (
+        pairs.join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")), "id_b")
     )
     agree = F.size(
         F.filter(
@@ -327,10 +334,13 @@ def ngram_jaccard_pairs(
     share at least one shingle.  Explode + self-join on the shingle — the
     shuffle key is the shingle, so disjoint documents never meet.  Use on
     bounded/candidate subsets; for full-corpus near-dup use MinHash-LSH."""
+    # shingles travel as 64-bit hashes: the intersect/union counts are
+    # identical (xxhash64 collisions are negligible at corpus scale) and the
+    # explode+shuffle moves longs instead of n-char strings
     shingled = df.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(_char_shingles(F.col(text_col), n))
+            F.array_distinct(_char_shingle_hashes(F.col(text_col), n))
         ).alias("shingle"),
     )
     set_sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
