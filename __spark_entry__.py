@@ -628,6 +628,261 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS semi-join with a cross-table predicate
+    (lineitem shipped after its order date), counts per priority."""
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"]
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table selective filter + global aggregate — the
+    predicate-pushdown showcase (all three filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        "l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: nation-pair volume by ship year.  The selective nation dim
+    is broadcast onto supplier/customer BEFORE the fact join so the pair
+    filter prunes both sides early (scale path: no post-join filter)."""
+    pair = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*pair)
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: market share of one supplier nation inside one customer
+    region, per order year — conditional aggregation over a 6-way join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where("r_name = 'EUROPE'")
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"], "left_semi")
+        .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)),
+                2,
+            ).alias("_num"),
+            F.round(F.sum("volume"), 2).alias("_den"),
+        )
+        .select("o_year", F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit per supplier nation and order year (supply cost
+    approximated as 10% of retail price — no partsupp table in testdata)."""
+    part = _t(spark, sf_dir, "part").where("p_name LIKE '%red%'").select(
+        "p_partkey", "p_retailprice"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional counts of high/low-priority orders per
+    returnflag for late-shipped lineitems."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share in a ship month (broadcast part dim)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — aggregate reused
+    twice (per-supplier revenue + its max) without recomputation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'"
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (brand, type, size) bucket
+    with NOT-IN-style exclusions (via lineitem; no partsupp in testdata)."""
+    part = _t(spark, sf_dir, "part").where(
+        "p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides — Catalyst
+    extracts the common p_partkey equi-key and pushes brand/size/qty
+    conjuncts below the join."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no recent
+    orders — uncorrelated scalar subquery + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where("c_acctbal > 0").agg(F.avg("c_acctbal").alias("_ab"))
+    recent = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= '2000-01-01'"
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combinations of the two dims)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -981,8 +1236,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot_measures,
         "distinct_counts": q_distinct_counts,
         "correlated_above_avg": q_correlated_above_avg,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
         "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "q22_dormant_customers": q22_dormant_customers,
         "cube_revenue": q_cube_revenue,
         "event_gaps": q_event_gaps,
         "dedup_exact_rows": q_dedup_exact_rows,
@@ -1369,6 +1635,136 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                         l_extendedprice * (1 - l_discount) AS volume
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(round(sum(CASE WHEN nation = 'NATION_3'
+                                        THEN volume ELSE 0 END), 2)
+                         / round(sum(volume), 2), 6) AS mkt_share
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n2.n_name AS nation
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                  WHERE r_name = 'EUROPE'
+                    AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31')
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                         l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity AS amount
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  WHERE p_name LIKE '%red%')
+            GROUP BY nation, o_year
+        """,
+        "q12_priority_class": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_shipdate > o_orderdate
+            GROUP BY l_returnflag
+        """,
+        "q14_promo_revenue": """
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+                   round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2)
+                         / round(sum(l_extendedprice * (1 - l_discount)), 2), 6)
+                       AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q19_disjunctive_filter": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q22_dormant_customers": """
+            WITH avg_bal AS (
+                SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2000-01-01')
+            GROUP BY c_nationkey
         """,
         "q18_large_orders": """
             SELECT o_orderkey, o_orderdate,

@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "token_count_regex",
     "knn_cosine",
     "asof_join",
+    "q6_forecast_revenue",
     "q10_returned_revenue",
+    "q19_disjunctive_filter",
     "percentiles",
     "minhash_pairs",
     "stream_window_counts",
