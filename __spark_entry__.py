@@ -432,6 +432,109 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, text_col="text", id_col="doc_id")
 
 
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count with deterministic top-20 (explode → groupBy →
+    sorted limit; map-side combinable)."""
+    from smartpy_arc_spark.operators.text import wordcount_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordcount_topk(docs, k=20)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf·idf terms (idf = ln(N/df))."""
+    from smartpy_arc_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup verify tier with length-band blocking."""
+    from smartpy_arc_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 30")
+    return edit_distance_pairs(docs, max_distance=200, length_band=40)
+
+
+def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sample (md5 first hex digit ∈ {0,1,2} ≈
+    3/16) — reproducible by any engine, no seed state."""
+    from smartpy_arc_spark.operators.sample import content_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return content_hash_sample(docs, "text", sixteenths=3).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist per
+    order-priority partition with a deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_dow_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar histogram: ISO day-of-week × hour event counts + value avg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.weekday("ts") + F.lit(1)).alias("iso_dow"),
+            F.hour("ts").alias("hh"),
+            "value",
+        )
+        .groupBy("iso_dow", "hh")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over (user_id, event_type) drained through
+    a memory sink — emits the deterministic distinct key set."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_distinct_keys,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_distinct_keys(stream), output_mode="append"
+    )
+
+
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: events bucketed by value interval [lo, hi)
+    against a broadcast bucket dim; per-bucket counts/sums."""
+    from smartpy_arc_spark.operators.join import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    buckets = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("mid", 25.0, 60.0),
+         ("large", 60.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    j = range_join(ev, buckets, value_col="value")
+    return j.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 5 query vectors (ANN baseline)."""
     from smartpy_arc_spark.operators.similarity import knn_cosine_bruteforce
@@ -1226,6 +1329,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "wordcount_topk": q_wordcount_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "content_sample": q_content_sample,
+        "ntile_deciles": q_ntile_deciles,
+        "dow_hour_histogram": q_dow_hour_histogram,
+        "stream_dedup": q_stream_dedup,
+        "range_bucket_join": q_range_bucket_join,
         "rolling_avg": q_rolling_avg,
         "zscore_anomalies": q_zscore_anomalies,
         "regression_per_segment": q_regression_per_segment,
@@ -2005,6 +2116,88 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM numbered
             GROUP BY user_id, session_id
+        """,
+        "wordcount_topk": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                      AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH tokens AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, term FROM tokens WHERE term <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), dft AS (
+                SELECT term, count(DISTINCT doc_id) AS df_t FROM tok GROUP BY term
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT doc_id, term, tf * ln(n_docs * 1.0 / df_t) AS tfidf
+                FROM tf JOIN dft USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                       ) AS INTEGER) AS rk
+                FROM scored
+            )
+            SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf
+            FROM ranked WHERE rk <= 3
+        """,
+        "edit_distance_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+            FROM documents a
+            JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 40
+            WHERE a.doc_id < 30 AND b.doc_id < 30
+              AND levenshtein(a.text, b.text) <= 200
+        """,
+        "content_sample": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1', '2')
+        """,
+        "ntile_deciles": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(10) OVER w AS INTEGER) AS decile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "dow_hour_histogram": """
+            SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER) AS iso_dow,
+                   CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hh,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "range_bucket_join": """
+            WITH buckets(bucket, lo, hi) AS (
+                VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+                       ('mid', 25.0, 60.0), ('large', 60.0, 1e9)
+            )
+            SELECT bucket, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events JOIN buckets ON value >= lo AND value < hi
+            GROUP BY bucket
         """,
         "knn_cosine": """
             WITH pairs AS (

@@ -371,3 +371,41 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.where(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 200,
+    length_band: int = 40,
+) -> DataFrame:
+    """Levenshtein near-duplicate pairs with length-band blocking.
+
+    The |len(a)−len(b)| <= band pre-filter is a correct lower bound on edit
+    distance, so it prunes pairs BEFORE the O(n·m) levenshtein runs — the
+    classic blocking step that keeps the quadratic verify tier affordable.
+    Feed this a bounded candidate set (e.g. an LSH bucket), not a whole
+    corpus: the join is intentionally all-pairs within the input."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.length(text_col).alias("_la"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.length(text_col).alias("_lb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_la") - F.col("_lb")) <= length_band),
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.levenshtein("_ta", "_tb").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= max_distance)
+    )

@@ -60,3 +60,28 @@ def enrich_join(
     # the same column name as the target's — then Spark keeps both refs and
     # we drop the right-hand one).
     return joined.drop(right[enrich_id_fld])
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: each fact row matched to the range rows whose
+    half-open interval [lo, hi) contains its value.
+
+    The ranges side is broadcast — a bucket/dimension table is bounded by
+    definition, so every executor probes its local copy and the fact side
+    never shuffles (a non-equi condition would otherwise force a
+    broadcast-nested-loop with the big side streamed, which is exactly what
+    we get, minus any shuffle).  For two BIG interval sets, bucketize both
+    by interval-aligned grid cells first and equi-join on the cell key.
+    """
+    from pyspark.sql import functions as F
+
+    cond = (F.col(value_col) >= ranges[lo_col]) & (F.col(value_col) < ranges[hi_col])
+    return facts.join(F.broadcast(ranges), cond, how)

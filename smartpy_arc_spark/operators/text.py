@@ -157,3 +157,75 @@ def rolling_hash_fingerprint(
         F.array_min(hashes).alias("min_shingle_hash"),
         F.array_max(hashes).alias("max_shingle_hash"),
     )
+
+
+def alpha_tokens(text: Column) -> Column:
+    """Lowercased alphabetic word tokens: split on non-letter runs, empties
+    dropped (Java split keeps boundary empties; RE2-style engines do not —
+    filtering makes the tokenization engine-portable)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z]+", -1), lambda t: t != F.lit("")
+    )
+
+
+def wordcount_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level word count, deterministic top-k (count desc, word asc).
+
+    The explode → groupBy is the canonical map-side-combinable aggregation:
+    partial counts per partition, one shuffle on the word key, then a
+    driver-cheap global top-k via the sorted limit."""
+    tokens = df.select(
+        F.explode(alpha_tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-N terms by tf·idf (idf = ln(N/df), raw tf).
+
+    Three shuffles total — (doc,term) tf, term df, and the per-doc window —
+    each on a bounded key space; the corpus size N joins in as a broadcast
+    1-row aggregate, so nothing is collected on the driver."""
+    from pyspark.sql import Window as W
+
+    tokens = df.select(
+        F.col(id_col), F.explode(alpha_tokens(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tokens.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df_t"))).alias("_tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select(id_col, "rk", "term", F.round("_tfidf", 6).alias("tfidf"))
+    )

@@ -140,6 +140,24 @@ def streaming_first_seen(
     )
 
 
+def streaming_distinct_keys(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: first occurrence of each key combination
+    survives (``dropDuplicates`` keeps per-key state; the watermark lets the
+    store evict keys whose event time has passed, bounding state for
+    time-scoped keys).  Only the key columns are emitted so the output is a
+    deterministic set regardless of which physical row arrived first."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(list(key_cols))
+        .select(*key_cols)
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, *, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

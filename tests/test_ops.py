@@ -216,3 +216,20 @@ def test_catalog_unique_lookup(spark):
     assert get_table_unique(spark, "UNIQ_V") == "uniq_v"
     with pytest.raises(CatalogLookupError):
         get_table_unique(spark, "missing_v")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned sink layout + partition-pruned scan: the filter on
+    the partition column must become a PartitionFilter (directory pruning),
+    not a row-level filter — the difference between reading 1/Nth of 100 TB
+    and reading all of it."""
+    orders = scan(spark, sf_dir, "orders")
+    write_table(orders, str(tmp_path), "orders_part",
+                partition_by=["o_orderstatus"])
+    back = scan(spark, str(tmp_path), "orders_part",
+                where="o_orderstatus = 'F'")
+    expected = orders.where("o_orderstatus = 'F'").count()
+    assert back.count() == expected
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]

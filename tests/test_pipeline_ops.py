@@ -158,3 +158,79 @@ def test_sessionize_gap_logic(spark):
     out = {r.event_id: r.session_id
            for r in sessionize(df, tiebreak_col="event_id").collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 2 and out[4] == 1
+
+
+def test_wordcount_topk(docs):
+    from smartpy_arc_spark.operators.text import wordcount_topk
+
+    top = wordcount_topk(docs, k=3).collect()
+    # 'again' and 'the' tie at 6 occurrences; word-asc tiebreak is deterministic
+    assert [(r.word, r.n) for r in top[:2]] == [("again", 6), ("the", 6)]
+    assert top[0].n >= top[1].n >= top[2].n
+
+
+def test_tfidf_top_terms(docs):
+    from smartpy_arc_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    assert all(len(v) == 2 for v in by_doc.values())
+    # corpus-wide terms ('the' appears in 3 of 5 docs) rank below rare terms
+    doc4_terms = {r.term for r in by_doc[4]}
+    assert doc4_terms <= {"completely", "different", "content", "about",
+                          "spark", "query", "engines", "plans"}
+    # identical docs get identical top terms
+    assert [(r.rk, r.term) for r in sorted(by_doc[1], key=lambda r: r.rk)] == [
+        (r.rk, r.term) for r in sorted(by_doc[2], key=lambda r: r.rk)
+    ]
+
+
+def test_edit_distance_pairs(docs):
+    from smartpy_arc_spark.operators.dedup import edit_distance_pairs
+
+    pairs = {(r.id_a, r.id_b): r.edit_dist
+             for r in edit_distance_pairs(docs, max_distance=10**6,
+                                          length_band=10**6).collect()}
+    assert pairs[(1, 2)] == 0                       # exact dup
+    assert 0 < pairs[(1, 3)] <= len("tomorrow")     # single word swap
+    assert pairs[(1, 3)] < pairs[(1, 4)]            # near-dup closer than far
+    # length-band blocking prunes before levenshtein runs
+    banded = edit_distance_pairs(docs, max_distance=10**6, length_band=0)
+    assert {(r.id_a, r.id_b) for r in banded.collect()} == {(1, 2)}
+
+
+def test_content_hash_sample(docs):
+    import pytest as _pytest
+
+    from smartpy_arc_spark.operators.sample import content_hash_sample
+
+    full = content_hash_sample(docs, "text", sixteenths=16)
+    assert full.count() == docs.count()
+    sub = {r.doc_id for r in content_hash_sample(docs, "text", sixteenths=4)
+           .select("doc_id").collect()}
+    # deterministic: same selection on every evaluation and under repartition
+    sub2 = {r.doc_id for r in
+            content_hash_sample(docs.repartition(7), "text", sixteenths=4)
+            .select("doc_id").collect()}
+    assert sub == sub2
+    with _pytest.raises(ValueError):
+        content_hash_sample(docs, "text", sixteenths=0)
+
+
+def test_range_join_buckets(spark):
+    from smartpy_arc_spark.operators.join import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 24.9), (4, 99.0)], "id long, value double"
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 25.0)], "bucket string, lo double, hi double"
+    )
+    out = {r.id: r.bucket for r in range_join(facts, ranges, value_col="value").collect()}
+    # half-open [lo, hi): 10.0 lands in 'b', 99.0 matches nothing
+    assert out == {1: "a", 2: "b", 3: "b"}
+    plan = range_join(facts, ranges, value_col="value")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
