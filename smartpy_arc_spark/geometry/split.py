@@ -163,13 +163,19 @@ def split_equal_area(
             )
         return pd.Series(out)
 
+    # posexplode_outer, NOT posexplode: the non-outer form injects a
+    # `size(_parts) > 0` pre-filter that Catalyst pushes below the Generate,
+    # re-evaluating the (expensive) split UDF a second time per row.  The
+    # outer form explodes once and the null rows are dropped by a cheap
+    # post-filter on the generated column.
     exploded = (
         df.withColumn("_parts", parts_udf(F.col(geom_col), F.col(oid_col)))
         .select(
             F.col(oid_col).alias("ORIG_FID"),
-            F.posexplode("_parts").alias("_pos", "geometry"),
+            F.posexplode_outer("_parts").alias("_pos", "geometry"),
             *[F.col(c) for c in keep],
         )
+        .where(F.col("geometry").isNotNull())
         .withColumn("SPLIT_SEQ", (F.col("_pos") + 1).cast(T.LongType()))
         .drop("_pos")
     )

@@ -337,12 +337,16 @@ def ngram_jaccard_pairs(
     # shingles travel as 64-bit hashes: the intersect/union counts are
     # identical (xxhash64 collisions are negligible at corpus scale) and the
     # explode+shuffle moves longs instead of n-char strings
+    # explode_outer + null-filter, not explode: the non-outer Generate adds
+    # a size()>0 pre-filter that re-evaluates the whole shingle-hash
+    # expression a second time per row (see geometry/split.py for the same
+    # pattern on a pandas UDF).
     shingled = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(_char_shingle_hashes(F.col(text_col), n))
         ).alias("shingle"),
-    )
+    ).where(F.col("shingle").isNotNull())
     set_sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("id_b"), "shingle")

@@ -179,9 +179,11 @@ def wordcount_topk(
     The explode → groupBy is the canonical map-side-combinable aggregation:
     partial counts per partition, one shuffle on the word key, then a
     driver-cheap global top-k via the sorted limit."""
+    # explode_outer avoids the Generate pre-filter double-evaluating the
+    # tokenizer expression (empty-token-array rows drop via the null filter)
     tokens = df.select(
-        F.explode(alpha_tokens(F.col(text_col))).alias("word")
-    )
+        F.explode_outer(alpha_tokens(F.col(text_col))).alias("word")
+    ).where(F.col("word").isNotNull())
     return (
         tokens.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -205,8 +207,8 @@ def tfidf_top_terms(
     from pyspark.sql import Window as W
 
     tokens = df.select(
-        F.col(id_col), F.explode(alpha_tokens(F.col(text_col))).alias("term")
-    )
+        F.col(id_col), F.explode_outer(alpha_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term").isNotNull())
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = (
         tokens.distinct()
