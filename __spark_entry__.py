@@ -995,6 +995,50 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two disjoint single-dim sets (not a rollup
+    or cube prefix), one aggregation pass over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS total_price,
+               count(*) AS n
+        FROM li_gs_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL++ distinct counts and quantile-sketch
+    percentiles.  Rows-only check (sketch internals differ across engines);
+    tests/test_ops.py asserts ≤5%% error vs the exact values.  These are the
+    100 TB scale path: fixed-size mergeable state instead of exact shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.9).alias("approx_p90_qty"),
+    )
+
+
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per-(flag,status) sketches built in one
+    pass, then UNIONED to per-flag estimates — the re-aggregatable-rollup
+    pattern (store sketches per partition/day, merge at query time without
+    rescanning).  Rows-only; recombination accuracy asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    return sketches.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    )
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window arithmetic: per-user inter-event gap stats."""
     ev = _t(spark, sf_dir, "events")
@@ -1362,6 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": q22_dormant_customers,
         "cube_revenue": q_cube_revenue,
         "event_gaps": q_event_gaps,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "approx_stats": q_approx_stats,
+        "hll_sketch_union": q_hll_sketch_union,
         "dedup_exact_rows": q_dedup_exact_rows,
         "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
@@ -1891,6 +1938,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS total_price,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "event_gaps": """
             WITH gaps AS (

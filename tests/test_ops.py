@@ -233,3 +233,52 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    """Sketch-based aggregates land within tolerance of exact values —
+    the fixed-memory scale path is trustworthy."""
+    li = scan(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("median"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap.orders - ex.orders) / ex.orders < 0.03
+        assert abs(ap.median - ex.median) / ex.median < 0.05
+
+
+def test_hll_sketch_merge_equals_direct(spark, sf_dir):
+    """Union of per-group HLL sketches ≈ directly-built sketch over the
+    union — pre-aggregated sketches are re-aggregatable without rescan."""
+    li = scan(spark, sf_dir, "lineitem")
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("n")
+    ).collect()[0].n
+    merged = (
+        li.groupBy("l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    exact = li.select("l_orderkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.03
+    # union of partials tracks the direct sketch closely (not bit-identical:
+    # the union path promotes sparse→dense register state)
+    assert abs(merged - direct) / direct < 0.02
