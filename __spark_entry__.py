@@ -535,6 +535,22 @@ def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks × preceding-hour
+    purchases per user) drained through a memory sink."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_interval_join(stream), output_mode="append"
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 5 query vectors (ANN baseline)."""
     from smartpy_arc_spark.operators.similarity import knn_cosine_bruteforce
@@ -1381,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hour_histogram": q_dow_hour_histogram,
         "stream_dedup": q_stream_dedup,
         "range_bucket_join": q_range_bucket_join,
+        "stream_stream_join": q_stream_stream_join,
         "rolling_avg": q_rolling_avg,
         "zscore_anomalies": q_zscore_anomalies,
         "regression_per_segment": q_regression_per_segment,
@@ -2242,6 +2259,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_stream_join": """
+            SELECT c.event_id AS left_id,
+                   c.user_id,
+                   p.event_id AS right_id,
+                   p.value AS right_value,
+                   epoch_us(CAST(c.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP)) AS lag_us
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
         """,
         "range_bucket_join": """
             WITH buckets(bucket, lo, hi) AS (

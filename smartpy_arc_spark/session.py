@@ -53,6 +53,9 @@ def get_spark(
         # Spark type; read as long and convert via nanos_ts_cols in scan().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # COUNT/MIN/MAX over plain parquet answer from footer statistics
+        # instead of scanning row groups (no filters involved → safe)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
