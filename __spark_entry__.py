@@ -551,6 +551,34 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector: nation staged as a dBASE .dbf file (the
+    reference's folder workspace, arc_pandas.py:17-21), read back through
+    the Python Data Source (spark.read.format('dbf'))."""
+    import tempfile
+
+    from smartpy_arc_spark.sources.dbf import write_dbf
+
+    rows = [
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in _t(spark, sf_dir, "nation").collect()  # bounded dim table
+    ]
+    d = os.path.join(tempfile.gettempdir(), "sas_dbf_ws")
+    os.makedirs(d, exist_ok=True)
+    write_dbf(
+        os.path.join(d, "nation.dbf"),
+        rows,
+        [("n_nationkey", "N", 10, 0), ("n_name", "C", 25, 0),
+         ("n_regionkey", "N", 10, 0)],
+    )
+    back = scan(spark, d, "nation", fmt="dbf")
+    return back.select(
+        F.col("n_nationkey").cast(T.IntegerType()),
+        "n_name",
+        F.col("n_regionkey").cast(T.IntegerType()),
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 5 query vectors (ANN baseline)."""
     from smartpy_arc_spark.operators.similarity import knn_cosine_bruteforce
@@ -1398,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "range_bucket_join": q_range_bucket_join,
         "stream_stream_join": q_stream_stream_join,
+        "dbf_scan": q_dbf_scan,
         "rolling_avg": q_rolling_avg,
         "zscore_anomalies": q_zscore_anomalies,
         "regression_per_segment": q_regression_per_segment,
@@ -2259,6 +2288,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "dbf_scan": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "stream_stream_join": """
             SELECT c.event_id AS left_id,

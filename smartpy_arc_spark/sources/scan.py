@@ -120,6 +120,13 @@ def scan(
         df = reader.json(path)
     elif fmt == "orc":
         df = reader.orc(path)
+    elif fmt == "dbf":
+        # folder-workspace dbf (arc_pandas.py:17-21) via the custom Python
+        # data source in sources/dbf.py
+        from smartpy_arc_spark.sources.dbf import register_dbf_source
+
+        register_dbf_source(spark)
+        df = reader.format("dbf").load(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -92,3 +92,35 @@ def test_nanos_ts_scan(spark):
     field = dict(df.dtypes)["ts"]
     assert field == "timestamp"
     assert df.where("ts >= '2024-01-01'").count() == df.count()
+
+
+def test_dbf_connector_roundtrip(spark, tmp_path):
+    """Custom Python Data Source: dBASE write → format('dbf') read, with
+    C/N/F/L/D types, nulls, deleted-row skip, and folder-workspace
+    multi-file parallelism (one input partition per file)."""
+    import datetime as dt
+
+    from smartpy_arc_spark.sources.dbf import (
+        register_dbf_source,
+        write_dbf,
+    )
+
+    fields = [("ID", "N", 10, 0), ("NAME", "C", 12, 0), ("BAL", "N", 12, 2),
+              ("OK", "L", 1, 0), ("D0", "D", 8, 0)]
+    write_dbf(str(tmp_path / "a.dbf"),
+              [(1, "alice", 10.5, True, dt.date(2020, 1, 2)),
+               (2, None, None, None, None)], fields)
+    write_dbf(str(tmp_path / "b.dbf"), [(3, "carol", -1.25, False,
+                                         dt.date(1999, 12, 31))], fields)
+
+    register_dbf_source(spark)
+    df = spark.read.format("dbf").load(str(tmp_path))
+    assert df.schema.simpleString() == (
+        "struct<ID:bigint,NAME:string,BAL:double,OK:boolean,D0:date>"
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = {r.ID: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].NAME == "alice" and rows[1].BAL == 10.5 and rows[1].OK is True
+    assert rows[2].NAME is None and rows[2].BAL is None and rows[2].OK is None
+    assert rows[3].D0 == dt.date(1999, 12, 31)
