@@ -1341,6 +1341,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(payloads)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stub over binary payloads (mapInPandas →
+    array<float>), exploded to (item, dim, value) rows so the oracle can
+    recompute the deterministic fake arithmetically."""
+    from smartpy_arc_spark.multimodal.binary import attach_payload, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), "text"
+    )
+    feats = extract_features(attach_payload(docs, "text"), dim=8)
+    return feats.select(
+        "item_id", F.posexplode_outer("features").alias("dim", "feat")
+    ).where(F.col("feat").isNotNull()).select(
+        "item_id", "dim", F.round(F.col("feat").cast("double"), 4).alias("feat")
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregate drained through a
     memory sink — same result as the batch equivalent the oracle runs."""
@@ -1472,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_derived": q_geom_derived,
         "geom_split": q_geom_split,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "stream_window_counts": q_stream_window_counts,
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
@@ -2179,6 +2197,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END
                        AS format
             FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS item_id, CAST(j AS INTEGER) AS dim,
+                   round(CAST((length(text) * (2 * j + 3) + 7 * j) % 1000
+                              AS DOUBLE) / 1000.0, 4) AS feat
+            FROM documents, generate_series(0, 7) AS t(j)
         """,
         "stream_window_counts": """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

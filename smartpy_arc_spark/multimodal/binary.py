@@ -126,3 +126,91 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(
         sample, "item_id long, frame_idx int, frame binary, frame_md5 string"
     )
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    dim: int = 8,
+    normalize: bool = False,
+    stub: bool = True,
+) -> DataFrame:
+    """Embedding extraction stub: payload → fixed-``dim`` float vector via
+    ``mapInPandas`` (``array<float>`` output, the shape a CLIP/ResNet
+    encoder produces; feeds the similarity/ANN operators directly).
+
+    The fake is arithmetic on payload length — ``v_j = ((n·P_j + Q_j) mod
+    1000) / 1000`` — so an external oracle can recompute it; a real encoder
+    replaces the inner loop with a batched model call on the Arrow batch.
+    """
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    if not stub:
+        raise NotImplementedError(
+            "real feature extraction requires a vision/audio encoder"
+        )
+
+    def featurize(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    ids.append(int(item_id))
+                    vecs.append(None)
+                    continue
+                n = len(bytes(payload))
+                v = [((n * (2 * j + 3) + 7 * j) % 1000) / 1000.0
+                     for j in range(dim)]
+                if normalize:
+                    norm = sum(x * x for x in v) ** 0.5 or 1.0
+                    v = [x / norm for x in v]
+                ids.append(int(item_id))
+                vecs.append(v)
+            yield pd.DataFrame({"item_id": ids, "features": vecs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        featurize, "item_id long, features array<float>"
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    stub: bool = True,
+) -> DataFrame:
+    """Image resize stub: payload → fixed-size payload (truncate/cycle to
+    ``width*height`` bytes) + output dims — the in-place transform shape
+    (binary in, binary out, metadata updated) a PIL ``resize`` would have."""
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    if not stub:
+        raise NotImplementedError("real resize requires PIL/opencv")
+    target = width * height
+
+    def resize(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(item_id))
+                if payload is None:
+                    payloads.append(None)
+                    continue
+                b = bytes(payload)
+                reps = (target // max(len(b), 1)) + 1
+                payloads.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {"item_id": ids, "payload": payloads,
+                 "width": [width] * len(ids), "height": [height] * len(ids)}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, "item_id long, payload binary, width int, height int"
+    )

@@ -98,3 +98,33 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     got = {(r.user_id, r.session_start): r.n_events for r in result.collect()}
     want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
     assert got == want
+
+
+def test_extract_features_stub(media):
+    from smartpy_arc_spark.multimodal.binary import extract_features
+
+    out = {r.item_id: r.features
+           for r in extract_features(media, dim=4).collect()}
+    # deterministic arithmetic fake; null payload → null vector
+    for item_id, vec in out.items():
+        if vec is not None:
+            assert len(vec) == 4
+            assert all(0.0 <= x < 1.0 for x in vec)
+    normed = extract_features(media, dim=4, normalize=True).collect()
+    for r in normed:
+        if r.features is not None:
+            assert abs(sum(x * x for x in r.features) - 1.0) < 1e-5
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        extract_features(media, stub=False)
+
+
+def test_resize_image_stub(media):
+    from smartpy_arc_spark.multimodal.binary import resize_image
+
+    out = resize_image(media, width=8, height=4).collect()
+    for r in out:
+        assert (r.width, r.height) == (8, 4)
+        if r.payload is not None:
+            assert len(r.payload) == 32
