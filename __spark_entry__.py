@@ -1039,6 +1039,43 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops: high-value customers split by whether
+    they also placed an urgent order (tagged union of both results)."""
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.where("o_totalprice > 150000").select(
+        F.col("o_custkey").alias("ck")
+    )
+    urgent = orders.where("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("ck")
+    )
+    both = high.intersect(urgent).withColumn("tag", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (exceptAll would only remove one
+    # occurrence per match, leaving duplicate keys in the result)
+    only_high = high.subtract(urgent).withColumn("tag", F.lit("high_only"))
+    return both.unionByName(only_high)
+
+
+def q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over full-partition frames: each
+    customer's first, latest, and second order."""
+    orders = _t(spark, sf_dir, "orders")
+    full = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_orderkey").over(full).alias("first_order"),
+            F.last_value("o_orderkey").over(full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — two disjoint single-dim sets (not a rollup
     or cube prefix), one aggregation pass over the fact table."""
@@ -1470,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "event_gaps": q_event_gaps,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "intersect_except_keys": q_intersect_except_keys,
+        "first_last_orders": q_first_last_orders,
         "approx_stats": q_approx_stats,
         "hll_sketch_union": q_hll_sketch_union,
         "dedup_exact_rows": q_dedup_exact_rows,
@@ -2002,6 +2041,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "intersect_except_keys": """
+            SELECT ck, 'both' AS tag FROM (
+                SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT ck, 'high_only' AS tag FROM (
+                SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "first_last_orders": """
+            SELECT DISTINCT o_custkey,
+                   first_value(o_orderkey) OVER w AS first_order,
+                   last_value(o_orderkey) OVER w AS last_order,
+                   nth_value(o_orderkey, 2) OVER w AS second_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         "grouping_sets_revenue": """
             SELECT l_returnflag, l_linestatus,
