@@ -1076,6 +1076,25 @@ def q_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 customers per nation via a
+    per-row dependent subquery (Catalyst decorrelates it into a ranked
+    join — same plan family as the window formulation)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, round(c_acctbal, 2) AS bal
+        FROM nation_lat_v,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer_lat_v
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        )
+        """
+    )
+
+
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — two disjoint single-dim sets (not a rollup
     or cube prefix), one aggregation pass over the fact table."""
@@ -1509,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "intersect_except_keys": q_intersect_except_keys,
         "first_last_orders": q_first_last_orders,
+        "lateral_top2": q_lateral_top2,
         "approx_stats": q_approx_stats,
         "hll_sketch_union": q_hll_sketch_union,
         "dedup_exact_rows": q_dedup_exact_rows,
@@ -2052,6 +2072,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000
                 EXCEPT
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "lateral_top2": """
+            SELECT n_name, c_custkey, round(c_acctbal, 2) AS bal
+            FROM nation, LATERAL (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_nationkey = n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
         """,
         "first_last_orders": """
             SELECT DISTINCT o_custkey,
