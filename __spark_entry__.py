@@ -1280,7 +1280,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpy_arc_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb.where("vec_id < 5"), emb, k=5)
+    # dim passed explicitly (testdata embeddings are 64-wide): avoids the
+    # one-row driver probe ann_lsh_topk would otherwise run to learn it
+    return ann_lsh_topk(emb.where("vec_id < 5"), emb, k=5, dim=64)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,7 +1464,49 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so queries NOT yet stamped in CORRECTNESS_r01.json run first
+    # (the round-1 driver run covered only the first 50 declared entries).
     return {
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "q22_dormant_customers": q22_dormant_customers,
+        "cube_revenue": q_cube_revenue,
+        "event_gaps": q_event_gaps,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "intersect_except_keys": q_intersect_except_keys,
+        "first_last_orders": q_first_last_orders,
+        "lateral_top2": q_lateral_top2,
+        "approx_stats": q_approx_stats,
+        "hll_sketch_union": q_hll_sketch_union,
+        "dedup_exact_rows": q_dedup_exact_rows,
+        "ivf_ann": q_ivf_ann,
+        "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
+        "pivot_status": q_pivot_status,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_candidates": q_simhash_candidates,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_label_stats": q_embedding_label_stats,
+        "geom_derived": q_geom_derived,
+        "geom_split": q_geom_split,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
+        # --- below here: stamped green in CORRECTNESS_r01.json ---
         "scan_project_filter": q_scan_project_filter,
         "scan_case_rename": q_scan_case_rename,
         "null_sentinel_fill": q_null_sentinel_fill,
@@ -1513,45 +1557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_priority_class": q12_priority_class,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_counts": q16_supplier_counts,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q22_dormant_customers": q22_dormant_customers,
-        "cube_revenue": q_cube_revenue,
-        "event_gaps": q_event_gaps,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "intersect_except_keys": q_intersect_except_keys,
-        "first_last_orders": q_first_last_orders,
-        "lateral_top2": q_lateral_top2,
-        "approx_stats": q_approx_stats,
-        "hll_sketch_union": q_hll_sketch_union,
-        "dedup_exact_rows": q_dedup_exact_rows,
-        "ivf_ann": q_ivf_ann,
-        "asof_join": q_asof_join,
-        "percentiles": q_percentiles,
-        "pivot_status": q_pivot_status,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_candidates": q_simhash_candidates,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "ann_lsh": q_ann_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_label_stats": q_embedding_label_stats,
-        "geom_derived": q_geom_derived,
-        "geom_split": q_geom_split,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_first_seen": q_stream_first_seen,
     }
 
 

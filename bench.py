@@ -5,7 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes its full plan into the no-op sink (no driver-side
-collect), after one warm-up pass to amortize JVM/codegen warmup.
+collect), after one warm-up pass to amortize JVM/codegen warmup; the
+reported per-query time is the MEDIAN of 3 timed runs (per-run times in
+"runs") so round-over-round regressions are attributable, not noise.
+
+The headline set is frozen as of round 1 — do not add/remove entries, so
+BENCH_r{N}.json stays comparable query-for-query across rounds.
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -59,12 +65,17 @@ def main() -> None:
     qs = mod.queries()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         run(fn(spark, sf_dir))  # warm-up: plan + codegen + page cache
-        t0 = time.perf_counter()
-        run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            trials.append(round(time.perf_counter() - t0, 3))
+        runs[name] = trials
+        timings[name] = round(statistics.median(trials), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -74,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

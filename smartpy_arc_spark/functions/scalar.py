@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -25,15 +25,42 @@ INT32_MAX = 2147483647
 def copy_oids(df: DataFrame, fld_name: str, order_by: list[str] | None = None) -> DataFrame:
     """C1 ``copy_oids`` (arc_utils.py:376-384): materialize a row id.
 
-    With ``order_by``: stable ids via ``row_number`` over an explicit order —
-    required whenever cross-run stability is asserted.  Without: cheap
-    ``monotonically_increasing_id`` (unique, not dense, not stable across
-    runs — exactly Spark's contract; a global row_number over no key would
-    serialize through one partition at 100 TB, so it must be opted into).
+    With ``order_by``: dense 1-based ids following the key order, computed
+    WITHOUT a single-partition global window: range-partition on the keys
+    (partition i holds globally-smaller keys than i+1), sort within each
+    partition, derive the per-partition row index from
+    ``monotonically_increasing_id``'s documented layout (pid in the upper
+    bits, a dense per-partition counter in the lower 33), then add broadcast
+    per-partition offsets from one tiny counts job (numPartitions rows to the
+    driver).  Identical to ``row_number() OVER (ORDER BY keys)`` whenever the
+    keys are unique; ties may be numbered in a different (still arbitrary)
+    order.  Without ``order_by``: cheap ``monotonically_increasing_id``
+    (unique, not dense, not stable across runs — exactly Spark's contract).
     """
     if order_by:
-        w = Window.orderBy(*order_by)
-        out = df.withColumn(fld_name, F.row_number().over(w).cast(T.LongType()))
+        part = (
+            df.repartitionByRange(*[F.col(c) for c in order_by])
+            .sortWithinPartitions(*order_by)
+            .withColumn("__mid", F.monotonically_increasing_id())
+        )
+        pid = F.shiftright(F.col("__mid"), 33)
+        local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+        counts = (
+            part.groupBy(pid.alias("__pid")).agg(F.count("*").alias("__n")).collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = acc
+            acc += r["__n"]
+        # literal map pid -> cumulative offset; numPartitions entries, tiny
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        out = part.withColumn(
+            fld_name,
+            (local + off_map[pid] + F.lit(1)).cast(T.LongType()),
+        ).drop("__mid")
     else:
         out = df.withColumn(fld_name, F.monotonically_increasing_id())
     return tag_oid(out, fld_name)

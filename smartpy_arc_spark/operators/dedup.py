@@ -251,22 +251,38 @@ def simhash(
     tokens = F.split(F.col(text_col), " ", -1)
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    # pack via shift+OR, not acc*2+bit: multiplication overflows a long
-    # under ANSI mode once bit 63 is set; shifts/OR are wrap-around bitwise
-    one = F.lit(1).cast(T.LongType())
-    sig = F.lit(0).cast(T.LongType())
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(bit_sum(b) > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast(T.LongType()))
-        )
+    # Single pass over the token hashes: the accumulator is a `bits`-long
+    # array of per-bit +1/-1 sums — O(n_tokens · bits) work once, instead of
+    # the previous `bits` independent aggregate() passes over the same array.
+    # Bit b is tested as `h & (1<<b) != 0` against a constant mask array
+    # (shiftright needs an int-literal shift, so it can't use a lambda index;
+    # bit 63's mask literal is its two's-complement value).
+    masks = F.array(
+        *[
+            F.lit((1 << b) - (1 << 64) if b == 63 else (1 << b)).cast(T.LongType())
+            for b in range(bits)
+        ]
+    )
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # pack: OR together the masks of positive-sum bits (acc*2+bit would
+    # long-overflow under ANSI mode once bit 63 is set; OR is wrap-around)
+    sig = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast(T.LongType())),
+        ),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
     return df.select(id_col, sig.alias("simhash"))
 
 

@@ -17,8 +17,24 @@ shuffle-hash with AQE skew splitting for unbounded enrichment sides.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Hard cap on an enrichment side we will hint as broadcast.  An oversized
+# broadcast OOMs executors instead of degrading, so past this estimate we
+# fall back to a shuffle join (AQE can still re-plan it) with a warning.
+BROADCAST_CAP_BYTES = 512 << 20
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (bytes), or None if the JVM
+    handle is unavailable (e.g. a mocked DataFrame in tests)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return None
 
 
 def enrich_join(
@@ -30,6 +46,7 @@ def enrich_join(
     keep_common: bool = True,
     broadcast: bool = True,
     suffix: str = "_r",
+    broadcast_cap_bytes: int = BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """Join ``enrich`` onto ``target``.
 
@@ -39,8 +56,21 @@ def enrich_join(
       (it duplicates the target key), and any other colliding enrichment
       column is suffixed — matching the reference's unqualified-fields
       materialization (arc_utils.py:948).
+    * ``broadcast=True`` is a *hint* guarded by a size estimate: if
+      Catalyst's optimized-plan stats put the enrichment side above
+      ``broadcast_cap_bytes``, we fall back to a shuffle join with a
+      warning rather than risk an executor OOM.
     """
     how = "inner" if keep_common else "left"
+    if broadcast:
+        est = _estimated_plan_bytes(enrich)
+        if est is not None and est > broadcast_cap_bytes:
+            warnings.warn(
+                f"enrich_join: enrichment side estimated at {est} bytes "
+                f"(> cap {broadcast_cap_bytes}); falling back to shuffle join",
+                stacklevel=2,
+            )
+            broadcast = False
     right = F.broadcast(enrich) if broadcast else enrich
 
     # Rename colliding non-key enrichment columns before the join so the

@@ -80,6 +80,7 @@ def scan(
     num_fill: float = DEFAULT_NUM_FILL,
     date_fill: str = DEFAULT_DATE_FILL,
     fmt: str = "parquet",
+    schema: str | T.StructType | None = None,
     drop_geometry: bool = True,
     spatial: bool = False,
     geom_col: str | None = None,
@@ -115,9 +116,14 @@ def scan(
     if fmt == "parquet":
         df = reader.parquet(path)
     elif fmt == "csv":
-        df = reader.csv(path, header=True, inferSchema=True)
+        if schema is not None:
+            # explicit schema: single pass over the file — inferSchema=True
+            # is a SECOND full scan, which at 100 TB doubles the read cost
+            df = reader.csv(path, header=True, schema=schema)
+        else:
+            df = reader.csv(path, header=True, inferSchema=True)
     elif fmt == "json":
-        df = reader.json(path)
+        df = reader.json(path, schema=schema) if schema is not None else reader.json(path)
     elif fmt == "orc":
         df = reader.orc(path)
     elif fmt == "dbf":
