@@ -1387,6 +1387,109 @@ def q_geom_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polyline_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline SHAPE@LENGTH/X/Y (arc_utils.py:698-700 — length applies to
+    polylines, area is 0): L-shaped 2-segment lines; the oracle recomputes
+    length and the half-length midpoint arithmetically."""
+    from smartpy_arc_spark.geometry import add_geometry_derived
+    from smartpy_arc_spark.geometry.columns import make_lshape_wkb
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    part = _t(spark, sf_dir, "part").where("p_partkey < 500")
+    lines = part.select(
+        "p_partkey",
+        make_lshape_wkb(
+            (F.col("p_partkey") % 97).cast("double"),
+            (F.col("p_partkey") % 89).cast("double"),
+            (F.lit(10) + F.col("p_size")).cast("double"),
+            (F.lit(5) + F.col("p_partkey") % 7).cast("double"),
+        ).alias("geometry"),
+    )
+    d = add_geometry_derived(lines)
+    return d.select(
+        "p_partkey",
+        F.round(F.col("SHAPE@LENGTH"), 6).alias("length"),
+        F.round(F.col("SHAPE@AREA"), 6).alias("area"),
+        F.round(F.col("SHAPE@X"), 6).alias("mx"),
+        F.round(F.col("SHAPE@Y"), 6).alias("my"),
+    )
+
+
+def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folder workspace WITH geometry (arc_pandas.py:17-21): nation staged
+    as a real shapefile (.shp/.shx/.dbf/.prj) with deterministic rect
+    geometry, read back through the shapefile data source; derived
+    area/length verified arithmetically by the oracle."""
+    import tempfile
+
+    from smartpy_arc_spark.geometry import add_geometry_derived
+    from smartpy_arc_spark.geometry.wkb import encode_polygon
+    from smartpy_arc_spark.session import ensure_worker_imports
+    from smartpy_arc_spark.sources.shapefile import write_shapefile
+
+    ensure_worker_imports(spark)
+    rows = [
+        (r.n_nationkey, r.n_name)
+        for r in _t(spark, sf_dir, "nation").collect()  # bounded dim table
+    ]
+    wkbs = []
+    for key, _name in rows:
+        x0, y0 = float(key % 7), float(key % 5)
+        w, h = float(10 + key % 5), float(3 + key % 4)
+        wkbs.append(
+            encode_polygon(
+                [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]]
+            )
+        )
+    d = os.path.join(tempfile.gettempdir(), "sas_shp_ws")
+    os.makedirs(d, exist_ok=True)
+    write_shapefile(
+        os.path.join(d, "nation.shp"),
+        rows,
+        [("n_nationkey", "N", 10, 0), ("n_name", "C", 25, 0)],
+        wkbs,
+        crs_wkt='GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]',
+    )
+    back = scan(spark, d, "nation", fmt="shp", drop_geometry=False)
+    der = add_geometry_derived(back)
+    return der.select(
+        F.col("n_nationkey").cast(T.IntegerType()),
+        "n_name",
+        F.round(F.col("SHAPE@AREA"), 6).alias("area"),
+        F.round(F.col("SHAPE@LENGTH"), 6).alias("length"),
+    )
+
+
+def q_geom_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five wire encodings (arc_utils.py:970-978): WKB → WKT / GeoJSON /
+    ESRIJSON / ESRISHAPE → WKB; the area survives every round trip and the
+    oracle recomputes it arithmetically."""
+    from smartpy_arc_spark.geometry.columns import (
+        from_esrijson,
+        from_esrishape,
+        from_geojson,
+        from_wkt,
+        st_area,
+        to_esrijson,
+        to_esrishape,
+        to_geojson,
+        to_wkt,
+    )
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    rects = _rect_table(spark, sf_dir)
+    g = F.col("geometry")
+    return rects.select(
+        "p_partkey",
+        F.round(st_area(from_wkt(to_wkt(g))), 6).alias("area_wkt"),
+        F.round(st_area(from_geojson(to_geojson(g))), 6).alias("area_geojson"),
+        F.round(st_area(from_esrijson(to_esrijson(g))), 6).alias("area_esrijson"),
+        F.round(st_area(from_esrishape(to_esrishape(g))), 6).alias("area_esrishape"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → metadata via mapInPandas decode stub; the
     deterministic fake dims let the oracle recompute them from length."""
@@ -1465,8 +1568,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries NOT yet stamped in CORRECTNESS_r01.json run first
-    # (the round-1 driver run covered only the first 50 declared entries).
+    # (the round-1 driver run covered only the first 50 declared entries);
+    # new round-2 queries lead.
     return {
+        "shp_scan": q_shp_scan,
+        "polyline_derived": q_polyline_derived,
+        "geom_encodings": q_geom_encodings,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_revenue": q10_returned_revenue,
@@ -2263,6 +2370,46 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[])))), 4) AS max_norm
             FROM embeddings GROUP BY label
+        """,
+        "shp_scan": """
+            SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+                   round(CAST((10 + n_nationkey % 5) * (3 + n_nationkey % 4)
+                              AS DOUBLE), 6) AS area,
+                   round(CAST(2 * ((10 + n_nationkey % 5) + (3 + n_nationkey % 4))
+                              AS DOUBLE), 6) AS length
+            FROM nation
+        """,
+        "polyline_derived": """
+            SELECT p_partkey,
+                   round(CAST((10 + p_size) + (5 + p_partkey % 7) AS DOUBLE), 6)
+                       AS length,
+                   round(CAST(0.0 AS DOUBLE), 6) AS area,
+                   round(CASE WHEN ((10 + p_size) + (5 + p_partkey % 7)) / 2.0
+                                   <= (10 + p_size)
+                              THEN (p_partkey % 97)
+                                   + ((10 + p_size) + (5 + p_partkey % 7)) / 2.0
+                              ELSE CAST((p_partkey % 97) + (10 + p_size) AS DOUBLE)
+                         END, 6) AS mx,
+                   round(CASE WHEN ((10 + p_size) + (5 + p_partkey % 7)) / 2.0
+                                   <= (10 + p_size)
+                              THEN CAST(p_partkey % 89 AS DOUBLE)
+                              ELSE (p_partkey % 89)
+                                   + ((10 + p_size) + (5 + p_partkey % 7)) / 2.0
+                                   - (10 + p_size)
+                         END, 6) AS my
+            FROM part WHERE p_partkey < 500
+        """,
+        "geom_encodings": """
+            SELECT p_partkey,
+                   round(CAST((10.0 + p_size) * (5 + p_partkey % 7) AS DOUBLE), 6)
+                       AS area_wkt,
+                   round(CAST((10.0 + p_size) * (5 + p_partkey % 7) AS DOUBLE), 6)
+                       AS area_geojson,
+                   round(CAST((10.0 + p_size) * (5 + p_partkey % 7) AS DOUBLE), 6)
+                       AS area_esrijson,
+                   round(CAST((10.0 + p_size) * (5 + p_partkey % 7) AS DOUBLE), 6)
+                       AS area_esrishape
+            FROM part WHERE p_partkey < 500
         """,
         "geom_derived": """
             SELECT p_partkey,

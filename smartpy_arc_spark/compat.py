@@ -120,10 +120,27 @@ def _split_workspace(data: str) -> tuple[str, str | None]:
     return "//".join(parts[:-1]), parts[-1]
 
 
+def _apply_geometry_encoding(df: DataFrame, encoding: str | None) -> DataFrame:
+    """Convert the geometry column to the requested wire encoding
+    (arc_utils.py:974-977: ESRISHAPE/ESRIJSON/GEOJSON/WKT/WKB; canonical
+    storage is WKB, so WKB/None are no-ops)."""
+    if not encoding or encoding.upper() == "WKB":
+        return df
+    from smartpy_arc_spark.geometry import encode_geometry
+    from smartpy_arc_spark.meta import ROLE_GEOMETRY, find_role_column
+
+    geom_col = find_role_column(df, ROLE_GEOMETRY) or (
+        "geometry" if "geometry" in df.columns else None
+    )
+    if geom_col is None:
+        return df
+    return encode_geometry(df, encoding, geom_col)
+
+
 def arc_to_pandas_a(data, flds=None, where: str | None = None,
                     geometry_encoding: str | None = None):
     """arc_utils.py:956-988 — Arrow scan to pandas (geometry excluded unless
-    an encoding is requested)."""
+    an encoding is requested, then delivered in that encoding)."""
     from smartpy_arc_spark.sources.scan import scan
 
     workspace, class_name = _split_workspace(data)
@@ -132,16 +149,20 @@ def arc_to_pandas_a(data, flds=None, where: str | None = None,
         flds=flds, where=where,
         drop_geometry=geometry_encoding is None,
     )
-    return df.toPandas()
+    return _apply_geometry_encoding(df, geometry_encoding).toPandas()
 
 
-def arc_to_spark(data, flds=None, where: str | None = None, **kw) -> DataFrame:
+def arc_to_spark(data, flds=None, where: str | None = None,
+                 geometry_encoding: str | None = None, **kw) -> DataFrame:
     """The modern path (replaces ``arc_to_polars``, arc_utils.py:991-1051):
     a lazy DataFrame instead of an eager polars frame."""
     from smartpy_arc_spark.sources.scan import scan
 
     workspace, class_name = _split_workspace(data)
-    return scan(_spark(), workspace, class_name, flds=flds, where=where, **kw)
+    if geometry_encoding is not None:
+        kw.setdefault("drop_geometry", False)
+    df = scan(_spark(), workspace, class_name, flds=flds, where=where, **kw)
+    return _apply_geometry_encoding(df, geometry_encoding)
 
 
 # keep the reference's polars entry-point name as an alias of the modern path
@@ -294,6 +315,26 @@ def get_df(name: str, aprx: str = "CURRENT", map=None, **kw):
     from smartpy_arc_spark.sources.catalog import get_df as _gd
 
     return _gd(_spark(), name, **kw).toPandas()
+
+
+def polars_to_arc(df, out_work: str, out_cls: str, geo_col: str | None = None,
+                  srs=None, geometry_encoding: str = "EsriShape") -> str:
+    """arc_utils.py:1054-1120 — write a frame that carries a geometry column:
+    ``geometry_encoding`` declares the encoding the COLUMN IS IN
+    (EsriShape/EsriJSON/GeoJSON/WKT/WKB); it is decoded to canonical WKB and
+    tagged with the CRS before writing.  ``geo_col=None`` writes a plain
+    table (the reference's :1105 None crash is not reproduced)."""
+    import pandas as pd
+
+    from smartpy_arc_spark.geometry import decode_geometry
+    from smartpy_arc_spark.meta import tag_geometry
+    from smartpy_arc_spark.sinks.write import write_table
+
+    sdf = _spark().createDataFrame(df) if isinstance(df, pd.DataFrame) else df
+    if geo_col is not None:
+        sdf = decode_geometry(sdf, geometry_encoding, geo_col)
+        sdf = tag_geometry(sdf, geo_col, crs=srs)
+    return write_table(sdf, out_work, out_cls, overwrite=True)
 
 
 def split_equal_area(in_polys, out_work: str, out_fc: str, max_acres: float,

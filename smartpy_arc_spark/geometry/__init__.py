@@ -15,10 +15,18 @@ geometry path, so it scales linearly with partitions.
 
 from smartpy_arc_spark.geometry.columns import (
     add_geometry_derived,
+    decode_geometry,
+    encode_geometry,
+    from_esrijson,
+    from_esrishape,
+    from_geojson,
+    from_wkt,
     get_centroids,
     st_area,
     st_centroid_xy,
     st_length,
+    to_esrijson,
+    to_esrishape,
     to_geojson,
     to_wkt,
 )
@@ -26,10 +34,18 @@ from smartpy_arc_spark.geometry.split import split_equal_area
 
 __all__ = [
     "add_geometry_derived",
+    "decode_geometry",
+    "encode_geometry",
+    "from_esrijson",
+    "from_esrishape",
+    "from_geojson",
+    "from_wkt",
     "get_centroids",
     "st_area",
     "st_centroid_xy",
     "st_length",
+    "to_esrijson",
+    "to_esrishape",
     "to_geojson",
     "to_wkt",
     "split_equal_area",

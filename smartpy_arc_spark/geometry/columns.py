@@ -47,16 +47,40 @@ def _per_geom(fn, wkb_series: pd.Series) -> list:
 
 
 def _multipart_area(w: bytes) -> float:
-    return sum(core.polygon_area(p) for p in wkb_codec.decode_polygon_parts(w))
+    kind, val = wkb_codec.decode(w)
+    if kind == "polygon":
+        return core.polygon_area(val)
+    if kind == "multipolygon":
+        return sum(core.polygon_area(p) for p in val)
+    return 0.0  # points/polylines have no area (arc_utils.py:698-701)
 
 
 def _multipart_length(w: bytes) -> float:
-    return sum(core.polygon_perimeter(p) for p in wkb_codec.decode_polygon_parts(w))
+    kind, val = wkb_codec.decode(w)
+    if kind == "polygon":
+        return core.polygon_perimeter(val)
+    if kind == "multipolygon":
+        return sum(core.polygon_perimeter(p) for p in val)
+    if kind == "linestring":
+        return core.path_length(val)
+    if kind == "multilinestring":
+        return sum(core.path_length(p) for p in val)
+    return 0.0  # point/multipoint
 
 
 def _multipart_interior_point(w: bytes):
+    kind, val = wkb_codec.decode(w)
+    if kind == "point":
+        return val
+    if kind == "multipoint":
+        return float(val[:, 0].mean()), float(val[:, 1].mean())
+    if kind == "linestring":
+        return core.path_midpoint(val)
+    if kind == "multilinestring":
+        # on-the-feature point: midpoint of the longest part
+        return core.path_midpoint(max(val, key=core.path_length))
+    parts = val if kind == "multipolygon" else [val]
     # interior point of the largest part (guaranteed inside the feature)
-    parts = wkb_codec.decode_polygon_parts(w)
     return core.interior_point(max(parts, key=core.polygon_area))
 
 
@@ -102,6 +126,24 @@ def make_rect_wkb(
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def make_lshape_wkb(
+    x0: pd.Series, y0: pd.Series, dx: pd.Series, dy: pd.Series
+) -> pd.Series:
+    """L-shaped 2-segment polyline (right dx, then up dy) → WKB LineString;
+    the deterministic polyline synthesizer for oracle-checked queries
+    (length = dx+dy and the half-length midpoint are SQL-computable)."""
+    out = []
+    for a, b, w, h in zip(x0, y0, dx, dy):
+        if a is None or w is None:
+            out.append(None)
+            continue
+        out.append(
+            wkb_codec.encode_linestring([[a, b], [a + w, b], [a + w, b + h]])
+        )
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.StringType())
 def to_wkt(wkb: pd.Series) -> pd.Series:
     return pd.Series(_per_geom(wkb_codec.to_wkt_str, wkb), dtype="object")
@@ -110,6 +152,109 @@ def to_wkt(wkb: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def to_geojson(wkb: pd.Series) -> pd.Series:
     return pd.Series(_per_geom(wkb_codec.to_geojson_str, wkb), dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def to_esrijson(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_per_geom(wkb_codec.to_esrijson_str, wkb), dtype="object")
+
+
+@F.pandas_udf(T.BinaryType())
+def to_esrishape(wkb: pd.Series) -> pd.Series:
+    from smartpy_arc_spark.geometry import esrishape
+
+    return pd.Series(_per_geom(esrishape.wkb_to_shape, wkb), dtype="object")
+
+
+def _str_to_wkb(fn):
+    def conv(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(fn(v))
+            except (*_DECODE_ERRORS, KeyError, TypeError):
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return conv
+
+
+from_wkt = F.pandas_udf(_str_to_wkb(wkb_codec.from_wkt_str), T.BinaryType())
+from_geojson = F.pandas_udf(_str_to_wkb(wkb_codec.from_geojson_str), T.BinaryType())
+from_esrijson = F.pandas_udf(_str_to_wkb(wkb_codec.from_esrijson_str), T.BinaryType())
+
+
+@F.pandas_udf(T.BinaryType())
+def from_esrishape(buf: pd.Series) -> pd.Series:
+    from smartpy_arc_spark.geometry import esrishape
+
+    out = []
+    for v in buf:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(esrishape.shape_to_wkb(bytes(v)))
+        except _DECODE_ERRORS:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+_TO_ENCODING = {
+    "WKB": None,
+    "WKT": to_wkt,
+    "GEOJSON": to_geojson,
+    "ESRIJSON": to_esrijson,
+    "ESRISHAPE": to_esrishape,
+}
+_FROM_ENCODING = {
+    "WKB": None,
+    "WKT": from_wkt,
+    "GEOJSON": from_geojson,
+    "ESRIJSON": from_esrijson,
+    "ESRISHAPE": from_esrishape,
+}
+
+
+def encode_geometry(
+    df: DataFrame, encoding: str, geom_col: str = "geometry"
+) -> DataFrame:
+    """Convert the canonical WKB geometry column to one of the reference's
+    five wire encodings (arc_utils.py:970-978): ESRISHAPE, ESRIJSON,
+    GEOJSON, WKT, WKB.  Case-insensitive; the field's encoding metadata is
+    updated so a later :func:`decode_geometry` can invert it."""
+    from smartpy_arc_spark.meta import tag_geometry
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    key = encoding.upper()
+    if key not in _TO_ENCODING:
+        raise ValueError(f"unknown geometry encoding {encoding!r}")
+    conv = _TO_ENCODING[key]
+    if conv is not None:
+        ensure_worker_imports(df.sparkSession)
+        df = df.withColumn(geom_col, conv(F.col(geom_col)))
+    return tag_geometry(df, geom_col, encoding=key)
+
+
+def decode_geometry(
+    df: DataFrame, encoding: str, geom_col: str = "geometry"
+) -> DataFrame:
+    """Convert a geometry column in any supported wire encoding back to
+    canonical WKB."""
+    from smartpy_arc_spark.meta import tag_geometry
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    key = encoding.upper()
+    if key not in _FROM_ENCODING:
+        raise ValueError(f"unknown geometry encoding {encoding!r}")
+    conv = _FROM_ENCODING[key]
+    if conv is not None:
+        ensure_worker_imports(df.sparkSession)
+        df = df.withColumn(geom_col, conv(F.col(geom_col)))
+    return tag_geometry(df, geom_col, encoding="WKB")
 
 
 def add_geometry_derived(

@@ -34,6 +34,37 @@ def ring_length(ring: np.ndarray) -> float:
     return float(np.sum(np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1]))))
 
 
+def path_length(path: np.ndarray) -> float:
+    """Open polyline length (no implicit closure, unlike ring_length)."""
+    p = np.asarray(path, dtype=np.float64)
+    if len(p) < 2:
+        return 0.0
+    return float(np.sum(np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1]))))
+
+
+def path_midpoint(path: np.ndarray) -> tuple[float, float]:
+    """The point halfway along the polyline's length (arcpy's polyline
+    centroid contract is 'a point on the line'); vertex mean for a
+    degenerate zero-length path."""
+    p = np.asarray(path, dtype=np.float64)
+    if len(p) == 1:
+        return float(p[0, 0]), float(p[0, 1])
+    seg = np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1]))
+    total = float(seg.sum())
+    if total <= 0.0:
+        return float(p[:, 0].mean()), float(p[:, 1].mean())
+    target = total / 2.0
+    acc = 0.0
+    for i, s in enumerate(seg):
+        if acc + s >= target:
+            t = 0.0 if s == 0 else (target - acc) / s
+            x = p[i, 0] + t * (p[i + 1, 0] - p[i, 0])
+            y = p[i, 1] + t * (p[i + 1, 1] - p[i, 1])
+            return float(x), float(y)
+        acc += s
+    return float(p[-1, 0]), float(p[-1, 1])
+
+
 def polygon_area(rings: Rings) -> float:
     """Outer area minus hole areas (all as absolute values)."""
     if not rings:

@@ -95,6 +95,70 @@ def write_table(
     return path
 
 
+def write_shapefile_dataset(
+    df: DataFrame,
+    folder: str,
+    *,
+    geom_col: str = "geometry",
+    crs_wkt: str | None = None,
+) -> str:
+    """Folder-workspace shapefile sink (the write half of
+    arc_pandas.py:17-21): one shapefile PER PARTITION, written on the
+    executors — a single .shp has no parallel append, so a folder of
+    part-shapefiles is the scalable layout, and it is exactly the layout
+    the shapefile reader parallelizes over (one input partition per file).
+
+    The geometry column must be WKB; attribute columns map to dBASE types
+    (string→C, int→N, float→N with decimals, bool→L, date→D).
+    """
+    from pyspark import TaskContext
+
+    os.makedirs(folder, exist_ok=True)
+    attr_fields: list[tuple[str, str, int, int]] = []
+    attr_names: list[str] = []
+    for f in df.schema.fields:
+        if f.name == geom_col:
+            continue
+        dt = f.dataType
+        if isinstance(dt, T.StringType):
+            spec = (f.name, "C", 64, 0)
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            spec = (f.name, "N", 19, 0)
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            spec = (f.name, "N", 24, 10)
+        elif isinstance(dt, T.BooleanType):
+            spec = (f.name, "L", 1, 0)
+        elif isinstance(dt, T.DateType):
+            spec = (f.name, "D", 8, 0)
+        else:
+            raise ValueError(
+                f"column {f.name!r}: {dt.simpleString()} has no dBASE mapping"
+            )
+        attr_fields.append(spec)
+        attr_names.append(f.name)
+
+    def _write_partition(rows) -> None:
+        from smartpy_arc_spark.sources.shapefile import write_shapefile
+
+        pid = TaskContext.get().partitionId()
+        attrs, wkbs = [], []
+        for row in rows:
+            attrs.append(tuple(row[n] for n in attr_names))
+            g = row[geom_col]
+            wkbs.append(bytes(g) if g is not None else None)
+        if attrs:
+            write_shapefile(
+                os.path.join(folder, f"part-{pid:05d}.shp"),
+                attrs, attr_fields, wkbs, crs_wkt=crs_wkt,
+            )
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    df.foreachPartition(_write_partition)
+    return folder
+
+
 def copy_feats(
     spark_or_df: SparkSession | DataFrame,
     out_work: str,

@@ -68,29 +68,41 @@ def get_df(
 
 def jdbc_conn(
     spark: SparkSession,
-    server: str,
-    database: str,
+    server: str | None = None,
+    database: str | None = None,
     *,
     port: int = 1433,
     integrated_security: bool = True,
+    url: str | None = None,
     properties: dict | None = None,
 ):
     """``get_db_conn`` equivalent (arc_utils.py:339-373): instead of writing a
     ``.sde`` connection file, return a ``read(table_or_query)`` callable bound
     to a JDBC URL.  OS-auth maps to integratedSecurity.
 
-    Untested in this container (no JDBC driver jar) — the wiring is the
-    standard Spark JDBC source; partitioned reads should pass
+    ``server``/``database`` build the reference's SQL Server URL shape;
+    ``url`` overrides it for any other JDBC target (the test suite drives
+    this against the Derby embedded engine bundled with Spark).  Catalyst
+    pushes filters/projection into the remote query (asserted in
+    tests/test_scan.py); partitioned reads should pass
     ``partitionColumn/lowerBound/upperBound/numPartitions`` via properties
     for parallel extraction at scale.
     """
-    url = f"jdbc:sqlserver://{server}:{port};databaseName={database}"
-    if integrated_security:
-        url += ";integratedSecurity=true"
+    if url is None:
+        if server is None or database is None:
+            raise ValueError("either url or server+database is required")
+        url = f"jdbc:sqlserver://{server}:{port};databaseName={database}"
+        if integrated_security:
+            url += ";integratedSecurity=true"
     props = dict(properties or {})
+    bound_url = url
 
     def read(table_or_query: str) -> DataFrame:
-        reader = spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", bound_url)
+            .option("dbtable", table_or_query)
+        )
         for k, v in props.items():
             reader = reader.option(k, v)
         return reader.load()

@@ -133,6 +133,21 @@ def scan(
 
         register_dbf_source(spark)
         df = reader.format("dbf").load(path)
+    elif fmt in ("shp", "shapefile"):
+        # folder-workspace shapefile (arc_pandas.py:17-21): .dbf attributes
+        # + .shp geometry as WKB, CRS from the sibling .prj
+        from smartpy_arc_spark.meta import tag_geometry
+        from smartpy_arc_spark.sources.shapefile import (
+            _shp_paths,
+            read_prj,
+            register_shapefile_source,
+        )
+
+        register_shapefile_source(spark)
+        df = reader.format("shapefile").load(path)
+        paths = _shp_paths(path)
+        crs = read_prj(paths[0]) if paths else None
+        df = tag_geometry(df, "geometry", crs=crs)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -131,3 +131,41 @@ def test_compat_deprecated_join_warns():
     with pytest.warns(DeprecationWarning):
         with pytest.raises(NotImplementedError):
             compat.pandas_join_to_arc()
+
+
+def test_compat_geometry_encoding_and_polars_to_arc(spark, tmp_path):
+    """arc_to_spark(geometry_encoding=...) delivers the requested wire
+    encoding; polars_to_arc decodes a declared encoding back to WKB on
+    write (arc_utils.py:974-977, :1054-1120)."""
+    import numpy as np
+
+    from smartpy_arc_spark import compat
+    from smartpy_arc_spark.geometry import wkb as W
+    from smartpy_arc_spark.geometry.columns import _multipart_area
+    from smartpy_arc_spark.meta import ENCODING_KEY
+
+    rows = [
+        (i, W.encode_polygon([np.array(
+            [[0, 0], [i + 2, 0], [i + 2, 3], [0, 3], [0, 0]], float)]))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "fid long, geometry binary")
+    src = str(tmp_path / "polys.parquet")
+    df.write.parquet(src)
+
+    out = compat.arc_to_spark(src, geometry_encoding="WKT")
+    assert dict(out.dtypes)["geometry"] == "string"
+    wkts = {r.fid: r.geometry for r in out.collect()}
+    assert wkts[0].startswith("POLYGON")
+    md = dict(out.schema["geometry"].metadata or {})
+    assert md.get(ENCODING_KEY) == "WKT"
+
+    # write side: declare WKT in, stored canonical WKB
+    path = compat.polars_to_arc(
+        out, str(tmp_path), "dest", geo_col="geometry",
+        srs="PROJCS[\"t\"]", geometry_encoding="WKT",
+    )
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["geometry"] == "binary"
+    areas = {r.fid: _multipart_area(bytes(r.geometry)) for r in back.collect()}
+    assert areas[4] == pytest.approx(18.0)

@@ -206,3 +206,178 @@ def test_geometry_derived_columns_spark(spark):
     assert c.src_OBJECTID == 1
     assert c.name == ""  # string-null fill (arc_utils.py:571-573)
     assert (c.x, c.y) == (pytest.approx(2.0), pytest.approx(1.0))
+
+
+# --- polylines / multipoint / new encodings (round 2) -----------------
+
+
+def _fixture_geoms():
+    from smartpy_arc_spark.geometry import wkb as W
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], float)
+    far = np.array([[20, 20], [25, 20], [25, 25], [20, 25], [20, 20]], float)
+    return {
+        "point": W.encode_point(3.5, -2.25),
+        "linestring": W.encode_linestring([[0, 0], [3, 4], [3, 8]]),
+        "polygon": W.encode_polygon([outer, hole]),
+        "multipoint": W.encode_multipoint([[1, 1], [2, 2], [5, 5]]),
+        "multilinestring": W.encode_multilinestring(
+            [np.array([[0, 0], [1, 0]], float), np.array([[5, 5], [5, 9]], float)]
+        ),
+        "multipolygon": W.encode_multipolygon([[outer, hole], [far]]),
+    }
+
+
+def _measure(wkb_bytes):
+    from smartpy_arc_spark.geometry.columns import (
+        _multipart_area,
+        _multipart_length,
+    )
+
+    return _multipart_area(wkb_bytes), _multipart_length(wkb_bytes)
+
+
+@pytest.mark.parametrize("encoding", ["wkt", "geojson", "esrijson", "esrishape"])
+def test_encoding_roundtrips_preserve_measures(encoding):
+    from smartpy_arc_spark.geometry import wkb as W
+    from smartpy_arc_spark.geometry import esrishape as E
+
+    conv = {
+        "wkt": lambda g: W.from_wkt_str(W.to_wkt_str(g)),
+        "geojson": lambda g: W.from_geojson_str(W.to_geojson_str(g)),
+        "esrijson": lambda g: W.from_esrijson_str(W.to_esrijson_str(g)),
+        "esrishape": lambda g: E.shape_to_wkb(E.wkb_to_shape(g)),
+    }[encoding]
+    for name, g in _fixture_geoms().items():
+        a1, l1 = _measure(g)
+        a2, l2 = _measure(conv(g))
+        assert a2 == pytest.approx(a1), (encoding, name)
+        assert l2 == pytest.approx(l1), (encoding, name)
+
+
+def test_polyline_wkb_roundtrip_exact():
+    from smartpy_arc_spark.geometry import wkb as W
+
+    pts = [[0.5, 1.5], [3.25, 4.75], [3.25, 8.0]]
+    kind, arr = W.decode(W.encode_linestring(pts))
+    assert kind == "linestring"
+    assert np.array_equal(arr, np.asarray(pts))
+
+
+def test_polyline_measures():
+    from smartpy_arc_spark.geometry import wkb as W
+
+    ls = W.encode_linestring([[0, 0], [3, 4], [3, 8]])
+    area, length = _measure(ls)
+    assert area == 0.0
+    assert length == pytest.approx(9.0)  # 5 + 4, open path (no closure)
+
+
+def test_path_midpoint_on_segment():
+    assert core.path_midpoint(np.array([[0, 0], [10, 0]], float)) == (5.0, 0.0)
+    # half-length 4.5 falls past the 3-4-5 first segment? no: total 9, half 4.5 < 5
+    mx, my = core.path_midpoint(np.array([[0, 0], [3, 4], [3, 8]], float))
+    assert (mx, my) == pytest.approx((2.7, 3.6))  # 4.5/5 along (3,4) vector
+
+
+def test_esrijson_polygon_ring_orientation():
+    import json
+
+    from smartpy_arc_spark.geometry import wkb as W
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], float)
+    obj = json.loads(W.to_esrijson_str(W.encode_polygon([outer, hole])))
+    rings = obj["rings"]
+    assert core.ring_signed_area(np.asarray(rings[0])) < 0  # outer CW
+    assert core.ring_signed_area(np.asarray(rings[1])) > 0  # hole CCW
+
+
+def test_shapefile_roundtrip(tmp_path, spark):
+    from smartpy_arc_spark.geometry import wkb as W
+    from smartpy_arc_spark.sources.shapefile import (
+        iter_shp_wkb,
+        read_prj,
+        write_shapefile,
+    )
+
+    geoms = [
+        W.encode_polygon([np.array(
+            [[0, 0], [4, 0], [4, 2], [0, 2], [0, 0]], float)]),
+        None,  # null shape record
+        W.encode_multipolygon([
+            [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)],
+            [np.array([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], float)],
+        ]),
+    ]
+    shp = write_shapefile(
+        str(tmp_path / "t.shp"),
+        [(1, "a"), (2, "b"), (3, "c")],
+        [("fid", "N", 10, 0), ("name", "C", 8, 0)],
+        geoms,
+        crs_wkt='PROJCS["test"]',
+    )
+    back = list(iter_shp_wkb(shp))
+    assert len(back) == 3 and back[1] is None
+    assert _measure(back[0])[0] == pytest.approx(8.0)
+    assert _measure(back[2])[0] == pytest.approx(5.0)  # 4 + 1
+    assert read_prj(shp) == 'PROJCS["test"]'
+
+    # through the Spark data source, attrs + geometry aligned
+    from smartpy_arc_spark.sources.scan import scan
+
+    df = scan(spark, str(tmp_path), "t", fmt="shp", drop_geometry=False)
+    rows = {r.fid: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].geometry is None
+    assert _measure(bytes(rows[1].geometry))[0] == pytest.approx(8.0)
+    # CRS metadata from .prj
+    md = dict(df.schema["geometry"].metadata or {})
+    assert md.get("crs") == 'PROJCS["test"]'
+
+
+def test_shapefile_polyline_roundtrip(tmp_path):
+    from smartpy_arc_spark.geometry import wkb as W
+    from smartpy_arc_spark.sources.shapefile import iter_shp_wkb, write_shapefile
+
+    geoms = [
+        W.encode_linestring([[0, 0], [3, 4]]),
+        W.encode_multilinestring(
+            [np.array([[0, 0], [1, 0]], float), np.array([[2, 0], [2, 7]], float)]
+        ),
+    ]
+    shp = write_shapefile(
+        str(tmp_path / "lines.shp"),
+        [(1,), (2,)],
+        [("fid", "N", 10, 0)],
+        geoms,
+    )
+    back = list(iter_shp_wkb(shp))
+    assert _measure(back[0])[1] == pytest.approx(5.0)
+    assert _measure(back[1])[1] == pytest.approx(8.0)
+    kind, _ = decode(back[1])
+    assert kind == "multilinestring"
+
+
+def test_write_shapefile_dataset_roundtrip(tmp_path, spark):
+    from smartpy_arc_spark.geometry import wkb as W
+    from smartpy_arc_spark.sinks.write import write_shapefile_dataset
+    from smartpy_arc_spark.sources.scan import scan
+
+    rows = [
+        (i, f"n{i}", W.encode_polygon([np.array(
+            [[0, 0], [i + 1, 0], [i + 1, 2], [0, 2], [0, 0]], float)]))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "fid long, name string, geometry binary")
+    folder = str(tmp_path / "ws")
+    write_shapefile_dataset(df.repartition(3), folder, crs_wkt='PROJCS["p"]')
+
+    import glob as _g
+    shps = _g.glob(folder + "/*.shp")
+    assert 1 <= len(shps) <= 3  # one per non-empty partition
+
+    back = scan(spark, folder, None, fmt="shp", drop_geometry=False)
+    got = {r.fid: _measure(bytes(r.geometry))[0] for r in back.collect()}
+    assert got == {i: pytest.approx(2.0 * (i + 1)) for i in range(20)}

@@ -124,3 +124,29 @@ def test_dbf_connector_roundtrip(spark, tmp_path):
     assert rows[1].NAME == "alice" and rows[1].BAL == 10.5 and rows[1].OK is True
     assert rows[2].NAME is None and rows[2].BAL is None and rows[2].OK is None
     assert rows[3].D0 == dt.date(1999, 12, 31)
+
+
+def test_jdbc_derby_roundtrip_pushdown(spark, tmp_path):
+    """S4 get_db_conn (arc_utils.py:339-373): verified against the Derby
+    embedded engine bundled with Spark — write through JDBC, read back via
+    jdbc_conn, and assert the predicate + projection reach the remote scan."""
+    from smartpy_arc_spark.sources.catalog import jdbc_conn
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    df = spark.range(100).selectExpr("id", "id * 2 as v", "concat('n', id) as name")
+    (df.write.format("jdbc").option("url", url).option("dbtable", "t1")
+       .option("driver", props["driver"]).mode("overwrite").save())
+
+    read = jdbc_conn(spark, url=url, properties=props)
+    back = read("t1").where("v > 100").select("id", "v")
+    assert back.count() == 49
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [*IsNotNull(v), *GreaterThan(v,100)]" in plan
+    # column pruning: name not in the remote read schema
+    assert "name" not in plan.split("ReadSchema")[1]
+
+    # the reference URL shape still builds (not executable here: no server)
+    mssql = jdbc_conn(spark, "host", "gisdb")
+    assert callable(mssql)
