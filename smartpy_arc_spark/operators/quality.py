@@ -1,0 +1,170 @@
+"""Document-quality operators for LLM training-data pipelines: repetition
+metrics, Gopher-style heuristic filters, and PII redaction.
+
+These extend the reference's tabular cleaning surface (null sentinels,
+clamps — arc_utils.py:614-648) to the document table, following the
+published C4 (Raffel et al. 2020) and Gopher (Rae et al. 2021) data-quality
+recipes re-expressed as Spark built-in expressions.
+
+Scale notes (100 TB):
+  * Every filter in :func:`gopher_flags` and the redaction in
+    :func:`pii_redact` is row-local — no shuffle, whole-stage codegen,
+    runs at scan speed.
+  * :func:`repetition_stats` needs per-(doc, term) counts: one shuffle on
+    the exploded term key with map-side partial aggregation, then one
+    shuffle back on doc_id — both keyed by high-cardinality ids, no skew
+    hot-spot (a single pathological doc contributes only its own terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bounded stopword probe set (Gopher uses a small "must contain" list)
+STOP_WORDS = ("the", "a", "of", "to", "and")
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
+
+
+def _bigrams(toks: Column) -> Column:
+    # zip_with pads the shorter side with null; concat propagates the null
+    # and the filter drops it — avoids index arithmetic entirely
+    return F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda x: F.instr(x, " ") > 0,
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: word count, distinct-word ratio, and
+    the mass fraction of the most frequent word and bigram — the signals
+    behind Gopher's repetition filters.
+
+    Two bounded shuffles: (doc, term) partial-agg counts, then a doc_id
+    re-aggregation; nothing is quadratic in document length."""
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.concat(
+                F.transform(toks, lambda t: F.concat_ws("", F.lit("w"), t)),
+                F.transform(
+                    _bigrams(toks), lambda g: F.concat_ws("", F.lit("b"), g)
+                ),
+            )
+        ).alias("_pos", "term"),
+    )
+    counts = base.groupBy(id_col, "term").agg(F.count("*").alias("n"))
+    kind = F.substring(F.col("term"), 1, 1)
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(kind == "w", F.col("n"))).alias("n_words"),
+        F.count(F.when(kind == "w", 1)).alias("n_distinct_words"),
+        F.max(F.when(kind == "w", F.col("n"))).alias("top_word_n"),
+        F.sum(F.when(kind == "b", F.col("n"))).alias("n_bigrams"),
+        F.max(F.when(kind == "b", F.col("n"))).alias("top_bigram_n"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_words"),
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_hits: int = 1,
+    min_alpha_word_frac: float = 0.7,
+) -> DataFrame:
+    """Gopher-style heuristic quality gates, entirely row-local (no
+    shuffle, codegen-friendly): word-count bounds, mean word length bounds,
+    stopword presence, and the fraction of words containing an alphabetic
+    character.  Returns per-doc metrics, per-gate booleans and the combined
+    ``keep`` flag."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOP_WORDS))
+    )
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+    )
+    gates = {
+        "ok_word_count": F.col("n_words").between(min_words, max_words),
+        "ok_mean_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "ok_stop_words": F.col("stop_hits") >= min_stop_hits,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+    }
+    for name, cond in gates.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in gates:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep", keep)
+
+
+# PII patterns kept within the regex subset shared by Java (Spark) and RE2
+# (DuckDB/ripgrep): no lookarounds, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, *, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
+    """Regex PII scrubbing (emails, dashed phone numbers, IPv4 literals →
+    ``[EMAIL]``/``[PHONE]``/``[IP]``) with per-kind match counts.  Pure
+    ``regexp_replace``/``regexp_count`` projections — row-local, no Python,
+    runs at scan speed on any corpus size."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = text
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    keep = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns if c != text_col]
+    return df.select(*keep, red.alias(text_col), *counts)

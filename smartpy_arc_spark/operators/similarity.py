@@ -83,6 +83,68 @@ def knn_cosine_bruteforce(
     )
 
 
+def train_ivf_codebook(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd k-means codebook for the IVF coarse quantizer.
+
+    Deterministic init (lowest-id corpus vectors), then ``n_iters`` rounds
+    of assign + re-mean:
+
+      * assignment: broadcast the (n_centroids × dim) codebook, per-row
+        cosine argmin — one corpus scan, zero shuffle;
+      * new means: explode to (centroid, dim_pos, value), one shuffle keyed
+        by (centroid, pos) with map-side partial aggregation, re-assemble
+        the mean vector ordered by position.
+
+    The codebook itself is collected to the driver between rounds —
+    n_centroids × dim doubles, a few KB — which keeps each round's lineage
+    flat and the next broadcast trivial.  Empty clusters keep their
+    previous centroid.  Everything is deterministic: same corpus → same
+    codebook (ties break on lowest centroid_id).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    spark = corpus.sparkSession
+    cents = [
+        (int(r["_id"]), [float(x) for x in r["_cv"]])
+        for r in c.orderBy("_id").limit(n_centroids).collect()
+    ]
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            cents, "centroid_id long, _cent array<double>"
+        )
+        scored = c.crossJoin(F.broadcast(cent_df)).select(
+            "_id", "_cv", "centroid_id", cosine(F.col("_cv"), F.col("_cent")).alias("_d")
+        )
+        w = W.partitionBy("_id").orderBy(F.desc("_d"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w)).where("_r = 1")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("_cv").alias("_p", "_v"))
+            .groupBy("centroid_id", "_p")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cent")
+            )
+        )
+        new = {int(r["centroid_id"]): [float(x) for x in r["_cent"]] for r in means.collect()}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return spark.createDataFrame(cents, "centroid_id long, _cent array<double>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -92,14 +154,16 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: ``n_centroids`` deterministic seed vectors (the
-    lowest-id corpus vectors — a k-means init without iterations; swap in a
-    trained codebook for production recall).  The corpus is assigned to its
-    nearest centroid once (shuffle on centroid id = the inverted lists);
-    each query probes its ``n_probe`` nearest lists and reranks exactly.
+    Coarse quantizer: ``codebook`` when given (train one with
+    :func:`train_ivf_codebook`), else ``n_centroids`` deterministic seed
+    vectors (the lowest-id corpus vectors — a k-means init without
+    iterations).  The corpus is assigned to its nearest centroid once
+    (shuffle on centroid id = the inverted lists); each query probes its
+    ``n_probe`` nearest lists and reranks exactly.
 
     At 100 TB the corpus pass is a single scan + one bounded-broadcast
     argmin; per-query cost drops from |C| to ~|C|·n_probe/n_centroids.
@@ -113,7 +177,9 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
     centroids = (
-        corpus.orderBy(id_col)
+        codebook
+        if codebook is not None
+        else corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),

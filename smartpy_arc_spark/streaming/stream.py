@@ -207,6 +207,28 @@ def streaming_interval_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on_stream: str = "user_id",
+    on_dim: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static equi-join + per-segment rollup: the static dimension is
+    (re-)joined to every micro-batch; the ``broadcast`` hint keeps the
+    streaming side un-shuffled, so at production rates each executor probes
+    a local hash map of the dim — the canonical enrichment topology for an
+    event firehose against a slowly-changing dimension."""
+    joined = events.join(
+        F.broadcast(dim), events[on_stream] == dim[on_dim], "inner"
+    )
+    return joined.groupBy(segment_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, *, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

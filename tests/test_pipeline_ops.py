@@ -234,3 +234,107 @@ def test_range_join_buckets(spark):
     assert out == {1: "a", 2: "b", 3: "b"}
     plan = range_join(facts, ranges, value_col="value")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- quality ops (round 2) --------------------------------------------
+
+
+def test_repetition_stats_planted(spark):
+    from smartpy_arc_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # 1 distinct, top frac 1.0
+            (2, "a b c d"),                         # all distinct
+            (3, "x y x y x y"),                     # bigram "x y" dominates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].n_words == 4 and out[1].top_word_frac == 1.0
+    assert out[1].top_bigram_frac == 1.0          # "spam spam" x3
+    assert out[2].distinct_word_ratio == 1.0 and out[2].top_word_frac == 0.25
+    assert out[3].top_bigram_frac == pytest.approx(0.6)  # 3 of 5 bigrams
+
+
+def test_gopher_flags_gates(spark):
+    from smartpy_arc_spark.operators.quality import gopher_flags
+
+    long_ok = "the quick brown fox jumps over a lazy dog today " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, long_ok.strip()),                   # passes everything
+            (2, "too short"),                       # fails word count
+            (3, " ".join(["9"] * 50)),              # fails stopwords + alpha
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_flags(docs).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].ok_word_count is False
+    assert out[3].keep is False
+    assert out[3].ok_stop_words is False and out[3].ok_alpha is False
+
+
+def test_pii_redact_patterns(spark):
+    from smartpy_arc_spark.operators.quality import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1-555-123-4567 or 555-987-6543"),
+            (3, "host 192.168.0.1 and 10.0.0.255 up"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(docs, id_col="doc_id").collect()}
+    assert out[1].n_email == 1 and "[EMAIL]" in out[1].text
+    assert "@" not in out[1].text
+    assert out[2].n_phone == 2 and out[2].text.count("[PHONE]") == 2
+    assert out[3].n_ip == 2 and out[3].text.count("[IP]") == 2
+    assert out[4].text == "clean text with no pii at all"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ip) == (0, 0, 0)
+
+
+def test_gopher_flags_no_shuffle_plan(spark):
+    from smartpy_arc_spark.operators.quality import gopher_flags
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: must run at scan speed
+
+
+def test_trained_ivf_codebook_improves_or_matches_recall(spark):
+    from smartpy_arc_spark.operators.similarity import (
+        ivf_topk,
+        knn_cosine_bruteforce,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    # 6 well-separated gaussian clusters: trained centroids should find them
+    centers = rng.standard_normal((6, 16)) * 8
+    data = [
+        (int(i), [float(x) for x in centers[i % 6] + rng.standard_normal(16)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in knn_cosine_bruteforce(q, df, k=5).collect()}
+
+    def recall(codebook=None):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(q, df, k=5, n_centroids=6, n_probe=2,
+                                    codebook=codebook).collect()}
+        return len(exact & approx) / len(exact)
+
+    book = train_ivf_codebook(df, n_centroids=6, n_iters=3)
+    r_init, r_trained = recall(None), recall(book)
+    assert r_trained >= r_init
+    assert r_trained >= 0.85  # clustered data: trained codebook ~nails it
+
+    # determinism: same corpus -> same codebook
+    book2 = train_ivf_codebook(df, n_centroids=6, n_iters=3)
+    assert sorted(map(tuple, book.collect())) == sorted(map(tuple, book2.collect()))
