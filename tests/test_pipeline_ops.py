@@ -338,3 +338,20 @@ def test_trained_ivf_codebook_improves_or_matches_recall(spark):
     # determinism: same corpus -> same codebook
     book2 = train_ivf_codebook(df, n_centroids=6, n_iters=3)
     assert sorted(map(tuple, book.collect())) == sorted(map(tuple, book2.collect()))
+
+
+def test_grouped_standardize_matches_builtin(spark):
+    from smartpy_arc_spark.operators.normalize import (
+        grouped_standardize,
+        standardize_builtin,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(i * i % 17)) for i in range(60)]
+    rows.append((60, "solo", 5.0))  # degenerate single-row group -> z=0
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    a = {r.id: round(r.z, 9) for r in
+         grouped_standardize(df, "grp", "v", id_col="id").collect()}
+    b = {r.id: round(r.z, 9) for r in
+         standardize_builtin(df, "grp", "v", id_col="id").collect()}
+    assert a == b
+    assert a[60] == 0.0
