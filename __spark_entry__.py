@@ -1441,21 +1441,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey",
         (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias("late"),
     )
+    # exists/not-exists collapsed into ONE per-order aggregation instead of
+    # a semi-join + anti-join + intersect (3 extra shuffles): an order
+    # qualifies iff it has >1 distinct supplier and exactly 1 late one —
+    # then every late (order, supplier) row in a qualifying order "waits".
     mine_late = lo.where("late").select("l_orderkey", "l_suppkey").distinct()
-    others = lo.select("l_orderkey", "l_suppkey", "late")
-    has_other = mine_late.alias("m").join(
-        others.alias("o"),
-        (F.col("m.l_orderkey") == F.col("o.l_orderkey"))
-        & (F.col("m.l_suppkey") != F.col("o.l_suppkey")),
-        "left_semi",
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
     )
-    other_late = mine_late.alias("m").join(
-        others.where("late").alias("o"),
-        (F.col("m.l_orderkey") == F.col("o.l_orderkey"))
-        & (F.col("m.l_suppkey") != F.col("o.l_suppkey")),
-        "left_anti",
+    waiting = mine_late.join(
+        per_order.where("n_supp > 1 AND n_late_supp = 1"), on="l_orderkey"
     )
-    waiting = has_other.intersect(other_late)
     counted = waiting.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
     return (
         counted.join(
@@ -1492,6 +1491,38 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = resize_image(attach_payload(docs, "text"), width=8, height=8)
     return sized.select(
         "item_id", F.md5(F.col("payload")).alias("payload_md5"), "width", "height"
+    )
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report: row-local rules in ONE aggregate
+    pass + a broadcast-anti-join FK containment check; the oracle
+    recomputes every metric with plain SQL aggregates."""
+    from smartpy_arc_spark.operators.checks import (
+        completeness,
+        fk_containment,
+        matches,
+        max_value,
+        min_value,
+        run_checks,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rep = run_checks(
+        orders,
+        [
+            completeness("o_custkey", 1.0),
+            completeness("o_orderstatus", 1.0),
+            min_value("o_totalprice", 0.0),
+            max_value("o_totalprice", 1_000_000.0),
+            matches("o_orderpriority", "^[1-5]-", 1.0),
+        ],
+    )
+    fk = fk_containment(orders, customer, "o_custkey", "c_custkey")
+    out = rep.union(fk)
+    return out.select(
+        "rule", "col", F.round("metric", 6).alias("metric"), "threshold", "passed"
     )
 
 
@@ -1781,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        "dq_report": q_dq_report,
         "grouped_zscore": q_grouped_zscore,
         "range_window_revenue": q_range_window_revenue,
         "repetition_stats": q_repetition_stats,
@@ -2651,6 +2683,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INTEGER) AS width,
                    CAST(8 AS INTEGER) AS height
             FROM documents
+        """,
+        "dq_report": """
+            SELECT 'completeness' AS rule, 'o_custkey' AS col,
+                   round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric,
+                   1.0 AS threshold,
+                   CAST(count(o_custkey) AS DOUBLE) / count(*) >= 1.0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'completeness', 'o_orderstatus',
+                   round(CAST(count(o_orderstatus) AS DOUBLE) / count(*), 6),
+                   1.0,
+                   CAST(count(o_orderstatus) AS DOUBLE) / count(*) >= 1.0
+            FROM orders
+            UNION ALL
+            SELECT 'min_value', 'o_totalprice',
+                   round(CAST(min(o_totalprice) AS DOUBLE), 6), 0.0,
+                   min(o_totalprice) >= 0.0
+            FROM orders
+            UNION ALL
+            SELECT 'max_value', 'o_totalprice',
+                   round(CAST(max(o_totalprice) AS DOUBLE), 6), 1000000.0,
+                   max(o_totalprice) <= 1000000.0
+            FROM orders
+            UNION ALL
+            SELECT 'matches', 'o_orderpriority',
+                   round(CAST(count(CASE WHEN regexp_matches(o_orderpriority,
+                                                             '^[1-5]-')
+                                         THEN 1 END) AS DOUBLE)
+                         / count(o_orderpriority), 6),
+                   1.0,
+                   count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                              THEN 1 END) = count(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'fk_containment', 'o_custkey',
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS DOUBLE),
+                   0.0,
+                   NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                                 WHERE c.c_custkey = o.o_custkey))
         """,
         "grouped_zscore": """
             SELECT o_orderkey, o_orderpriority,

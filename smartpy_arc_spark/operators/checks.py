@@ -1,0 +1,110 @@
+"""Data-quality constraint checking — deequ-style rules evaluated in a
+single aggregate pass.
+
+A pipeline feeding a 100 TB training run needs cheap, continuous
+verification that upstream data still honors its contract (the reference
+enforces this shape implicitly through arcpy schema tooling; here it is an
+explicit operator).  Design:
+
+  * every row-local rule (completeness, uniqueness-by-count, value range,
+    regex conformance) folds into ONE ``df.agg(...)`` — a single scan with
+    partial aggregation, no shuffle beyond the final combine;
+  * referential rules (foreign-key containment) are the only ones needing
+    a second input: a broadcast (or shuffle for big dims) anti-join count.
+
+Output is one row per rule: (rule, col, metric, threshold, passed) —
+easy to sink to a monitoring table per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    column: str
+    metric: Column  # aggregate expression producing a double metric
+    threshold: float
+    # metric >= threshold passes (negate the metric for upper bounds)
+
+
+def completeness(col: str, min_frac: float = 1.0) -> Rule:
+    """Fraction of non-null values >= min_frac."""
+    m = F.count(col) / F.greatest(F.count(F.lit(1)), F.lit(1))
+    return Rule("completeness", col, m.cast("double"), min_frac)
+
+
+def uniqueness(col: str, min_frac: float = 1.0) -> Rule:
+    """approx-distinct / rows >= min_frac (exact for min_frac=1.0 via
+    count_distinct would add a shuffle; approx keeps the single pass —
+    rsd 1%, so use thresholds ≤ 0.99 or accept the tolerance)."""
+    m = F.approx_count_distinct(col, 0.01) / F.greatest(
+        F.count(F.lit(1)), F.lit(1)
+    )
+    return Rule("uniqueness", col, m.cast("double"), min_frac)
+
+
+def min_value(col: str, lo: float) -> Rule:
+    return Rule("min_value", col, F.min(col).cast("double"), lo)
+
+
+def max_value(col: str, hi: float) -> Rule:
+    # pass iff max <= hi  ⇔  -max >= -hi
+    return Rule("max_value", col, (-F.max(col)).cast("double"), -hi)
+
+
+def matches(col: str, pattern: str, min_frac: float = 1.0) -> Rule:
+    m = F.count(F.when(F.col(col).rlike(pattern), 1)) / F.greatest(
+        F.count(col), F.lit(1)
+    )
+    return Rule("matches", col, m.cast("double"), min_frac)
+
+
+def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate all row-local rules in one aggregate pass; returns
+    (rule, col, metric, threshold, passed) per rule."""
+    aliased = [r.metric.alias(f"_m{i}") for i, r in enumerate(rules)]
+    agg = df.agg(*aliased)
+    spark = df.sparkSession
+    rows = []
+    vals = agg.first()
+    for i, r in enumerate(rules):
+        v = vals[f"_m{i}"]
+        metric = float(v) if v is not None else None
+        # report upper-bound rules with the natural sign
+        shown = -metric if (r.name == "max_value" and metric is not None) else metric
+        thr = -r.threshold if r.name == "max_value" else r.threshold
+        passed = metric is not None and metric >= r.threshold
+        rows.append((r.name, r.column, shown, float(thr), bool(passed)))
+    return spark.createDataFrame(
+        rows, "rule string, col string, metric double, threshold double, passed boolean"
+    )
+
+
+def fk_containment(
+    child: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str,
+    *,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential check: count of child keys missing from the parent
+    (anti-join; broadcast the parent when it is a bounded dim, shuffle
+    otherwise).  Returns one row (rule, col, n_orphans, passed)."""
+    p = parent.select(F.col(parent_col).alias("_pk")).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    orphans = child.join(
+        p, child[child_col] == F.col("_pk"), "left_anti"
+    ).count()
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [("fk_containment", child_col, float(orphans), 0.0, orphans == 0)],
+        "rule string, col string, metric double, threshold double, passed boolean",
+    )

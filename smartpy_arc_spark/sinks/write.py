@@ -95,6 +95,39 @@ def write_table(
     return path
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+) -> str:
+    """Small-file compaction: rewrite a dataset into files of roughly
+    ``target_mb`` each.  Small-file explosion is THE operational failure
+    mode of long-running pipelines at 100 TB (every file is a task + a
+    namenode entry); periodic compaction keeps scans coalesced.
+
+    File count is derived from the dataset's on-disk bytes (driver-side
+    listing only — no data read), then a single ``repartition`` rewrite
+    into a temp dir swapped over the original."""
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(total // (target_mb << 20), 1)
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.repartition(int(n_files)).write.mode("overwrite").format(fmt).save(tmp)
+    bak = path.rstrip("/") + ".compact.bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return path
+
+
 def write_shapefile_dataset(
     df: DataFrame,
     folder: str,

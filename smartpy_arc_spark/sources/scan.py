@@ -126,6 +126,15 @@ def scan(
         df = reader.json(path, schema=schema) if schema is not None else reader.json(path)
     elif fmt == "orc":
         df = reader.orc(path)
+    elif fmt == "text":
+        # one row per line (whole-file rows via wholetext in opts use case);
+        # the raw-corpus ingestion path for the text pipeline operators
+        df = reader.text(path)
+    elif fmt == "binaryFile":
+        # (path, modificationTime, length, content) — the real media
+        # ingestion path for the multimodal operators (attach_payload's
+        # contract): content is the opaque payload column
+        df = reader.format("binaryFile").load(path)
     elif fmt == "dbf":
         # folder-workspace dbf (arc_pandas.py:17-21) via the custom Python
         # data source in sources/dbf.py

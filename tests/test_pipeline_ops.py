@@ -355,3 +355,42 @@ def test_grouped_standardize_matches_builtin(spark):
          standardize_builtin(df, "grp", "v", id_col="id").collect()}
     assert a == b
     assert a[60] == 0.0
+
+
+def test_dq_checks_planted_failures(spark):
+    from smartpy_arc_spark.operators.checks import (
+        completeness,
+        fk_containment,
+        matches,
+        max_value,
+        min_value,
+        run_checks,
+        uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -5.0), (3, "b", 2000.0), (3, "c", 1.0)],
+        "id long, name string, v double",
+    )
+    rep = {(r.rule, r.col, r.threshold): r for r in run_checks(df, [
+        completeness("name", 1.0),       # 3/4 -> fail
+        completeness("id", 1.0),         # pass
+        uniqueness("id", 0.9),           # 3 distinct / 4 rows -> fail
+        min_value("v", 0.0),             # -5 -> fail
+        max_value("v", 100.0),           # 2000 -> fail
+        max_value("v", 5000.0),          # pass
+        matches("name", "^[ab]$", 0.5),  # 2 of 3 non-null -> pass
+    ]).collect()}
+    assert rep[("completeness", "name", 1.0)].passed is False
+    assert rep[("completeness", "name", 1.0)].metric == pytest.approx(0.75)
+    assert rep[("completeness", "id", 1.0)].passed is True
+    assert rep[("uniqueness", "id", 0.9)].passed is False
+    assert rep[("min_value", "v", 0.0)].passed is False
+    assert rep[("max_value", "v", 100.0)].metric == pytest.approx(2000.0)
+    assert rep[("max_value", "v", 100.0)].passed is False
+    assert rep[("max_value", "v", 5000.0)].passed is True
+    assert rep[("matches", "name", 0.5)].passed is True
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    fk = fk_containment(df, parent, "id", "k").collect()[0]
+    assert fk.metric == 2.0 and fk.passed is False  # the two id=3 rows

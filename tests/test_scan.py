@@ -150,3 +150,33 @@ def test_jdbc_derby_roundtrip_pushdown(spark, tmp_path):
     # the reference URL shape still builds (not executable here: no server)
     mssql = jdbc_conn(spark, "host", "gisdb")
     assert callable(mssql)
+
+
+def test_scan_text_and_binaryfile(spark, tmp_path):
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("hello\nworld\n")
+    (p / "b.txt").write_text("spark\n")
+
+    from smartpy_arc_spark.sources.scan import scan
+
+    lines = scan(spark, str(p), None, fmt="text")
+    assert sorted(r.value for r in lines.collect()) == ["hello", "spark", "world"]
+
+    blobs = scan(spark, str(p), None, fmt="binaryFile")
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in blobs.collect()}
+    assert got == {"a.txt": b"hello\nworld\n", "b.txt": b"spark\n"}
+
+
+def test_compact_files(spark, tmp_path):
+    from smartpy_arc_spark.sinks.write import compact_files
+
+    path = str(tmp_path / "frag.parquet")
+    spark.range(10_000).repartition(40).write.parquet(path)
+    import glob as _g
+    assert len(_g.glob(path + "/*.parquet")) == 40
+
+    compact_files(spark, path, target_mb=256)
+    files = _g.glob(path + "/*.parquet")
+    assert len(files) == 1  # tiny dataset -> single target-size file
+    assert spark.read.parquet(path).count() == 10_000
