@@ -1410,16 +1410,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset, threshold = 0.2 * per-part average quantity (correlated
     aggregate as a pre-aggregated broadcast join, never a per-row
     subquery)."""
+    # no explicit broadcast: the filtered part subset is a FRACTION of a
+    # fact-sized table, not a bounded dim — at 100 TB a forced broadcast
+    # could OOM executors.  Shuffle join on l_partkey; AQE demotes it to
+    # broadcast automatically whenever the runtime size is actually small.
     part = _t(spark, sf_dir, "part").where(
         "p_brand = 'Brand#1' AND p_size < 15"
     ).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem")
     thresholds = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
     )
-    small = li.join(F.broadcast(thresholds), on="l_partkey").where(
+    small = li.join(thresholds, on="l_partkey").where(
         F.col("l_quantity") < F.col("qty_thresh")
     )
     return small.agg(
@@ -1491,6 +1495,53 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = resize_image(attach_payload(docs, "text"), width=8, height=8)
     return sized.select(
         "item_id", F.md5(F.col("payload")).alias("payload_md5"), "width", "height"
+    )
+
+
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source federation in ONE Catalyst plan: parquet facts
+    (customer) joined to nation via the custom dbf connector and to region
+    through an in-process Derby JDBC table — the engine's three source
+    families composed; the oracle reruns it as plain SQL on the originals."""
+    import tempfile
+
+    from smartpy_arc_spark.sources.catalog import jdbc_conn
+    from smartpy_arc_spark.sources.dbf import write_dbf
+
+    d = os.path.join(tempfile.gettempdir(), "sas_fed_ws")
+    os.makedirs(d, exist_ok=True)
+    nation_rows = [
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in _t(spark, sf_dir, "nation").collect()  # bounded dim
+    ]
+    write_dbf(
+        os.path.join(d, "fednation.dbf"),
+        nation_rows,
+        [("n_nationkey", "N", 10, 0), ("n_name", "C", 25, 0),
+         ("n_regionkey", "N", 10, 0)],
+    )
+    url = f"jdbc:derby:{os.path.join(d, 'fedregion_db')};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    (
+        _t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .write.format("jdbc").option("url", url).option("dbtable", "region")
+        .option("driver", props["driver"]).mode("overwrite").save()
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = scan(spark, d, "fednation", fmt="dbf")
+    region = jdbc_conn(spark, url=url, properties=props)("region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
     )
 
 
@@ -1812,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        "federated_join": q_federated_join,
         "dq_report": q_dq_report,
         "grouped_zscore": q_grouped_zscore,
         "range_window_revenue": q_range_window_revenue,
@@ -2683,6 +2735,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INTEGER) AS width,
                    CAST(8 AS INTEGER) AS height
             FROM documents
+        """,
+        "federated_join": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "dq_report": """
             SELECT 'completeness' AS rule, 'o_custkey' AS col,

@@ -245,3 +245,52 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    *,
+    checkpoint: str | None = None,
+) -> None:
+    """The canonical streaming-upsert sink: each micro-batch MERGEs into a
+    parquet target via ``foreachBatch`` (batch semantics inside a streaming
+    query — the pattern a Delta/Iceberg ``MERGE INTO`` replaces at
+    production scale; plain parquet needs the rewrite to be atomic, done
+    here with a temp-dir swap).
+
+    Batches must be key-deduplicated upstream (e.g. a watermarked
+    ``dropDuplicates``); merge_upsert enforces it."""
+    import os
+    import shutil
+    import tempfile
+
+    from smartpy_arc_spark.operators.merge import merge_upsert
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            # dedup within the batch: last writer wins is not defined for a
+            # parquet sink, so enforce unique keys per batch
+            merged = merge_upsert(target, batch, key)
+        else:
+            merged = batch
+        tmp = tempfile.mkdtemp(prefix="upsert_") + "/data"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .outputMode("update")  # aggregated upstreams emit changed keys per batch
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="upsert_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -128,3 +128,47 @@ def test_resize_image_stub(media):
         assert (r.width, r.height) == (8, 4)
         if r.payload is not None:
             assert len(r.payload) == 32
+
+
+def test_stream_upsert_to_parquet(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE: stream the events table into a parquet state
+    store keyed by user_id (latest event per user wins via pre-dedup)."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        stream_upsert_to_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "state.parquet")
+    stream = read_events_stream(spark, sf_dir)
+    # one row per user per batch: keep the max-event_id row via dedup on
+    # sorted struct (deterministic)
+    latest = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("_last"))
+        .select(
+            "user_id",
+            F.col("_last.event_id").alias("event_id"),
+            F.col("_last.event_type").alias("event_type"),
+        )
+    )
+    stream_upsert_to_parquet(
+        latest, target, "user_id", checkpoint=str(tmp_path / "ckpt")
+    )
+
+    import duckdb
+
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    exp = {
+        int(u): (int(e), t)
+        for u, e, t in duckdb.sql(
+            f"""SELECT user_id, max_by(event_id, event_id),
+                       max_by(event_type, event_id)
+                FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+        ).fetchall()
+    }
+    assert got == exp
