@@ -1,0 +1,82 @@
+"""Physical-plan audit: every declared query's executed plan is swept for
+scale traps.  This is the regression fence for 100 TB-readiness — a future
+edit that sneaks a cartesian product, an unexpected single-partition
+exchange, or an unfenced nested-loop join into a query fails here, at
+sf0.001, before any driver round runs it at scale.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_ENTRY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "__spark_entry__.py")
+spec = importlib.util.spec_from_file_location("_entry_for_plans", _ENTRY)
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+
+# Global scalar aggregations legitimately end in one final combine over
+# map-side partial aggregates (a handful of rows cross the wire).
+SINGLE_PARTITION_OK = {
+    "row_count",            # count(*)
+    "q6_forecast_revenue",  # global sum
+    "q14_promo_revenue",    # global ratio
+    "q15_top_supplier",     # scalar max subquery
+    "q17_small_qty_revenue",  # global sum
+    "q19_disjunctive_filter",  # global sum
+    "q22_dormant_customers",   # scalar avg subquery
+    "tfidf_top_terms",      # broadcast corpus-size scalar
+}
+
+# BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
+# bounded by construction (scalar subqueries, fenced candidate tiers,
+# broadcast dims under non-equi conditions) — each documented in place.
+BNLJ_OK = {
+    "q22_dormant_customers",  # scalar avg broadcast
+    "knn_cosine",             # bounded query side broadcast
+    "ivf_ann",                # bounded centroid set
+    "embedding_near_dup",     # bounded query side, threshold condition
+    "edit_distance_pairs",    # fenced candidate tier (doc_id bound)
+    "range_bucket_join",      # broadcast bucket dim, non-equi containment
+    "tfidf_top_terms",        # scalar N broadcast
+}
+
+_STREAMING = {n for n in entry.queries() if n.startswith("stream")}
+_BATCH = [n for n in entry.queries() if n not in _STREAMING]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in _BATCH:
+        df = entry.queries()[name](spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_single_partition_exchanges_only_for_global_aggregates(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "Exchange SinglePartition" in p and n not in SINGLE_PARTITION_OK
+    ]
+    assert offenders == []
+
+
+def test_nested_loop_joins_only_where_fenced(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert offenders == []
+
+
+def test_parquet_filters_pushed_on_filtered_scans(plans):
+    # spot contract: the classic filtered scan keeps its pushed filters
+    assert "PushedFilters: [" in plans["scan_project_filter"]
