@@ -1193,6 +1193,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_purchase_value")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with forward fill over the event stream (per-key
+    sequence-exploded grid + last-ignorenulls window; bucket exposed as an
+    epoch index so the oracle stays timezone-free)."""
+    from smartpy_arc_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").where("user_id < 30")
+    out = resample_ffill(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        interval_sec=3600,
+    )
+    return out.select(
+        "user_id",
+        (F.unix_micros("bucket_start") / F.lit(3_600_000_000)).cast("long").alias(
+            "bucket_id"
+        ),
+        F.round("value", 4).alias("value"),
+        "filled",
+    )
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event annotated with the user's NEXT
+    'purchase' value at or after the event time (same single-shuffle
+    union-tag construction, following window)."""
+    from smartpy_arc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "ts", F.col("value").alias("next_purchase_value"))
+    )
+    out = asof_join(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["next_purchase_value"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_value")
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median / p90)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1863,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        "resample_ffill": q_resample_ffill,
+        "asof_join_forward": q_asof_join_forward,
         "federated_join": q_federated_join,
         "dq_report": q_dq_report,
         "grouped_zscore": q_grouped_zscore,
@@ -2542,6 +2584,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, value FROM events
                 WHERE event_type = 'purchase'
             ) b ON a.user_id = b.user_id AND b.ts <= a.ts
+        """,
+        "resample_ffill": """
+            WITH pb AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     max_by(value, ts) AS v
+              FROM events WHERE user_id < 30 GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pb GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span
+            ),
+            j AS (
+              SELECT g.user_id, g.b, pb.v
+              FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
+            )
+            SELECT user_id, b AS bucket_id,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS value,
+                   v IS NULL AS filled
+            FROM j
+        """,
+        "asof_join_forward": """
+            SELECT a.event_id, a.user_id, b.value AS next_purchase_value
+            FROM events a
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) b ON a.user_id = b.user_id AND b.ts >= a.ts
         """,
         "percentiles": """
             SELECT l_returnflag,

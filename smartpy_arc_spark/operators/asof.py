@@ -33,14 +33,28 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right[right_ts] <= left[left_ts]`` for the same ``on`` key
-    (left-outer: unmatched probe rows keep nulls).
+    """For each left row, attach the right row nearest in time for the same
+    ``on`` key (left-outer: unmatched probe rows keep nulls).
+
+    ``direction``:
+      * ``backward`` (default) — most recent right with rt <= lt
+        (DuckDB ASOF / pandas merge_asof backward);
+      * ``forward`` — earliest right with rt >= lt;
+      * ``nearest`` — smaller absolute time gap; ties → backward
+        (pandas merge_asof nearest semantics).
+
+    All three run in the SAME single shuffle on the key: the union is
+    sorted once per required order, backward uses a preceding window,
+    forward a following window, nearest combines the two.  Ties
+    (reference time == probe time) match in both directions.
 
     ``value_cols``: right columns to carry (default: all but key+ts);
     carried columns are suffixed on collision with left columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
@@ -61,17 +75,41 @@ def asof_join(
         F.lit(None).cast(rt.schema["_ref"].dataType).alias("_ref"),
         *left.columns,
     )
+    both = lt.unionByName(rt.select(lt.columns))
 
-    # reference rows (_tag=0) sort before probe rows at equal timestamps so
-    # an exactly-equal reference time matches (<= semantics)
-    w = (
+    # backward: reference rows (_tag=0) sort BEFORE probe rows at equal
+    # timestamps so an exactly-equal reference matches (<= semantics).
+    w_back = (
         W.partitionBy("_k")
         .orderBy(F.col("_t").asc(), F.col("_tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = lt.unionByName(rt.select(lt.columns)).withColumn(
-        "_m", F.last(F.col("_ref"), ignorenulls=True).over(w)
+    # forward: probe rows sort before reference rows at equal timestamps
+    # (tag desc) so the following-window still sees the equal-time ref.
+    w_fwd = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_tag").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
+    tagged_ref = F.when(F.col("_tag") == 0, F.struct(F.col("_t").alias("_rt"),
+                                                     F.col("_ref").alias("_rv")))
+    if direction == "backward":
+        carried = both.withColumn(
+            "_m", F.last(F.col("_ref"), ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        carried = both.withColumn(
+            "_m", F.first(tagged_ref, ignorenulls=True).over(w_fwd)["_rv"]
+        )
+    else:  # nearest
+        back = F.last(tagged_ref, ignorenulls=True).over(w_back)
+        fwd = F.first(tagged_ref, ignorenulls=True).over(w_fwd)
+        d_back = F.col("_t").cast("double") - back["_rt"].cast("double")
+        d_fwd = fwd["_rt"].cast("double") - F.col("_t").cast("double")
+        pick_back = fwd.isNull() | (back.isNotNull() & (d_back <= d_fwd))
+        carried = both.withColumn(
+            "_m", F.when(pick_back, back["_rv"]).otherwise(fwd["_rv"])
+        )
     return (
         carried.where(F.col("_tag") == 1)
         .select(

@@ -1,0 +1,70 @@
+"""Time-series resampling to a fixed grid with forward fill.
+
+The gap-filling operator every metrics/feature pipeline needs: an
+irregular event stream becomes one row per (key, bucket) on a regular
+grid, buckets with no events carrying the last observed value forward.
+
+Plan shape (scale notes for 100 TB):
+  * bucket aggregation — one shuffle on (key, bucket), map-side combined;
+  * per-key grid — ``sequence()`` exploded from each key's own [min, max]
+    bucket range, so grid size is span/interval per key, NEVER a global
+    cross join against a calendar dimension;
+  * forward fill — ``last(value, ignorenulls=True)`` over the per-key
+    bucket order: one more shuffle-free window pass over the same
+    partitioning (Catalyst reuses the exchange).
+
+Dense keys with long spans dominate output size: interval choice is the
+knob (document in the pipeline, not hidden here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_sec: int,
+) -> DataFrame:
+    """Resample ``value_col`` onto an ``interval_sec`` grid per key:
+    bucket value = LAST event in the bucket (by event time), empty buckets
+    forward-filled from the previous bucket.  Output: (key, bucket_start
+    timestamp, value, filled boolean)."""
+    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+              / F.lit(interval_sec * 1_000_000)).cast("long")
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            bucket.alias("_b"),
+            F.col(ts_col).alias("_t"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.max_by("_v", "_t").alias("_v"))
+    )
+    span = per_bucket.groupBy("_k").agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = span.select(
+        "_k", F.explode(F.sequence("_b0", "_b1")).alias("_b")
+    )
+    joined = grid.join(per_bucket, on=["_k", "_b"], how="left")
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.timestamp_micros(F.col("_b") * F.lit(interval_sec * 1_000_000)).alias(
+            "bucket_start"
+        ),
+        F.last("_v", ignorenulls=True).over(w).alias(value_col),
+        F.col("_v").isNull().alias("filled"),
+    )

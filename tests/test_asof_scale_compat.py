@@ -169,3 +169,61 @@ def test_compat_geometry_encoding_and_polars_to_arc(spark, tmp_path):
     assert dict(back.dtypes)["geometry"] == "binary"
     areas = {r.fid: _multipart_area(bytes(r.geometry)) for r in back.collect()}
     assert areas[4] == pytest.approx(18.0)
+
+
+def test_asof_join_forward_and_nearest_vs_pandas(spark):
+    """forward/nearest directions match pandas merge_asof exactly
+    (including equal-time ties and backward preference on distance ties)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, int(i % 5), base + dt.timedelta(seconds=int(rng.integers(0, 1000))))
+        for i in range(200)
+    ]
+    right_rows = [
+        (int(j % 5), base + dt.timedelta(seconds=int(rng.integers(0, 1000))),
+         float(j))
+        for j in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+
+    lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+
+    for direction in ("forward", "nearest"):
+        got = {
+            r.id: r.v
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                value_cols=["v"], direction=direction,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+        exp = {int(r.id): (None if pd.isna(r.v) else float(r.v))
+               for r in exp_df.itertuples()}
+        assert got == exp, direction
+
+
+def test_resample_ffill_planted_gaps(spark):
+    from smartpy_arc_spark.operators.resample import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                              # bucket 0 (hour 0)
+        (1, t0 + dt.timedelta(minutes=10), 11.0),   # bucket 0, later -> wins
+        (1, t0 + dt.timedelta(hours=3), 40.0),      # bucket 3; 1,2 are gaps
+        (2, t0, 99.0),                               # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = resample_ffill(df, key_col="k", ts_col="ts", value_col="v",
+                         interval_sec=3600)
+    got = {(r.k, r.bucket_start.hour): (r.v, r.filled) for r in out.collect()}
+    assert got[(1, 0)] == (11.0, False)   # last event in bucket wins
+    assert got[(1, 1)] == (11.0, True)    # gap forward-filled
+    assert got[(1, 2)] == (11.0, True)
+    assert got[(1, 3)] == (40.0, False)
+    assert got[(2, 0)] == (99.0, False)
+    assert len(got) == 5                  # grid spans each key's own range
