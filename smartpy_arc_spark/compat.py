@@ -317,6 +317,99 @@ def get_df(name: str, aprx: str = "CURRENT", map=None, **kw):
     return _gd(_spark(), name, **kw).toPandas()
 
 
+def get_aprx(aprx_name: str = "CURRENT"):
+    """pro_utils.py:12-28 — the 'project' handle; here the live
+    SparkSession plays that role (there is exactly one 'current')."""
+    return _spark()
+
+
+def default_gdb(aprx=None) -> str:
+    """pro_utils.py:31-48 — the default workspace: Spark's warehouse dir."""
+    spark = aprx if isinstance(aprx, SparkSession) else _spark()
+    return spark.conf.get("spark.sql.warehouse.dir")
+
+
+def get_map(aprx_name: str = "CURRENT", map_name: str | None = None) -> str:
+    """pro_utils.py:51-76 — a 'map' maps to a catalog database.  Returns
+    the current (or named, validated) database.  The reference's
+    raise-on-found bug (pro_utils.py:74-76) is not reproduced."""
+    spark = _spark()
+    if map_name is None:
+        return spark.catalog.currentDatabase()
+    hits = [d.name for d in spark.catalog.listDatabases()
+            if d.name.lower() == map_name.lower()]
+    if not hits:
+        raise LookupError(f"no database named {map_name!r}")
+    return hits[0]
+
+
+def get_table(name: str, aprx_name: str = "CURRENT",
+              map_name: str | None = None) -> DataFrame:
+    """pro_utils.py:106-130 — fetch a table by unique name (0 or >1
+    matches raise, the reference's uniqueness contract)."""
+    from smartpy_arc_spark.sources.catalog import get_table_unique
+
+    spark = _spark()
+    return spark.table(get_table_unique(spark, name, map_name))
+
+
+def get_layer(name: str, aprx_name: str = "CURRENT",
+              map_name: str | None = None) -> DataFrame:
+    """pro_utils.py:79-103 — a 'layer' is a registered view (see
+    ``create_layer``); fetched with the same uniqueness contract."""
+    return get_table(name, aprx_name, map_name)
+
+
+def pandas_to_array(df, keep_index: bool = True, cols=None):
+    """arc_utils.py:750-783 — frame → structured numpy array (the
+    reference feeds this to arcpy.da; kept for API parity — Spark-side
+    writes go through ``pandas_to_arc``/``write_table``)."""
+    import pandas as pd
+
+    pdf = df.toPandas() if isinstance(df, DataFrame) else pd.DataFrame(df)
+    if cols is not None:
+        pdf = pdf[list(cols)]
+    return pdf.to_records(index=keep_index)
+
+
+def create_new_feature_class(in_fc, out_fc, flds=None, where=None,
+                             shp_prefix=None):
+    """arc_utils.py:1128-1129 — deprecated in the reference, same here."""
+    raise DeprecationWarning("***DEPRECATED -- see `copy_feats` method***")
+
+
+def create_new_feature_class2(in_fc, out_gdb, out_fc, flds=None, where=None):
+    """arc_utils.py:1132-1133 — deprecated in the reference, same here."""
+    raise DeprecationWarning("***DEPRECATED -- see `copy_feats` method***")
+
+
+def split_poly(poly, target_area, search_tolerance: float = 0.005):
+    """poly_splitting.py:13-82 — one left/right split; accepts WKB bytes or
+    ring lists (the engine's in-memory polygon form)."""
+    from smartpy_arc_spark.geometry.split import split_poly as _sp
+    from smartpy_arc_spark.geometry.wkb import decode_polygon
+
+    rings = decode_polygon(poly) if isinstance(poly, (bytes, bytearray)) else poly
+    return _sp(rings, target_area, search_tolerance)
+
+
+def recursive_split(poly, num_parts, on_done_splitting=None,
+                    search_tolerance: float = 0.005):
+    """poly_splitting.py:85-132 — recursive halving; the reference's
+    ``on_done_splitting`` callback receives the list of parts (instead of
+    arcpy geometries, ring lists)."""
+    import random as _random
+
+    from smartpy_arc_spark.geometry.split import recursive_split as _rs
+    from smartpy_arc_spark.geometry.wkb import decode_polygon
+
+    rings = decode_polygon(poly) if isinstance(poly, (bytes, bytearray)) else poly
+    parts = _rs(rings, num_parts, _random.Random(0), search_tolerance)
+    if on_done_splitting is not None:
+        on_done_splitting(parts)
+    return parts
+
+
 def polars_to_arc(df, out_work: str, out_cls: str, geo_col: str | None = None,
                   srs=None, geometry_encoding: str = "EsriShape") -> str:
     """arc_utils.py:1054-1120 — write a frame that carries a geometry column:

@@ -227,3 +227,40 @@ def test_resample_ffill_planted_gaps(spark):
     assert got[(1, 3)] == (40.0, False)
     assert got[(2, 0)] == (99.0, False)
     assert len(got) == 5                  # grid spans each key's own range
+
+
+def test_compat_pro_utils_and_parity_shims(spark, tmp_path):
+    import numpy as np
+
+    from smartpy_arc_spark import compat
+    from smartpy_arc_spark.geometry import wkb as W
+
+    assert compat.get_aprx() is spark
+    assert isinstance(compat.default_gdb(), str)
+    assert compat.get_map() == spark.catalog.currentDatabase()
+
+    spark.range(3).createOrReplaceTempView("parity_probe_view")
+    assert compat.get_table("parity_probe_view").count() == 3
+    assert compat.get_layer("PARITY_PROBE_VIEW").count() == 3  # case-insensitive
+    with pytest.raises(Exception):
+        compat.get_table("no_such_table_anywhere")
+
+    rec = compat.pandas_to_array(
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}), keep_index=False
+    )
+    assert rec.dtype.names == ("a", "b") and len(rec) == 2
+
+    with pytest.raises(DeprecationWarning):
+        compat.create_new_feature_class("a", "b")
+
+    sq = W.encode_polygon([np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    left, right = compat.split_poly(sq, 40.0)
+    from smartpy_arc_spark.geometry.core import polygon_area
+    assert polygon_area(left) == pytest.approx(40.0, rel=0.01)
+    assert polygon_area(left) + polygon_area(right) == pytest.approx(100.0)
+
+    seen = []
+    parts = compat.recursive_split(sq, 4, on_done_splitting=seen.append)
+    assert len(parts) == 4 and seen and seen[0] is parts
+    assert sum(polygon_area(p) for p in parts) == pytest.approx(100.0)
