@@ -1889,6 +1889,64 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "n_events", "total_value")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word-5-grams
+    with a held-out 'benchmark' slice (docs with doc_id % 17 == 0)."""
+    from smartpy_arc_spark.operators.contamination import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 17 != 0")
+    benchmark = docs.where("doc_id % 17 = 0")
+    return ngram_decontaminate(corpus, benchmark, n=5, threshold=0.3)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sample (md5 prefix threshold):
+    different keep rates per l_returnflag, reproducible in any engine."""
+    from smartpy_arc_spark.operators.sample import stratified_hash_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = stratified_hash_sample(
+        li,
+        "l_returnflag",
+        {"A": 0.2, "N": 0.05, "R": 0.5},
+        ["l_orderkey", "l_linenumber"],
+    )
+    return sampled.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_returnflag").alias("rflag"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed first-fit-decreasing sequence packing (rows-only: the
+    sequential FFD inner loop is not SQL-expressible; invariants — capacity,
+    coverage, determinism — asserted in tests/test_pipeline_ops.py)."""
+    from smartpy_arc_spark.operators.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    return pack_sequences(
+        with_len, length_col="n_tokens", max_len=128, num_buckets=8
+    )
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch MinHash LSH: new docs (doc_id % 10 >= 8) vs the
+    historical corpus — never corpus-vs-corpus (rows-only: xxhash64)."""
+    from smartpy_arc_spark.operators.dedup import minhash_incremental_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 10 < 8")
+    new = docs.where("doc_id % 10 >= 8")
+    return minhash_incremental_candidates(
+        corpus, new, shingle_mode="word", shingle_size=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1898,6 +1956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the round-1 driver run covered only the first 50 declared entries);
     # new round-2 queries lead.
     return {
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "minhash_incremental": q_minhash_incremental,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2011,6 +2073,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS w
+                FROM documents WHERE doc_id % 17 <> 0
+            ), bench AS (
+                SELECT DISTINCT
+                       unnest([array_to_string(w[i:i+4], ' ')
+                               for i in generate_series(1, len(w) - 4)]) AS gram
+                FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+                      FROM documents WHERE doc_id % 17 = 0)
+            ), corpus_g AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(w[i:i+4], ' ')
+                               for i in generate_series(1, len(w) - 4)]) AS grams
+                FROM corpus
+            ), hits AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus_g) g
+                JOIN bench USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(c.grams) AS INTEGER) AS n_ngrams,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   round(COALESCE(h.n_hits, 0) * 1.0
+                         / greatest(len(c.grams), 1), 4) AS contamination,
+                   COALESCE(h.n_hits, 0) * 1.0
+                         / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
+            FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT l_orderkey AS okey, l_linenumber AS lineno,
+                   l_returnflag AS rflag
+            FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 8) <
+                  CASE l_returnflag
+                      WHEN 'A' THEN '33333333'
+                      WHEN 'N' THEN '0ccccccc'
+                      WHEN 'R' THEN '80000000'
+                      ELSE '00000000'
+                  END
+        """,
         "scan_project_filter": """
             SELECT l_orderkey AS okey, l_linenumber AS lineno,
                    l_quantity AS qty, l_extendedprice AS price

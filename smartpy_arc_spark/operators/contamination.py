@@ -1,0 +1,99 @@
+"""Benchmark decontamination: word-n-gram overlap against an eval set.
+
+Training-data pipelines must drop (or at least flag) documents that
+contain verbatim chunks of held-out benchmark data.  The standard test
+is word-level n-gram collision (n≈13 for real corpora): a document is
+contaminated when some of its n-grams also appear in the benchmark set.
+
+Scale design (100 TB corpus, MB-sized benchmark):
+- The benchmark side is tiny by construction (eval sets are thousands of
+  documents).  Its *distinct* n-gram set is built once and **broadcast**,
+  so the corpus side never shuffles for the join.
+- The corpus side explodes to one row per distinct (doc, n-gram) but
+  aggregates straight back to one row per doc — map-side partial
+  aggregation keeps the shuffle at O(#docs), not O(#ngrams).
+- All expressions are built-in (split/slice/transform/array_join):
+  whole-stage codegen end to end, no Python in the hot path.
+
+No counterpart in the reference repo (arcpy has no text pipeline); this
+is part of the LLM-training-data extension surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``text`` (space-tokenized,
+    empty tokens dropped).  Documents shorter than ``n`` words yield an
+    empty array — guarded because ``sequence(0, size-n)`` would otherwise
+    produce a *descending* sequence for short docs."""
+    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-corpus-document contamination report against ``benchmark``.
+
+    Returns one row per corpus document: ``<id_col>``, ``n_ngrams``
+    (distinct n-grams in the doc), ``n_hits`` (of those, how many occur
+    anywhere in the benchmark), ``contamination`` (= hits/ngrams, 4dp)
+    and ``is_contaminated`` (contamination > ``threshold``; docs with
+    fewer than ``n`` words have 0 ngrams and are never contaminated).
+
+    The benchmark's distinct n-gram set is broadcast; the corpus is
+    exploded and immediately re-aggregated by document id.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode_outer(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    totals = doc_grams.select(
+        id_col, F.size("grams").alias("n_ngrams")
+    )
+    # explode_outer (not explode): a bare explode makes Catalyst push an
+    # implicit size()>0 filter below Generate and re-evaluate the n-gram
+    # expression twice.
+    exploded = doc_grams.select(
+        id_col, F.explode_outer("grams").alias("gram")
+    ).where(F.col("gram").isNotNull())
+
+    hits = (
+        exploded.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    ratio = F.col("n_hits") / F.greatest(F.col("n_ngrams"), F.lit(1))
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contamination", F.round(ratio, 4))
+        .withColumn("is_contaminated", ratio > F.lit(float(threshold)))
+    )

@@ -234,6 +234,110 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_incremental_candidates(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+    shingle_mode: str = "char",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidates for an *incremental batch* against an
+    already-deduplicated historical corpus.
+
+    The production shape for a growing 100 TB corpus: re-running full-pairs
+    LSH on every ingest is O(corpus) per batch, but the corpus side is
+    already internally deduplicated, so only two pair classes matter —
+    new-vs-corpus and new-vs-new.  This computes exactly those:
+
+    - both sides get banded MinHash buckets (corpus bucketing is a
+      linear scan that in production would be *precomputed and stored*;
+      the band join shuffles ids only);
+    - the candidate join is ``new × (corpus ∪ new)`` on (band, bucket) —
+      corpus-vs-corpus pairs are never formed, so per-batch cost scales
+      with the batch's bucket occupancy, not the corpus size.
+
+    Output: ``id_new``, ``id_match``, ``match_is_new`` (true when the
+    partner is also from the new batch), ``jaccard_est``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("minhash_sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    kw = dict(
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingle_mode=shingle_mode,
+    )
+    new_sigs = minhash_signatures(new_docs, **kw).cache()
+    corpus_sigs = minhash_signatures(corpus, **kw)
+
+    new_banded = banded(new_sigs)
+    other_banded = banded(corpus_sigs).select(
+        "band", "bucket", F.col(id_col).alias("id_match"),
+        F.lit(False).alias("match_is_new"),
+    ).unionByName(
+        banded(new_sigs).select(
+            "band", "bucket", F.col(id_col).alias("id_match"),
+            F.lit(True).alias("match_is_new"),
+        )
+    )
+
+    pairs = (
+        new_banded.select("band", "bucket", F.col(id_col).alias("id_new"))
+        .join(other_banded, on=["band", "bucket"])
+        # new-new pairs would otherwise appear twice (a,b) and (b,a)
+        .where(
+            (~F.col("match_is_new") & (F.col("id_new") != F.col("id_match")))
+            | (F.col("id_new") < F.col("id_match"))
+        )
+        .select("id_new", "id_match", "match_is_new")
+        .distinct()
+    )
+
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    pairs = pairs.join(
+        new_sigs.select(F.col(id_col).alias("id_new"), F.col("minhash_sig").alias("sig_a")),
+        "id_new",
+    ).join(
+        all_sigs.select(F.col(id_col).alias("id_match"), F.col("minhash_sig").alias("sig_b")),
+        "id_match",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    return pairs.select(
+        "id_new",
+        "id_match",
+        "match_is_new",
+        F.round(agree * F.lit(1.0) / F.lit(num_hashes), 4).alias("jaccard_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 

@@ -13,6 +13,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hex_threshold(fraction: float) -> str | None:
+    """8-hex-digit threshold such that uniform md5 prefixes compare below
+    it with probability ≈ fraction.  None means "keep everything" (the
+    9-digit hex of 16**8 would compare *lexicographically* below "f..."
+    strings and silently drop rows, so >=1.0 short-circuits)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return None
+    return format(int(fraction * 16**8), "08x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_cols: list[str],
+    *,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff the first 8 hex
+    digits of md5(key) fall below the stratum's threshold.
+
+    Training corpora are rebalanced by domain/language/quality tier with
+    *different* rates per stratum; doing it with a content-hash predicate
+    (rather than `df.sampleBy`) makes the selection reproducible across
+    engines and runs, stable under repartitioning, and row-local — the
+    filter is a pure expression that pushes to the scan, no shuffle, no
+    seed state.  2^32 granularity (vs 16 for `content_hash_sample`).
+
+    ``fractions`` maps stratum value -> keep fraction; unlisted strata
+    get ``default_fraction``.  ``key_cols`` are concat-ws'd into the hash
+    key (pick a stable business key, not a position-dependent id).
+    """
+    key = F.concat_ws("-", *[F.col(c) for c in key_cols])
+    prefix = F.substring(F.md5(key), 1, 8)
+
+    def keep_expr(fraction: float):
+        thr = _hex_threshold(fraction)
+        return F.lit(True) if thr is None else prefix < F.lit(thr)
+
+    pred = keep_expr(default_fraction)
+    for value, fraction in fractions.items():
+        pred = F.when(F.col(strata_col) == F.lit(value), keep_expr(fraction)).otherwise(
+            pred
+        )
+    return df.where(pred)
+
+
 def content_hash_sample(
     df: DataFrame,
     col: str,

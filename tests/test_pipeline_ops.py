@@ -394,3 +394,121 @@ def test_dq_checks_planted_failures(spark):
     parent = spark.createDataFrame([(1,), (2,)], "k long")
     fk = fk_containment(df, parent, "id", "k").collect()[0]
     assert fk.metric == 2.0 and fk.passed is False  # the two id=3 rows
+
+
+# ---------------------------------------------------------------------------
+# round 2: decontamination / stratified sampling / packing / incremental LSH
+
+
+def test_ngram_decontaminate_flags_verbatim_overlap(spark):
+    from smartpy_arc_spark.operators.contamination import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),        # verbatim
+            (2, "x y alpha beta gamma delta epsilon q r s t"), # partial
+            (3, "totally unrelated words here none shared at all"),
+            (4, "too short"),                                  # < n words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(corpus, bench, n=5, threshold=0.3).collect()
+    }
+    assert out[1]["n_ngrams"] == 2 and out[1]["n_hits"] == 2
+    assert out[1]["contamination"] == 1.0 and out[1]["is_contaminated"]
+    # doc 2 shares exactly one 5-gram: 'alpha beta gamma delta epsilon'
+    assert out[2]["n_hits"] == 1
+    assert out[3]["n_hits"] == 0 and not out[3]["is_contaminated"]
+    assert out[4]["n_ngrams"] == 0 and not out[4]["is_contaminated"]
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from smartpy_arc_spark.operators.sample import stratified_hash_sample
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+    )
+    fracs = {"0": 0.5, "1": 0.1, "2": 1.0}  # "3" -> default 0.0
+    out = stratified_hash_sample(df, "stratum", fracs, ["id"])
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["0"] / 5000 - 0.5) < 0.05
+    assert abs(counts["1"] / 5000 - 0.1) < 0.03
+    assert counts["2"] == 5000          # fraction 1.0 keeps everything
+    assert "3" not in counts            # default 0.0 drops everything
+    # deterministic: same rows both runs
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in out.collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "stratum", {"0": 1.5}, ["id"]).collect()
+
+
+def test_pack_sequences_invariants(spark):
+    from smartpy_arc_spark.operators.pack import pack_sequences
+
+    n, cap = 500, 100
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(120)) + 1).alias("n_tokens"),
+    )
+    out = pack_sequences(df, length_col="n_tokens", max_len=cap, num_buckets=7)
+    rows = out.collect()
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(n))
+    # capacity: sum of effective lengths per (bucket, bin) <= cap
+    fills = {}
+    for r in rows:
+        key = (r["bucket"], r["bin_in_bucket"])
+        fills[key] = fills.get(key, 0) + min(r["n_tokens"], cap)
+        assert r["truncated"] == (r["n_tokens"] > cap)
+    assert all(v <= cap for v in fills.values())
+    # reported bin_fill matches the recomputed fill
+    for r in rows:
+        assert fills[(r["bucket"], r["bin_in_bucket"])] == r["bin_fill"]
+    # deterministic plan
+    again = {(r["doc_id"]): (r["bucket"], r["bin_in_bucket"]) for r in out.collect()}
+    assert again == {r["doc_id"]: (r["bucket"], r["bin_in_bucket"]) for r in rows}
+    # packing is tight-ish: FFD wastes < 35% on uniform lengths
+    total_len = sum(min(r["n_tokens"], cap) for r in rows)
+    assert total_len / (len(fills) * cap) > 0.65
+
+
+def test_minhash_incremental_matches_full_lsh_on_new_pairs(spark, docs):
+    from smartpy_arc_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_lsh_candidates,
+    )
+
+    corpus = docs.where("doc_id <= 3")
+    new = docs.where("doc_id >= 4").unionByName(
+        spark.createDataFrame(
+            [(6, "the quick brown fox jumps over the lazy dog again and again today")],
+            "doc_id long, text string",
+        )
+    )
+    inc = minhash_incremental_candidates(
+        corpus, new, shingle_mode="word", shingle_size=3
+    )
+    got = {(r["id_new"], r["id_match"], r["match_is_new"]) for r in inc.collect()}
+    # doc 6 is a verbatim copy of corpus docs 1/2 (near 3): must surface
+    assert (6, 1, False) in got and (6, 2, False) in got
+    # no corpus-vs-corpus pair ever appears (ids 1-3 are never id_new)
+    assert all(pair[0] >= 4 for pair in got)
+    # cross-check: every incremental pair involving only new ids appears in
+    # full-corpus LSH run over the union, and vice versa for new ids
+    full = minhash_lsh_candidates(
+        corpus.unionByName(new), shingle_mode="word", shingle_size=3
+    )
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    inc_pairs = {tuple(sorted(p[:2])) for p in got}
+    full_new = {p for p in full_pairs if p[0] >= 4 or p[1] >= 4}
+    assert inc_pairs == full_new
