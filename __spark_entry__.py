@@ -1947,6 +1947,21 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave of two 8-bit key projections — the
+    clustering key behind `write_zordered`'s 2-D data-skipping layout."""
+    from smartpy_arc_spark.operators.scale import morton_code
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        morton_code(
+            F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=8
+        ).alias("zcode"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1960,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "minhash_incremental": q_minhash_incremental,
+        "zorder_code": q_zorder_code,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2071,8 +2087,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
+    """Bit-interleave SQL mirroring operators/scale.py:morton_code — built
+    programmatically so the Spark expression and the oracle can't drift."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xe}) >> {b}) & 1) << {2 * b + 1}")
+        terms.append(f"((({ye}) >> {b}) & 1) << {2 * b}")
+    return " | ".join(f"({t})" for t in terms)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "zorder_code": f"""
+            SELECT l_orderkey AS okey, l_linenumber AS lineno,
+                   CAST({_morton_sql('l_partkey % 256', 'l_suppkey % 256')}
+                        AS BIGINT) AS zcode
+            FROM lineitem
+        """,
         "decontaminate": """
             WITH corpus AS (
                 SELECT doc_id,

@@ -84,6 +84,97 @@ def repartition_for_join(
     )
 
 
+def morton_code(x, y, *, bits: int = 8):
+    """Interleave the low ``bits`` bits of two non-negative integer columns
+    into a Z-order (Morton) value: x's bit b lands at position 2b+1, y's at
+    2b.  Pure shift/and/or expression — whole-stage codegen, engine-portable
+    (the same expression is SQL in any dialect with bit operators)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        # .bitwiseOR, not `|`: on Columns `|` is logical OR and fails on longs
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
+
+
+def cluster_zorder(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 12,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Re-layout ``df`` along a Z-order curve over two numeric columns so
+    parquet row-group/file min-max statistics prune *both* dimensions.
+
+    A linear sort clusters only its leading column: a predicate on the
+    second column hits every file.  Z-ordering interleaves the bits of
+    min-max-normalized ranks of both columns, so every file covers a small
+    *rectangle* of the value space and a selective predicate on either
+    column (or a 2-D box) skips most files at scan time.
+
+    Two jobs: a scalar min/max aggregate (2·|cols| numbers to the driver —
+    bounded, not a collect of data), then one range-shuffle + in-partition
+    sort.  This is the batch maintenance operation a 100 TB table runs per
+    partition; at that tier you'd pick ``n_partitions`` from
+    ``partition_advice`` and run it under ``TempOverwrite``.
+    """
+    if len(cols) != 2:
+        raise ValueError("cluster_zorder currently interleaves exactly 2 columns")
+    cx, cy = cols
+    stats = df.agg(
+        F.min(cx).alias("nx"), F.max(cx).alias("xx"),
+        F.min(cy).alias("ny"), F.max(cy).alias("xy"),
+    ).first()
+    top = (1 << bits) - 1
+
+    def norm(c: str, lo, hi):
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("long")
+        scale = float(top) / (float(hi) - float(lo))
+        return F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                ((F.col(c).cast("double") - float(lo)) * scale).cast("long"),
+            ),
+        )
+
+    z = morton_code(norm(cx, stats["nx"], stats["xx"]),
+                    norm(cy, stats["ny"], stats["xy"]), bits=bits)
+    out = df.withColumn("_z", z)
+    n = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        out.repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 12,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on a Z-order curve over ``cols``
+    (one output file per range partition; each file's min-max footer stats
+    then prune 2-D predicates at read time)."""
+    cluster_zorder(df, cols, bits=bits, n_partitions=n_files).write.mode(
+        mode
+    ).parquet(path)
+
+
 def partition_advice(
     spark: SparkSession,
     total_bytes: int,

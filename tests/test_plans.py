@@ -80,3 +80,43 @@ def test_nested_loop_joins_only_where_fenced(plans):
 def test_parquet_filters_pushed_on_filtered_scans(plans):
     # spot contract: the classic filtered scan keeps its pushed filters
     assert "PushedFilters: [" in plans["scan_project_filter"]
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Evidence for the 100 TB claim: after write_zordered, each parquet
+    file's footer min/max covers a small rectangle, so a selective
+    predicate on the SECOND dimension skips most files — while a linear
+    sort on x leaves y unclustered and every file overlaps."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.scale import write_zordered
+
+    df = spark.range(4096).select(
+        ((F.col("id") * 7919) % 256).alias("x"),
+        ((F.col("id") * 104729) % 256).alias("y"),
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(df, zdir, ["x", "y"], bits=8, n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(ldir))
+
+    def overlapping_files(path, lo, hi):
+        import glob
+        n_files = n_hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ymin = min(md.row_group(i).column(1).statistics.min
+                       for i in range(md.num_row_groups))
+            ymax = max(md.row_group(i).column(1).statistics.max
+                       for i in range(md.num_row_groups))
+            n_files += 1
+            if ymax >= lo and ymin <= hi:
+                n_hit += 1
+        return n_hit, n_files
+
+    z_hit, z_total = overlapping_files(zdir, 0, 31)      # y in lowest 1/8
+    l_hit, l_total = overlapping_files(ldir, 0, 31)
+    assert z_total >= 8 and l_total >= 8
+    assert l_hit == l_total            # linear-by-x: no pruning on y
+    assert z_hit <= z_total // 2       # z-order: most files skipped
