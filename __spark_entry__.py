@@ -1139,6 +1139,64 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches KLL quantiles: per-(flag,status) sketches in
+    one pass, MERGED per flag, quantiles read from the merged sketch — the
+    same store-partial/merge-at-query-time pattern as the HLL rollup, for
+    percentiles.  At 100 TB this replaces a full re-sort per quantile query
+    with fixed-size sketch state.  Rows-only (no DuckDB KLL); rank-error
+    tolerance vs exact percentiles asserted in tests/test_ops.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar merge (no aggregate form):
+    # collect the per-group sketches (bounded — one per linestatus) and fold
+    # them with the aggregate() HOF, seeding with the first sketch.
+    merged = (
+        sketches.groupBy("l_returnflag")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            "l_returnflag",
+            F.aggregate(
+                F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias(
+            "approx_median_price"
+        ),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2).alias(
+            "approx_p90_price"
+        ),
+    )
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing with the JVM parse_url built-in (host/path/query-param
+    extraction) over deterministic synthetic URLs — the per-domain rollup a
+    crawl pipeline runs; oracle re-derives the parts with regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    parts = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return parts.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("lang_param").alias("n_langs"),
+        F.max("path").alias("max_path"),
+    )
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window arithmetic: per-user inter-event gap stats."""
     ev = _t(spark, sf_dir, "events")
@@ -1976,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "minhash_incremental": q_minhash_incremental,
         "zorder_code": q_zorder_code,
+        "kll_quantile_rollup": q_kll_quantile_rollup,
+        "url_stats": q_url_stats,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2135,6 +2195,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "url_stats": """
+            WITH urls AS (
+                SELECT 'https://' || source || '.example.org/doc/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+                FROM documents
+            ), parts AS (
+                SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                       regexp_extract(url, 'lang=(.*)$', 1) AS lang_param
+                FROM urls
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT lang_param) AS BIGINT) AS n_langs,
+                   max(path) AS max_path
+            FROM parts GROUP BY host
         """,
         "stratified_sample": """
             SELECT l_orderkey AS okey, l_linenumber AS lineno,

@@ -317,3 +317,31 @@ def test_hll_sketch_merge_equals_direct(spark, sf_dir):
     # union of partials tracks the direct sketch closely (not bit-identical:
     # the union path promotes sparse→dense register state)
     assert abs(merged - direct) / direct < 0.02
+
+
+def test_kll_merged_quantiles_near_exact(spark, sf_dir):
+    """The merged-KLL rollup (q_kll_quantile_rollup) must land within KLL's
+    rank-error envelope of the exact per-flag percentiles."""
+    import __spark_entry__ as entry
+
+    got = {
+        r["l_returnflag"]: (r["approx_median_price"], r["approx_p90_price"])
+        for r in entry.q_kll_quantile_rollup(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+            F.expr("percentile(l_extendedprice, 0.87)").alias("p87"),
+            F.expr("percentile(l_extendedprice, 0.93)").alias("p93"),
+        )
+        .collect()
+    }
+    for flag, (med, p90) in got.items():
+        ex = exact[flag]
+        # default k=200 KLL: ~1.65% rank error; ±5 rank points is generous
+        assert ex["p45"] <= med <= ex["p55"], (flag, med, ex)
+        assert ex["p87"] <= p90 <= ex["p93"], (flag, p90, ex)
