@@ -2005,6 +2005,35 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (16-token windows, stride 12) —
+    the pre-embedding splitter; row-local, zero shuffle."""
+    from smartpy_arc_spark.operators.contamination import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16, stride=12)
+
+
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-snapshot time travel: publish v1 (overwrite), v2 (append),
+    v3 (overwrite) of a supplier slice, then read **v2** — proving old
+    versions stay readable and exact after later commits."""
+    import shutil
+    import tempfile
+
+    from smartpy_arc_spark.sinks.snapshot import read_snapshot, write_snapshot
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    table = tempfile.mkdtemp(prefix="snap_probe_")
+    shutil.rmtree(table)  # write_snapshot creates it
+    write_snapshot(sup.where("s_suppkey <= 50"), table, mode="overwrite")
+    write_snapshot(
+        sup.where("s_suppkey > 50 AND s_suppkey <= 80"), table, mode="append"
+    )
+    write_snapshot(sup.where("s_suppkey > 900"), table, mode="overwrite")
+    return read_snapshot(spark, table, version=2)
+
+
 def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave of two 8-bit key projections — the
     clustering key behind `write_zordered`'s 2-D data-skipping layout."""
@@ -2036,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_code": q_zorder_code,
         "kll_quantile_rollup": q_kll_quantile_rollup,
         "url_stats": q_url_stats,
+        "doc_chunks": q_doc_chunks,
+        "snapshot_read": q_snapshot_read,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2195,6 +2226,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS w
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, w,
+                       [s for s in generate_series(1, greatest(len(w), 1), 12)
+                        if s = 1 or s - 12 + 15 < len(w)] AS ss
+                FROM toks WHERE len(w) > 0
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 12 AS INTEGER) AS chunk_idx,
+                   array_to_string(w[s:s+15], ' ') AS chunk_text,
+                   CAST(len(w[s:s+15]) AS INTEGER) AS chunk_n_tokens
+            FROM (SELECT doc_id, w, unnest(ss) AS s FROM starts)
+        """,
+        "snapshot_read": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier WHERE s_suppkey <= 80
         """,
         "url_stats": """
             WITH urls AS (

@@ -40,6 +40,55 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows (``chunk_tokens``
+    wide, advancing ``stride`` tokens) — the standard pre-embedding chunker.
+
+    Row-local: tokenize → windows via sequence/transform/slice →
+    posexplode.  No shuffle at all; output is one row per chunk with
+    ``chunk_idx``, ``chunk_text`` and ``chunk_n_tokens``.  The final
+    partial window is kept iff it starts before the text ends (every token
+    appears in ≥1 chunk; no empty trailing chunk).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # window starts 1, 1+stride, ... — keep a start unless the PREVIOUS
+    # window already covered the end of the document (so every token is in
+    # >=1 chunk, the tail is a partial window, and no fully-redundant
+    # trailing chunk is emitted)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == F.lit(1))
+        | (s - stride + (chunk_tokens - 1) < n),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    chunked = df.select(
+        F.col(id_col),
+        F.when(n > 0, chunks)
+        .otherwise(F.array().cast("array<array<string>>"))
+        .alias("_chunks"),
+    )
+    out = chunked.select(
+        id_col,
+        F.posexplode_outer("_chunks").alias("chunk_idx", "_chunk"),
+    ).where(F.col("_chunk").isNotNull())
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("chunk_n_tokens"),
+    )
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1,0 +1,149 @@
+"""Versioned table snapshots: atomic publish, time travel, rollback.
+
+A training-data pipeline must be able to say "run N trained on table@v7"
+and reproduce it later, while writers keep publishing new versions.  This
+is a minimal manifest-based copy-on-write table format (the idea behind
+Iceberg/Delta, reduced to what the engine needs):
+
+- data files are immutable parquet written under ``<table>/data/`` with a
+  unique prefix per commit; a version is a JSON *manifest* listing its
+  files (absolute contents, not deltas — O(#files) small);
+- publishing is one atomic ``os.rename`` of the manifest into
+  ``<table>/_versions/v{N}.json`` — readers either see a version fully or
+  not at all; no reader ever observes a half-written file set;
+- reads load exactly the manifest's file list (``spark.read.parquet(*files)``),
+  so concurrent publishes never disturb a running read, and old versions
+  stay readable until explicitly vacuumed.
+
+Scale: the manifest holds file paths only; a 100 TB table is a few
+thousand paths — KBs of JSON.  Schema may evolve between versions (new
+columns): reads of a single version see that version's schema exactly.
+
+Manifest I/O is driver-side metadata (os.*): correct for POSIX-mounted
+storage; an object-store deployment swaps these few calls for the Hadoop
+FileSystem API (rename→conditional PUT) without touching the data path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_versions")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Sorted committed version numbers (empty if the table doesn't exist)."""
+    vdir = _versions_dir(table_dir)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_versions_dir(table_dir), f"v{version}.json")
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise LookupError(f"version {version} not in {versions}")
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    mode: str = "overwrite",
+) -> int:
+    """Publish ``df`` as the next table version and return its number.
+
+    ``mode='overwrite'`` makes the new version exactly ``df``;
+    ``mode='append'`` makes it previous-version files + ``df``'s new files
+    (copy-on-write: previous files are shared, never rewritten).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+    versions = snapshot_versions(table_dir)
+    prev = versions[-1] if versions else None
+    if mode == "append" and prev is not None:
+        files = read_manifest(table_dir, prev)["files"] + files
+    version = (prev or 0) + 1
+
+    manifest = {
+        "version": version,
+        "parent": prev,
+        "mode": mode,
+        "committed_at": time.time(),
+        "files": files,
+    }
+    tmp = os.path.join(
+        _versions_dir(table_dir), f".tmp-{commit_id}-v{version}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    final = _manifest_path(table_dir, version)
+    if os.path.exists(final):  # lost a race to another writer
+        os.remove(tmp)
+        raise FileExistsError(f"version {version} already committed")
+    os.rename(tmp, final)  # atomic publish
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over exactly one committed version (latest by default)."""
+    manifest = read_manifest(table_dir, version)
+    files = manifest["files"]
+    if not files:
+        raise ValueError(f"version {manifest['version']} has no files")
+    return spark.read.parquet(*files)
+
+
+def rollback_snapshot(table_dir: str, version: int) -> int:
+    """Publish a new version whose content is an older version's file list
+    (history is never rewritten — rollback is a forward commit)."""
+    manifest = read_manifest(table_dir, version)
+    versions = snapshot_versions(table_dir)
+    new_version = versions[-1] + 1
+    new_manifest = {
+        "version": new_version,
+        "parent": versions[-1],
+        "mode": f"rollback:{version}",
+        "committed_at": time.time(),
+        "files": manifest["files"],
+    }
+    tmp = os.path.join(_versions_dir(table_dir), f".tmp-rb-{new_version}.json")
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    os.rename(tmp, _manifest_path(table_dir, new_version))
+    return new_version
