@@ -1197,6 +1197,60 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches Theta set algebra across segments: distinct-part
+    estimates for returnflag A and R plus their INTERSECTION and
+    difference — the segment-overlap question HLL cannot answer (HLL only
+    unions).  Mergeable fixed-size state, one scan.  Rows-only; accuracy
+    vs exact set ops asserted in tests/test_ops.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = (
+        li.where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.expr("theta_sketch_agg(l_partkey)").alias("sk"))
+    )
+    both = per_flag.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est_union"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection_agg(sk))"
+        ).alias("est_common"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference("
+            "  max_by(sk, CASE l_returnflag WHEN 'A' THEN 1 ELSE 0 END),"
+            "  max_by(sk, CASE l_returnflag WHEN 'R' THEN 1 ELSE 0 END)))"
+        ).alias("est_a_only"),
+    )
+    return both.select(
+        F.round("est_union", 0).alias("est_union"),
+        F.round("est_common", 0).alias("est_common"),
+        F.round("est_a_only", 0).alias("est_a_only"),
+    )
+
+
+def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k frequency sketch over document tokens.  With
+    maxItemsTracked above the (small) vocabulary it degrades to exact
+    counts, so the oracle can check it exactly; at web scale the same one
+    pass keeps fixed state where an exact groupBy would shuffle the full
+    token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(
+            F.filter(F.split("text", " ", -1), lambda t: t != F.lit(""))
+        ).alias("token")
+    ).where(F.col("token").isNotNull())
+    top = toks.agg(
+        F.expr("approx_top_k(token, 200, 100000)").alias("tk")
+    )
+    item = top.select(F.explode_outer("tk").alias("e")).where(
+        F.col("e").isNotNull()
+    )
+    return item.select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("n"),
+    )
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window arithmetic: per-user inter-event gap stats."""
     ev = _t(spark, sf_dir, "events")
@@ -2067,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "doc_chunks": q_doc_chunks,
         "snapshot_read": q_snapshot_read,
+        "theta_segment_overlap": q_theta_segment_overlap,
+        "approx_topk_terms": q_approx_topk_terms,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2226,6 +2282,13 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "approx_topk_terms": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS token
+                  FROM documents)
+            GROUP BY token
         """,
         "doc_chunks": """
             WITH toks AS (

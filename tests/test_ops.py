@@ -345,3 +345,22 @@ def test_kll_merged_quantiles_near_exact(spark, sf_dir):
         # default k=200 KLL: ~1.65% rank error; ±5 rank points is generous
         assert ex["p45"] <= med <= ex["p55"], (flag, med, ex)
         assert ex["p87"] <= p90 <= ex["p93"], (flag, p90, ex)
+
+
+def test_theta_set_ops_near_exact(spark, sf_dir):
+    """Theta union/intersection/difference estimates vs exact distinct set
+    algebra on l_partkey across returnflag A and R."""
+    import __spark_entry__ as entry
+
+    got = entry.q_theta_segment_overlap(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = {r["l_partkey"] for r in
+         li.where("l_returnflag = 'A'").select("l_partkey").distinct().collect()}
+    r = {r["l_partkey"] for r in
+         li.where("l_returnflag = 'R'").select("l_partkey").distinct().collect()}
+    for est, exact in [
+        (got["est_union"], len(a | r)),
+        (got["est_common"], len(a & r)),
+        (got["est_a_only"], len(a - r)),
+    ]:
+        assert abs(est - exact) <= max(0.05 * exact, 5), (est, exact)

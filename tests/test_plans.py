@@ -28,6 +28,8 @@ SINGLE_PARTITION_OK = {
     "q19_disjunctive_filter",  # global sum
     "q22_dormant_customers",   # scalar avg subquery
     "tfidf_top_terms",      # broadcast corpus-size scalar
+    "theta_segment_overlap",  # global sketch merge: KB-sized partials
+    "approx_topk_terms",      # global frequency sketch: bounded state
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
