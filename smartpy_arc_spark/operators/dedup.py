@@ -293,8 +293,12 @@ def minhash_incremental_candidates(
         shingle_size=shingle_size,
         shingle_mode=shingle_mode,
     )
+    # BOTH sides cached: banding + re-attach each index into the signature
+    # array, and an uncached signature column re-expands the whole 16-hash
+    # MinHash expression per element access (observed 40× slowdown).  In
+    # production the corpus side is a *stored* signature table instead.
     new_sigs = minhash_signatures(new_docs, **kw).cache()
-    corpus_sigs = minhash_signatures(corpus, **kw)
+    corpus_sigs = minhash_signatures(corpus, **kw).cache()
 
     new_banded = banded(new_sigs)
     other_banded = banded(corpus_sigs).select(
