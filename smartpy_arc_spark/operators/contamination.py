@@ -119,30 +119,37 @@ def ngram_decontaminate(
         .distinct()
     )
 
-    doc_grams = corpus.select(
+    # One pass: explode_outer keeps a null-gram row for gram-less docs (so
+    # they still report n_ngrams=0), the broadcast left join marks benchmark
+    # hits, and a single groupBy counts both totals and hits — the n-gram
+    # expression is evaluated exactly once per document.  (A bare explode
+    # would also make Catalyst push an implicit size()>0 filter below
+    # Generate and re-evaluate the expression twice.)
+    # Small-input guard: a corpus read from a handful of files would run
+    # the whole gram pass on that many cores.  At real scale the input has
+    # >= cluster-parallelism partitions and this is a no-op.
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < max(parallelism // 2, 1):
+        corpus = corpus.repartition(parallelism)
+
+    exploded = corpus.select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+        F.explode_outer(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
     )
-    totals = doc_grams.select(
-        id_col, F.size("grams").alias("n_ngrams")
+    marked = exploded.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
     )
-    # explode_outer (not explode): a bare explode makes Catalyst push an
-    # implicit size()>0 filter below Generate and re-evaluate the n-gram
-    # expression twice.
-    exploded = doc_grams.select(
-        id_col, F.explode_outer("grams").alias("gram")
-    ).where(F.col("gram").isNotNull())
-
-    hits = (
-        exploded.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+    report = marked.groupBy(id_col).agg(
+        F.count("gram").cast("int").alias("n_ngrams"),
+        F.count("_hit").alias("n_hits"),
     )
-
     ratio = F.col("n_hits") / F.greatest(F.col("n_ngrams"), F.lit(1))
-    return (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
-        .withColumn("contamination", F.round(ratio, 4))
-        .withColumn("is_contaminated", ratio > F.lit(float(threshold)))
+    return report.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        F.round(ratio, 4).alias("contamination"),
+        (ratio > F.lit(float(threshold))).alias("is_contaminated"),
     )
