@@ -2088,6 +2088,33 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 10th-percentile length floor: percentile aggregate +
+    broadcast threshold join (no per-group sort windows)."""
+    from smartpy_arc_spark.operators.quality import per_group_quantile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_group_quantile_filter(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", "lang", q=0.1
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: Gopher gates → exact dedup (md5,
+    lowest id wins) → 5-gram decontamination vs the doc_id%17 benchmark
+    slice → per-language stratified sample.  End-to-end oracle: one DuckDB
+    CTE chain mirroring all four stages."""
+    from smartpy_arc_spark.operators.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs.where("doc_id % 17 != 0"),
+        docs.where("doc_id % 17 = 0"),
+        sample_fractions={"en": 0.8},
+        default_fraction=0.25,
+    )
+
+
 def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave of two 8-bit key projections — the
     clustering key behind `write_zordered`'s 2-D data-skipping layout."""
@@ -2123,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_read": q_snapshot_read,
         "theta_segment_overlap": q_theta_segment_overlap,
         "approx_topk_terms": q_approx_topk_terms,
+        "curate_corpus": q_curate_corpus,
+        "quantile_filter": q_quantile_filter,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2282,6 +2311,65 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "quantile_filter": """
+            WITH thr AS (
+                SELECT lang, quantile_cont(n_chars, 0.1) AS t
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr USING (lang)
+            WHERE d.n_chars >= thr.t
+        """,
+        "curate_corpus": """
+            WITH base AS (
+                SELECT doc_id, text, lang, source,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 17 <> 0
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(list_sum(list_transform(toks, x -> len(x)))
+                             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mwl,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','to','and'], lower(x)))) AS stop_hits,
+                       round(len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS af
+                FROM base
+            ), qd AS (
+                SELECT b.* FROM base b JOIN m USING (doc_id)
+                WHERE m.n_words BETWEEN 10 AND 100000
+                  AND m.mwl BETWEEN 2.0 AND 12.0
+                  AND m.stop_hits >= 1 AND m.af >= 0.7
+            ), k AS (
+                SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)
+            ), s AS (
+                SELECT qd.* FROM qd JOIN k USING (doc_id)
+            ), bench AS (
+                SELECT DISTINCT
+                       unnest([array_to_string(w[i:i+4], ' ')
+                               for i in generate_series(1, len(w) - 4)]) AS gram
+                FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+                      FROM documents WHERE doc_id % 17 = 0)
+            ), sg AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+4], ' ')
+                               for i in generate_series(1, len(toks) - 4)]) AS grams
+                FROM s
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM sg) g
+                JOIN bench USING (gram) GROUP BY doc_id
+            ), clean AS (
+                SELECT sg.doc_id FROM sg LEFT JOIN hits USING (doc_id)
+                WHERE COALESCE(hits.n_hits, 0) * 1.0
+                      / greatest(len(sg.grams), 1) <= 0.3
+            )
+            SELECT s.doc_id, s.lang, s.source
+            FROM s JOIN clean USING (doc_id)
+            WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) <
+                  CASE s.lang WHEN 'en' THEN 'cccccccc' ELSE '40000000' END
         """,
         "approx_topk_terms": """
             SELECT token, CAST(count(*) AS BIGINT) AS n

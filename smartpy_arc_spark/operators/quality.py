@@ -168,3 +168,36 @@ def pii_redact(
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     keep = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns if c != text_col]
     return df.select(*keep, red.alias(text_col), *counts)
+
+
+def per_group_quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    q: float = 0.1,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` is at or above (``keep='above'``) /
+    strictly below (``'below'``) their group's q-quantile.
+
+    Scale shape: a per-group exact-percentile aggregate (one shuffle on the
+    group key, constant state per group) broadcast back onto the rows — NOT
+    a per-group percent_rank window, which would totally sort every group.
+    At extreme cardinality swap `percentile` for `approx_percentile` and
+    the plan is unchanged.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    thr = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {q})").alias("_thr")
+    )
+    joined = df.join(F.broadcast(thr), group_col)
+    pred = (
+        F.col(value_col) >= F.col("_thr")
+        if keep == "above"
+        else F.col(value_col) < F.col("_thr")
+    )
+    return joined.where(pred).drop("_thr")

@@ -512,3 +512,56 @@ def test_minhash_incremental_matches_full_lsh_on_new_pairs(spark, docs):
     inc_pairs = {tuple(sorted(p[:2])) for p in got}
     full_new = {p for p in full_pairs if p[0] >= 4 or p[1] >= 4}
     assert inc_pairs == full_new
+
+
+def test_curate_corpus_stage_semantics(spark):
+    from smartpy_arc_spark.operators.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then rests "
+            "a while before running off to the woods again")
+    rows = [
+        (1, good, "en", "s1"),
+        (2, good, "en", "s1"),                      # exact dup of 1 -> dropped
+        (3, "zz zz zz", "en", "s1"),                # fails quality gates
+        (4, good.replace("woods", "hills"), "de", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame(
+        [(99, "jumps over the lazy dog and then rests a while before")],
+        "doc_id long, text string",
+    )
+    # full-keep sampling isolates gates/dedup/decontamination
+    out = curate_corpus(
+        docs, bench, sample_fractions={"en": 1.0, "de": 1.0},
+        default_fraction=1.0,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1 contaminated (long overlap with bench)? ratio: doc1 has 21 words ->
+    # 17 5-grams; bench covers 10-word window -> 6 shared; 6/17 > 0.3 -> dropped.
+    # doc4 differs late; shares the same 6 leading bench grams -> also >0.3.
+    assert 2 not in ids and 3 not in ids
+    # with a lenient threshold both survive and the dup/quality drops remain
+    out2 = curate_corpus(
+        docs, bench, contamination_threshold=0.9,
+        sample_fractions={"en": 1.0, "de": 1.0}, default_fraction=1.0,
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 4]
+    assert set(out2.columns) == {"doc_id", "lang", "source"}
+
+
+def test_per_group_quantile_filter(spark):
+    from smartpy_arc_spark.operators.quality import per_group_quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", float(i % 100)) for i in range(200)],
+        "id long, g string, v double",
+    )
+    kept = per_group_quantile_filter(df, "v", "g", q=0.1)
+    # 10th percentile of 0..99 is 9.9 -> keeps v >= 9.9 i.e. 10..99
+    assert kept.count() == 180
+    assert kept.agg(F.min("v")).first()[0] == 10.0
+    below = per_group_quantile_filter(df, "v", "g", q=0.1, keep="below")
+    assert below.count() == 20
+
+    with pytest.raises(ValueError):
+        per_group_quantile_filter(df, "v", "g", q=1.5)
