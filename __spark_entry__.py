@@ -2088,6 +2088,24 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark dedup (at-least-once re-delivery
+    semantics, guaranteed per-key state eviction); deterministic key-set
+    projection drained through a memory sink."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        streaming_dedup_within_watermark(stream), output_mode="append"
+    )
+    return out.select("user_id", "event_type")
+
+
 def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language 10th-percentile length floor: percentile aggregate +
     broadcast threshold join (no per-group sort windows)."""
@@ -2152,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk_terms": q_approx_topk_terms,
         "curate_corpus": q_curate_corpus,
         "quantile_filter": q_quantile_filter,
+        "stream_dedup_wm": q_stream_dedup_wm,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2311,6 +2330,9 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "stream_dedup_wm": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "quantile_filter": """
             WITH thr AS (

@@ -158,6 +158,68 @@ def streaming_distinct_keys(
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup for *re-delivered* records whose event time may
+    differ between deliveries (at-least-once sources): unlike
+    ``dropDuplicates``, ``dropDuplicatesWithinWatermark`` only requires the
+    duplicate to arrive within the watermark delay of the first copy, and —
+    critically — GUARANTEES state eviction for every key, not just
+    time-keyed ones.  Emits the full first-seen row."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def streaming_interval_join_outer(
+    events: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: like
+    :func:`streaming_interval_join` but left events with no match in their
+    lookback window are still emitted (null right side) — once the
+    watermark proves no match can arrive.  The outer emission is what makes
+    funnel drop-off analysis (clicks that never purchased) computable on
+    unbounded streams with bounded state."""
+    lhs = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    rhs = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = (
+        (lhs["user_id"] == rhs["r_user_id"])
+        & (rhs["right_ts"] >= lhs["left_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (rhs["right_ts"] <= lhs["left_ts"])
+    )
+    return lhs.join(rhs, cond, "left_outer").select(
+        "left_id",
+        "user_id",
+        F.col("right_id"),
+        (F.col("right_id").isNotNull()).alias("matched"),
+    )
+
+
 def streaming_interval_join(
     events: DataFrame,
     *,

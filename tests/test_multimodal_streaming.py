@@ -213,3 +213,64 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.count() == 150                      # no duplicates, no loss
     assert out.select("id").distinct().count() == 150
     assert out.where("batch = 2").count() == 50
+
+
+def test_streaming_interval_join_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks surface with null
+    right side once the watermark passes; matched ones carry the purchase.
+    Outer state flushes on the SECOND drain (same checkpoint), when later
+    data has advanced the watermark — the documented SS emission model."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.streaming.stream import streaming_interval_join_outer
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # the join looks BACK: u1's click at +30min matches the purchase at t0;
+    # u2's click has no purchase in its lookback window
+    write([
+        (1, t0 + dt.timedelta(minutes=30), 1, "click"),
+        (2, t0, 1, "purchase"),
+        (3, t0 + dt.timedelta(minutes=30), 2, "click"),
+    ])
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(src)
+        q = (
+            streaming_interval_join_outer(
+                stream.withColumn("value", F.lit(0.0)),
+                lookback="1 hour", watermark="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # far-future events on BOTH sides: the global watermark is the MIN of
+    # the per-stream watermarks, so each input must advance for outer state
+    # to flush
+    write([
+        (98, t0 + dt.timedelta(hours=12), 9, "click"),
+        (99, t0 + dt.timedelta(hours=12), 9, "purchase"),
+    ])
+    drain()
+    got = {
+        (r["left_id"], r["right_id"], r["matched"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (1, 2, True) in got          # matched pair
+    assert (3, None, False) in got      # unmatched click emitted as outer row
