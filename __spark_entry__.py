@@ -2088,6 +2088,30 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE date spine (Spark 4 recursive CTE) densifying one
+    month of daily order counts — sparse facts onto a complete calendar,
+    zero-filled.  Recursion depth is the calendar length (bounded),
+    independent of fact cardinality."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        WITH RECURSIVE days(d) AS (
+            SELECT DATE '1998-01-01'
+            UNION ALL SELECT date_add(d, 1) FROM days
+            WHERE d < DATE '1998-01-31'
+        ), daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS od,
+                   count(*) AS n
+            FROM orders_v
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1998-02-01'
+            GROUP BY 1
+        )
+        SELECT days.d AS day, coalesce(daily.n, 0) AS n_orders
+        FROM days LEFT JOIN daily ON days.d = daily.od
+    """)
+
+
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark dedup (at-least-once re-delivery
     semantics, guaranteed per-key state eviction); deterministic key-set
@@ -2171,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "quantile_filter": q_quantile_filter,
         "stream_dedup_wm": q_stream_dedup_wm,
+        "recursive_date_spine": q_recursive_date_spine,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2330,6 +2355,21 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "recursive_date_spine": """
+            WITH RECURSIVE days(d) AS (
+                SELECT DATE '1998-01-01'
+                UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1998-01-31'
+            ), daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS od,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-02-01'
+                GROUP BY 1
+            )
+            SELECT days.d AS day, coalesce(daily.n, 0) AS n_orders
+            FROM days LEFT JOIN daily ON days.d = daily.od
         """,
         "stream_dedup_wm": """
             SELECT DISTINCT user_id, event_type FROM events

@@ -108,3 +108,29 @@ def fk_containment(
         [("fk_containment", child_col, float(orphans), 0.0, orphans == 0)],
         "rule string, col string, metric double, threshold double, passed boolean",
     )
+
+
+def with_observed_quality(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    name: str = "dq",
+):
+    """Attach in-flight quality metrics to ``df`` via ``df.observe``:
+    row count plus per-column null counts, collected BY THE ACTION THAT
+    ALREADY RUNS — zero extra scans, zero extra shuffles.  This is how a
+    100 TB write verifies its own batch: the sink action itself reports the
+    metrics instead of a second validation pass over the data.
+
+    Returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` yields
+    ``{"n_rows": ..., "nulls_<col>": ...}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

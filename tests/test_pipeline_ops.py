@@ -565,3 +565,17 @@ def test_per_group_quantile_filter(spark):
 
     with pytest.raises(ValueError):
         per_group_quantile_filter(df, "v", "g", q=1.5)
+
+
+def test_with_observed_quality_piggybacks_on_action(spark, tmp_path):
+    from smartpy_arc_spark.operators.checks import with_observed_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    observed, obs = with_observed_quality(df, ["v", "id"])
+    # the metrics ride the write action itself — no second scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["nulls_v"] == 2 and got["nulls_id"] == 0
