@@ -74,3 +74,57 @@ def standardize_builtin(
         F.col("_sd").isNull() | (F.col("_sd") == 0), F.lit(0.0)
     ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd"))
     return joined.select(id_col, group_col, z.alias("z"))
+
+
+def l2_normalize_arrow(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "unit_vec",
+):
+    """L2-normalize an embedding column with ``mapInArrow`` — the
+    lowest-overhead Python batch API: RecordBatches flow Arrow→numpy with
+    no pandas materialization, so per-batch overhead is amortized malloc,
+    not Series construction.  Stateless per-batch ⇒ embarrassingly
+    parallel at any scale.
+
+    Note the built-in alternative (`F.transform` dividing by
+    `sqrt(aggregate(...))`) stays fully JVM-side and is preferred in a
+    larger expression; this op is the template for numpy-only kernels
+    (quantization, PCA projection) that have no builtin form.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    # a fresh StructType: .add() on df.schema MUTATES the DataFrame's live
+    # schema object and breaks later column resolution
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def norm_batches(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            col = tbl.column(vec_col)
+            flat = col.combine_chunks()
+            arr = flat.flatten().to_numpy(zero_copy_only=False)
+            offsets = flat.offsets.to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            out = np.empty_like(arr, dtype="float32")
+            for i in range(len(offsets) - 1):
+                lo, hi = offsets[i], offsets[i + 1]
+                v = arr[lo:hi]
+                nrm = np.sqrt((v * v).sum())
+                out[lo:hi] = v / nrm if nrm > 0 else v
+            unit = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out, type=pa.float32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*[tbl.column(n).combine_chunks() for n in tbl.column_names], unit],
+                names=[*tbl.column_names, out_col],
+            )
+
+    return df.mapInArrow(norm_batches, schema_out)

@@ -579,3 +579,36 @@ def test_with_observed_quality_piggybacks_on_action(spark, tmp_path):
     got = obs.get
     assert got["n_rows"] == 4
     assert got["nulls_v"] == 2 and got["nulls_id"] == 0
+
+
+def test_l2_normalize_arrow_matches_builtin(spark):
+    import math
+
+    from smartpy_arc_spark.operators.normalize import l2_normalize_arrow
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["unit_vec"] for r in l2_normalize_arrow(df).collect()}
+    assert got[1] == pytest.approx([0.6, 0.8])
+    assert got[2] == [0.0, 0.0]                      # zero vector unchanged
+    assert got[3] == pytest.approx([0.5] * 4)
+    for v in got.values():
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == 0 or n == pytest.approx(1.0, abs=1e-6)
+
+    # agrees with the JVM-side HOF formulation on real data
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    builtin = {
+        r["vec_id"]: r["u"]
+        for r in emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / norm).alias("u"),
+        ).collect()
+    }
+    arrow = {r["vec_id"]: r["unit_vec"] for r in l2_normalize_arrow(emb).collect()}
+    for k in builtin:
+        assert arrow[k] == pytest.approx(builtin[k], abs=1e-5)

@@ -122,3 +122,43 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert z_total >= 8 and l_total >= 8
     assert l_hit == l_total            # linear-by-x: no pruning on y
     assert z_hit <= z_total // 2       # z-order: most files skipped
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale evidence: with a pathologically hot key, AQE's skew-join
+    rewrite splits the oversized partition (skew=true in the executed
+    plan) instead of letting one task own the whole key."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE key + a sprinkle of others; dim side small but
+        # not broadcastable (threshold disabled above)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 97)
+            .otherwise(F.lit(1)).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = big.join(dim, "k")
+        # execute THIS DataFrame's own queryExecution (count() would build
+        # a different plan instance and leave this one isFinalPlan=false)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
