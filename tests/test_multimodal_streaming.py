@@ -274,3 +274,55 @@ def test_streaming_interval_join_outer_emits_unmatched(spark, tmp_path):
     }
     assert (1, 2, True) in got          # matched pair
     assert (3, None, False) in got      # unmatched click emitted as outer row
+
+
+def test_eventgen_streaming_source_deterministic_and_replayable(spark, tmp_path):
+    """Custom streaming Python data source: offset-tracked batches, stable
+    rows, and checkpoint replay continuing from the committed offset."""
+    import time
+
+    from smartpy_arc_spark.sources.eventgen import _row, register_eventgen
+
+    register_eventgen(spark)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain(min_rows):
+        q = (
+            spark.readStream.format("eventgen")
+            .option("rows_per_batch", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= min_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        return spark.read.parquet(sink)
+
+    first = drain(100)
+    n1 = first.count()
+    assert n1 >= 100
+    got = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+           for r in first.collect()}
+    assert len(got) == n1                    # offsets never re-emit within a run
+    for i in (0, 1, 49):                     # deterministic content
+        exp = _row(i)
+        assert got[i] == (exp[2], exp[3], exp[4])
+
+    # restart from the same checkpoint: the second run appends strictly
+    # NEW ids — committed offsets are never re-emitted into the sink
+    second = drain(n1 + 50)
+    ids = [r["event_id"] for r in second.collect()]
+    assert len(ids) == len(set(ids))         # no duplicates across restart
+    assert len(ids) > n1                     # and it kept producing
