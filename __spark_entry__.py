@@ -2088,6 +2088,14 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations with PMI scores (phrase mining)."""
+    from smartpy_arc_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5)
+
+
 def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE date spine (Spark 4 recursive CTE) densifying one
     month of daily order counts — sparse facts onto a complete calendar,
@@ -2196,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "stream_dedup_wm": q_stream_dedup_wm,
         "recursive_date_spine": q_recursive_date_spine,
+        "collocations": q_collocations,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2355,6 +2364,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "collocations": """
+            WITH toks AS (
+                SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+                FROM documents
+            ), uni AS (
+                SELECT unnest(w) AS t FROM toks
+            ), uc AS (
+                SELECT t, count(*) AS c FROM uni GROUP BY t
+            ), pairs AS (
+                SELECT p[1] AS w1, p[2] AS w2
+                FROM (SELECT unnest([[w[CAST(i AS INTEGER)],
+                                      w[CAST(i AS INTEGER) + 1]]
+                                     for i in generate_series(1, len(w) - 1)]) AS p
+                      FROM toks WHERE len(w) >= 2)
+            ), pc AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                FROM pairs GROUP BY w1, w2
+            ), n1 AS (SELECT count(*) AS v FROM uni),
+               n2 AS (SELECT count(*) AS v FROM pairs)
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   round(ln((pc.n_pair / (SELECT v * 1.0 FROM n2))
+                         / ((a.c / (SELECT v * 1.0 FROM n1))
+                            * (b.c / (SELECT v * 1.0 FROM n1)))), 4) AS pmi
+            FROM pc
+            JOIN uc a ON a.t = pc.w1
+            JOIN uc b ON b.t = pc.w2
+            WHERE pc.n_pair >= 5
         """,
         "recursive_date_spine": """
             WITH RECURSIVE days(d) AS (

@@ -320,3 +320,203 @@ def ann_lsh_topk(
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compact codes + asymmetric-distance search
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+) -> list:
+    """Train ``m`` per-subspace k-means codebooks (``k`` centroids each,
+    squared-L2) — the PQ compressor that turns a D-float vector into ``m``
+    small codes (m·log2(k) bits), the storage tier that makes
+    billion-vector search feasible.
+
+    All ``m`` subspace k-means run JOINTLY: vectors explode once into
+    (row, subspace, subvector); assignment is a broadcast join on the
+    subspace key + argmin; new means are one shuffle keyed by
+    (subspace, centroid, position).  Per iteration: one corpus scan, one
+    bounded shuffle.  The codebooks (k·D doubles total) collect to the
+    driver between rounds — KBs, same as the IVF trainer.
+
+    Returns ``m`` lists of ``k`` centroid subvectors (deterministic:
+    lowest-id init, ties break on lowest centroid id).
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    if dim == 0 or dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+
+    subs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(
+                    F.col(vec_col).cast("array<double>"), s * sub_d + 1, sub_d
+                ),
+            )
+        ).alias("sub", "_v"),
+    )
+
+    init = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_cv"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    # codebooks[s][c] = centroid c of subspace s
+    books = [
+        [[float(x) for x in r["_cv"][s * sub_d : (s + 1) * sub_d]] for r in init]
+        for s in range(m)
+    ]
+
+    sq = F.aggregate(
+        F.zip_with("_v", "_cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iters):
+        cents = spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
+            "sub int, cid int, _cent array<double>",
+        )
+        scored = subs.join(F.broadcast(cents), "sub").select(
+            "_id", "sub", "_v", "cid", sq.alias("_d")
+        )
+        w = W.partitionBy("_id", "sub").orderBy(F.asc("_d"), F.asc("cid"))
+        assigned = scored.withColumn("_r", F.row_number().over(w)).where("_r = 1")
+        means = (
+            assigned.select("sub", "cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("ps"))
+            .select(
+                "sub", "cid",
+                F.transform("ps", lambda p: p["mx"]).alias("_cent"),
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["sub"]][r["cid"]] = [float(x) for x in r["_cent"]]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` codes (argmin-L2 centroid per
+    subspace).  Pure expression against literal codebooks — one scan, no
+    shuffle; output is (id, codes array<int>), the compact form stored at
+    the billion-vector tier."""
+    m = len(books)
+    k = len(books[0])
+    sub_d = len(books[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+
+    # Distance ARRAYS + argmin, never a running-min when-chain: a chained
+    # `when(d < best_d, ...)` re-nests the previous best expression twice
+    # per centroid — a ~3^k expression tree that hangs analysis.  This form
+    # is linear: m·k aggregates, materialized once via an intermediate
+    # projection, argmin by array_position(first occurrence ⇒ lowest cid).
+    def dists_for_sub(s: int) -> Column:
+        subv = F.slice(vec, s * sub_d + 1, sub_d)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        subv,
+                        F.array(*[F.lit(x) for x in books[s][c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(k)
+            ]
+        )
+
+    staged = corpus.select(
+        F.col(id_col),
+        *[dists_for_sub(s).alias(f"_d{s}") for s in range(m)],
+    )
+    codes = F.array(
+        *[
+            (
+                F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}")))
+                - 1
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    return staged.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes its
+    (m × n_centroids) distance table — a per-row literal-shaped array —
+    then every corpus row's distance is ``sum_s table[s][code_s]``: a pure
+    HOF over the broadcast query side and the compact code column.  No
+    shuffle on the corpus; TakeOrdered per query yields top-k."""
+    m = len(books)
+    sub_d = len(books[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+
+    def table_entry(s: int, c: int) -> Column:
+        cent = F.array(*[F.lit(x) for x in books[s][c]])
+        subq = F.slice(qv, s * sub_d + 1, sub_d)
+        return F.aggregate(
+            F.zip_with(subq, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    table = F.array(
+        *[
+            F.array(*[table_entry(s, c) for c in range(len(books[s]))])
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), table.alias("_tbl")
+    )
+    joined = codes.crossJoin(F.broadcast(q))
+    # adc = sum over subspaces of tbl[s][ code[s] ]
+    paired = F.zip_with(
+        F.col("_tbl"),
+        F.col("pq_codes"),
+        lambda row, code: F.element_at(row, code + 1),
+    )
+    adc = F.aggregate(paired, F.lit(0.0), lambda acc, x: acc + x)
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )

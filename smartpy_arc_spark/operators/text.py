@@ -231,3 +231,67 @@ def tfidf_top_terms(
         .where(F.col("rk") <= top_n)
         .select(id_col, "rk", "term", F.round("_tfidf", 6).alias("tfidf"))
     )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining with PMI scoring.
+
+    Classic corpus analysis (phrase detection a la word2vec's phrase
+    pass): count adjacent token pairs, score each against its parts'
+    unigram frequencies with pointwise mutual information
+
+        pmi = ln( (c12 / N2) / ((c1 / N1) * (c2 / N1)) )
+
+    Three bounded-key aggregations (bigrams, unigrams, two scalar
+    totals); the unigram table joins back by each side of the pair —
+    vocabulary-sized, so both joins broadcast at any corpus scale.  All
+    expressions built-in; zero Python in the hot path.
+    """
+    toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != F.lit(""))
+    base = df.select(toks.alias("w"))
+
+    pairs = base.select(
+        F.explode_outer(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).where(F.col("p").isNotNull())
+    pair_counts = pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("n_pair"))
+
+    unigrams = base.select(F.explode("w").alias("t"))
+    uni_counts = unigrams.groupBy("t").agg(F.count("*").alias("c"))
+    n1 = unigrams.count()
+    n2 = pairs.count()
+
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .join(
+            F.broadcast(uni_counts.select(F.col("t").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("t").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.lit(float(n2)))
+        / ((F.col("c1") / F.lit(float(n1))) * (F.col("c2") / F.lit(float(n1))))
+    )
+    return scored.select(
+        "w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi")
+    )

@@ -612,3 +612,51 @@ def test_l2_normalize_arrow_matches_builtin(spark):
     arrow = {r["vec_id"]: r["unit_vec"] for r in l2_normalize_arrow(emb).collect()}
     for k in builtin:
         assert arrow[k] == pytest.approx(builtin[k], abs=1e-5)
+
+
+def test_product_quantization_roundtrip_and_recall(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16, n_iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    # deterministic training
+    books2 = train_pq_codebooks(emb, m=8, k=16, n_iters=2)
+    assert books == books2
+
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == 500
+    assert all(len(r["pq_codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["pq_codes"])
+
+    # quantization must beat the trivial all-zero-code assignment
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    code_map = {r["vec_id"]: r["pq_codes"] for r in rows}
+    def recon(vid, codes_):
+        return np.concatenate([np.array(books[s][c]) for s, c in enumerate(codes_)])
+    err = np.mean([np.sum((vecs[v] - recon(v, code_map[v])) ** 2) for v in vecs])
+    err0 = np.mean([np.sum((vecs[v] - recon(v, [0] * 8)) ** 2) for v in vecs])
+    assert err < err0 * 0.7
+
+    # ADC recall@10 vs exact squared-L2 top-10
+    queries = emb.where("vec_id < 5")
+    got = pq_search(queries, pq_encode(emb, books), books, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(5):
+        qv = vecs[qid]
+        exact = sorted(vecs, key=lambda v: float(np.sum((vecs[v] - qv) ** 2)))[:10]
+        hits += len(set(exact) & set(by_q[qid]))
+        total += 10
+    assert hits / total >= 0.4, hits / total
