@@ -2088,6 +2088,48 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click → purchase): per-user first
+    timestamps per stage, a stage counts only if it follows the previous
+    one; one shuffle on user_id, conditional aggregation after."""
+    ev = _t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    reached_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(reached_click, 1)).alias("n_click_after_view"),
+        F.count(F.when(reached_buy, 1)).alias("n_full_funnel"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, distinct
+    active users per week offset — two shuffles (user firsts, then
+    cohort/offset rollup), both on bounded keys."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(firsts, "user_id")
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    offset = F.floor(
+        (F.unix_micros(F.date_trunc("week", F.col("ts")))
+         - F.unix_micros(cohort)) / F.lit(7 * 24 * 3600 * 1_000_000)
+    )
+    return (
+        joined.groupBy(
+            F.to_date(cohort).alias("cohort_week"),
+            offset.cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-bigram collocations with PMI scores (phrase mining)."""
     from smartpy_arc_spark.operators.text import collocations
@@ -2205,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_wm": q_stream_dedup_wm,
         "recursive_date_spine": q_recursive_date_spine,
         "collocations": q_collocations,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -2364,6 +2408,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "funnel_conversion": """
+            WITH stages AS (
+                SELECT user_id,
+                       min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                       min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                       min(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                        AND t_click > t_view) AS BIGINT) AS n_click_after_view,
+                   CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                        AND t_click > t_view AND t_buy > t_click) AS BIGINT)
+                       AS n_full_funnel
+            FROM stages
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+            )
+            SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+                   CAST(date_diff('day', date_trunc('week', f.first_ts),
+                                  date_trunc('week', e.ts)) // 7 AS INTEGER)
+                       AS week_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
         """,
         "collocations": """
             WITH toks AS (

@@ -30,6 +30,7 @@ SINGLE_PARTITION_OK = {
     "tfidf_top_terms",      # broadcast corpus-size scalar
     "theta_segment_overlap",  # global sketch merge: KB-sized partials
     "approx_topk_terms",      # global frequency sketch: bounded state
+    "funnel_conversion",      # global funnel totals: 3 counters
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
