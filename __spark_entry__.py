@@ -2088,6 +2088,22 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the one-pass distribution
+    profile (per-bucket counts + mass share), fixed [0, 60000) domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(60000.0), F.lit(12)
+    )
+    counts = li.groupBy(bucket.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy())
+    return counts.select(
+        "bucket", "n", F.round(F.col("n") / total, 6).alias("share")
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-event funnel (view → click → purchase): per-user first
     timestamps per stage, a stage counts only if it follows the previous
@@ -2248,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_date_spine": q_recursive_date_spine,
         "collocations": q_collocations,
         "funnel_conversion": q_funnel_conversion,
+        "price_histogram": q_price_histogram,
         "cohort_retention": q_cohort_retention,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -2408,6 +2425,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "price_histogram": """
+            -- width_bucket(x, 0, 60000, 12) emulated (absent in DuckDB 1.0)
+            WITH h AS (
+                SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                            WHEN l_extendedprice >= 60000 THEN 13
+                            ELSE CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT)
+                       END AS bucket,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket, n,
+                   round(n * 1.0 / (SELECT sum(n) FROM h), 6) AS share
+            FROM h
         """,
         "funnel_conversion": """
             WITH stages AS (

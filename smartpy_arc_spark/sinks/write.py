@@ -224,3 +224,32 @@ def copy_feats(
             if c in df.columns:
                 df = tag_varchar(df, c, n)
     return write_table(df, out_work, out_name, overwrite=overwrite)
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-style partitioned parquet write with DYNAMIC partition
+    overwrite: only the partitions present in ``df`` are replaced; sibling
+    partitions survive untouched.  This is the incremental-refresh
+    primitive for a 100 TB partitioned table — re-materialize one day/one
+    language without rewriting (or even listing) the rest.
+
+    Static overwrite (``dynamic=False``) truncates the whole table root —
+    the default Spark behavior this helper exists to fence off.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "DYNAMIC" if dynamic else "STATIC",
+        )
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

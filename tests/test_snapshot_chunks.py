@@ -94,3 +94,36 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.sinks.write import write_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")], "id long, lang string"
+    )
+    write_partitioned(base, path, ["lang"])
+    assert spark.read.parquet(path).count() == 4
+
+    # dynamic overwrite of ONE partition: en replaced, de/fr untouched
+    write_partitioned(
+        spark.createDataFrame([(10, "en")], "id long, lang string"),
+        path, ["lang"],
+    )
+    got = {(r["id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(10, "en"), (3, "de"), (4, "fr")}
+
+    # static overwrite truncates everything else
+    write_partitioned(
+        spark.createDataFrame([(20, "en")], "id long, lang string"),
+        path, ["lang"], dynamic=False,
+    )
+    got = {(r["id"], r["lang"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(20, "en")}
+    # conf restored either way
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in (
+        "STATIC", "static"
+    )
