@@ -94,8 +94,17 @@ def write_snapshot(
 
     versions = snapshot_versions(table_dir)
     prev = versions[-1] if versions else None
+    schema_ddl = df.schema.simpleString()
     if mode == "append" and prev is not None:
-        files = read_manifest(table_dir, prev)["files"] + files
+        parent = read_manifest(table_dir, prev)
+        parent_schema = parent.get("schema")
+        if parent_schema is not None and parent_schema != schema_ddl:
+            raise ValueError(
+                "append schema mismatch: parent version "
+                f"{prev} has {parent_schema}, appended frame has {schema_ddl}; "
+                "use mode='overwrite' to evolve the schema"
+            )
+        files = parent["files"] + files
     version = (prev or 0) + 1
 
     manifest = {
@@ -103,6 +112,7 @@ def write_snapshot(
         "parent": prev,
         "mode": mode,
         "committed_at": time.time(),
+        "schema": schema_ddl,
         "files": files,
     }
     tmp = os.path.join(
@@ -127,6 +137,34 @@ def read_snapshot(
     if not files:
         raise ValueError(f"version {manifest['version']} has no files")
     return spark.read.parquet(*files)
+
+
+def vacuum_snapshots(table_dir: str, *, keep_last: int = 2) -> list[str]:
+    """Garbage-collect data files referenced ONLY by expired versions.
+
+    Keeps the newest ``keep_last`` versions' manifests and every file any
+    of them references; older manifests are deleted along with data files
+    no surviving version shares (copy-on-write means survivors may still
+    reference old commits' files — those stay).  Returns deleted paths.
+    Metadata-only driver work: O(#versions · #files) path-set algebra.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(table_dir)
+    if len(versions) <= keep_last:
+        return []
+    survivors = versions[-keep_last:]
+    keep_files = set()
+    for v in survivors:
+        keep_files.update(read_manifest(table_dir, v)["files"])
+    deleted = []
+    for v in versions[:-keep_last]:
+        for f in read_manifest(table_dir, v)["files"]:
+            if f not in keep_files and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(_manifest_path(table_dir, v))
+    return deleted
 
 
 def rollback_snapshot(table_dir: str, version: int) -> int:

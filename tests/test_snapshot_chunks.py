@@ -127,3 +127,56 @@ def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in (
         "STATIC", "static"
     )
+
+
+def test_snapshot_vacuum_append_schema_and_race(spark, tmp_path):
+    import json
+
+    from smartpy_arc_spark.sinks.snapshot import (
+        _manifest_path,
+        read_manifest,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(spark.range(5), table)                       # v1
+    write_snapshot(spark.range(5, 8), table, mode="append")     # v2 shares v1
+    write_snapshot(spark.range(100, 103), table, mode="overwrite")  # v3
+    v1_files = set(read_manifest(table, 1)["files"])
+
+    # append with a different schema is rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_snapshot(
+            spark.range(3).withColumn("x", F.lit(1)), table, mode="append"
+        )
+
+    # vacuum keeps last 2 (v2, v3): v1's manifest goes, but its FILES
+    # survive because v2 still references them (copy-on-write sharing)
+    deleted = vacuum_snapshots(table, keep_last=2)
+    assert snapshot_versions(table) == [2, 3]
+    assert deleted == []
+    assert read_snapshot(spark, table, 2).count() == 8
+
+    # another overwrite, then vacuum to last 1: v2's exclusive files go
+    write_snapshot(spark.range(200, 202), table, mode="overwrite")  # v4
+    deleted = vacuum_snapshots(table, keep_last=1)
+    assert snapshot_versions(table) == [4]
+    assert set(deleted) >= v1_files          # v1+v2 data now unreferenced
+    assert read_snapshot(spark, table).count() == 2
+
+    # commit race: competitor publishes v5 between our version listing and
+    # our rename — the existence check refuses the lost update
+    from unittest import mock
+
+    nxt = _manifest_path(table, 5)
+    with open(nxt, "w") as f:
+        json.dump({"version": 5, "parent": 4, "mode": "overwrite",
+                   "committed_at": 0, "schema": "x", "files": []}, f)
+    with mock.patch(
+        "smartpy_arc_spark.sinks.snapshot.snapshot_versions", return_value=[4]
+    ):
+        with pytest.raises(FileExistsError):
+            write_snapshot(spark.range(1), table, mode="overwrite")
