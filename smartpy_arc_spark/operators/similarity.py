@@ -520,3 +520,134 @@ def pq_search(
     return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    books: list | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector topology — an IVF coarse
+    quantizer prunes the corpus to ``n_probe`` inverted lists per query,
+    then PQ asymmetric distance ranks only those candidates from their
+    compact codes.
+
+    The corpus is touched twice, both single scans: once for the coarse
+    assignment, once for PQ encoding (at production scale both are
+    precomputed and stored next to the codes).  Per query, work is
+    ``n_probe/n_centroids`` of the corpus, on codes instead of raw
+    vectors — memory traffic shrinks by ~D·4/m bytes per candidate.
+
+    Returns (query_id, neighbor_id, adc_dist, rk) like :func:`pq_search`.
+    """
+    # coarse lists: deterministic seed centroids (lowest-id vectors)
+    c = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    seeds = [
+        (int(r["_nid"]), [float(x) for x in r["_cv"]])
+        for r in c.orderBy("_nid").limit(n_centroids).collect()
+    ]
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(seeds, "cid long, _cent array<double>")
+
+    def argmin_cid(vec_expr):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_expr,
+                            F.array(*[F.lit(x) for x in seeds[i][1]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(len(seeds))
+            ]
+        )
+        return scored
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(argmin_cid(F.col(vec_col).cast("array<double>")))["i"].alias(
+            "list_id"
+        ),
+    )
+
+    books = books or train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m, k=pq_k, n_iters=pq_iters
+    )
+    codes = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, "list_id"), id_col
+    )
+
+    # each query probes its n_probe nearest lists
+    q_sorted = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.slice(
+            F.transform(
+                F.array_sort(argmin_cid(F.col(vec_col).cast("array<double>"))),
+                lambda s: s["i"],
+            ),
+            1,
+            n_probe,
+        ).alias("_probes"),
+    )
+    probes = q_sorted.select(
+        "query_id", "_qv", F.explode("_probes").alias("list_id")
+    )
+
+    # ADC over candidates in the probed lists only
+    sub_d = len(books[0][0])
+    table = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("_qv"), s * sub_d + 1, sub_d),
+                            F.array(*[F.lit(x) for x in books[s][c2]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c2 in range(len(books[s]))
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q_tables = probes.select("query_id", "list_id", table.alias("_tbl"))
+    cand = codes.join(F.broadcast(q_tables), "list_id")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_tbl"), F.col("pq_codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -326,3 +326,63 @@ def test_eventgen_streaming_source_deterministic_and_replayable(spark, tmp_path)
     ids = [r["event_id"] for r in second.collect()]
     assert len(ids) == len(set(ids))         # no duplicates across restart
     assert len(ids) > n1                     # and it kept producing
+
+
+def test_streaming_state_bounded_by_watermark(spark, tmp_path):
+    """100 TB evidence: windowed-aggregate state does not grow with stream
+    length — the watermark evicts closed windows, so state rows stay at
+    the (windows-in-flight) level instead of accumulating one per window
+    ever seen."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(day):
+        rows = [
+            (day * 1000 + i, t0 + dt.timedelta(days=day, minutes=10 * i), i % 5)
+            for i in range(60)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state_rows = []
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        for p in q.recentProgress:
+            for so in p.stateOperators:
+                state_rows.append(so.numRowsTotal)
+
+    # three successive days of data, each drained separately: every drain
+    # sees ~10h of open windows, never the whole history
+    for day in range(3):
+        write(day)
+        drain()
+
+    assert state_rows, "no state metrics captured"
+    # each day emits 10 hourly windows; bounded state stays ~that order,
+    # and must NOT accumulate across days (30+ windows by day 3)
+    assert max(state_rows[-2:]) <= 15, state_rows
+    # the sink accumulated every closed window exactly once
+    out = spark.read.parquet(sink)
+    assert out.count() >= 20
+    assert out.groupBy("window").count().where("count > 1").count() == 0
