@@ -2088,6 +2088,45 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table, version=2)
 
 
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmaps (Spark 4 bitmap_*):
+    per-(flag,status,bucket) bitmaps OR-merged up to per-flag, popcounted
+    and summed — the store-partials/merge-exactly pattern where HLL would
+    approximate.  State per group is bucket-count × 4KB, not the id set.
+    Oracle: plain COUNT(DISTINCT) — the bitmap path must match it exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_orderkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").alias("bm")
+    )
+    merged = per_bucket.groupBy("l_returnflag", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_orders")
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path: parse_json into a variant,
+    typed variant_get extraction, grouped rollup — the open-schema
+    ingestion pattern (vs. the schema-on-read get_json_object of
+    `json_props`)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via width_bucket — the one-pass distribution
     profile (per-bucket counts + mass share), fixed [0, 60000) domain."""
@@ -2265,6 +2304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "funnel_conversion": q_funnel_conversion,
         "price_histogram": q_price_histogram,
+        "bitmap_distinct_rollup": q_bitmap_distinct_rollup,
+        "variant_props": q_variant_props,
         "cohort_retention": q_cohort_retention,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -2425,6 +2466,21 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) * 1.0
                          / greatest(len(c.grams), 1) > 0.3 AS is_contaminated
             FROM corpus_g c LEFT JOIN hits h USING (doc_id)
+        """,
+        "bitmap_distinct_rollup": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "variant_props": """
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   round(avg(k), 4) AS avg_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "price_histogram": """
             -- width_bucket(x, 0, 60000, 12) emulated (absent in DuckDB 1.0)
