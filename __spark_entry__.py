@@ -2281,11 +2281,42 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 
 
+def _previously_stamped() -> set:
+    """Query names already green in any CORRECTNESS_r*.json beside this file.
+
+    The per-round driver stamps a bounded prefix of the declared queries, so
+    ``queries()`` floats never-stamped (or previously-failing) entries to the
+    front each round until every one has a green row on record.
+    """
+    import glob as _glob
+    import json as _json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen = set()
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec = _json.load(f)
+        except Exception:
+            continue
+        for name, r in rec.items():
+            if isinstance(r, dict) and r.get("err") is None and r.get("rows_match"):
+                seen.add(name)
+    return seen
+
+
+def _stamp_order(q: dict) -> dict:
+    done = _previously_stamped()
+    head = {k: v for k, v in q.items() if k not in done}
+    tail = {k: v for k, v in q.items() if k in done}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so queries NOT yet stamped in CORRECTNESS_r01.json run first
-    # (the round-1 driver run covered only the first 50 declared entries);
-    # new round-2 queries lead.
-    return {
+    # Declared order is importance order; _stamp_order floats entries that
+    # have no green CORRECTNESS row yet to the front (the driver stamps a
+    # bounded prefix per round).
+    return _stamp_order({
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2415,7 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
-    }
+    })
 
 
 def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
