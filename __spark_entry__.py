@@ -2277,6 +2277,109 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery over a dim chain): cheapest
+    supplier per qualifying part, supply cost derived from lineitem unit
+    prices (testdata has no partsupp).  The min-per-part is a single
+    window aggregate over the candidate set — no self-join recompute —
+    and every dimension side (part/supplier/nation/region) broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supplycost"
+        )
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where("p_type = 'LARGE' AND p_size <= 10")
+        .select("p_partkey", "p_type")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").where("r_name = 'EUROPE'").select("r_regionkey")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(euro_supp), ps["l_suppkey"] == euro_supp["s_suppkey"])
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "supplycost")
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("_min_cost"))
+        .drop("_min_cost")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar-subquery HAVING): per-part inventory value
+    restricted to one region's suppliers, kept only when above a fixed
+    fraction of the grand total.  The total is a 1-row broadcast cross
+    join — the grouped aggregate is computed once and reused."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .where("n_regionkey = 2")
+        .select("n_nationkey")
+    )
+    asia_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(asia_supp), li["l_suppkey"] == asia_supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_val"))
+    )
+    total = v.agg((F.sum("_val") * F.lit(0.001)).alias("_cutoff"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("_val") > F.col("_cutoff"))
+        .select("l_partkey", F.round("_val", 2).alias("part_value"))
+    )
+
+
+def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-joins with an aggregated per-key
+    threshold): suppliers that shipped >30% of a 'red%' part's 1997
+    volume, surfaced as a LEFT SEMI join against supplier — the
+    candidate-supplier set stays distributed end to end."""
+    li97 = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = (
+        _t(spark, sf_dir, "part")
+        .where("p_name LIKE 'red%'")
+        .select("p_partkey")
+    )
+    red_li = li97.join(F.broadcast(red), li97["l_partkey"] == red["p_partkey"]).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_ps = red_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q_ps")
+    )
+    w = W.partitionBy("l_partkey")
+    cand = (
+        per_ps.withColumn("_thresh", F.sum("q_ps").over(w) * F.lit(0.3))
+        .where(F.col("q_ps") > F.col("_thresh"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2337,6 +2440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "bitmap_distinct_rollup": q_bitmap_distinct_rollup,
         "variant_props": q_variant_props,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q20_promo_shippers": q20_promo_shippers,
         "cohort_retention": q_cohort_retention,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -2512,6 +2618,59 @@ def oracle_sql() -> dict[str, str]:
                          CAST(json_extract(props, '$.k') AS INTEGER) AS k
                   FROM events)
             GROUP BY event_type
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     round(avg(l_extendedprice / l_quantity), 4) AS supplycost
+              FROM lineitem GROUP BY 1, 2
+            ), cand AS (
+              SELECT p.p_partkey, p.p_type, s.s_name, s.s_acctbal,
+                     n.n_name, ps.supplycost
+              FROM ps
+              JOIN part p ON ps.l_partkey = p.p_partkey
+              JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size <= 10
+            )
+            SELECT * FROM cand c
+            WHERE supplycost = (SELECT min(supplycost) FROM cand c2
+                                WHERE c2.p_partkey = c.p_partkey)
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l.l_partkey,
+                     sum(l.l_extendedprice * (1 - l.l_discount)) AS val
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = 2
+              GROUP BY 1
+            )
+            SELECT l_partkey, round(val, 2) AS part_value FROM v
+            WHERE val > (SELECT sum(val) * 0.001 FROM v)
+        """,
+        "q20_promo_shippers": """
+            WITH li97 AS (
+              SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+              WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            ), per_ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS q_ps
+              FROM li97 GROUP BY 1, 2
+            ), per_p AS (
+              SELECT l_partkey, sum(l_quantity) * 0.3 AS thresh
+              FROM li97 GROUP BY 1
+            ), cand AS (
+              SELECT DISTINCT per_ps.l_suppkey
+              FROM per_ps
+              JOIN part p ON per_ps.l_partkey = p.p_partkey
+              JOIN per_p ON per_ps.l_partkey = per_p.l_partkey
+              WHERE p.p_name LIKE 'red%' AND per_ps.q_ps > per_p.thresh
+            )
+            SELECT s.s_name, n.n_name FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_suppkey IN (SELECT l_suppkey FROM cand)
         """,
         "price_histogram": """
             -- width_bucket(x, 0, 60000, 12) emulated (absent in DuckDB 1.0)
