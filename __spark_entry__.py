@@ -2380,6 +2380,51 @@ def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier trade graph (edges from
+    orders |x| lineitem, both directions, string-prefixed ids to keep the
+    two key spaces disjoint).  3 fixed power iterations with dangling-mass
+    redistribution — deterministic, so the oracle is the same iteration
+    unrolled in SQL.  Iterative-distributed evidence tier alongside
+    connected components (operators/components.py:pagerank)."""
+    from smartpy_arc_spark.operators.components import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join correctness evidence: the salted join
+    (operators/scale.py:salted_join — small side exploded x8, big side
+    scattered over 8 salt buckets) must be *semantically invisible*; the
+    oracle is the plain unsalted join.  This is the manual hot-key path for
+    when AQE skew splitting can't apply."""
+    from smartpy_arc_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_join(li, supp, "l_suppkey", "s_suppkey", salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2443,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q11_important_parts": q11_important_parts,
         "q20_promo_shippers": q20_promo_shippers,
+        "pagerank_influence": q_pagerank_influence,
+        "salted_join_revenue": q_salted_join_revenue,
         "cohort_retention": q_cohort_retention,
         "q13_cust_distribution": q13_cust_distribution,
         "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -2650,6 +2697,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_partkey, round(val, 2) AS part_value FROM v
             WHERE val > (SELECT sum(val) * 0.001 FROM v)
+        """,
+        "pagerank_influence": """
+            WITH pairs AS (
+              SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), edges AS (
+              SELECT src, dst FROM pairs
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              )
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            it1 AS (
+              SELECT n.node,
+                     0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+                FROM edges e
+                JOIN r0 r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) c USING (node)
+            ), it2 AS (
+              SELECT n.node,
+                     0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+                FROM edges e
+                JOIN it1 r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) c USING (node)
+            ), it3 AS (
+              SELECT n.node,
+                     0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.c, 0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+                FROM edges e
+                JOIN it2 r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) c USING (node)
+            )
+            SELECT node, round(rank, 6) AS rank FROM it3
+        """,
+        "salted_join_revenue": """
+            SELECT s.s_nationkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey
         """,
         "q20_promo_shippers": """
             WITH li97 AS (

@@ -102,3 +102,77 @@ def dedup_clusters(
     dropped by the downstream filter."""
     comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
     return comp.withColumn("is_keeper", F.col("node") == F.col("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Distributed PageRank over an edge DataFrame: (node, rank).
+
+    Standard power iteration with dangling-mass redistribution:
+
+        r'(v) = (1-d)/N + d * ( sum_{u->v} r(u)/deg(u) + dangling/N )
+
+    Everything stays distributed: ranks and degrees are DataFrames keyed by
+    node, each round is one shuffle (the contribution groupBy) plus a 1-row
+    broadcast of the dangling-mass scalar; ``localCheckpoint`` truncates the
+    per-round lineage exactly like ``connected_components``.  The only
+    driver-side values are N (one count) — never the node set itself.
+
+    Deterministic given the edge set: no sampling, no init randomness
+    (uniform 1/N start), so a fixed-iteration run is oracle-comparable
+    against the same power iteration unrolled in SQL.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    # pre-join degree onto edges once: each round then needs a single
+    # rank-attach join instead of rank + degree joins
+    e_deg = e.join(deg, "s").localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg["s"] == ranks["node"])
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # rank mass sitting on nodes with no out-edges is redistributed
+        # uniformly (sum over an empty anti-join is null -> 0)
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

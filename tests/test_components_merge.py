@@ -95,3 +95,32 @@ def test_scd2_apply(spark):
         out.where(F.col("valid_to").isNull()).groupBy("k").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from smartpy_arc_spark.operators.components import pagerank
+
+    # a -> b -> c, c dangling: without redistribution mass leaks each round
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    pr = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    # sink of the chain accumulates the most rank
+    assert pr["c"] > pr["b"] > 0
+    assert set(pr) == {"a", "b", "c"}
+
+
+def test_pagerank_symmetric_star(spark):
+    from smartpy_arc_spark.operators.components import pagerank
+
+    # undirected star: hub h <-> 4 leaves; hub must dominate, leaves equal
+    pairs = [("h", f"l{i}") for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    pr = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    leaves = [v for k, v in pr.items() if k != "h"]
+    assert pr["h"] > max(leaves)
+    assert max(leaves) - min(leaves) < 1e-12
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
