@@ -2840,7 +2840,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT pc.w1, pc.w2, pc.n_pair,
                    round(ln((pc.n_pair / (SELECT v * 1.0 FROM n2))
                          / ((a.c / (SELECT v * 1.0 FROM n1))
-                            * (b.c / (SELECT v * 1.0 FROM n1)))), 4) AS pmi
+                            * (b.c / (SELECT v * 1.0 FROM n1)))), 4) + 0.0 AS pmi
             FROM pc
             JOIN uc a ON a.t = pc.w1
             JOIN uc b ON b.t = pc.w2

@@ -192,3 +192,81 @@ def partition_advice(
         "note": "set spark.sql.shuffle.partitions and "
                 "spark.sql.files.maxPartitionBytes; AQE coalesces the excess",
     }
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 65536,
+    num_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: build a Bloom filter over ``dim``'s keys, drop
+    fact rows that cannot match *before* the shuffle, then run the exact
+    join.
+
+    This is the manual form of Spark's runtime row-level filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``; the JVM
+    ``bloom_filter_agg`` expression is not registered for direct use):
+    at 100 TB the shuffle of the fact side dominates a selective join, and
+    a bitset membership test at the scan cuts shuffled bytes by the dim
+    side's selectivity.  False positives are eliminated by the real join
+    that follows, so the result is EXACTLY the plain join's result for
+    inner and left-semi joins — correctness never depends on the filter.
+
+    Build: each dim key sets ``num_hashes`` bit positions
+    (``pmod(xxhash64(key, seed), num_bits)``); one hash-aggregate ORs the
+    bits into 64-bit words, and only the *set* words come back to the
+    driver (bytes, not rows — the same driver-merge a native bloom build
+    does).  Probe: the dense word array ships as a broadcast literal and
+    each fact row tests its ``num_hashes`` bits with ``element_at`` +
+    bitmask — whole-stage codegen, no Python, no extra shuffle.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom prefilter preserves semantics only for inner/left_semi, got {how!r}"
+        )
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+
+    # seeds are int32 literals on BOTH sides — xxhash64 hashes (value, type),
+    # so an int seed here and a bigint seed there would build/probe
+    # different bit positions
+    positions = [
+        f"pmod(xxhash64(`{{key}}`, {i}), {num_bits})" for i in range(num_hashes)
+    ]
+
+    set_words = (
+        dim.select(
+            F.explode(
+                F.array(
+                    *[F.expr(p.format(key=dim_key)) for p in positions]
+                )
+            ).alias("pos")
+        )
+        .selectExpr(
+            "pos div 64 as word",
+            "shiftleft(1L, cast(pos % 64 as int)) as bit",
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in set_words:
+        words[r["word"]] = r["bits"]
+    bloom = F.array(*[F.lit(w).cast("long") for w in words])
+
+    probe = None
+    for p in positions:
+        pos = p.format(key=fact_key)
+        hit = F.expr(
+            f"(element_at(__bloom__, cast(({pos}) div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(({pos}) % 64 as int))) != 0"
+        )
+        probe = hit if probe is None else (probe & hit)
+    filtered = fact.withColumn("__bloom__", bloom).where(probe).drop("__bloom__")
+    return filtered.join(dim, filtered[fact_key] == dim[dim_key], how)

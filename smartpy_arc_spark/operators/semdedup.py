@@ -1,0 +1,124 @@
+"""SemDeDup: semantic deduplication via embedding clusters.
+
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication" (Abbas et al., 2023, arXiv:2303.09540) removes documents
+whose *embeddings* are near-identical even when their text is not:
+
+  1. cluster the embedding space (the paper: k-means on GPU);
+  2. within each cluster, compute pairwise cosine similarity;
+  3. for every pair above a threshold, keep one representative (the
+     paper keeps the item farthest from the centroid; this
+     implementation keeps the lowest id — deterministic and
+     engine-portable) and drop the rest.
+
+Clustering here is a single deterministic assignment pass against seed
+centroids (the ``k`` lowest-id vectors) instead of iterated Lloyd
+k-means.  That choice is what makes the operator exactly reproducible in
+any engine — the oracle replays it in SQL — while keeping the shape of
+the real algorithm: all-pairs work happens only *within* a cluster.
+Swap the seed table for a trained codebook (see ``similarity.py``'s IVF
+trainer) without touching the rest of the pipeline.
+
+Scale design (100 TB of embeddings):
+- Centroids are ``k`` rows — **broadcast**; assignment is one scan, no
+  shuffle.  k grows with the corpus (the paper uses k ≈ 11k for LAION),
+  keeping expected cluster size |C|/k bounded, so the intra-cluster
+  self-join is quadratic only in a bounded cluster width, never in the
+  corpus.
+- The self-join shuffles both sides on ``cluster`` (co-partitioned
+  equi-join) and the keep-list is an aggregate over pair rows — no
+  driver-side state anywhere.
+- Dot products are ``zip_with``/``aggregate`` higher-order functions:
+  JVM-side, vectorized, no Python in the hot path.
+
+No counterpart in the reference repo; part of the LLM-training-data
+extension surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartpy_arc_spark.operators.similarity import cosine
+
+
+def assign_clusters(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Nearest-seed-centroid assignment: centroids are the ``k`` lowest-id
+    vectors, broadcast; each row gets ``(cluster, cos_to_centroid)``.
+
+    Ties in cosine break toward the lower centroid id (deterministic).
+    """
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cents = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "__v",
+        "cent_id",
+        F.coalesce(cosine(F.col("__v"), F.col("__c")), F.lit(-2.0)).alias("cos_c"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("cent_id").alias("cluster"), F.col("cos_c")),
+            # max_by on (cos, -cent_id): highest cosine, lowest id on ties
+            F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("neg")),
+        ).alias("b"),
+        F.first("__v").alias("__v"),
+    )
+    return best.select(
+        id_col, F.col("b.cluster").alias("cluster"),
+        F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"), "__v",
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup keep/drop decisions.
+
+    Returns one row per input vector: ``(id_col, cluster, is_dup,
+    dup_of)`` where ``is_dup`` marks vectors having a *lower-id* neighbor
+    in the same cluster with cosine >= ``threshold``; ``dup_of`` is the
+    smallest such neighbor id (null for survivors).
+    """
+    assigned = assign_clusters(df, id_col=id_col, vec_col=vec_col, k=k)
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    # co-partitioned equi-join on cluster; quadratic only within a cluster
+    dup_pairs = (
+        a.join(b, "cluster")
+        .where(F.col("__idb") < F.col("__ida"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .groupBy(F.col("__ida").alias(id_col))
+        .agg(F.min("__idb").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_pairs, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

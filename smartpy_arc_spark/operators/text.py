@@ -292,6 +292,8 @@ def collocations(
         (F.col("n_pair") / F.lit(float(n2)))
         / ((F.col("c1") / F.lit(float(n1))) * (F.col("c2") / F.lit(float(n1))))
     )
+    # ``+ 0.0`` collapses IEEE -0.0 to +0.0 so the value is byte-stable
+    # across engines (DuckDB's round can yield -0.0 where the JVM's doesn't).
     return scored.select(
-        "w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi")
+        "w1", "w2", "n_pair", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )

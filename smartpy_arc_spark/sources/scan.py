@@ -67,6 +67,31 @@ def _case_insensitive_resolve(
     return out
 
 
+def normalize_event_time(df: DataFrame, col: str):
+    """Column expression normalizing an event-time column to a zoned
+    µs TIMESTAMP, whatever its physical read type:
+
+      * ``long``          — legacy nanos-as-long (parquet TIMESTAMP(NANOS)
+                            under ``spark.sql.legacy.parquet.nanosAsLong``):
+                            integer-div to µs (ns ~1.7e18 exceeds double
+                            precision, so never divide as float).
+      * ``timestamp_ntz`` — µs wall-clock with no zone: reinterpret in the
+                            session zone (UTC everywhere in this engine).
+      * ``timestamp``     — already the target type; pass through.
+
+    Keeping this dtype-driven means the same query code works against data
+    written with either timestamp encoding — the encoding changed once
+    already between test-data generations, and at 100 TB a lake realistically
+    contains a mix of both vintages.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"timestamp_micros(`{col}` div 1000)")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(col).cast("timestamp")
+    return F.col(col)
+
+
 def scan(
     spark: SparkSession,
     workspace: str,
@@ -105,12 +130,13 @@ def scan(
     """
     path = _resolve_path(workspace, class_name, fmt)
     if nanos_ts_cols:
-        # Parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond
-        # timestamp type; the legacy conf reads them as long, and we
-        # truncate to microseconds (DuckDB/pandas do the same truncation).
-        # NOTE: the conf is session-wide and intentionally not restored —
-        # get_spark() sets it globally anyway, so nanos columns always read
-        # as long engine-wide (convert explicitly via nanos_ts_cols).
+        # Event-time columns may arrive physically as parquet
+        # TIMESTAMP(NANOS) (read as long under the legacy conf — Spark has
+        # no ns timestamp type), as TIMESTAMP_NTZ (µs, no zone), or as a
+        # plain zoned TIMESTAMP, depending on how the file was written.
+        # The conf makes the nanos case deterministic; the actual
+        # normalization below is driven by the *observed* read dtype, so
+        # all three physical encodings land on the same µs TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if fmt == "parquet":
@@ -161,8 +187,7 @@ def scan(
         raise ValueError(f"unsupported format {fmt!r}")
 
     for c in nanos_ts_cols:
-        # integer div, not float: ns values ~1.7e18 exceed double precision
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        df = df.withColumn(c, normalize_event_time(df, c))
 
     # Filter first, against source column names — reference where-clauses
     # reference source fields (arc_utils.py:704-708).

@@ -21,27 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long ns
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded parquet dir as a stream source (schema must be explicit for
-    readStream; ts arrives as nanos-long and is truncated to µs)."""
+    """Bounded parquet dir as a stream source.
+
+    readStream requires an explicit schema, and the physical type of ``ts``
+    depends on the writer (TIMESTAMP(NANOS) → long under the legacy conf;
+    µs writers → timestamp_ntz).  A footer-only batch probe of the same
+    file yields the exact schema the stream reader will see — no data is
+    scanned — and ``normalize_event_time`` then converts whichever ``ts``
+    arrived into a zoned µs timestamp.
+    """
+    from smartpy_arc_spark.sources.scan import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(probe.schema)
         # readStream needs a directory; the glob narrows it to the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", normalize_event_time(raw, "ts"))
 
 
 def windowed_event_counts(

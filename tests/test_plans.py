@@ -23,6 +23,7 @@ SINGLE_PARTITION_OK = {
     "row_count",            # count(*)
     "q6_forecast_revenue",  # global sum
     "q14_promo_revenue",    # global ratio
+    "q11_important_parts",  # scalar cutoff: global sum over grouped partials
     "q15_top_supplier",     # scalar max subquery
     "q17_small_qty_revenue",  # global sum
     "q19_disjunctive_filter",  # global sum
@@ -38,6 +39,7 @@ SINGLE_PARTITION_OK = {
 # bounded by construction (scalar subqueries, fenced candidate tiers,
 # broadcast dims under non-equi conditions) — each documented in place.
 BNLJ_OK = {
+    "q11_important_parts",    # 1-row scalar cutoff broadcast cross join
     "q22_dormant_customers",  # scalar avg broadcast
     "knn_cosine",             # bounded query side broadcast
     "ivf_ann",                # bounded centroid set

@@ -59,6 +59,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
             pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=0)
         except AssertionError as e:
             problems.append("values differ: " + str(e).splitlines()[-1])
+    if not problems:
+        # Bit-level float compare: ``==`` treats -0.0 == 0.0, but the driver's
+        # value hash does not — catch sign-of-zero / NaN-payload drift here.
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]):
+                sa = a[c].to_numpy(dtype="float64").view("uint64")
+                sb = b[c].to_numpy(dtype="float64").view("uint64")
+                bad = np.nonzero(sa != sb)[0]
+                if len(bad):
+                    i = bad[0]
+                    problems.append(
+                        f"float bits differ in [{c}] at row {i}: "
+                        f"{a[c].iloc[i]!r} vs {b[c].iloc[i]!r}"
+                    )
     return problems
 
 
