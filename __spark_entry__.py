@@ -2453,6 +2453,83 @@ def _previously_stamped() -> set:
     return seen
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): hashed uni+bigram bucket
+    models for target (lang='en') vs raw (all docs), per-doc log-likelihood
+    ratio, deterministic top-50."""
+    from smartpy_arc_spark.operators.importance import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.where("lang = 'en'"), m=1024, top_k=50
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (arXiv:2107.06499 surrogate): maximal token
+    spans covered by word-8-grams occurring in >= 2 distinct documents."""
+    from smartpy_arc_spark.operators.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=8, min_docs=2)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): deterministic seed-centroid clusters
+    (k=8 lowest vec_ids), intra-cluster cosine >= 0.35 marks the higher id
+    a duplicate of its lowest-id neighbor."""
+    from smartpy_arc_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, threshold=0.35)
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: fact rows that cannot match the filtered
+    dim side are dropped at the scan (bitset membership in codegen) before
+    the exact join; result is identical to the plain join."""
+    from smartpy_arc_spark.operators.scale import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    joined = bloom_prefilter_join(
+        li, dim, fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar wire format: write a lineitem projection as ORC,
+    read it back through scan(fmt='orc'), aggregate — proving the scan
+    path (projection, filters) is format-agnostic."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_orc_ws")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").orc(os.path.join(d, "li_slice.orc"))
+    back = scan(spark, d, "li_slice", fmt="orc")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -2465,6 +2542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have no green CORRECTNESS row yet to the front (the driver stamps a
     # bounded prefix per round).
     return _stamp_order({
+        "dsir_weights": q_dsir_weights,
+        "duplicate_spans": q_duplicate_spans,
+        "semdedup": q_semdedup,
+        "bloom_join": q_bloom_join,
+        "orc_roundtrip": q_orc_roundtrip,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2614,6 +2696,136 @@ def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang,
+                       unnest(w || CASE WHEN len(w) >= 2
+                           THEN [array_to_string(w[i:i+1], ' ')
+                                 for i in generate_series(1, len(w) - 1)]
+                           ELSE [] END) AS g
+                FROM toks
+            ), b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024
+                           AS bucket
+                FROM grams
+            ), qc AS (
+                SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+            ), pc AS (
+                SELECT bucket, count(*) AS n FROM b WHERE lang = 'en'
+                GROUP BY bucket
+            ), qt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM qc),
+               pt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM pc),
+            wt AS (
+                SELECT COALESCE(pc.bucket, qc.bucket) AS bucket,
+                       ln((COALESCE(pc.n, 0) + 1.0)
+                          / ((SELECT t FROM pt) + 1024.0))
+                       - ln((COALESCE(qc.n, 0) + 1.0)
+                            / ((SELECT t FROM qt) + 1024.0)) AS w
+                FROM pc FULL OUTER JOIN qc USING (bucket)
+            ), db AS (
+                SELECT doc_id, bucket, count(*) AS c
+                FROM b GROUP BY doc_id, bucket
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+                   round(sum(c * w), 4) + 0.0 AS weight
+            FROM db JOIN wt USING (bucket)
+            GROUP BY doc_id
+            ORDER BY weight DESC, doc_id
+            LIMIT 50
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, u.p AS pos, u.g AS gram
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(w) >= 8
+                               THEN [{'p': i,
+                                      'g': array_to_string(w[i:i+7], ' ')}
+                                     for i in generate_series(1, len(w) - 7)]
+                               ELSE [] END) AS u
+                    FROM toks
+                )
+            ), dup AS (
+                SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dp AS (
+                SELECT doc_id, pos FROM grams JOIN dup USING (gram)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 1
+                            THEN 1 ELSE 0 END AS ni
+                FROM dp
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS span_start,
+                   CAST(max(pos) + 7 AS INTEGER) AS span_end,
+                   CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER)
+                       AS span_tokens
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        "semdedup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), cents AS (
+                SELECT vec_id AS cent_id, v AS c FROM e
+                ORDER BY vec_id LIMIT 8
+            ), scored AS (
+                SELECT e.vec_id, cents.cent_id,
+                       COALESCE(list_cosine_similarity(e.v, cents.c), -2.0)
+                           AS cos_c,
+                       e.v
+                FROM e CROSS JOIN cents
+            ), best AS (
+                SELECT vec_id, cent_id AS cluster, v FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY cos_c DESC, cent_id) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ), pairs AS (
+                SELECT a.vec_id, min(b.vec_id) AS dup_of
+                FROM best a JOIN best b
+                  ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                 AND list_cosine_similarity(a.v, b.v) >= 0.35
+                GROUP BY a.vec_id
+            )
+            SELECT best.vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   p.dup_of IS NOT NULL AS is_dup, p.dup_of
+            FROM best LEFT JOIN pairs p USING (vec_id)
+        """,
+        "bloom_join": """
+            SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_linestatus
+        """,
+        "orc_roundtrip": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "zorder_code": f"""
             SELECT l_orderkey AS okey, l_linenumber AS lineno,
                    CAST({_morton_sql('l_partkey % 256', 'l_suppkey % 256')}

@@ -143,9 +143,11 @@ def dsir_importance_weights(
     )
     scored = per_bucket.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_features"),
-        F.round(F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0.0))), 4).alias(
-            "weight"
-        ),
+        # + 0.0 collapses IEEE -0.0 so the rounded value is byte-stable
+        (
+            F.round(F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0.0))), 4)
+            + F.lit(0.0)
+        ).alias("weight"),
     )
     if top_k is not None:
         scored = (

@@ -24,6 +24,7 @@ SINGLE_PARTITION_OK = {
     "q6_forecast_revenue",  # global sum
     "q14_promo_revenue",    # global ratio
     "q11_important_parts",  # scalar cutoff: global sum over grouped partials
+    "dsir_weights",         # corpus-total scalars: global sums over m-row bucket tables
     "q15_top_supplier",     # scalar max subquery
     "q17_small_qty_revenue",  # global sum
     "q19_disjunctive_filter",  # global sum
@@ -39,6 +40,8 @@ SINGLE_PARTITION_OK = {
 # bounded by construction (scalar subqueries, fenced candidate tiers,
 # broadcast dims under non-equi conditions) — each documented in place.
 BNLJ_OK = {
+    "dsir_weights",           # 1-row corpus-total broadcast cross joins
+    "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
     "q11_important_parts",    # 1-row scalar cutoff broadcast cross join
     "q22_dormant_customers",  # scalar avg broadcast
     "knn_cosine",             # bounded query side broadcast

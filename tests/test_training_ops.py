@@ -1,0 +1,181 @@
+"""Unit tests for the round-3 training-data operators: DSIR importance
+weights, duplicate-span detection, SemDeDup, bloom-prefilter join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- DSIR
+
+def test_dsir_prefers_target_like_docs(spark):
+    from smartpy_arc_spark.operators.importance import dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox and the lazy dog again"),
+            (3, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(raw, target, m=256).collect()
+    }
+    # exact target match outranks partial overlap outranks disjoint junk
+    assert out[1] > out[2] > out[3]
+
+
+def test_dsir_top_k_cut_is_deterministic(spark):
+    from smartpy_arc_spark.operators.importance import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(i, "same text every row") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = dsir_importance_weights(raw, raw, m=64, top_k=3).collect()
+    # identical weights -> tie broken by doc_id ascending
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+# ------------------------------------------------- duplicate spans
+
+def test_duplicate_spans_exact_boundaries(spark):
+    from smartpy_arc_spark.operators.spans import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " x y z"),
+            (2, shared + " p q"),
+            (3, "totally unrelated words that never repeat anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicate_spans(docs, n=8, min_docs=2).collect()
+    }
+    # doc 1: shared block occupies tokens 4..13
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (4, 13)
+    # doc 2: tokens 1..10
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (1, 10)
+    assert rows[1]["span_tokens"] == 10
+    assert 3 not in rows
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from smartpy_arc_spark.operators.spans import duplicate_spans
+
+    # 12 shared tokens -> five overlapping 8-gram windows -> ONE span
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, "pad " + shared)],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, n=8, min_docs=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 1 for v in per_doc.values())
+    assert per_doc[1][0]["span_tokens"] == 12
+
+
+def test_duplicate_spans_rejects_small_n(spark):
+    from smartpy_arc_spark.operators.spans import duplicate_spans
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, n=1)
+
+
+# ------------------------------------------------------- SemDeDup
+
+def test_semdedup_marks_exact_and_near_duplicates(spark):
+    from smartpy_arc_spark.operators.semdedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),       # exact dup of 0
+        (3, [0.99, 0.14, 0.0]),     # near dup of 0 (cos ~ 0.99)
+        (4, [0.0, -1.0, 0.0]),      # anti-parallel to 1: not a dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, threshold=0.95).collect()}
+    assert not out[0]["is_dup"]
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 0
+    assert out[3]["is_dup"] and out[3]["dup_of"] == 0
+    assert not out[1]["is_dup"]
+    assert not out[4]["is_dup"] and out[4]["dup_of"] is None
+
+
+def test_semdedup_cluster_assignment_is_nearest_seed(spark):
+    from smartpy_arc_spark.operators.semdedup import assign_clusters
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # nearer seed 0
+        (3, [0.1, 0.9]),   # nearer seed 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, k=2).collect()
+    }
+    assert out[2] == 0 and out[3] == 1
+    # seeds belong to their own cluster
+    assert out[0] == 0 and out[1] == 1
+
+
+# --------------------------------------------- bloom prefilter join
+
+def test_bloom_join_equals_plain_join(spark, sf_dir):
+    from smartpy_arc_spark.operators.scale import bloom_prefilter_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = orders.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    got = bloom_prefilter_join(
+        li, dim, fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    want = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_bloom_join_left_semi_and_bad_how(spark):
+    from smartpy_arc_spark.operators.scale import bloom_prefilter_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(2,), (3,)], "dk long")
+    out = bloom_prefilter_join(
+        fact, dim, fact_key="k", dim_key="dk", how="left_semi"
+    )
+    assert sorted(r["k"] for r in out.collect()) == [2, 3]
+    assert out.columns == ["k", "v"]
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(fact, dim, fact_key="k", dim_key="dk", how="left")
+
+
+def test_bloom_filter_actually_filters(spark):
+    """The bitset probe must reject (almost all) non-member keys before the
+    join — build from a tiny dim, probe a disjoint fact, expect the
+    pre-filter to keep ~0 rows (false-positive rate, not 100%)."""
+    from smartpy_arc_spark.operators.scale import bloom_prefilter_join
+
+    dim = spark.createDataFrame([(i,) for i in range(10)], "dk long")
+    fact = spark.createDataFrame(
+        [(i, 1.0) for i in range(10_000, 20_000)], "k long, v double"
+    )
+    out = bloom_prefilter_join(fact, dim, fact_key="k", dim_key="dk")
+    assert out.count() == 0
