@@ -2530,6 +2530,26 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (arXiv:1911.00359): char-trigram LM
+    counted on the lang='en' slice, per-doc cross-entropy, tertile cuts."""
+    from smartpy_arc_spark.operators.perplexity import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, docs.where("lang = 'en'"))
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap: keep the 15 longest docs per source
+    (n_chars desc, doc_id tiebreak) so no source dominates the mix."""
+    from smartpy_arc_spark.operators.sample import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(
+        docs, "source", cap=15, order_by=[F.desc("n_chars")], id_col="doc_id"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -2547,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bloom_join": q_bloom_join,
         "orc_roundtrip": q_orc_roundtrip,
+        "perplexity_buckets": q_perplexity_buckets,
+        "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2811,6 +2833,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT best.vec_id, CAST(cluster AS BIGINT) AS cluster,
                    p.dup_of IS NOT NULL AS is_dup, p.dup_of
             FROM best LEFT JOIN pairs p USING (vec_id)
+        """,
+        "perplexity_buckets": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ), tris AS (
+                SELECT doc_id, lang,
+                       unnest(CASE WHEN len(t) >= 3
+                           THEN [substr(t, CAST(i AS INTEGER), 3)
+                                 for i in generate_series(1, len(t) - 2)]
+                           ELSE [] END) AS tri
+                FROM norm
+            ), lm AS (
+                SELECT tri, count(*) AS n FROM tris WHERE lang = 'en'
+                GROUP BY tri
+            ), vt AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS total,
+                       CAST(count(*) AS DOUBLE) AS vocab
+                FROM lm
+            ), scored AS (
+                SELECT tris.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_trigrams,
+                       round(-sum(COALESCE(
+                           ln((lm.n + 1.0)
+                              / ((SELECT total FROM vt)
+                                 + (SELECT vocab FROM vt) + 1.0)),
+                           ln(1.0 / ((SELECT total FROM vt)
+                                     + (SELECT vocab FROM vt) + 1.0))
+                       )) / count(*), 4) + 0.0 AS cross_entropy
+                FROM tris LEFT JOIN lm USING (tri)
+                GROUP BY tris.doc_id
+            ), cuts AS (
+                SELECT quantile_cont(cross_entropy, 1.0/3.0) AS head_cut,
+                       quantile_cont(cross_entropy, 2.0/3.0) AS tail_cut
+                FROM scored
+            )
+            SELECT doc_id, n_trigrams, cross_entropy,
+                   CASE WHEN cross_entropy <= (SELECT head_cut FROM cuts)
+                        THEN 'head'
+                        WHEN cross_entropy <= (SELECT tail_cut FROM cuts)
+                        THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 15
         """,
         "bloom_join": """
             SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_items,

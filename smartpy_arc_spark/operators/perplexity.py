@@ -1,0 +1,135 @@
+"""CCNet-style perplexity scoring and bucketing (char-trigram LM).
+
+CCNet (Wenzek et al., LREC 2020, arXiv:1911.00359) ranks crawl documents
+by the perplexity of a language model trained on a clean reference
+corpus (the paper: KenLM 5-gram on Wikipedia) and splits the corpus into
+head/middle/tail tertiles — head feeds training, tail is discarded.
+
+This operator reproduces that shape with an engine-portable model: a
+Laplace-smoothed character-trigram LM "trained" (counted) on a reference
+subset of the corpus itself, scored as per-character cross-entropy.
+Swap the count table for real KenLM scores via a Pandas UDF if the
+binary model is available; the bucketing machinery is unchanged.
+
+Scale design (100 TB):
+- The LM is a bounded count table (|charset|³ rows max, in practice far
+  fewer), built with one aggregate over the reference slice and
+  **broadcast** for scoring — the corpus never shuffles to be scored.
+- Scoring explodes each doc into its trigrams but aggregates straight
+  back to one row per doc (map-side partial agg bounds the shuffle at
+  O(#docs)); the trigram extraction is substring/transform built-ins in
+  whole-stage codegen, no Python anywhere.
+- The tertile split uses exact global percentiles of the per-doc score
+  (one scalar aggregate); at the 100 TB tier swap in
+  ``approx_percentile`` — the cut points are statistics, not semantics.
+
+No counterpart in the reference repo; part of the LLM-training-data
+extension surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_trigrams(text: Column) -> Column:
+    """Array of character trigrams of ``lower(text)`` (whitespace
+    collapsed to single spaces so layout doesn't shift the distribution).
+    Documents shorter than 3 chars yield an empty array."""
+    t = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def perplexity_buckets(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head: float = 1.0 / 3.0,
+    tail: float = 2.0 / 3.0,
+) -> DataFrame:
+    """Per-document cross-entropy under a reference char-trigram LM, with
+    CCNet head/middle/tail bucketing at the ``head``/``tail`` quantiles.
+
+    Returns ``(id_col, n_trigrams, cross_entropy, bucket)``;
+    ``cross_entropy`` is mean negative log-probability per trigram
+    (rounded to 4), lower = more reference-like; ``bucket`` is
+    'head' | 'middle' | 'tail' (ties at a cut point go to the better
+    bucket, matching SQL ``<=`` semantics).
+    """
+    lm = (
+        reference.select(
+            F.explode(char_trigrams(F.col(text_col))).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab_total = lm.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab")
+    )
+    # log P(tri) = ln((n+1)/(total+vocab+1)); unseen trigrams share one
+    # floor probability.  +1 in the denominator accounts for the single
+    # merged "unseen" event so probabilities stay normalizable.
+    lm_probs = lm.crossJoin(F.broadcast(vocab_total)).select(
+        "tri",
+        F.log(
+            (F.col("n") + F.lit(1.0))
+            / (F.col("total") + F.col("vocab") + F.lit(1.0))
+        ).alias("logp"),
+    )
+
+    per_tri = corpus.select(
+        F.col(id_col),
+        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    scored = (
+        per_tri.join(F.broadcast(lm_probs), "tri", "left")
+        .crossJoin(F.broadcast(vocab_total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            (
+                F.round(
+                    -F.sum(
+                        F.coalesce(
+                            F.col("logp"),
+                            F.log(
+                                F.lit(1.0)
+                                / (F.col("total") + F.col("vocab") + F.lit(1.0))
+                            ),
+                        )
+                    )
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cross_entropy"),
+        )
+    )
+    cuts = scored.agg(
+        F.expr(
+            f"percentile(cross_entropy, array({head}, {tail}))"
+        ).alias("c")
+    ).select(
+        F.col("c")[0].alias("head_cut"), F.col("c")[1].alias("tail_cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_trigrams",
+            "cross_entropy",
+            F.when(F.col("cross_entropy") <= F.col("head_cut"), "head")
+            .when(F.col("cross_entropy") <= F.col("tail_cut"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -78,3 +78,38 @@ def content_hash_sample(
         raise ValueError("sixteenths must be in 1..16")
     digits = [format(i, "x") for i in range(sixteenths)]
     return df.where(F.substring(F.md5(F.col(col)), 1, 1).isin(digits))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    *,
+    cap: int,
+    order_by: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` rows per group —
+    the standard guard against a single domain dominating a training mix
+    (every public corpus recipe caps per-host/per-domain contributions).
+
+    Rows within a group are ranked by ``order_by`` (default: ``id_col``,
+    i.e. keep the earliest ids) with ``id_col`` always appended as the
+    final tiebreak so the cut is total and deterministic in any engine.
+
+    One shuffle on ``group_col``; the rank window's state is a single
+    counter per group.  Skew note: a pathologically hot group still
+    lands on one task — at 100 TB pre-aggregate extreme groups or raise
+    ``spark.sql.shuffle.partitions`` so the hot task fits; the window
+    itself never materializes the group.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(c) if isinstance(c, str) else c for c in (order_by or [])
+    ] + [F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -25,6 +25,7 @@ SINGLE_PARTITION_OK = {
     "q14_promo_revenue",    # global ratio
     "q11_important_parts",  # scalar cutoff: global sum over grouped partials
     "dsir_weights",         # corpus-total scalars: global sums over m-row bucket tables
+    "perplexity_buckets",   # LM-total scalar + global percentile cut points
     "q15_top_supplier",     # scalar max subquery
     "q17_small_qty_revenue",  # global sum
     "q19_disjunctive_filter",  # global sum
@@ -42,6 +43,7 @@ SINGLE_PARTITION_OK = {
 BNLJ_OK = {
     "dsir_weights",           # 1-row corpus-total broadcast cross joins
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
+    "perplexity_buckets",     # 1-row LM-total / cut-point broadcast cross joins
     "q11_important_parts",    # 1-row scalar cutoff broadcast cross join
     "q22_dormant_customers",  # scalar avg broadcast
     "knn_cosine",             # bounded query side broadcast

@@ -179,3 +179,68 @@ def test_bloom_filter_actually_filters(spark):
     )
     out = bloom_prefilter_join(fact, dim, fact_key="k", dim_key="dk")
     assert out.count() == 0
+
+
+# ------------------------------------------- CCNet perplexity buckets
+
+def test_perplexity_ranks_reference_like_docs_lower(spark):
+    from smartpy_arc_spark.operators.perplexity import perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog sat too") for i in range(3)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # reference-like
+            (2, "the dog sat on the cat mat"),    # reference-like
+            (3, "xqz jvw pff bbq zzz kkk qqq"),   # alien trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in perplexity_buckets(corpus, ref).collect()}
+    assert out[1]["cross_entropy"] < out[3]["cross_entropy"]
+    assert out[3]["bucket"] == "tail"
+    assert out[1]["bucket"] == "head"
+
+
+def test_perplexity_short_doc_yields_no_trigram_rows(spark):
+    from smartpy_arc_spark.operators.perplexity import perplexity_buckets
+
+    corpus = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame([(9, "abcdef")], "doc_id long, text string")
+    out = perplexity_buckets(corpus, ref).collect()
+    # doc 1 has no trigrams -> no row (inner-agg over exploded trigrams)
+    assert sorted(r["doc_id"] for r in out) == [2]
+
+
+# ---------------------------------------------------- per-group cap
+
+def test_cap_per_group_keeps_top_by_order(spark):
+    from smartpy_arc_spark.operators.sample import cap_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i * 10) for i in range(8)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = cap_per_group(
+        df, "source", cap=2, order_by=[F.desc("n_chars")], id_col="doc_id"
+    ).collect()
+    kept = {r["source"]: sorted(r2["doc_id"] for r2 in out if r2["source"] == r["source"]) for r in out}
+    assert kept["a"] == [3, 4]   # two largest n_chars in group a
+    assert kept["b"] == [6, 7]
+
+
+def test_cap_per_group_deterministic_on_ties(spark):
+    from smartpy_arc_spark.operators.sample import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(6)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = cap_per_group(df, "source", cap=3).collect()
+    # all n_chars tie -> id tiebreak keeps lowest ids
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
