@@ -132,22 +132,25 @@ def dsir_importance_weights(
         )
     )
 
-    per_bucket = (
+    # Score per gram OCCURRENCE (sum of w over occurrences == sum of
+    # count*w over buckets): explode -> broadcast weight lookup -> ONE
+    # groupBy(doc).  Map-side partial aggregation bounds the only corpus
+    # shuffle at O(#docs); there is no intermediate (doc, bucket) shuffle.
+    scored = (
         raw.select(
             F.col(id_col),
             F.explode(hashed_ngram_features(F.col(text_col), m=m)).alias("bucket"),
         )
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("c"))
         .join(F.broadcast(weights), "bucket", "left")
-    )
-    scored = per_bucket.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("n_features"),
-        # + 0.0 collapses IEEE -0.0 so the rounded value is byte-stable
-        (
-            F.round(F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0.0))), 4)
-            + F.lit(0.0)
-        ).alias("weight"),
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            # + 0.0 collapses IEEE -0.0 so the rounded value is byte-stable
+            (
+                F.round(F.sum(F.coalesce(F.col("w"), F.lit(0.0))), 4)
+                + F.lit(0.0)
+            ).alias("weight"),
+        )
     )
     if top_k is not None:
         scored = (

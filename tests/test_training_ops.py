@@ -244,3 +244,64 @@ def test_cap_per_group_deterministic_on_ties(spark):
     out = cap_per_group(df, "source", cap=3).collect()
     # all n_chars tie -> id tiebreak keeps lowest ids
     assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+# ------------------------------------------ plan-shape evidence (scale)
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dsir_scoring_join_is_broadcast_single_corpus_shuffle(spark, sf_dir):
+    """The corpus is exploded and scored via a BROADCAST weight lookup;
+    the only hashpartitioning of corpus-derived rows is the final
+    groupBy(doc_id) — no intermediate (doc, bucket) shuffle."""
+    from smartpy_arc_spark.operators.importance import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dsir_importance_weights(docs, docs.where("lang = 'en'"), m=256))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(doc_id") == 1
+
+
+def test_perplexity_lm_is_broadcast(spark, sf_dir):
+    from smartpy_arc_spark.operators.perplexity import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(perplexity_buckets(docs, docs.where("lang = 'en'")))
+    # trigram LM lookup must be a broadcast hash join, never a shuffle of
+    # the exploded corpus against the LM
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_filters_before_join(spark, sf_dir):
+    """The bitset membership test must appear as a Filter on the fact scan
+    (pre-shuffle), and the join itself must not be nested-loop."""
+    from smartpy_arc_spark.operators.scale import bloom_prefilter_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    plan = _plan(
+        bloom_prefilter_join(li, dim, fact_key="l_orderkey", dim_key="o_orderkey")
+    )
+    assert "element_at" in plan          # the probe expression, in codegen
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_grams_travel_as_int64(spark, sf_dir):
+    """Shuffle width evidence: after explode, gram STRINGS must not cross
+    the wire — the plan's exchanges carry only the 64-bit hash."""
+    from smartpy_arc_spark.operators.spans import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(duplicate_spans(docs, n=8))
+    assert "xxhash64" in plan
+    assert "gram_h" in plan and "gram#" not in plan
