@@ -2550,6 +2550,28 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mix allocation (alpha=0.5) of a
+    100k-char budget across sources, capped at one epoch per source."""
+    from smartpy_arc_spark.operators.sample import mixture_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_allocation(
+        docs, "source", "n_chars", budget=100_000, alpha=0.5
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned over the corpus (arXiv:1508.07909):
+    per-round global pair count, deterministic tiebreak, row-local
+    HOF merge fold.  No SQL oracle (iterative, k-dependent rounds);
+    determinism + correctness pinned by unit tests on a known corpus."""
+    from smartpy_arc_spark.operators.bpe import bpe_merges_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(docs, n_merges=8)
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -2569,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "perplexity_buckets": q_perplexity_buckets,
         "domain_cap": q_domain_cap,
+        "mixture_allocation": q_mixture_allocation,
+        "bpe_merges": q_bpe_merges,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2877,6 +2901,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "mixture_allocation": """
+            WITH sizes AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), z AS (
+                SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM sizes
+            )
+            SELECT source, n_tokens,
+                   round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+                         / (SELECT z FROM z), 6) + 0.0 AS weight,
+                   CAST(floor(least(
+                       CAST(n_tokens AS DOUBLE),
+                       100000.0 * pow(CAST(n_tokens AS DOUBLE), 0.5)
+                           / (SELECT z FROM z))) AS BIGINT) AS alloc_tokens,
+                   round(CAST(floor(least(
+                       CAST(n_tokens AS DOUBLE),
+                       100000.0 * pow(CAST(n_tokens AS DOUBLE), 0.5)
+                           / (SELECT z FROM z))) AS BIGINT)
+                         / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS epochs
+            FROM sizes
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

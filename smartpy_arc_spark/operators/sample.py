@@ -113,3 +113,61 @@ def cap_per_group(
         .where(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    *,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based training-mix allocation: source ``i`` gets
+    sampling probability ``p_i ∝ n_i^alpha`` (the multilingual-corpus
+    rebalancing rule of mBERT/XLM-R/mT5; ``alpha=1`` is proportional,
+    ``alpha→0`` uniform), then an expected token allocation
+    ``min(n_i, budget · p_i)`` — the cap keeps a source from being
+    over-sampled past one epoch in a single pass.
+
+    Returns one row per group: ``(group_col, n_tokens, weight,
+    alloc_tokens, epochs)`` — ``weight`` the normalized probability,
+    ``epochs`` the implied repeat rate ``alloc/n`` (rounded to 4).
+
+    One hash aggregate to per-group sizes (map-side combined), one
+    1-row scalar for the normalizer, broadcast back: the detail table
+    is touched once regardless of corpus size.
+    """
+    sizes = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("long").alias("n_tokens")
+    )
+    z = sizes.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n_tokens",
+            (F.round(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z"),
+                6,
+            ) + F.lit(0.0)).alias("weight"),
+            # floor, not cast: double->long casts truncate in Spark but
+            # round in other engines; floor is unambiguous everywhere
+            F.floor(
+                F.least(
+                    F.col("n_tokens").cast("double"),
+                    F.lit(float(budget))
+                    * F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                    / F.col("z"),
+                )
+            ).cast("long").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            (F.round(
+                F.col("alloc_tokens") / F.col("n_tokens").cast("double"), 4
+            ) + F.lit(0.0)),
+        )
+    )

@@ -305,3 +305,68 @@ def test_duplicate_spans_grams_travel_as_int64(spark, sf_dir):
     plan = _plan(duplicate_spans(docs, n=8))
     assert "xxhash64" in plan
     assert "gram_h" in plan and "gram#" not in plan
+
+
+# -------------------------------------------------- BPE merge learning
+
+def test_bpe_learns_reference_merges(spark):
+    """Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
+    widest:3} learns es, est, lo, low as the first four merges."""
+    from smartpy_arc_spark.operators.bpe import learn_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=4)
+    assert merges == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+
+def test_bpe_merge_fold_is_leftmost_greedy(spark):
+    from smartpy_arc_spark.operators.bpe import _merge_pair
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).collect()
+    assert out[0]["m"] == ["aa", "a"]
+
+
+def test_bpe_stops_when_no_pair_repeats(spark):
+    from smartpy_arc_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    merges = learn_bpe_merges(df, n_merges=10)
+    assert merges == []   # every pair occurs once -> below min count 2
+
+
+# ---------------------------------------------- mixture allocation
+
+def test_mixture_allocation_temperature_and_cap(spark):
+    from smartpy_arc_spark.operators.sample import mixture_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 400)], "source string, n long"
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_allocation(
+            df, "source", "n", budget=30, alpha=0.5
+        ).collect()
+    }
+    # sqrt sizes 10, 20 -> weights 1/3, 2/3; allocs 10, 20; no cap hit
+    assert out["a"]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["a"]["alloc_tokens"] == 10 and out["b"]["alloc_tokens"] == 20
+    assert out["a"]["epochs"] == pytest.approx(0.1)
+    # huge budget -> every source capped at one epoch
+    capped = {
+        r["source"]: r["alloc_tokens"]
+        for r in mixture_allocation(
+            df, "source", "n", budget=10**9, alpha=0.5
+        ).collect()
+    }
+    assert capped == {"a": 100, "b": 400}
