@@ -2550,6 +2550,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-cut substring dedup: re-emit every document with its
+    cross-document duplicated 8-gram spans removed."""
+    from smartpy_arc_spark.operators.spans import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=8, min_docs=2)
+
+
 def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mix allocation (alpha=0.5) of a
     100k-char budget across sources, capped at one epoch per source."""
@@ -2593,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "mixture_allocation": q_mixture_allocation,
         "bpe_merges": q_bpe_merges,
+        "remove_spans": q_remove_spans,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2901,6 +2911,62 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "remove_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, u.p AS pos, u.g AS gram
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(w) >= 8
+                               THEN [{'p': i,
+                                      'g': array_to_string(w[i:i+7], ' ')}
+                                     for i in generate_series(1, len(w) - 7)]
+                               ELSE [] END) AS u
+                    FROM toks
+                )
+            ), dup AS (
+                SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dp AS (
+                SELECT doc_id, pos FROM grams JOIN dup USING (gram)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 1
+                            THEN 1 ELSE 0 END AS ni
+                FROM dp
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), cut AS (
+                SELECT doc_id, list({'s': s, 'e': e}) AS sp
+                FROM spans GROUP BY doc_id
+            ), kept AS (
+                SELECT t.doc_id, t.w,
+                       [t.w[CAST(i AS INTEGER)]
+                        for i in generate_series(1, len(t.w))
+                        if len(list_filter(COALESCE(c.sp, []),
+                               p -> i >= p.s AND i <= p.e)) = 0] AS k
+                FROM toks t LEFT JOIN cut c USING (doc_id)
+            )
+            SELECT doc_id,
+                   -- array_to_string([]) is NULL in DuckDB; Spark's
+                   -- array_join([]) is '' — coalesce to the Spark value
+                   COALESCE(array_to_string(k, ' '), '') AS clean_text,
+                   CAST(len(w) AS INTEGER) AS n_tokens,
+                   CAST(len(w) - len(k) AS INTEGER) AS n_removed
+            FROM kept
         """,
         "mixture_allocation": """
             WITH sizes AS (

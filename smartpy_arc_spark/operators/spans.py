@@ -104,3 +104,58 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply the cut: re-emit each document with its duplicated spans
+    removed (the second half of the Lee et al. pipeline — detect, then
+    drop the repeated substring, keeping the first/last tokens around it).
+
+    Join shape: spans aggregate to ONE array row per affected document
+    (bounded: spans are disjoint islands, so |spans| <= n_tokens), then a
+    row-local HOF filter drops tokens whose position falls inside any
+    span.  Documents with no duplicated span pass through unchanged via
+    the left join.  One extra shuffle over ``duplicate_spans`` (the join
+    back on ``id_col``).
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)``.
+    """
+    spans = (
+        duplicate_spans(
+            df, id_col=id_col, text_col=text_col, n=n, min_docs=min_docs
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("__spans")
+        )
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+", -1), lambda t: t != F.lit("")
+    )
+    with_spans = df.join(spans, id_col, "left").withColumn("__toks", toks)
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            # positions are 1-based in duplicate_spans; filter's i is 0-based
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return with_spans.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+    )

@@ -370,3 +370,22 @@ def test_mixture_allocation_temperature_and_cap(spark):
         ).collect()
     }
     assert capped == {"a": 100, "b": 400}
+
+
+def test_remove_duplicate_spans_cuts_exact_tokens(spark):
+    from smartpy_arc_spark.operators.spans import remove_duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " x y z"),
+            (2, shared),                       # fully covered -> empty
+            (3, "independent text with no repeats at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["clean_text"] == "a b c x y z"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 10
+    assert out[3]["clean_text"].startswith("independent") and out[3]["n_removed"] == 0
