@@ -56,6 +56,12 @@ def get_spark(
         # COUNT/MIN/MAX over plain parquet answer from footer statistics
         # instead of scanning row groups (no filters involved → safe)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # A single medium parquet file otherwise splits into
+        # size/maxPartitionBytes tasks (3 for a ~350 MB table), idling the
+        # other cores during heavy map-side aggregation.  Floor the split
+        # count at the available parallelism; at cluster scale file counts
+        # dwarf this floor and the setting is inert.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
