@@ -2550,6 +2550,71 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: write lineitem
+    partitioned by l_returnflag, read back with a partition predicate —
+    the scan must touch one directory, not the table (PartitionFilters
+    asserted in tests/test_training_ops.py)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_prune_ws", "li_part")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(d)
+    back = spark.read.parquet(d).where("l_returnflag = 'R'")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: both sides persisted bucketed+sorted
+    on the join key, so the join plans with ZERO exchanges (asserted in
+    tests/test_ops.py's bucketize test; here the stamped result proves
+    the bucketed write/read round-trip preserves the data)."""
+    from smartpy_arc_spark.operators.scale import bucketize
+
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS sas_bucket_ws")
+    spark.sql("USE sas_bucket_ws")
+    # a previous session may have left the managed-table directories on
+    # disk without catalog entries in THIS session's in-memory metastore;
+    # saveAsTable refuses to reuse the location, so purge both layers
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("sas_b_orders", "sas_b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/sas_bucket_ws.db/{t}", ignore_errors=True)
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        bo = bucketize(orders, "sas_b_orders", "o_orderkey", n_buckets=8)
+        bl = bucketize(li, "sas_b_lineitem", "l_orderkey", n_buckets=8)
+        return (
+            bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+            )
+        )
+    finally:
+        spark.sql("USE default")
+
+
 def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect-and-cut substring dedup: re-emit every document with its
     cross-document duplicated 8-gram spans removed."""
@@ -2603,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "bpe_merges": q_bpe_merges,
         "remove_spans": q_remove_spans,
+        "partition_prune": q_partition_prune,
+        "bucketed_join": q_bucketed_join,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2911,6 +2978,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "partition_prune": """
+            SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem WHERE l_returnflag = 'R'
+            GROUP BY l_linestatus
+        """,
+        "bucketed_join": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "remove_spans": """
             WITH toks AS (

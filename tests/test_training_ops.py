@@ -389,3 +389,31 @@ def test_remove_duplicate_spans_cuts_exact_tokens(spark):
     assert out[1]["n_removed"] == 10
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 10
     assert out[3]["clean_text"].startswith("independent") and out[3]["n_removed"] == 0
+
+
+def test_partition_prune_scan_touches_one_partition(spark, sf_dir):
+    import importlib.util, os
+    entry_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_prune", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    df = entry.queries()["partition_prune"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    # the predicate must be a partition filter, not a data filter
+    assert "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
+    import importlib.util, os
+    entry_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_bucket", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    df = entry.queries()["bucketed_join"](spark, sf_dir)
+    plan = _plan(df)
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
