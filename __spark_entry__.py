@@ -2550,6 +2550,28 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup — the media-pipeline variant of
+    dedup_exact: digest the opaque payload bytes (sha2-256 in codegen,
+    content-defined, format-agnostic), group identical blobs, keep the
+    lowest item id.  Payloads here are deterministic fakes (lang-source
+    bytes) so duplicates exist and the oracle can re-derive digests."""
+    from smartpy_arc_spark.multimodal.binary import attach_payload
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.concat_ws("-", "lang", "source").alias("media_key"),
+    )
+    payloads = attach_payload(docs, "media_key")
+    return (
+        payloads.groupBy(F.sha2(F.col("payload"), 256).alias("digest"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("item_id").alias("keeper_id"),
+        )
+    )
+
+
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned layout + partition pruning: write lineitem
     partitioned by l_returnflag, read back with a partition predicate —
@@ -2668,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "bpe_merges": q_bpe_merges,
         "remove_spans": q_remove_spans,
+        "multimodal_dedup": q_multimodal_dedup,
         "partition_prune": q_partition_prune,
         "bucketed_join": q_bucketed_join,
         "decontaminate": q_decontaminate,
@@ -2978,6 +3001,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "multimodal_dedup": """
+            SELECT sha256(concat(lang, '-', source)) AS digest,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY sha256(concat(lang, '-', source))
         """,
         "partition_prune": """
             SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
