@@ -2550,6 +2550,32 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with different
+    schemas (v2 adds a column), read as one dataset with mergeSchema —
+    old rows surface NULL for the new column.  The standard additive
+    lake evolution; per-file footer reconciliation, no rewrite."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_evo_ws", "supplier_evo")
+    sup = _t(spark, sf_dir, "supplier")
+    v1 = sup.where("s_suppkey <= 50").select("s_suppkey", "s_name")
+    v2 = (
+        sup.where("s_suppkey > 50")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").alias("balance"))
+    )
+    v1.write.mode("overwrite").parquet(d)
+    v2.write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    return merged.select(
+        "s_suppkey",
+        "s_name",
+        F.round("balance", 2).alias("balance"),
+        F.col("balance").isNull().alias("pre_evolution"),
+    )
+
+
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload exact dedup — the media-pipeline variant of
     dedup_exact: digest the opaque payload bytes (sha2-256 in codegen,
@@ -2690,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "bpe_merges": q_bpe_merges,
         "remove_spans": q_remove_spans,
+        "schema_evolution": q_schema_evolution,
         "multimodal_dedup": q_multimodal_dedup,
         "partition_prune": q_partition_prune,
         "bucketed_join": q_bucketed_join,
@@ -3001,6 +3028,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "schema_evolution": """
+            SELECT s_suppkey, s_name,
+                   CASE WHEN s_suppkey > 50 THEN round(s_acctbal, 2) END
+                       AS balance,
+                   s_suppkey <= 50 AS pre_evolution
+            FROM supplier
         """,
         "multimodal_dedup": """
             SELECT sha256(concat(lang, '-', source)) AS digest,
