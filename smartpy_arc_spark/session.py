@@ -56,12 +56,15 @@ def get_spark(
         # COUNT/MIN/MAX over plain parquet answer from footer statistics
         # instead of scanning row groups (no filters involved → safe)
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # A single medium parquet file otherwise splits into
-        # size/maxPartitionBytes tasks (3 for a ~350 MB table), idling the
-        # other cores during heavy map-side aggregation.  Floor the split
-        # count at the available parallelism; at cluster scale file counts
-        # dwarf this floor and the setting is inert.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # NOTE on spark.sql.files.minPartitionNum: measured at sf0.1 it
+        # HURTS (13.0s -> 20.1s headline total): the floor slices every
+        # small file into `cpus` splits, paying per-task overhead on KB
+        # dims and streaming micro-batches, while parquet row-group
+        # granularity (testdata writes one group per file) means the big
+        # scans still land on one task.  Split sizing is left to Spark's
+        # bytes-per-core default; heavy operators that need more scan
+        # parallelism repartition explicitly behind a small-input guard
+        # (see contamination.py).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
