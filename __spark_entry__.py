@@ -2550,6 +2550,58 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text interchange: write a customer slice as headered CSV, read it
+    back through scan(fmt='csv') with an EXPLICIT schema (single pass —
+    the inferSchema path would re-scan the file; arc_utils.py:956-988's
+    table loads are schema-driven the same way)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_csv_ws")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(
+        os.path.join(d, "cust_slice.csv")
+    )
+    back = scan(
+        spark,
+        d,
+        "cust_slice",
+        fmt="csv",
+        schema="c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange: write a nation slice as JSONL, read back
+    through scan(fmt='json') with explicit schema, rejoin aggregates."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_jsonl_ws")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.mode("overwrite").json(os.path.join(d, "nation.jsonl"))
+    back = scan(
+        spark,
+        d,
+        "nation.jsonl",
+        fmt="json",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read: two parquet batches written with different
     schemas (v2 adds a column), read as one dataset with mergeSchema —
@@ -2716,6 +2768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "bpe_merges": q_bpe_merges,
         "remove_spans": q_remove_spans,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "schema_evolution": q_schema_evolution,
         "multimodal_dedup": q_multimodal_dedup,
         "partition_prune": q_partition_prune,
@@ -3028,6 +3082,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "csv_roundtrip": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "jsonl_roundtrip": """
+            SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+                   min(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
         """,
         "schema_evolution": """
             SELECT s_suppkey, s_name,
