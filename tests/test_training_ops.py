@@ -417,3 +417,39 @@ def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
     join_part = plan.split("HashAggregate")[-1]  # below the final agg
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+# ------------------------------------------------- UDTF escape hatch
+
+def test_udtf_equals_builtin_top_tokens(spark):
+    """The UDTF surface (lateral-joinable Python fan-out) must agree with
+    the pure-builtin plan for the same semantics — the test that keeps
+    the escape hatch honest."""
+    from smartpy_arc_spark.functions.tablefunc import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "x"), (3, None), (4, "t t s s u")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql("""
+        SELECT d.doc_id, t.token, t.n
+        FROM udtf_docs d, LATERAL top_tokens(d.text, 2) t
+    """).collect()
+
+    want = spark.sql("""
+        WITH counts AS (
+            SELECT doc_id, tok AS token, CAST(count(*) AS INT) AS n
+            FROM udtf_docs
+            LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) AS tok
+            GROUP BY doc_id, tok
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, token) AS rk
+            FROM counts
+        )
+        SELECT doc_id, token, n FROM ranked WHERE rk <= 2
+    """).collect()
+    key = lambda r: (r["doc_id"], r["token"], r["n"])
+    assert sorted(got, key=key) == sorted(want, key=key)
