@@ -98,6 +98,19 @@ def semdedup(
     in the same cluster with cosine >= ``threshold``; ``dup_of`` is the
     smallest such neighbor id (null for survivors).
     """
+    # The intra-cluster self-join is quadratic in cluster width; k must
+    # scale with the corpus (the paper uses k ~ 11k for LAION-scale).  A
+    # k that leaves avg cluster width above ~64k rows would plan
+    # billions of comparisons per cluster — refuse loudly rather than
+    # letting the job grind: the fix (raise k / train a codebook) is a
+    # parameter change, not a code change.
+    n = df.count()
+    if k > 0 and n / k > 65536:
+        raise ValueError(
+            f"semdedup: avg cluster width {n}/{k} ~ {n // k} rows; the "
+            f"intra-cluster pair join is quadratic in width — raise k "
+            f"(paper-scale: corpus_size / ~10k) or pass a trained codebook"
+        )
     assigned = assign_clusters(df, id_col=id_col, vec_col=vec_col, k=k)
     a = assigned.select(
         F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")

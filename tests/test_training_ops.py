@@ -453,3 +453,13 @@ def test_udtf_equals_builtin_top_tokens(spark):
     """).collect()
     key = lambda r: (r["doc_id"], r["token"], r["n"])
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_semdedup_refuses_pathological_cluster_width(spark):
+    from smartpy_arc_spark.operators.semdedup import semdedup
+
+    df = spark.range(200_000).selectExpr(
+        "id as vec_id", "array(cast(id as double)) as embedding"
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        semdedup(df, k=2)
