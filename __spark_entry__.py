@@ -2746,6 +2746,60 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(docs, n_merges=8)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins apply: a synthetic I/U/D change batch (derived
+    deterministically from supplier keys) applied onto a supplier base
+    slice — deletes drop keys, upserts replace, untouched rows pass."""
+    from smartpy_arc_spark.operators.merge import cdc_apply
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    base = sup.where("s_suppkey <= 60")
+    changes = (
+        sup.where("s_suppkey > 40 AND s_suppkey <= 90")
+        .select(
+            "s_suppkey",
+            F.concat(F.lit("upd-"), F.col("s_name")).alias("s_name"),
+            F.round(F.col("s_acctbal") + 1000.0, 2).alias("s_acctbal"),
+            (F.col("s_suppkey") % 3 + 1).cast("long").alias("seq"),
+            F.when(F.col("s_suppkey") % 7 == 0, "D")
+            .when(F.col("s_suppkey") <= 60, "U")
+            .otherwise("I")
+            .alias("op"),
+        )
+    )
+    return cdc_apply(base, changes, key_col="s_suppkey", seq_col="seq")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the customer->supplier co-order graph
+    (edge when a customer's order contains a supplier's lineitem,
+    projected onto suppliers via shared orders; bounded slice)."""
+    from smartpy_arc_spark.operators.components import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.where("l_suppkey <= 40").alias("a")
+    b = li.where("l_suppkey <= 40").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-engine inverted index over documents: per term the doc
+    frequency, total tf, and canonical doc-ordered postings string."""
+    from smartpy_arc_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=3)
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -2908,6 +2962,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
+        # --- r3 late additions: declared last so the earlier unstamped
+        # batch keeps stamp priority under the driver's per-round cap ---
+        "cdc_apply": q_cdc_apply,
+        "triangle_count": q_triangle_count,
+        "inverted_index": q_inverted_index,
     })
 
 
@@ -3082,6 +3141,53 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "cdc_apply": """
+            WITH base AS (
+                SELECT s_suppkey, s_name, s_acctbal FROM supplier
+                WHERE s_suppkey <= 60
+            ), ch AS (
+                SELECT s_suppkey, 'upd-' || s_name AS s_name,
+                       round(s_acctbal + 1000.0, 2) AS s_acctbal,
+                       CASE WHEN s_suppkey % 7 = 0 THEN 'D'
+                            WHEN s_suppkey <= 60 THEN 'U'
+                            ELSE 'I' END AS op
+                FROM supplier WHERE s_suppkey > 40 AND s_suppkey <= 90
+            )
+            SELECT s_suppkey, s_name, s_acctbal FROM base
+            WHERE s_suppkey NOT IN (SELECT s_suppkey FROM ch)
+            UNION ALL
+            SELECT s_suppkey, s_name, s_acctbal FROM ch WHERE op <> 'D'
+        """,
+        "triangle_count": """
+            WITH e AS (
+                SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey <= 40 AND b.l_suppkey <= 40
+                  AND a.l_suppkey < b.l_suppkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.lo = e1.hi
+            JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        """,
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '')) AS term
+                FROM documents
+            ), td AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM toks GROUP BY term, doc_id
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+                       AS postings
+            FROM td GROUP BY term HAVING count(*) >= 3
         """,
         "csv_roundtrip": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,

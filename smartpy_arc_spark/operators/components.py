@@ -176,3 +176,42 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle count over an undirected graph.
+
+    Standard distributed algorithm (the node-iterator+ordering variant
+    every MPP engine uses): canonicalize each undirected edge to
+    (lo, hi), drop self-loops and duplicates, then count paths
+    lo->mid->hi that close with a (lo, hi) edge.  Ordering every edge
+    low-to-high means each triangle is counted exactly once and the
+    join fan-out is bounded by high-degree vertices' FORWARD degree
+    only — the classic mitigation that keeps hub vertices from
+    exploding the path join.
+
+    Two shuffled equi-joins on vertex ids; no windows, no iteration.
+    Returns a 1-row DataFrame ``(n_triangles)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    paths = e1.join(e2, "b").select("a", "b", "c")
+    closed = paths.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))

@@ -94,3 +94,56 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(opened)
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (ops 'I'/'U'/'D' with a per-key sequence)
+    to a base table, latest-wins — the lakehouse "apply changes" primitive
+    (Delta's APPLY CHANGES INTO, Iceberg's upsert with deletes).
+
+    Per key: the change row with the highest ``seq_col`` decides — D
+    removes the key, I/U replace the base row with the change's payload;
+    keys without changes pass through.  Ties on (key, seq) are invalid
+    input and raise (the same duplicate-key validation MERGE does).
+
+    Scale shape: one hash aggregate on the change batch (max_by — no
+    sort window), one shuffled left-anti + union; the base table is
+    touched once.  The change batch is typically ≪ base and its reduced
+    form (1 row/key) broadcasts for both joins.
+    """
+    dup = (
+        changes.groupBy(key_col, seq_col)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"cdc_apply: multiple change rows for key={dup[0][key_col]} "
+            f"seq={dup[0][seq_col]}; (key, seq) must be unique"
+        )
+    payload = [c for c in changes.columns if c not in (op_col,)]
+    latest = (
+        changes.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload if c != key_col], F.col(op_col)),
+                F.col(seq_col),
+            ).alias("__w")
+        )
+        .select(key_col, "__w.*")
+    )
+    survivors_from_changes = latest.where(F.col(op_col) != "D").drop(op_col)
+    changed_keys = latest.select(key_col)
+    untouched = base.join(F.broadcast(changed_keys), key_col, "left_anti")
+    return untouched.unionByName(
+        survivors_from_changes.select(*base.columns)
+    )

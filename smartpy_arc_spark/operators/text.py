@@ -297,3 +297,48 @@ def collocations(
     return scored.select(
         "w1", "w2", "n_pair", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Build an inverted index: one row per term with document frequency,
+    total term frequency, and a doc-ordered postings string
+    ``"doc:tf doc:tf ..."`` — the retrieval-engine primitive, built as
+    two hash aggregates (term-doc, then term).
+
+    Postings serialize to a canonical string (sorted by doc id) rather
+    than a nested array so the result is order-insensitive-comparable in
+    any engine.  At 100 TB the term key is Zipf-skewed: AQE's skew
+    handling splits the hot stopword partitions, and ``min_df`` prunes
+    the hapax tail (typically >40% of vocab) before the second shuffle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
+    )
+    term_doc = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        term_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(id_col), F.col("tf")))
+                    ),
+                    lambda s: F.concat_ws(":", s[id_col], s["tf"]),
+                ),
+                " ",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )

@@ -21,6 +21,7 @@ spec.loader.exec_module(entry)
 # map-side partial aggregates (a handful of rows cross the wire).
 SINGLE_PARTITION_OK = {
     "row_count",            # count(*)
+    "triangle_count",       # global count(*) over closed paths
     "q6_forecast_revenue",  # global sum
     "q14_promo_revenue",    # global ratio
     "q11_important_parts",  # scalar cutoff: global sum over grouped partials

@@ -463,3 +463,77 @@ def test_semdedup_refuses_pathological_cluster_width(spark):
     )
     with pytest.raises(ValueError, match="quadratic"):
         semdedup(df, k=2)
+
+
+# --------------------------------------------------------- CDC apply
+
+def test_cdc_apply_latest_wins_semantics(spark):
+    from smartpy_arc_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 1, "U"),
+            (2, "b2", 2, "U"),   # later seq wins
+            (3, None, 5, "D"),   # delete key 3
+            (4, "d", 1, "I"),    # insert new key
+            (5, "e1", 1, "I"),
+            (5, None, 2, "D"),   # inserted then deleted -> absent
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(base, changes, key_col="k", seq_col="seq").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_cdc_apply_rejects_duplicate_key_seq(spark):
+    from smartpy_arc_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", 1, "U"), (1, "y", 1, "U")], "k long, v string, seq long, op string"
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        cdc_apply(base, changes, key_col="k", seq_col="seq")
+
+
+# ---------------------------------------------------- triangle count
+
+def test_triangle_count_known_graph(spark):
+    from smartpy_arc_spark.operators.components import triangle_count
+
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed
+    # edge that must not change the count
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(3, 9), (9, 3), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    from smartpy_arc_spark.operators.components import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"  # 4-cycle
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+# --------------------------------------------------- inverted index
+
+def test_inverted_index_postings_and_min_df(spark):
+    from smartpy_arc_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "b b c a")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert out["a"]["doc_freq"] == 3 and out["a"]["total_tf"] == 4
+    assert out["a"]["postings"] == "1:2 2:1 3:1"
+    assert out["b"]["postings"] == "1:1 3:2"
+    assert "c" in out
+    only2 = {r["term"] for r in inverted_index(docs, min_df=3).collect()}
+    assert only2 == {"a"}
