@@ -2800,6 +2800,38 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement (50 docs,
+    weight = n_chars): content-hash uniform draws, reproducible anywhere."""
+    from smartpy_arc_spark.operators.sample import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(
+        docs, weight_col="n_chars", key_cols=["doc_id"], k=50
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by content hash),
+    rolled up to per-split-per-lang counts."""
+    from smartpy_arc_spark.operators.sample import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, ["doc_id"], val_pct=10, test_pct=10)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed bag-of-terms query."""
+    from smartpy_arc_spark.operators.text import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "shuffle", "join"], top_k=20)
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -2967,6 +2999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
+        "weighted_sample": q_weighted_sample,
+        "dataset_split": q_dataset_split,
+        "bm25_search": q_bm25_search,
     })
 
 
@@ -3141,6 +3176,62 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, source, n_chars,
+                       round(-ln((CAST(concat('0x',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) + 1.0) / 4294967297.0)
+                             / CAST(n_chars AS DOUBLE), 10) AS es_key
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, source, n_chars, es_key
+            FROM w ORDER BY es_key, doc_id LIMIT 50
+        """,
+        "dataset_split": """
+            SELECT CASE WHEN b < 10 THEN 'val'
+                        WHEN b < 20 THEN 'test'
+                        ELSE 'train' END AS split,
+                   lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT lang,
+                       CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 AS b
+                FROM documents
+            )
+            GROUP BY 1, 2
+        """,
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), d AS (
+                SELECT doc_id, len(w) AS dl, w FROM toks
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                FROM d
+            ), tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+                WHERE term IN ('spark', 'shuffle', 'join')
+                GROUP BY doc_id, dl, term
+            ), dfreq AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   round(sum(
+                       ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                   ), 4) + 0.0 AS score
+            FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id LIMIT 20
         """,
         "cdc_apply": """
             WITH base AS (

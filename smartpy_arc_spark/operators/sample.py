@@ -171,3 +171,66 @@ def mixture_allocation(
             ) + F.lit(0.0)),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    exponential-key trick (Inf. Proc. Letters 2006): draw
+    ``key = -ln(u) / w`` per row and keep the ``k`` smallest keys —
+    exactly a weighted sample without replacement.
+
+    ``u`` is derived from the row's content hash (md5 prefix mapped to
+    (0,1)), not a seeded RNG, so the SAME rows are selected in any
+    engine, on any partitioning, on any rerun — the reproducibility
+    contract every sampling op in this module follows.
+
+    One pass + a global top-k (TakeOrdered — no full sort); weights must
+    be strictly positive.
+    """
+    key = F.concat_ws("-", *[F.col(c) for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**8 + 1))  # (0, 1]
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(es_key, 10))
+        .orderBy(F.col("es_key"), *[F.col(c) for c in key_cols])
+        .limit(k)
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a content hash —
+    stable across engines, reruns and repartitioning, and stable under
+    corpus growth (a row's split never changes when other rows arrive,
+    unlike positional or seeded splits).
+
+    Buckets 0-99 from the md5 prefix: [0, val_pct) -> 'val',
+    [val_pct, val_pct+test_pct) -> 'test', rest -> 'train'.  Row-local
+    expression; pushes to the scan.
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    key = F.concat_ws("-", *[F.col(c) for c in key_cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    return df.withColumn(
+        split_col,
+        F.when(bucket < val_pct, "val")
+        .when(bucket < val_pct + test_pct, "test")
+        .otherwise("train"),
+    )

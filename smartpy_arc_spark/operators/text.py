@@ -342,3 +342,73 @@ def inverted_index(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag-of-terms query (Robertson
+    & Walker's Okapi formula, the retrieval baseline every engine ships).
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))·(k1+1),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Shape: one aggregate for per-doc lengths and query-term tfs (the
+    term filter prunes before the shuffle), corpus stats (N, avgdl) and
+    per-term dfs are 1-row/|q|-row broadcasts.  Nothing touches the
+    corpus twice; no Python in the plan.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
+    )
+    docs = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, F.size("__toks").alias("dl"), "__toks"
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = docs.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter(F.col("__toks"), lambda t: t.isin(*terms))
+        ).alias("term"),
+    ).groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(id_col).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            (F.round(F.sum("contrib"), 4) + F.lit(0.0)).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(top_k)

@@ -28,6 +28,7 @@ SINGLE_PARTITION_OK = {
     "dsir_weights",         # corpus-total scalars: global sums over m-row bucket tables
     "perplexity_buckets",   # LM-total scalar + global percentile cut points
     "mixture_allocation",   # 1-row normalizer scalar over per-source sizes
+    "bm25_search",          # corpus stats scalar (N, avgdl) + global top-k
     "q15_top_supplier",     # scalar max subquery
     "q17_small_qty_revenue",  # global sum
     "q19_disjunctive_filter",  # global sum
@@ -47,6 +48,7 @@ BNLJ_OK = {
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
     "perplexity_buckets",     # 1-row LM-total / cut-point broadcast cross joins
     "mixture_allocation",     # 1-row normalizer broadcast cross join
+    "bm25_search",            # 1-row corpus-stats broadcast cross join
     "q11_important_parts",    # 1-row scalar cutoff broadcast cross join
     "q22_dormant_customers",  # scalar avg broadcast
     "knn_cosine",             # bounded query side broadcast

@@ -537,3 +537,55 @@ def test_inverted_index_postings_and_min_df(spark):
     assert "c" in out
     only2 = {r["term"] for r in inverted_index(docs, min_df=3).collect()}
     assert only2 == {"a"}
+
+
+# -------------------------------------- weighted sample / split / BM25
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """With weight ratios of 1000:1 the heavy rows dominate the sample
+    overwhelmingly (ES keys scale as 1/w)."""
+    from smartpy_arc_spark.operators.sample import weighted_sample_topk
+
+    rows = [(i, 1000.0) for i in range(20)] + [(100 + i, 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_topk(df, weight_col="w", key_cols=["doc_id"], k=10)
+    picked = [r["doc_id"] for r in out.collect()]
+    assert sum(1 for p in picked if p < 100) >= 9
+    # determinism: same input -> same selection
+    again = [r["doc_id"] for r in weighted_sample_topk(
+        df, weight_col="w", key_cols=["doc_id"], k=10).collect()]
+    assert picked == again
+
+
+def test_dataset_split_is_stable_under_growth(spark):
+    from smartpy_arc_spark.operators.sample import dataset_split
+
+    small = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    s_small = {r["doc_id"]: r["split"] for r in dataset_split(small, ["doc_id"]).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in dataset_split(big, ["doc_id"]).collect()}
+    # a row's split never changes when the corpus grows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        dataset_split(small, ["doc_id"], val_pct=60, test_pct=50)
+
+
+def test_bm25_ranks_matching_docs_by_relevance(spark):
+    from smartpy_arc_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),       # dense hit, short
+            (2, "spark " + "filler " * 50),         # single hit, long
+            (3, "nothing relevant here"),
+            (4, "shuffle join spark"),              # all three terms
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["spark", "shuffle", "join"], top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                  # no term match -> absent
+    assert ids[0] == 4                   # all-terms doc wins
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[2]         # tf-dense short doc beats long
