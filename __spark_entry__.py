@@ -2832,6 +2832,34 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, ["spark", "shuffle", "join"], top_k=20)
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with LINEAR interpolation across gaps (flat
+    after the last observation).  Values are scaled to integer cents
+    first (the source data is 2-decimal), making the interpolation
+    arithmetic EXACT up to one IEEE division — the raw doubles are then
+    bit-identical in any engine, so the comparison never rides on
+    engine-specific float evaluation order.  Bucket exposed as an epoch
+    index so the oracle stays timezone-free."""
+    from smartpy_arc_spark.operators.resample import resample_interpolate
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where("user_id < 30")
+        .withColumn("value", F.round(F.col("value") * 100).cast("long"))
+    )
+    out = resample_interpolate(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        interval_sec=3600,
+    )
+    return out.select(
+        "user_id",
+        (F.unix_micros("bucket_start") / F.lit(3_600_000_000)).cast("long")
+        .alias("bucket_id"),
+        F.col("value").alias("value_cents"),
+        "interpolated",
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3002,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dataset_split": q_dataset_split,
         "bm25_search": q_bm25_search,
+        "resample_interp": q_resample_interp,
     })
 
 
@@ -3176,6 +3205,51 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "resample_interp": """
+            WITH pb AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     CAST(round(max_by(value, ts) * 100) AS BIGINT) AS v
+              FROM events WHERE user_id < 30 GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pb GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span
+            ),
+            j AS (
+              SELECT g.user_id, g.b, pb.v
+              FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
+            ),
+            j2 AS (
+              SELECT user_id, b, v,
+                     last_value(v IGNORE NULLS) OVER wp AS pv,
+                     first_value(v IGNORE NULLS) OVER wn AS nv,
+                     last_value(CASE WHEN v IS NOT NULL THEN b END
+                                IGNORE NULLS) OVER wp AS pb_,
+                     first_value(CASE WHEN v IS NOT NULL THEN b END
+                                 IGNORE NULLS) OVER wn AS nb_
+              FROM j
+              WINDOW wp AS (PARTITION BY user_id ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY b
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, b AS bucket_id,
+                   -- Spark round(double) rounds the SHORTEST decimal
+                   -- string HALF_UP; replicate via VARCHAR->DECIMAL.
+                   -- Inputs are integer cents, so the raw double is
+                   -- bit-identical to Spark's (exact ints + 1 division)
+                   CAST(round(CAST(CAST(
+                       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                            WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                            ELSE pv + (nv - pv) * (b - pb_) / (nb_ - pb_)
+                       END AS VARCHAR) AS DECIMAL(30, 12)), 4) AS DOUBLE)
+                       + 0.0 AS value_cents,
+                   v IS NULL AS interpolated
+            FROM j2
         """,
         "weighted_sample": """
             WITH w AS (

@@ -68,3 +68,80 @@ def resample_ffill(
         F.last("_v", ignorenulls=True).over(w).alias(value_col),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_sec: int,
+) -> DataFrame:
+    """Resample onto an ``interval_sec`` grid with LINEAR interpolation
+    across empty buckets (the numeric-feature companion to
+    ``resample_ffill``'s step function).
+
+    Empty bucket b between observed buckets p < b < n gets
+    ``v_p + (v_n - v_p) · (b - p)/(n - p)``; buckets after the last
+    observation carry it flat (no extrapolation).  Same plan shape as
+    ffill — one (key, bucket) shuffle, then two window passes over the
+    SAME partitioning (prev via last-ignorenulls, next via
+    first-ignorenulls over the reversed frame); Catalyst reuses one
+    exchange for both.
+    """
+    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+              / F.lit(interval_sec * 1_000_000)).cast("long")
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            bucket.alias("_b"),
+            F.col(ts_col).alias("_t"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.max_by("_v", "_t").alias("_v"))
+    )
+    span = per_bucket.groupBy("_k").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        "_k", F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    joined = grid.join(per_bucket, ["_k", "_b"], "left")
+
+    w_prev = (
+        W.partitionBy("_k").orderBy("_b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("_k").orderBy("_b")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+    next_v = F.first("_v", ignorenulls=True).over(w_next)
+    prev_b = F.last(
+        F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
+    ).over(w_prev)
+    next_b = F.first(
+        F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
+    ).over(w_next)
+
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        F.when(
+            next_v.isNull(), prev_v  # after last observation: flat
+        ).otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("_b") - prev_b)
+            / (next_b - prev_b)
+        )
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.timestamp_micros(
+            F.col("_b") * F.lit(interval_sec * 1_000_000)
+        ).alias("bucket_start"),
+        (F.round(interp, 4) + F.lit(0.0)).alias(value_col),
+        F.col("_v").isNull().alias("interpolated"),
+    )

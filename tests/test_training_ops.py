@@ -589,3 +589,30 @@ def test_bm25_ranks_matching_docs_by_relevance(spark):
     assert ids[0] == 4                   # all-terms doc wins
     scores = {r["doc_id"]: r["score"] for r in out}
     assert scores[1] > scores[2]         # tf-dense short doc beats long
+
+
+def test_resample_interpolate_linear_and_flat_tail(spark):
+    from smartpy_arc_spark.operators.resample import resample_interpolate
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(hours=4), 30.0),   # gap of 3 buckets
+        (1, base + dt.timedelta(hours=6), 60.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        int((r["bucket_start"] - base).total_seconds() // 3600): r
+        for r in resample_interpolate(
+            df, key_col="k", ts_col="ts", value_col="v", interval_sec=3600
+        ).collect()
+    }
+    assert out[0]["v"] == 10.0 and not out[0]["interpolated"]
+    assert out[1]["v"] == 15.0 and out[1]["interpolated"]   # 10 + 20*(1/4)
+    assert out[2]["v"] == 20.0
+    assert out[3]["v"] == 25.0
+    assert out[4]["v"] == 30.0 and not out[4]["interpolated"]
+    assert out[5]["v"] == 45.0                               # midpoint
+    assert out[6]["v"] == 60.0
+    assert len(out) == 7                                     # no extrapolation
