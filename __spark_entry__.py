@@ -2860,6 +2860,34 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed haversine neighbor join: customers placed on a
+    deterministic ~1°x1° grid (synthesized from keys — the testdata has
+    no coordinates), all pairs within 5 km via 3x3-cell candidates."""
+    from smartpy_arc_spark.geometry.neighbor import neighbor_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(40.0) + (F.col("c_custkey") * 37 % 1000) / F.lit(1000.0)).alias("lat"),
+        (F.lit(-100.0) + (F.col("c_custkey") * 73 % 1000) / F.lit(1000.0)).alias("lon"),
+    )
+    return neighbor_join(cust, cust, radius_km=5.0)
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent 2-itemsets over orders (items = part
+    groups), with support pruning before pair expansion and lift from
+    broadcast item supports."""
+    from smartpy_arc_spark.operators.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_group")
+    )
+    return frequent_pairs(
+        li, basket_col="l_orderkey", item_col="part_group", min_support=30
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3031,6 +3059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "bm25_search": q_bm25_search,
         "resample_interp": q_resample_interp,
+        "neighbor_join": q_neighbor_join,
+        "frequent_pairs": q_frequent_pairs,
     })
 
 
@@ -3205,6 +3235,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "neighbor_join": """
+            WITH pts AS (
+                SELECT c_custkey AS id,
+                       40.0 + (c_custkey * 37 % 1000) / 1000.0 AS lat,
+                       -100.0 + (c_custkey * 73 % 1000) / 1000.0 AS lon
+                FROM customer
+            )
+            SELECT a.id AS l_id, b.id AS r_id,
+                   round(12742.0 * asin(sqrt(
+                       sin(radians(b.lat - a.lat) / 2)
+                         * sin(radians(b.lat - a.lat) / 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * sin(radians(b.lon - a.lon) / 2)
+                         * sin(radians(b.lon - a.lon) / 2)
+                   )), 4) AS dist_km
+            FROM pts a JOIN pts b ON a.id <> b.id
+            WHERE round(12742.0 * asin(sqrt(
+                       sin(radians(b.lat - a.lat) / 2)
+                         * sin(radians(b.lat - a.lat) / 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * sin(radians(b.lon - a.lon) / 2)
+                         * sin(radians(b.lon - a.lon) / 2)
+                   )), 4) <= 5.0
+        """,
+        "frequent_pairs": """
+            WITH baskets AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+                FROM lineitem
+            ), nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM baskets),
+            itemf AS (
+                SELECT i, count(*) AS f FROM baskets GROUP BY i
+            ), freq AS (SELECT i FROM itemf WHERE f >= 30),
+            pruned AS (
+                SELECT b, i FROM baskets JOIN freq USING (i)
+            ), sized AS (
+                SELECT b FROM pruned GROUP BY b
+                HAVING count(*) BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT p1.i AS item_a, p2.i AS item_b,
+                       CAST(count(*) AS BIGINT) AS n_baskets
+                FROM pruned p1
+                JOIN pruned p2 ON p1.b = p2.b AND p1.i < p2.i
+                JOIN sized s ON s.b = p1.b
+                GROUP BY p1.i, p2.i
+                HAVING count(*) >= 30
+            )
+            SELECT item_a, item_b, n_baskets,
+                   round((n_baskets * (SELECT n FROM nb))
+                         / (fa.f * fb.f), 4) + 0.0 AS lift
+            FROM pairs
+            JOIN itemf fa ON fa.i = item_a
+            JOIN itemf fb ON fb.i = item_b
         """,
         "resample_interp": """
             WITH pb AS (

@@ -1,0 +1,98 @@
+"""Frequent-itemset mining: pairwise co-occurrence with support/lift.
+
+The first (and at corpus scale, usually the only affordable) round of
+Apriori: frequent 2-itemsets over baskets, with support and lift.  The
+classic retail shape (parts co-ordered in one order) and equally the
+feature-co-occurrence shape in training-data analysis.
+
+Scale design (100 TB of baskets):
+- Item frequency pass prunes below-support items FIRST (Apriori's
+  monotonicity: a pair can't be frequent if either item isn't), so the
+  pair explosion only happens over surviving items.
+- Pairs are generated per basket from the SORTED item array (i < j), so
+  each unordered pair appears once — no dedup shuffle, no reversed
+  duplicates.  Per-basket fan-out is quadratic in basket width — wide
+  baskets are capped (documented knob) exactly like every production
+  basket miner.
+- Two hash aggregates + one broadcast of the (bounded) frequent-item
+  table; lift derives from broadcast item supports, no extra pass.
+
+No counterpart in the reference repo; part of the analytics extension
+surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Frequent unordered item pairs across baskets.
+
+    Returns ``(item_a, item_b, n_baskets, lift)`` for pairs co-occurring
+    in at least ``min_support`` baskets; ``item_a < item_b``; ``lift`` =
+    P(a,b) / (P(a)·P(b)) over the basket universe, rounded to 4.
+    Baskets wider than ``max_basket`` distinct frequent items are
+    dropped (quadratic fan-out guard — the standard miner knob).
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = baskets.select("__b").distinct().count()
+
+    item_freq = baskets.groupBy("__i").agg(F.count("*").alias("__if"))
+    frequent_items = item_freq.where(F.col("__if") >= min_support)
+
+    pruned = baskets.join(F.broadcast(frequent_items), "__i")
+    per_basket = (
+        pruned.groupBy("__b")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+        .where(F.size("__items").between(2, max_basket))
+    )
+    pairs = per_basket.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("__items"),
+                        lambda x: F.transform(
+                            F.col("__items"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("__p")
+    )
+    pair_counts = (
+        pairs.groupBy(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+    )
+    fa = item_freq.select(F.col("__i").alias("item_a"), F.col("__if").alias("__fa"))
+    fb = item_freq.select(F.col("__i").alias("item_b"), F.col("__if").alias("__fb"))
+    return (
+        pair_counts.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            (
+                F.round(
+                    (F.col("n_baskets") * F.lit(float(n_baskets)))
+                    / (F.col("__fa") * F.col("__fb")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )

@@ -616,3 +616,59 @@ def test_resample_interpolate_linear_and_flat_tail(spark):
     assert out[5]["v"] == 45.0                               # midpoint
     assert out[6]["v"] == 60.0
     assert len(out) == 7                                     # no extrapolation
+
+
+# -------------------------------------- neighbor join / frequent pairs
+
+def test_neighbor_join_finds_exactly_in_radius_pairs(spark):
+    from smartpy_arc_spark.geometry.neighbor import neighbor_join
+
+    # ~0.009° lat ≈ 1 km; points: two ~1.4 km apart, one far away
+    pts = spark.createDataFrame(
+        [
+            (1, 45.0, 7.0),
+            (2, 45.009, 7.0128),   # ~1.4 km from 1 (cell-boundary crosser)
+            (3, 45.5, 7.5),        # ~60 km away
+        ],
+        "id long, lat double, lon double",
+    )
+    out = {(r["l_id"], r["r_id"]): r["dist_km"]
+           for r in neighbor_join(pts, pts, radius_km=2.0).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    assert 1.0 < out[(1, 2)] < 2.0
+
+
+def test_neighbor_join_high_latitude_no_misses(spark):
+    """At 60°N one lon degree is only ~55 km — equator-sized cells would
+    miss this pair; the max_abs_lat sizing must not."""
+    from smartpy_arc_spark.geometry.neighbor import haversine_km, neighbor_join
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(1, 60.0, 10.0), (2, 60.0, 10.085)],  # ~4.7 km apart at 60°N
+        "id long, lat double, lon double",
+    )
+    d = pts.alias("a").join(pts.alias("b")).where("a.id=1 and b.id=2").select(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")).alias("d")
+    ).collect()[0]["d"]
+    assert 4.0 < d < 5.0
+    out = neighbor_join(pts, pts, radius_km=5.0).collect()
+    assert len(out) == 2
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    from smartpy_arc_spark.operators.itemsets import frequent_pairs
+
+    rows = []
+    for b in range(10):
+        rows += [(b, "x"), (b, "y")]          # x,y always together
+    rows += [(100, "x"), (101, "y"), (102, "z"), (103, "z")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in frequent_pairs(df, basket_col="basket", item_col="item",
+                                   min_support=5).collect()}
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r["n_baskets"] == 10
+    # lift = P(xy)/(P(x)P(y)) = (10/14)/((11/14)*(11/14)) ≈ 1.157
+    assert r["lift"] == pytest.approx(10 * 14 / (11 * 11), abs=1e-3)
