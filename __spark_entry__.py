@@ -2888,6 +2888,52 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel: click must follow the matched
+    view within 1h, purchase the matched click within 1h — the
+    MATCH_RECOGNIZE/windowFunnel semantics, not first-timestamp order."""
+    from smartpy_arc_spark.operators.funnel import sequence_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_funnel(
+        ev, ["view", "click", "purchase"], step_window_sec=3600
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two published snapshot versions of a
+    supplier slice: adds (new keys), removes (keys dropped in v2) and
+    changes (balance bumped), flattened for comparison."""
+    import shutil
+    import tempfile
+
+    from smartpy_arc_spark.sinks.snapshot import snapshot_diff, write_snapshot
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    table = tempfile.mkdtemp(prefix="snapdiff_probe_")
+    shutil.rmtree(table)
+    v1 = sup.where("s_suppkey <= 80")
+    write_snapshot(v1, table, mode="overwrite")
+    v2 = (
+        sup.where("s_suppkey <= 100")
+        .where("s_suppkey % 9 != 0")
+        .withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_suppkey") % 4 == 0, F.round(F.col("s_acctbal") + 500.0, 2)
+            ).otherwise(F.col("s_acctbal")),
+        )
+    )
+    write_snapshot(v2, table, mode="overwrite")
+    d = snapshot_diff(spark, table, key_col="s_suppkey", v_from=1, v_to=2)
+    return d.select(
+        "s_suppkey",
+        "change",
+        F.col("old.s_acctbal").alias("old_bal"),
+        F.col("new.s_acctbal").alias("new_bal"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3061,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "neighbor_join": q_neighbor_join,
         "frequent_pairs": q_frequent_pairs,
+        "sequence_funnel": q_sequence_funnel,
+        "snapshot_diff": q_snapshot_diff,
     })
 
 
@@ -3235,6 +3283,56 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "sequence_funnel": """
+            WITH t0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), t1 AS (
+                SELECT t0.user_id, t0.t0,
+                       min(CASE WHEN e.ts > t0.t0
+                                 AND e.ts <= t0.t0 + INTERVAL 3600 SECOND
+                            THEN e.ts END) AS t1
+                FROM t0 LEFT JOIN events e
+                  ON e.user_id = t0.user_id AND e.event_type = 'click'
+                GROUP BY 1, 2
+            ), t2 AS (
+                SELECT t1.user_id, t1.t1,
+                       min(CASE WHEN e.ts > t1.t1
+                                 AND e.ts <= t1.t1 + INTERVAL 3600 SECOND
+                            THEN e.ts END) AS t2
+                FROM t1 LEFT JOIN events e
+                  ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+                GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_view,
+                   CAST(count(t1) AS BIGINT) AS n_click,
+                   CAST(count(t2) AS BIGINT) AS n_purchase
+            FROM t2
+        """,
+        "snapshot_diff": """
+            WITH v1 AS (
+                SELECT s_suppkey, s_name, s_acctbal FROM supplier
+                WHERE s_suppkey <= 80
+            ), v2 AS (
+                SELECT s_suppkey, s_name,
+                       CASE WHEN s_suppkey % 4 = 0
+                            THEN round(s_acctbal + 500.0, 2)
+                            ELSE s_acctbal END AS s_acctbal
+                FROM supplier
+                WHERE s_suppkey <= 100 AND s_suppkey % 9 <> 0
+            )
+            SELECT COALESCE(v1.s_suppkey, v2.s_suppkey) AS s_suppkey,
+                   CASE WHEN v1.s_suppkey IS NULL THEN 'added'
+                        WHEN v2.s_suppkey IS NULL THEN 'removed'
+                        WHEN v1.s_acctbal IS DISTINCT FROM v2.s_acctbal
+                             OR v1.s_name IS DISTINCT FROM v2.s_name
+                        THEN 'changed' END AS change,
+                   v1.s_acctbal AS old_bal, v2.s_acctbal AS new_bal
+            FROM v1 FULL OUTER JOIN v2 ON v1.s_suppkey = v2.s_suppkey
+            WHERE (v1.s_suppkey IS NULL OR v2.s_suppkey IS NULL
+                   OR v1.s_acctbal IS DISTINCT FROM v2.s_acctbal
+                   OR v1.s_name IS DISTINCT FROM v2.s_name)
         """,
         "neighbor_join": """
             WITH pts AS (

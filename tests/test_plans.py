@@ -37,6 +37,7 @@ SINGLE_PARTITION_OK = {
     "theta_segment_overlap",  # global sketch merge: KB-sized partials
     "approx_topk_terms",      # global frequency sketch: bounded state
     "funnel_conversion",      # global funnel totals: 3 counters
+    "sequence_funnel",        # global funnel totals: one counter per step
     "price_histogram",        # share-of-total window over 13 bucket counts
 }
 

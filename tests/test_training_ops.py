@@ -672,3 +672,55 @@ def test_frequent_pairs_support_and_lift(spark):
     assert r["n_baskets"] == 10
     # lift = P(xy)/(P(x)P(y)) = (10/14)/((11/14)*(11/14)) ≈ 1.157
     assert r["lift"] == pytest.approx(10 * 14 / (11 * 11), abs=1e-3)
+
+
+# ---------------------------------------- sequence funnel / snap diff
+
+def test_sequence_funnel_window_anchoring(spark):
+    """The click 2h after the view must NOT count (anchored window), and
+    a purchase anchored to a non-qualifying click must not either."""
+    from smartpy_arc_spark.operators.funnel import sequence_funnel
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view -> click (+30min) -> purchase (+30min): full funnel
+        (1, t, "view"), (1, t + h/2, "click"), (1, t + h, "purchase"),
+        # user 2: click 2h after view: funnel stops at view
+        (2, t, "view"), (2, t + 2*h, "click"), (2, t + 2*h + h/2, "purchase"),
+        # user 3: click BEFORE view: not a chain
+        (3, t, "click"), (3, t + h/2, "view"),
+        # user 4: two clicks; first within window, purchase within window
+        # of THAT click
+        (4, t, "view"), (4, t + h/4, "click"), (4, t + 3*h, "click"),
+        (4, t + h/2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = sequence_funnel(df, ["view", "click", "purchase"],
+                        step_window_sec=3600).collect()[0]
+    assert r["n_view"] == 4
+    assert r["n_click"] == 2          # users 1 and 4
+    assert r["n_purchase"] == 2       # users 1 and 4
+    with pytest.raises(ValueError):
+        sequence_funnel(df, ["view"])
+
+
+def test_snapshot_diff_statuses(spark, tmp_path):
+    from smartpy_arc_spark.sinks.snapshot import snapshot_diff, write_snapshot
+
+    table = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    write_snapshot(v1, table, mode="overwrite")
+    write_snapshot(v2, table, mode="overwrite")
+    out = {r["k"]: r["change"]
+           for r in snapshot_diff(spark, table, key_col="k",
+                                  v_from=1, v_to=2).collect()}
+    assert out == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged
