@@ -2934,6 +2934,37 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-order graph (iterative peel; rows-only:
+    data-dependent round count — pinned by exact small-graph tests)."""
+    from smartpy_arc_spark.operators.components import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.where("l_suppkey <= 30").alias("a")
+    b = li.where("l_suppkey <= 30").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    return k_core(edges, k=3)
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers: event values deviating > 5 MADs from their
+    event-type group median (heavy-tailed values; ~2% flag rate)."""
+    from smartpy_arc_spark.operators.quality import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return mad_anomalies(
+        ev, "event_type", "value", n_mads=5.0, id_cols=["event_id"]
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3109,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs": q_frequent_pairs,
         "sequence_funnel": q_sequence_funnel,
         "snapshot_diff": q_snapshot_diff,
+        "k_core": q_k_core,
+        "mad_anomalies": q_mad_anomalies,
     })
 
 
@@ -3283,6 +3316,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "mad_anomalies": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ), wm AS (
+                SELECT e.event_type, e.event_id, e.value, m.med
+                FROM events e JOIN med m USING (event_type)
+            ), mad AS (
+                SELECT event_type,
+                       quantile_cont(abs(value - med), 0.5) AS mad
+                FROM wm GROUP BY 1
+            )
+            SELECT wm.event_type, wm.event_id, wm.value,
+                   round(wm.med, 4) AS med, round(d.mad, 4) AS mad,
+                   round(abs(wm.value - wm.med) / d.mad, 4) + 0.0
+                       AS deviation
+            FROM wm JOIN mad d USING (event_type)
+            WHERE d.mad > 0
+              AND abs(wm.value - wm.med) > 5.0 * d.mad
         """,
         "sequence_funnel": """
             WITH t0 AS (

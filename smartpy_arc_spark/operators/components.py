@@ -215,3 +215,60 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex keeps degree >= k.  Standard iterative peel: drop
+    vertices below degree k, recompute degrees on the induced subgraph,
+    repeat to fixpoint.
+
+    Each round is one degree aggregate + one semi-join — all hash
+    shuffles on vertex ids, no driver-side graph; ``localCheckpoint``
+    per round truncates the growing lineage exactly like the
+    pointer-jumping loop in :func:`connected_components`.  Rounds are
+    data-dependent but bounded by ``max_iter`` (each round removes at
+    least one vertex or terminates).
+
+    Returns the surviving vertices with their core degree
+    ``(vertex, degree)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v")
+        pruned = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        n_before, n_after = e.count(), pruned.count()
+        e = pruned.localCheckpoint()
+        if n_after == n_before:
+            break
+    return (
+        e.select(F.col("a").alias("vertex"))
+        .unionAll(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

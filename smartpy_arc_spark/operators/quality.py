@@ -201,3 +201,51 @@ def per_group_quantile_filter(
         else F.col(value_col) < F.col("_thr")
     )
     return joined.where(pred).drop("_thr")
+
+
+def mad_anomalies(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    n_mads: float = 3.0,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust per-group anomaly flags via median absolute deviation:
+    |x - median| > n_mads * MAD (the outlier rule that, unlike z-scores,
+    is not itself dragged by the outliers it hunts).
+
+    Two grouped exact-percentile aggregates (median, then MAD of the
+    residuals) joined back by group — the group tables are bounded and
+    broadcast.  At the 100 TB tier swap ``percentile`` for
+    ``approx_percentile``; the cut is a statistic, not semantics.
+    Zero-MAD groups (constant values) flag nothing rather than
+    everything.  Returns the flagged rows with ``med``, ``mad`` and
+    ``deviation`` (|x-med|/MAD, rounded to 4).
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    out_cols = [group_col] + (id_cols or []) + [value_col]
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .where(
+            (F.col("mad") > 0)
+            & (F.abs(F.col(value_col) - F.col("med")) > n_mads * F.col("mad"))
+        )
+        .select(
+            *out_cols,
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (
+                F.round(
+                    F.abs(F.col(value_col) - F.col("med")) / F.col("mad"), 4
+                )
+                + F.lit(0.0)
+            ).alias("deviation"),
+        )
+    )

@@ -724,3 +724,46 @@ def test_snapshot_diff_statuses(spark, tmp_path):
            for r in snapshot_diff(spark, table, key_col="k",
                                   v_from=1, v_to=2).collect()}
     assert out == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged
+
+
+# ------------------------------------------------ k-core / MAD outliers
+
+def test_k_core_peels_cascade(spark):
+    """A triangle with a pendant chain: 2-core = the triangle (the chain
+    peels away in cascading rounds)."""
+    from smartpy_arc_spark.operators.components import k_core
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["vertex"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core of the same graph is empty
+    assert k_core(df, k=3).count() == 0
+
+
+def test_k_core_keeps_clique(spark):
+    from smartpy_arc_spark.operators.components import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    out = k_core(df, k=3)
+    assert sorted(r["vertex"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_mad_anomalies_flags_only_outliers(spark):
+    from smartpy_arc_spark.operators.quality import mad_anomalies
+
+    rows = [("g", i, 100.0 + (i % 5)) for i in range(20)] + [("g", 99, 500.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = mad_anomalies(df, "grp", "v", n_mads=3.0, id_cols=["id"]).collect()
+    assert [r["id"] for r in out] == [99]
+    assert out[0]["deviation"] > 3.0
+
+
+def test_mad_anomalies_constant_group_flags_nothing(spark):
+    from smartpy_arc_spark.operators.quality import mad_anomalies
+
+    df = spark.createDataFrame(
+        [("g", i, 7.0) for i in range(10)], "grp string, id long, v double"
+    )
+    assert mad_anomalies(df, "grp", "v", id_cols=["id"]).count() == 0
