@@ -2965,6 +2965,31 @@ def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of values at the exact [p05, p95]
+    group percentiles (clip, keep row count), rolled up to per-type
+    means before/after to keep the stamped result compact."""
+    from smartpy_arc_spark.operators.quality import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = winsorize(ev, "event_type", "value", lo=0.05, hi=0.95)
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("clipped"), 1)).cast("long").alias("n_clipped"),
+        (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean_raw"),
+        (F.round(F.avg("value_w"), 4) + F.lit(0.0)).alias("mean_winsor"),
+    )
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    sequence, with per-from-state probabilities."""
+    from smartpy_arc_spark.operators.sessionize import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(ev)
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3142,6 +3167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "k_core": q_k_core,
         "mad_anomalies": q_mad_anomalies,
+        "winsorize": q_winsorize,
+        "transition_counts": q_transition_counts,
     })
 
 
@@ -3316,6 +3343,44 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "winsorize": """
+            WITH cuts AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events GROUP BY 1
+            ), w AS (
+                SELECT e.event_type, e.value,
+                       round(least(greatest(e.value, c.lo), c.hi), 4) + 0.0
+                           AS value_w,
+                       e.value < c.lo OR e.value > c.hi AS clipped
+                FROM events e JOIN cuts c USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(CASE WHEN clipped THEN 1 END) AS BIGINT)
+                       AS n_clipped,
+                   round(avg(value), 4) + 0.0 AS mean_raw,
+                   round(avg(value_w), 4) + 0.0 AS mean_winsor
+            FROM w GROUP BY event_type
+        """,
+        "transition_counts": """
+            WITH seq AS (
+                SELECT user_id, event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            ), pairs AS (
+                SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type
+            ), tot AS (
+                SELECT from_type, sum(n) AS t FROM pairs GROUP BY from_type
+            )
+            SELECT p.from_type, p.to_type, p.n,
+                   round(p.n / t.t, 4) + 0.0 AS p
+            FROM pairs p JOIN tot t USING (from_type)
         """,
         "mad_anomalies": """
             WITH med AS (

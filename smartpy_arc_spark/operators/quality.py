@@ -249,3 +249,48 @@ def mad_anomalies(
             ).alias("deviation"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [``lo``, ``hi``] exact percentiles — the standard heavy-tail guard
+    before averaging/regression (clipping, unlike trimming, keeps the
+    row count).
+
+    One grouped percentile aggregate (both cut points from a single
+    buffer), broadcast back, clip via least/greatest in codegen.
+    Adds ``out_col`` (default ``<value_col>_w``) plus a ``clipped``
+    flag; original column untouched.
+    """
+    out_col = out_col or f"{value_col}_w"
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("_c")
+    ).select(
+        group_col,
+        F.col("_c")[0].alias("_lo"),
+        F.col("_c")[1].alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .withColumn(
+            out_col,
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .withColumn(
+            "clipped",
+            (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

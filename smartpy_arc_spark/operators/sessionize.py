@@ -52,3 +52,47 @@ def sessionize(
         .withColumn(session_col, F.sum("_new_sess").over(w_cum))
         .drop("_new_sess")
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: how often type A is immediately followed by type B.
+
+    One window pass per user (lead over the event order — ties broken by
+    the event id so the sequence is total and engine-reproducible), one
+    hash aggregate on the bounded (from, to) key.  The per-user ordering
+    shuffle is the only data-sized exchange.  Output includes the
+    per-from-state transition probability (rounded to 4).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.round(F.col("n") / F.col("_tot"), 4) + F.lit(0.0)).alias("p"),
+        )
+    )

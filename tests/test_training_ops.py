@@ -767,3 +767,42 @@ def test_mad_anomalies_constant_group_flags_nothing(spark):
         [("g", i, 7.0) for i in range(10)], "grp string, id long, v double"
     )
     assert mad_anomalies(df, "grp", "v", id_cols=["id"]).count() == 0
+
+
+# --------------------------------------- winsorize / transitions
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from smartpy_arc_spark.operators.quality import winsorize
+
+    rows = [("g", float(i)) for i in range(1, 101)]   # 1..100
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, "grp", "v", lo=0.10, hi=0.90).collect()
+    vals = sorted(r["v_w"] for r in out)
+    # exact p10 of 1..100 = 10.9, p90 = 90.1 (interpolated)
+    assert vals[0] == pytest.approx(10.9)
+    assert vals[-1] == pytest.approx(90.1)
+    assert sum(1 for r in out if r["clipped"]) == 20
+    assert len(out) == 100                            # clip, don't trim
+
+
+def test_transition_counts_probabilities(spark):
+    from smartpy_arc_spark.operators.sessionize import transition_counts
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 1, t,       "a"), (1, 2, t + s,   "b"), (1, 3, t + 2*s, "a"),
+        (2, 4, t,       "a"), (2, 5, t + s,   "b"),
+        (3, 6, t,       "a"), (3, 7, t + s,   "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]): r for r in transition_counts(df).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "c")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "b")]["p"] == pytest.approx(2 / 3, abs=1e-3)
+    # no cross-user transitions: user 1's trailing 'a' -> user 2's 'a'
+    assert ("a", "a") not in out
