@@ -129,3 +129,107 @@ def test_mixture_allocation_invariants(spark_session_holder, sizes, budget):
     for r in rows:
         assert r["alloc_tokens"] <= r["n_tokens"]
         assert 0.0 <= r["epochs"] <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base_keys=st.lists(st.integers(0, 20), min_size=0, max_size=15, unique=True),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 20),                  # key
+            st.integers(1, 5),                   # seq
+            st.sampled_from(["I", "U", "D"]),    # op
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_cdc_apply_matches_sequential_replay(spark_session_holder, base_keys, changes):
+    """cdc_apply must equal a per-key replay: the highest-seq change
+    decides; D removes, I/U sets; untouched keys persist."""
+    from smartpy_arc_spark.operators.merge import cdc_apply
+
+    # dedupe (key, seq) pairs — duplicate input is rejected by contract
+    seen = {}
+    for k, s, op in changes:
+        seen[(k, s)] = op
+    spark = spark_session_holder
+    base = spark.createDataFrame(
+        [(k, f"b{k}") for k in base_keys] or [(None, None)], "k long, v string"
+    ).where("k is not null")
+    ch = spark.createDataFrame(
+        [(k, f"c{k}-{s}", s, op) for (k, s), op in seen.items()]
+        or [(None, None, None, None)],
+        "k long, v string, seq long, op string",
+    ).where("k is not null")
+
+    got = {r["k"]: r["v"] for r in cdc_apply(base, ch, key_col="k", seq_col="seq").collect()}
+
+    expected = {k: f"b{k}" for k in base_keys}
+    latest: dict = {}
+    for (k, s), op in seen.items():
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op)
+    for k, (s, op) in latest.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = f"c{k}-{s}"
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # user
+            st.integers(0, 20),         # minute offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_sequence_funnel_monotone_and_replay(spark_session_holder, events):
+    """Funnel counts are monotone non-increasing down the steps and match
+    a per-user Python replay of the earliest-chain semantics."""
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.funnel import sequence_funnel
+
+    spark = spark_session_holder
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, t0 + dt.timedelta(minutes=m), e)
+        for i, (u, m, e) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    ).where("user_id is not null")
+    window = 600  # 10 minutes
+    r = sequence_funnel(
+        df, ["view", "click", "purchase"], step_window_sec=window
+    ).collect()[0]
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"]
+
+    # python replay
+    per_user: dict = {}
+    for u, m, e in events:
+        per_user.setdefault(u, []).append((m * 60, e))
+    n = [0, 0, 0]
+    for evs in per_user.values():
+        t_prev = min((t for t, e in evs if e == "view"), default=None)
+        if t_prev is None:
+            continue
+        n[0] += 1
+        for i, step in enumerate(["click", "purchase"], start=1):
+            cand = [
+                t for t, e in evs
+                if e == step and t_prev < t <= t_prev + window
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            n[i] += 1
+    assert [r["n_view"], r["n_click"], r["n_purchase"]] == n
