@@ -2990,6 +2990,22 @@ def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(ev)
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of document language vs source."""
+    from smartpy_arc_spark.operators.stats import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between purchase and view event values."""
+    from smartpy_arc_spark.operators.stats import welch_t_test
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_t_test(ev, "event_type", "value", "purchase", "view")
+
+
 def _stamp_order(q: dict) -> dict:
     done = _previously_stamped()
     head = {k: v for k, v in q.items() if k not in done}
@@ -3169,6 +3185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomalies": q_mad_anomalies,
         "winsorize": q_winsorize,
         "transition_counts": q_transition_counts,
+        "chi_square": q_chi_square,
+        "welch_t": q_welch_t,
     })
 
 
@@ -3343,6 +3361,46 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "chi_square": """
+            WITH cells AS (
+                SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                FROM documents GROUP BY 1, 2
+            ), ra AS (SELECT lang, sum(o) AS ra FROM cells GROUP BY 1),
+            rb AS (SELECT source, sum(o) AS rb FROM cells GROUP BY 1),
+            n AS (SELECT sum(o) AS n FROM cells),
+            ka AS (SELECT count(*) AS ka FROM ra),
+            kb AS (SELECT count(*) AS kb FROM rb)
+            SELECT round(sum((c.o - (r1.ra * r2.rb / (SELECT n FROM n)))
+                          * (c.o - (r1.ra * r2.rb / (SELECT n FROM n)))
+                          / (r1.ra * r2.rb / (SELECT n FROM n))), 4) + 0.0
+                       AS chi2,
+                   CAST(((SELECT ka FROM ka) - 1)
+                        * ((SELECT kb FROM kb) - 1) AS BIGINT) AS dof,
+                   CAST((SELECT n FROM n) AS BIGINT) AS n
+            FROM cells c
+            JOIN ra r1 USING (lang)
+            JOIN rb r2 USING (source)
+        """,
+        "welch_t": """
+            WITH s AS (
+                SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                       avg(value) AS m, var_samp(value) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY 1
+            ), a AS (SELECT n AS na, m AS ma, v AS va FROM s
+                     WHERE event_type = 'purchase'),
+            b AS (SELECT n AS nb, m AS mb, v AS vb FROM s
+                  WHERE event_type = 'view')
+            SELECT round(ma, 4) + 0.0 AS mean_a,
+                   round(mb, 4) + 0.0 AS mean_b,
+                   round((ma - mb) / sqrt(va / na + vb / nb), 4) + 0.0
+                       AS t_stat,
+                   round((va / na + vb / nb) * (va / na + vb / nb)
+                         / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 2) + 0.0
+                       AS dof
+            FROM a CROSS JOIN b
         """,
         "winsorize": """
             WITH cuts AS (

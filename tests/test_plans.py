@@ -29,6 +29,8 @@ SINGLE_PARTITION_OK = {
     "perplexity_buckets",   # LM-total scalar + global percentile cut points
     "mixture_allocation",   # 1-row normalizer scalar over per-source sizes
     "bm25_search",          # corpus stats scalar (N, avgdl) + global top-k
+    "chi_square",           # 1-row statistic: margins + total scalars
+    "welch_t",              # 1-row statistic: 2-cohort combine
     "q15_top_supplier",     # scalar max subquery
     "q17_small_qty_revenue",  # global sum
     "q19_disjunctive_filter",  # global sum
@@ -50,6 +52,8 @@ BNLJ_OK = {
     "perplexity_buckets",     # 1-row LM-total / cut-point broadcast cross joins
     "mixture_allocation",     # 1-row normalizer broadcast cross join
     "bm25_search",            # 1-row corpus-stats broadcast cross join
+    "chi_square",             # 1-row total broadcast cross join
+    "welch_t",                # 1-row x 1-row cohort cross join
     "q11_important_parts",    # 1-row scalar cutoff broadcast cross join
     "q22_dormant_customers",  # scalar avg broadcast
     "knn_cosine",             # bounded query side broadcast

@@ -806,3 +806,50 @@ def test_transition_counts_probabilities(spark):
     assert out[("a", "b")]["p"] == pytest.approx(2 / 3, abs=1e-3)
     # no cross-user transitions: user 1's trailing 'a' -> user 2's 'a'
     assert ("a", "a") not in out
+
+
+# ------------------------------------------------- statistical tests
+
+def test_chi_square_known_table(spark):
+    """2x2 table [[10, 20], [20, 10]]: chi2 = 60*(10*10-20*20)^2 /
+    (30*30*30*30) * ... — classic formula gives 6.6667, dof 1."""
+    from smartpy_arc_spark.operators.stats import chi_square_independence
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    r = chi_square_independence(df, "g", "h").collect()[0]
+    # chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 60*(100-400)^2/30^4
+    assert r["chi2"] == pytest.approx(60 * 300**2 / 30**4, abs=1e-3)
+    assert r["dof"] == 1 and r["n"] == 60
+
+
+def test_chi_square_independent_is_zero(spark):
+    from smartpy_arc_spark.operators.stats import chi_square_independence
+
+    rows = [(g, h) for g in "ab" for h in "xy" for _ in range(25)]
+    df = spark.createDataFrame(rows, "g string, h string")
+    r = chi_square_independence(df, "g", "h").collect()[0]
+    assert r["chi2"] == 0.0
+
+
+def test_welch_t_known_samples(spark):
+    from smartpy_arc_spark.operators.stats import welch_t_test
+    import statistics as st
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    va, vb = st.variance(a), st.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (st.mean(a) - st.mean(b)) / se2 ** 0.5
+    dof = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["t_stat"] == pytest.approx(t, abs=1e-3)
+    assert r["dof"] == pytest.approx(dof, abs=0.01)
+    assert r["mean_a"] == 3.0 and r["mean_b"] == 5.0
