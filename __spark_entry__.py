@@ -2186,11 +2186,24 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjacent-bigram collocations with PMI scores (phrase mining)."""
+    """Adjacent-bigram collocations with PMI scores (phrase mining).
+
+    The query exposes PMI as ``pmi_e4`` — the raw double scaled by 1e4 and
+    rounded to BIGINT — because Spark's ``round(x, 4)`` (BigDecimal HALF_UP)
+    and DuckDB's (scaled nearbyint) can disagree by 1 ulp on identical
+    inputs, which fails an exact value-hash even though both are "1.2345".
+    An integer is bit-exact across engines.
+    """
     from smartpy_arc_spark.operators.text import collocations
 
     docs = _t(spark, sf_dir, "documents")
-    return collocations(docs, min_count=5)
+    out = collocations(docs, min_count=5, raw_pmi=True)
+    return out.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(F.col("pmi") * 10000).cast("long").alias("pmi_e4"),
+    )
 
 
 def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2448,7 +2461,12 @@ def _previously_stamped() -> set:
         except Exception:
             continue
         for name, r in rec.items():
-            if isinstance(r, dict) and r.get("err") is None and r.get("rows_match"):
+            if (
+                isinstance(r, dict)
+                and r.get("err") is None
+                and r.get("rows_match")
+                and r.get("hash_match") is not False
+            ):
                 seen.add(name)
     return seen
 
@@ -3007,8 +3025,14 @@ def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stamp_order(q: dict) -> dict:
+    """Unstamped entries first (the driver stamps a bounded prefix per
+    round); within the unstamped head, oracle-backed queries precede
+    rows-only ones so value-hash evidence accrues before the weaker
+    rows-only checks."""
     done = _previously_stamped()
-    head = {k: v for k, v in q.items() if k not in done}
+    with_oracle = set(oracle_sql())
+    head = {k: v for k, v in q.items() if k not in done and k in with_oracle}
+    head.update({k: v for k, v in q.items() if k not in done and k not in with_oracle})
     tail = {k: v for k, v in q.items() if k in done}
     return {**head, **tail}
 
@@ -4073,9 +4097,10 @@ def oracle_sql() -> dict[str, str]:
             ), n1 AS (SELECT count(*) AS v FROM uni),
                n2 AS (SELECT count(*) AS v FROM pairs)
             SELECT pc.w1, pc.w2, pc.n_pair,
-                   round(ln((pc.n_pair / (SELECT v * 1.0 FROM n2))
+                   CAST(round(ln((pc.n_pair / (SELECT v * 1.0 FROM n2))
                          / ((a.c / (SELECT v * 1.0 FROM n1))
-                            * (b.c / (SELECT v * 1.0 FROM n1)))), 4) + 0.0 AS pmi
+                            * (b.c / (SELECT v * 1.0 FROM n1)))) * 10000)
+                        AS BIGINT) AS pmi_e4
             FROM pc
             JOIN uc a ON a.t = pc.w1
             JOIN uc b ON b.t = pc.w2

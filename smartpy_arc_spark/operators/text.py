@@ -239,8 +239,13 @@ def collocations(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 5,
+    raw_pmi: bool = False,
 ) -> DataFrame:
     """Adjacent-bigram collocation mining with PMI scoring.
+
+    ``raw_pmi=True`` returns the unrounded double (callers that need a
+    cross-engine bit-stable representation rescale it themselves); the
+    default keeps the human-friendly 4-decimal rounding.
 
     Classic corpus analysis (phrase detection a la word2vec's phrase
     pass): count adjacent token pairs, score each against its parts'
@@ -292,6 +297,8 @@ def collocations(
         (F.col("n_pair") / F.lit(float(n2)))
         / ((F.col("c1") / F.lit(float(n1))) * (F.col("c2") / F.lit(float(n1))))
     )
+    if raw_pmi:
+        return scored.select("w1", "w2", "n_pair", pmi.alias("pmi"))
     # ``+ 0.0`` collapses IEEE -0.0 to +0.0 so the value is byte-stable
     # across engines (DuckDB's round can yield -0.0 where the JVM's doesn't).
     return scored.select(

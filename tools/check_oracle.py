@@ -27,8 +27,10 @@ TABLES = [
 ]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    out = df.copy()
+def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Sorted/stringified copy for tolerant compare, plus the row permutation
+    so callers can align the RAW frame the same way for bit-exact checks."""
+    out = df.copy().reset_index(drop=True)
     out = out[sorted(out.columns)]
     for c in out.columns:
         s = out[c]
@@ -38,7 +40,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.round(9)
         elif s.dtype == object:
             out[c] = s.astype(str)
-    return out.sort_values(by=list(out.columns), ignore_index=True)
+    out = out.sort_values(by=list(out.columns))
+    order = out.index.to_numpy()
+    return out.reset_index(drop=True), order
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
@@ -50,7 +54,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if s_cols != o_cols:
         problems.append(f"columns {s_cols} != oracle {o_cols}")
         return problems
-    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    a, order_a = normalize(spark_pdf)
+    b, order_b = normalize(oracle_pdf)
     for c in a.columns:
         if str(a[c].dtype) != str(b[c].dtype):
             problems.append(f"dtype[{c}] {a[c].dtype} != oracle {b[c].dtype}")
@@ -60,18 +65,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         except AssertionError as e:
             problems.append("values differ: " + str(e).splitlines()[-1])
     if not problems:
-        # Bit-level float compare: ``==`` treats -0.0 == 0.0, but the driver's
-        # value hash does not — catch sign-of-zero / NaN-payload drift here.
+        # Bit-level float compare on the RAW (un-rounded) values, aligned by
+        # the normalized sort order.  The driver's value hash is exact: a
+        # 1-ulp ln()/round() divergence that 9-decimal rounding absorbs still
+        # fails its hash (seen on `collocations` in r2), as do -0.0 vs 0.0
+        # and NaN-payload drift.
+        ra = spark_pdf.reset_index(drop=True)[sorted(spark_pdf.columns)]
+        rb = oracle_pdf.reset_index(drop=True)[sorted(oracle_pdf.columns)]
         for c in a.columns:
-            if pd.api.types.is_float_dtype(a[c]):
-                sa = a[c].to_numpy(dtype="float64").view("uint64")
-                sb = b[c].to_numpy(dtype="float64").view("uint64")
+            if pd.api.types.is_float_dtype(ra[c]) and pd.api.types.is_float_dtype(rb[c]):
+                sa = ra[c].to_numpy(dtype="float64")[order_a].view("uint64")
+                sb = rb[c].to_numpy(dtype="float64")[order_b].view("uint64")
                 bad = np.nonzero(sa != sb)[0]
                 if len(bad):
                     i = bad[0]
                     problems.append(
-                        f"float bits differ in [{c}] at row {i}: "
-                        f"{a[c].iloc[i]!r} vs {b[c].iloc[i]!r}"
+                        f"float bits differ in [{c}] ({len(bad)} rows, e.g. "
+                        f"{ra[c].to_numpy()[order_a][i]!r} vs "
+                        f"{rb[c].to_numpy()[order_b][i]!r})"
                     )
     return problems
 
