@@ -3024,6 +3024,143 @@ def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_test(ev, "event_type", "value", "purchase", "view")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum between purchase and view event values;
+    ranks via the distributed-CDF construction (partitioned_cumsum), rank
+    sums kept in integer space, z as bit-exact integer millionths."""
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "purchase", "view")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between purchase and view values —
+    exact integer numerator over n_a*n_b, distributed CDF, no global
+    single-partition sort."""
+    from smartpy_arc_spark.operators.stats import ks_test_2samp
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_test_2samp(ev, "event_type", "value", "purchase", "view")
+
+
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of l_extendedprice on l_quantity from exact
+    DECIMAL(38,0) fixed-point sums — engine-order-independent operands,
+    one scalar division each for slope/intercept/r2."""
+    from smartpy_arc_spark.operators.stats import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_fit(li, "l_quantity", "l_extendedprice")
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values (ts+event_id
+    ordering), Pearson r from exact per-key integer-cents sums."""
+    from smartpy_arc_spark.operators.stats import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "user_id", "ts", "value", lag=1, tiebreak_col="event_id"
+    )
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-concentration profile: Shannon entropy, HHI and
+    top-category share from exact integer cell counts."""
+    from smartpy_arc_spark.operators.stats import concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return concentration(docs, "source", "lang")
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-100 vocabulary
+    (count desc, term asc tiebreak); vocab rides as one broadcast join."""
+    from smartpy_arc_spark.operators.text import vocabulary_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_coverage(docs, vocab_size=100)
+
+
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 10-bucket histogram of o_totalprice: one exact-percentile
+    aggregate for all cutpoints, broadcast back, codegen'd bucket assign —
+    no global sort/window over the data."""
+    from smartpy_arc_spark.operators.quality import equi_depth_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return equi_depth_histogram(orders, "o_totalprice", n_buckets=10)
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2 interval) join: lineitem ship dates against a
+    two-version supplier dimension (validity split at 1995-07-01), one
+    equi-join shuffle on the key with the interval predicate attached."""
+    from smartpy_arc_spark.operators.asof import point_in_time_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_shipdate").alias("ts"),
+        "l_extendedprice",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    versions = sup.select(
+        "s_suppkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("version"),
+                    F.lit("1990-01-01").cast("date").alias("valid_from"),
+                    F.lit("1995-07-01").cast("date").alias("valid_to"),
+                    F.round(F.col("s_acctbal"), 2).alias("rate"),
+                ),
+                F.struct(
+                    F.lit(2).alias("version"),
+                    F.lit("1995-07-01").cast("date").alias("valid_from"),
+                    F.lit("2000-01-01").cast("date").alias("valid_to"),
+                    F.round(F.col("s_acctbal") + 500.0, 2).alias("rate"),
+                ),
+            )
+        ).alias("v"),
+    ).select("s_suppkey", "v.version", "v.valid_from", "v.valid_to", "v.rate")
+    j = point_in_time_join(
+        li, versions, key="s_suppkey", ts_col="ts", how="inner"
+    )
+    return j.groupBy("s_suppkey", "version").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hopping-window aggregation (1h window, 15min slide) via the
+    F.window generator — each event covered by 4 overlapping windows,
+    map-side partial aggregation intact; exact integer-cents sums."""
+    from smartpy_arc_spark.operators.sessionize import hopping_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_window_counts(ev)
+
+
+def q_stream_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming profile (transformWithStateInPandas where
+    the runtime supports it, applyInPandasWithState fallback — identical
+    semantics): per-user event count, distinct event types, top type.
+    Single availableNow batch → equals the batch aggregate."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_type_profile,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_type_profile(stream), output_mode="update"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3211,6 +3348,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": q_transition_counts,
         "chi_square": q_chi_square,
         "welch_t": q_welch_t,
+        "mann_whitney": q_mann_whitney,
+        "ks_test": q_ks_test,
+        "ols_regression": q_ols_regression,
+        "autocorr": q_autocorr,
+        "source_concentration": q_source_concentration,
+        "vocab_coverage": q_vocab_coverage,
+        "equi_depth_hist": q_equi_depth_hist,
+        "pit_join": q_pit_join,
+        "hopping_windows": q_hopping_windows,
+        "stream_type_profile": q_stream_type_profile,
     })
 
 
@@ -5442,5 +5589,238 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rk
             FROM ranked WHERE rk <= 5
+        """,
+        "mann_whitney": """
+            WITH vals AS (
+                SELECT value AS v,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS na_v,
+                       CAST(count(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS nb_v
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY value
+            ), cum AS (
+                SELECT *, na_v + nb_v AS n_v,
+                       COALESCE(SUM(na_v + nb_v) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM vals
+            ), agg AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b,
+                       CAST(SUM(na_v * (2 * cb + n_v + 1)) AS BIGINT) AS r2_a,
+                       CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+                FROM cum
+            )
+            SELECT n_a, n_b,
+                   CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(round(
+                       (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                        - CAST(n_a * n_b AS DOUBLE))
+                       / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                           * (CAST(n_a + n_b + 1 AS DOUBLE)
+                              - CAST(tie_term AS DOUBLE)
+                                / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                       AS DOUBLE))))
+                       * 1000000) AS BIGINT) AS z_e6
+            FROM agg
+        """,
+        "ks_test": """
+            WITH vals AS (
+                SELECT value AS v,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS na_v,
+                       CAST(count(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS nb_v
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY value
+            ), cum AS (
+                SELECT SUM(na_v) OVER (ORDER BY v) AS ca,
+                       SUM(nb_v) OVER (ORDER BY v) AS cb
+                FROM vals
+            ), tot AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b
+                FROM vals
+            )
+            SELECT n_a, n_b,
+                   CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+                   CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+                       / CAST(n_a * n_b AS DOUBLE) AS d
+            FROM cum, tot GROUP BY n_a, n_b
+        """,
+        "ols_regression": """
+            WITH t AS (
+                SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+                FROM lineitem
+            ), a AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                       SUM(x * y) AS sxy
+                FROM t
+            ), d AS (
+                SELECT n,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM a
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(cov_n / var_x, 6) + 0.0 AS slope,
+                   round((syd - (cov_n / var_x) * sxd)
+                         / CAST(n AS DOUBLE) / 100.0, 6) + 0.0 AS intercept,
+                   round(cov_n * cov_n / (var_x * var_y), 6) + 0.0 AS r2
+            FROM d
+        """,
+        "autocorr": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS y,
+                       LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS x
+                FROM events
+            ), p AS (
+                SELECT user_id, x, y FROM s WHERE x IS NOT NULL
+            ), a AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM p GROUP BY user_id
+            )
+            SELECT user_id, n_pairs,
+                   round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))),
+                         6) + 0.0 AS r
+            FROM a
+            WHERE n_pairs >= 3
+              AND n_pairs * sxx - sx * sx > 0
+              AND n_pairs * syy - sy * sy > 0
+        """,
+        "source_concentration": """
+            WITH cells AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            ), g AS (
+                SELECT source,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k_cats,
+                       CAST(SUM(c * c) AS BIGINT) AS ss,
+                       CAST(MAX(c) AS BIGINT) AS cmax,
+                       SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           AS clnc
+                FROM cells GROUP BY source
+            )
+            SELECT source, n, k_cats,
+                   round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6)
+                       + 0.0 AS entropy,
+                   round(CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                       + 0.0 AS hhi,
+                   round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       + 0.0 AS top_share
+            FROM g
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS t
+                FROM documents
+            ), vocab AS (
+                SELECT t FROM (
+                    SELECT t, count(*) AS c FROM toks GROUP BY t
+                    ORDER BY c DESC, t ASC LIMIT 100
+                )
+            ), m AS (
+                SELECT d.doc_id, (v.t IS NOT NULL) AS iv
+                FROM toks d LEFT JOIN vocab v ON d.t = v.t
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE NOT iv) AS BIGINT) AS n_oov,
+                   CAST(count(*) FILTER (WHERE NOT iv) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS oov_rate
+            FROM m GROUP BY doc_id
+        """,
+        "equi_depth_hist": """
+            WITH cuts AS (
+                SELECT quantile_cont(o_totalprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+                FROM orders
+            ), b AS (
+                SELECT o_totalprice AS v,
+                       CAST(1 + len(list_filter((SELECT q FROM cuts),
+                                                c -> c <= o_totalprice))
+                            AS INTEGER) AS bucket
+                FROM orders
+            )
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(v) AS lo, max(v) AS hi,
+                   CAST(count(*) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+                       AS share
+            FROM b GROUP BY bucket
+        """,
+        "pit_join": """
+            WITH versions AS (
+                SELECT s_suppkey, v.version, v.valid_from, v.valid_to, v.rate
+                FROM supplier, LATERAL (
+                    SELECT unnest([
+                        {'version': 1, 'valid_from': DATE '1990-01-01',
+                         'valid_to': DATE '1995-07-01',
+                         'rate': round(s_acctbal, 2)},
+                        {'version': 2, 'valid_from': DATE '1995-07-01',
+                         'valid_to': DATE '2000-01-01',
+                         'rate': round(s_acctbal + 500.0, 2)}],
+                        recursive := true)
+                ) v
+            )
+            SELECT l.l_suppkey AS s_suppkey, v.version,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(SUM(l.l_extendedprice), 2) AS revenue
+            FROM lineitem l
+            JOIN versions v
+              ON v.s_suppkey = l.l_suppkey
+             AND v.valid_from <= l.l_shipdate
+             AND l.l_shipdate < v.valid_to
+            GROUP BY 1, 2
+        """,
+        "hopping_windows": """
+            SELECT CAST((epoch_us(ts) // 900000000 - k.k) * 900 AS BIGINT)
+                       AS hop_start_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_ticks
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1
+        """,
+        "stream_type_profile": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), top AS (
+                SELECT user_id, event_type AS top_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY c DESC, event_type
+                    ) AS rn FROM c
+                ) WHERE rn = 1
+            ), g AS (
+                SELECT user_id,
+                       CAST(SUM(c) AS BIGINT) AS n_events,
+                       CAST(count(*) AS BIGINT) AS n_distinct_types
+                FROM c GROUP BY user_id
+            )
+            SELECT g.user_id, g.n_events, g.n_distinct_types, top.top_type
+            FROM g JOIN top USING (user_id)
         """,
     }

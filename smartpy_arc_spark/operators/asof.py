@@ -117,3 +117,41 @@ def asof_join(
             *[F.col(f"_m.{out_names[c]}").alias(out_names[c]) for c in value_cols],
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal interval) join: each fact row picks the
+    dimension version whose validity interval covers the fact timestamp —
+    ``versions.key == facts.key AND valid_from <= ts < valid_to``.
+
+    The standard SCD2 lookup.  Physically this is a plain equi-join on the
+    key with the interval predicate applied as a post-join filter inside
+    the same join operator (Catalyst keeps non-equi conjuncts attached to
+    the hash/sort-merge join, no cartesian anything): one shuffle on the
+    key, each fact row meets only its key's versions (a handful per key in
+    any real SCD2 table).  For open-ended current versions pass a far
+    future ``valid_to`` rather than NULL so the predicate stays sargable.
+
+    Contrast with ``asof_join``: as-of matches the latest EVENT at-or-
+    before; point-in-time matches a maintained VERSION INTERVAL — with a
+    well-formed (non-overlapping, gap-free) version table each fact gets
+    exactly one match; overlaps surface as fan-out, gaps as drops (or
+    null-extended rows with ``how='left'``), which is the honest behavior
+    for a broken dimension rather than silently picking one.
+    """
+    f, v = facts.alias("__f"), versions.alias("__v")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__v.{key}"))
+        & (F.col(f"__v.{valid_from}") <= F.col(f"__f.{ts_col}"))
+        & (F.col(f"__f.{ts_col}") < F.col(f"__v.{valid_to}"))
+    )
+    return f.join(v, cond, how).drop(F.col(f"__v.{key}"))

@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # bounded stopword probe set (Gopher uses a small "must contain" list)
@@ -293,4 +293,63 @@ def winsorize(
             (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")),
         )
         .drop("_lo", "_hi")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: ``n_buckets`` buckets with
+    ~equal row counts, each reporting its value range and mass share.
+
+    The optimizer-statistics workhorse (NDV-insensitive selectivity
+    estimation) and the robust alternative to ``width_bucket`` when the
+    distribution is skewed — equal-width buckets put 90% of a Zipfian
+    column in one bucket; equal-depth buckets never do.
+
+    Shape: ONE aggregate computes all interior cutpoints
+    (``percentile(value, array(1/k .. (k-1)/k))`` exactly — swap
+    ``exact=False`` for ``approx_percentile``'s KLL-style sketch at the
+    100 TB tier, where a 1e-4-relative-error boundary moves a handful of
+    rows between adjacent buckets); the cutpoint array rides into a
+    second scan pass as a literal-free broadcast cross join, and bucket
+    assignment is a codegen'd count of cutpoints <= value.  No global
+    sort, no window — two scans total.
+
+    Bucket ids are 1-based; duplicate cutpoints (mass concentrated on one
+    value) produce empty buckets rather than misassigned rows.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    pct = (F.percentile if exact else F.approx_percentile)
+    cuts = df.agg(
+        pct(F.col(value_col), F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(
+            F.filter(F.col("__cuts"), lambda c: c <= F.col(value_col))
+        )
+    ).alias("bucket")
+    grouped = (
+        df.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+    # share denominator via a window over the (<= n_buckets)-row grouped
+    # result — bounded at any data scale, cheaper than a third scan
+    total = F.sum("n").over(Window.partitionBy())
+    return grouped.select(
+        "bucket",
+        "n",
+        "lo",
+        "hi",
+        (F.col("n").cast("double") / total.cast("double")).alias("share"),
     )

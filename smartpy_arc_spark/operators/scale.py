@@ -270,3 +270,67 @@ def bloom_prefilter_join(
         probe = hit if probe is None else (probe & hit)
     filtered = fact.withColumn("__bloom__", bloom).where(probe).drop("__bloom__")
     return filtered.join(dim, filtered[fact_key] == dim[dim_key], how)
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    *,
+    prefix: str = "cum_",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running sums over ``order_cols`` WITHOUT a single-partition
+    window.
+
+    ``row_number()/sum() OVER (ORDER BY ...)`` with no PARTITION BY pulls
+    the whole table through one task — the classic scale cliff for
+    rank/CDF computations.  This primitive keeps the sort distributed:
+
+      1. ``repartitionByRange(order_cols)`` — partition *i* holds globally
+         smaller keys than partition *i+1* (one range-exchange, same cost
+         class as any global sort);
+      2. per-partition running sums via a window PARTITIONED BY
+         ``spark_partition_id()`` (never crosses tasks);
+      3. one tiny job aggregates per-partition totals (numPartitions rows
+         to the driver), whose exclusive prefix sums come back as a
+         broadcast literal map added to every row's local running sum.
+
+    Emits one ``{prefix}{col}`` per entry of ``sum_cols`` (inclusive
+    running sum by default; ``inclusive=False`` gives the exclusive
+    "sum of everything strictly before this row's frame").  Rows that tie
+    on ``order_cols`` are ordered arbitrarily among themselves — pass a
+    unique tiebreaker as the last order col when that matters.
+    """
+    from pyspark.sql import Window
+
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = part.groupBy("__pid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    offsets: dict[str, dict[int, float]] = {c: {} for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        for c in sum_cols:
+            offsets[c][r["__pid"]] = acc[c]
+            acc[c] += r[c] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    out = part
+    for c in sum_cols:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets[c].items() for v in kv]
+        )
+        local = F.sum(F.col(c)).over(w)
+        out = out.withColumn(
+            prefix + c,
+            F.coalesce(local, F.lit(0)) + off_map[F.col("__pid")],
+        )
+    return out.drop("__pid")

@@ -96,3 +96,36 @@ def transition_counts(
             (F.round(F.col("n") / F.col("_tot"), 4) + F.lit(0.0)).alias("p"),
         )
     )
+
+
+def hopping_window_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    scale: int = 100,
+) -> DataFrame:
+    """Batch hopping-window (sliding tumble) aggregation via the same
+    ``F.window`` generator Structured Streaming uses: each event lands in
+    ``window/slide`` overlapping windows (here 4), emitted as per-window
+    event counts and exact fixed-point value sums.
+
+    ``F.window`` works identically in batch — the generator explodes each
+    row into its covering windows *before* the hash aggregate, so partial
+    aggregation still happens map-side and the shuffle carries one row per
+    (window, partial) rather than per event-copy.  Window starts are
+    epoch-aligned multiples of the slide; the start is exposed as epoch
+    seconds (timezone-free for cross-engine comparison).
+    """
+    win = F.window(F.col(ts_col), window, slide)
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    return (
+        df.select(win.alias("w"), ticks.alias("ticks"))
+        .groupBy((F.unix_micros("w.start") / 1_000_000).cast("long").alias("hop_start_s"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("ticks").cast("long").alias("sum_ticks"),
+        )
+    )

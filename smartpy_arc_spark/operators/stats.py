@@ -107,3 +107,291 @@ def welch_t_test(
         (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
         (F.round(dof, 2) + F.lit(0.0)).alias("dof"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two cohorts, with the
+    normal approximation's z including the tie correction.
+
+    Ranking never sorts in one task: values are first collapsed to the
+    per-distinct-value contingency (value -> count_a, count_b), then the
+    global cumulative counts come from ``partitioned_cumsum`` (range
+    partition + per-partition window + broadcast offsets).  Rank sums are
+    kept in INTEGER space (doubled ranks, so tied .5 averages stay exact):
+    ``u2 = 2*U_a`` is exact at any scale; only the final z touches floats.
+
+    Returns one row ``(n_a, n_b, u2_a, z_e6)`` — ``z_e6`` is z scaled to
+    integer millionths (bit-stable across engines; ln/sqrt ulp drift never
+    survives integer scaling).
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    vals = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("na_v"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("nb_v"),
+        )
+        .withColumn("n_v", F.col("na_v") + F.col("nb_v"))
+    )
+    cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
+    # doubled average rank of value v: 2*cum_before + n_v + 1 (integer)
+    agg = cum.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(F.col("na_v") * (2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1))
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("r2_a") - na * (na + 1)  # 2 * U_a, exact integer
+    # z = (U - na*nb/2) / sqrt(na*nb/12 * (n+1 - T/(n*(n-1))))
+    z = (u2.cast("double") - (na * nb).cast("double")) / (
+        F.lit(2.0)
+        * F.sqrt(
+            (na * nb).cast("double")
+            / 12.0
+            * (
+                (n + 1).cast("double")
+                - F.col("tie_term").cast("double") / (n * (n - 1)).cast("double")
+            )
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        F.round(z * 1000000).cast("long").alias("z_e6"),
+    )
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic ``D = sup |F_a - F_b|``.
+
+    Same distributed-CDF shape as ``mann_whitney_u``: collapse to
+    distinct values, global cumulative counts via ``partitioned_cumsum``.
+    D is kept exact as the integer numerator over the common denominator
+    ``n_a * n_b``:  ``d_num = max |cum_a*n_b - cum_b*n_a|`` — the only
+    float emitted is the final exact-integer division.
+
+    Returns one row ``(n_a, n_b, d_num, d)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    vals = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("na_v"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("nb_v"),
+        )
+    )
+    cum = partitioned_cumsum(vals, ["v"], ["na_v", "nb_v"])
+    totals = cum.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_na_v").cast("long") * F.col("n_b")
+            - F.col("cum_nb_v").cast("long") * F.col("n_a")
+        ).alias("num"),
+    )
+    return scored.groupBy("n_a", "n_b").agg(
+        F.max("num").alias("d_num")
+    ).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"))
+        .alias("d"),
+    )
+
+
+def ols_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Closed-form simple linear regression y = a + b*x via the normal
+    equations, computed from EXACT integer sums.
+
+    Inputs are fixed-point (``scale`` decimal ticks, default cents);
+    Σx, Σy, Σx², Σy², Σxy accumulate as DECIMAL(38,0) — exact at any
+    scale and in any engine, unlike double sums whose value depends on
+    aggregation order.  The slope/intercept/r² divisions happen once,
+    on scalars, so every engine sees identical operands.
+
+    Returns one row ``(n, slope, intercept, r2)`` (rounded to 6).
+    """
+    xi = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    yi = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    agg = df.select(xi.alias("x"), yi.alias("y")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # exact decimal covariance/variance numerators, cast once to double
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov_n / var_x
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(float(scale))
+    )
+    r2 = cov_n * cov_n / (var_x * var_y)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lag: int = 1,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Per-key lag-``lag`` Pearson autocorrelation of a time series.
+
+    One shuffle on the key; the lagged pairing is a window ``lag()``
+    PARTITIONED BY the key (never global).  Pair sums accumulate as exact
+    fixed-point integers per key (per-key series fit in int64 comfortably:
+    overflow needs ~1e9 ticks² per key), so r is derived from
+    order-independent operands.  Keys with fewer than ``min_pairs`` lagged
+    pairs or zero variance on either side are dropped.
+
+    Returns ``(key, n_pairs, r)`` with r rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    pairs = (
+        df.withColumn("__x", F.lag(ticks, lag).over(w))
+        .withColumn("__y", ticks)
+        .where(F.col("__x").isNotNull())
+    )
+    agg = pairs.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov_n = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = cov_n / (F.sqrt(var_x) * F.sqrt(var_y))
+    return (
+        agg.where(
+            (F.col("n_pairs") >= min_pairs)
+            & (var_x > 0)
+            & (var_y > 0)
+        )
+        .select(
+            F.col(key_col),
+            "n_pairs",
+            (F.round(r, 6) + F.lit(0.0)).alias("r"),
+        )
+    )
+
+
+def concentration(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical concentration profile: Shannon entropy (nats),
+    Herfindahl-Hirschman index, and the top category's share.
+
+    Two hash aggregates over bounded key spaces (group x category cells,
+    then groups); entropy/HHI derive from exact integer cell counts, with
+    one ln() per cell — the only transcendental, absorbed by 6-decimal
+    rounding.
+
+    Returns ``(group, n, k_cats, entropy, hhi, top_share)``.
+    """
+    # "__c" not "c": a user category column named `c` must not collide
+    cells = df.groupBy(group_col, cat_col).agg(F.count("*").alias("__c"))
+    return (
+        cells.groupBy(group_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("k_cats"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("ss"),
+            F.max("__c").cast("long").alias("cmax"),
+            F.sum(
+                F.col("__c").cast("double")
+                * F.log(F.col("__c").cast("double"))
+            ).alias("clnc"),
+        )
+        .select(
+            F.col(group_col),
+            "n",
+            "k_cats",
+            # H = ln(n) - (1/n) * sum(c * ln c)   (exact-int operands)
+            (
+                F.round(
+                    F.log(F.col("n").cast("double"))
+                    - F.col("clnc") / F.col("n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("entropy"),
+            (
+                F.round(
+                    F.col("ss").cast("double")
+                    / (F.col("n") * F.col("n")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("hhi"),
+            (
+                F.round(F.col("cmax").cast("double") / F.col("n").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("top_share"),
+        )
+    )

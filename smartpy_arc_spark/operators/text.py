@@ -419,3 +419,59 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(top_k)
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Per-document coverage against the corpus's own top-``vocab_size``
+    vocabulary: what fraction of a document's tokens would an OOV-free
+    tokenizer with that vocabulary cover?
+
+    The curation signal behind "does a fixed subword/word vocab fit this
+    slice" — documents with high OOV rates are disproportionately noise,
+    code, or the wrong language.
+
+    Vocabulary = top terms by corpus frequency with deterministic
+    (count DESC, term ASC) tiebreak.  It is vocab-sized, so it rides to
+    every executor as one broadcast equi-join on the exploded token —
+    never a per-row linear probe of an array literal.  Two shuffles
+    total (vocab build, per-doc regroup); tokens never leave the JVM.
+
+    Returns ``(id, n_tokens, n_oov, oov_rate)`` — ``oov_rate`` is one
+    exact-integer division (bit-stable; no rounding needed).
+    """
+    toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != F.lit(""))
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("t")
+    )
+    vocab = (
+        exploded.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t", F.lit(True).alias("__in_vocab"))
+    )
+    marked = exploded.join(F.broadcast(vocab), "t", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

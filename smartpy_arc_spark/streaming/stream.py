@@ -378,3 +378,137 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_type_profile(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    api: str = "auto",
+) -> DataFrame:
+    """Per-key distinct-category profile via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API superseding applyInPandasWithState):
+    each key carries a MapState of category -> count plus a ValueState event
+    counter, and every micro-batch emits the key's refreshed profile
+    ``(key, n_events, n_distinct_types, top_type)``.
+
+    ``api``: ``'tws'`` forces transformWithStateInPandas (whose Python
+    runner needs the ``protobuf`` package at runtime), ``'apws'`` forces
+    the ``applyInPandasWithState`` construction of the SAME semantics
+    (whole-profile tuple state instead of per-entry MapState — correct,
+    just coarser state I/O), ``'auto'`` picks tws when protobuf is
+    importable and falls back otherwise.
+
+    Why the new API and not a windowed agg: the state here is an open-ended
+    per-key dictionary that must survive across batches and support
+    incremental point updates — MapState gives per-entry get/put against the
+    state store (RocksDB at scale) without deserializing the whole map, the
+    exact access pattern ``applyInPandasWithState``'s single-blob tuple
+    state cannot express.
+
+    State is per-key-bounded (|categories| entries), shuffled once on the
+    key.  ``top_type`` tiebreaks deterministically (count desc, name asc).
+    With a single-batch drain (one input file under availableNow) the
+    output is exactly the batch ``groupBy(key).agg(count, count_distinct)``
+    — the correctness harness used by the `stream_type_profile` query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
+
+    out_schema = (
+        f"{key_col} long, n_events long, n_distinct_types long, top_type string"
+    )
+
+    if api == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            api = "tws"
+        except ImportError:
+            api = "apws"
+
+    if api == "apws":
+        from pyspark.sql.streaming.state import GroupState
+
+        def profile(key, pdfs, state: GroupState):
+            import json
+
+            counts: dict[str, int]
+            total: int
+            if state.exists:
+                total, blob = state.get
+                counts = json.loads(blob)
+            else:
+                total, counts = 0, {}
+            for pdf in pdfs:
+                total += len(pdf)
+                for t, c in pdf[type_col].value_counts().items():
+                    counts[t] = counts.get(t, 0) + int(c)
+            state.update((total, json.dumps(counts, sort_keys=True)))
+            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [total],
+                    "n_distinct_types": [len(items)],
+                    "top_type": [items[0][0] if items else None],
+                }
+            )
+
+        return events.groupBy(key_col).applyInPandasWithState(
+            profile,
+            outputStructType=out_schema,
+            stateStructType="total long, counts string",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "type_counts", "t string", "c long"
+            )
+            self.total = handle.getValueState("total", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t, c in pdf[type_col].value_counts().items():
+                    prev = (
+                        self.counts.getValue((t,))[0]
+                        if self.counts.containsKey((t,))
+                        else 0
+                    )
+                    self.counts.updateValue((t,), (prev + int(c),))
+                n_new = len(pdf)
+                prev_total = self.total.get()[0] if self.total.exists() else 0
+                self.total.update((prev_total + n_new,))
+            items = [
+                (k[0], v[0]) for k, v in self.counts.iterator()
+            ]
+            items.sort(key=lambda kv: (-kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [self.total.get()[0]],
+                    "n_distinct_types": [len(items)],
+                    "top_type": [items[0][0] if items else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        TypeProfile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1,0 +1,318 @@
+"""Round-3 additions: rank/CDF statistics, regression, concentration,
+coverage, equi-depth histograms, point-in-time joins, hopping windows,
+the distributed cumulative-sum primitive, and the stateful streaming
+type profile."""
+
+import math
+
+import pytest
+
+
+# ------------------------------------------------- partitioned_cumsum
+
+def test_partitioned_cumsum_matches_global(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    rows = [(i * 7 % 101, 1) for i in range(101)]
+    df = spark.createDataFrame(rows, "k int, one int").repartition(5)
+    out = partitioned_cumsum(df, ["k"], ["one"]).collect()
+    got = {r["k"]: r["cum_one"] for r in out}
+    # keys are a permutation of 0..100 → inclusive running count == rank
+    for rank, k in enumerate(sorted(got), start=1):
+        assert got[k] == rank, (k, got[k], rank)
+
+
+def test_partitioned_cumsum_exclusive(spark):
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    df = spark.createDataFrame([(i, 10) for i in range(20)], "k int, v int")
+    out = partitioned_cumsum(df, ["k"], ["v"], inclusive=False).collect()
+    got = {r["k"]: r["cum_v"] for r in out}
+    for k in range(20):
+        assert got[k] == 10 * k
+
+
+# ------------------------------------------------- rank statistics
+
+def test_mann_whitney_hand_computed(spark):
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    a, b = [1.0, 2.0, 3.0], [2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # ranks: 1, (2.5, 2.5), (4.5, 4.5), 6 → Ra = 8, U_a = 8 - 6 = 2
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["u2_a"] == 4  # 2 * U_a
+    n, na, nb, tie = 6, 3, 3, 2 * (8 - 2)
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (2 - na * nb / 2) / math.sqrt(var)
+    assert r["z_e6"] == round(z * 1e6)
+
+
+def test_mann_whitney_symmetry(spark):
+    """Swapping the cohorts flips the sign of z and mirrors U."""
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", float(v)) for v in (1, 4, 2, 8)] + [
+        ("b", float(v)) for v in (3, 3, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ab = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    ba = mann_whitney_u(df, "g", "v", "b", "a").collect()[0]
+    # U_a + U_b = n_a * n_b
+    assert ab["u2_a"] + ba["u2_a"] == 2 * ab["n_a"] * ab["n_b"]
+    assert abs(ab["z_e6"] + ba["z_e6"]) <= 1  # scaled-rounding off-by-one
+
+
+def test_ks_hand_computed(spark):
+    from smartpy_arc_spark.operators.stats import ks_test_2samp
+
+    a, b = [1.0, 2.0, 3.0], [2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["d_num"] == 3  # sup at v=1: |1*3 - 0*3|
+    assert r["d"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_ks_identical_samples_zero(spark):
+    from smartpy_arc_spark.operators.stats import ks_test_2samp
+
+    rows = [(g, float(v)) for g in "ab" for v in (1, 2, 2, 5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["d"] == 0.0
+
+
+# ------------------------------------------------- regression / series
+
+def test_ols_exact_line(spark):
+    from smartpy_arc_spark.operators.stats import ols_fit
+
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(1, 51)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = ols_fit(df, "x", "y").collect()[0]
+    assert r["n"] == 50
+    assert r["slope"] == pytest.approx(2.0, abs=1e-9)
+    assert r["intercept"] == pytest.approx(1.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_autocorrelation_alternating_is_minus_one(spark):
+    from smartpy_arc_spark.operators.stats import autocorrelation
+
+    rows = [
+        (1, f"2024-01-01 00:0{i}:00", float(1 + i % 2), i) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double, i long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v", "i")
+    r = autocorrelation(df, "k", "ts", "v", tiebreak_col="i").collect()
+    assert len(r) == 1
+    assert r[0]["n_pairs"] == 5
+    assert r[0]["r"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_autocorrelation_drops_constant_series(spark):
+    from smartpy_arc_spark.operators.stats import autocorrelation
+
+    rows = [(1, f"2024-01-01 00:0{i}:00", 5.0, i) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double, i long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v", "i")
+    assert autocorrelation(df, "k", "ts", "v", tiebreak_col="i").count() == 0
+
+
+# ------------------------------------------------- concentration / coverage
+
+def test_concentration_uniform_and_point_mass(spark):
+    from smartpy_arc_spark.operators.stats import concentration
+
+    rows = [("u", c) for c in "abcd" for _ in range(5)] + [
+        ("p", "a") for _ in range(8)
+    ]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in concentration(df, "g", "c").collect()}
+    assert out["u"]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out["u"]["hhi"] == pytest.approx(0.25, abs=1e-9)
+    assert out["u"]["top_share"] == pytest.approx(0.25, abs=1e-9)
+    assert out["p"]["entropy"] == 0.0
+    assert out["p"]["hhi"] == 1.0 and out["p"]["top_share"] == 1.0
+    assert out["p"]["k_cats"] == 1
+
+
+def test_vocabulary_coverage(spark):
+    from smartpy_arc_spark.operators.text import vocabulary_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in vocabulary_coverage(df, vocab_size=2).collect()
+    }
+    # vocab = {a (2), b (1; ties broken term-asc over c, d)}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 2
+    assert out[2]["oov_rate"] == 1.0
+
+
+# ------------------------------------------------- equi-depth histogram
+
+def test_equi_depth_uniform(spark):
+    from smartpy_arc_spark.operators.quality import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "v double"
+    )
+    out = sorted(
+        equi_depth_histogram(df, "v", n_buckets=10).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in out] == list(range(1, 11))
+    assert all(r["n"] == 10 for r in out)
+    assert out[0]["lo"] == 1.0 and out[-1]["hi"] == 100.0
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-12)
+    # depth ordering: every bucket's range is disjoint and increasing
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_equi_depth_skew_never_one_bucket(spark):
+    """Zipf-ish mass: equal-width would collapse; equal-depth must not."""
+    from smartpy_arc_spark.operators.quality import equi_depth_histogram
+
+    vals = [0.001 * i for i in range(1, 91)] + [1000.0 + i for i in range(10)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = equi_depth_histogram(df, "v", n_buckets=4).collect()
+    counts = sorted(r["n"] for r in out)
+    assert counts[-1] <= 26  # ~25 per bucket, never one giant bucket
+
+
+# ------------------------------------------------- point-in-time join
+
+def _pit_fixture(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    facts = spark.createDataFrame(
+        [
+            (1, "2020-02-01"),
+            (1, "2020-04-15"),
+            (1, "2020-09-01"),  # gap: no covering version
+            (2, "2020-02-01"),
+        ],
+        "k long, d string",
+    ).selectExpr("k", "CAST(d AS DATE) AS ts")
+    versions = spark.createDataFrame(
+        [
+            (1, 1, "2020-01-01", "2020-03-01", 10.0),
+            (1, 2, "2020-03-01", "2020-06-01", 20.0),
+            (2, 1, "2020-01-01", "2021-01-01", 30.0),
+        ],
+        "k long, version int, f string, t string, rate double",
+    ).selectExpr(
+        "k", "version",
+        "CAST(f AS DATE) AS valid_from", "CAST(t AS DATE) AS valid_to",
+        "rate",
+    )
+    return facts, versions
+
+
+def test_point_in_time_inner(spark):
+    from smartpy_arc_spark.operators.asof import point_in_time_join
+
+    facts, versions = _pit_fixture(spark)
+    out = point_in_time_join(facts, versions, key="k", ts_col="ts").collect()
+    got = {(r["k"], str(r["ts"])): (r["version"], r["rate"]) for r in out}
+    assert got[(1, "2020-02-01")] == (1, 10.0)
+    assert got[(1, "2020-04-15")] == (2, 20.0)
+    assert got[(2, "2020-02-01")] == (1, 30.0)
+    assert len(out) == 3  # the gap row drops on inner
+
+
+def test_point_in_time_left_keeps_gap_rows(spark):
+    from smartpy_arc_spark.operators.asof import point_in_time_join
+
+    facts, versions = _pit_fixture(spark)
+    out = point_in_time_join(
+        facts, versions, key="k", ts_col="ts", how="left"
+    ).collect()
+    assert len(out) == 4
+    gap = [r for r in out if str(r["ts"]) == "2020-09-01"][0]
+    assert gap["version"] is None
+
+
+def test_point_in_time_overlap_fans_out(spark):
+    from smartpy_arc_spark.operators.asof import point_in_time_join
+
+    facts = spark.createDataFrame([(1, "2020-02-01")], "k long, d string") \
+        .selectExpr("k", "CAST(d AS DATE) AS ts")
+    versions = spark.createDataFrame(
+        [
+            (1, 1, "2020-01-01", "2020-03-01", 1.0),
+            (1, 2, "2020-01-15", "2020-04-01", 2.0),  # overlapping
+        ],
+        "k long, version int, f string, t string, rate double",
+    ).selectExpr(
+        "k", "version", "CAST(f AS DATE) AS valid_from",
+        "CAST(t AS DATE) AS valid_to", "rate",
+    )
+    out = point_in_time_join(facts, versions, key="k", ts_col="ts").collect()
+    assert len(out) == 2  # broken dims surface as fan-out, not silence
+
+
+# ------------------------------------------------- hopping windows
+
+def test_hopping_each_event_in_four_windows(spark):
+    from smartpy_arc_spark.operators.sessionize import hopping_window_counts
+
+    df = spark.createDataFrame(
+        [(1, "1970-01-01 02:46:40", 2.5)], "id long, ts string, value double"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = sorted(
+        hopping_window_counts(df).collect(), key=lambda r: r["hop_start_s"]
+    )
+    # epoch 10000s, slide-aligned covers start at 7200, 8100, 9000, 9900
+    assert [r["hop_start_s"] for r in out] == [7200, 8100, 9000, 9900]
+    assert all(r["n_events"] == 1 and r["sum_ticks"] == 250 for r in out)
+
+
+# ------------------------------------------------- streaming type profile
+
+def test_streaming_type_profile_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.sources.scan import scan
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_type_profile,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        streaming_type_profile(stream), output_mode="update"
+    )
+    got = {r["user_id"]: r for r in out.collect()}
+
+    ev = scan(spark, sf_dir, "events", nanos_ts_cols=["ts"])
+    exp = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    )
+    assert len(got) == len(exp)
+    for r in exp:
+        g = got[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert g["n_distinct_types"] == r["n_types"]
+        assert g["top_type"] is not None
