@@ -3161,6 +3161,93 @@ def q_stream_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.25) of event values: one in-order codegen
+    fold per key — a left fold evaluates in a fixed order, so the result
+    is bit-identical across engines; exposed as integer e4 ticks."""
+    from smartpy_arc_spark.operators.resample import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(
+        ev, "user_id", "ts", "value",
+        alpha=0.25, tiebreak_col="event_id", raw=True,
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        "last_value",
+        # ONE rounding step, to integer — fractional round(x, n) has the
+        # engine-specific binary-representation divergence; integer
+        # rounding is tie-consistent (both engines round half away)
+        F.round(F.col("ewma_value") * 10000).cast("long").alias("ewma_e4"),
+    )
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the supplier co-order graph (suppkey <= 40):
+    min hop distance from suppliers {1,2,3}, <= 6 hops.  Iterative
+    frontier joins with localCheckpoint lineage truncation; oracle is a
+    recursive CTE."""
+    from smartpy_arc_spark.operators.components import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.where("l_suppkey <= 40").alias("a")
+    b = li.where("l_suppkey <= 40").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    return bfs_distances(edges, [1, 2, 3], max_hops=6)
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values onto the global distribution
+    per event_type: broadcast 1001-point exact quantile grid + per-group
+    window rank, grid index in pure integer arithmetic."""
+    from smartpy_arc_spark.operators.quality import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_normalize(
+        ev, "event_type", "value", id_col="event_id", grid=1000
+    )
+
+
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: monthly exact-cents totals, lag window
+    over the (calendar-bounded) month sequence, delta and pct change in
+    integer spaces.  The partition-less lag window holds one row per
+    month — bounded by the calendar, not the data."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round(
+                (F.col("rev_cents") - prev).cast("double")
+                / prev.cast("double")
+                * 10000
+            ).cast("long"),
+        ).alias("pct_change_e4"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3358,6 +3445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "hopping_windows": q_hopping_windows,
         "stream_type_profile": q_stream_type_profile,
+        "ewma": q_ewma,
+        "bfs_hops": q_bfs_hops,
+        "quantile_norm": q_quantile_norm,
+        "mom_change": q_mom_change,
     })
 
 
@@ -5822,5 +5913,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.user_id, g.n_events, g.n_distinct_types, top.top_type
             FROM g JOIN top USING (user_id)
+        """,
+        "ewma": """
+            WITH s AS (
+                SELECT user_id,
+                       list(CAST(round(value * 100) AS DOUBLE)
+                            ORDER BY ts, event_id) AS xs
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(len(xs) AS BIGINT) AS n_obs,
+                   xs[-1] / 100 AS last_value,
+                   CAST(round(
+                       list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc)
+                       / 100 * 10000) AS BIGINT) AS ewma_e4
+            FROM s
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                  AND a.l_suppkey <= 40 AND b.l_suppkey <= 40
+            ), e AS (
+                SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0
+            ), d(node, dist) AS (
+                SELECT * FROM (VALUES (1, 0), (2, 0), (3, 0)) v(node, dist)
+                UNION
+                SELECT e.dst, d.dist + 1
+                FROM d JOIN e ON e.src = d.node
+                WHERE d.dist < 6
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM d GROUP BY node
+        """,
+        "quantile_norm": """
+            WITH vals AS (
+                SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY value
+            ), cum AS (
+                SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cu
+                FROM vals
+            ), tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals
+            ), ranks AS (
+                SELECT i, 1 + ((n - 1) * i) // 1000 AS r
+                FROM generate_series(0, 1000) t(i), tot
+            ), grid AS (
+                SELECT i, v AS gv
+                FROM ranks JOIN cum ON r > cu - c AND r <= cu
+            ), r2 AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value, event_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS ng
+                FROM events
+            )
+            SELECT event_id, event_type, value, g.gv AS normalized
+            FROM r2 JOIN grid g
+              ON g.i = CASE WHEN ng = 1 THEN 500
+                            ELSE (2 * 1000 * (rn - 1) + (ng - 1))
+                                 // (2 * (ng - 1)) END
+        """,
+        "mom_change": """
+            WITH monthly AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS month,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT))
+                            AS BIGINT) AS rev_cents,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders, rev_cents,
+                   rev_cents - LAG(rev_cents) OVER (ORDER BY month)
+                       AS delta_cents,
+                   CASE WHEN LAG(rev_cents) OVER (ORDER BY month) IS NOT NULL
+                             AND LAG(rev_cents) OVER (ORDER BY month) <> 0
+                   THEN CAST(round(
+                       CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month)
+                            AS DOUBLE)
+                       / CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+                       * 10000) AS BIGINT)
+                   END AS pct_change_e4
+            FROM monthly
         """,
     }

@@ -272,3 +272,56 @@ def k_core(
         .groupBy("vertex")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any of ``sources`` to
+    every reachable node, bounded by ``max_hops``.
+
+    Iterative frontier expansion — the standard distributed BFS: each
+    round joins the current frontier to the edge list, anti-joins
+    against the visited set (so every node is settled exactly once, at
+    its minimum distance — BFS invariant), and unions into the visited
+    set.  Rounds = graph diameter (≤ ``max_hops``), each round one
+    shuffle join keyed by node id; ``localCheckpoint`` truncates the
+    growing lineage exactly like ``connected_components``.  The loop
+    exits early when a frontier comes back empty — the count that
+    detects this is the same action that materializes the checkpoint,
+    so the convergence probe costs no extra job.
+
+    Returns ``(node, dist)`` with ``dist`` 0 for the sources themselves.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

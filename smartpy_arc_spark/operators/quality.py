@@ -353,3 +353,83 @@ def equi_depth_histogram(
         "hi",
         (F.col("n").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str,
+    grid: int = 1000,
+) -> DataFrame:
+    """Quantile normalization: map every group's values onto the GLOBAL
+    distribution, so all groups become distributionally comparable (the
+    microarray/feature-harmonization standard — here e.g. per-source
+    quality scores whose scales drift between sources).
+
+    Shape: the ``grid+1``-point global quantile grid is built from an
+    EXPLICIT integer rank rule — grid entry *i* is the data value at
+    global rank ``1 + (n-1)*i div grid`` — via the per-distinct-value
+    cumulative counts from ``partitioned_cumsum`` (no global sort) and a
+    broadcast non-equi join of the 1001 target ranks against each
+    value's rank interval.  Neither ``percentile`` (interpolation
+    arithmetic differs across engines by 1 ulp) nor ``percentile_disc``
+    (boundary conventions differ by one rank when ``p*n`` is integral)
+    is engine-portable; an integer rank rule over actual data values is.
+    Each row's within-group position comes from a per-group window rank
+    (partitioned by the group — never global), and its grid index from
+    pure integer arithmetic (``(2*grid*(rn-1) + (ng-1)) div
+    (2*(ng-1))`` — round-half-up without touching floats).
+
+    Returns the id/group/value plus ``normalized``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    spark = df.sparkSession
+    vals = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count("*").alias("__c")
+    )
+    cum = partitioned_cumsum(vals, ["__v"], ["__c"]).select(
+        "__v", "__c", F.col("cum___c").cast("long").alias("__cu")
+    )
+    total = cum.agg(F.sum("__c").cast("long").alias("__n"))
+    ranks = (
+        spark.range(0, grid + 1)
+        .withColumnRenamed("id", "__i")
+        .crossJoin(F.broadcast(total))
+        .selectExpr("__i", "1 + ((__n - 1) * __i) div " + str(grid) + " as __r")
+    )
+    grid_map = (
+        cum.join(
+            F.broadcast(ranks),
+            (F.col("__r") > F.col("__cu") - F.col("__c"))
+            & (F.col("__r") <= F.col("__cu")),
+        )
+        .select(F.col("__i"), F.col("__v").alias("__gv"))
+    )
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__ng", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    # `div` (integral divide), NOT `/`: Spark's `/` on longs is DOUBLE
+    # division, whose rounding could flip an integer boundary that
+    # DuckDB's exact `//` would not
+    num = 2 * grid * (F.col("__rn") - 1) + (F.col("__ng") - 1)
+    den = 2 * (F.col("__ng") - 1)
+    ranked = ranked.withColumn("__num", num).withColumn("__den", den)
+    idx = F.when(F.col("__ng") == 1, F.lit(grid // 2)).otherwise(
+        F.expr("__num div __den")
+    )
+    return (
+        ranked.withColumn("__idx", idx)
+        .join(F.broadcast(grid_map), F.col("__idx") == F.col("__i"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.col("__gv").alias("normalized"),
+        )
+    )

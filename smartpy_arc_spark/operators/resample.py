@@ -145,3 +145,60 @@ def resample_interpolate(
         (F.round(interp, 4) + F.lit(0.0)).alias(value_col),
         F.col("_v").isNull().alias("interpolated"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.25,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+    raw: bool = False,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (final smoothed value
+    per key): ``s_i = alpha * x_i + (1 - alpha) * s_{i-1}``, seeded with
+    the first observation.
+
+    EWMA is inherently sequential, so it is computed as one in-order fold
+    per key: ``collect_list(struct(order..., x)) → sort_array →
+    aggregate()`` — a single shuffle on the key, the fold itself runs in
+    codegen (no Python).  The per-key series must fit in one task (the
+    same bounded-series contract as ``sessionize``/``resample_*``; for
+    unbounded keys, window the input first).
+
+    Engine portability: a left fold evaluates in a FIXED order, so the
+    result is bit-identical in any engine that folds the same list —
+    unlike a ``sum()`` of weighted terms, whose accumulation order is
+    engine-chosen.  With a dyadic ``alpha`` (0.25, 0.5) every weight is an
+    exact binary fraction on exact fixed-point ticks.
+
+    Returns ``(key, n_obs, last_value, ewma_value)`` (ewma rounded to 6,
+    in original value units; ``raw=True`` skips the rounding so callers
+    can rescale to a bit-exact integer representation in ONE rounding
+    step — double rounding would reintroduce cross-engine drift).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ticks = F.round(F.col(value_col) * scale).cast("double")
+    item = F.struct(*order, ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return per_key.select(
+        F.col(key_col),
+        F.size("series").cast("long").alias("n_obs"),
+        (F.element_at(xs, -1) / scale).alias("last_value"),
+        (
+            (folded / scale)
+            if raw
+            else (F.round(folded / scale, 6) + F.lit(0.0))
+        ).alias("ewma_value"),
+    )

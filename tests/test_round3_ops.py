@@ -316,3 +316,138 @@ def test_streaming_type_profile_matches_batch(spark, sf_dir):
         assert g["n_events"] == r["n_events"]
         assert g["n_distinct_types"] == r["n_types"]
         assert g["top_type"] is not None
+
+
+# ------------------------------------------------- ewma
+
+def test_ewma_hand_computed(spark):
+    from smartpy_arc_spark.operators.resample import ewma
+
+    rows = [
+        (1, f"2024-01-01 00:0{i}:00", v, i)
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double, i long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v", "i")
+    r = ewma(df, "k", "ts", "v", alpha=0.5, tiebreak_col="i").collect()[0]
+    # s = 1 -> 1.5 -> 2.25 -> 3.125
+    assert r["n_obs"] == 4 and r["last_value"] == 4.0
+    assert r["ewma_value"] == pytest.approx(3.125, abs=1e-9)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    from smartpy_arc_spark.operators.resample import ewma
+
+    rows = [(1, f"2024-01-01 00:0{i}:00", 7.25, i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double, i long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v", "i")
+    r = ewma(df, "k", "ts", "v", tiebreak_col="i").collect()[0]
+    assert r["ewma_value"] == 7.25
+
+
+def test_ewma_order_matters(spark):
+    """EWMA weights recency — the same multiset in reversed order gives a
+    different answer (guards against accidentally using an unordered agg)."""
+    from smartpy_arc_spark.operators.resample import ewma
+
+    fwd = [(1, f"2024-01-01 00:0{i}:00", float(i + 1), i) for i in range(4)]
+    rev = [(1, f"2024-01-01 00:0{i}:00", float(4 - i), i) for i in range(4)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, ts string, v double, i long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v", "i")
+    a = ewma(mk(fwd), "k", "ts", "v", tiebreak_col="i").collect()[0]
+    b = ewma(mk(rev), "k", "ts", "v", tiebreak_col="i").collect()[0]
+    assert a["ewma_value"] != b["ewma_value"]
+    # exact folds: rising [1,2,3,4] → 2.265625; falling [4,3,2,1] → 2.734375
+    # (at alpha=0.25 the seed dominates, so the falling series ends higher)
+    assert a["ewma_value"] == pytest.approx(2.265625, abs=1e-12)
+    assert b["ewma_value"] == pytest.approx(2.734375, abs=1e-12)
+
+
+# ------------------------------------------------- BFS
+
+def test_bfs_path_graph(spark):
+    from smartpy_arc_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1], max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_and_cycle(spark):
+    from smartpy_arc_spark.operators.components import bfs_distances
+
+    # 1-2-3-4-5-6-1 ring: sources {1, 4} → every node within 1 hop... no:
+    # dist(2)=1 (from 1), dist(3)=1 (from 4), dist(5)=1, dist(6)=1
+    ring = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)]
+    edges = spark.createDataFrame(ring, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1, 4], max_hops=10).collect()
+    }
+    assert got == {1: 0, 4: 0, 2: 1, 6: 1, 3: 1, 5: 1}
+
+
+def test_bfs_respects_max_hops_and_direction(spark):
+    from smartpy_arc_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [1], max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 beyond the hop budget
+    directed = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            edges, [3], max_hops=5, directed=True
+        ).collect()
+    }
+    assert directed == {3: 0, 4: 1}  # no backward traversal
+
+
+# ------------------------------------------------- quantile normalization
+
+def test_quantile_normalize_shifts_group_onto_global(spark):
+    from smartpy_arc_spark.operators.quality import quantile_normalize
+
+    # group a: 1..10, group b: 101..110 — after normalization both groups
+    # span the same global value set
+    rows = [("a", float(v), v) for v in range(1, 11)] + [
+        ("b", float(100 + v), 100 + v) for v in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = quantile_normalize(df, "g", "v", id_col="id", grid=1000)
+    rows_out = out.collect()
+    a = sorted(r["normalized"] for r in rows_out if r["g"] == "a")
+    b = sorted(r["normalized"] for r in rows_out if r["g"] == "b")
+    assert a == b  # identical positions → identical normalized values
+    # min maps to global min, max to global max
+    assert a[0] == 1.0 and a[-1] == 110.0
+    # monotone within group
+    by_v = sorted(
+        ((r["v"], r["normalized"]) for r in rows_out if r["g"] == "a")
+    )
+    assert all(x[1] <= y[1] for x, y in zip(by_v, by_v[1:]))
+
+
+def test_quantile_normalize_values_come_from_data(spark):
+    """Rank-rule grid: every normalized value is an actual data value."""
+    from smartpy_arc_spark.operators.quality import quantile_normalize
+
+    rows = [("a", float(v % 7), v) for v in range(40)] + [
+        ("b", float(v % 13) * 3, v + 100) for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    out = quantile_normalize(df, "g", "v", id_col="id").collect()
+    universe = {r[1] for r in rows}
+    assert all(r["normalized"] in universe for r in out)
