@@ -3248,6 +3248,26 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless PPJoin-style set-similarity self-join (Jaccard >= 0.8)
+    over a bounded document slice; the oracle runs the brute-force
+    quadratic form, so a hash match proves the prefix filter loses
+    nothing."""
+    from smartpy_arc_spark.operators.dedup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    return set_similarity_join(docs, threshold=0.8)
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity of per-source term-frequency vectors
+    (sparse term-keyed self-join, never dense vectors)."""
+    from smartpy_arc_spark.operators.text import source_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_similarity(docs, "source")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3449,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "quantile_norm": q_quantile_norm,
         "mom_change": q_mom_change,
+        "set_similarity": q_set_similarity,
+        "source_similarity": q_source_similarity,
     })
 
 
@@ -6000,5 +6022,54 @@ def oracle_sql() -> dict[str, str]:
                        * 10000) AS BIGINT)
                    END AS pct_change_e4
             FROM monthly
+        """,
+        "set_similarity": """
+            WITH sets AS (
+                SELECT doc_id AS id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS toks
+                FROM documents WHERE doc_id < 300
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(a.toks) AS BIGINT) AS n_a,
+                       CAST(len(b.toks) AS BIGINT) AS n_b,
+                       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                           AS n_common
+                FROM sets a JOIN sets b ON a.id < b.id
+            )
+            SELECT id_a, id_b, n_a, n_b, n_common,
+                   CAST(n_common AS DOUBLE)
+                       / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+            FROM pairs
+            WHERE CAST(n_common AS DOUBLE)
+                      / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+        """,
+        "source_similarity": """
+            WITH tf AS (
+                SELECT g, t, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT source AS g,
+                           unnest(list_filter(
+                               regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> x <> '')) AS t
+                    FROM documents
+                ) GROUP BY g, t
+            ), norms AS (
+                SELECT g, CAST(SUM(tf * tf) AS BIGINT) AS ss FROM tf GROUP BY g
+            ), dots AS (
+                SELECT a.g AS group_a, b.g AS group_b,
+                       CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                FROM tf a JOIN tf b ON a.t = b.t AND a.g < b.g
+                GROUP BY 1, 2
+            )
+            SELECT group_a, group_b, dot,
+                   CAST(round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.ss AS DOUBLE))
+                           * sqrt(CAST(nb.ss AS DOUBLE))) * 1000000)
+                        AS BIGINT) AS cos_e6
+            FROM dots
+            JOIN norms na ON na.g = group_a
+            JOIN norms nb ON nb.g = group_b
         """,
     }

@@ -537,3 +537,91 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_dist") <= max_distance)
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact set-similarity self-join (Jaccard >= ``threshold``) with
+    PPJoin-style prefix filtering — the LOSSLESS scale tier between
+    hash-exact dedup and probabilistic MinHash.
+
+    Each document becomes its distinct-token set, globally ordered
+    rarest-token-first (document frequency asc, token asc).  For Jaccard
+    >= t, two sets MUST share a token within their first
+    ``|s| - ceil(t*|s|) + 1`` tokens under any consistent global order
+    (the classic prefix-filtering bound), so only those prefix tokens are
+    exploded into the candidate join — rare tokens bucket few documents,
+    which is what kills the quadratic blowup that joining on ALL tokens
+    (or all-pairs) would cost.  Candidates then verify EXACT Jaccard via
+    set intersection, so the result is identical to brute force — the
+    oracle query literally runs the quadratic form and must match.
+
+    One aggregation for df ranks, one for per-doc sets, a candidate
+    equi-join on prefix tokens keyed by (rare) token, and a verify join
+    carrying the two token arrays.  No LSH false negatives, no Python.
+
+    Returns ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
+    ``id_a < id_b``; jaccard is one exact-integer division.
+    """
+    from smartpy_arc_spark.operators.text import alpha_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(alpha_tokens(F.col(text_col)))).alias("t"),
+    )
+    dfreq = toks.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(dfreq, "t")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("t")))
+                ),
+                lambda s: s["t"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        # prefix length |s| - ceil(t*|s|) + 1
+        .withColumn(
+            "plen", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+    )
+    prefix = ranked.select(
+        "id", "n", "toks",
+        F.explode(F.slice("toks", 1, F.col("plen"))).alias("pt"),
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.pt") == F.col("b.pt")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (
+        (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    )
+    return (
+        cand.withColumn("n_common", inter.cast("long"))
+        .where(jac >= F.lit(threshold))
+        .select(
+            "id_a", "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_common",
+            jac.alias("jaccard"),
+        )
+    )

@@ -475,3 +475,57 @@ def vocabulary_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def source_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group term-frequency
+    vectors — the corpus-drift / source-overlap profile ("which sources
+    publish the same language?").
+
+    The vectors are never materialized dense: group term counts stay as
+    sparse (group, term, tf) rows, the pairwise dot products come from
+    ONE self-join keyed by term (each term contributes its groups'
+    cross products — bounded by groups-per-term, not vocabulary), and
+    the norms from a per-group aggregate broadcast onto the (bounded,
+    #groups²/2) pair table.  Dot products and squared norms are exact
+    integer sums; cosine is exposed as integer millionths.
+
+    Returns ``(group_a, group_b, dot, cos_e6)`` with group_a < group_b.
+    """
+    tf = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(alpha_tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    norms = tf.groupBy("g").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("ss")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("g").alias("group_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("g").alias("group_b"), F.col("ss").alias("ssb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ssa").cast("double")) * F.sqrt(F.col("ssb").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "dot",
+            F.round(cos * 1000000).cast("long").alias("cos_e6"),
+        )
+    )

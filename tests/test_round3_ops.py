@@ -451,3 +451,73 @@ def test_quantile_normalize_values_come_from_data(spark):
     out = quantile_normalize(df, "g", "v", id_col="id").collect()
     universe = {r[1] for r in rows}
     assert all(r["normalized"] in universe for r in out)
+
+
+# ------------------------------------------------- set-similarity join
+
+def test_set_similarity_finds_near_identical(spark):
+    from smartpy_arc_spark.operators.dedup import set_similarity_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),   # 4/6 = 0.667 vs doc 1
+            (3, "entirely different words here"),
+            (4, "the quick brown fox jumps"),   # identical to doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in set_similarity_join(df, threshold=0.6).collect()
+    }
+    assert (1, 4) in out and out[(1, 4)]["jaccard"] == 1.0
+    assert (1, 2) in out and out[(1, 2)]["jaccard"] == pytest.approx(4 / 6)
+    assert (2, 4) in out
+    assert not any(3 in k for k in out)
+
+
+def test_set_similarity_matches_brute_force(spark):
+    """Prefix filtering must be lossless: same pairs as quadratic Jaccard."""
+    from itertools import combinations
+
+    from smartpy_arc_spark.operators.dedup import set_similarity_join
+
+    # letter-only tokens: alpha_tokens splits on non-letters, so "w0"
+    # would collapse to "w" and merge every document
+    corpus = [
+        (i, " ".join("w" + chr(97 + (i * 3 + j) % 11) for j in range(6)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(df, threshold=0.45).collect()
+    }
+    sets = {i: set(t.split()) for i, t in corpus}
+    exp = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.45
+    }
+    assert got == exp
+
+
+def test_source_similarity_identical_and_disjoint(spark):
+    from smartpy_arc_spark.operators.text import source_similarity
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma"),
+            ("s2", "alpha beta gamma"),     # identical distribution → cos 1
+            ("s3", "delta epsilon zeta"),   # disjoint → no dot row at all
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r["cos_e6"]
+        for r in source_similarity(df, "source").collect()
+    }
+    assert out[("s1", "s2")] == 1_000_000
+    # disjoint vocabularies never meet in the term-keyed join
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
