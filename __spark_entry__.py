@@ -3268,6 +3268,44 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_similarity(docs, "source")
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d covariance of the embedding matrix (mapInPandas
+    partial Gram per Arrow batch, one bounded (i,j)-keyed shuffle).
+
+    Vectors are quantized to integer 1e6 ticks first, which makes every
+    partial sum EXACT in any accumulation order — so the mapInPandas
+    numpy path and the oracle's SQL sums meet bit-for-bit, something raw
+    float sums cannot guarantee across engines."""
+    from smartpy_arc_spark.operators.embedding import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000000),
+        ).alias("embedding"),
+    )
+    return covariance_matrix(q).select(
+        "i", "j", F.col("cov").alias("cov_ticks2")
+    )
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of embeddings onto the top-4 principal components
+    (driver-side d×d eigh on the distributed covariance; sign-normalized
+    deterministic components).  Rows-only: eigendecomposition is not
+    SQL-expressible; numerics pinned by unit tests against numpy."""
+    from smartpy_arc_spark.operators.embedding import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=4)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pc"), lambda x: F.round(x, 4)).alias("pc_r4"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3471,6 +3509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mom_change": q_mom_change,
         "set_similarity": q_set_similarity,
         "source_similarity": q_source_similarity,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_embeddings": q_pca_embeddings,
     })
 
 
@@ -6071,5 +6111,29 @@ def oracle_sql() -> dict[str, str]:
             FROM dots
             JOIN norms na ON na.g = group_a
             JOIN norms nb ON nb.g = group_b
+        """,
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS i,
+                       round(unnest(CAST(embedding AS DOUBLE[])) * 1000000)
+                           AS x
+                FROM embeddings
+            ), cells AS (
+                SELECT a.i AS i, b.i AS j,
+                       SUM(a.x * b.x) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM e a JOIN e b
+                  ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2
+            ), sums AS (
+                SELECT i, SUM(x) AS colsum FROM e GROUP BY i
+            )
+            SELECT CAST(c.i AS INTEGER) AS i, CAST(c.j AS INTEGER) AS j,
+                   (c.s - sa.colsum * sb.colsum / c.n) / (c.n - 1)
+                       AS cov_ticks2
+            FROM cells c
+            JOIN sums sa ON sa.i = c.i
+            JOIN sums sb ON sb.i = c.j
         """,
     }

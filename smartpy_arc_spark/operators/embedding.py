@@ -1,0 +1,200 @@
+"""Embedding-matrix analytics: distributed covariance and PCA projection.
+
+The dimensionality-reduction step of an embedding pipeline (dedup at
+lower dim, visualization, whitening before ANN).  The distributed part —
+the only part that costs anything at 100 TB — is accumulating the d×d
+Gram matrix; the eigendecomposition of that d×d matrix (a few thousand
+doubles for d=64) is driver-side numpy, exactly where a d×d problem
+belongs.
+
+Scale shape:
+  * ``covariance_matrix`` — one ``mapInPandas`` pass emits per-Arrow-batch
+    partial Gram triangles as (i, j, partial_sum) triples computed by one
+    numpy ``X.T @ X`` per batch (BLAS, no per-row Python), then one
+    shuffle keyed by the (i, j) cell — d(d+1)/2 keys, map-side combined.
+    Nothing driver-side grows with n.
+  * ``pca_project`` — eigh on the collected d×d matrix, then a broadcast
+    (d × k) component matrix applied by a second ``mapInPandas`` matmul.
+    Component signs are normalized (largest-|loading| entry positive) so
+    the output is deterministic even though eigenvectors are only defined
+    up to sign.
+
+No counterpart in the reference repo; embedding-pipeline extension
+surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def covariance_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sample covariance of a vector column as sparse cell rows
+    ``(i, j, cov)`` for the upper triangle ``i <= j``.
+
+    Partial Gram sums per Arrow batch (numpy ``X.T @ X``), one bounded
+    shuffle on the (i, j) cell key, mean-corrected at the end from the
+    same pass's per-dimension sums.
+    """
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            g = x.T @ x
+            s = x.sum(axis=0)
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d)]),
+                    "j": np.concatenate([ju, np.full(d, -1)]),
+                    # j = -1 rows carry the per-dimension value sums
+                    "s": np.concatenate([g[iu, ju], s]),
+                    "n": np.concatenate(
+                        [np.zeros(len(iu)), np.full(d, float(len(pdf)))]
+                    ),
+                }
+            )
+
+    parts = df.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(partial_gram, "i int, j int, s double, n double")
+    cells = parts.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    sums = cells.where("j = -1").select(
+        F.col("i").alias("gi"),
+        F.col("s").alias("colsum"),
+        F.col("n").alias("n_rows"),
+    )
+    gram = cells.where("j >= 0")
+    return (
+        gram.join(
+            F.broadcast(sums.select(F.col("gi").alias("i"), "colsum", "n_rows")),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                sums.select(F.col("gi").alias("j"), F.col("colsum").alias("colsum_j"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s")
+                    - F.col("colsum") * F.col("colsum_j") / F.col("n_rows")
+                )
+                / (F.col("n_rows") - 1)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA: returns ``(components, explained_var, mean)`` where
+    ``components`` is (k × d) with deterministic signs, ``explained_var``
+    the top-k eigenvalues, ``mean`` the (d,) column means.
+
+    The covariance accumulates distributed (see ``covariance_matrix``);
+    only the d×d eigenproblem runs on the driver.
+    """
+    rows = covariance_matrix(df, vec_col=vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    # sign convention: the largest-|loading| coordinate of each component
+    # is positive (eigenvectors are defined only up to sign)
+    for ci in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[ci])))
+        if comps[ci, j] < 0:
+            comps[ci] = -comps[ci]
+    mean_rows = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("p", "x"))
+        .groupBy("p")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in mean_rows:
+        mean[r["p"]] = r["m"]
+    return comps, vals[order], mean
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    components: np.ndarray | None = None,
+    mean: np.ndarray | None = None,
+) -> DataFrame:
+    """Project vectors onto the top-``k`` principal components.
+
+    Fits on ``df`` itself unless ``components``/``mean`` are supplied
+    (fit once, project many — the train/apply split).  The (d × k)
+    component matrix ships to executors inside the mapInPandas closure
+    (a few KB); projection is one numpy matmul per Arrow batch.
+
+    Returns ``(id, pc array<double> of length k)``.
+    """
+    if components is None or mean is None:
+        components, _, mean = pca_components(df, vec_col=vec_col, k=k)
+    comp_t = np.ascontiguousarray(components.T)  # (d, k)
+    mu = np.ascontiguousarray(mean)
+
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            p = (x - mu) @ comp_t
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__pc": [row.tolist() for row in p]}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).mapInPandas(project, "__id long, __pc array<double>")
+    return out.select(
+        F.col("__id").alias(id_col), F.col("__pc").alias("pc")
+    )

@@ -521,3 +521,68 @@ def test_source_similarity_identical_and_disjoint(spark):
     assert out[("s1", "s2")] == 1_000_000
     # disjoint vocabularies never meet in the term-keyed join
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+# ------------------------------------------------- embedding covariance / PCA
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import covariance_matrix
+
+    rng = [[float((i * 7 + j * 3) % 5), float((i * 2) % 3), float(i % 4)]
+           for i in range(30) for j in [i]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df).collect()}
+    ref = np.cov(np.array(rng), rowvar=False)
+    for (i, j), v in got.items():
+        assert v == pytest.approx(ref[i, j], abs=1e-12), (i, j)
+    assert len(got) == 6  # upper triangle of 3x3
+
+
+def test_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import pca_components
+
+    # points on the line y = 2x (plus a tiny orthogonal wiggle):
+    # first component must align with (1, 2)/sqrt(5), sign-normalized
+    pts = [
+        (i, [float(t), float(2 * t + (0.001 if t % 2 else -0.001))])
+        for i, t in enumerate(range(-10, 11))
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    comps, vals, mean = pca_components(df, k=2)
+    d0 = np.array([1.0, 2.0]) / np.sqrt(5.0)
+    assert np.allclose(np.abs(comps[0]), d0, atol=1e-3)
+    assert comps[0][np.argmax(np.abs(comps[0]))] > 0  # sign convention
+    assert vals[0] > 100 * vals[1]  # dominant direction dominates
+
+
+def test_pca_fit_apply_split(spark):
+    """Fitting on one frame and projecting another must reuse the fitted
+    basis (train/apply contract), and projection preserves pairwise
+    distances in the full-rank case."""
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import (
+        pca_components,
+        pca_project,
+    )
+
+    pts = [(i, [float(i % 5), float((i * 3) % 7), float(i % 2)])
+           for i in range(40)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    comps, _, mean = pca_components(df, k=3)
+    out = pca_project(
+        df, k=3, components=comps, mean=mean
+    ).orderBy("vec_id").collect()
+    X = np.array([p[1] for p in pts])
+    P = np.array([r["pc"] for r in out])
+    # full-rank rotation: pairwise distances preserved
+    for a, b in [(0, 1), (3, 17), (20, 39)]:
+        da = np.linalg.norm(X[a] - X[b])
+        db = np.linalg.norm(P[a] - P[b])
+        assert db == pytest.approx(da, abs=1e-9)
