@@ -3306,6 +3306,70 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit count-min sketch over corpus tokens (depth 4 × width 512
+    bounded state, one shuffle), point-queried for fixed probe terms.
+    Rows-only: DuckDB lacks xxhash64; the overestimate property and the
+    2n/width error bound are pinned by unit tests against exact counts."""
+    from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
+    from smartpy_arc_spark.operators.text import alpha_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(alpha_tokens(F.col("text"))).alias("t"))
+    sk = cms_build(toks, "t", width=512, depth=4)
+    return cms_estimate(
+        sk,
+        ["the", "and", "data", "spark", "shuffle", "join", "quality", "zz"],
+        width=512,
+        depth=4,
+    )
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML source: write a nation slice as XML, read it
+    back with explicit schema, aggregate — third text interchange format
+    after CSV/JSONL, same single-pass schema-driven contract."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_xml_ws", "nation.xml")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat.write.mode("overwrite").format("xml").option("rowTag", "nation").save(d)
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .load(d)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (df.unpivot / DuckDB UNPIVOT): per-segment
+    metric matrix melted to (segment, metric, value) rows.  Every value
+    is exact-representable (counts, exact-cents sums, 2-dec maxima) so
+    the doubles compare bit-for-bit."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("double").alias("n_cust"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("total_cents"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_cust", "total_cents", "max_bal"],
+        "metric",
+        "value",
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3511,6 +3575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "embedding_covariance": q_embedding_covariance,
         "pca_embeddings": q_pca_embeddings,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "xml_roundtrip": q_xml_roundtrip,
+        "unpivot_metrics": q_unpivot_metrics,
     })
 
 
@@ -6135,5 +6202,23 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c
             JOIN sums sa ON sa.i = c.i
             JOIN sums sb ON sb.i = c.j
+        """,
+        "xml_roundtrip": """
+            SELECT n_regionkey,
+                   CAST(count(*) AS BIGINT) AS n_nations,
+                   min(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+                SELECT c_mktsegment,
+                       CAST(count(*) AS DOUBLE) AS n_cust,
+                       CAST(SUM(CAST(round(c_acctbal * 100) AS HUGEINT))
+                            AS DOUBLE) AS total_cents,
+                       max(c_acctbal) AS max_bal
+                FROM customer GROUP BY c_mktsegment
+            )
+            UNPIVOT wide ON n_cust, total_cents, max_bal
+            INTO NAME metric VALUE value
         """,
     }

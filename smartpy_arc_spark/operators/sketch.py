@@ -1,0 +1,99 @@
+"""Explicit count-min sketch: frequency estimation over unbounded key
+spaces in fixed memory.
+
+Spark 4 ships HLL/theta/KLL sketch aggregates (used by the
+`hll_sketch_union` / `theta_segment_overlap` / `kll_quantile_rollup`
+queries) and a binary `count_min_sketch` aggregate — but no SQL surface
+to QUERY that binary.  This module builds the CMS explicitly out of
+relational primitives instead, the same move as `scale.py`'s explicit
+bloom filter: the sketch state is a (seed, bucket) -> count table of
+``depth × width`` rows, so it stays queryable, mergeable (UNION ALL +
+re-aggregate), and engine-inspectable.
+
+    est(t) = min over seeds s of  count[s][xxhash64(t, s) mod width]
+
+which upper-bounds the true count (every occurrence of t lands in all of
+its d buckets; collisions only ever ADD) with error <= 2n/width at
+confidence 1 - (1/2)^depth — the standard CMS guarantee.
+
+Scale shape: building is ONE shuffle of depth×width bounded keys with
+map-side combine (each input row contributes `depth` bucket increments
+via posexplode — JVM-side, no Python); probing joins the query terms'
+buckets against the broadcast sketch table.  No counterpart in DuckDB
+(different hash), so the stamped query is rows-only; the overestimate
+property and error bound are pinned by unit tests against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(
+    df: DataFrame,
+    term_col: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Aggregate a count-min sketch table ``(seed, bucket, c)``.
+
+    ``weight_col`` switches from row counting to weighted sums (e.g.
+    bytes per URL).  xxhash64(term, seed) keeps the bucketing
+    deterministic and seed-independent across builds, so two sketch
+    tables built with the same (width, depth) merge by UNION ALL +
+    groupBy sum.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    rows = df.select(
+        F.col(term_col).alias("__t"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("__w"),
+    ).select("__t", "__w", seeds)
+    return (
+        rows.select(
+            "seed",
+            F.pmod(F.xxhash64(F.col("__t"), F.col("seed")), F.lit(width)).alias(
+                "bucket"
+            ),
+            "__w",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("__w").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: list,
+    *,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for ``terms``: returns ``(term, est)`` with
+    ``est`` the min bucket count over seeds — always >= the true count.
+
+    The sketch table is depth×width rows, broadcast; absent buckets read
+    as 0 (a term whose every bucket is empty truly never occurred).
+    """
+    spark = sketch.sparkSession
+    probe = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+        )
+        .select(
+            "term",
+            "seed",
+            F.pmod(F.xxhash64(F.col("term"), F.col("seed")), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )

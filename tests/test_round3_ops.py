@@ -586,3 +586,62 @@ def test_pca_fit_apply_split(spark):
         da = np.linalg.norm(X[a] - X[b])
         db = np.linalg.norm(P[a] - P[b])
         assert db == pytest.approx(da, abs=1e-9)
+
+
+# ------------------------------------------------- count-min sketch
+
+def test_cms_overestimates_and_bounds(spark):
+    from collections import Counter
+
+    from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
+
+    words = [f"w{chr(97 + i % 17)}" for i in range(400)] + ["hot"] * 100
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    true = Counter(words)
+    sk = cms_build(df, "t", width=64, depth=4)
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(
+            sk, list(true) + ["absent"], width=64, depth=4
+        ).collect()
+    }
+    n = len(words)
+    for t, c in true.items():
+        assert est[t] >= c, t                    # never underestimates
+        assert est[t] <= c + 2 * n / 64 * 4      # loose CMS bound
+    assert est["absent"] >= 0
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct terms and no collisions, estimates are exact."""
+    from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
+
+    words = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    sk = cms_build(df, "t", width=4096, depth=4)
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(sk, ["a", "b", "c", "d"], width=4096, depth=4).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 2, "d": 0}
+
+
+def test_cms_merge_by_union(spark):
+    """Two sketch tables over disjoint halves, merged by UNION ALL +
+    re-aggregate, estimate like a sketch built over the whole."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
+
+    h1 = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "t string")
+    h2 = spark.createDataFrame([("x",)] * 3 + [("z",)] * 5, "t string")
+    s1 = cms_build(h1, "t", width=1024, depth=4)
+    s2 = cms_build(h2, "t", width=1024, depth=4)
+    merged = (
+        s1.unionAll(s2).groupBy("seed", "bucket").agg(F.sum("c").alias("c"))
+    )
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(merged, ["x", "y", "z"], width=1024, depth=4).collect()
+    }
+    assert est == {"x": 7, "y": 2, "z": 5}
