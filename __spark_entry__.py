@@ -3370,6 +3370,16 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Poisson bootstrap: 50 resampled means of event value,
+    per-(row, replicate) Poisson(1) weights from a Knuth multiplicative
+    hash in exact integer arithmetic — engine-reproducible bit-for-bit."""
+    from smartpy_arc_spark.operators.stats import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap(ev, "event_id", "value", n_replicates=50)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3578,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "xml_roundtrip": q_xml_roundtrip,
         "unpivot_metrics": q_unpivot_metrics,
+        "poisson_bootstrap": q_poisson_bootstrap,
     })
 
 
@@ -6220,5 +6231,32 @@ def oracle_sql() -> dict[str, str]:
             )
             UNPIVOT wide ON n_cust, total_cents, max_bal
             INTO NAME metric VALUE value
+        """,
+        "poisson_bootstrap": """
+            WITH r AS (
+                SELECT e.event_id AS id,
+                       CAST(round(e.value * 100) AS BIGINT) AS ticks,
+                       b.b AS replicate
+                FROM events e,
+                     (SELECT unnest(generate_series(0, 49)) AS b) b
+            ), w AS (
+                SELECT replicate, ticks,
+                       CAST(len(list_filter(
+                           [0.36787944117144233, 0.7357588823428847,
+                            0.9196986029286058, 0.9810118431238462,
+                            0.9963401531726563, 0.9994058151824183,
+                            0.9999167588507119, 0.9999897508033253],
+                           c -> c < ((id * 2654435761 + replicate * 40503)
+                                     % 4294967296) / 4294967296.0))
+                            AS BIGINT) AS k
+                FROM r
+            )
+            SELECT CAST(replicate AS INTEGER) AS replicate,
+                   CAST(SUM(k) AS BIGINT) AS n_eff,
+                   CAST(SUM(k * ticks) AS BIGINT) AS sum_ticks,
+                   CAST(round(CAST(SUM(k * ticks) AS DOUBLE)
+                        / CAST(SUM(k) AS DOUBLE) / 100 * 10000) AS BIGINT)
+                       AS mean_e4
+            FROM w GROUP BY replicate
         """,
     }

@@ -395,3 +395,87 @@ def concentration(
             ).alias("top_share"),
         )
     )
+
+
+# cumulative Poisson(1) thresholds; LITERALS shared with the SQL oracle so
+# both engines parse the identical doubles
+_POIS1_CDF = (
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    n_replicates: int = 50,
+    scale: int = 100,
+) -> DataFrame:
+    """Poisson bootstrap: ``n_replicates`` resampled means of
+    ``value_col`` in ONE pass over the data.
+
+    The classical bootstrap resamples n rows with replacement — which
+    requires global coordination.  The Poisson approximation gives each
+    row an independent Poisson(1) weight per replicate (correct to
+    O(1/n)), so the whole thing becomes a row-local explode(B) +
+    weighted aggregate: one shuffle of B bounded keys, no sampling
+    coordination, the standard bootstrap at terabyte scale.
+
+    Determinism/portability: the per-(row, replicate) uniform draw is a
+    Knuth multiplicative hash in EXACT integer arithmetic
+    (``(id * 2654435761 + b * 40503) mod 2^32 / 2^32`` — the division is
+    by a power of two, so u is an exact dyadic rational in any engine),
+    and the Poisson inverse-CDF thresholds are shared literals.  Weighted
+    sums accumulate as exact fixed-point integers.  Everything after the
+    scan is engine-reproducible bit-for-bit.
+
+    Returns one row per replicate:
+    ``(replicate, n_eff, sum_ticks, mean_e4)`` — feed the B means into a
+    percentile for the confidence interval.
+    """
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(n_replicates)])
+    ).alias("replicate")
+    rows = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.round(F.col(value_col) * scale).cast("long").alias("__ticks"),
+        b,
+    )
+    u = (
+        F.pmod(
+            F.col("__id") * F.lit(2654435761) + F.col("replicate") * F.lit(40503),
+            F.lit(4294967296),
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    k = F.size(
+        F.filter(
+            F.array(*[F.lit(c) for c in _POIS1_CDF]),
+            lambda c: c < u,
+        )
+    ).cast("long")
+    weighted = rows.select("replicate", "__ticks", k.alias("__k"))
+    agg = weighted.groupBy("replicate").agg(
+        F.sum("__k").alias("n_eff"),
+        F.sum(F.col("__k") * F.col("__ticks")).alias("sum_ticks"),
+    )
+    mean_e4 = F.round(
+        F.col("sum_ticks").cast("double")
+        / F.col("n_eff").cast("double")
+        / scale
+        * 10000
+    ).cast("long")
+    return agg.select(
+        F.col("replicate").cast("int").alias("replicate"),
+        "n_eff",
+        "sum_ticks",
+        mean_e4.alias("mean_e4"),
+    )

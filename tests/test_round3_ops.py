@@ -645,3 +645,33 @@ def test_cms_merge_by_union(spark):
         for r in cms_estimate(merged, ["x", "y", "z"], width=1024, depth=4).collect()
     }
     assert est == {"x": 7, "y": 2, "z": 5}
+
+
+# ------------------------------------------------- poisson bootstrap
+
+def test_poisson_bootstrap_replicates_center_on_mean(spark):
+    from smartpy_arc_spark.operators.stats import poisson_bootstrap
+
+    rows = [(i, float(10 + i % 5)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = poisson_bootstrap(df, "id", "v", n_replicates=30).collect()
+    assert len(out) == 30
+    true_mean = sum(v for _, v in rows) / len(rows)
+    means = [r["mean_e4"] / 10000 for r in out]
+    # replicate means scatter tightly around the true mean (sd ~ sd/sqrt(n))
+    avg = sum(means) / len(means)
+    assert avg == pytest.approx(true_mean, abs=0.15)
+    assert all(abs(m - true_mean) < 1.0 for m in means)
+    # Poisson(1) weights: effective n stays near n
+    for r in out:
+        assert 0.85 * len(rows) < r["n_eff"] < 1.15 * len(rows)
+
+
+def test_poisson_bootstrap_deterministic(spark):
+    from smartpy_arc_spark.operators.stats import poisson_bootstrap
+
+    rows = [(i, float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    a = sorted(map(tuple, poisson_bootstrap(df, "id", "v", n_replicates=5).collect()))
+    b = sorted(map(tuple, poisson_bootstrap(df, "id", "v", n_replicates=5).collect()))
+    assert a == b  # hash-derived weights: same input → same replicates
