@@ -41,6 +41,12 @@ SINGLE_PARTITION_OK = {
     "funnel_conversion",      # global funnel totals: 3 counters
     "sequence_funnel",        # global funnel totals: one counter per step
     "price_histogram",        # share-of-total window over 13 bucket counts
+    "mann_whitney",           # 1-row statistic: global rank-sum combine
+    "ks_test",                # 1-row statistic: D over distinct-value CDF
+    "ols_regression",         # 1-row normal-equation sums
+    "equi_depth_hist",        # one cutpoint aggregate + <=n_buckets-row share window
+    "quantile_norm",          # 1-row total-n scalar for the rank grid
+    "mom_change",             # lag window over calendar-bounded month rows
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -62,6 +68,9 @@ BNLJ_OK = {
     "edit_distance_pairs",    # fenced candidate tier (doc_id bound)
     "range_bucket_join",      # broadcast bucket dim, non-equi containment
     "tfidf_top_terms",        # scalar N broadcast
+    "ks_test",                # 1-row totals broadcast cross join
+    "equi_depth_hist",        # 1-row cutpoint-array broadcast cross join
+    "quantile_norm",          # grid-rank interval join (1001-row broadcast)
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
