@@ -3380,6 +3380,30 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap(ev, "event_id", "value", n_replicates=50)
 
 
+def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (PySpark 4 datasource API):
+    deterministic bounded generator with offset tracking and replay,
+    drained over multiple micro-batches until exhaustion.  The oracle
+    regenerates the identical rows in closed form via generate_series —
+    the source's only state is its integer offset."""
+    from smartpy_arc_spark.sources.seqgen import register_seqgen
+    from smartpy_arc_spark.streaming.stream import run_stream_until_idle
+
+    register_seqgen(spark)
+    st = (
+        spark.readStream.format("seqgen")
+        .option("n_total", 1000)
+        .option("rows_per_batch", 500)
+        .option("n_users", 50)
+        .load()
+    )
+    agg = st.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("amount").cast("long").alias("total"),
+    )
+    return run_stream_until_idle(agg, output_mode="complete")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3589,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "unpivot_metrics": q_unpivot_metrics,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "stream_custom_source": q_stream_custom_source,
     })
 
 
@@ -6258,5 +6283,12 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(SUM(k) AS DOUBLE) / 100 * 10000) AS BIGINT)
                        AS mean_e4
             FROM w GROUP BY replicate
+        """,
+        "stream_custom_source": """
+            SELECT seq % 50 AS user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM((seq * 2654435761) % 10000) AS BIGINT) AS total
+            FROM (SELECT unnest(generate_series(0, 999)) AS seq)
+            GROUP BY 1
         """,
     }

@@ -512,3 +512,64 @@ def streaming_type_profile(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_stream_until_idle(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    name: str | None = None,
+    idle_polls: int = 5,
+    poll_sec: float = 0.3,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Drain a BOUNDED custom streaming source to a memory sink.
+
+    ``availableNow`` caps at the offset a SimpleDataSourceStreamReader
+    had prefetched when the query started — one batch — so bounded
+    generator-style sources (``sources/eventgen.py``) need a continuous
+    trigger instead: run with the default micro-batch trigger and stop
+    once ``lastProgress`` reports zero input rows ``idle_polls`` times in
+    a row (the source's offset has stopped advancing — for a bounded
+    source that is exhaustion, deterministically).
+    """
+    import time
+
+    name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    spark = stream_df.sparkSession
+    # idle detection rides on no-data progress events, which by default
+    # are only emitted every 10 s — scope the interval down so exhaustion
+    # is observed promptly (value captured at stream start)
+    conf_key = "spark.sql.streaming.noDataProgressEventInterval"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "250ms")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+    try:
+        idle = 0
+        deadline = time.time() + timeout_sec
+        seen_any = False
+        while idle < idle_polls and time.time() < deadline:
+            time.sleep(poll_sec)
+            p = q.lastProgress
+            if p is None:
+                continue
+            if p["numInputRows"] > 0:
+                seen_any = True
+                idle = 0
+            elif seen_any:
+                idle += 1
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)

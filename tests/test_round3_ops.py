@@ -675,3 +675,36 @@ def test_poisson_bootstrap_deterministic(spark):
     a = sorted(map(tuple, poisson_bootstrap(df, "id", "v", n_replicates=5).collect()))
     b = sorted(map(tuple, poisson_bootstrap(df, "id", "v", n_replicates=5).collect()))
     assert a == b  # hash-derived weights: same input → same replicates
+
+
+# ------------------------------------------------- bounded streaming source
+
+def test_seqgen_bounded_drain_matches_closed_form(spark):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.sources.seqgen import register_seqgen
+    from smartpy_arc_spark.streaming.stream import run_stream_until_idle
+
+    register_seqgen(spark)
+    st = (
+        spark.readStream.format("seqgen")
+        .option("n_total", 600)
+        .option("rows_per_batch", 200)
+        .option("n_users", 25)
+        .load()
+    )
+    agg = st.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("amount").cast("long").alias("total"),
+    )
+    out = run_stream_until_idle(agg, output_mode="complete")
+    got = {r["user_id"]: (r["n"], r["total"]) for r in out.collect()}
+    exp = defaultdict(lambda: [0, 0])
+    for seq in range(600):
+        u = seq % 25
+        exp[u][0] += 1
+        exp[u][1] += (seq * 2654435761) % 10000
+    assert len(got) == 25
+    assert all(tuple(exp[u]) == got[u] for u in exp)
