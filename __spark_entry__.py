@@ -3404,6 +3404,79 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_until_idle(agg, output_mode="complete")
 
 
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: supplier names vs a deterministically
+    dirtied copy (drop last char / append one), candidates only within
+    (4-char prefix, 2-char length band) blocks, codegen levenshtein <= 2.
+    The oracle mirrors the block predicate exactly (|band diff| <= 1)."""
+    from smartpy_arc_spark.operators.linkage import fuzzy_link
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = sup.select(
+        (F.col("s_suppkey") + 10000).alias("d_id"),
+        F.when(
+            F.col("s_suppkey") % 2 == 0,
+            F.expr("substring(s_name, 1, length(s_name) - 1)"),
+        )
+        .otherwise(F.concat(F.col("s_name"), F.lit("x")))
+        .alias("d_name"),
+    )
+    return fuzzy_link(
+        sup,
+        dirty,
+        left_id="s_suppkey",
+        right_id="d_id",
+        left_key="s_name",
+        right_key="d_name",
+        max_edit=2,
+        block_prefix=4,
+        length_band=2,
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per customer, pairs of orders whose
+    20-day windows intersect (half-open; o1 < o2) — one equi-join
+    shuffle on the customer key with both range conjuncts attached."""
+    from smartpy_arc_spark.operators.asof import interval_overlap_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where("o_custkey < 200")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("w_start"),
+            F.date_add(F.col("o_orderdate"), 20).alias("w_end"),
+        )
+    )
+    a = orders.select(
+        "o_custkey",
+        F.col("okey").alias("okey_a"),
+        F.col("w_start").alias("start_a"),
+        F.col("w_end").alias("end_a"),
+    )
+    b = orders.select(
+        "o_custkey",
+        F.col("okey").alias("okey_b"),
+        F.col("w_start").alias("start_b"),
+        F.col("w_end").alias("end_b"),
+    )
+    j = interval_overlap_join(
+        a, b,
+        key="o_custkey",
+        left_start="start_a", left_end="end_a",
+        right_start="start_b", right_end="end_b",
+    ).where(F.col("okey_a") < F.col("okey_b"))
+    return j.select(
+        "o_custkey", "okey_a", "okey_b",
+        F.datediff(
+            F.least(F.col("end_a"), F.col("end_b")),
+            F.greatest(F.col("start_a"), F.col("start_b")),
+        ).cast("int").alias("overlap_days"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3614,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "poisson_bootstrap": q_poisson_bootstrap,
         "stream_custom_source": q_stream_custom_source,
+        "fuzzy_link": q_fuzzy_link,
+        "interval_overlap": q_interval_overlap,
     })
 
 
@@ -6290,5 +6365,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((seq * 2654435761) % 10000) AS BIGINT) AS total
             FROM (SELECT unnest(generate_series(0, 999)) AS seq)
             GROUP BY 1
+        """,
+        "fuzzy_link": """
+            WITH dirty AS (
+                SELECT s_suppkey + 10000 AS d_id,
+                       CASE WHEN s_suppkey % 2 = 0
+                            THEN substring(s_name, 1, length(s_name) - 1)
+                            ELSE s_name || 'x' END AS d_name
+                FROM supplier
+            )
+            SELECT s.s_suppkey AS left_id, d.d_id AS right_id,
+                   s.s_name AS left_key, d.d_name AS right_key,
+                   CAST(levenshtein(s.s_name, d.d_name) AS INTEGER)
+                       AS edit_distance
+            FROM supplier s JOIN dirty d
+              ON lower(substring(s.s_name, 1, 4))
+                 = lower(substring(d.d_name, 1, 4))
+             AND abs((length(s.s_name) // 2) - (length(d.d_name) // 2)) <= 1
+            WHERE levenshtein(s.s_name, d.d_name) <= 2
+        """,
+        "interval_overlap": """
+            WITH w AS (
+                SELECT o_custkey, o_orderkey AS okey,
+                       o_orderdate AS w_start,
+                       o_orderdate + INTERVAL 20 DAY AS w_end
+                FROM orders WHERE o_custkey < 200
+            )
+            SELECT a.o_custkey, a.okey AS okey_a, b.okey AS okey_b,
+                   CAST(date_diff('day',
+                        greatest(a.w_start, b.w_start),
+                        least(a.w_end, b.w_end)) AS INTEGER) AS overlap_days
+            FROM w a JOIN w b
+              ON a.o_custkey = b.o_custkey
+             AND a.w_start < b.w_end AND b.w_start < a.w_end
+             AND a.okey < b.okey
         """,
     }

@@ -155,3 +155,38 @@ def point_in_time_join(
         & (F.col(f"__f.{ts_col}") < F.col(f"__v.{valid_to}"))
     )
     return f.join(v, cond, how).drop(F.col(f"__v.{key}"))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    how: str = "inner",
+) -> DataFrame:
+    """General interval-overlap join: rows whose [start, end) ranges
+    intersect, per key — ``l.start < r.end AND r.start < l.end``
+    (half-open, so touching endpoints do NOT overlap).
+
+    The third member of the temporal-join family: ``asof_join`` matches
+    the latest event at-or-before, ``point_in_time_join`` a point against
+    version intervals; this one matches intervals against intervals
+    (session vs session, stay vs promotion window, downtime vs deploy).
+
+    Physically an equi-join on the key with both range conjuncts attached
+    to the join operator — one shuffle, overlap checks run only within a
+    key's rows.  Without an equality key this degenerates to a range
+    cross-product: bucketize the time axis first (overlap candidates
+    share a bucket — the ``neighbor_join`` grid trick on one dimension).
+    """
+    l, r = left.alias("__l"), right.alias("__r")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(f"__l.{left_start}") < F.col(f"__r.{right_end}"))
+        & (F.col(f"__r.{right_start}") < F.col(f"__l.{left_end}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"__r.{key}"))

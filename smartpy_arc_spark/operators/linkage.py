@@ -1,0 +1,86 @@
+"""Fuzzy record linkage: blocked edit-distance entity resolution.
+
+The classic two-dataset dedup problem (same real-world entity, dirty
+keys): comparing every left row to every right row is O(n·m), so
+candidate pairs are generated inside BLOCKS — cheap deterministic keys
+that any true match must share — and the expensive string similarity
+runs only within blocks.  This is the Fellegi-Sunter blocking stage with
+an edit-distance match score, all in built-in expressions.
+
+Block key here: (first ``block_prefix`` chars lowercased, length band of
+``length_band`` chars).  Two strings within ``max_edit`` edits can
+differ in length by at most ``max_edit``, so a true match only escapes
+the block when the edit touches the prefix — the standard
+recall/cost trade; pass ``block_prefix=0`` to block on length alone
+(full recall w.r.t. length, more candidates).
+
+Scale shape: one shuffle keyed by the block key (hash-distributed,
+skew-bounded by the prefix cardinality), per-block candidate pairs,
+codegen ``levenshtein`` on candidates only.  The same-key variant of
+the LSH prefix trick — exact, not probabilistic, for short keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_link(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_key: str,
+    right_key: str,
+    max_edit: int = 2,
+    block_prefix: int = 4,
+    length_band: int = 2,
+) -> DataFrame:
+    """Link records whose keys are within ``max_edit`` Levenshtein edits,
+    comparing only within (prefix, length-band) blocks.
+
+    Returns ``(left_id, right_id, left_key, right_key, edit_distance)``
+    — one row per candidate pair that passes the distance gate; downstream
+    picks winners (e.g. min distance per left id, ties by right id).
+    """
+    def blocked(df: DataFrame, id_col: str, key_col: str, side: str) -> DataFrame:
+        key = F.col(key_col)
+        prefix = (
+            F.lower(F.substring(key, 1, block_prefix))
+            if block_prefix > 0
+            else F.lit("")
+        )
+        # length bands of width `length_band`; a pair within max_edit edits
+        # differs by <= max_edit in length, so compare each row against its
+        # own band and the adjacent band on one side (explode x2, not x3:
+        # pairing (band, band+1) from the left side covers (band-1, band)
+        # seen from the right)
+        band = F.floor(F.length(key) / length_band).cast("long")
+        bands = F.explode(F.array(band, band + 1)).alias("__band")
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            key.alias(f"{side}_key"),
+            prefix.alias("__prefix"),
+            band.alias(f"__{side}_true_band"),
+            bands,
+        )
+
+    l = blocked(left, left_id, left_key, "left")
+    r = blocked(right, right_id, right_key, "right")
+    cand = (
+        l.join(r, ["__prefix", "__band"])
+        # keep each true-band pair once (left's band or left's band+1 hit)
+        .where(
+            (F.col("__left_true_band") == F.col("__band"))
+            | (F.col("__right_true_band") == F.col("__band"))
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    dist = F.levenshtein(F.col("left_key"), F.col("right_key"))
+    return (
+        cand.withColumn("edit_distance", dist.cast("int"))
+        .where(F.col("edit_distance") <= max_edit)
+        .select("left_id", "right_id", "left_key", "right_key", "edit_distance")
+    )

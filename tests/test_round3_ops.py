@@ -708,3 +708,74 @@ def test_seqgen_bounded_drain_matches_closed_form(spark):
         exp[u][1] += (seq * 2654435761) % 10000
     assert len(got) == 25
     assert all(tuple(exp[u]) == got[u] for u in exp)
+
+
+# ------------------------------------------------- fuzzy linkage / intervals
+
+def test_fuzzy_link_finds_near_keys_within_blocks(spark):
+    from smartpy_arc_spark.operators.linkage import fuzzy_link
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "mary jones"), (3, "zzz")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan smyth"),   # 1 edit from id 1
+         (11, "mary joness"),      # 1 edit from id 2
+         (12, "completely other")],
+        "id long, name string",
+    )
+    out = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in fuzzy_link(
+            left, right,
+            left_id="id", right_id="id", left_key="name", right_key="name",
+        ).collect()
+    }
+    assert out[(1, 10)] == 1 and out[(2, 11)] == 1
+    assert all(l != 3 and r != 12 for l, r in out)
+
+
+def test_fuzzy_link_blocking_is_recall_bounded(spark):
+    """A match whose edit hits the block prefix escapes — documented
+    trade; a same-prefix same-band 2-edit match never does."""
+    from smartpy_arc_spark.operators.linkage import fuzzy_link
+
+    left = spark.createDataFrame([(1, "abcdef")], "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "abcdxy"),   # 2 edits, prefix intact → found
+         (11, "xbcdef")],  # 1 edit IN the prefix → blocked away
+        "id long, name string",
+    )
+    got = {
+        r["right_id"]
+        for r in fuzzy_link(
+            left, right,
+            left_id="id", right_id="id", left_key="name", right_key="name",
+        ).collect()
+    }
+    assert got == {10}
+
+
+def test_interval_overlap_half_open(spark):
+    from smartpy_arc_spark.operators.asof import interval_overlap_join
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, s long, e long"
+    )
+    a = mk([(1, 0, 10), (1, 20, 30)])
+    b = mk([(1, 5, 15),    # overlaps [0,10)
+            (1, 10, 20),   # touches 10 — half-open, NOT an overlap of [0,10)
+            (2, 0, 100)])  # different key
+    out = interval_overlap_join(
+        a.selectExpr("k", "s as sa", "e as ea"),
+        b.selectExpr("k", "s as sb", "e as eb"),
+        key="k",
+        left_start="sa", left_end="ea",
+        right_start="sb", right_end="eb",
+    ).collect()
+    pairs = {(r["sa"], r["sb"]) for r in out}
+    # [0,10) x [5,15) overlap; [0,10) x [10,20) and [20,30) x [10,20)
+    # only TOUCH (half-open => no overlap); [20,30) x [5,15) disjoint;
+    # key 2 never joins.  Exactly one pair survives.
+    assert pairs == {(0, 5)}
