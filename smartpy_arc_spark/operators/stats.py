@@ -157,16 +157,17 @@ def mann_whitney_u(
     n = na + nb
     u2 = F.col("r2_a") - na * (na + 1)  # 2 * U_a, exact integer
     # z = (U - na*nb/2) / sqrt(na*nb/12 * (n+1 - T/(n*(n-1))))
-    z = (u2.cast("double") - (na * nb).cast("double")) / (
-        F.lit(2.0)
-        * F.sqrt(
-            (na * nb).cast("double")
-            / 12.0
-            * (
-                (n + 1).cast("double")
-                - F.col("tie_term").cast("double") / (n * (n - 1)).cast("double")
-            )
-        )
+    tie_frac = F.when(
+        n > 1,
+        F.col("tie_term").cast("double") / (n * (n - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    var = (na * nb).cast("double") / 12.0 * ((n + 1).cast("double") - tie_frac)
+    # all-tied degenerate sample: variance 0 → z undefined (NULL), not a
+    # DIVIDE_BY_ZERO under ANSI mode
+    z = F.when(
+        var > 0,
+        (u2.cast("double") - (na * nb).cast("double"))
+        / (F.lit(2.0) * F.sqrt(var)),
     )
     return agg.select(
         "n_a",

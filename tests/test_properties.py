@@ -233,3 +233,105 @@ def test_sequence_funnel_monotone_and_replay(spark_session_holder, events):
             t_prev = min(cand)
             n[i] += 1
     assert [r["n_view"], r["n_click"], r["n_purchase"]] == n
+
+
+# --------------------------------------------------------------- round 3
+
+_samples = st.lists(st.integers(0, 20), min_size=2, max_size=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=_samples, b=_samples)
+def test_mann_whitney_matches_bruteforce_ranks(spark_session_holder, a, b):
+    """U from the distributed-CDF construction equals the textbook
+    average-rank computation on any sample pair."""
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    spark = spark_session_holder
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    allv = sorted(a + b)
+    # average rank per value (1-based, ties share the mean rank)
+    first = {}
+    for i, v in enumerate(allv):
+        first.setdefault(v, i + 1)
+    avg_rank = {v: first[v] + (allv.count(v) - 1) / 2 for v in set(allv)}
+    ra = sum(avg_rank[v] for v in a)
+    u_a = ra - len(a) * (len(a) + 1) / 2
+    assert r["u2_a"] == round(2 * u_a)
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=_samples, b=_samples)
+def test_ks_matches_bruteforce_cdf(spark_session_holder, a, b):
+    from smartpy_arc_spark.operators.stats import ks_test_2samp
+
+    spark = spark_session_holder
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    d_num = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in set(a + b)
+    )
+    assert r["d_num"] == d_num
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=2, max_size=25),
+)
+def test_ewma_matches_python_fold(spark_session_holder, vals):
+    from smartpy_arc_spark.operators.resample import ewma
+
+    spark = spark_session_holder
+    rows = [(1, i, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, v double, i long") \
+        .selectExpr("k", "timestamp_seconds(t) as ts", "v", "i")
+    r = ewma(df, "k", "ts", "v", alpha=0.5, tiebreak_col="i", scale=1).collect()[0]
+    s = float(vals[0])
+    for v in vals[1:]:
+        s = 0.5 * v + 0.5 * s
+    assert r["ewma_value"] == round(s, 6) or abs(r["ewma_value"] - s) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=40
+    ),
+)
+def test_bfs_matches_dijkstra_unit_weights(spark_session_holder, edges):
+    from smartpy_arc_spark.operators.components import bfs_distances
+
+    spark = spark_session_holder
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, [0], max_hops=15).collect()
+    }
+    # reference BFS on the undirected adjacency
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {0: 0}
+    frontier = [0]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in exp:
+                    exp[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    assert got == exp
