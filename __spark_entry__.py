@@ -3477,6 +3477,46 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (empirical-Bayes) target encoding of document source by
+    n_chars: exact-integer label sums, one deterministic division."""
+    from smartpy_arc_spark.operators.features import target_encode_smoothed
+
+    docs = _t(spark, sf_dir, "documents")
+    out = target_encode_smoothed(docs, "source", "n_chars", smoothing=20, scale=1)
+    return out.select(
+        "category", "n", F.round(F.col("enc") * 10000).cast("long").alias("enc_e4")
+    )
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event value by event_type —
+    the leakage-safe per-row form; exact cents before one division."""
+    from smartpy_arc_spark.operators.features import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events")
+    out = target_encode_loo(ev, "event_type", "value", id_col="event_id")
+    return out.select(
+        "event_id",
+        "category",
+        F.round(F.col("loo_enc") * 10000).cast("long").alias("loo_e4"),
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick encoding of (lang, source) into 256 buckets,
+    rolled up to bucket mass.  Rows-only (xxhash64 has no DuckDB
+    equivalent); collision-noise and determinism pinned by tests."""
+    from smartpy_arc_spark.operators.features import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    fh = feature_hash(docs, ["lang", "source"], n_features=256)
+    return fh.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("sign").cast("long").alias("net_sign"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3689,6 +3729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_custom_source": q_stream_custom_source,
         "fuzzy_link": q_fuzzy_link,
         "interval_overlap": q_interval_overlap,
+        "target_encode": q_target_encode,
+        "target_encode_loo": q_target_encode_loo,
+        "feature_hash": q_feature_hash,
     })
 
 
@@ -6399,5 +6442,44 @@ def oracle_sql() -> dict[str, str]:
               ON a.o_custkey = b.o_custkey
              AND a.w_start < b.w_end AND b.w_start < a.w_end
              AND a.okey < b.okey
+        """,
+        "target_encode": """
+            WITH cats AS (
+                SELECT source AS category,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(n_chars) AS BIGINT) AS s
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS N_all,
+                       CAST(SUM(s) AS BIGINT) AS S_all
+                FROM cats
+            )
+            SELECT category, n,
+                   CAST(round(
+                       (CAST(s AS DOUBLE)
+                        + 20.0 * (CAST(S_all AS DOUBLE)
+                                  / CAST(N_all AS DOUBLE)))
+                       / CAST(n + 20 AS DOUBLE) / 1 * 10000) AS BIGINT)
+                       AS enc_e4
+            FROM cats, tot
+        """,
+        "target_encode_loo": """
+            WITH rows_t AS (
+                SELECT event_id, event_type AS category,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), cats AS (
+                SELECT category,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS s
+                FROM rows_t GROUP BY category
+            )
+            SELECT r.event_id, r.category,
+                   CASE WHEN c.n > 1 THEN
+                       CAST(round(CAST(c.s - r.y AS DOUBLE)
+                            / CAST(c.n - 1 AS DOUBLE) / 100 * 10000)
+                            AS BIGINT)
+                   END AS loo_e4
+            FROM rows_t r JOIN cats c USING (category)
         """,
     }

@@ -1,0 +1,122 @@
+"""Feature-engineering operators: categorical target encoding and the
+feature-hashing trick.
+
+Target encoding replaces a categorical with statistics of the label —
+the workhorse high-cardinality encoder.  Two variants:
+
+  * ``target_encode_smoothed`` — per-category shrunk mean
+    ``(Σy + m·μ) / (n + m)`` (empirical-Bayes shrinkage toward the
+    global mean; categories with little evidence collapse to the prior);
+  * ``target_encode_loo`` — leave-one-out per ROW
+    ``(Σy_cat − y_i) / (n_cat − 1)``, the leakage-safe form for
+    training folds (a row never sees its own label).
+
+Both keep label sums as exact fixed-point integers so every emitted
+encoding is one deterministic division — bit-identical in any engine.
+
+``feature_hash`` is the hashing trick: category → stable bucket in
+[0, n_features) via xxhash64, collision-accepting by design — the fixed-
+width encoder when the category space is unbounded (URLs, tokens).
+
+Scale shape: smoothed is one bounded aggregate broadcast back; LOO is
+one aggregate + one broadcast join (per-row arithmetic after); the hash
+is row-local codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode_smoothed(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-category table ``(category, n, enc)`` with the shrunk mean in
+    original label units.  ``smoothing`` is the pseudo-count m."""
+    ticks = F.round(F.col(label_col) * scale).cast("long")
+    cats = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(ticks).alias("sum_ticks"),
+    )
+    # "__all_n", not "N": Spark resolves case-insensitively by default,
+    # so `N` would collide with the per-category `n`
+    totals = cats.agg(
+        F.sum("n").alias("__all_n"), F.sum("sum_ticks").alias("__all_s")
+    )
+    mu = F.col("__all_s").cast("double") / F.col("__all_n").cast("double")
+    enc = (
+        (F.col("sum_ticks").cast("double") + F.lit(float(smoothing)) * mu)
+        / (F.col("n") + F.lit(smoothing)).cast("double")
+        / scale
+    )
+    return (
+        cats.crossJoin(F.broadcast(totals))
+        .select("category", "n", enc.alias("enc"))
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    *,
+    id_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Leave-one-out encoding per row: ``(id, category, loo_enc)`` —
+    NULL for singleton categories (no other rows to borrow from)."""
+    ticks = F.round(F.col(label_col) * scale).cast("long")
+    rows = df.select(
+        F.col(id_col), F.col(cat_col).alias("category"), ticks.alias("__y")
+    )
+    cats = rows.groupBy("category").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__y").alias("__s"),
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__s") - F.col("__y")).cast("double")
+        / (F.col("__n") - 1).cast("double")
+        / scale,
+    )
+    return (
+        rows.join(F.broadcast(cats), "category")
+        .select(F.col(id_col), "category", loo.alias("loo_enc"))
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    cat_cols: list[str],
+    *,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick encoder: each (column, value) pair maps to a stable
+    bucket ``pmod(xxhash64(col_name, value), n_features)`` with a ±1 sign
+    from one extra hash bit (the standard signed hashing that keeps
+    collision noise zero-mean).  Output is the sparse long form
+    ``(id, bucket, sign)`` — pivot downstream if a dense row is needed."""
+    parts = []
+    for c in cat_cols:
+        h = F.xxhash64(F.lit(c), F.col(c).cast("string"))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.pmod(h, F.lit(n_features)).cast("int").alias("bucket"),
+                F.when(F.pmod(F.shiftright(h, 32), F.lit(2)) == 0, 1)
+                .otherwise(-1)
+                .cast("int")
+                .alias("sign"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -779,3 +779,55 @@ def test_interval_overlap_half_open(spark):
     # only TOUCH (half-open => no overlap); [20,30) x [5,15) disjoint;
     # key 2 never joins.  Exactly one pair survives.
     assert pairs == {(0, 5)}
+
+
+# ------------------------------------------------- target encoding / hashing
+
+def test_target_encode_smoothed_shrinks_to_prior(spark):
+    from smartpy_arc_spark.operators.features import target_encode_smoothed
+
+    rows = [("big", 10.0)] * 100 + [("tiny", 100.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {
+        r["category"]: r["enc"]
+        for r in target_encode_smoothed(df, "c", "y", smoothing=20, scale=1).collect()
+    }
+    mu = (100 * 10 + 100) / 101
+    # big: lots of evidence → near its own mean
+    assert out["big"] == pytest.approx((100 * 10 + 20 * mu) / 120, abs=1e-9)
+    # tiny: one observation → pulled almost to the prior
+    assert out["tiny"] == pytest.approx((100 + 20 * mu) / 21, abs=1e-9)
+    assert abs(out["tiny"] - mu) < abs(100.0 - mu)  # strictly shrunk
+
+
+def test_target_encode_loo_excludes_own_label(spark):
+    from smartpy_arc_spark.operators.features import target_encode_loo
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)]
+    df = spark.createDataFrame(rows, "id long, c string, y double")
+    out = {
+        r["id"]: r["loo_enc"]
+        for r in target_encode_loo(df, "c", "y", id_col="id").collect()
+    }
+    assert out[1] == pytest.approx(25.0)  # (20+30)/2
+    assert out[2] == pytest.approx(20.0)  # (10+30)/2
+    assert out[3] == pytest.approx(15.0)  # (10+20)/2
+    assert out[4] is None                 # singleton category → undefined
+
+
+def test_feature_hash_stable_and_bounded(spark):
+    from smartpy_arc_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "en", "src1"), (2, "de", "src2"), (3, "en", "src1")],
+        "doc_id long, lang string, source string",
+    )
+    a = sorted(map(tuple, feature_hash(df, ["lang", "source"], n_features=64).collect()))
+    b = sorted(map(tuple, feature_hash(df, ["lang", "source"], n_features=64).collect()))
+    assert a == b                              # deterministic
+    assert all(0 <= r[1] < 64 for r in a)      # buckets bounded
+    assert all(r[2] in (-1, 1) for r in a)     # signed
+    # identical (col, value) pairs always land identically: docs 1 and 3
+    d1 = {r[1:] for r in a if r[0] == 1}
+    d3 = {r[1:] for r in a if r[0] == 3}
+    assert d1 == d3
