@@ -3517,6 +3517,71 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): synthesize deterministic PCM16 WAV
+    blobs per document (sawtooth samples, closed-form), parse the RIFF
+    container and compute RMS/peak/duration with the pure-struct codec.
+    The oracle rebuilds the identical samples via generate_series — the
+    whole decode path is value-verified, not just row-counted."""
+    from smartpy_arc_spark.multimodal.codecs import wav_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 160 + (int(d) % 5) * 80
+                i = np.arange(n, dtype=np.int64)
+                x = ((int(d) * 31 + i * 37) % 65536) - 32768
+                payloads.append(make_wav(x.astype(np.int16), rate=16000))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return wav_features(blobs)
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub): deterministic 24-bit BMPs per
+    document (closed-form pixel function), parsed by the pure-struct
+    codec into dimensions + exact channel means; closed-form oracle."""
+    from smartpy_arc_spark.multimodal.codecs import bmp_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_bmp
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 4, 8
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((d * 7 + y * 13 + x * 3 + c * 5) % 256).astype("uint8")
+                payloads.append(make_bmp(img))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return bmp_features(blobs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3732,6 +3797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "target_encode_loo": q_target_encode_loo,
         "feature_hash": q_feature_hash,
+        "wav_decode": q_wav_decode,
+        "bmp_decode": q_bmp_decode,
     })
 
 
@@ -6481,5 +6548,50 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)
                    END AS loo_e4
             FROM rows_t r JOIN cats c USING (category)
+        """,
+        "wav_decode": """
+            WITH d AS (
+                SELECT doc_id, 160 + (doc_id % 5) * 80 AS n
+                FROM documents WHERE doc_id < 200
+            ), s AS (
+                SELECT d.doc_id, d.n,
+                       ((d.doc_id * 31 + i.i * 37) % 65536) - 32768 AS x
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(0, d.n - 1)) AS i
+                ) i
+            )
+            SELECT doc_id AS item_id,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+                   CAST(round(sqrt(CAST(SUM(x * x) AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) * 10000) AS BIGINT)
+                       AS rms_e4,
+                   CAST(MAX(abs(x)) AS INTEGER) AS peak
+            FROM s GROUP BY doc_id, n
+        """,
+        "bmp_decode": """
+            WITH d AS (
+                SELECT doc_id, 8 + doc_id % 4 AS h, 8 AS w
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT d.doc_id, d.h, d.w, c.c,
+                       (d.doc_id * 7 + y.y * 13 + x.x * 3 + c.c * 5) % 256
+                           AS v
+                FROM d,
+                     LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+                     LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+                     LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c
+            )
+            SELECT doc_id AS item_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(round(SUM(CASE WHEN c = 0 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_r_e2,
+                   CAST(round(SUM(CASE WHEN c = 1 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_g_e2,
+                   CAST(round(SUM(CASE WHEN c = 2 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_b_e2
+            FROM px GROUP BY doc_id, h, w
         """,
     }

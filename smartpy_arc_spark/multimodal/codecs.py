@@ -1,0 +1,191 @@
+"""REAL media decoders for library-free formats: WAV (RIFF/PCM16) and
+BMP (uncompressed 24-bit).
+
+``multimodal/binary.py`` stubs the decode step for formats that need
+PIL/ffmpeg (absent from this environment, honestly marked).  These two
+containers, though, are plain ``struct`` layouts — so their decoders are
+fully REAL: header parsing, sample/pixel extraction, and per-item audio
+(RMS, peak, duration) / image (dimensions, mean channel) features, all
+numpy-vectorized inside ``mapInPandas`` Arrow batches.  This is the same
+executor-side plumbing the stubbed formats use; swapping in PIL/ffmpeg
+changes one function body, not the pipeline.
+
+Scale shape: decode is row-local (no shuffle) and the payload bytes
+never reach the driver; features come out as small typed columns, the
+raw media stays an opaque binary column end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- WAV
+
+def make_wav(samples: np.ndarray, *, rate: int = 16000) -> bytes:
+    """Serialize int16 PCM mono samples as a canonical 44-byte-header
+    RIFF/WAVE blob (the encoder half, used by tests and fixtures)."""
+    pcm = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PCM16 RIFF/WAVE blob → (sample_rate, n_channels, samples).
+
+    Walks the chunk list (fmt / data may be preceded by LIST etc.), so
+    any canonical PCM16 writer round-trips, not just :func:`make_wav`.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, data
+
+
+def wav_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode WAV payloads and emit real audio features:
+    ``(id, sample_rate, n_samples, duration_ms, rms_e4, peak)``.
+
+    ``rms_e4`` is ``round(sqrt(mean(x²)) * 1e4)`` over the int16 samples
+    — exact integer sums of squares before one sqrt, so the value is
+    engine-reproducible given the same bytes.
+    """
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"__id": [], "sample_rate": [], "n_samples": [],
+                   "duration_ms": [], "rms_e4": [], "peak": []}
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                rate, _, x = parse_wav(bytes(payload))
+                xi = x.astype(np.int64)
+                n = len(xi)
+                rms = float(np.sqrt((xi * xi).sum() / n)) if n else 0.0
+                out["__id"].append(item_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(n * 1000 // rate) if rate else 0)
+                out["rms_e4"].append(int(round(rms * 10000)))
+                out["peak"].append(int(np.abs(xi).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(
+        decode,
+        "__id long, sample_rate int, n_samples long, duration_ms long, "
+        "rms_e4 long, peak int",
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+# ---------------------------------------------------------------- BMP
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BGR order, bottom-up rows, 4-byte row padding — the canonical
+    Windows layout)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += pixels[y, :, ::-1].astype(np.uint8).tobytes()  # RGB→BGR
+        body += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP → (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bits != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit supported (bits={bits})")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        off = data_off + y * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR→RGB
+    img = np.stack(rows)
+    return img[::-1] if h > 0 else img  # bottom-up unless height < 0
+
+
+def bmp_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode BMP payloads → ``(id, width, height, mean_r_e2, mean_g_e2,
+    mean_b_e2)`` (channel means in integer hundredths — exact pixel sums
+    before one division)."""
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"__id": [], "width": [], "height": [],
+                   "mean_r_e2": [], "mean_g_e2": [], "mean_b_e2": []}
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                img = parse_bmp(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["__id"].append(item_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                for k, c in zip(("mean_r_e2", "mean_g_e2", "mean_b_e2"), range(3)):
+                    out[k].append(int(round(sums[c] * 100 / n)) if n else 0)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(
+        decode,
+        "__id long, width int, height int, mean_r_e2 long, mean_g_e2 long, "
+        "mean_b_e2 long",
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -831,3 +831,63 @@ def test_feature_hash_stable_and_bounded(spark):
     d1 = {r[1:] for r in a if r[0] == 1}
     d3 = {r[1:] for r in a if r[0] == 3}
     assert d1 == d3
+
+
+# ------------------------------------------------- real WAV/BMP codecs
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.codecs import (
+        make_wav,
+        parse_wav,
+        wav_features,
+    )
+
+    x = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    rate, ch, back = parse_wav(make_wav(x, rate=8000))
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(back, x)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(x, rate=8000)))], "item_id long, payload binary"
+    )
+    r = wav_features(df).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 5
+    assert r["peak"] == 32768
+    xi = x.astype(np.int64)
+    assert r["rms_e4"] == round(float(np.sqrt((xi * xi).sum() / 5)) * 10000)
+
+
+def test_bmp_roundtrip_and_features(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.codecs import (
+        bmp_features,
+        make_bmp,
+        parse_bmp,
+    )
+
+    rng = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    back = parse_bmp(make_bmp(rng))
+    assert np.array_equal(back, rng)  # BGR/bottom-up/padding all undone
+
+    df = spark.createDataFrame(
+        [(7, bytearray(make_bmp(rng)))], "item_id long, payload binary"
+    )
+    r = bmp_features(df).collect()[0]
+    assert (r["width"], r["height"]) == (3, 5)
+    sums = rng.reshape(-1, 3).astype(int).sum(axis=0)
+    assert r["mean_r_e2"] == round(sums[0] * 100 / 15)
+    assert r["mean_b_e2"] == round(sums[2] * 100 / 15)
+
+
+def test_wav_rejects_non_pcm(spark):
+    import pytest as _pytest
+
+    from smartpy_arc_spark.multimodal.codecs import parse_bmp, parse_wav
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"nonsense bytes here padded out to enough length....")
+    with _pytest.raises(ValueError):
+        parse_bmp(b"XXnot a bitmap")
