@@ -3582,6 +3582,32 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_features(blobs)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (lang, source) quasi-identifier over
+    documents: per equivalence class size + k>=5 flag."""
+    from smartpy_arc_spark.operators.checks import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymity(docs, ["lang", "source"], k=5)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two user cohorts' value
+    distributions (fixed-width [0, 500) x 10 buckets, Laplace-smoothed);
+    per-bucket terms and the scalar, integer-millionth scaled."""
+    from smartpy_arc_spark.operators.checks import population_stability_index
+
+    ev = _t(spark, sf_dir, "events")
+    return population_stability_index(
+        ev.where("user_id < 75"),
+        ev.where("user_id >= 75"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3799,6 +3825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "wav_decode": q_wav_decode,
         "bmp_decode": q_bmp_decode,
+        "k_anonymity": q_k_anonymity,
+        "psi_drift": q_psi_drift,
     })
 
 
@@ -6593,5 +6621,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(SUM(CASE WHEN c = 2 THEN v END) * 100.0
                               / (h * w)) AS BIGINT) AS mean_b_e2
             FROM px GROUP BY doc_id, h, w
+        """,
+        "k_anonymity": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   count(*) >= 5 AS anonymous
+            FROM documents GROUP BY lang, source
+        """,
+        "psi_drift": """
+            WITH b AS (
+                SELECT CASE WHEN value < 0 THEN 0
+                            WHEN value >= 500 THEN 11
+                            ELSE 1 + CAST(floor(value / 50) AS INTEGER)
+                       END AS bucket,
+                       CAST(count(*) FILTER (WHERE user_id < 75) AS BIGINT)
+                           AS n_expected,
+                       CAST(count(*) FILTER (WHERE user_id >= 75) AS BIGINT)
+                           AS n_actual
+                FROM events
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n_expected) AS BIGINT) AS te,
+                       CAST(SUM(n_actual) AS BIGINT) AS ta
+                FROM b
+            ), scored AS (
+                SELECT bucket, n_expected, n_actual,
+                       CAST(round(
+                           ((CAST(n_expected AS DOUBLE) + 1.0)
+                              / (CAST(te AS DOUBLE) + 1.0)
+                            - (CAST(n_actual AS DOUBLE) + 1.0)
+                              / (CAST(ta AS DOUBLE) + 1.0))
+                           * ln(((CAST(n_expected AS DOUBLE) + 1.0)
+                                 / (CAST(te AS DOUBLE) + 1.0))
+                                / ((CAST(n_actual AS DOUBLE) + 1.0)
+                                   / (CAST(ta AS DOUBLE) + 1.0)))
+                           * 1000000) AS BIGINT) AS term_e6
+                FROM b, tot
+            )
+            SELECT bucket, n_expected, n_actual, term_e6,
+                   (SELECT CAST(SUM(term_e6) AS BIGINT) FROM scored) AS psi_e6
+            FROM scored
         """,
     }

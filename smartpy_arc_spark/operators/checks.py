@@ -134,3 +134,87 @@ def with_observed_quality(
         F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
     ]
     return df.observe(obs, *metrics), obs
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every row
+    must share its QI tuple with at least ``k-1`` others, or it is
+    re-identifiable.  Returns one row per QI equivalence class:
+    ``(quasi columns..., n, anonymous)`` — feed the ``anonymous = false``
+    classes to suppression/generalization.
+
+    One hash aggregate on the QI tuple; class cardinality is the whole
+    computation, so this is groupBy-count shaped at any scale (skewed
+    popular classes are exactly the safe ones).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("anonymous", F.col("n") >= k)
+    )
+
+
+def population_stability_index(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    epsilon_num: int = 1,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same metric —
+    the standard model/feature drift score:
+
+        PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)
+
+    (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted, by the usual rule
+    of thumb).  Buckets are FIXED-WIDTH over [lo, hi] (width_bucket, with
+    underflow/overflow buckets 0 and n+1), because equi-width edges are
+    portable constants — percentile edges would re-fit on every run and
+    hide drift.  Zero-count buckets are Laplace-smoothed by
+    ``epsilon_num/n`` rows so the logarithm stays finite, mirroring
+    standard PSI practice.
+
+    Two bounded aggregates (one per slice) joined on the bucket id;
+    per-bucket output plus the scalar in ``psi_e6`` on every row (ln is
+    the only transcendental; integer-scaled like the other statistics).
+    """
+    def bucketed(d: DataFrame, side: str) -> DataFrame:
+        b = F.width_bucket(
+            F.col(value_col), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
+        ).cast("int")
+        return d.groupBy(b.alias("bucket")).agg(
+            F.count("*").cast("long").alias(f"n_{side}")
+        )
+
+    e = bucketed(df_expected, "expected")
+    a = bucketed(df_actual, "actual")
+    cells = e.join(a, "bucket", "full").select(
+        F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    )
+    tot = cells.agg(
+        F.sum("n_expected").alias("__te"), F.sum("n_actual").alias("__ta")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = (F.col("n_expected").cast("double") + F.lit(float(epsilon_num))) / (
+        F.col("__te").cast("double") + F.lit(float(epsilon_num))
+    )
+    q = (F.col("n_actual").cast("double") + F.lit(float(epsilon_num))) / (
+        F.col("__ta").cast("double") + F.lit(float(epsilon_num))
+    )
+    term = (p - q) * F.log(p / q)
+    scored = j.select(
+        "bucket", "n_expected", "n_actual",
+        F.round(term * 1000000).cast("long").alias("term_e6"),
+    )
+    total = scored.agg(F.sum("term_e6").cast("long").alias("psi_e6"))
+    return scored.crossJoin(F.broadcast(total))

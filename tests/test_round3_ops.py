@@ -891,3 +891,44 @@ def test_wav_rejects_non_pcm(spark):
         parse_wav(b"nonsense bytes here padded out to enough length....")
     with _pytest.raises(ValueError):
         parse_bmp(b"XXnot a bitmap")
+
+
+# ------------------------------------------------- governance / drift
+
+def test_k_anonymity_flags_small_classes(spark):
+    from smartpy_arc_spark.operators.checks import k_anonymity
+
+    rows = [("us", "a")] * 6 + [("de", "b")] * 2 + [("fr", "c")]
+    df = spark.createDataFrame(rows, "region string, plan string")
+    out = {
+        (r["region"], r["plan"]): (r["n"], r["anonymous"])
+        for r in k_anonymity(df, ["region", "plan"], k=3).collect()
+    }
+    assert out[("us", "a")] == (6, True)
+    assert out[("de", "b")] == (2, False)
+    assert out[("fr", "c")] == (1, False)
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from smartpy_arc_spark.operators.checks import population_stability_index
+
+    rows = [(float(v % 10),) for v in range(1000)]
+    df = spark.createDataFrame(rows, "v double")
+    out = population_stability_index(
+        df, df, "v", lo=0.0, hi=10.0, n_buckets=5
+    ).collect()
+    assert all(r["term_e6"] == 0 for r in out)
+    assert out[0]["psi_e6"] == 0
+
+
+def test_psi_detects_shift(spark):
+    from smartpy_arc_spark.operators.checks import population_stability_index
+
+    a = spark.createDataFrame([(float(v % 10),) for v in range(1000)], "v double")
+    b = spark.createDataFrame(
+        [(float(v % 10) / 2,) for v in range(1000)], "v double"  # squashed low
+    )
+    out = population_stability_index(
+        a, b, "v", lo=0.0, hi=10.0, n_buckets=5
+    ).collect()
+    assert out[0]["psi_e6"] > 250_000  # > 0.25: "distribution shifted"
