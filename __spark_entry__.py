@@ -1660,8 +1660,11 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpy_arc_spark.sources.catalog import jdbc_conn
     from smartpy_arc_spark.sources.dbf import write_dbf
 
-    d = os.path.join(tempfile.gettempdir(), "sas_fed_ws")
-    os.makedirs(d, exist_ok=True)
+    # unique dir per invocation: embedded Derby holds a single-JVM lock
+    # on its database directory, so a FIXED path wedges whenever another
+    # Spark session (a parallel pytest run, a crashed driver) still owns
+    # or dirtied the lock file
+    d = tempfile.mkdtemp(prefix="sas_fed_ws_")
     nation_rows = [
         (r.n_nationkey, r.n_name, r.n_regionkey)
         for r in _t(spark, sf_dir, "nation").collect()  # bounded dim

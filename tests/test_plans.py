@@ -47,6 +47,8 @@ SINGLE_PARTITION_OK = {
     "equi_depth_hist",        # one cutpoint aggregate + <=n_buckets-row share window
     "quantile_norm",          # 1-row total-n scalar for the rank grid
     "mom_change",             # lag window over calendar-bounded month rows
+    "target_encode",          # 1-row global-mean prior scalar
+    "psi_drift",              # 1-row totals + scalar PSI combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -71,6 +73,8 @@ BNLJ_OK = {
     "ks_test",                # 1-row totals broadcast cross join
     "equi_depth_hist",        # 1-row cutpoint-array broadcast cross join
     "quantile_norm",          # grid-rank interval join (1001-row broadcast)
+    "target_encode",          # 1-row prior broadcast cross join
+    "psi_drift",              # 1-row totals / scalar broadcast cross joins
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
