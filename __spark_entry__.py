@@ -3611,6 +3611,54 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate delta maintenance: a per-customer (n, sum)
+    aggregate updated from a synthetic CDC envelope (I/U/D with before/
+    after images) WITHOUT rescanning the base - O(changes), not O(base).
+    The oracle recomputes the post-change state from scratch, so the
+    hash match proves delta-update == full-recompute."""
+    from smartpy_arc_spark.operators.merge import incremental_agg_update
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ticks"),
+    )
+    base = orders.where("o_orderkey % 7 != 0")
+    agg = base.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ticks").cast("long").alias("sum_ticks"),
+    )
+    # envelope: rows % 7 == 0 arrive as I; % 5 == 0 (and in base) leave
+    # as D; % 3 == 0 (in base, not deleted) re-price as U (+1000 ticks)
+    inserts = orders.where("o_orderkey % 7 = 0").select(
+        F.col("o_custkey").alias("k"), F.lit("I").alias("op"),
+        F.col("ticks").alias("value_ticks"),
+        F.lit(None).cast("long").alias("old_value_ticks"),
+    )
+    deletes = base.where("o_orderkey % 5 = 0").select(
+        F.col("o_custkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("value_ticks"),
+        F.col("ticks").alias("old_value_ticks"),
+    )
+    updates = base.where("o_orderkey % 5 != 0 AND o_orderkey % 3 = 0").select(
+        F.col("o_custkey").alias("k"), F.lit("U").alias("op"),
+        (F.col("ticks") + 1000).alias("value_ticks"),
+        F.col("ticks").alias("old_value_ticks"),
+    )
+    changes = inserts.unionAll(deletes).unionAll(updates)
+    return incremental_agg_update(agg, changes, key_col="k")
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning skew profile of lineitem's supplier key: top-10
+    heaviest keys, row share, and skew factor vs the per-key mean."""
+    from smartpy_arc_spark.operators.scale import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_k=10)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3830,6 +3878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode": q_bmp_decode,
         "k_anonymity": q_k_anonymity,
         "psi_drift": q_psi_drift,
+        "incremental_agg": q_incremental_agg,
+        "skew_report": q_skew_report,
     })
 
 
@@ -6663,5 +6713,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, n_expected, n_actual, term_e6,
                    (SELECT CAST(SUM(term_e6) AS BIGINT) FROM scored) AS psi_e6
             FROM scored
+        """,
+        "incremental_agg": """
+            WITH o AS (
+                SELECT o_custkey AS k, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS ticks
+                FROM orders
+            ), post AS (
+                -- post-change world recomputed from scratch: base minus
+                -- deletes, updates re-priced, inserts present
+                SELECT k,
+                       CASE WHEN o_orderkey % 7 != 0 AND o_orderkey % 5 != 0
+                                 AND o_orderkey % 3 = 0
+                            THEN ticks + 1000 ELSE ticks END AS ticks
+                FROM o
+                WHERE o_orderkey % 7 = 0
+                   OR o_orderkey % 5 != 0
+            )
+            SELECT k, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(ticks) AS BIGINT) AS sum_ticks
+            FROM post GROUP BY k
+        """,
+        "skew_report": """
+            WITH counts AS (
+                SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+                FROM lineitem GROUP BY l_suppkey
+            ), tot AS (
+                SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_keys
+                FROM counts
+            )
+            SELECT key, n_rows,
+                   CAST(round(CAST(n_rows AS DOUBLE)
+                        / CAST(total AS DOUBLE) * 1000000) AS BIGINT)
+                       AS share_e6,
+                   CAST(round(CAST(n_rows AS DOUBLE)
+                        / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                        * 100) AS BIGINT) AS skew_factor_e2
+            FROM counts, tot
+            ORDER BY n_rows DESC, key ASC LIMIT 10
         """,
     }

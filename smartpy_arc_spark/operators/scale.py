@@ -334,3 +334,46 @@ def partitioned_cumsum(
             F.coalesce(local, F.lit(0)) + off_map[F.col("__pid")],
         )
     return out.drop("__pid")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-planning skew profile of a key column: the ``top_k`` heaviest
+    keys with their share of all rows and the skew factor
+    ``count / mean_count_per_key`` — the number that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting
+    (``salted_join``; rule of thumb: factor > ~20 on a join key is where
+    task stragglers start dominating the stage).
+
+    One hash aggregate on the key + a 2-scalar broadcast; the top-k is a
+    sorted limit over the aggregate, never over the detail.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count("*").alias("__n_keys"),
+    )
+    mean = F.col("__total").cast("double") / F.col("__n_keys").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("__total").cast("double")
+                * 1000000
+            ).cast("long").alias("share_e6"),
+            F.round(F.col("n_rows").cast("double") / mean * 100)
+            .cast("long")
+            .alias("skew_factor_e2"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )

@@ -932,3 +932,65 @@ def test_psi_detects_shift(spark):
         a, b, "v", lo=0.0, hi=10.0, n_buckets=5
     ).collect()
     assert out[0]["psi_e6"] > 250_000  # > 0.25: "distribution shifted"
+
+
+# ------------------------------------------------- incremental agg / skew
+
+def test_incremental_agg_matches_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.merge import incremental_agg_update
+
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, v long"
+    )
+    agg = base.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_ticks"),
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 25, 20),     # 1: 20 -> 25
+            (2, "D", None, 5),    # 2: drops to zero rows → key disappears
+            (4, "I", 9, None),    # new key
+            (3, "I", 3, None),    # extra row on existing key
+        ],
+        "k long, op string, value_ticks long, old_value_ticks long",
+    )
+    out = {
+        r["k"]: (r["n"], r["sum_ticks"])
+        for r in incremental_agg_update(agg, changes, key_col="k").collect()
+    }
+    assert out == {1: (2, 35), 3: (2, 10), 4: (1, 9)}
+
+
+def test_incremental_agg_noop_batch_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.merge import incremental_agg_update
+
+    base = spark.createDataFrame([(1, 10), (2, 5)], "k long, v long")
+    agg = base.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_ticks"),
+    )
+    empty = spark.createDataFrame(
+        [], "k long, op string, value_ticks long, old_value_ticks long"
+    )
+    out = sorted(
+        map(tuple, incremental_agg_update(agg, empty, key_col="k").collect())
+    )
+    assert out == [(1, 1, 10), (2, 1, 5)]
+
+
+def test_skew_report_flags_hot_key(spark):
+    from smartpy_arc_spark.operators.scale import skew_report
+
+    rows = [(99,)] * 90 + [(k,) for k in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top_k=3).collect()
+    top = out[0]
+    assert top["key"] == 99 and top["n_rows"] == 90
+    assert top["share_e6"] == 900000
+    # mean rows/key = 100/11; factor = 90 / (100/11) = 9.9
+    assert top["skew_factor_e2"] == 990
