@@ -3659,6 +3659,25 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(li, "l_suppkey", top_k=10)
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: epoch-keyed Knuth-hash
+    permutation of documents (same integer PRNG as poisson_bootstrap, so
+    any engine derives the identical order).  TakeOrdered head - the
+    global sort never materializes; at scale the full permutation is a
+    sortWithinPartitions by the same key after a range exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    epoch = 3
+    pos = F.pmod(
+        F.col("doc_id") * F.lit(2654435761) + F.lit(epoch * 40503),
+        F.lit(4294967296),
+    )
+    return (
+        docs.select("doc_id", "source", pos.alias("shuffle_pos"))
+        .orderBy("shuffle_pos", "doc_id")
+        .limit(20)
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3880,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "incremental_agg": q_incremental_agg,
         "skew_report": q_skew_report,
+        "epoch_shuffle": q_epoch_shuffle,
     })
 
 
@@ -6752,5 +6772,12 @@ def oracle_sql() -> dict[str, str]:
                         * 100) AS BIGINT) AS skew_factor_e2
             FROM counts, tot
             ORDER BY n_rows DESC, key ASC LIMIT 10
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id, source,
+                   CAST((doc_id * 2654435761 + 3 * 40503) % 4294967296
+                        AS BIGINT) AS shuffle_pos
+            FROM documents
+            ORDER BY shuffle_pos, doc_id LIMIT 20
         """,
     }
