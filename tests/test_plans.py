@@ -49,6 +49,7 @@ SINGLE_PARTITION_OK = {
     "mom_change",             # lag window over calendar-bounded month rows
     "target_encode",          # 1-row global-mean prior scalar
     "psi_drift",              # 1-row totals + scalar PSI combine
+    "skew_report",            # 2-scalar totals combine over key counts
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -75,6 +76,7 @@ BNLJ_OK = {
     "quantile_norm",          # grid-rank interval join (1001-row broadcast)
     "target_encode",          # 1-row prior broadcast cross join
     "psi_drift",              # 1-row totals / scalar broadcast cross joins
+    "skew_report",            # 1-row totals broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
