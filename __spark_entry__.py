@@ -3678,6 +3678,32 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the star schema's FK arms (orders
+    -> customer, lineitem -> orders/part/supplier): orphan + NULL-key
+    counts per constraint via anti joins on distinct dim keys."""
+    from smartpy_arc_spark.operators.checks import referential_report
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    a = referential_report(
+        orders, [("o_custkey", cust, "c_custkey")], fact_name="orders"
+    )
+    b = referential_report(
+        li,
+        [
+            ("l_orderkey", orders, "o_orderkey"),
+            ("l_partkey", part, "p_partkey"),
+            ("l_suppkey", sup, "s_suppkey"),
+        ],
+        fact_name="lineitem",
+    )
+    return a.unionAll(b)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3900,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "skew_report": q_skew_report,
         "epoch_shuffle": q_epoch_shuffle,
+        "referential_report": q_referential_report,
     })
 
 
@@ -6779,5 +6806,60 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS shuffle_pos
             FROM documents
             ORDER BY shuffle_pos, doc_id LIMIT 20
+        """,
+        "referential_report": """
+            SELECT 'orders.o_custkey -> c_custkey' AS constraint,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders
+                    WHERE o_custkey IS NULL) AS n_null_fk,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+                       AS n_orphans,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)) = 0
+                       AS ok
+            UNION ALL
+            SELECT 'lineitem.l_orderkey -> o_orderkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey IS NULL),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)) = 0
+            UNION ALL
+            SELECT 'lineitem.l_partkey -> p_partkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_partkey IS NULL),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey)),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey)) = 0
+            UNION ALL
+            SELECT 'lineitem.l_suppkey -> s_suppkey',
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_suppkey IS NULL),
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE l.l_suppkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey)),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_suppkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey)) = 0
         """,
     }

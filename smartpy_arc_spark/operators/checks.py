@@ -218,3 +218,43 @@ def population_stability_index(
     )
     total = scored.agg(F.sum("term_e6").cast("long").alias("psi_e6"))
     return scored.crossJoin(F.broadcast(total))
+
+
+def referential_report(
+    fact: DataFrame,
+    dims: list[tuple[str, DataFrame, str]],
+    *,
+    fact_name: str = "fact",
+) -> DataFrame:
+    """Referential-integrity audit: for each (fk_col, dim, pk_col) spec,
+    count fact rows whose foreign key has no match in the dimension
+    (orphans) and NULL keys (excused from the FK contract, reported
+    separately) — the pre-join health check that explains inner-join row
+    loss before anyone debugs the join itself.
+
+    One LEFT ANTI join per constraint against the dim's distinct key —
+    anti joins broadcast when the key set is small and never produce
+    fan-out; NULL keys are counted in the same scan.  Returns one row
+    per constraint: ``(constraint, n_rows, n_null_fk, n_orphans, ok)``.
+    """
+    spark = fact.sparkSession
+    out = None
+    n_rows = fact.count()
+    for fk, dim, pk in dims:
+        nulls = fact.where(F.col(fk).isNull()).count()
+        orphans = (
+            fact.where(F.col(fk).isNotNull())
+            .join(
+                dim.select(F.col(pk).alias(fk)).distinct(),
+                fk,
+                "left_anti",
+            )
+            .count()
+        )
+        row = spark.createDataFrame(
+            [(f"{fact_name}.{fk} -> {pk}", n_rows, nulls, orphans, orphans == 0)],
+            "constraint string, n_rows long, n_null_fk long, "
+            "n_orphans long, ok boolean",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

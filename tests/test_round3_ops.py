@@ -994,3 +994,20 @@ def test_skew_report_flags_hot_key(spark):
     assert top["share_e6"] == 900000
     # mean rows/key = 100/11; factor = 90 / (100/11) = 9.9
     assert top["skew_factor_e2"] == 990
+
+
+# ------------------------------------------------- referential integrity
+
+def test_referential_report_counts_orphans_and_nulls(spark):
+    from smartpy_arc_spark.operators.checks import referential_report
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = referential_report(fact, [("fk", dim, "pk")], fact_name="f").collect()[0]
+    assert r["constraint"] == "f.fk -> pk"
+    assert r["n_rows"] == 4
+    assert r["n_null_fk"] == 1
+    assert r["n_orphans"] == 1      # fk=99
+    assert r["ok"] is False
