@@ -4010,7 +4010,7 @@ def oracle_sql() -> dict[str, str]:
             ), isl AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > 1
+                                 OR pos - lag(pos) OVER w > 8
                             THEN 1 ELSE 0 END AS ni
                 FROM dp
                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -4514,7 +4514,7 @@ def oracle_sql() -> dict[str, str]:
             ), isl AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > 1
+                                 OR pos - lag(pos) OVER w > 8
                             THEN 1 ELSE 0 END AS ni
                 FROM dp
                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)

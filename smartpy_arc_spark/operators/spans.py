@@ -84,9 +84,15 @@ def duplicate_spans(
     islands = (
         dup_pos.withColumn("prev", F.lag("pos").over(w))
         .withColumn(
+            # islands break when the NEXT duplicated window leaves an
+            # uncovered token: window at `prev` covers prev..prev+n-1, so
+            # any start within prev+n still touches/overlaps that range.
+            # Breaking on gap > 1 (a prior bug, caught by the hypothesis
+            # invariant sweep) emitted OVERLAPPING spans for gaps in
+            # (1, n) and split touching coverage into adjacent spans.
             "new_island",
             F.when(
-                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1), 1
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n), 1
             ).otherwise(0),
         )
         .withColumn("island", F.sum("new_island").over(w))
