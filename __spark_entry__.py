@@ -3704,12 +3704,19 @@ def q_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionAll(b)
 
 
+# queries whose semantics changed after their last green stamp — treated
+# as unstamped so the driver re-records them against the CURRENT code
+_FORCE_RESTAMP = {
+    "duplicate_spans",  # island merge fixed (gap > n) after the r2 stamp
+}
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
     rows-only ones so value-hash evidence accrues before the weaker
     rows-only checks."""
-    done = _previously_stamped()
+    done = _previously_stamped() - _FORCE_RESTAMP
     with_oracle = set(oracle_sql())
     head = {k: v for k, v in q.items() if k not in done and k in with_oracle}
     head.update({k: v for k, v in q.items() if k not in done and k not in with_oracle})
