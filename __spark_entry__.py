@@ -3711,6 +3711,16 @@ _FORCE_RESTAMP = {
 }
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) sampling budget across document sources
+    (n_h ∝ N_h·S_h over n_chars): exact fixed-point moments, one scalar
+    broadcast, integer shares/allocations."""
+    from smartpy_arc_spark.operators.sample import neyman_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return neyman_allocation(docs, "source", "n_chars", budget=1000, scale=1)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3934,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "epoch_shuffle": q_epoch_shuffle,
         "referential_report": q_referential_report,
+        "neyman_allocation": q_neyman_allocation,
     })
 
 
@@ -6868,5 +6879,30 @@ def oracle_sql() -> dict[str, str]:
                     WHERE l.l_suppkey IS NOT NULL
                       AND NOT EXISTS (SELECT 1 FROM supplier s
                                       WHERE s.s_suppkey = l.l_suppkey)) = 0
+        """,
+        "neyman_allocation": """
+            WITH per AS (
+                SELECT source AS stratum,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(n_chars) AS BIGINT) AS s,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+                FROM documents GROUP BY source
+            ), sdd AS (
+                SELECT stratum, n_rows,
+                       CASE WHEN n_rows > 1 THEN
+                           sqrt(CAST(n_rows * ss - s * s AS DOUBLE)
+                                / CAST(n_rows * (n_rows - 1) AS DOUBLE)) / 1
+                       ELSE 0.0 END AS sd
+                FROM per
+            ), w AS (
+                SELECT stratum, n_rows, sd,
+                       CAST(n_rows AS DOUBLE) * sd AS wt
+                FROM sdd
+            ), tot AS (SELECT SUM(wt) AS wsum FROM w)
+            SELECT stratum, n_rows,
+                   CAST(round(sd * 10000) AS BIGINT) AS stddev_e4,
+                   CAST(round(wt / wsum * 1000000) AS BIGINT) AS share_e6,
+                   CAST(round(wt / wsum * 1000.0) AS BIGINT) AS alloc
+            FROM w, tot
         """,
     }

@@ -234,3 +234,56 @@ def dataset_split(
         .when(bucket < val_pct + test_pct, "test")
         .otherwise("train"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    budget: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Variance-optimal (Neyman) sample-size allocation across strata:
+    ``n_h ∝ N_h · S_h`` — strata that are big AND internally varied get
+    the sample budget, uniform strata barely any.  The principled
+    upgrade over proportional allocation when building eval/calibration
+    sets from heterogeneous sources.
+
+    One aggregate per stratum (count + exact fixed-point sum/sum-of-
+    squares → sample stddev), a 1-row total broadcast back, shares and
+    integer allocations derived per stratum.  ``alloc`` rounds each
+    stratum independently (Σalloc can differ from the budget by a few —
+    the standard caveat; use largest-remainder downstream if an exact
+    total matters).
+
+    Returns ``(stratum, n_rows, stddev_e4, share_e6, alloc)``.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(ticks).alias("__s"),
+        F.sum(ticks * ticks).alias("__ss"),
+    )
+    var_num = (F.col("n_rows") * F.col("__ss") - F.col("__s") * F.col("__s"))
+    sd = F.when(
+        F.col("n_rows") > 1,
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("n_rows") * (F.col("n_rows") - 1)).cast("double")
+        )
+        / scale,
+    ).otherwise(F.lit(0.0))
+    weighted = per.withColumn("__w", F.col("n_rows").cast("double") * sd)
+    tot = weighted.agg(F.sum("__w").alias("__wsum"))
+    share = F.col("__w") / F.col("__wsum")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            F.round(sd * 10000).cast("long").alias("stddev_e4"),
+            F.round(share * 1000000).cast("long").alias("share_e6"),
+            F.round(share * F.lit(float(budget))).cast("long").alias("alloc"),
+        )
+    )

@@ -1011,3 +1011,24 @@ def test_referential_report_counts_orphans_and_nulls(spark):
     assert r["n_null_fk"] == 1
     assert r["n_orphans"] == 1      # fk=99
     assert r["ok"] is False
+
+
+# ------------------------------------------------- neyman allocation
+
+def test_neyman_favors_big_varied_strata(spark):
+    from smartpy_arc_spark.operators.sample import neyman_allocation
+
+    rows = (
+        [("flat", 100.0)] * 50                       # big but zero variance
+        + [("varied", float(v))
+           for v in (0, 200) * 25]                   # big and high variance
+        + [("smallv", float(v)) for v in (0, 200)]   # varied but tiny
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "s", "v", budget=100, scale=1).collect()
+    }
+    assert out["flat"]["alloc"] == 0          # S_h = 0 → no budget
+    assert out["varied"]["alloc"] > out["smallv"]["alloc"]  # N_h scales it
+    assert out["varied"]["share_e6"] + out["smallv"]["share_e6"] == 1_000_000
