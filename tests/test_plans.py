@@ -50,6 +50,7 @@ SINGLE_PARTITION_OK = {
     "target_encode",          # 1-row global-mean prior scalar
     "psi_drift",              # 1-row totals + scalar PSI combine
     "skew_report",            # 2-scalar totals combine over key counts
+    "neyman_allocation",      # 1-row weight-sum scalar combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -77,6 +78,7 @@ BNLJ_OK = {
     "target_encode",          # 1-row prior broadcast cross join
     "psi_drift",              # 1-row totals / scalar broadcast cross joins
     "skew_report",            # 1-row totals broadcast cross join
+    "neyman_allocation",      # 1-row weight-sum broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
