@@ -296,7 +296,10 @@ def test_ewma_matches_python_fold(spark_session_holder, vals):
     s = float(vals[0])
     for v in vals[1:]:
         s = 0.5 * v + 0.5 * s
-    assert r["ewma_value"] == round(s, 6) or abs(r["ewma_value"] - s) < 1e-9
+    # tolerance, not round(s, 6) equality: python round() is banker's,
+    # Spark's is HALF_UP — dyadic folds (alpha=0.5) can land exactly on
+    # a 5e-7 tie where the two conventions pick different neighbors
+    assert abs(r["ewma_value"] - s) <= 5.0e-7
 
 
 @settings(max_examples=10, deadline=None)
