@@ -3721,6 +3721,39 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(docs, "source", "n_chars", budget=1000, scale=1)
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib inflate + all five scanline
+    unfilters): deterministic RGB pixels round-tripped through a real
+    compressed container; closed-form oracle on the same pixels."""
+    from smartpy_arc_spark.multimodal.codecs import png_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 4, 8
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((d * 11 + y * 17 + x * 5 + c * 3) % 256).astype("uint8")
+                payloads.append(make_png(img))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return png_features(blobs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3945,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "referential_report": q_referential_report,
         "neyman_allocation": q_neyman_allocation,
+        "png_decode": q_png_decode,
     })
 
 
@@ -6904,5 +6938,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(wt / wsum * 1000000) AS BIGINT) AS share_e6,
                    CAST(round(wt / wsum * 1000.0) AS BIGINT) AS alloc
             FROM w, tot
+        """,
+        "png_decode": """
+            WITH d AS (
+                SELECT doc_id, 8 + doc_id % 4 AS h, 8 AS w
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT d.doc_id, d.h, d.w, c.c,
+                       (d.doc_id * 11 + y.y * 17 + x.x * 5 + c.c * 3) % 256
+                           AS v
+                FROM d,
+                     LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+                     LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+                     LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c
+            )
+            SELECT doc_id AS item_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels,
+                   CAST(round(SUM(CASE WHEN c = 0 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_r_e2,
+                   CAST(round(SUM(CASE WHEN c = 1 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_g_e2,
+                   CAST(round(SUM(CASE WHEN c = 2 THEN v END) * 100.0
+                              / (h * w)) AS BIGINT) AS mean_b_e2
+            FROM px GROUP BY doc_id, h, w
         """,
     }

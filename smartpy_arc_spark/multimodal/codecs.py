@@ -189,3 +189,143 @@ def bmp_features(
         "mean_b_e2 long",
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a minimal 8-bit
+    truecolor PNG (filter 0 on every scanline, one IDAT)."""
+    import struct as _s
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + typ
+            + body
+            + _s.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit truecolor (RGB / RGBA, non-interlaced) PNG into an
+    (h, w, channels) uint8 array — full zlib inflate plus all five
+    scanline unfilters (None/Sub/Up/Average/Paeth), vectorized per row.
+    """
+    import struct as _s
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size, typ = _s.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = _s.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or interlace:
+                raise ValueError(
+                    f"only 8-bit RGB/RGBA non-interlaced supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            channels = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = int(prev[x])
+                if ft == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, channels)
+
+
+def png_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode PNG payloads → ``(id, width, height, n_channels,
+    mean_r_e2, mean_g_e2, mean_b_e2)`` — same feature contract as
+    :func:`bmp_features`, so pipelines swap containers freely."""
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"__id": [], "width": [], "height": [], "n_channels": [],
+                   "mean_r_e2": [], "mean_g_e2": [], "mean_b_e2": []}
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                img = parse_png(bytes(payload))
+                h, w, ch = img.shape
+                sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["__id"].append(item_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                for k, c in zip(("mean_r_e2", "mean_g_e2", "mean_b_e2"), range(3)):
+                    out[k].append(int(round(sums[c] * 100 / n)) if n else 0)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(
+        decode,
+        "__id long, width int, height int, n_channels int, "
+        "mean_r_e2 long, mean_g_e2 long, mean_b_e2 long",
+    )
+    return out.withColumnRenamed("__id", id_col)
