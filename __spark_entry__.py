@@ -3754,6 +3754,34 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_features(blobs)
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the supplier co-order graph
+    (weight = min co-occurrence linenumber sum, bounded slice) from
+    suppliers {1,2,3}: distributed Bellman-Ford relaxation; recursive-CTE
+    oracle with the same max-distance prune."""
+    from smartpy_arc_spark.operators.components import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    a = li.where("l_suppkey <= 30").alias("a")
+    b = li.where("l_suppkey <= 30").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(
+            F.min(F.col("a.l_linenumber") + F.col("b.l_linenumber"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    return shortest_paths(edges, [1, 2, 3], max_dist=20, max_iters=15)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -3979,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_report": q_referential_report,
         "neyman_allocation": q_neyman_allocation,
         "png_decode": q_png_decode,
+        "sssp": q_sssp,
     })
 
 
@@ -6963,5 +6992,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(SUM(CASE WHEN c = 2 THEN v END) * 100.0
                               / (h * w)) AS BIGINT) AS mean_b_e2
             FROM px GROUP BY doc_id, h, w
+        """,
+        "sssp": """
+            WITH RECURSIVE e0 AS (
+                SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+                       CAST(MIN(a.l_linenumber + b.l_linenumber) AS BIGINT)
+                           AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                  AND a.l_suppkey <= 30 AND b.l_suppkey <= 30
+                GROUP BY 1, 2
+            ), e AS (
+                SELECT src, dst, w FROM e0
+                UNION ALL SELECT dst, src, w FROM e0
+            ), d(node, dist) AS (
+                SELECT * FROM (VALUES (1, 0), (2, 0), (3, 0)) v(node, dist)
+                UNION
+                SELECT e.dst, d.dist + e.w
+                FROM d JOIN e ON e.src = d.node
+                WHERE d.dist + e.w <= 20
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM d GROUP BY node
         """,
     }

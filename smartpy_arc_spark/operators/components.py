@@ -325,3 +325,75 @@ def bfs_distances(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    weight_col: str = "w",
+    max_dist: int = 1_000_000,
+    max_iters: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths: distributed
+    Bellman-Ford relaxation.
+
+    Each round joins the current distance table to the edge list and
+    keeps the per-node minimum of (old distance, best relaxed distance)
+    — the classic frontier-free SSSP that converges in at most
+    |longest shortest path in hops| rounds (bounded by ``max_iters``;
+    non-negative integer weights assumed).  ``max_dist`` prunes
+    candidate paths early, which is what keeps relaxation from chasing
+    cycles.  The improvement count that drives the convergence exit is
+    the same action that materializes each round's ``localCheckpoint``,
+    so convergence detection costs no extra job — the
+    ``connected_components`` / ``bfs_distances`` pattern with weights.
+
+    Returns ``(node, dist)``; sources have dist 0.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.union(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    # parallel edges: only the lightest can ever matter
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(
+        eager=True
+    )
+
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .where(F.col("dist") <= max_dist)
+        )
+        new_dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), F.col("n.node") == F.col("o.node"), "left")
+            .where(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .isEmpty()
+        )
+        prev, dist = dist, new_dist
+        if improved:
+            break
+    return dist

@@ -1102,3 +1102,47 @@ def test_png_roundtrip_all_filters(spark):
     assert (r["width"], r["height"], r["n_channels"]) == (4, 6, 3)
     sums = img.reshape(-1, 3).astype(int).sum(axis=0)
     assert r["mean_g_e2"] == round(sums[1] * 100 / 24)
+
+
+# ------------------------------------------------- weighted SSSP
+
+def test_sssp_prefers_light_path_over_fewer_hops(spark):
+    from smartpy_arc_spark.operators.components import shortest_paths
+
+    # 1 -(10)- 4  vs  1 -(1)- 2 -(1)- 3 -(1)- 4 : more hops, lighter
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, [1], max_dist=100).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_parallel_edges_and_max_dist(spark):
+    from smartpy_arc_spark.operators.components import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 2), (2, 3, 50)], "src long, dst long, w long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, [1], max_dist=10).collect()
+    }
+    assert got == {1: 0, 2: 2}  # lightest parallel edge; 3 beyond budget
+
+
+def test_sssp_directed_respects_direction(spark):
+    from smartpy_arc_spark.operators.components import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (3, 2, 1)], "src long, dst long, w long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            edges, [1], max_dist=100, directed=True
+        ).collect()
+    }
+    assert got == {1: 0, 2: 3}  # 3 unreachable going forward
