@@ -3782,6 +3782,24 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, [1, 2, 3], max_dist=20, max_iters=15)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics on o_totalprice: observed vs
+    log10(1+1/d) expectation with per-digit chi-square terms."""
+    from smartpy_arc_spark.operators.stats import benford_deviation
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_deviation(orders, "o_totalprice")
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of event values: rank weighting from the
+    distributed cumulative counts, DECIMAL(38,0) rank-weighted sums."""
+    from smartpy_arc_spark.operators.stats import gini_coefficient
+
+    ev = _t(spark, sf_dir, "events")
+    return gini_coefficient(ev, "value")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4008,6 +4026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "png_decode": q_png_decode,
         "sssp": q_sssp,
+        "benford": q_benford,
+        "gini": q_gini,
     })
 
 
@@ -7016,5 +7036,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(min(dist) AS BIGINT) AS dist
             FROM d GROUP BY node
+        """,
+        "benford": """
+            WITH digits AS (
+                SELECT CAST(substring(regexp_replace(
+                           CAST(abs(o_totalprice) AS VARCHAR), '[^1-9]', '', 'g'),
+                           1, 1) AS INTEGER) AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+            ), counts AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM digits WHERE digit IS NOT NULL GROUP BY digit
+            ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+            SELECT digit, n,
+                   CAST(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                              * 1000000) AS BIGINT) AS share_e6,
+                   CAST(round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT)
+                       AS expected_e6,
+                   CAST(round(
+                       (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                        - log10(1 + 1.0 / digit))
+                       * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                          - log10(1 + 1.0 / digit))
+                       / log10(1 + 1.0 / digit)
+                       * CAST(t AS DOUBLE) * 1000000) AS BIGINT)
+                       AS chi2_term_e6
+            FROM counts, tot
+        """,
+        "gini": """
+            WITH vals AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE round(value * 100) >= 0
+                GROUP BY 1
+            ), cum AS (
+                SELECT v, c, SUM(c) OVER (ORDER BY v) AS k FROM vals
+            ), agg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(v * c) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(v AS HUGEINT)
+                            * (c * k - (c * (c - 1)) // 2)) AS HUGEINT)
+                           AS sxr
+                FROM cum
+            )
+            SELECT n,
+                   CAST(round(
+                       (2.0 * CAST(sxr AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                        - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1000000) AS BIGINT) AS gini_e6
+            FROM agg
         """,
     }

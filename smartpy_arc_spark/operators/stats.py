@@ -480,3 +480,109 @@ def poisson_bootstrap(
         "sum_ticks",
         mean_e4.alias("mean_e4"),
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law digit forensics: observed first-significant-digit
+    distribution vs the log10(1 + 1/d) expectation, with the chi-square
+    deviation — the classic fabricated-numbers screen for financial /
+    metric columns.
+
+    First digits extract in codegen (string of abs value, strip
+    non-digits, first char; zero values drop — they have no significant
+    digit); one 9-key aggregate.  Expected shares are literal constants
+    so both engines parse identical doubles.
+
+    Returns 9 rows ``(digit, n, share_e6, expected_e6, chi2_term_e6)``.
+    """
+    first = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), "[^1-9]", ""),
+        1,
+        1,
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(first.cast("int").alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    import math
+
+    expected = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_col = F.create_map(
+        *[F.lit(v) for d in expected for v in (d, expected[d])]
+    )[F.col("digit")]
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    chi2_term = (
+        (share - exp_col) * (share - exp_col) / exp_col
+        * F.col("__t").cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(share * 1000000).cast("long").alias("share_e6"),
+            F.round(exp_col * 1000000).cast("long").alias("expected_e6"),
+            F.round(chi2_term * 1000000).cast("long").alias("chi2_term_e6"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact Gini inequality coefficient of a non-negative quantity:
+
+        G = (2 · Σ_i i·x_(i)) / (n · Σx) − (n + 1) / n
+
+    over the ascending-sorted values — the rank weighting computed with
+    ``partitioned_cumsum`` over per-distinct-value counts, so nothing
+    sorts in one task: for a run of ``c`` equal values ending at
+    cumulative position ``k``, Σ of their ranks is ``c·k − c(c−1)/2``,
+    all in exact integer space.  One double division pair at the end.
+
+    Returns one row ``(n, gini_e6)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    vals = (
+        df.select(ticks.alias("v"))
+        .where(F.col("v") >= 0)
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = partitioned_cumsum(vals, ["v"], ["c"])
+    # Σ ranks of this value's run: c*k - c(c-1)/2  (k = inclusive cum count;
+    # c(c-1) is even, so the halving stays integral).  The rank-weighted
+    # value sum can exceed 2^53, so it accumulates as DECIMAL(38,0) —
+    # exact in any engine, unlike a double sum.
+    k = F.col("cum_c").cast("long")
+    rank_sum = (
+        F.col("c").cast("long") * k
+        - F.expr("c * (c - 1) div 2").cast("long")
+    )
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            (F.col("v") * rank_sum).cast("decimal(38,0)")
+        ).alias("sxr"),
+    )
+    g = (
+        F.lit(2.0) * F.col("sxr").cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        "n", F.round(g * 1000000).cast("long").alias("gini_e6")
+    )

@@ -1146,3 +1146,38 @@ def test_sssp_directed_respects_direction(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 3}  # 3 unreachable going forward
+
+
+# ------------------------------------------------- benford / gini
+
+def test_benford_uniform_digits_deviate(spark):
+    import math
+
+    from smartpy_arc_spark.operators.stats import benford_deviation
+
+    # perfectly uniform first digits 1..9 — maximally un-Benford
+    rows = [(float(d) * 10 ** (i % 3),) for d in range(1, 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(r["share_e6"] == round(1 / 9 * 1e6) for r in out.values())
+    for d in (1, 9):
+        assert out[d]["expected_e6"] == round(math.log10(1 + 1 / d) * 1e6)
+    # digit 1 under-represented vs Benford, digit 9 over-represented
+    assert out[1]["share_e6"] < out[1]["expected_e6"]
+    assert out[9]["share_e6"] > out[9]["expected_e6"]
+
+
+def test_gini_extremes(spark):
+    from smartpy_arc_spark.operators.stats import gini_coefficient
+
+    equal = spark.createDataFrame([(5.0,)] * 40, "v double")
+    assert gini_coefficient(equal, "v").collect()[0]["gini_e6"] == 0
+
+    # one owner of everything: G -> (n-1)/n = 0.975 for n=40
+    concentrated = spark.createDataFrame(
+        [(0.0,)] * 39 + [(100.0,)], "v double"
+    )
+    r = gini_coefficient(concentrated, "v").collect()[0]
+    assert r["n"] == 40
+    assert r["gini_e6"] == round((40 - 1) / 40 * 1e6)
