@@ -51,6 +51,8 @@ SINGLE_PARTITION_OK = {
     "psi_drift",              # 1-row totals + scalar PSI combine
     "skew_report",            # 2-scalar totals combine over key counts
     "neyman_allocation",      # 1-row weight-sum scalar combine
+    "benford",                # 1-row digit-total scalar combine
+    "gini",                   # 1-row statistic: n/sum/rank-sum combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -79,6 +81,7 @@ BNLJ_OK = {
     "psi_drift",              # 1-row totals / scalar broadcast cross joins
     "skew_report",            # 1-row totals broadcast cross join
     "neyman_allocation",      # 1-row weight-sum broadcast cross join
+    "benford",                # 1-row digit-total broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
