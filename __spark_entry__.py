@@ -3800,6 +3800,51 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(ev, "value")
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average ranks for ties) between
+    quantity and extended price: distributed doubled-rank contingencies
+    via partitioned_cumsum, Pearson on exact DECIMAL sums."""
+    from smartpy_arc_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across order priorities: exact fixed-point grouped
+    moments, deterministic sorted-order fold for the between-group term."""
+    from smartpy_arc_spark.operators.stats import anova_oneway
+
+    orders = _t(spark, sf_dir, "orders")
+    return anova_oneway(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z (pooled SE): completion rate of URGENT vs LOW
+    priority orders — exact counts, one deterministic float combine."""
+    from smartpy_arc_spark.operators.stats import proportion_ztest
+
+    orders = _t(spark, sf_dir, "orders")
+    return proportion_ztest(
+        orders,
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift detection on event values: integer-exact
+    deviation cumsums (n·S_k − k·total), per-key windows only."""
+    from smartpy_arc_spark.operators.stats import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, "user_id", ["ts", "event_id"], "value", threshold=500.0
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4028,6 +4073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "benford": q_benford,
         "gini": q_gini,
+        "spearman": q_spearman,
+        "anova": q_anova,
+        "proportion_ztest": q_proportion_ztest,
+        "cusum": q_cusum,
     })
 
 
@@ -7086,5 +7135,154 @@ def oracle_sql() -> dict[str, str]:
                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
                        * 1000000) AS BIGINT) AS gini_e6
             FROM agg
+        """,
+        "spearman": """
+            WITH base AS (
+                SELECT l_quantity AS x, l_extendedprice AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), rx AS (
+                SELECT x, CAST(count(*) AS BIGINT) AS n_v
+                FROM base GROUP BY x
+            ), rxc AS (
+                SELECT x,
+                       2 * (SUM(n_v) OVER (ORDER BY x) - n_v) + n_v + 1
+                           AS r2x
+                FROM rx
+            ), ry AS (
+                SELECT y, CAST(count(*) AS BIGINT) AS n_v
+                FROM base GROUP BY y
+            ), ryc AS (
+                SELECT y,
+                       2 * (SUM(n_v) OVER (ORDER BY y) - n_v) + n_v + 1
+                           AS r2y
+                FROM ry
+            ), j AS (
+                SELECT r2x, r2y
+                FROM base JOIN rxc USING (x) JOIN ryc USING (y)
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT)
+                           AS sxy,
+                       CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT)
+                           AS sxx,
+                       CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT)
+                           AS syy
+                FROM j
+            )
+            SELECT n,
+                   CAST(round(
+                       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       END * 1000000) AS BIGINT) AS rho_e6
+            FROM agg
+        """,
+        "anova": """
+            WITH t AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), grp AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                       CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sg,
+                       CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sqg
+                FROM t GROUP BY g
+            ), comb AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(SUM(ng) AS BIGINT) AS n,
+                       CAST(SUM(sg) AS HUGEINT) AS s,
+                       CAST(SUM(sqg) AS HUGEINT) AS sq,
+                       list_reduce(
+                           list_prepend(0.0,
+                               list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                    / CAST(ng AS DOUBLE) ORDER BY g)),
+                           (acc, x) -> acc + x) AS ssg
+                FROM grp
+            )
+            SELECT k, n,
+                   CAST(round(
+                       CASE WHEN k > 1 AND n > k
+                                 AND (CAST(sq AS DOUBLE) - ssg) > 0
+                       THEN ((ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                             / CAST(k - 1 AS DOUBLE))
+                            / ((CAST(sq AS DOUBLE) - ssg)
+                               / CAST(n - k AS DOUBLE))
+                       END * 1000000) AS BIGINT) AS f_e6
+            FROM comb
+        """,
+        "proportion_ztest": """
+            WITH s AS (
+                SELECT o_orderpriority AS g,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS sc
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                GROUP BY 1
+            ), a AS (
+                SELECT n AS n_a, sc AS s_a FROM s WHERE g = '1-URGENT'
+            ), b AS (
+                SELECT n AS n_b, sc AS s_b FROM s WHERE g = '5-LOW'
+            ), j AS (
+                SELECT *,
+                       CAST(s_a + s_b AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+                FROM a, b
+            ), z AS (
+                SELECT n_a, n_b, s_a, s_b,
+                       sqrt(pool * (1.0 - pool)
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))) AS se,
+                       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff
+                FROM j
+            )
+            SELECT n_a, n_b, s_a AS successes_a, s_b AS successes_b,
+                   CAST(round(CASE WHEN se > 0 THEN diff / se END
+                              * 1000000) AS BIGINT) AS z_e6
+            FROM z
+        """,
+        "cusum": """
+            WITH base AS (
+                SELECT user_id AS k, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+            ), tot AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n_obs,
+                       CAST(SUM(c) AS BIGINT) AS total
+                FROM base GROUP BY k
+            ), cum AS (
+                SELECT b.k, t.n_obs, t.total,
+                       SUM(c) OVER (PARTITION BY b.k
+                                    ORDER BY ts, event_id) AS s,
+                       row_number() OVER (PARTITION BY b.k
+                                          ORDER BY ts, event_id) AS i
+                FROM base b JOIN tot t ON b.k = t.k
+            ), dev AS (
+                SELECT k, n_obs,
+                       CAST(n_obs AS HUGEINT) * s
+                       - CAST(i AS HUGEINT) * total AS dev
+                FROM cum
+            )
+            SELECT k AS user_id, n_obs,
+                   CAST(SUM(CASE WHEN abs(dev)
+                                      > CAST(n_obs AS HUGEINT) * 50000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_crossings,
+                   CAST(round(CAST(max(abs(dev)) AS DOUBLE)
+                              / (CAST(n_obs AS DOUBLE) * 100.0)
+                              * 10000) AS BIGINT) AS max_dev_e4
+            FROM dev GROUP BY k, n_obs
         """,
     }

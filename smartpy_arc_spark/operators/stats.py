@@ -586,3 +586,252 @@ def gini_coefficient(
     return agg.select(
         "n", F.round(g * 1000000).cast("long").alias("gini_e6")
     )
+
+
+def spearman_corr(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, with
+    average (fractional) ranks for ties — the textbook definition, not
+    the no-ties shortcut.
+
+    Distributed shape: each column is collapsed to its distinct-value
+    contingency and ranked WITHOUT a global sort via
+    ``partitioned_cumsum`` (range partition + broadcast offsets), exactly
+    like ``mann_whitney_u``.  Doubled ranks (``2*cum_before + n_v + 1``)
+    keep tied ``.5`` averages in integer space; each detail row then picks
+    up its two doubled ranks through broadcast-able distinct-value joins,
+    and Pearson's formula runs on exact DECIMAL(38,0) sums of rank
+    products.  Only the final 1-row combine touches doubles.
+
+    Returns one row ``(n, rho_e6)`` — rho scaled to integer millionths
+    (bit-stable across engines).
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    base = df.select(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vals = base.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("n_v")
+        )
+        cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
+        return cum.select(
+            F.col("v").alias(col),
+            (2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = base.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2_y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            (F.col("r2_x") * F.col("r2_y")).cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("r2_x") * F.col("r2_x")).cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("r2_y") * F.col("r2_y")).cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    rho = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy)
+    )
+    return agg.select(
+        "n", F.round(rho * 1000000).cast("long").alias("rho_e6")
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 100
+) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of ``group_col``.
+
+    Values are fixed-point-scaled to integers (``scale`` ticks per unit,
+    default cents) so the grouped sums and sums-of-squares are EXACT
+    DECIMAL(38,0) aggregates — the classic
+    ``F = (SSB/(k-1)) / (SSW/(n-k))`` decomposition then runs in one
+    deterministic 1-row combine over the (bounded, sorted) per-group sum
+    array, so the float expression shape is identical on any engine.
+
+    One scan, one hash aggregate on a bounded key space.  Returns one row
+    ``(k, n, f_e6)``.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    per_group = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("ng"),
+            F.sum(ticks.cast("decimal(38,0)")).alias("sg"),
+            F.sum((ticks * ticks).cast("decimal(38,0)")).alias("sqg"),
+        )
+    )
+    # Σ sg²/ng folded over the group array in sorted-key order: the
+    # divide-then-add sequence is identical in any engine (no FMA shape).
+    combined = per_group.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("sqg").alias("sq"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("g", "sg", "ng"))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (t["sg"].cast("double") * t["sg"].cast("double"))
+            / t["ng"].cast("double"),
+        ).alias("sum_sg2_over_ng"),
+    )
+    n = F.col("n").cast("double")
+    ssb = F.col("sum_sg2_over_ng") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    ) / n
+    ssw = F.col("sq").cast("double") - F.col("sum_sg2_over_ng")
+    k = F.col("k")
+    f_stat = F.when(
+        (k > 1) & (F.col("n") > k) & (ssw > 0),
+        (ssb / (k - 1).cast("double"))
+        / (ssw / (F.col("n") - k).cast("double")),
+    )
+    return combined.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        F.round(f_stat * 1000000).cast("long").alias("f_e6"),
+    )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z test (pooled standard error) between two cohorts.
+
+    ``success_col`` is a boolean Column (or column name) marking a
+    success.  One grouped aggregate produces the four exact counts; the z
+    combine is a single deterministic 1-row float expression.  The
+    workhorse of A/B conversion readouts and sample-ratio-mismatch
+    checks.  Returns one row
+    ``(n_a, n_b, successes_a, successes_b, z_e6)``.
+    """
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    )
+    stats = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(success, 1).otherwise(0)).cast("long").alias("s"),
+        )
+    )
+    a = stats.where(F.col("g") == group_a).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = stats.where(F.col("g") == group_b).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p1 = F.col("s_a").cast("double") / na
+    p2 = F.col("s_b").cast("double") / nb
+    pool = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (p1 - p2) / se)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.col("s_a").alias("successes_a"),
+        F.col("s_b").alias("successes_b"),
+        F.round(z * 1000000).cast("long").alias("z_e6"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key CUSUM mean-shift detection: the running sum of deviations
+    from the key's own mean, flagged where ``|Σ(x_i − mean)| > threshold``.
+
+    Everything stays in integer space: with ``c_i`` the fixed-point value
+    and ``S_k`` its per-key prefix sum, the deviation cumsum scaled by the
+    key's count ``n`` is ``D_k = n·S_k − k·total`` (exact), and the flag
+    compares ``|D_k| > threshold·scale·n`` — no float enters the
+    detection at all.  The window is PER-KEY (partitionBy key), so no
+    single-partition exchange exists at any corpus size; the per-key mean
+    rides in via a broadcast-able self-aggregate join.
+
+    Returns per key: ``(key, n_obs, n_crossings, max_dev_e4)`` where
+    ``max_dev_e4`` is ``max|D_k| / (scale·n)`` — the peak deviation in
+    value units — in integer ten-thousandths.
+    """
+    from pyspark.sql import Window
+
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        *[F.col(c) for c in order_cols],
+        ticks.alias("c"),
+    ).where(F.col("c").isNotNull())
+    totals = base.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    w = Window.partitionBy("k").orderBy(*order_cols)
+    cum = (
+        base.withColumn("s", F.sum("c").over(w))
+        .withColumn("i", F.row_number().over(w))
+        .join(totals, "k")
+        .withColumn(
+            "dev",
+            (
+                F.col("n_obs").cast("decimal(38,0)") * F.col("s")
+                - F.col("i").cast("decimal(38,0)") * F.col("total")
+            ),
+        )
+    )
+    lim = (
+        F.col("n_obs").cast("decimal(38,0)")
+        * F.lit(int(round(threshold * scale)))
+    )
+    return (
+        cum.groupBy("k", "n_obs")
+        .agg(
+            F.sum(F.when(F.abs(F.col("dev")) > lim, 1).otherwise(0))
+            .cast("long")
+            .alias("n_crossings"),
+            F.max(F.abs(F.col("dev"))).alias("max_dev"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n_obs"),
+            "n_crossings",
+            F.round(
+                F.col("max_dev").cast("double")
+                / (F.col("n_obs").cast("double") * float(scale))
+                * 10000
+            )
+            .cast("long")
+            .alias("max_dev_e4"),
+        )
+    )

@@ -53,6 +53,9 @@ SINGLE_PARTITION_OK = {
     "neyman_allocation",      # 1-row weight-sum scalar combine
     "benford",                # 1-row digit-total scalar combine
     "gini",                   # 1-row statistic: n/sum/rank-sum combine
+    "spearman",               # 1-row statistic: rank-moment combine
+    "anova",                  # 1-row statistic: bounded per-group moment combine
+    "proportion_ztest",       # 1-row statistic: 2-cohort count combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -82,6 +85,7 @@ BNLJ_OK = {
     "skew_report",            # 1-row totals broadcast cross join
     "neyman_allocation",      # 1-row weight-sum broadcast cross join
     "benford",                # 1-row digit-total broadcast cross join
+    "proportion_ztest",       # 1-row x 1-row cohort cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
