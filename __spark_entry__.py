@@ -3845,6 +3845,27 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency/frequency/monetary
+    quintiles via distributed_ntile (no single-partition window)."""
+    from smartpy_arc_spark.operators.features import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/any-touch attribution counts per channel: each purchase
+    claims the touches since the user's previous purchase; per-user
+    windows only, pure-integer output."""
+    from smartpy_arc_spark.operators.funnel import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type", "purchase"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4077,6 +4098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova": q_anova,
         "proportion_ztest": q_proportion_ztest,
         "cusum": q_cusum,
+        "rfm_segments": q_rfm_segments,
+        "attribution": q_attribution,
     })
 
 
@@ -7284,5 +7307,63 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n_obs AS DOUBLE) * 100.0)
                               * 10000) AS BIGINT) AS max_dev_e4
             FROM dev GROUP BY k, n_obs
+        """,
+        "rfm_segments": """
+            WITH per AS (
+                SELECT o_custkey AS k,
+                       max(o_orderdate) AS last_ts,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS monetary_c
+                FROM orders GROUP BY 1
+            ), anchor AS (
+                SELECT max(o_orderdate) AS as_of FROM orders
+            ), base AS (
+                SELECT k,
+                       CAST(date_diff('day', last_ts, as_of) AS BIGINT)
+                           AS recency_days,
+                       frequency, monetary_c
+                FROM per, anchor
+            )
+            SELECT k AS o_custkey, recency_days, frequency, monetary_c,
+                   CAST(ntile(5) OVER (ORDER BY recency_days, k)
+                        AS INTEGER) AS r_bucket,
+                   CAST(ntile(5) OVER (ORDER BY frequency, k)
+                        AS INTEGER) AS f_bucket,
+                   CAST(ntile(5) OVER (ORDER BY monetary_c, k)
+                        AS INTEGER) AS m_bucket
+            FROM base
+        """,
+        "attribution": """
+            WITH seq AS (
+                SELECT user_id AS u, ts, event_id, event_type AS ch,
+                       SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS cba
+                FROM events
+            ), nc AS (
+                SELECT u, CAST(max(cba) AS BIGINT) AS n_conv
+                FROM seq GROUP BY u
+            ), t AS (
+                SELECT s.ch, s.u, s.cba + 1 AS conv_idx, s.ts, s.event_id
+                FROM seq s JOIN nc ON s.u = nc.u
+                WHERE s.ch <> 'purchase' AND s.cba + 1 <= nc.n_conv
+            ), fl AS (
+                SELECT ch, u, conv_idx,
+                       row_number() OVER (PARTITION BY u, conv_idx
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY u, conv_idx) AS cnt
+                FROM t
+            )
+            SELECT ch AS channel,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_first,
+                   CAST(SUM(CASE WHEN rn = cnt THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_last,
+                   CAST(count(*) AS BIGINT) AS n_touch,
+                   CAST(count(DISTINCT (u, conv_idx)) AS BIGINT)
+                       AS n_conversions
+            FROM fl GROUP BY ch
         """,
     }

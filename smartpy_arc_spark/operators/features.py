@@ -120,3 +120,74 @@ def feature_hash(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    n_tiles: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral triage: per key, days since last activity, event
+    count, and exact fixed-point spend, each cut into ``n_tiles``
+    NTILE-semantics quantile buckets.
+
+    No single-partition window anywhere: each bucket assignment is a
+    ``distributed_ntile`` (range partition + broadcast offsets + the
+    closed-form NTILE rule), ordered by ``(metric, key)`` so ties break
+    deterministically.  The global "as-of" anchor (max timestamp) is a
+    1-row broadcast scalar.
+
+    Returns ``(key, recency_days, frequency, monetary_c, r_bucket,
+    f_bucket, m_bucket)`` — ``monetary_c`` in fixed-point ticks
+    (``scale`` per unit, default cents).
+    """
+    from smartpy_arc_spark.operators.scale import distributed_ntile
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col(amount_col) * scale).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    anchor = df.agg(F.max(ts_col).alias("as_of"))
+    base = per_key.crossJoin(F.broadcast(anchor)).select(
+        "k",
+        F.datediff(F.col("as_of"), F.col("last_ts"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+    # Materialize the per-key triple once: each ntile pass (and its
+    # partition-offset job) re-reads a flat checkpoint instead of
+    # re-deriving the aggregate — chaining the three ntiles over live
+    # lineage would re-execute pass N-1 inside pass N's offset job.
+    base = base.localCheckpoint()
+    buckets = [
+        distributed_ntile(base, [metric, "k"], n_tiles, out_col=col).select(
+            "k", col
+        )
+        for metric, col in [
+            ("recency_days", "r_bucket"),
+            ("frequency", "f_bucket"),
+            ("monetary_c", "m_bucket"),
+        ]
+    ]
+    out = base
+    for b in buckets:
+        out = out.join(b, "k")
+    return out.select(
+        F.col("k").alias(key_col),
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        "r_bucket",
+        "f_bucket",
+        "m_bucket",
+    )

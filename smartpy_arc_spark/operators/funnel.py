@@ -78,3 +78,79 @@ def sequence_funnel(
         for i, s in enumerate(steps)
     ]
     return reached.agg(*aggs)
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list,
+    channel_col: str,
+    conversion_value,
+) -> DataFrame:
+    """Multi-touch attribution counts per channel: every conversion event
+    claims the touch events since the user's PREVIOUS conversion, and
+    each channel is credited with how often it was the first touch, the
+    last touch, any touch, and how many distinct conversions it
+    participated in.  (First-touch and last-touch attribution are these
+    counts; linear credit is ``n_touch`` over the per-conversion touch
+    totals, left to the consumer so the output stays pure-integer.)
+
+    Scale shape: both the conversion-window assignment and the
+    first/last flags are per-user windows (partitionBy user) — no global
+    ordering exists anywhere; the final rollup is one bounded-key
+    aggregate on channel.
+
+    Returns ``(channel, n_first, n_last, n_touch, n_conversions)``
+    sorted-stable only by its grouping key.
+    """
+    from pyspark.sql import Window
+
+    is_conv = F.col("__ch") == F.lit(conversion_value)
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        *[F.col(c) for c in order_cols],
+        F.col(channel_col).alias("__ch"),
+    )
+    w = Window.partitionBy("__u").orderBy(*order_cols)
+    # conversions at-or-before the row; touches in window c join conversion c+1
+    seq = base.withColumn(
+        "__convs_before_or_at",
+        F.sum(F.when(is_conv, 1).otherwise(0)).over(w),
+    )
+    n_convs = seq.groupBy("__u").agg(
+        F.max("__convs_before_or_at").cast("long").alias("__n_conv")
+    )
+    touches = (
+        seq.where(~is_conv)
+        .withColumn("__conv_idx", F.col("__convs_before_or_at") + 1)
+        .join(n_convs, "__u")
+        .where(F.col("__conv_idx") <= F.col("__n_conv"))
+    )
+    cw = Window.partitionBy("__u", "__conv_idx").orderBy(*order_cols)
+    cw_all = cw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = touches.select(
+        "__ch",
+        "__u",
+        "__conv_idx",
+        (F.row_number().over(cw) == 1).alias("__is_first"),
+        (F.row_number().over(cw) == F.count("*").over(cw_all)).alias(
+            "__is_last"
+        ),
+    )
+    return (
+        flagged.groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("__is_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("__is_last"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+            F.count("*").cast("long").alias("n_touch"),
+            F.count_distinct("__u", "__conv_idx")
+            .cast("long")
+            .alias("n_conversions"),
+        )
+    )

@@ -336,6 +336,42 @@ def partitioned_cumsum(
     return out.drop("__pid")
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    *,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """SQL ``NTILE(k) OVER (ORDER BY ...)`` without the single-partition
+    window: global row numbers come from ``partitioned_cumsum`` (range
+    partition + broadcast offsets) and the bucket is the closed-form
+    NTILE rule — with ``q = n div k`` and ``r = n mod k``, the first
+    ``r`` buckets take ``q+1`` rows, the rest ``q`` — applied row-locally.
+
+    Ties on ``order_cols`` land in arbitrary buckets exactly as NTILE's
+    nondeterminism does; pass a unique tiebreaker as the last order col
+    for reproducible output (the oracle-facing queries always do).
+    """
+    with_one = df.withColumn("__one", F.lit(1))
+    cum = partitioned_cumsum(with_one, order_cols, ["__one"])
+    n_row = cum.agg(F.count("*").cast("long").alias("__n"))
+    rank = F.col("cum___one").cast("long")
+    n = F.col("__n")
+    q = F.floor(n / F.lit(k)).cast("long")
+    r = (n - q * k).cast("long")
+    head = r * (q + 1)
+    bucket = F.when(
+        rank <= head,
+        F.ceil(rank / (q + 1)),
+    ).otherwise(r + F.ceil((rank - head) / F.when(q > 0, q)))
+    return (
+        cum.crossJoin(F.broadcast(n_row))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__one", "cum___one", "__n")
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     "spearman",               # 1-row statistic: rank-moment combine
     "anova",                  # 1-row statistic: bounded per-group moment combine
     "proportion_ztest",       # 1-row statistic: 2-cohort count combine
+    "rfm_segments",           # 1-row anchor/total scalars for the ntile rule
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -86,6 +87,7 @@ BNLJ_OK = {
     "neyman_allocation",      # 1-row weight-sum broadcast cross join
     "benford",                # 1-row digit-total broadcast cross join
     "proportion_ztest",       # 1-row x 1-row cohort cross join
+    "rfm_segments",           # 1-row as-of anchor + row-count broadcast cross joins
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -161,3 +161,116 @@ def test_cusum_keys_isolated(spark):
     }
     assert got[1]["n_crossings"] > 0
     assert got[2]["n_crossings"] == 0
+
+
+# ------------------------------------------------- distributed ntile
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """Exact NTILE semantics incl. the uneven-bucket rule (first n%k
+    buckets take one extra row), checked against Spark's own NTILE."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.scale import distributed_ntile
+
+    rows = [(i, (i * 37) % 101) for i in range(23)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(4)
+    got = {
+        r["id"]: r["b"]
+        for r in distributed_ntile(df, ["v", "id"], 5, out_col="b").collect()
+    }
+    df.createOrReplaceTempView("ntile_in")
+    want = {
+        r["id"]: r["b"]
+        for r in spark.sql(
+            "SELECT id, ntile(5) OVER (ORDER BY v, id) AS b FROM ntile_in"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_fewer_rows_than_buckets(spark):
+    from smartpy_arc_spark.operators.scale import distributed_ntile
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    got = sorted(
+        r["b"] for r in distributed_ntile(df, ["v"], 5, out_col="b").collect()
+    )
+    assert got == [1, 2, 3]
+
+
+# ------------------------------------------------- rfm
+
+def test_rfm_hand_computed(spark):
+    """10 customers, strictly increasing frequency/monetary and strictly
+    decreasing recency: each ntile has 2 customers, aligned across
+    metrics by construction."""
+    import datetime
+
+    from smartpy_arc_spark.operators.features import rfm_segments
+
+    rows = []
+    for c in range(1, 11):
+        for j in range(c):  # customer c has c orders
+            rows.append(
+                (c, datetime.datetime(2020, 1, c * 2 + (1 if j else 0)), 10.0 * c)
+            )
+    df = spark.createDataFrame(rows, "cust int, ts timestamp, amt double")
+    out = {
+        r["cust"]: r
+        for r in rfm_segments(df, "cust", "ts", "amt").collect()
+    }
+    # customer 10 is newest / most frequent / biggest spender; every
+    # bucket ntiles its metric ASCENDING, so smallest recency → bucket 1
+    assert out[10]["r_bucket"] == 1 and out[10]["f_bucket"] == 5
+    assert out[10]["m_bucket"] == 5
+    assert out[1]["f_bucket"] == 1 and out[1]["m_bucket"] == 1
+    assert out[1]["r_bucket"] == 5  # oldest activity → largest recency
+    assert out[10]["recency_days"] == 0
+    assert out[1]["frequency"] == 1 and out[1]["monetary_c"] == 1000
+
+
+# ------------------------------------------------- attribution
+
+def test_attribution_hand_computed(spark):
+    """u1: view, click, BUY, click, BUY → window1 (view,click),
+    window2 (click); trailing touches after the last BUY are dropped."""
+    from smartpy_arc_spark.operators.funnel import touch_attribution
+
+    rows = [
+        (1, 1, "view"),
+        (1, 2, "click"),
+        (1, 3, "buy"),
+        (1, 4, "click"),
+        (1, 5, "buy"),
+        (1, 6, "view"),  # after last conversion → no credit
+    ]
+    df = spark.createDataFrame(rows, "u int, i int, ch string")
+    got = {
+        r["channel"]: r
+        for r in touch_attribution(df, "u", ["i"], "ch", "buy").collect()
+    }
+    assert got["view"]["n_first"] == 1 and got["view"]["n_last"] == 0
+    assert got["view"]["n_touch"] == 1
+    assert got["click"]["n_first"] == 1  # window 2's only touch
+    assert got["click"]["n_last"] == 2   # last in both windows
+    assert got["click"]["n_touch"] == 2
+    assert got["click"]["n_conversions"] == 2
+
+
+def test_attribution_user_isolation_and_no_touch_conversions(spark):
+    """A conversion with no preceding touches yields no credit rows; other
+    users' touches never leak into the window."""
+    from smartpy_arc_spark.operators.funnel import touch_attribution
+
+    rows = [
+        (1, 1, "buy"),          # zero-touch conversion
+        (2, 1, "view"),
+        (2, 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u int, i int, ch string")
+    got = {
+        r["channel"]: r
+        for r in touch_attribution(df, "u", ["i"], "ch", "buy").collect()
+    }
+    assert set(got) == {"view"}
+    assert got["view"]["n_first"] == 1 and got["view"]["n_conversions"] == 1
