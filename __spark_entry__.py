@@ -3866,6 +3866,41 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned point-in-polygon join: customers as points,
+    nations as deterministic pentagons; HOF ray cast on cell-local
+    candidates only (no cross join), oracle = brute-force ray cast."""
+    from smartpy_arc_spark.geometry.spatial_join import points_in_polygons
+
+    nat = _t(spark, sf_dir, "nation")
+    cx = ((F.col("n_nationkey") * 37) % 90).cast("double")
+    cy = ((F.col("n_nationkey") * 73) % 90).cast("double")
+    r = (F.lit(3) + F.col("n_nationkey") % 5).cast("double")
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    polys = nat.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(
+            v(cx + r, cy),
+            v(cx, cy + r),
+            v(cx - r, cy),
+            v(cx - r / 2.0, cy - r),
+            v(cx + r / 2.0, cy - r),
+            v(cx + r, cy),
+        ).alias("ring"),
+    )
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        (((F.col("c_custkey") * 17) % 9000).cast("double") / 100.0).alias("x"),
+        (((F.col("c_custkey") * 29) % 9000).cast("double") / 100.0).alias("y"),
+    )
+    return points_in_polygons(
+        pts, polys, cell_size=14.0, point_id="c_custkey"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4100,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "rfm_segments": q_rfm_segments,
         "attribution": q_attribution,
+        "spatial_join": q_spatial_join,
     })
 
 
@@ -7365,5 +7401,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT (u, conv_idx)) AS BIGINT)
                        AS n_conversions
             FROM fl GROUP BY ch
+        """,
+        "spatial_join": """
+            WITH poly AS (
+                SELECT n_nationkey AS poly_id,
+                       CAST((n_nationkey * 37) % 90 AS DOUBLE) AS cx,
+                       CAST((n_nationkey * 73) % 90 AS DOUBLE) AS cy,
+                       CAST(3 + n_nationkey % 5 AS DOUBLE) AS r
+                FROM nation
+            ), ring AS (
+                SELECT poly_id,
+                       [{'x': cx + r, 'y': cy},
+                        {'x': cx, 'y': cy + r},
+                        {'x': cx - r, 'y': cy},
+                        {'x': cx - r / 2.0, 'y': cy - r},
+                        {'x': cx + r / 2.0, 'y': cy - r},
+                        {'x': cx + r, 'y': cy}] AS ring
+                FROM poly
+            ), pt AS (
+                SELECT c_custkey,
+                       CAST((c_custkey * 17) % 9000 AS DOUBLE) / 100.0 AS px,
+                       CAST((c_custkey * 29) % 9000 AS DOUBLE) / 100.0 AS py
+                FROM customer
+            )
+            SELECT c_custkey, poly_id
+            FROM pt, ring
+            WHERE len(list_filter(ring[1:len(ring) - 1], (p, i) ->
+                      ((p.y > py) != (ring[i + 1].y > py)) AND
+                      (px < (ring[i + 1].x - p.x) * (py - p.y)
+                            / (ring[i + 1].y - p.y) + p.x)
+                  )) % 2 = 1
         """,
     }

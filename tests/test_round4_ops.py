@@ -274,3 +274,97 @@ def test_attribution_user_isolation_and_no_touch_conversions(spark):
     }
     assert set(got) == {"view"}
     assert got["view"]["n_first"] == 1 and got["view"]["n_conversions"] == 1
+
+
+# ------------------------------------------------- point-in-polygon join
+
+def _ring(*pts):
+    """Closed ring rows as [{'x':..,'y':..}] structs."""
+    return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+
+def test_pip_unit_square_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.geometry.spatial_join import points_in_polygons
+
+    square = _ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    polys = spark.createDataFrame(
+        [(1, square)],
+        "poly_id int, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 2.0), (3, -1.0, 2.0), (4, 2.0, 7.0)],
+        "id int, x double, y double",
+    )
+    got = {
+        r["id"]
+        for r in points_in_polygons(pts, polys, cell_size=5.0).collect()
+    }
+    assert got == {1}
+
+
+def test_pip_concave_polygon(spark):
+    """A C-shaped (concave) ring: the notch is OUTSIDE even though it is
+    inside the bbox — the even-odd rule must see it."""
+    from smartpy_arc_spark.geometry.spatial_join import points_in_polygons
+
+    c_shape = _ring(
+        (0, 0), (6, 0), (6, 2), (2, 2), (2, 4), (6, 4), (6, 6), (0, 6), (0, 0)
+    )
+    polys = spark.createDataFrame(
+        [(1, c_shape)], "poly_id int, ring array<struct<x:double,y:double>>"
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.0, 3.0), (2, 4.0, 3.0), (3, 4.0, 1.0)],
+        "id int, x double, y double",
+    )
+    got = {
+        r["id"]
+        for r in points_in_polygons(pts, polys, cell_size=7.0).collect()
+    }
+    assert got == {1, 3}  # 2 sits in the notch → outside
+
+
+def test_pip_blocking_never_misses(spark):
+    """Grid-blocked result == brute-force ray cast over all pairs, at a
+    cell size much smaller than the polygons (max replication)."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.geometry.spatial_join import (
+        points_in_polygons,
+        ray_cast_contains,
+    )
+
+    polys_rows = []
+    for k in range(6):
+        cx, cy = (k * 13) % 20, (k * 7) % 20
+        polys_rows.append(
+            (
+                k,
+                _ring(
+                    (cx - 2, cy - 2),
+                    (cx + 2, cy - 2),
+                    (cx, cy + 3),
+                    (cx - 2, cy - 2),
+                ),
+            )
+        )
+    polys = spark.createDataFrame(
+        polys_rows, "poly_id int, ring array<struct<x:double,y:double>>"
+    )
+    pts = spark.createDataFrame(
+        [(i, float((i * 3) % 23), float((i * 5) % 23)) for i in range(200)],
+        "id int, x double, y double",
+    )
+    blocked = {
+        (r["id"], r["poly_id"])
+        for r in points_in_polygons(pts, polys, cell_size=1.5).collect()
+    }
+    brute = {
+        (r["id"], r["poly_id"])
+        for r in pts.crossJoin(polys)
+        .where(ray_cast_contains(F.col("x"), F.col("y"), F.col("ring")))
+        .collect()
+    }
+    assert blocked == brute and len(brute) > 0
