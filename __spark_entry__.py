@@ -3901,6 +3901,19 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: learn 8 merges on the corpus, then
+    tokenize every document with the merge chain compiled into one
+    row-local HOF expression (map-only).  No SQL oracle (the merge
+    table comes from the iterative learner); greedy-fold semantics are
+    pinned by unit tests against a pure-Python reference encoder."""
+    from smartpy_arc_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges(docs, n_merges=8)]
+    return bpe_encode(docs, merges)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4136,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "attribution": q_attribution,
         "spatial_join": q_spatial_join,
+        "bpe_encode": q_bpe_encode,
     })
 
 

@@ -136,3 +136,51 @@ def bpe_merges_df(
         [(r, l, rt, l + rt, n) for r, l, rt, n in merges],
         "round int, left string, right string, merged string, pair_count long",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list — the APPLY side of
+    BPE (``learn_bpe_merges`` is the training side): each word is split
+    to characters and every merge is folded through in training order,
+    the exact greedy-leftmost semantics of the reference algorithm.
+
+    The whole merge chain compiles into ONE nested row-local
+    higher-order-function expression (no Python, no shuffle, no state):
+    tokenization is embarrassingly parallel and the merge table rides
+    into codegen as literals — at any corpus size this is a map-only
+    stage.
+
+    Returns per document: ``(id, n_words, n_chars_alpha, n_tokens)``
+    where ``n_tokens`` is the post-merge token count (== characters when
+    ``merges`` is empty, decreasing as merges apply).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
+    )
+
+    def tokenize(word: Column) -> Column:
+        syms = _chars(word)
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        return syms
+
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + n,
+        ).alias("n_chars_alpha"),
+        F.aggregate(
+            F.transform(words, lambda w: F.size(tokenize(w))),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + n,
+        ).alias("n_tokens"),
+    )

@@ -368,3 +368,68 @@ def test_pip_blocking_never_misses(spark):
         .collect()
     }
     assert blocked == brute and len(brute) > 0
+
+
+# ------------------------------------------------- bpe encode
+
+def _py_bpe_encode(word, merges):
+    """Pure-Python reference: greedy leftmost fold per merge, in order."""
+    syms = list(word)
+    for left, right in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_hand_case(spark):
+    from smartpy_arc_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low lower slow")], "doc_id long, text string"
+    )
+    r = bpe_encode(df, [("l", "o"), ("lo", "w")]).collect()[0]
+    # low→[low], lower→[low,e,r], slow→[s,low]
+    assert r["n_words"] == 3
+    assert r["n_tokens"] == 1 + 3 + 2
+    assert r["n_chars_alpha"] == 12
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Spark HOF fold == the reference greedy-leftmost encoder, incl. the
+    overlap case 'aaa' under ('a','a') → [aa, a]."""
+    from smartpy_arc_spark.operators.bpe import bpe_encode
+
+    words = ["aaa", "aaaa", "banana", "abcabc", "aabb"]
+    merges = [("a", "a"), ("b", "b"), ("aa", "bb"), ("a", "n")]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == len(_py_bpe_encode(w, merges)), w
+
+
+def test_bpe_encode_roundtrip_with_learner(spark):
+    """Encoding with the corpus's own learned merges strictly reduces
+    token count vs characters, and empty merges == character count."""
+    from smartpy_arc_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges(df, n_merges=4)]
+    assert len(merges) == 4
+    base = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, []).collect()}
+    enc = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()}
+    chars = {
+        r["doc_id"]: r["n_chars_alpha"] for r in bpe_encode(df, []).collect()
+    }
+    for i in base:
+        assert base[i] == chars[i]
+        assert enc[i] < base[i]
