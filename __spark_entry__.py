@@ -3914,6 +3914,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend smoothing with a 3-step forecast: the
+    same bit-exact in-order fold contract as ewma, struct accumulator,
+    dyadic α=0.5 / β=0.25 on fixed-point ticks."""
+    from smartpy_arc_spark.operators.resample import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4150,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "spatial_join": q_spatial_join,
         "bpe_encode": q_bpe_encode,
+        "holt": q_holt,
     })
 
 
@@ -7445,5 +7458,34 @@ def oracle_sql() -> dict[str, str]:
                       (px < (ring[i + 1].x - p.x) * (py - p.y)
                             / (ring[i + 1].y - p.y) + p.x)
                   )) % 2 = 1
+        """,
+        "holt": """
+            WITH s AS (
+                SELECT user_id,
+                       list(CAST(round(value * 100) AS DOUBLE)
+                            ORDER BY ts, event_id) AS xs
+                FROM events GROUP BY user_id
+            ), f AS (
+                SELECT user_id,
+                       CAST(len(xs) AS BIGINT) AS n_obs,
+                       CASE WHEN len(xs) >= 2 THEN
+                           list_reduce(
+                               list_prepend(
+                                   [xs[1], xs[2] - xs[1]],
+                                   list_transform(xs[2:], v -> [v, 0.0])),
+                               (acc, x) -> [
+                                   0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                                   0.25 * (0.5 * x[1] + 0.5 * (acc[1] + acc[2])
+                                           - acc[1])
+                                   + 0.75 * acc[2]])
+                       ELSE [xs[1], 0.0] END AS lb
+                FROM s
+            )
+            SELECT user_id, n_obs,
+                   CAST(round(lb[1] / 100 * 10000) AS BIGINT) AS level_e4,
+                   CAST(round(lb[2] / 100 * 10000) AS BIGINT) AS trend_e4,
+                   CAST(round((lb[1] + 3.0 * lb[2]) / 100 * 10000) AS BIGINT)
+                       AS forecast_e4
+            FROM f
         """,
     }

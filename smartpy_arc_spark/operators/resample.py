@@ -202,3 +202,76 @@ def ewma(
             else (F.round(folded / scale, 6) + F.lit(0.0))
         ).alias("ewma_value"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 3,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend)
+    with an h-step-ahead forecast — the next rung above ``ewma`` for
+    trending series.
+
+    Same in-order fold shape as ``ewma`` (collect → sort → ``aggregate``
+    in codegen; bounded-series-per-key contract), with a struct
+    accumulator ``(l, b)``:
+
+        l_t = α·x_t + (1−α)(l + b)
+        b_t = β(l_t − l) + (1−β)·b
+
+    seeded ``l₀ = x₁, b₀ = x₂ − x₁`` (0 for singleton series) and folded
+    over x₂…x_n.  A left fold evaluates in a fixed order, and dyadic
+    α/β on fixed-point ticks keep every step an exact binary-float
+    expression — bit-identical in any engine folding the same list.
+
+    Returns ``(key, n_obs, level_e4, trend_e4, forecast_e4)`` — level,
+    per-step trend and the ``l + h·b`` forecast in integer
+    ten-thousandths of a value unit.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ticks = F.round(F.col(value_col) * scale).cast("double")
+    item = F.struct(*order, ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    a, b1 = F.lit(float(alpha)), F.lit(float(beta))
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        F.coalesce(
+            # try_: a singleton series has no x₂ (ANSI element_at throws)
+            F.try_element_at(xs, F.lit(2)) - F.element_at(xs, 1), F.lit(0.0)
+        ).alias("b"),
+    )
+
+    def step(acc, x):
+        lt = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            lt.alias("l"),
+            (
+                b1 * (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"]) - acc["l"])
+                + (F.lit(1.0) - b1) * acc["b"]
+            ).alias("b"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step
+    )
+    e4 = lambda c: F.round(c / scale * 10000).cast("long")  # noqa: E731
+    return per_key.select(
+        F.col(key_col),
+        F.size("series").cast("long").alias("n_obs"),
+        e4(folded["l"]).alias("level_e4"),
+        e4(folded["b"]).alias("trend_e4"),
+        e4(folded["l"] + F.lit(float(horizon)) * folded["b"]).alias(
+            "forecast_e4"
+        ),
+    )

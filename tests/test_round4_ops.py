@@ -433,3 +433,53 @@ def test_bpe_encode_roundtrip_with_learner(spark):
     for i in base:
         assert base[i] == chars[i]
         assert enc[i] < base[i]
+
+
+# ------------------------------------------------- holt linear
+
+def test_holt_hand_fold(spark):
+    """Hand-rolled fold: x = (10, 12, 14), α=0.5, β=0.25, seed
+    l=10, b=2 → fold x2, x3."""
+    import datetime
+
+    from smartpy_arc_spark.operators.resample import holt_linear
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(minutes=i), float(v))
+        for i, v in enumerate([10, 12, 14])
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    l, b = 1000.0, 200.0  # ticks
+    for x in (1200.0, 1400.0):
+        lt = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (lt - l) + 0.75 * b
+        l = lt
+    r = holt_linear(df, "k", "ts", "v").collect()[0]
+    assert r["n_obs"] == 3
+    assert r["level_e4"] == round(l / 100 * 10000)
+    assert r["trend_e4"] == round(b / 100 * 10000)
+    assert r["forecast_e4"] == round((l + 3.0 * b) / 100 * 10000)
+
+
+def test_holt_singleton_and_linear_series(spark):
+    """One observation → trend 0, forecast == level; an exactly linear
+    series is tracked with the forecast continuing the line."""
+    import datetime
+
+    from smartpy_arc_spark.operators.resample import holt_linear
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [(1, base, 7.0)]
+    rows += [
+        (2, base + datetime.timedelta(minutes=i), 10.0 + 5.0 * i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = {r["k"]: r for r in holt_linear(df, "k", "ts", "v").collect()}
+    assert got[1]["trend_e4"] == 0
+    assert got[1]["forecast_e4"] == got[1]["level_e4"] == 70000
+    # exact line: level converges to the last point, trend to the slope
+    assert got[2]["level_e4"] == round((10 + 5 * 11) * 10000)
+    assert got[2]["trend_e4"] == 50000
+    assert got[2]["forecast_e4"] == round((10 + 5 * 14) * 10000)
