@@ -3926,6 +3926,26 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    co-order supplier graph (same bounded fixture as bfs_hops).  No SQL
+    oracle (iterative grouped mode per round); determinism + community
+    structure pinned by unit tests."""
+    from smartpy_arc_spark.operators.components import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .where((F.col("src") <= 40) & (F.col("dst") <= 40))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, max_iter=6)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4163,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "bpe_encode": q_bpe_encode,
         "holt": q_holt,
+        "label_propagation": q_label_propagation,
     })
 
 

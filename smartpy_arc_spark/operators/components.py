@@ -397,3 +397,77 @@ def shortest_paths(
         if improved:
             break
     return dist
+
+
+def label_propagation(
+    pairs: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with deterministic tie-breaking.
+
+    Every node starts with its own id as label; each round, every node
+    adopts the most frequent label among its neighbors plus one
+    self-vote (ties → smallest label; the self-vote keeps symmetric
+    pairs from swapping labels forever).  Updates are SYNCHRONOUS over
+    a ``(node, label)`` DataFrame — one shuffle-join plus one grouped
+    mode per round, ``localCheckpoint`` truncating lineage — so the
+    result is fully deterministic (async LPA's visit-order sensitivity is
+    what makes the usual implementations irreproducible).  Early-exits
+    when a round changes no label.
+
+    Returns ``(node, community)`` — community ids are node ids (a label
+    that won its neighborhoods), not compacted.
+    """
+    e0 = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).where(F.col("s") != F.col("d"))
+    edges = (
+        e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "d"), "d")
+            .select(F.col("s").alias("node"), "label")
+            # one self-vote per node: stabilizes symmetric pairs (pure
+            # neighbor voting makes a 2-clique swap labels forever)
+            .unionByName(labels)
+        )
+        # per-node mode with smallest-label tie-break: max (count, -label)
+        mode = (
+            neigh.groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+                .alias("top")
+            )
+            .select("node", (-F.col("top.nl")).alias("new_label"))
+        )
+        nxt = (
+            labels.join(mode, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias(
+                    "__chg"
+                ),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = nxt.where("__chg").limit(1).count()
+        labels = nxt.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("community"))

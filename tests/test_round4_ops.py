@@ -483,3 +483,42 @@ def test_holt_singleton_and_linear_series(spark):
     assert got[2]["level_e4"] == round((10 + 5 * 11) * 10000)
     assert got[2]["trend_e4"] == 50000
     assert got[2]["forecast_e4"] == round((10 + 5 * 14) * 10000)
+
+
+# ------------------------------------------------- label propagation
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: each clique collapses to
+    one community, and the two communities stay distinct."""
+    from smartpy_arc_spark.operators.components import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    left = {got[n] for n in (1, 2, 3)}
+    right = {got[n] for n in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_pair_converges_to_min(spark):
+    """The self-vote keeps a symmetric pair from oscillating: both nodes
+    settle on the smaller id."""
+    from smartpy_arc_spark.operators.components import label_propagation
+
+    df = spark.createDataFrame([(7, 3)], "src int, dst int")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert got == {3: 3, 7: 3}
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from smartpy_arc_spark.operators.components import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(40) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "src int, dst int").repartition(7)
+    a = sorted(map(tuple, label_propagation(df).collect()))
+    b = sorted(map(tuple, label_propagation(df).collect()))
+    assert a == b and len(a) > 0
