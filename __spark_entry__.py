@@ -3946,6 +3946,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, max_iter=6)
 
 
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between quantity and discount via 2D prefix sums on
+    the dense contingency grid — concordant/discordant pair counts with
+    zero pair enumeration."""
+    from smartpy_arc_spark.operators.stats import kendall_tau_b
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kendall_tau_b(li, "l_quantity", "l_discount")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4184,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "holt": q_holt,
         "label_propagation": q_label_propagation,
+        "kendall": q_kendall,
     })
 
 
@@ -7508,5 +7519,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((lb[1] + 3.0 * lb[2]) / 100 * 10000) AS BIGINT)
                        AS forecast_e4
             FROM f
+        """,
+        "kendall": """
+            WITH cells AS (
+                SELECT l_quantity AS x, l_discount AS y,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                GROUP BY 1, 2
+            ), gx AS (SELECT DISTINCT x FROM cells),
+            gy AS (SELECT DISTINCT y FROM cells),
+            dense AS (
+                SELECT gx.x, gy.y, COALESCE(c.n, 0) AS n
+                FROM gx CROSS JOIN gy
+                LEFT JOIN cells c ON c.x = gx.x AND c.y = gy.y
+            ), pre0 AS (
+                SELECT x, y, n,
+                       SUM(n) OVER (PARTITION BY x ORDER BY y) AS rowcum,
+                       SUM(n) OVER (PARTITION BY y ORDER BY x) AS colcum
+                FROM dense
+            ), pre AS (
+                SELECT x, y, n, rowcum, colcum,
+                       SUM(rowcum) OVER (PARTITION BY y ORDER BY x)
+                           AS p_incl
+                FROM pre0
+            ), xt AS (
+                SELECT x, max(rowcum) AS t FROM pre GROUP BY x
+            ), xc AS (
+                SELECT x, SUM(t) OVER (ORDER BY x) - t AS x_lt FROM xt
+            ), scored AS (
+                SELECT pre.n,
+                       pre.p_incl - pre.rowcum - pre.colcum + pre.n
+                           AS p_excl,
+                       xc.x_lt - (pre.p_incl - pre.rowcum) AS q
+                FROM pre JOIN xc ON pre.x = xc.x
+            ), yt AS (
+                SELECT y, SUM(n) AS t FROM dense GROUP BY y
+            ), agg AS (
+                SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                       CAST(SUM(CAST(n AS HUGEINT) * p_excl) AS HUGEINT)
+                           AS c,
+                       CAST(SUM(CAST(n AS HUGEINT) * q) AS HUGEINT) AS d
+                FROM scored
+            ), ties AS (
+                SELECT (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2)
+                               AS HUGEINT) FROM xt) AS n1,
+                       (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) // 2)
+                               AS HUGEINT) FROM yt) AS n2
+            )
+            SELECT CAST(nn AS BIGINT) AS n,
+                   CAST(c AS BIGINT) AS conc_pairs,
+                   CAST(d AS BIGINT) AS disc_pairs,
+                   CAST(round(
+                       CAST(c - d AS DOUBLE)
+                       / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE))
+                       / sqrt(CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))
+                       * 1000000) AS BIGINT) AS tau_e6
+            FROM agg, ties
         """,
     }

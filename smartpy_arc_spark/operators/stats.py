@@ -835,3 +835,88 @@ def cusum_changepoints(
             .alias("max_dev_e4"),
         )
     )
+
+
+def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Kendall rank correlation τ-b (tie-corrected) WITHOUT touching
+    pairs: the classic O(n²) concordant/discordant count collapses onto
+    the (x, y) contingency grid, where 2D prefix sums answer "how many
+    points are strictly above-left / above-right of this cell" — so the
+    whole statistic is one grid densification plus per-axis window
+    cumsums.
+
+    Bounded-cardinality tier (documented, like ``chi_square``): the
+    dense grid is |X|·|Y| cells — meant for discrete/bucketed columns;
+    pre-bucket continuous data first.  Detail rows are scanned once
+    (one hash aggregate); every window partitions by one grid axis, and
+    the only global 1D cumsum (per-x totals) runs through
+    ``partitioned_cumsum``.  Pair counts stay in DECIMAL(38,0)
+    (concordant ≤ N²/2 overflows a long past ~4.3e9 rows).
+
+    Returns one row ``(n, conc_pairs, disc_pairs, tau_e6)``.
+    """
+    from pyspark.sql import Window
+
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    cells = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+    gx = cells.select("x").distinct()
+    gy = cells.select("y").distinct()
+    dense = (
+        gx.crossJoin(F.broadcast(gy))
+        .join(cells, ["x", "y"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+    )
+    wy = Window.partitionBy("x").orderBy("y")
+    wx = Window.partitionBy("y").orderBy("x")
+    dense = (
+        dense.withColumn("rowcum", F.sum("n").over(wy))
+        .withColumn("colcum", F.sum("n").over(wx))
+        .withColumn("p_incl", F.sum("rowcum").over(wx))
+    )
+    xtot = dense.groupBy("x").agg(F.max("rowcum").alias("t"))
+    xcum = partitioned_cumsum(xtot, ["x"], ["t"]).select(
+        "x", (F.col("cum_t") - F.col("t")).alias("x_lt")
+    )
+    scored = dense.join(xcum, "x").select(
+        "n",
+        # strictly above-left: x' < x and y' < y
+        (F.col("p_incl") - F.col("rowcum") - F.col("colcum") + F.col("n"))
+        .alias("p_excl"),
+        # strictly above-right: x' < x and y' > y
+        (F.col("x_lt") - (F.col("p_incl") - F.col("rowcum"))).alias("q"),
+    )
+    ties_x = xtot.agg(
+        F.sum(
+            (F.col("t").cast("decimal(38,0)") * (F.col("t") - 1)) / 2
+        ).cast("decimal(38,0)").alias("n1")
+    )
+    ytot = dense.groupBy("y").agg(F.sum("n").alias("t"))
+    ties_y = ytot.agg(
+        F.sum(
+            (F.col("t").cast("decimal(38,0)") * (F.col("t") - 1)) / 2
+        ).cast("decimal(38,0)").alias("n2")
+    )
+    agg = scored.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("p_excl")).alias("c"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("q")).alias("d"),
+    )
+    j = agg.crossJoin(F.broadcast(ties_x)).crossJoin(F.broadcast(ties_y))
+    n0 = (F.col("nn") * (F.col("nn") - 1) / 2).cast("decimal(38,0)")
+    tau = (
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt((n0 - F.col("n1")).cast("double"))
+        / F.sqrt((n0 - F.col("n2")).cast("double"))
+    )
+    return j.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("c").cast("long").alias("conc_pairs"),
+        F.col("d").cast("long").alias("disc_pairs"),
+        F.round(tau * 1000000).cast("long").alias("tau_e6"),
+    )

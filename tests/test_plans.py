@@ -57,6 +57,7 @@ SINGLE_PARTITION_OK = {
     "anova",                  # 1-row statistic: bounded per-group moment combine
     "proportion_ztest",       # 1-row statistic: 2-cohort count combine
     "rfm_segments",           # 1-row anchor/total scalars for the ntile rule
+    "kendall",                # 1-row statistic: pair-count/tie combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -88,6 +89,7 @@ BNLJ_OK = {
     "benford",                # 1-row digit-total broadcast cross join
     "proportion_ztest",       # 1-row x 1-row cohort cross join
     "rfm_segments",           # 1-row as-of anchor + row-count broadcast cross joins
+    "kendall",                # bounded grid-axis cross join + 1-row tie scalars
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -522,3 +522,50 @@ def test_lpa_deterministic_across_runs(spark):
     a = sorted(map(tuple, label_propagation(df).collect()))
     b = sorted(map(tuple, label_propagation(df).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------- kendall tau-b
+
+def _py_kendall_counts(pairs):
+    """Brute-force concordant/discordant over all point pairs."""
+    c = d = 0
+    for i in range(len(pairs)):
+        for j in range(i + 1, len(pairs)):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    return c, d
+
+
+def test_kendall_matches_bruteforce_with_ties(spark):
+    from smartpy_arc_spark.operators.stats import kendall_tau_b
+
+    pts = [((i * 3) % 7, (i * 5) % 4) for i in range(40)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    c, d = _py_kendall_counts(pts)
+    assert (r["conc_pairs"], r["disc_pairs"]) == (c, d)
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(p[0] for p in pts).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(p[1] for p in pts).values())
+    tau = (c - d) / math.sqrt(n0 - n1) / math.sqrt(n0 - n2)
+    assert abs(r["tau_e6"] - round(tau * 1e6)) <= 1
+
+
+def test_kendall_perfect_orders(spark):
+    from smartpy_arc_spark.operators.stats import kendall_tau_b
+
+    inc = spark.createDataFrame(
+        [(i, i * 2) for i in range(10)], "x int, y int"
+    )
+    assert kendall_tau_b(inc, "x", "y").collect()[0]["tau_e6"] == 1000000
+    dec = spark.createDataFrame(
+        [(i, -i) for i in range(10)], "x int, y int"
+    )
+    assert kendall_tau_b(dec, "x", "y").collect()[0]["tau_e6"] == -1000000
