@@ -3956,6 +3956,15 @@ def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_b(li, "l_quantity", "l_discount")
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile of orders: counts, nulls, exact
+    distincts, min/max, exact fixed-point means — single aggregate."""
+    from smartpy_arc_spark.operators.checks import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4195,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt": q_holt,
         "label_propagation": q_label_propagation,
         "kendall": q_kendall,
+        "profile": q_profile,
     })
 
 
@@ -7576,5 +7586,68 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))
                        * 1000000) AS BIGINT) AS tau_e6
             FROM agg, ties
+        """,
+        "profile": """
+            SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+                   CAST(round(CAST(SUM(CAST(round(CAST(o_orderkey AS DOUBLE)
+                        * 100) AS BIGINT)) AS DOUBLE)
+                        / (100.0 * count(o_orderkey)) * 10000) AS BIGINT)
+                       AS mean_e4
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', 'bigint', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR),
+                   CAST(round(CAST(SUM(CAST(round(CAST(o_custkey AS DOUBLE)
+                        * 100) AS BIGINT)) AS DOUBLE)
+                        / (100.0 * count(o_custkey)) * 10000) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'string', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'double', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR),
+                   CAST(round(CAST(SUM(CAST(round(o_totalprice * 100)
+                        AS BIGINT)) AS DOUBLE)
+                        / (100.0 * count(o_totalprice)) * 10000) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', 'timestamp_ntz', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', 'string', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM orders
         """,
     }

@@ -258,3 +258,65 @@ def referential_report(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """One-pass column profile — the `DESCRIBE`-on-steroids every
+    ingestion pipeline runs first: per column, row count, null count,
+    exact distinct count, min/max (as strings, so one schema fits every
+    type) and, for numeric columns, an exact fixed-point mean.
+
+    All columns profile in a SINGLE aggregate over one scan (Catalyst
+    expands the multi-distinct into one shuffle); the wide 1-row result
+    unpivots to one row per column.  Exact ``count_distinct`` is the
+    oracle-matching choice — at the 100 TB tier swap in
+    ``approx_count_distinct``, the rest of the plan is unchanged.
+
+    Returns ``(column, dtype, n_rows, n_null, n_distinct, min_value,
+    max_value, mean_e4)`` — ``mean_e4`` NULL for non-numeric columns.
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__nul"),
+            F.count_distinct(col).alias(f"{c}__dis"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            (
+                F.round(
+                    F.sum(F.round(col.cast("double") * scale).cast("long"))
+                    .cast("double")
+                    / (F.lit(float(scale)) * F.count(col).cast("double"))
+                    * 10000
+                ).cast("long")
+                if dtypes[c] in numeric
+                else F.lit(None).cast("long")
+            ).alias(f"{c}__avg"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.col(f"{c}__n").cast("long").alias("n_rows"),
+            F.col(f"{c}__nul").cast("long").alias("n_null"),
+            F.col(f"{c}__dis").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__avg").alias("mean_e4"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")

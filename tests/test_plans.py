@@ -58,6 +58,7 @@ SINGLE_PARTITION_OK = {
     "proportion_ztest",       # 1-row statistic: 2-cohort count combine
     "rfm_segments",           # 1-row anchor/total scalars for the ntile rule
     "kendall",                # 1-row statistic: pair-count/tie combine
+    "profile",                # 1-row wide profile combine (k-column table stats)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is

@@ -569,3 +569,29 @@ def test_kendall_perfect_orders(spark):
         [(i, -i) for i in range(10)], "x int, y int"
     )
     assert kendall_tau_b(dec, "x", "y").collect()[0]["tau_e6"] == -1000000
+
+
+# ------------------------------------------------- table profile
+
+def test_profile_counts_nulls_and_means(spark):
+    from smartpy_arc_spark.operators.checks import profile_table
+
+    rows = [(1, "a", 10.0), (2, "a", None), (3, None, 30.5), (3, "b", 20.0)]
+    df = spark.createDataFrame(rows, "id int, s string, v double")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 3
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["mean_e4"] is None
+    assert got["v"]["n_null"] == 1
+    assert got["v"]["min_value"] == "10.0" and got["v"]["max_value"] == "30.5"
+    # mean over non-null v = (10 + 30.5 + 20) / 3 = 20.1666…
+    assert got["v"]["mean_e4"] == round(6050 / 300 * 10000)
+
+
+def test_profile_column_subset(spark):
+    from smartpy_arc_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    out = profile_table(df, columns=["s"]).collect()
+    assert [r["column"] for r in out] == ["s"]
