@@ -3965,6 +3965,58 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders)
 
 
+def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy linkage (same fixture
+    as fuzzy_link) feeds connected components, producing resolved-entity
+    clusters with keeper flags — the composition a dedup pipeline
+    actually runs.  Oracle = mirrored block predicate + recursive-CTE
+    reachability closure."""
+    from smartpy_arc_spark.operators.components import connected_components
+    from smartpy_arc_spark.operators.linkage import fuzzy_link
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = sup.select(
+        (F.col("s_suppkey") + 10000).alias("d_id"),
+        F.when(
+            F.col("s_suppkey") % 2 == 0,
+            F.expr("substring(s_name, 1, length(s_name) - 1)"),
+        )
+        .otherwise(F.concat(F.col("s_name"), F.lit("x")))
+        .alias("d_name"),
+    )
+    pairs = fuzzy_link(
+        sup,
+        dirty,
+        left_id="s_suppkey",
+        right_id="d_id",
+        left_key="s_name",
+        right_key="d_name",
+        max_edit=2,
+        block_prefix=4,
+        length_band=2,
+    )
+    comp = connected_components(
+        pairs, src_col="left_id", dst_col="right_id"
+    )
+    return comp.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the (lang, source) QI over documents with
+    doc-length decile as the sensitive attribute — class sizes, distinct
+    sensitive counts, modal sensitive count, l>=3 flag."""
+    from smartpy_arc_spark.operators.checks import l_diversity
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_decile", (F.col("n_chars") / 100).cast("int")
+    )
+    return l_diversity(docs, ["lang", "source"], "len_decile", l=3)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4205,6 +4257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "kendall": q_kendall,
         "profile": q_profile,
+        "linkage_clusters": q_linkage_clusters,
+        "l_diversity": q_l_diversity,
     })
 
 
@@ -7649,5 +7703,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(o_orderpriority) AS VARCHAR),
                    CAST(NULL AS BIGINT)
             FROM orders
+        """,
+        "linkage_clusters": """
+            WITH RECURSIVE dirty AS (
+                SELECT s_suppkey + 10000 AS d_id,
+                       CASE WHEN s_suppkey % 2 = 0
+                            THEN substring(s_name, 1, length(s_name) - 1)
+                            ELSE s_name || 'x' END AS d_name
+                FROM supplier
+            ), pairs AS (
+                SELECT s.s_suppkey AS id_a, d.d_id AS id_b
+                FROM supplier s JOIN dirty d
+                  ON lower(substring(s.s_name, 1, 4))
+                     = lower(substring(d.d_name, 1, 4))
+                 AND abs((length(s.s_name) // 2)
+                         - (length(d.d_name) // 2)) <= 1
+                WHERE levenshtein(s.s_name, d.d_name) <= 2
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), walk(node, label) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, w.label FROM edges e JOIN walk w ON w.node = e.d
+            )
+            SELECT node, min(label) AS component,
+                   (node = min(label)) AS is_keeper
+            FROM walk GROUP BY node
+        """,
+        "l_diversity": """
+            WITH cells AS (
+                SELECT lang, source,
+                       CAST(n_chars // 100 AS INTEGER) AS sv,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2, 3
+            )
+            SELECT lang, source,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_sensitive,
+                   CAST(max(c) AS BIGINT) AS top_sensitive_n,
+                   count(*) >= 3 AS diverse
+            FROM cells GROUP BY lang, source
         """,
     }

@@ -159,6 +159,38 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a QI
+    equivalence class whose SENSITIVE attribute is uniform leaks the
+    secret even when the class is large (the homogeneity attack).  Every
+    class must contain at least ``l`` distinct sensitive values.
+
+    Returns one row per QI class: ``(quasi columns..., n, n_sensitive,
+    top_sensitive_n, diverse)`` — ``top_sensitive_n`` (the modal
+    sensitive count) feeds the stricter entropy/recursive-(c,l) variants
+    downstream.  Two bounded hash aggregates (class × sensitive value,
+    then class), groupBy-count shaped at any scale.
+    """
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count("*").alias("__c"))
+    return (
+        cells.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_sensitive"),
+            F.max("__c").cast("long").alias("top_sensitive_n"),
+        )
+        .withColumn("diverse", F.col("n_sensitive") >= l)
+    )
+
+
 def population_stability_index(
     df_expected: DataFrame,
     df_actual: DataFrame,

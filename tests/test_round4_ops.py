@@ -595,3 +595,33 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], "id int, s string")
     out = profile_table(df, columns=["s"]).collect()
     assert [r["column"] for r in out] == ["s"]
+
+
+# ------------------------------------------------- l-diversity
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    from smartpy_arc_spark.operators.checks import l_diversity
+
+    rows = [("a", "flu"), ("a", "flu"), ("a", "flu"),
+            ("b", "flu"), ("b", "hiv"), ("b", "cold")]
+    df = spark.createDataFrame(rows, "zip string, dx string")
+    got = {r["zip"]: r for r in l_diversity(df, ["zip"], "dx", l=2).collect()}
+    assert got["a"]["n_sensitive"] == 1 and not got["a"]["diverse"]
+    assert got["a"]["top_sensitive_n"] == 3
+    assert got["b"]["n_sensitive"] == 3 and got["b"]["diverse"]
+
+
+# ------------------------------------------------- linkage clusters
+
+def test_linkage_clusters_transitive(spark):
+    """A chain a~b, b~c resolves into ONE entity cluster with the min id
+    as keeper, even though a and c were never directly linked."""
+    from smartpy_arc_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id int, right_id int"
+    )
+    comp = connected_components(pairs, src_col="left_id", dst_col="right_id")
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
