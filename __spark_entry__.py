@@ -4017,6 +4017,15 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(docs, ["lang", "source"], "len_decile", l=3)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty per document: fraction of its word
+    trigrams appearing in no other document (gram-keyed shuffles only)."""
+    from smartpy_arc_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4259,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "linkage_clusters": q_linkage_clusters,
         "l_diversity": q_l_diversity,
+        "ngram_novelty": q_ngram_novelty,
     })
 
 
@@ -7744,5 +7754,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c) AS BIGINT) AS top_sensitive_n,
                    count(*) >= 3 AS diverse
             FROM cells GROUP BY lang, source
+        """,
+        "ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), dg AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                                   for i in generate_series(1, len(ts) - 2)])
+                               AS g
+                    FROM toks WHERE len(ts) >= 3
+                )
+            ), dfreq AS (
+                SELECT g, count(*) AS df FROM dg GROUP BY g
+            ), per AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_unique
+                FROM dg JOIN dfreq USING (g) GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_unique,
+                   CAST(round(CAST(n_unique AS DOUBLE)
+                              / CAST(n_grams AS DOUBLE) * 1000000)
+                        AS BIGINT) AS novelty_e6
+            FROM per
         """,
     }

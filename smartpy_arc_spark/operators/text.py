@@ -529,3 +529,59 @@ def source_similarity(
             F.round(cos * 1000000).cast("long").alias("cos_e6"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus novelty: the fraction of a document's distinct word
+    n-grams that appear in NO other document — high novelty marks
+    original text worth keeping, low novelty marks boilerplate and
+    near-template content (the memorization/diversity signal of a
+    training-data audit).
+
+    Plan: explode distinct (doc, gram) pairs once, one hash aggregate on
+    the gram for document frequency, join the bounded df table back, one
+    aggregate per doc — TF-IDF's exact shuffle shape (gram-keyed, never
+    doc×doc).  Returns ``(id, n_grams, n_unique, novelty_e6)`` with the
+    ratio in integer millionths (one exact division per row).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    dfreq = doc_grams.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        doc_grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_e6",
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_grams").cast("double")
+                * 1000000
+            ).cast("long"),
+        )
+    )

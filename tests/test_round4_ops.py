@@ -625,3 +625,39 @@ def test_linkage_clusters_transitive(spark):
     got = {r["node"]: r["component"] for r in comp.collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
+
+
+# ------------------------------------------------- ngram novelty
+
+def test_ngram_novelty_unique_vs_copied(spark):
+    """A doc duplicated verbatim has novelty 0 (every gram shared); a doc
+    with wholly distinct text has novelty 1."""
+    from smartpy_arc_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),
+        (3, "completely different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1]["novelty_e6"] == 0 and got[2]["novelty_e6"] == 0
+    assert got[3]["novelty_e6"] == 1000000
+    assert got[3]["n_grams"] == 3  # 5 tokens → 3 trigrams
+
+
+def test_ngram_novelty_partial_overlap(spark):
+    """Half-shared suffix: doc grams overlapping the other doc count as
+    non-unique, the rest as unique."""
+    from smartpy_arc_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta"),     # grams: abg, bgd
+        (2, "zzz yyy alpha beta gamma"),   # grams: zya? no: zzz yyy alpha, yyy alpha beta, alpha beta gamma
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    # shared gram: "alpha beta gamma"
+    assert got[1]["n_grams"] == 2 and got[1]["n_unique"] == 1
+    assert got[1]["novelty_e6"] == 500000
+    assert got[2]["n_grams"] == 3 and got[2]["n_unique"] == 2
