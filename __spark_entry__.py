@@ -4026,6 +4026,51 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, n=3)
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: deterministic BMPs (50 distinct images,
+    4 copies each via doc_id % 50) → real decode → integer aHash →
+    hash-groupBy duplicate clusters with min-id keepers.  No SQL oracle
+    (binary decode); the hash is pinned against a numpy reference and
+    the 4-copy structure is asserted in tests."""
+    from smartpy_arc_spark.multimodal.codecs import image_ahash
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_bmp
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d) % 50
+                h, w = 8 + d % 4, 8
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                # spatial frequencies vary with d (aHash ignores constant
+                # brightness shifts, so d must bend the PATTERN)
+                img = (
+                    (y * (13 + 11 * d) + x * (3 + 7 * d) + c * 5) % 256
+                ).astype("uint8")
+                payloads.append(make_bmp(img))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    hashed = image_ahash(blobs)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("item_id").alias("keeper_id"),
+        )
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4269,6 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_clusters": q_linkage_clusters,
         "l_diversity": q_l_diversity,
         "ngram_novelty": q_ngram_novelty,
+        "image_dedup": q_image_dedup,
     })
 
 

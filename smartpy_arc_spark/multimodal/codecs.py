@@ -329,3 +329,69 @@ def png_features(
         "mean_r_e2 long, mean_g_e2 long, mean_b_e2 long",
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+# ---------------------------------------------------------- perceptual hash
+
+def average_hash_array(img: np.ndarray, *, grid: int = 8) -> int:
+    """Perceptual average-hash (aHash) of an (h, w, 3) uint8 RGB array —
+    all-integer, library-free, deterministic: integer-luma grayscale
+    (299/587/114 fixed-point), block-mean pool to ``grid × grid`` with
+    floor-partition cell boundaries, threshold each cell at the integer
+    mean of the cell means, pack row-major MSB-first into ``grid²`` bits.
+
+    Returned as a Python int in [0, 2**64) for grid=8; near-duplicate
+    images differ in a few bits (Hamming), unrelated images in ~32.
+    """
+    h, w, _ = img.shape
+    luma = (
+        img[:, :, 0].astype(np.int64) * 299
+        + img[:, :, 1].astype(np.int64) * 587
+        + img[:, :, 2].astype(np.int64) * 114
+    )  # scaled by 1000, stays integer
+    ys = (np.arange(h) * grid) // h
+    xs = (np.arange(w) * grid) // w
+    cells = np.zeros((grid, grid), dtype=np.int64)
+    counts = np.zeros((grid, grid), dtype=np.int64)
+    np.add.at(cells, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), luma)
+    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1)
+    means = cells // np.maximum(counts, 1)
+    thresh = int(means.sum()) // (grid * grid)
+    bits = (means >= thresh).astype(np.uint8).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Decode BMP payloads and emit their perceptual average-hash:
+    ``(id, ahash)`` with the 64-bit hash as a signed BIGINT (two's
+    complement, so grouping/banding works on the raw column).  Arrow-
+    batched ``mapInPandas`` — decode and hash are per-row local, the
+    image dedup that follows is an ordinary hash groupBy."""
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                img = parse_bmp(bytes(payload))
+                hv = average_hash_array(img, grid=grid)
+                ids.append(item_id)
+                # two's complement into signed 64-bit
+                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield pd.DataFrame({"__id": ids, "ahash": hashes})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(hash_batch, "__id long, ahash long")
+    return out.withColumnRenamed("__id", id_col)

@@ -661,3 +661,58 @@ def test_ngram_novelty_partial_overlap(spark):
     assert got[1]["n_grams"] == 2 and got[1]["n_unique"] == 1
     assert got[1]["novelty_e6"] == 500000
     assert got[2]["n_grams"] == 3 and got[2]["n_unique"] == 2
+
+
+# ------------------------------------------------- image ahash dedup
+
+def test_ahash_matches_numpy_reference_and_dedups(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.codecs import (
+        average_hash_array,
+        image_ahash,
+        make_bmp,
+    )
+
+    def img(seed, h=10, w=8):
+        # vary SPATIAL structure with the seed — aHash is deliberately
+        # invariant to constant brightness shifts
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        return (
+            (y * (13 + 11 * seed) + x * (3 + 7 * seed) + c * 5) % 256
+        ).astype("uint8")
+
+    imgs = {1: img(1), 2: img(2), 3: img(1)}  # 3 duplicates 1
+    rows = [(k, bytearray(make_bmp(v))) for k, v in imgs.items()]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] == got[3] and got[1] != got[2]
+    for k, v in imgs.items():
+        hv = average_hash_array(v)
+        signed = hv - (1 << 64) if hv >= (1 << 63) else hv
+        assert got[k] == signed
+
+
+def test_ahash_near_duplicate_small_hamming(spark):
+    """One flipped pixel block changes few aHash bits; an unrelated image
+    differs in many."""
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.codecs import average_hash_array
+
+    def img(seed, h=16, w=16):
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        return ((seed * 11 + y * 17 + x * 5 + c * 3) % 256).astype("uint8")
+
+    a = img(1)
+    near = a.copy()
+    near[0:2, 0:2, :] = 255
+    far = img(9)
+    ha, hn, hf = (average_hash_array(v) for v in (a, near, far))
+    ham = lambda p, q: bin(p ^ q).count("1")  # noqa: E731
+    assert ham(ha, hn) <= 6
+    assert ham(ha, hf) > 10
