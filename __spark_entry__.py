@@ -4071,6 +4071,20 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (2h window / 1h slide) event-time aggregate on the event
+    stream, watermark-bounded, drained to memory — each event lands in
+    exactly two overlapping windows; oracle is the 2-way window expand."""
+    from smartpy_arc_spark.streaming.stream import (
+        hopping_event_counts,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(hopping_event_counts(stream))
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4315,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "ngram_novelty": q_ngram_novelty,
         "image_dedup": q_image_dedup,
+        "stream_hopping": q_stream_hopping,
     })
 
 
@@ -7829,5 +7844,19 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(n_grams AS DOUBLE) * 1000000)
                         AS BIGINT) AS novelty_e6
             FROM per
+        """,
+        "stream_hopping": """
+            WITH expanded AS (
+                SELECT event_type, value,
+                       unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                               date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                   - INTERVAL 1 HOUR]) AS window_start
+                FROM events
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM expanded
+            GROUP BY 1, 2
         """,
     }

@@ -67,6 +67,34 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows on a stream: each event lands
+    in ``window/slide`` overlapping windows — ``F.window`` generates the
+    assignment, the watermark closes and evicts windows whose end passes
+    it, so state is bounded by (overlap factor × open-window keys), same
+    contract as the tumbling variant."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     *,

@@ -716,3 +716,23 @@ def test_ahash_near_duplicate_small_hamming(spark):
     ham = lambda p, q: bin(p ^ q).count("1")  # noqa: E731
     assert ham(ha, hn) <= 6
     assert ham(ha, hf) > 10
+
+
+# ------------------------------------------------- streaming hopping
+
+def test_stream_hopping_two_windows_per_event(spark, sf_dir):
+    """Hopping 2h/1h: summing n_events across windows double-counts every
+    event exactly once per overlap (2×), and each tumbling hour appears
+    as the start of one window and the interior of another."""
+    from smartpy_arc_spark.streaming.stream import (
+        hopping_event_counts,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    out = run_stream_to_memory(
+        hopping_event_counts(read_events_stream(spark, sf_dir))
+    )
+    total_windowed = sum(r["n_events"] for r in out.collect())
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total_windowed == 2 * n_events
