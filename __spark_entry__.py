@@ -4085,6 +4085,17 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(hopping_event_counts(stream))
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity-aware selection of 10 representatives from the
+    embedding corpus: k distributed argmax rounds, selected vectors as
+    broadcast literals.  No SQL oracle (greedy k-round dependence);
+    pinned against a numpy greedy reference in tests."""
+    from smartpy_arc_spark.operators.embedding import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=10, lam=0.7)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4330,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "image_dedup": q_image_dedup,
         "stream_hopping": q_stream_hopping,
+        "mmr_select": q_mmr_select,
     })
 
 

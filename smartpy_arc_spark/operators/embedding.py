@@ -198,3 +198,97 @@ def pca_project(
     return out.select(
         F.col("__id").alias(id_col), F.col("__pc").alias("pc")
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    1998): greedily pick ``k`` vectors maximizing
+    ``λ·relevance − (1−λ)·max_sim_to_already_selected`` — the standard
+    diversity-aware sampler for curating representative-but-varied
+    training subsets from an embedding corpus.
+
+    Relevance is cosine similarity to the corpus centroid.  Scale shape:
+    the centroid is one bounded aggregate (dim rows); each of the k
+    greedy rounds is ONE distributed argmax (TakeOrdered limit-1, no
+    global sort) over candidates scored against the ≤k selected vectors,
+    which ride into the plan as broadcast literals — the corpus itself
+    never re-shuffles.  The k-round driver loop is inherent to the
+    greedy objective (selection i depends on i-1); ties break on the
+    smaller id, so the output is deterministic.
+
+    Returns the selected rows ``(rank, id, mmr_score)`` in pick order.
+    """
+    from pyspark.sql import Row
+
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm")
+    ).where(F.col("nrm") > 0)
+
+    # corpus centroid: per-position mean via posexplode (dim-bounded agg)
+    centroid = [
+        r["m"]
+        for r in base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    ]
+    c_lit = F.array(*[F.lit(float(x)) for x in centroid])
+    c_norm = sum(x * x for x in centroid) ** 0.5
+
+    def cos(a, b_lit, b_norm):
+        dot = F.aggregate(
+            F.zip_with(a, b_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (F.col("nrm") * F.lit(float(b_norm)))
+
+    scored = base.withColumn("rel", cos(F.col("v"), c_lit, c_norm))
+    scored = scored.localCheckpoint()
+
+    selected: list[Row] = []
+    remaining = scored
+    for rank in range(1, k + 1):
+        if selected:
+            sims = [
+                cos(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in s["v"]]),
+                    s["nrm"],
+                )
+                for s in selected
+            ]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            max_sim = F.lit(0.0)
+        mmr = F.lit(float(lam)) * F.col("rel") - F.lit(1.0 - float(lam)) * max_sim
+        top = (
+            remaining.withColumn("mmr", mmr)
+            .orderBy(F.desc("mmr"), F.col("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pick = top[0]
+        selected.append(pick)
+        remaining = remaining.where(F.col("id") != pick["id"])
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, s["id"], round(float(s["mmr"]), 6))
+            for i, s in enumerate(selected)
+        ],
+        f"rank int, {id_col} long, mmr_score double",
+    )

@@ -736,3 +736,59 @@ def test_stream_hopping_two_windows_per_event(spark, sf_dir):
     total_windowed = sum(r["n_events"] for r in out.collect())
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total_windowed == 2 * n_events
+
+
+# ------------------------------------------------- mmr selection
+
+def test_mmr_matches_numpy_greedy(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import mmr_select
+
+    rng = [(i, [float(((i * p + 3) % 17) - 8) for p in range(1, 6)])
+           for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_select(df, k=5, lam=0.7).orderBy("rank").collect()
+    ]
+
+    vecs = {i: np.array(v) for i, v in rng}
+    cent = np.mean(list(vecs.values()), axis=0)
+
+    def cosv(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {i: cosv(v, cent) for i, v in vecs.items()}
+    sel = []
+    for _ in range(5):
+        best = None
+        for i, v in vecs.items():
+            if i in [s for s in sel]:
+                continue
+            ms = max((cosv(v, vecs[j]) for j in sel), default=0.0)
+            score = 0.7 * rel[i] - 0.3 * ms
+            cand = (score, -i)
+            if best is None or cand > best[0]:
+                best = (cand, i)
+        sel.append(best[1])
+    assert [i for _, i in got] == sel
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Three near-identical vectors + one orthogonal: with diversity on,
+    the orthogonal vector is picked second despite lower relevance."""
+    from smartpy_arc_spark.operators.embedding import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0, 0.01]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.99, 0.01, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = [
+        r["vec_id"]
+        for r in mmr_select(df, k=2, lam=0.5).orderBy("rank").collect()
+    ]
+    assert picks[1] == 4
