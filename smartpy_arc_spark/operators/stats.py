@@ -595,27 +595,31 @@ def spearman_corr(
     average (fractional) ranks for ties — the textbook definition, not
     the no-ties shortcut.
 
-    Distributed shape: each column is collapsed to its distinct-value
-    contingency and ranked WITHOUT a global sort via
+    Distributed shape: the detail table is scanned ONCE into the joint
+    (x, y) contingency; each marginal is ranked WITHOUT a global sort via
     ``partitioned_cumsum`` (range partition + broadcast offsets), exactly
     like ``mann_whitney_u``.  Doubled ranks (``2*cum_before + n_v + 1``)
-    keep tied ``.5`` averages in integer space; each detail row then picks
-    up its two doubled ranks through broadcast-able distinct-value joins,
-    and Pearson's formula runs on exact DECIMAL(38,0) sums of rank
-    products.  Only the final 1-row combine touches doubles.
+    keep tied ``.5`` averages in integer space; Pearson's moments are
+    then cell-weighted sums over the contingency (``Σ n·r2x·r2y`` etc.)
+    — every shuffled row after the first aggregate is a DISTINCT VALUE,
+    never a detail row.  Only the final 1-row combine touches doubles.
 
     Returns one row ``(n, rho_e6)`` — rho scaled to integer millionths
     (bit-stable across engines).
     """
     from smartpy_arc_spark.operators.scale import partitioned_cumsum
 
-    base = df.select(
-        F.col(col_x).alias("x"), F.col(col_y).alias("y")
-    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
 
     def doubled_ranks(col: str) -> DataFrame:
-        vals = base.groupBy(F.col(col).alias("v")).agg(
-            F.count("*").alias("n_v")
+        vals = cells.groupBy(F.col(col).alias("v")).agg(
+            F.sum("n").alias("n_v")
         )
         cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
         return cum.select(
@@ -625,20 +629,19 @@ def spearman_corr(
             ),
         )
 
-    ranked = base.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    ranked = cells.join(doubled_ranks("x"), "x").join(doubled_ranks("y"), "y")
+    nd = F.col("n").cast("decimal(38,0)")
+    # cast ranks to DECIMAL BEFORE multiplying: doubled ranks reach 2N,
+    # so a long×long rank product overflows past ~2e9 detail rows
+    rx = F.col("r2_x").cast("decimal(38,0)")
+    ry = F.col("r2_y").cast("decimal(38,0)")
     agg = ranked.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("r2_x").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("r2_y").cast("decimal(38,0)")).alias("sy"),
-        F.sum(
-            (F.col("r2_x") * F.col("r2_y")).cast("decimal(38,0)")
-        ).alias("sxy"),
-        F.sum(
-            (F.col("r2_x") * F.col("r2_x")).cast("decimal(38,0)")
-        ).alias("sxx"),
-        F.sum(
-            (F.col("r2_y") * F.col("r2_y")).cast("decimal(38,0)")
-        ).alias("syy"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum(nd * rx).cast("decimal(38,0)").alias("sx"),
+        F.sum(nd * ry).cast("decimal(38,0)").alias("sy"),
+        F.sum(nd * rx * ry).cast("decimal(38,0)").alias("sxy"),
+        F.sum(nd * rx * rx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(nd * ry * ry).cast("decimal(38,0)").alias("syy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
