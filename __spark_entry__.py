@@ -4096,6 +4096,41 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, k=10, lam=0.7)
 
 
+def q_cdc_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation: diff customer v1 vs a deterministic
+    v2 (drops, balance updates, inserts) into I/U/D records — the
+    converse of cdc_apply, round-trip-verified in tests."""
+    from smartpy_arc_spark.operators.merge import generate_cdc
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v2 = (
+        cust.where("c_custkey % 17 != 0")
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 0,
+                F.round(F.col("c_acctbal") * 2, 2),
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.where("c_custkey < 50").select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.col("c_name"),
+                F.col("c_acctbal"),
+            )
+        )
+    )
+    out = generate_cdc(cust, v2, key_col="c_custkey")
+    return out.select(
+        "op",
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4342,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "stream_hopping": q_stream_hopping,
         "mmr_select": q_mmr_select,
+        "cdc_generate": q_cdc_generate,
     })
 
 
@@ -7870,5 +7906,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM expanded
             GROUP BY 1, 2
+        """,
+        "cdc_generate": """
+            WITH v1 AS (
+                SELECT c_custkey, c_name, c_acctbal FROM customer
+            ), v2 AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 10 = 0
+                            THEN round(c_acctbal * 2, 2)
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey % 17 <> 0
+                UNION ALL
+                SELECT c_custkey + 100000, c_name, c_acctbal
+                FROM customer WHERE c_custkey < 50
+            ), j AS (
+                SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
+                       o.c_custkey IS NOT NULL AS in_old,
+                       n.c_custkey IS NOT NULL AS in_new,
+                       o.c_name AS o_name, o.c_acctbal AS o_bal,
+                       n.c_name AS n_name, n.c_acctbal AS n_bal
+                FROM v1 o FULL OUTER JOIN v2 n
+                  ON o.c_custkey = n.c_custkey
+            )
+            SELECT CASE WHEN NOT in_old THEN 'I'
+                        WHEN NOT in_new THEN 'D'
+                        ELSE 'U' END AS op,
+                   k AS c_custkey, n_name AS c_name,
+                   round(n_bal, 2) AS bal
+            FROM j
+            WHERE NOT in_old OR NOT in_new
+               OR (o_name IS DISTINCT FROM n_name
+                   OR o_bal IS DISTINCT FROM n_bal)
         """,
     }

@@ -199,3 +199,52 @@ def incremental_agg_update(
         .alias(sum_col),
     )
     return merged.where(F.col(n_col) > 0)
+
+
+def generate_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two versions of a table into a CDC change batch — the
+    converse of ``cdc_apply``: keys only in ``new`` emit 'I', keys only
+    in ``old`` emit 'D', keys in both whose compared payload differs
+    emit 'U' (unchanged keys emit nothing).  ``cdc_apply(old,
+    generate_cdc(old, new), ...)`` reproduces ``new`` exactly — the
+    round-trip a change-data-feed must satisfy, asserted in tests.
+
+    One full-outer hash join on the key; payload comparison is null-safe
+    (``eqNullSafe``) so NULL→value and value→NULL transitions emit 'U'.
+    Output: ``(op, key, payload columns from new — NULL for 'D')``.
+    """
+    cols = compare_cols or [c for c in new.columns if c != key_col]
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    ).withColumn("__in_old", F.lit(True))
+    nw = new.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(nw, "__k", "full_outer")
+    same = None
+    for c in cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            op_col,
+            F.col("__k").alias(key_col),
+            *[F.col(f"__n_{c}").alias(c) for c in cols],
+        )
+    )

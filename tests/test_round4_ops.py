@@ -792,3 +792,31 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
         for r in mmr_select(df, k=2, lam=0.5).orderBy("rank").collect()
     ]
     assert picks[1] == 4
+
+
+# ------------------------------------------------- cdc generation
+
+def test_cdc_generate_roundtrip_reproduces_new(spark):
+    """cdc_apply(old, generate_cdc(old, new)) == new — the change-data-
+    feed contract, including NULL transitions both ways."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.merge import cdc_apply, generate_cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 22.0), (3, None, 30.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    cdc = generate_cdc(old, new, key_col="k")
+    ops = {r["k"]: r["op"] for r in cdc.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}  # key 1 unchanged
+    applied = cdc_apply(
+        old, cdc.withColumn("seq", F.lit(1)), key_col="k", seq_col="seq"
+    )
+    got = sorted(map(tuple, applied.select("k", "s", "v").collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
