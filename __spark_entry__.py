@@ -4131,6 +4131,16 @@ def q_cdc_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: stopword-delimited
+    candidate phrases, degree/frequency word scores rounded to integer
+    millionths BEFORE the phrase sum (order-free integer aggregates)."""
+    from smartpy_arc_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_k=20)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4378,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hopping": q_stream_hopping,
         "mmr_select": q_mmr_select,
         "cdc_generate": q_cdc_generate,
+        "rake_keywords": q_rake_keywords,
     })
 
 
@@ -7937,5 +7948,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT in_old OR NOT in_new
                OR (o_name IS DISTINCT FROM n_name
                    OR o_bal IS DISTINCT FROM n_bal)
+        """,
+        "rake_keywords": """
+            WITH raw AS (
+                SELECT unnest(string_split(
+                    regexp_replace(lower(text),
+                        '\\b(?:the|a|an|and|or|of|to|in|is|on|for|with|as|by|at|be|this|that|it|from|are|was|were|has|have|had|not|but|if|then|else|when)\\b',
+                        '|', 'g'), '|')) AS seg
+                FROM documents
+            ), occ AS (
+                SELECT phrase, string_split(phrase, ' ') AS words FROM (
+                    SELECT trim(regexp_replace(seg, '\\s+', ' ', 'g'))
+                        AS phrase FROM raw
+                ) WHERE phrase <> ''
+            ), wsc AS (
+                SELECT w,
+                       CAST(round(CAST(degree AS DOUBLE) * 1000000
+                                  / CAST(freq AS DOUBLE)) AS BIGINT) AS s
+                FROM (
+                    SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                           CAST(SUM(len(words)) AS BIGINT) AS degree
+                    FROM (SELECT words, unnest(words) AS w FROM occ)
+                    GROUP BY w
+                )
+            ), pw AS (
+                SELECT phrase, n_occurrences, unnest(words) AS w FROM (
+                    SELECT phrase, CAST(count(*) AS BIGINT)
+                               AS n_occurrences,
+                           any_value(words) AS words
+                    FROM occ GROUP BY phrase
+                )
+            )
+            SELECT phrase, n_occurrences,
+                   CAST(SUM(s) AS BIGINT) AS score_e6
+            FROM pw JOIN wsc USING (w)
+            GROUP BY phrase, n_occurrences
+            ORDER BY score_e6 DESC, phrase LIMIT 20
         """,
     }

@@ -585,3 +585,73 @@ def ngram_novelty(
             ).cast("long"),
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "the a an and or of to in is on for with as by at be this that it "
+    "from are was were has have had not but if then else when"
+).split()
+
+
+def rake_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 20,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the token runs between stopwords; each word scores
+    ``degree/frequency`` (degree = co-occurring words incl. itself,
+    summed over the word's phrase occurrences) and a phrase scores the
+    sum of its words' scores.
+
+    Portability: word scores are rounded to integer millionths BEFORE
+    the phrase sum, so every aggregate is an order-free integer sum —
+    no float accumulation order anywhere.  Plan: explode phrases → one
+    phrase-keyed aggregate, explode words → one word-keyed aggregate,
+    broadcast-join the (bounded) word-score table back, top-k via
+    TakeOrdered.  Returns ``(phrase, n_occurrences, score_e6)``.
+    """
+    sw = stopwords or RAKE_STOPWORDS
+    boundary = r"\b(?:" + "|".join(sw) + r")\b"
+    phrases = (
+        df.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), boundary, "|"), r"\|")
+            ).alias("raw")
+        )
+        .select(F.trim(F.regexp_replace(F.col("raw"), r"\s+", " ")).alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    occ = phrases.withColumn("words", F.split(F.col("phrase"), " "))
+    word_stats = (
+        occ.select(F.col("words"), F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.size("words")).cast("long").alias("degree"),
+        )
+        .withColumn(
+            "w_score_e6",
+            F.round(
+                F.col("degree").cast("double")
+                * 1000000
+                / F.col("freq").cast("double")
+            ).cast("long"),
+        )
+    )
+    phrase_words = (
+        occ.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.first("words").alias("words"),
+        )
+        .select("phrase", "n_occurrences", F.explode("words").alias("w"))
+    )
+    scored = (
+        phrase_words.join(F.broadcast(word_stats.select("w", "w_score_e6")), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("w_score_e6").cast("long").alias("score_e6"))
+    )
+    return scored.orderBy(F.desc("score_e6"), F.col("phrase")).limit(top_k)

@@ -820,3 +820,35 @@ def test_cdc_generate_roundtrip_reproduces_new(spark):
     got = sorted(map(tuple, applied.select("k", "s", "v").collect()))
     want = sorted(map(tuple, new.collect()))
     assert got == want
+
+
+# ------------------------------------------------- rake keywords
+
+def test_rake_hand_computed(spark):
+    """'deep learning' run appears twice; 'deep' also co-occurs with
+    'networks' once: degree/freq hand-checked."""
+    from smartpy_arc_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "deep learning is the deep networks"),
+        (2, "deep learning of value"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["phrase"]: r for r in rake_keywords(df, top_k=10).collect()}
+    # phrases: 'deep learning' x2, 'deep networks' x1, 'value' x1
+    assert got["deep learning"]["n_occurrences"] == 2
+    # deep: freq 3, degree 6 → 2.0; learning: freq 2, degree 4 → 2.0
+    assert got["deep learning"]["score_e6"] == 4000000
+    # networks: freq 1, degree 2 → 2.0; deep 2.0 → phrase 4.0
+    assert got["deep networks"]["score_e6"] == 4000000
+    # value: freq 1, degree 1 → 1.0
+    assert got["value"]["score_e6"] == 1000000
+
+
+def test_rake_multiword_phrases_outrank_common_words(spark):
+    from smartpy_arc_spark.operators.text import rake_keywords
+
+    docs = [(i, "red apple pie with sugar and red apple pie") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = rake_keywords(df, top_k=3).collect()[0]
+    assert top["phrase"] == "red apple pie"
