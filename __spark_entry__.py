@@ -4141,6 +4141,18 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(docs, top_k=20)
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of extendedprice vs quantity (disjoint
+    rank pairs, deterministic lower-median selection) — the
+    outlier-resistant companion to ols_regression."""
+    from smartpy_arc_spark.operators.stats import theil_sen
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "uid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return theil_sen(li, "l_quantity", "l_extendedprice", "uid")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4389,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": q_mmr_select,
         "cdc_generate": q_cdc_generate,
         "rake_keywords": q_rake_keywords,
+        "theil_sen": q_theil_sen,
     })
 
 
@@ -7984,5 +7997,53 @@ def oracle_sql() -> dict[str, str]:
             FROM pw JOIN wsc USING (w)
             GROUP BY phrase, n_occurrences
             ORDER BY score_e6 DESC, phrase LIMIT 20
+        """,
+        "theil_sen": """
+            WITH base AS (
+                SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 100)
+                            AS BIGINT) AS x,
+                       CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                            AS BIGINT) AS y,
+                       l_orderkey * 10 + l_linenumber AS i
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), ranked AS (
+                SELECT x, y,
+                       row_number() OVER (ORDER BY x, y, i) AS r,
+                       count(*) OVER () AS n
+                FROM base
+            ), pairs AS (
+                SELECT lo.n, lo.r AS pr,
+                       CAST(hi.y - lo.y AS DOUBLE)
+                       / CAST(hi.x - lo.x AS DOUBLE) AS m
+                FROM ranked lo JOIN ranked hi
+                  ON hi.r = lo.r + (lo.n // 2)
+                WHERE lo.r <= lo.n // 2 AND hi.x <> lo.x
+            ), ms AS (
+                SELECT m, pr,
+                       row_number() OVER (ORDER BY m, pr) AS rr,
+                       count(*) OVER () AS k
+                FROM pairs
+            ), slope AS (
+                SELECT m, CAST(k AS BIGINT) AS n_pairs
+                FROM ms WHERE rr = (k + 1) // 2
+            ), resid AS (
+                SELECT s.n_pairs, s.m,
+                       CAST(p.y AS DOUBLE) - s.m * CAST(p.x AS DOUBLE)
+                           AS res,
+                       p.r
+                FROM ranked p, slope s
+            ), rs AS (
+                SELECT n_pairs, m, res,
+                       row_number() OVER (ORDER BY res, r) AS rr,
+                       count(*) OVER () AS k
+                FROM resid
+            )
+            SELECT CAST(k AS BIGINT) AS n, n_pairs,
+                   CAST(round(m * 1000000) AS BIGINT) AS slope_e6,
+                   CAST(round(res / 100 * 10000) AS BIGINT)
+                       AS intercept_e4
+            FROM rs WHERE rr = (k + 1) // 2
         """,
     }

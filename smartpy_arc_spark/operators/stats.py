@@ -923,3 +923,120 @@ def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         F.col("d").cast("long").alias("disc_pairs"),
         F.round(tau * 1000000).cast("long").alias("tau_e6"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Theil–Sen robust regression, disjoint-pairs variant: rank points
+    by x (globally, via ``partitioned_cumsum`` — no single-partition
+    window), pair rank ``r`` with rank ``r + n/2``, and take the MEDIAN
+    pair slope; the intercept is the median residual ``y − m·x``.  The
+    O(n²) all-pairs estimator collapses to n/2 disjoint pairs (Siegel's
+    pairing), keeping the 29% breakdown robustness against outliers
+    that OLS (``ols_fit``) lacks.
+
+    Medians are deterministic SELECTIONS, not interpolations: the
+    element at rank ``(k+1) div 2`` under ``(value, rank)`` ordering —
+    both engine-portable (identical doubles, identical order) and free
+    of the percentile-interpolation divergence documented in
+    ``quantile_normalize``.  Vertical pairs (dx = 0) are excluded.
+
+    Returns one row ``(n, n_pairs, slope_e6, intercept_e4)`` —
+    intercept in value units (ten-thousandths).
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    xt = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    yt = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(
+        xt.alias("x"), yt.alias("y"), F.col(id_col).alias("i")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # checkpoint between the three ranking passes: each median_select's
+    # offset/count jobs would otherwise re-execute every upstream pass
+    # (the same lineage blowup fixed in rfm_segments)
+    ranked = (
+        partitioned_cumsum(
+            base.withColumn("__one", F.lit(1)), ["x", "y", "i"], ["__one"]
+        )
+        .select("x", "y", F.col("cum___one").cast("long").alias("r"))
+        .localCheckpoint()
+    )
+    n_row = ranked.agg(F.count("*").cast("long").alias("n"))
+    half = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "h", F.floor(F.col("n") / 2).cast("long")
+    )
+    lo = half.where(F.col("r") <= F.col("h")).select(
+        "n", F.col("r").alias("pr"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    hi = half.select(
+        (F.col("r") - F.col("h")).alias("pr"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    ).where(F.col("pr") >= 1)
+    pairs = (
+        lo.join(hi, "pr")
+        .where(F.col("x2") != F.col("x1"))
+        .select(
+            "n",
+            "pr",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+
+    def median_select(sdf, val_col, order_extra):
+        """Row at rank (k+1) div 2 under (val, tiebreak) order — the
+        deterministic lower-median selection."""
+        r = partitioned_cumsum(
+            sdf.withColumn("__one", F.lit(1)),
+            [val_col, order_extra],
+            ["__one"],
+        )
+        k = r.agg(F.count("*").cast("long").alias("k"))
+        return (
+            r.crossJoin(F.broadcast(k))
+            .where(
+                F.col("cum___one").cast("long")
+                == F.floor((F.col("k") + 1) / 2).cast("long")
+            )
+            .select(F.col(val_col).alias("med"), "k")
+        )
+
+    m_med = median_select(pairs, "m", "pr")
+    slope = m_med.select(F.col("med").alias("m"), F.col("k").alias("n_pairs"))
+    resid = (
+        ranked.crossJoin(F.broadcast(slope))
+        .select(
+            "n_pairs",
+            "m",
+            (F.col("y").cast("double") - F.col("m") * F.col("x").cast("double"))
+            .alias("res"),
+            "r",
+        )
+        .localCheckpoint()
+    )
+    b_med = median_select(resid, "res", "r")
+    out = (
+        n_row.crossJoin(F.broadcast(slope))
+        .crossJoin(
+            F.broadcast(b_med.select(F.col("med").alias("b")))
+        )
+        .select(
+            "n",
+            "n_pairs",
+            F.round(F.col("m") * 1000000).cast("long").alias("slope_e6"),
+            F.round(F.col("b") / scale * 10000).cast("long").alias(
+                "intercept_e4"
+            ),
+        )
+    )
+    return out

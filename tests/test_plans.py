@@ -59,6 +59,7 @@ SINGLE_PARTITION_OK = {
     "rfm_segments",           # 1-row anchor/total scalars for the ntile rule
     "kendall",                # 1-row statistic: pair-count/tie combine
     "profile",                # 1-row wide profile combine (k-column table stats)
+    "theil_sen",              # 1-row statistic: median-selection scalars
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -91,6 +92,7 @@ BNLJ_OK = {
     "proportion_ztest",       # 1-row x 1-row cohort cross join
     "rfm_segments",           # 1-row as-of anchor + row-count broadcast cross joins
     "kendall",                # bounded grid-axis cross join + 1-row tie scalars
+    "theil_sen",              # 1-row count/slope/intercept broadcast cross joins
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

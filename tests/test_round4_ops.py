@@ -852,3 +852,32 @@ def test_rake_multiword_phrases_outrank_common_words(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     top = rake_keywords(df, top_k=3).collect()[0]
     assert top["phrase"] == "red apple pie"
+
+
+# ------------------------------------------------- theil-sen
+
+def test_theil_sen_robust_to_outliers(spark):
+    """y = 3x + 5 with two wild outliers: the pair-median slope ignores
+    them where OLS would not."""
+    from smartpy_arc_spark.operators.stats import theil_sen
+
+    rows = [(i, float(i), float(3 * i + 5)) for i in range(20)]
+    rows[4] = (4, 4.0, 500.0)
+    rows[11] = (11, 11.0, -300.0)
+    df = spark.createDataFrame(rows, "i int, x double, y double")
+    r = theil_sen(df, "x", "y", "i").collect()[0]
+    assert r["n"] == 20 and r["n_pairs"] == 10
+    assert r["slope_e6"] == 3000000
+    assert r["intercept_e4"] == 50000
+
+
+def test_theil_sen_vertical_pairs_excluded(spark):
+    """Duplicated x values produce dx=0 pairs, which must be dropped,
+    not divide by zero."""
+    from smartpy_arc_spark.operators.stats import theil_sen
+
+    rows = [(i, float(i // 2), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "i int, x double, y double")
+    r = theil_sen(df, "x", "y", "i").collect()[0]
+    assert r["n"] == 10
+    assert r["n_pairs"] <= 5 and r["slope_e6"] is not None
