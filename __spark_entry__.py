@@ -4153,6 +4153,52 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(li, "l_quantity", "l_extendedprice", "uid")
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of (quantity, extendedprice): per-distinct-x
+    max + distributed suffix max — no point-to-point comparisons."""
+    from smartpy_arc_spark.operators.stats import pareto_frontier_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pareto_frontier_2d(li, "l_quantity", "l_extendedprice")
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: cumulative
+    revenue share via partitioned_cumsum in DESC revenue order, class
+    cuts (80/95%) compared entirely in integer cents."""
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    cum = partitioned_cumsum(
+        rev.withColumn("neg", -F.col("rev_c")), ["neg", "l_partkey"], ["rev_c"]
+    )
+    total = rev.agg(F.sum("rev_c").cast("long").alias("total"))
+    c = F.col("cum_rev_c").cast("decimal(38,0)")
+    t = F.col("total").cast("decimal(38,0)")
+    cls = (
+        F.when(c * 100 <= t * 80, "A")
+        .when(c * 100 <= t * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev_c",
+            F.col("cum_rev_c").cast("long").alias("cum_rev_c"),
+            cls.alias("abc_class"),
+        )
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4402,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_generate": q_cdc_generate,
         "rake_keywords": q_rake_keywords,
         "theil_sen": q_theil_sen,
+        "pareto_frontier": q_pareto_frontier,
+        "abc_classification": q_abc_classification,
     })
 
 
@@ -8045,5 +8093,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(res / 100 * 10000) AS BIGINT)
                        AS intercept_e4
             FROM rs WHERE rr = (k + 1) // 2
+        """,
+        "pareto_frontier": """
+            WITH cand AS (
+                SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 100)
+                            AS BIGINT) AS x,
+                       max(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                                AS BIGINT)) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT x, y FROM (
+                SELECT x, y,
+                       max(y) OVER (ORDER BY x DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM cand
+            ) WHERE pm IS NULL OR y > pm
+        """,
+        "abc_classification": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(round(l_extendedprice
+                                     * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY l_partkey
+            ), cum AS (
+                SELECT l_partkey, rev_c,
+                       CAST(SUM(rev_c) OVER (ORDER BY -rev_c, l_partkey)
+                            AS BIGINT) AS cum_rev_c
+                FROM rev
+            ), tot AS (
+                SELECT CAST(SUM(rev_c) AS BIGINT) AS total FROM rev
+            )
+            SELECT l_partkey, rev_c, cum_rev_c,
+                   CASE WHEN CAST(cum_rev_c AS HUGEINT) * 100
+                             <= CAST(total AS HUGEINT) * 80 THEN 'A'
+                        WHEN CAST(cum_rev_c AS HUGEINT) * 100
+                             <= CAST(total AS HUGEINT) * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM cum, tot
         """,
     }

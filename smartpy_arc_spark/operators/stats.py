@@ -1040,3 +1040,68 @@ def theil_sen(
         )
     )
     return out
+
+
+def pareto_frontier_2d(
+    df: DataFrame, x_col: str, y_col: str, *, scale: int = 100
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the points no other point weakly
+    dominates (≥ in both maximized dimensions, > in at least one).
+
+    Scalable shape: collapse to the per-distinct-x maximum y (one hash
+    aggregate — only frontier-candidate rows survive), then a suffix
+    maximum over the DISTINCT x values via ``partitioned_cumsum`` on the
+    negated key; a candidate is on the frontier iff its y strictly
+    exceeds the best y among all strictly larger x.  The detail table is
+    scanned once; nothing ever compares point-to-point.
+
+    Returns the frontier as ``(x, y)`` in fixed-point ticks.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    xt = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    yt = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    cand = (
+        df.select(xt.alias("x"), yt.alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x")
+        .agg(F.max("y").alias("y"))
+    )
+    # suffix max over x: cumulative max of y in decreasing-x order.
+    # partitioned_cumsum sums, so feed it a monotone transform: running
+    # max == value where the EXCLUSIVE running max (over larger x) is
+    # smaller.  Compute exclusive running max via the same range-
+    # partition machinery on (-x) with a max-fold per partition + driver
+    # offsets — expressed here with a per-partition window over the
+    # range-partitioned layout.
+    from pyspark.sql import Window
+
+    part = (
+        cand.withColumn("nx", -F.col("x"))
+        .repartitionByRange("nx")
+        .sortWithinPartitions("nx")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = part.groupBy("__pid").agg(F.max("y").alias("pmax")).collect()
+    offsets: dict[int, int] = {}
+    best = None
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = best if best is not None else -(1 << 62)
+        best = max(best, r["pmax"]) if best is not None else r["pmax"]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("nx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_max = F.max("y").over(w)
+    prior_best = F.greatest(
+        F.coalesce(local_max, F.lit(-(1 << 62))), off_map[F.col("__pid")]
+    )
+    return (
+        part.withColumn("__prior", prior_best)
+        .where(F.col("y") > F.col("__prior"))
+        .select("x", "y")
+    )

@@ -881,3 +881,55 @@ def test_theil_sen_vertical_pairs_excluded(spark):
     r = theil_sen(df, "x", "y", "i").collect()[0]
     assert r["n"] == 10
     assert r["n_pairs"] <= 5 and r["slope_e6"] is not None
+
+
+# ------------------------------------------------- pareto / abc
+
+def test_pareto_frontier_hand_case(spark):
+    """Points (1,5),(2,3),(3,4),(4,1): (2,3) is dominated by (3,4); the
+    frontier is the strictly-descending staircase."""
+    from smartpy_arc_spark.operators.stats import pareto_frontier_2d
+
+    rows = [(1.0, 5.0), (2.0, 3.0), (3.0, 4.0), (4.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = sorted(
+        (r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()
+    )
+    assert got == [(100, 500), (300, 400), (400, 100)]
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from smartpy_arc_spark.operators.stats import pareto_frontier_2d
+
+    pts = [(float((i * 7) % 23), float((i * 13) % 29)) for i in range(60)]
+    df = spark.createDataFrame(pts, "x double, y double").repartition(6)
+    got = sorted(
+        (r["x"], r["y"]) for r in pareto_frontier_2d(df, "x", "y").collect()
+    )
+    ticks = {(round(x * 100), round(y * 100)) for x, y in pts}
+    brute = sorted(
+        p
+        for p in ticks
+        if not any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] for q in ticks
+        )
+    )
+    assert got == brute
+
+
+def test_abc_classification_shares(spark, sf_dir):
+    """Classes partition all parts; cumulative shares respect the cuts
+    (every A-row is <= 80% cumulative, every C-row > 95%)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["abc_classification"](spark, sf_dir).collect()
+    total = sum(r["rev_c"] for r in rows)
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_rev_c"] * 100 <= total * 80
+        elif r["abc_class"] == "C":
+            assert r["cum_rev_c"] * 100 > total * 95
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
