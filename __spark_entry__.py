@@ -4199,6 +4199,24 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (codegen HOF digit walk) over synthetic
+    16-digit account numbers, valid/total counts per market segment —
+    the false-positive filter composing with pii_redact."""
+    from smartpy_arc_spark.operators.quality import luhn_valid
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.lpad((F.col("c_custkey") * 7919).cast("string"), 16, "0").alias("s"),
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(luhn_valid(F.col("s")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_luhn_valid"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4450,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "pareto_frontier": q_pareto_frontier,
         "abc_classification": q_abc_classification,
+        "luhn_validation": q_luhn_validation,
     })
 
 
@@ -8135,5 +8154,32 @@ def oracle_sql() -> dict[str, str]:
                              <= CAST(total AS HUGEINT) * 95 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM cum, tot
+        """,
+        "luhn_validation": """
+            WITH t AS (
+                SELECT c_mktsegment,
+                       lpad(CAST(c_custkey * 7919 AS VARCHAR), 16, '0') AS s
+                FROM customer
+            ), v AS (
+                SELECT c_mktsegment,
+                       (len(s) BETWEEN 12 AND 19) AND
+                       (list_sum(list_transform(
+                            generate_series(1, len(s)), i ->
+                            CASE WHEN i % 2 = 0 THEN
+                                CASE WHEN (ascii(substr(s, len(s) - i + 1, 1))
+                                           - 48) * 2 > 9
+                                     THEN (ascii(substr(s, len(s) - i + 1, 1))
+                                           - 48) * 2 - 9
+                                     ELSE (ascii(substr(s, len(s) - i + 1, 1))
+                                           - 48) * 2 END
+                            ELSE ascii(substr(s, len(s) - i + 1, 1)) - 48
+                            END)) % 10 = 0) AS ok
+                FROM t
+            )
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_luhn_valid
+            FROM v GROUP BY 1
         """,
     }

@@ -433,3 +433,28 @@ def quantile_normalize(
             F.col("__gv").alias("normalized"),
         )
     )
+
+
+def luhn_valid(number: Column) -> Column:
+    """Luhn checksum validity of a digit string (the credit-card/IMEI
+    check) as a pure codegen expression: walk the digits right-to-left,
+    double every second one (subtracting 9 past 9), valid iff the sum is
+    ≡ 0 (mod 10).  Non-digit input → false.  Composes with
+    ``pii_redact`` to cut card-number false positives: a 16-digit string
+    that fails Luhn is noise, not PII.
+    """
+    clean = F.regexp_replace(number, r"[^0-9]", "")
+    n = F.length(clean)
+    digit = lambda i: (  # noqa: E731
+        F.ascii(F.substring(clean, n - i + 1, 1)) - 48
+    )  # i-th digit from the RIGHT, 1-based
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 0,
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+    ).otherwise(digit(i))
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return (n >= 12) & (n <= 19) & (total % 10 == 0)

@@ -933,3 +933,44 @@ def test_abc_classification_shares(spark, sf_dir):
         elif r["abc_class"] == "C":
             assert r["cum_rev_c"] * 100 > total * 95
     assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+
+
+# ------------------------------------------------- luhn
+
+def test_luhn_known_numbers(spark):
+    """Classic test vectors: the Visa test number passes, off-by-one
+    fails, non-digits and wrong lengths fail."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.quality import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),   # canonical Visa test number
+        ("4111111111111112", False),
+        ("79927398713", False),       # valid Luhn but 11 digits < 12
+        ("4111-1111-1111-1111", True),  # separators stripped
+        ("notanumber", False),
+    ]
+    df = spark.createDataFrame(cases, "s string, want boolean")
+    rows = df.select("s", "want", luhn_valid(F.col("s")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["s"]
+
+
+def test_luhn_python_reference_sweep(spark):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.quality import luhn_valid
+
+    def py_luhn(s):
+        ds = [int(c) for c in s][::-1]
+        tot = sum(
+            d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+            for i, d in enumerate(ds)
+        )
+        return 12 <= len(ds) <= 19 and tot % 10 == 0
+    nums = [str(10**15 + i * 7919) for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in nums], "s string")
+    got = {r["s"]: r["v"] for r in df.select("s", luhn_valid(F.col("s")).alias("v")).collect()}
+    for s in nums:
+        assert got[s] == py_luhn(s), s
