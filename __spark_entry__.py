@@ -4217,6 +4217,18 @@ def q_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: hour-of-day value profile per event type
+    trained before Jan 22, MAE on the last week — exact integer error
+    numerators, one division per (type, hour) cell."""
+    from smartpy_arc_spark.operators.resample import seasonal_naive_eval
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_naive_eval(
+        ev, "event_type", "ts", "value", "2024-01-22 00:00:00"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4469,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "abc_classification": q_abc_classification,
         "luhn_validation": q_luhn_validation,
+        "seasonal_naive": q_seasonal_naive,
     })
 
 
@@ -8181,5 +8194,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_luhn_valid
             FROM v GROUP BY 1
+        """,
+        "seasonal_naive": """
+            WITH base AS (
+                SELECT event_type AS k,
+                       CAST(hour(ts) AS INTEGER) AS h,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       ts < TIMESTAMP '2024-01-22 00:00:00' AS is_train
+                FROM events WHERE value IS NOT NULL
+            ), train AS (
+                SELECT k, h, CAST(count(*) AS BIGINT) AS c,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM base WHERE is_train GROUP BY k, h
+            ), scored AS (
+                SELECT b.k, b.h, t.c,
+                       abs(CAST(b.v AS HUGEINT) * t.c - t.s) AS num
+                FROM base b JOIN train t ON b.k = t.k AND b.h = t.h
+                WHERE NOT b.is_train
+            )
+            SELECT k AS event_type, h AS hour, c AS n_train,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(round(CAST(SUM(num) AS DOUBLE) * 100
+                              / (CAST(c AS DOUBLE)
+                                 * CAST(count(*) AS DOUBLE))
+                              / 100.0) AS BIGINT) AS mae_e4
+            FROM scored GROUP BY k, h, c
         """,
     }

@@ -275,3 +275,75 @@ def holt_linear(
             "forecast_e4"
         ),
     )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: train an (key, hour-of-day)
+    mean-value profile on rows before ``cutoff``, predict each test row
+    (at or after it) by its profile cell, and report the mean absolute
+    error — the baseline every fancier forecaster must beat.
+
+    Exactness: with train sum ``s`` and count ``c`` in fixed-point
+    ticks, each test error is ``|v·c − s| / c``, so the per-cell MAE is
+    the single division ``Σ|v·c − s| / (c·n_test)`` over an exact
+    integer numerator — no float accumulates anywhere.  Two scans (one
+    per split, both pruned by the cutoff predicate at the source), one
+    bounded (key × 24) profile broadcast back.
+
+    Returns per cell: ``(key, hour, n_train, n_test, mae_e4)`` —
+    MAE in value-unit ten-thousandths.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    hour = F.hour(F.col(ts_col))
+    base = df.select(
+        F.col(key_col).alias("k"),
+        hour.alias("h"),
+        ticks.alias("v"),
+        (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).alias("is_train"),
+    ).where(F.col("v").isNotNull())
+    train = (
+        base.where("is_train")
+        .groupBy("k", "h")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("v").cast("long").alias("s"),
+        )
+    )
+    test = base.where(~F.col("is_train"))
+    scored = test.join(F.broadcast(train), ["k", "h"]).select(
+        "k",
+        "h",
+        "c",
+        F.abs(
+            F.col("v").cast("decimal(38,0)") * F.col("c") - F.col("s")
+        ).alias("num"),
+    )
+    return (
+        scored.groupBy("k", "h", "c")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("num").alias("total_num"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("h").alias("hour"),
+            F.col("c").alias("n_train"),
+            "n_test",
+            F.round(
+                F.col("total_num").cast("double")
+                * 100
+                / (F.col("c").cast("double") * F.col("n_test").cast("double"))
+                / float(scale)
+            )
+            .cast("long")
+            .alias("mae_e4"),
+        )
+    )

@@ -974,3 +974,32 @@ def test_luhn_python_reference_sweep(spark):
     got = {r["s"]: r["v"] for r in df.select("s", luhn_valid(F.col("s")).alias("v")).collect()}
     for s in nums:
         assert got[s] == py_luhn(s), s
+
+
+# ------------------------------------------------- seasonal naive
+
+def test_seasonal_naive_perfect_seasonality_zero_mae(spark):
+    """Test values exactly equal to the train profile → MAE 0; a
+    constant offset of 3 units → MAE 3."""
+    import datetime
+
+    from smartpy_arc_spark.operators.resample import seasonal_naive_eval
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(6):
+        for hour in (9, 15):
+            v = 10.0 + hour
+            if day >= 4 and hour == 15:
+                v += 3.0  # test-window shift for hour 15
+            rows.append(("a", base + datetime.timedelta(days=day, hours=hour), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["hour"]): r
+        for r in seasonal_naive_eval(
+            df, "k", "ts", "v", "2024-01-05 00:00:00"
+        ).collect()
+    }
+    assert out[("a", 9)]["mae_e4"] == 0
+    assert out[("a", 15)]["mae_e4"] == 30000
+    assert out[("a", 9)]["n_train"] == 4 and out[("a", 9)]["n_test"] == 2
