@@ -8214,10 +8214,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k AS event_type, h AS hour, c AS n_train,
                    CAST(count(*) AS BIGINT) AS n_test,
-                   CAST(round(CAST(SUM(num) AS DOUBLE) * 100
+                   CAST(round(CAST(SUM(num) AS DOUBLE) * 100.0
                               / (CAST(c AS DOUBLE)
-                                 * CAST(count(*) AS DOUBLE))
-                              / 100.0) AS BIGINT) AS mae_e4
+                                 * CAST(count(*) AS DOUBLE)))
+                        AS BIGINT) AS mae_e4
             FROM scored GROUP BY k, h, c
         """,
     }

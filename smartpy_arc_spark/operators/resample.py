@@ -337,11 +337,11 @@ def seasonal_naive_eval(
             F.col("h").alias("hour"),
             F.col("c").alias("n_train"),
             "n_test",
+            # num/(c·n_test) is the MAE in ticks; ×(10000/scale) → e4
             F.round(
                 F.col("total_num").cast("double")
-                * 100
+                * (10000.0 / scale)
                 / (F.col("c").cast("double") * F.col("n_test").cast("double"))
-                / float(scale)
             )
             .cast("long")
             .alias("mae_e4"),
