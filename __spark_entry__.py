@@ -4229,6 +4229,24 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of customer order-span durations (event =
+    ever had a finalized order; open-status customers censored): exact
+    at-risk prefix counts, in-order product fold per curve point."""
+    from smartpy_arc_spark.operators.stats import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dur"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("int")
+        .alias("ev"),
+    )
+    return kaplan_meier(per_c, "dur", "ev")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4482,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_classification": q_abc_classification,
         "luhn_validation": q_luhn_validation,
         "seasonal_naive": q_seasonal_naive,
+        "kaplan_meier": q_kaplan_meier,
     })
 
 
@@ -8219,5 +8238,43 @@ def oracle_sql() -> dict[str, str]:
                                  * CAST(count(*) AS DOUBLE)))
                         AS BIGINT) AS mae_e4
             FROM scored GROUP BY k, h, c
+        """,
+        "kaplan_meier": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', min(o_orderdate),
+                                      max(o_orderdate)) AS BIGINT) AS t,
+                       CAST(max(CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS INTEGER) AS e
+                FROM orders GROUP BY o_custkey
+            ), per_t AS (
+                SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM per_c GROUP BY t
+            ), curve AS (
+                SELECT list([CAST(d AS DOUBLE), CAST(d + c AS DOUBLE),
+                             CAST(t AS DOUBLE), CAST(c AS DOUBLE)]
+                            ORDER BY t) AS arr,
+                       CAST(SUM(d + c) AS BIGINT) AS n_total
+                FROM per_t
+            )
+            SELECT CAST(arr[i][3] AS BIGINT) AS t,
+                   n_total
+                   - CAST(COALESCE(list_sum(list_transform(arr[1:i - 1],
+                         s -> CAST(s[2] AS BIGINT))), 0) AS BIGINT)
+                       AS n_at_risk,
+                   CAST(arr[i][1] AS BIGINT) AS n_events,
+                   CAST(arr[i][4] AS BIGINT) AS n_censored,
+                   CAST(round(
+                       list_reduce(
+                           list_prepend([1.0, 0.0],
+                               list_transform(arr[1:i],
+                                   s -> [s[1], s[2]])),
+                           (acc, x) -> [
+                               acc[1] * (1.0 - x[1]
+                                   / (CAST(n_total AS DOUBLE) - acc[2])),
+                               acc[2] + x[2]])[1]
+                       * 1000000) AS BIGINT) AS s_e6
+            FROM curve, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
         """,
     }

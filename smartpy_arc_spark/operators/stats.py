@@ -1105,3 +1105,89 @@ def pareto_frontier_2d(
         .where(F.col("y") > F.col("__prior"))
         .select("x", "y")
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve: at each distinct
+    event/censoring time ``t``, with ``n`` subjects still at risk and
+    ``d`` events, ``S(t) = Π_{t'≤t} (1 − d/n)``; censored subjects leave
+    the risk set without dropping the curve.
+
+    Distributed shape: the (duration → events, censored) table is one
+    hash aggregate over the subjects; the curve itself is then a
+    BOUNDED-cardinality object (distinct observed times — document the
+    contract, resolution is the time unit), assembled as one sorted
+    array whose prefix products run as explicit in-order folds — the
+    same fixed-order-fold portability contract as ``ewma``/``holt``
+    (a windowed running product would leave the accumulation order to
+    the engine).
+
+    Returns per distinct time: ``(t, n_at_risk, n_events, n_censored,
+    s_e6)`` — survival scaled to integer millionths.
+    """
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.select(F.col(duration_col).alias("t"), ev.alias("e"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(1 - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    curve = per_t.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("arr"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_total"),
+    )
+    arr = F.col("arr")
+
+    def at(i):
+        return F.element_at(arr, i)
+
+    def prefix(i, init, step):
+        return F.aggregate(F.slice(arr, 1, i), init, step)
+
+    rows = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.struct(
+            at(i)["t"].alias("t"),
+            (
+                F.col("n_total")
+                - prefix(
+                    i - 1,
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["d"] + s["c"],
+                )
+            ).alias("n_at_risk"),
+            at(i)["d"].alias("n_events"),
+            at(i)["c"].alias("n_censored"),
+            # struct-accumulator fold: the at-risk count at each step is
+            # n_total minus the subjects consumed by EARLIER times
+            F.round(
+                prefix(
+                    i,
+                    F.struct(
+                        F.lit(1.0).alias("p"),
+                        F.lit(0).cast("long").alias("used"),
+                    ),
+                    lambda acc, s: F.struct(
+                        (
+                            acc["p"]
+                            * (
+                                F.lit(1.0)
+                                - s["d"]
+                                / (F.col("n_total") - acc["used"]).cast(
+                                    "double"
+                                )
+                            )
+                        ).alias("p"),
+                        (acc["used"] + s["d"] + s["c"]).alias("used"),
+                    ),
+                )["p"]
+                * 1000000
+            ).cast("long").alias("s_e6"),
+        ),
+    )
+    return curve.select(F.explode(rows).alias("r")).select("r.*")

@@ -60,6 +60,8 @@ SINGLE_PARTITION_OK = {
     "kendall",                # 1-row statistic: pair-count/tie combine
     "profile",                # 1-row wide profile combine (k-column table stats)
     "theil_sen",              # 1-row statistic: median-selection scalars
+    "abc_classification",     # 1-row grand-total scalar for the class cuts
+    "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -93,6 +95,7 @@ BNLJ_OK = {
     "rfm_segments",           # 1-row as-of anchor + row-count broadcast cross joins
     "kendall",                # bounded grid-axis cross join + 1-row tie scalars
     "theil_sen",              # 1-row count/slope/intercept broadcast cross joins
+    "abc_classification",     # 1-row grand-total broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -1003,3 +1003,32 @@ def test_seasonal_naive_perfect_seasonality_zero_mae(spark):
     assert out[("a", 9)]["mae_e4"] == 0
     assert out[("a", 15)]["mae_e4"] == 30000
     assert out[("a", 9)]["n_train"] == 4 and out[("a", 9)]["n_test"] == 2
+
+
+# ------------------------------------------------- kaplan-meier
+
+def test_kaplan_meier_textbook_case(spark):
+    """Durations (1e,2e,3c,4e,5c,5e): S = 5/6, 4/6, (censor holds),
+    4/9* — hand-walked product-limit with the censored subject leaving
+    the risk set silently."""
+    from smartpy_arc_spark.operators.stats import kaplan_meier
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1), (5.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1.0]["n_at_risk"] == 6 and got[1.0]["s_e6"] == 833333
+    assert got[2.0]["s_e6"] == 666667
+    assert got[3.0]["n_events"] == 0 and got[3.0]["s_e6"] == 666667
+    assert got[4.0]["n_at_risk"] == 3 and got[4.0]["s_e6"] == 444444
+    assert got[5.0]["n_at_risk"] == 2 and got[5.0]["n_censored"] == 1
+    assert got[5.0]["s_e6"] == 222222
+
+
+def test_kaplan_meier_no_censoring_is_empirical_survival(spark):
+    from smartpy_arc_spark.operators.stats import kaplan_meier
+
+    rows = [(float(t), 1) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    got = {r["t"]: r["s_e6"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    for t in range(1, 11):
+        assert got[float(t)] == round((10 - t) / 10 * 1e6)
