@@ -4247,6 +4247,35 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(per_c, "dur", "ev")
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of event values: exact DECIMAL
+    value×duration areas in microseconds, one division per key."""
+    from smartpy_arc_spark.operators.resample import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weiszfeld geometric median of the embedding corpus: 10 rounds of
+    one distributed Σv/d, Σ1/d aggregate each (estimate broadcast as
+    literals).  No SQL oracle (iterative); pinned against a numpy
+    Weiszfeld reference in tests."""
+    from smartpy_arc_spark.operators.embedding import geometric_median
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = geometric_median(emb, n_iter=10)
+    return out.select(
+        "n",
+        "n_iter",
+        F.transform(
+            F.col("median"), lambda x: F.round(x * 10000).cast("long")
+        ).alias("median_e4"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4501,6 +4530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_validation": q_luhn_validation,
         "seasonal_naive": q_seasonal_naive,
         "kaplan_meier": q_kaplan_meier,
+        "twap": q_twap,
+        "geometric_median": q_geometric_median,
     })
 
 
@@ -8276,5 +8307,34 @@ def oracle_sql() -> dict[str, str]:
                                acc[2] + x[2]])[1]
                        * 1000000) AS BIGINT) AS s_e6
             FROM curve, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+        """,
+        "twap": """
+            WITH base AS (
+                SELECT user_id AS k, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ), stepped AS (
+                SELECT k, v, ts, event_id,
+                       CAST(epoch_us(lead(ts) OVER (PARTITION BY k
+                                ORDER BY ts, event_id))
+                            - epoch_us(ts) AS BIGINT) AS dt,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM base
+            )
+            SELECT k AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(COALESCE(SUM(dt), 0) // 1000000 AS BIGINT)
+                       AS span_sec,
+                   CAST(round(
+                       CASE WHEN COALESCE(SUM(dt), 0) > 0
+                       THEN CAST(SUM(CAST(v AS HUGEINT)
+                                     * COALESCE(dt, 0)) AS DOUBLE)
+                            / CAST(SUM(dt) AS DOUBLE)
+                       ELSE CAST(max(CASE WHEN rn = 1 THEN v END)
+                                 AS DOUBLE) END
+                       / 100 * 10000) AS BIGINT) AS twap_e4
+            FROM stepped GROUP BY k
         """,
     }

@@ -292,3 +292,66 @@ def mmr_select(
         ],
         f"rank int, {id_col} long, mmr_score double",
     )
+
+
+def geometric_median(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_iter: int = 10,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Geometric median of an embedding corpus by Weiszfeld iteration —
+    the robust centroid (minimizes the SUM of distances, not squared
+    distances, so a few wild vectors cannot drag it the way the mean
+    lets them).
+
+    Each iteration is ONE distributed aggregate: with the current
+    estimate ``y`` broadcast as literals, accumulate ``Σ vᵢ/dᵢ`` and
+    ``Σ 1/dᵢ`` (dᵢ = ‖vᵢ − y‖, clamped by ``eps`` so exact hits don't
+    divide by zero) and update ``y``.  The corpus never moves; only a
+    dim-sized vector comes back to the driver per round.  Deterministic:
+    initialized from the per-position mean, fixed iteration count.
+
+    Returns one row ``(n, n_iter, median array<double>)``.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
+    base = base.localCheckpoint()
+    n = base.count()
+    dim_means = [
+        r["m"]
+        for r in base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    ]
+    y = dim_means
+    for _ in range(n_iter):
+        y_lit = F.array(*[F.lit(float(c)) for c in y])
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), y_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        d = F.greatest(d, F.lit(float(eps)))
+        agg = base.select(
+            F.transform(F.col("v"), lambda x: x / d).alias("w"),
+            (F.lit(1.0) / d).alias("iw"),
+        ).agg(
+            *[
+                F.sum(F.element_at(F.col("w"), i + 1)).alias(f"s{i}")
+                for i in range(len(y))
+            ],
+            F.sum("iw").alias("siw"),
+        )
+        row = agg.collect()[0]
+        y = [row[f"s{i}"] / row["siw"] for i in range(len(y))]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, n_iter, [float(c) for c in y])],
+        "n long, n_iter int, median array<double>",
+    )

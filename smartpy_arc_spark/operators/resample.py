@@ -347,3 +347,81 @@ def seasonal_naive_eval(
             .alias("mae_e4"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation holds its
+    value until the next one, so the average weights every value by its
+    holding duration — the correct mean for irregularly sampled signals
+    (a price quoted once overnight must not count like one tick).
+
+    Exactness: with values in fixed-point ticks and durations in whole
+    seconds, the weighted area ``Σ vᵢ·Δtᵢ`` is an exact DECIMAL(38,0)
+    sum and the TWAP is ONE division by the total span.  Per-key window
+    (lead over the key partition) — no global ordering anywhere.
+    Single-observation keys fall back to the plain value.
+
+    Returns ``(key, n_obs, span_sec, twap_e4)``.
+    """
+    from pyspark.sql import Window
+
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        F.col(ts_col).alias("__ts"),
+        ticks.alias("v"),
+    ).where(F.col("v").isNotNull())
+    order = [F.col("__ts")] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy("k").orderBy(*order)
+    # microsecond durations: whole-second truncation would disagree with
+    # any engine that subtracts full-resolution epochs
+    stepped = base.withColumn(
+        "dt",
+        (
+            F.unix_micros(F.lead("__ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("__ts").cast("timestamp"))
+        ).cast("long"),
+    )
+    return (
+        stepped.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("dt").cast("long").alias("span_us"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.coalesce(F.col("dt"), F.lit(0))
+            ).alias("area"),
+            F.max_by("v", F.struct(*order)).alias("last_v"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_obs",
+            F.floor(
+                F.coalesce(F.col("span_us"), F.lit(0)) / 1000000
+            )
+            .cast("long")
+            .alias("span_sec"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("span_us"), F.lit(0)) > 0,
+                    F.col("area").cast("double")
+                    / F.col("span_us").cast("double"),
+                )
+                .otherwise(F.col("last_v").cast("double"))
+                / scale
+                * 10000
+            )
+            .cast("long")
+            .alias("twap_e4"),
+        )
+    )

@@ -1032,3 +1032,63 @@ def test_kaplan_meier_no_censoring_is_empirical_survival(spark):
     got = {r["t"]: r["s_e6"] for r in kaplan_meier(df, "dur", "ev").collect()}
     for t in range(1, 11):
         assert got[float(t)] == round((10 - t) / 10 * 1e6)
+
+
+# ------------------------------------------------- twap
+
+def test_twap_hand_computed(spark):
+    """Value 10 held 30s then 20 held 10s (last point closes the span):
+    TWAP = (10*30 + 20*10)/40 = 12.5."""
+    import datetime
+
+    from smartpy_arc_spark.operators.resample import time_weighted_avg
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, b, 10.0),
+        (1, b + datetime.timedelta(seconds=30), 20.0),
+        (1, b + datetime.timedelta(seconds=40), 99.0),  # closing obs
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    r = time_weighted_avg(df, "k", "ts", "v").collect()[0]
+    assert r["span_sec"] == 40
+    assert r["twap_e4"] == 125000
+
+
+def test_twap_single_observation_falls_back_to_value(spark):
+    import datetime
+
+    from smartpy_arc_spark.operators.resample import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7.5)], "k int, ts timestamp, v double"
+    )
+    r = time_weighted_avg(df, "k", "ts", "v").collect()[0]
+    assert r["span_sec"] == 0 and r["twap_e4"] == 75000
+
+
+# ------------------------------------------------- geometric median
+
+def test_geometric_median_matches_numpy_weiszfeld(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import geometric_median
+
+    pts = [[float((i * 3) % 7), float((i * 5) % 11)] for i in range(25)]
+    pts.append([1000.0, -1000.0])  # wild outlier
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    got = geometric_median(df, n_iter=10).collect()[0]
+
+    arr = np.array(pts)
+    y = arr.mean(axis=0)
+    for _ in range(10):
+        d = np.maximum(np.linalg.norm(arr - y, axis=1), 1e-9)
+        y = (arr / d[:, None]).sum(axis=0) / (1.0 / d).sum()
+    assert got["n"] == 26
+    assert np.allclose(got["median"], y, atol=1e-6)
+    # robustness: the outlier cannot drag the median anywhere near it
+    mean = arr.mean(axis=0)
+    assert np.linalg.norm(np.array(got["median"])) < np.linalg.norm(mean)
