@@ -4276,6 +4276,16 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and status:
+    contingency cells + broadcast margins, per-cell terms pre-rounded to
+    integer nanonats so the sum is order-free."""
+    from smartpy_arc_spark.operators.stats import mutual_information
+
+    orders = _t(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4532,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "twap": q_twap,
         "geometric_median": q_geometric_median,
+        "mutual_information": q_mutual_information,
     })
 
 
@@ -8336,5 +8347,32 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) END
                        / 100 * 10000) AS BIGINT) AS twap_e4
             FROM stepped GROUP BY k
+        """,
+        "mutual_information": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       CAST(count(*) AS BIGINT) AS nab
+                FROM orders GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, CAST(SUM(nab) AS BIGINT) AS na
+                FROM cells GROUP BY a
+            ), mb AS (
+                SELECT b, CAST(SUM(nab) AS BIGINT) AS nb
+                FROM cells GROUP BY b
+            ), tot AS (
+                SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells
+            ), scored AS (
+                SELECT n,
+                       CAST(round(
+                           CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+                           * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                                / (CAST(na AS DOUBLE)
+                                   * CAST(nb AS DOUBLE)))
+                           * 1e9) AS BIGINT) AS term_e9
+                FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+            )
+            SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(term_e9) AS BIGINT) AS mi_e9
+            FROM scored GROUP BY n
         """,
     }

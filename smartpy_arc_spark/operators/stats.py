@@ -1191,3 +1191,53 @@ def kaplan_meier(
         ),
     )
     return curve.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns in nats
+    — the feature-selection/dependence score chi-square doesn't give
+    (MI is 0 iff independent AND scales with the strength of the
+    association).
+
+    Same contingency shape as ``chi_square_independence``: one hash
+    aggregate to cells, broadcast margins back, then
+    ``Σ (n_ab/N)·ln(N·n_ab/(n_a·n_b))`` summed per-cell with each term
+    pre-rounded to integer nanonats so the final sum is an order-free
+    integer aggregate (the engine-portability pattern of
+    ``rake_keywords``).
+
+    Returns one row ``(n, n_cells, mi_e9)``.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("nab"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
+    tot = cells.agg(F.sum("nab").cast("long").alias("n"))
+    term = (
+        F.col("nab").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("nab").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.round(term * 1e9).cast("long").alias("term_e9"),
+        )
+    )
+    return scored.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term_e9").cast("long").alias("mi_e9"),
+    )

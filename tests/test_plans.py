@@ -62,6 +62,7 @@ SINGLE_PARTITION_OK = {
     "theil_sen",              # 1-row statistic: median-selection scalars
     "abc_classification",     # 1-row grand-total scalar for the class cuts
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
+    "mutual_information",     # 1-row statistic: total + per-cell term combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -96,6 +97,7 @@ BNLJ_OK = {
     "kendall",                # bounded grid-axis cross join + 1-row tie scalars
     "theil_sen",              # 1-row count/slope/intercept broadcast cross joins
     "abc_classification",     # 1-row grand-total broadcast cross join
+    "mutual_information",     # 1-row total broadcast cross join (chi_square shape)
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -1092,3 +1092,23 @@ def test_geometric_median_matches_numpy_weiszfeld(spark):
     # robustness: the outlier cannot drag the median anywhere near it
     mean = arr.mean(axis=0)
     assert np.linalg.norm(np.array(got["median"])) < np.linalg.norm(mean)
+
+
+# ------------------------------------------------- mutual information
+
+def test_mutual_information_independent_zero_dependent_positive(spark):
+    import math as _m
+
+    from smartpy_arc_spark.operators.stats import mutual_information
+
+    # perfectly dependent: b == a → I = H(A) = ln(2) for a fair binary
+    dep = spark.createDataFrame(
+        [(i % 2, i % 2) for i in range(40)], "a int, b int"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert abs(r["mi_e9"] - round(_m.log(2) * 1e9)) <= 2
+    # independent uniform: I = 0 exactly (every cell term ln(1))
+    ind = spark.createDataFrame(
+        [(i % 2, (i // 2) % 2) for i in range(40)], "a int, b int"
+    )
+    assert mutual_information(ind, "a", "b").collect()[0]["mi_e9"] == 0
