@@ -4286,6 +4286,18 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(orders, "o_orderpriority", "o_orderstatus")
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval around the per-priority mean order price
+    (alpha = 0.1): exact order-statistic q-hat from the calibration
+    split, held-out coverage count."""
+    from smartpy_arc_spark.operators.stats import conformal_interval
+
+    orders = _t(spark, sf_dir, "orders")
+    return conformal_interval(
+        orders, "o_orderpriority", "o_totalprice", ["o_orderkey"]
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4543,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "geometric_median": q_geometric_median,
         "mutual_information": q_mutual_information,
+        "conformal": q_conformal,
     })
 
 
@@ -8374,5 +8387,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
                    CAST(SUM(term_e9) AS BIGINT) AS mi_e9
             FROM scored GROUP BY n
+        """,
+        "conformal": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                       CAST(o_orderkey AS VARCHAR) AS k,
+                       CAST(concat('0x', substr(
+                            md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 AS b
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), train AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS c,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM base WHERE b < 60 GROUP BY g
+            ), cal AS (
+                SELECT CAST(abs(CAST(v AS HUGEINT) * c - s) AS DOUBLE)
+                       / CAST(c AS DOUBLE) AS r,
+                       k
+                FROM base JOIN train USING (g)
+                WHERE b >= 60 AND b < 80
+            ), ranked AS (
+                SELECT r, row_number() OVER (ORDER BY r, k) AS rn,
+                       count(*) OVER () AS n_cal
+                FROM cal
+            ), qh AS (
+                SELECT r AS qhat, CAST(n_cal AS BIGINT) AS n_cal
+                FROM ranked
+                WHERE rn = least(((n_cal + 1) * 9 + 9) // 10, n_cal)
+            ), test AS (
+                SELECT CAST(abs(CAST(v AS HUGEINT) * c - s) AS DOUBLE)
+                       / CAST(c AS DOUBLE) AS r
+                FROM base JOIN train USING (g)
+                WHERE b >= 80
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM base
+                    WHERE b < 60) AS n_train,
+                   max(n_cal) AS n_cal,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(round(max(qhat) / 100 * 10000) AS BIGINT)
+                       AS qhat_e4,
+                   CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered
+            FROM test, qh
         """,
     }

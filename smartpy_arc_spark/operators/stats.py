@@ -1241,3 +1241,92 @@ def mutual_information(
         F.count("*").cast("long").alias("n_cells"),
         F.sum("term_e9").cast("long").alias("mi_e9"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_cols: list,
+    *,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Split-conformal prediction interval around a per-group mean
+    predictor, with the finite-sample coverage guarantee
+    ``P(|y − ŷ| ≤ q̂) ≥ 1 − α``: rows hash-split (md5, engine-portable,
+    growth-stable) into train/calibration/test 60/20/20; q̂ is the
+    ``⌈(n_cal+1)(1−α)⌉``-th smallest calibration residual — an EXACT
+    order statistic selected via ``partitioned_cumsum`` (no percentile
+    interpolation, no single-partition sort) — and coverage is then
+    measured on the held-out test split.
+
+    Residuals are ratios of exact fixed-point integers (``|v·c − s|/c``
+    with the train sums), so both the ordering and the final comparisons
+    are deterministic in any IEEE engine.
+
+    Returns one row ``(n_train, n_cal, n_test, qhat_e4, n_covered)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    key = F.concat_ws("-", *[F.col(c) for c in key_cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        ticks.alias("v"),
+        key.alias("k"),
+        bucket.alias("b"),
+    ).where(F.col("v").isNotNull())
+    base = base.localCheckpoint()
+    train = base.where("b < 60").groupBy("g").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    resid = F.abs(
+        F.col("v").cast("decimal(38,0)") * F.col("c") - F.col("s")
+    ).cast("double") / F.col("c").cast("double")
+    cal = (
+        base.where("b >= 60 AND b < 80")
+        .join(F.broadcast(train), "g")
+        .select(resid.alias("r"), "k")
+    )
+    ranked = partitioned_cumsum(
+        cal.withColumn("__one", F.lit(1)), ["r", "k"], ["__one"]
+    )
+    n_cal = ranked.agg(F.count("*").cast("long").alias("n_cal"))
+    a_n, a_d = alpha_num, alpha_den
+    target = F.least(
+        F.floor(
+            ((F.col("n_cal") + 1) * (a_d - a_n) + a_d - 1) / a_d
+        ).cast("long"),
+        F.col("n_cal"),
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .where(F.col("cum___one").cast("long") == target)
+        .select(F.col("r").alias("qhat"), "n_cal")
+    )
+    test = (
+        base.where("b >= 80")
+        .join(F.broadcast(train), "g")
+        .select(resid.alias("r"))
+    )
+    n_train = base.where("b < 60").count()
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.lit(n_train).cast("long").alias("n_train"),
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("qhat") / scale * 10000).cast("long").alias(
+                "qhat_e4"
+            ),
+            F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )

@@ -63,6 +63,7 @@ SINGLE_PARTITION_OK = {
     "abc_classification",     # 1-row grand-total scalar for the class cuts
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
     "mutual_information",     # 1-row statistic: total + per-cell term combine
+    "conformal",              # 1-row q-hat / count scalars
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -98,6 +99,7 @@ BNLJ_OK = {
     "theil_sen",              # 1-row count/slope/intercept broadcast cross joins
     "abc_classification",     # 1-row grand-total broadcast cross join
     "mutual_information",     # 1-row total broadcast cross join (chi_square shape)
+    "conformal",              # 1-row q-hat broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -1112,3 +1112,36 @@ def test_mutual_information_independent_zero_dependent_positive(spark):
         [(i % 2, (i // 2) % 2) for i in range(40)], "a int, b int"
     )
     assert mutual_information(ind, "a", "b").collect()[0]["mi_e9"] == 0
+
+
+# ------------------------------------------------- conformal
+
+def test_conformal_coverage_guarantee_holds(spark, sf_dir):
+    """Finite-sample guarantee: held-out coverage must be at least about
+    1 - alpha (exchangeability gives >= 1-alpha in expectation; allow a
+    small sampling slack below)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    r = entry.queries()["conformal"](spark, sf_dir).collect()[0]
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    coverage = r["n_covered"] / r["n_test"]
+    assert coverage >= 0.85  # alpha = 0.1, slack for test-split noise
+    assert r["qhat_e4"] > 0
+
+
+def test_conformal_alpha_monotonicity(spark):
+    """Smaller alpha (higher confidence) must widen the interval."""
+    from smartpy_arc_spark.operators.stats import conformal_interval
+
+    rows = [(chr(65 + i % 3), float((i * 37) % 100), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    q10 = conformal_interval(
+        df, "g", "v", ["id"], alpha_num=1, alpha_den=10
+    ).collect()[0]["qhat_e4"]
+    q50 = conformal_interval(
+        df, "g", "v", ["id"], alpha_num=5, alpha_den=10
+    ).collect()[0]["qhat_e4"]
+    assert q10 >= q50
