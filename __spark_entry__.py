@@ -4298,6 +4298,18 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 mod-sum checksum of the customer table's
+    integer/string columns — the replication-reconciliation primitive
+    (float columns need a fixed-decimal cast first; documented)."""
+    from smartpy_arc_spark.operators.checks import table_fingerprint
+
+    cust = _t(spark, sf_dir, "customer")
+    return table_fingerprint(
+        cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4556,6 +4568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometric_median": q_geometric_median,
         "mutual_information": q_mutual_information,
         "conformal": q_conformal,
+        "table_fingerprint": q_table_fingerprint,
     })
 
 
@@ -8430,5 +8443,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_covered
             FROM test, qh
+        """,
+        "table_fingerprint": """
+            WITH h AS (
+                SELECT CAST(concat('0x', substr(md5(
+                           concat_ws(chr(31),
+                               COALESCE(CAST(c_custkey AS VARCHAR),
+                                        chr(0) || 'NULL'),
+                               COALESCE(CAST(c_name AS VARCHAR),
+                                        chr(0) || 'NULL'),
+                               COALESCE(CAST(c_nationkey AS VARCHAR),
+                                        chr(0) || 'NULL'),
+                               COALESCE(CAST(c_mktsegment AS VARCHAR),
+                                        chr(0) || 'NULL'))),
+                           1, 15)) AS BIGINT) AS rh
+                FROM customer
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(SUM(CAST(rh AS HUGEINT)) AS HUGEINT)
+                        % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                       AS fingerprint
+            FROM h
         """,
     }

@@ -352,3 +352,36 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+def table_fingerprint(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Order-insensitive table checksum for cross-system reconciliation:
+    every row hashes (md5 over a canonical string form — engine-portable,
+    unlike xxhash) to a 63-bit integer, and the table fingerprint is the
+    SUM of row hashes mod 2⁶³ plus the row count.  Two tables holding the
+    same multiset of rows produce the same pair on ANY engine, in any row
+    or partition order — the "did replication/migration produce the same
+    table?" primitive.
+
+    One scan, one scalar aggregate; the mod-sum is commutative so
+    map-side partials combine freely.  NULLs encode as a sentinel so
+    (NULL, 'x') and ('x', NULL) differ.
+    """
+    cols = columns or df.columns
+    canon = F.concat_ws(
+        "\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ]
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    # 2^63 exceeds the long literal range — spell it as a DECIMAL literal
+    m = F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
+    return df.select(row_hash.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("h") % m).cast("long").alias("fingerprint"),
+    )

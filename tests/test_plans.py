@@ -64,6 +64,7 @@ SINGLE_PARTITION_OK = {
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
     "mutual_information",     # 1-row statistic: total + per-cell term combine
     "conformal",              # 1-row q-hat / count scalars
+    "table_fingerprint",      # 1-row checksum combine (map-side partials)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is

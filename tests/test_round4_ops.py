@@ -1145,3 +1145,35 @@ def test_conformal_alpha_monotonicity(spark):
         df, "g", "v", ["id"], alpha_num=5, alpha_den=10
     ).collect()[0]["qhat_e4"]
     assert q10 >= q50
+
+
+# ------------------------------------------------- table fingerprint
+
+def test_fingerprint_order_and_partition_invariant(spark):
+    from smartpy_arc_spark.operators.checks import table_fingerprint
+
+    rows = [(i, f"name{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id int, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "id int, s string").repartition(7)
+    fa = table_fingerprint(a).collect()[0]
+    fb = table_fingerprint(b).collect()[0]
+    assert (fa["n_rows"], fa["fingerprint"]) == (fb["n_rows"], fb["fingerprint"])
+
+
+def test_fingerprint_detects_single_cell_change_and_null_position(spark):
+    from smartpy_arc_spark.operators.checks import table_fingerprint
+
+    base = [(1, "a", "b"), (2, "c", "d")]
+    a = spark.createDataFrame(base, "id int, x string, y string")
+    changed = spark.createDataFrame(
+        [(1, "a", "b"), (2, "c", "e")], "id int, x string, y string"
+    )
+    nulls1 = spark.createDataFrame(
+        [(1, None, "b")], "id int, x string, y string"
+    )
+    nulls2 = spark.createDataFrame(
+        [(1, "b", None)], "id int, x string, y string"
+    )
+    f = lambda d: table_fingerprint(d).collect()[0]["fingerprint"]  # noqa: E731
+    assert f(a) != f(changed)
+    assert f(nulls1) != f(nulls2)
