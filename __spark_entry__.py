@@ -4310,6 +4310,32 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file interchange: write a customer slice with
+    copybook padding (strings left-, numbers right-aligned), read it
+    back through positional slicing — oracle is the source table, so a
+    hash match proves write∘read is the identity."""
+    import os
+    import tempfile
+
+    from smartpy_arc_spark.sources.fixedwidth import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "sas_fixedwidth_ws", "cust")
+    spec = [
+        ("c_custkey", 10, "bigint"),
+        ("c_mktsegment", 12, "string"),
+        ("c_nationkey", 5, "int"),
+    ]
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    write_fixed_width(cust, d, spec)
+    return read_fixed_width(spark, d, spec)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4569,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "conformal": q_conformal,
         "table_fingerprint": q_table_fingerprint,
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
     })
 
 
@@ -8464,5 +8491,8 @@ def oracle_sql() -> dict[str, str]:
                         % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
                        AS fingerprint
             FROM h
+        """,
+        "fixed_width_roundtrip": """
+            SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
         """,
     }

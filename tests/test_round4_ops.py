@@ -1177,3 +1177,35 @@ def test_fingerprint_detects_single_cell_change_and_null_position(spark):
     f = lambda d: table_fingerprint(d).collect()[0]["fingerprint"]  # noqa: E731
     assert f(a) != f(changed)
     assert f(nulls1) != f(nulls2)
+
+
+# ------------------------------------------------- fixed width
+
+def test_fixed_width_roundtrip_and_alignment(spark, tmp_path):
+    from smartpy_arc_spark.sources.fixedwidth import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [("id", 6, "bigint"), ("name", 8, "string"), ("amt", 10, "double")]
+    rows = [(1, "ann", 12.5), (42, "bob", -3.25), (999999, "carolina", 0.0)]
+    df = spark.createDataFrame(rows, "id long, name string, amt double")
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, spec)
+    # raw layout: numbers right-aligned, strings left-aligned
+    line = spark.read.text(path).where("value like '%ann%'").collect()[0][0]
+    assert line[:6] == "     1" and line[6:14] == "ann     "
+    back = sorted(map(tuple, read_fixed_width(spark, path, spec).collect()))
+    assert back == sorted(rows)
+
+
+def test_fixed_width_overflow_raises(spark, tmp_path):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from smartpy_arc_spark.sources.fixedwidth import write_fixed_width
+
+    df = spark.createDataFrame([(1, "toolongvalue")], "id long, s string")
+    with _pytest.raises(Exception) as exc:
+        write_fixed_width(df, str(tmp_path / "x"), [("id", 4, "bigint"), ("s", 5, "string")])
+    assert "overflow" in str(exc.value)
