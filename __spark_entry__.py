@@ -4336,6 +4336,32 @@ def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_fixed_width(spark, d, spec)
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-supplier seed set over the
+    customer<->supplier trade graph (2 fixed iterations, restart mass on
+    the seeds) — proximity-to-seeds ranking; oracle is the same power
+    iteration unrolled in SQL."""
+    from smartpy_arc_spark.operators.components import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ppr = personalized_pagerank(
+        edges, ["s1", "s2", "s3"], iterations=2, damping=0.85
+    )
+    return ppr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4596,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_conformal,
         "table_fingerprint": q_table_fingerprint,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
+        "personalized_pagerank": q_personalized_pagerank,
     })
 
 
@@ -8494,5 +8521,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fixed_width_roundtrip": """
             SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        """,
+        "personalized_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT 'c' || o.o_custkey AS src,
+                     's' || l.l_suppkey AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), edges AS (
+              SELECT src, dst FROM pairs
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              )
+            ), deg AS (
+              SELECT src, count(*) AS deg FROM edges GROUP BY src
+            ), r0 AS (
+              SELECT node,
+                     CASE WHEN node IN ('s1','s2','s3')
+                          THEN 1.0 / 3 ELSE 0.0 END AS rank
+              FROM nodes
+            ), c1 AS (
+              SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+              FROM edges e
+              JOIN r0 r ON e.src = r.node
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), dm1 AS (
+              SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r0
+              WHERE node NOT IN (SELECT src FROM deg)
+            ), r1 AS (
+              SELECT n.node,
+                     (1.0 - 0.85) * CASE WHEN n.node IN ('s1','s2','s3')
+                                         THEN 1.0 / 3 ELSE 0.0 END
+                     + 0.85 * (COALESCE(c1.c, 0.0)
+                               + (SELECT dm FROM dm1)
+                                 * CASE WHEN n.node IN ('s1','s2','s3')
+                                        THEN 1.0 / 3 ELSE 0.0 END) AS rank
+              FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+            ), c2 AS (
+              SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+              FROM edges e
+              JOIN r1 r ON e.src = r.node
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), dm2 AS (
+              SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r1
+              WHERE node NOT IN (SELECT src FROM deg)
+            ), r2 AS (
+              SELECT n.node,
+                     (1.0 - 0.85) * CASE WHEN n.node IN ('s1','s2','s3')
+                                         THEN 1.0 / 3 ELSE 0.0 END
+                     + 0.85 * (COALESCE(c2.c, 0.0)
+                               + (SELECT dm FROM dm2)
+                                 * CASE WHEN n.node IN ('s1','s2','s3')
+                                        THEN 1.0 / 3 ELSE 0.0 END) AS rank
+              FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+            )
+            SELECT node, round(rank, 6) AS rank FROM r2
         """,
     }

@@ -1209,3 +1209,36 @@ def test_fixed_width_overflow_raises(spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         write_fixed_width(df, str(tmp_path / "x"), [("id", 4, "bigint"), ("s", 5, "string")])
     assert "overflow" in str(exc.value)
+
+
+# ------------------------------------------------- personalized pagerank
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    """Two disjoint chains; seeding one chain leaves the other at rank 0
+    and ranks the seed's neighbor above distant nodes."""
+    from smartpy_arc_spark.operators.components import personalized_pagerank
+
+    chain_a = [(f"a{i}", f"a{i+1}") for i in range(4)]
+    chain_b = [(f"b{i}", f"b{i+1}") for i in range(4)]
+    pairs = chain_a + chain_b
+    edges = pairs + [(d, s) for s, d in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, ["a0"], iterations=4).collect()
+    }
+    assert all(got[f"b{i}"] == 0.0 for i in range(5))
+    # proximity decays with distance from the seed (the endpoint seed
+    # itself keeps only restart mass, so its neighbor may outrank it)
+    assert got["a1"] > got["a2"] > got["a3"] > 0
+    assert got["a0"] > got["a3"]
+
+
+def test_ppr_requires_seeds(spark):
+    import pytest as _pytest
+
+    from smartpy_arc_spark.operators.components import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, [])
