@@ -1228,10 +1228,11 @@ def test_ppr_mass_concentrates_near_seeds(spark):
         for r in personalized_pagerank(df, ["a0"], iterations=4).collect()
     }
     assert all(got[f"b{i}"] == 0.0 for i in range(5))
-    # proximity decays with distance from the seed (the endpoint seed
-    # itself keeps only restart mass, so its neighbor may outrank it)
-    assert got["a1"] > got["a2"] > got["a3"] > 0
-    assert got["a0"] > got["a3"]
+    # a path graph is bipartite, so walk mass alternates between parity
+    # classes per iteration — proximity decays within the SAME parity
+    assert got["a0"] > got["a2"] > got["a4"] >= 0
+    assert got["a1"] > got["a3"] > 0
+    assert sum(got[f"a{i}"] for i in range(5)) > 0.99
 
 
 def test_ppr_requires_seeds(spark):
