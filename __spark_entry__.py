@@ -4362,6 +4362,15 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy: integer-nanonat
+    terms summed order-free — the gibberish/padding quality signal."""
+    from smartpy_arc_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4623,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "personalized_pagerank": q_personalized_pagerank,
+        "char_entropy": q_char_entropy,
     })
 
 
@@ -8581,5 +8591,26 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN c2 ON c2.node = n.node
             )
             SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+                FROM documents
+            ), counts AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+            ), totals AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                   CAST(SUM(CAST(round(
+                       -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1e9) AS BIGINT)) AS BIGINT) AS entropy_e9
+            FROM counts JOIN totals USING (doc_id)
+            GROUP BY doc_id, n
         """,
     }

@@ -655,3 +655,46 @@ def rake_keywords(
         .agg(F.sum("w_score_e6").cast("long").alias("score_e6"))
     )
     return scored.orderBy(F.desc("score_e6"), F.col("phrase")).limit(top_k)
+
+
+def char_entropy(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    gibberish/keyboard-mash detector: natural prose sits in a narrow
+    entropy band, while repeated-char padding scores near 0 and random
+    byte soup scores near ln(alphabet).
+
+    Plan: explode characters → one (doc, char) hash aggregate → one
+    per-doc aggregate.  Each ``−p·ln p`` term is pre-rounded to integer
+    nanonats so the per-doc sum is order-free (the ``rake_keywords`` /
+    ``mutual_information`` portability pattern).
+
+    Returns ``(id, n_chars, n_distinct_chars, entropy_e9)``.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "", -1)).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p) * 1e9).cast("long")
+    return (
+        counts.join(totals, id_col)
+        .select(F.col(id_col), F.col("n"), term.alias("t"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum("t").cast("long").alias("entropy_e9"),
+        )
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy_e9",
+        )
+    )

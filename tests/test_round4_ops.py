@@ -1243,3 +1243,23 @@ def test_ppr_requires_seeds(spark):
     df = spark.createDataFrame([(1, 2)], "src int, dst int")
     with _pytest.raises(ValueError):
         personalized_pagerank(df, [])
+
+
+# ------------------------------------------------- char entropy
+
+def test_char_entropy_bounds_and_hand_case(spark):
+    import math as _m
+
+    from smartpy_arc_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),            # zero entropy
+        (2, "abab"),            # ln 2
+        (3, "abcd"),            # ln 4 (uniform over 4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy_e9"] == 0
+    assert abs(got[2]["entropy_e9"] - round(_m.log(2) * 1e9)) <= 2
+    assert abs(got[3]["entropy_e9"] - round(_m.log(4) * 1e9)) <= 4
+    assert got[3]["n_distinct_chars"] == 4 and got[3]["n_chars"] == 4
