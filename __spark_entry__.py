@@ -4371,6 +4371,25 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed customer→supplier trade
+    graph (2 fixed L1-normalized iterations); oracle is the iteration
+    unrolled in SQL."""
+    from smartpy_arc_spark.operators.components import hits
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=2)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4633,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "personalized_pagerank": q_personalized_pagerank,
         "char_entropy": q_char_entropy,
+        "hits": q_hits,
     })
 
 
@@ -8612,5 +8632,54 @@ def oracle_sql() -> dict[str, str]:
                        * 1e9) AS BIGINT)) AS BIGINT) AS entropy_e9
             FROM counts JOIN totals USING (doc_id)
             GROUP BY doc_id, n
+        """,
+        "hits": """
+            WITH pairs AS (
+              SELECT DISTINCT 'c' || o.o_custkey AS s,
+                     's' || l.l_suppkey AS d
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM pairs UNION ALL SELECT d FROM pairs
+              )
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            h0 AS (
+              SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes
+            ), ar1 AS (
+              SELECT p.d AS node, SUM(h.hub) AS raw
+              FROM pairs p JOIN h0 h ON h.node = p.s GROUP BY p.d
+            ), a1 AS (
+              SELECT n.node,
+                     COALESCE(ar1.raw, 0.0)
+                     / (SELECT SUM(raw) FROM ar1) AS authority
+              FROM nodes n LEFT JOIN ar1 ON ar1.node = n.node
+            ), hr1 AS (
+              SELECT p.s AS node, SUM(a.authority) AS raw
+              FROM pairs p JOIN a1 a ON a.node = p.d GROUP BY p.s
+            ), h1 AS (
+              SELECT n.node,
+                     COALESCE(hr1.raw, 0.0)
+                     / (SELECT SUM(raw) FROM hr1) AS hub
+              FROM nodes n LEFT JOIN hr1 ON hr1.node = n.node
+            ), ar2 AS (
+              SELECT p.d AS node, SUM(h.hub) AS raw
+              FROM pairs p JOIN h1 h ON h.node = p.s GROUP BY p.d
+            ), a2 AS (
+              SELECT n.node,
+                     COALESCE(ar2.raw, 0.0)
+                     / (SELECT SUM(raw) FROM ar2) AS authority
+              FROM nodes n LEFT JOIN ar2 ON ar2.node = n.node
+            ), hr2 AS (
+              SELECT p.s AS node, SUM(a.authority) AS raw
+              FROM pairs p JOIN a2 a ON a.node = p.d GROUP BY p.s
+            ), h2 AS (
+              SELECT n.node,
+                     COALESCE(hr2.raw, 0.0)
+                     / (SELECT SUM(raw) FROM hr2) AS hub
+              FROM nodes n LEFT JOIN hr2 ON hr2.node = n.node
+            )
+            SELECT h2.node, round(h2.hub, 6) AS hub,
+                   round(a2.authority, 6) AS authority
+            FROM h2 JOIN a2 ON a2.node = h2.node
         """,
     }

@@ -543,3 +543,90 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    DataFrame: authorities are pointed AT by good hubs, hubs point TO
+    good authorities — the bipartite-influence companion to PageRank.
+
+        a'(v) = Σ_{u→v} h(u);  h'(u) = Σ_{u→v} a'(v)
+
+    each round, both renormalized by their own sums (L1 — a 1-row
+    broadcast scalar, avoiding PageRank's per-degree division).  Two
+    shuffled joins per round over the same node-keyed partitioning,
+    checkpointed lineage; uniform init, fixed iterations →
+    deterministic, so the oracle is the iteration unrolled in SQL.
+
+    Returns ``(node, hub, authority)`` rounded to 6.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+    scores = nodes.select(
+        "node",
+        F.lit(1.0 / n_nodes).alias("hub"),
+        F.lit(1.0 / n_nodes).alias("authority"),
+    )
+    for _ in range(iterations):
+        auth_raw = (
+            e.join(
+                scores.select(F.col("node").alias("s"), "hub"), "s"
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_norm = auth_raw.agg(F.sum("a_raw").alias("za"))
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("za")
+                ).alias("authority"),
+            )
+        )
+        hub_raw = (
+            e.join(
+                auth.select(F.col("node").alias("d"), "authority"), "d"
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h_norm = hub_raw.agg(F.sum("h_raw").alias("zh"))
+        scores = (
+            nodes.join(hub_raw, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .join(auth, "node")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("zh")
+                ).alias("hub"),
+                "authority",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

@@ -1263,3 +1263,30 @@ def test_char_entropy_bounds_and_hand_case(spark):
     assert abs(got[2]["entropy_e9"] - round(_m.log(2) * 1e9)) <= 2
     assert abs(got[3]["entropy_e9"] - round(_m.log(4) * 1e9)) <= 4
     assert got[3]["n_distinct_chars"] == 4 and got[3]["n_chars"] == 4
+
+
+# ------------------------------------------------- hits
+
+def test_hits_star_graph_hub_vs_authority(spark):
+    """Star: h0 points at a1..a3; h0 is the only hub, a1..a3 are the only
+    authorities, split evenly."""
+    from smartpy_arc_spark.operators.components import hits
+
+    edges = [("h0", f"a{i}") for i in (1, 2, 3)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in hits(df, iterations=3).collect()}
+    assert got["h0"]["hub"] == 1.0 and got["h0"]["authority"] == 0.0
+    for i in (1, 2, 3):
+        assert got[f"a{i}"]["hub"] == 0.0
+        assert abs(got[f"a{i}"]["authority"] - 1 / 3) < 1e-6
+
+
+def test_hits_popular_authority_outranks(spark):
+    """Two hubs both point at 'pop', one also at 'niche': pop's authority
+    strictly exceeds niche's."""
+    from smartpy_arc_spark.operators.components import hits
+
+    edges = [("u", "pop"), ("v", "pop"), ("v", "niche")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in hits(df, iterations=3).collect()}
+    assert got["pop"]["authority"] > got["niche"]["authority"] > 0
