@@ -4390,6 +4390,23 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=2)
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation weighted (lower) median of customer balances, weighted
+    by each customer's order count — pure integer selection rule, no
+    interpolation to diverge between engines."""
+    from smartpy_arc_spark.operators.quality import weighted_median
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    base = cust.join(w, cust["c_custkey"] == w["o_custkey"]).select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "n_orders",
+    )
+    return weighted_median(base, "c_nationkey", "bal_c", "n_orders")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4653,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "char_entropy": q_char_entropy,
         "hits": q_hits,
+        "weighted_median": q_weighted_median,
     })
 
 
@@ -8681,5 +8699,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT h2.node, round(h2.hub, 6) AS hub,
                    round(a2.authority, 6) AS authority
             FROM h2 JOIN a2 ON a2.node = h2.node
+        """,
+        "weighted_median": """
+            WITH base AS (
+                SELECT c.c_nationkey,
+                       CAST(round(c.c_acctbal * 100) AS BIGINT) AS v,
+                       CAST(w.n_orders AS BIGINT) AS w
+                FROM customer c JOIN (
+                    SELECT o_custkey, count(*) AS n_orders
+                    FROM orders GROUP BY o_custkey
+                ) w ON c.c_custkey = w.o_custkey
+                WHERE c.c_acctbal IS NOT NULL AND w.n_orders > 0
+            ), cells AS (
+                SELECT c_nationkey AS g, v, CAST(SUM(w) AS BIGINT) AS w
+                FROM base GROUP BY 1, 2
+            ), ranked AS (
+                SELECT g, v, w,
+                       CAST(SUM(w) OVER (PARTITION BY g ORDER BY v)
+                            AS BIGINT) AS cumw,
+                       CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+                FROM cells
+            )
+            SELECT g AS c_nationkey,
+                   CAST(max(tw) AS BIGINT) AS total_weight,
+                   CAST(min(v) AS BIGINT) AS weighted_median
+            FROM ranked WHERE 2 * cumw >= tw
+            GROUP BY g
         """,
     }

@@ -458,3 +458,50 @@ def luhn_valid(number: Column) -> Column:
         lambda acc, i: acc + term(i),
     )
     return (n >= 12) & (n <= 19) & (total % 10 == 0)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — the correct
+    "typical value" when rows carry unequal mass (orders weighted by
+    quantity, hosts by traffic).
+
+    A pure SELECTION rule — ``2·cumw ≥ W`` on exact integer weights —
+    so there is no interpolation arithmetic to diverge between engines
+    (the ``percentile`` pitfall measured in ``quantile_normalize``).
+    One hash aggregate to (group, value, weight) cells, one per-group
+    window over the collapsed cells: the window's width is DISTINCT
+    values per group, not rows.
+
+    Returns ``(group, total_weight, weighted_median)``.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("v").isNotNull() & (F.col("w") > 0))
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = Window.partitionBy("g").orderBy("v")
+    tot = Window.partitionBy("g")
+    ranked = cells.withColumn("cumw", F.sum("w").over(win)).withColumn(
+        "W", F.sum("w").over(tot)
+    )
+    hit = ranked.where(2 * F.col("cumw") >= F.col("W"))
+    return (
+        hit.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("W").cast("long").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+    )

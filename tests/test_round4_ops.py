@@ -1290,3 +1290,33 @@ def test_hits_popular_authority_outranks(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r for r in hits(df, iterations=3).collect()}
     assert got["pop"]["authority"] > got["niche"]["authority"] > 0
+
+
+# ------------------------------------------------- weighted median
+
+def test_weighted_median_hand_case(spark):
+    """Values (1 w=1, 2 w=1, 10 w=5): half of W=7 is reached at 10 only
+    if cumw(2)=2 < 3.5 — weighted median is 10, unweighted would be 2."""
+    from smartpy_arc_spark.operators.quality import weighted_median
+
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 10, 5)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    r = weighted_median(df, "g", "v", "w").collect()[0]
+    assert r["total_weight"] == 7 and r["weighted_median"] == 10
+
+
+def test_weighted_median_uniform_weights_is_lower_median(spark):
+    from smartpy_arc_spark.operators.quality import weighted_median
+
+    rows = [("g", v, 1) for v in (5, 1, 3, 2, 4)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    assert weighted_median(df, "g", "v", "w").collect()[0][
+        "weighted_median"
+    ] == 3
+    even = spark.createDataFrame(
+        [("h", v, 1) for v in (1, 2, 3, 4)], "g string, v int, w int"
+    )
+    # lower median on even counts
+    assert weighted_median(even, "g", "v", "w").collect()[0][
+        "weighted_median"
+    ] == 2
