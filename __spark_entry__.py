@@ -4407,6 +4407,26 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(base, "c_nationkey", "bal_c", "n_orders")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| over a bounded doc
+    subset — catches embedded/wrapped duplicates symmetric Jaccard
+    misses; threshold 0.5 to surface partial embeddings."""
+    from smartpy_arc_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40")
+    return containment_pairs(docs, n=3, min_containment=0.5)
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (RefinedWeb-style redundancy
+    signal) via Arrow-batched mapInPandas + stdlib zlib.  No SQL oracle
+    (library codec); determinism + band behavior pinned in tests."""
+    from smartpy_arc_spark.operators.quality import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4671,6 +4691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "hits": q_hits,
         "weighted_median": q_weighted_median,
+        "containment": q_containment,
+        "compression_ratio": q_compression_ratio,
     })
 
 
@@ -8725,5 +8747,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) AS BIGINT) AS weighted_median
             FROM ranked WHERE 2 * cumw >= tw
             GROUP BY g
+        """,
+        "containment": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest([substr(text, CAST(i AS INTEGER), 3)
+                               for i in generate_series(1,
+                                   greatest(length(text) - 2, 1))])
+                           AS g
+                FROM documents WHERE doc_id < 40
+            ), sizes AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS sz
+                FROM sh GROUP BY id
+            ), inter AS (
+                SELECT a.id AS id_contained, b.id AS id_container,
+                       CAST(count(*) AS BIGINT) AS n_inter
+                FROM sh a JOIN sh b USING (g)
+                WHERE a.id <> b.id GROUP BY 1, 2
+            )
+            SELECT id_contained, id_container, n_inter,
+                   s.sz AS size_contained,
+                   CAST(round(CAST(n_inter AS DOUBLE)
+                              / CAST(s.sz AS DOUBLE) * 10000) AS BIGINT)
+                       AS containment_e4
+            FROM inter JOIN sizes s ON s.id = inter.id_contained
+            WHERE CAST(round(CAST(n_inter AS DOUBLE)
+                             / CAST(s.sz AS DOUBLE) * 10000) AS BIGINT)
+                  >= 5000
         """,
     }

@@ -625,3 +625,78 @@ def set_similarity_join(
             jac.alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_containment: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    ``|A∩B| / |A|`` — catches a document wholly embedded in a larger one
+    (quoted articles, boilerplate-wrapped reposts), which symmetric
+    Jaccard misses because the union is dominated by the larger doc.
+
+    Same shuffle shape as ``ngram_jaccard_pairs``: explode distinct
+    char n-gram shingles, self-join on the shingle (candidate
+    generation is shingle-keyed, never doc×doc), aggregate intersection
+    sizes, then one broadcast-able size attach per side.  Emits ordered
+    pairs (contained → container): containment is directional.
+
+    Returns ``(id_contained, id_container, n_inter, size_contained,
+    containment_e4)`` for pairs at or above the threshold (self-pairs
+    excluded).
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.length(text_col) >= n,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.length(text_col) - (n - 1)
+                            ),
+                            lambda i: F.substring(F.col(text_col), i, n),
+                        ),
+                    ).otherwise(F.array(F.col(text_col)))
+                )
+            ).alias("g"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .where(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_contained"),
+            F.col("b.id").alias("id_container"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = inter.join(
+        F.broadcast(sizes.select(F.col("id").alias("id_contained"),
+                                 F.col("sz").alias("size_contained"))),
+        "id_contained",
+    ).withColumn(
+        "containment_e4",
+        F.round(
+            F.col("n_inter").cast("double")
+            / F.col("size_contained").cast("double")
+            * 10000
+        ).cast("long"),
+    )
+    return scored.where(
+        F.col("containment_e4") >= int(round(min_containment * 10000))
+    ).select(
+        "id_contained",
+        "id_container",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("size_contained").cast("long").alias("size_contained"),
+        "containment_e4",
+    )

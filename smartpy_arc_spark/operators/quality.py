@@ -505,3 +505,56 @@ def weighted_median(
             F.min("v").alias("weighted_median"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the RefinedWeb/MassiveText-
+    style redundancy signal: highly compressible text is repetitive
+    boilerplate, incompressible text is often binary soup or gibberish;
+    natural prose sits in a mid band.
+
+    Arrow-batched ``mapInPandas`` with the stdlib zlib at a FIXED level
+    (deterministic output for a given zlib version — pinned by tests
+    against direct library calls, not cross-engine hashes).  Row-local:
+    scales out linearly, no shuffle.
+
+    Returns ``(id, n_bytes, n_compressed, ratio_e4)`` with
+    ``ratio = compressed/original`` in ten-thousandths.
+    """
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def score(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf["__id"], pdf["__t"]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw) * 10000) if raw else 0
+                )
+            yield pd.DataFrame(
+                {"__id": ids, "n_bytes": nb, "n_compressed": nc,
+                 "ratio_e4": ratio}
+            )
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    out = src.mapInPandas(
+        score, "__id long, n_bytes long, n_compressed long, ratio_e4 long"
+    )
+    return out.withColumnRenamed("__id", id_col)

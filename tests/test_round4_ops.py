@@ -1320,3 +1320,47 @@ def test_weighted_median_uniform_weights_is_lower_median(spark):
     assert weighted_median(even, "g", "v", "w").collect()[0][
         "weighted_median"
     ] == 2
+
+
+# ------------------------------------------------- containment
+
+def test_containment_detects_embedded_doc(spark):
+    """Doc 1 is wholly contained in doc 2: containment(1→2) = 1.0, but
+    containment(2→1) is well below — and symmetric Jaccard would be low
+    both ways."""
+    from smartpy_arc_spark.operators.dedup import containment_pairs
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    # varied filler: repeated padding would collapse to few DISTINCT
+    # shingles and inflate the reverse containment
+    filler = " ".join(str(i * 7919 % 100003) for i in range(60))
+    outer = filler + " " + inner + " " + filler[::-1]
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment_e4"]
+        for r in containment_pairs(df, min_containment=0.0).collect()
+    }
+    assert got[(1, 2)] == 10000
+    assert got[(2, 1)] < 5000
+
+
+def test_compression_ratio_bands(spark):
+    """Repetitive text compresses far better than varied text; ratios
+    match direct zlib calls."""
+    import zlib
+
+    from smartpy_arc_spark.operators.quality import compression_ratio
+
+    rep = "abc " * 500
+    varied = " ".join(str(i * 7919 % 100003) for i in range(500))
+    df = spark.createDataFrame(
+        [(1, rep), (2, varied)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["ratio_e4"] < got[2]["ratio_e4"]
+    for i, t in ((1, rep), (2, varied)):
+        raw = t.encode()
+        assert got[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert got[i]["ratio_e4"] == round(len(zlib.compress(raw, 6)) / len(raw) * 10000)
