@@ -4427,6 +4427,29 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs)
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 3 hash-chosen
+    non-purchased part groups per customer (bounded broadcast pool,
+    left-anti positives, per-anchor window)."""
+    from smartpy_arc_spark.operators.sample import negative_samples
+
+    orders = _t(spark, sf_dir, "orders").where("o_custkey < 100").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    positives = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_partkey") % 200).alias("part_group"),
+        )
+    )
+    pool = spark.range(200).select(F.col("id").alias("part_group"))
+    return negative_samples(
+        positives, pool, anchor_col="cust", item_col="part_group", k=3
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4693,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "containment": q_containment,
         "compression_ratio": q_compression_ratio,
+        "negative_samples": q_negative_samples,
     })
 
 
@@ -8774,5 +8798,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(round(CAST(n_inter AS DOUBLE)
                              / CAST(s.sz AS DOUBLE) * 10000) AS BIGINT)
                   >= 5000
+        """,
+        "negative_samples": """
+            WITH positives AS (
+                SELECT DISTINCT o.o_custkey AS a,
+                       l.l_partkey % 200 AS i
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey < 100
+            ), anchors AS (
+                SELECT DISTINCT a FROM positives
+            ), pool AS (
+                SELECT unnest(generate_series(0, 199)) AS i
+            ), cand AS (
+                SELECT a, i FROM anchors, pool
+            ), neg AS (
+                SELECT c.a, c.i FROM cand c
+                ANTI JOIN positives p ON p.a = c.a AND p.i = c.i
+            ), ranked AS (
+                SELECT a, i,
+                       row_number() OVER (
+                           PARTITION BY a
+                           ORDER BY CAST(concat('0x', substr(md5(
+                                        CAST(a AS VARCHAR) || '|'
+                                        || CAST(i AS VARCHAR)), 1, 15))
+                                    AS BIGINT), i) AS neg_rank
+                FROM neg
+            )
+            SELECT a AS cust, CAST(i AS BIGINT) AS part_group,
+                   CAST(neg_rank AS INTEGER) AS neg_rank
+            FROM ranked WHERE neg_rank <= 3
         """,
     }

@@ -287,3 +287,55 @@ def neyman_allocation(
             F.round(share * F.lit(float(budget))).cast("long").alias("alloc"),
         )
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    item_pool: DataFrame,
+    *,
+    anchor_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor, pick the ``k`` pool items it has NO positive pair with,
+    chosen by a portable content hash (md5 over anchor‖item) — stable
+    across engines, reruns, partitionings, and corpus growth (an
+    anchor's negatives never change when other anchors arrive).
+
+    Scale shape: the candidate space is anchor × POOL, with the pool a
+    bounded broadcast (hundreds–thousands of items — the usual
+    contrastive setup samples from a capped candidate set, not the full
+    catalog); positives drop out via a hash left-anti join, and the
+    per-anchor top-k is a window over the anchor partition only.
+
+    Returns ``(anchor, item, neg_rank)`` with ``neg_rank`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    anchors = positives.select(
+        F.col(anchor_col).alias("__a")
+    ).distinct()
+    pool = item_pool.select(F.col(item_col).alias("__i")).distinct()
+    cand = anchors.join(F.broadcast(pool))
+    pos = positives.select(
+        F.col(anchor_col).alias("__a"), F.col(item_col).alias("__i")
+    ).distinct()
+    neg = cand.join(pos, ["__a", "__i"], "left_anti")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("__a"), F.col("__i"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    w = Window.partitionBy("__a").orderBy(hkey.asc(), F.col("__i"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            F.col("__a").alias(anchor_col),
+            F.col("__i").alias(item_col),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

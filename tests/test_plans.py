@@ -101,6 +101,7 @@ BNLJ_OK = {
     "abc_classification",     # 1-row grand-total broadcast cross join
     "mutual_information",     # 1-row total broadcast cross join (chi_square shape)
     "conformal",              # 1-row q-hat broadcast cross join
+    "negative_samples",       # bounded candidate-pool broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

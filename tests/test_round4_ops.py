@@ -1364,3 +1364,45 @@ def test_compression_ratio_bands(spark):
         raw = t.encode()
         assert got[i]["n_compressed"] == len(zlib.compress(raw, 6))
         assert got[i]["ratio_e4"] == round(len(zlib.compress(raw, 6)) / len(raw) * 10000)
+
+
+# ------------------------------------------------- negative sampling
+
+def test_negative_samples_exclude_positives_and_are_stable(spark):
+    from smartpy_arc_spark.operators.sample import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "a int, i int"
+    )
+    pool = spark.createDataFrame([(i,) for i in range(10, 20)], "i int")
+    out1 = sorted(map(tuple, negative_samples(
+        pos, pool, anchor_col="a", item_col="i", k=2
+    ).collect()))
+    out2 = sorted(map(tuple, negative_samples(
+        pos.repartition(5), pool, anchor_col="a", item_col="i", k=2
+    ).collect()))
+    assert out1 == out2  # partitioning-invariant
+    picked = {(a, i) for a, i, _ in out1}
+    assert (1, 10) not in picked and (1, 11) not in picked
+    assert (2, 10) not in picked
+    assert len([1 for a, _, _ in out1 if a == 1]) == 2
+
+
+def test_negative_samples_growth_stable(spark):
+    """Adding a NEW anchor must not change an existing anchor's
+    negatives (hash-keyed, not positional)."""
+    from smartpy_arc_spark.operators.sample import negative_samples
+
+    pool = spark.createDataFrame([(i,) for i in range(50)], "i int")
+    pos1 = spark.createDataFrame([(1, 5)], "a int, i int")
+    pos2 = spark.createDataFrame([(1, 5), (2, 7)], "a int, i int")
+    n1 = {
+        (r["a"], r["i"], r["neg_rank"])
+        for r in negative_samples(pos1, pool, anchor_col="a", item_col="i").collect()
+    }
+    n2 = {
+        (r["a"], r["i"], r["neg_rank"])
+        for r in negative_samples(pos2, pool, anchor_col="a", item_col="i").collect()
+        if r["a"] == 1
+    }
+    assert n1 == n2
