@@ -4450,6 +4450,31 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do BUILDING and MACHINERY customers share the same
+    order-span survival curve?  Same duration/event fixture as
+    kaplan_meier, per-term integer-nanounit portability."""
+    from smartpy_arc_spark.operators.stats import log_rank_test
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("dur"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("int")
+            .alias("ev"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return log_rank_test(
+        per_c, "c_mktsegment", "dur", "ev", "BUILDING", "MACHINERY"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4717,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "compression_ratio": q_compression_ratio,
         "negative_samples": q_negative_samples,
+        "log_rank": q_log_rank,
     })
 
 
@@ -8828,5 +8854,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS cust, CAST(i AS BIGINT) AS part_group,
                    CAST(neg_rank AS INTEGER) AS neg_rank
             FROM ranked WHERE neg_rank <= 3
+        """,
+        "log_rank": """
+            WITH per_c AS (
+                SELECT o.o_custkey,
+                       CAST(date_diff('day', min(o.o_orderdate),
+                                      max(o.o_orderdate)) AS BIGINT) AS t,
+                       CAST(max(CASE WHEN o.o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS INTEGER) AS e
+                FROM orders o GROUP BY o.o_custkey
+            ), base AS (
+                SELECT p.t, p.e,
+                       c.c_mktsegment = 'BUILDING' AS is_a
+                FROM per_c p JOIN customer c
+                  ON p.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ), per_t AS (
+                SELECT t,
+                       CAST(SUM(CASE WHEN is_a THEN e ELSE 0 END)
+                            AS BIGINT) AS da,
+                       CAST(SUM(CASE WHEN NOT is_a THEN e ELSE 0 END)
+                            AS BIGINT) AS db,
+                       CAST(COUNT(CASE WHEN is_a THEN 1 END)
+                            AS BIGINT) AS ra,
+                       CAST(COUNT(CASE WHEN NOT is_a THEN 1 END)
+                            AS BIGINT) AS rb
+                FROM base GROUP BY t
+            ), tot AS (
+                SELECT CAST(SUM(ra) AS BIGINT) AS n_a,
+                       CAST(SUM(rb) AS BIGINT) AS n_b
+                FROM per_t
+            ), cum AS (
+                SELECT t, da, db,
+                       CAST(SUM(ra) OVER (ORDER BY t) - ra AS BIGINT)
+                           AS cum_ra,
+                       CAST(SUM(rb) OVER (ORDER BY t) - rb AS BIGINT)
+                           AS cum_rb
+                FROM per_t
+            ), terms AS (
+                SELECT da, db,
+                       CAST(n_a - cum_ra AS DOUBLE) AS na_t,
+                       CAST(n_b - cum_rb AS DOUBLE) AS nb_t
+                FROM cum, tot
+            ), scored AS (
+                SELECT da,
+                       CAST(round(CAST(da + db AS DOUBLE) * na_t
+                                  / (na_t + nb_t) * 1e9) AS BIGINT)
+                           AS e_e9,
+                       CAST(round(CASE WHEN (na_t + nb_t) > 1 THEN
+                           CAST(da + db AS DOUBLE)
+                           * (na_t / (na_t + nb_t))
+                           * (1.0 - na_t / (na_t + nb_t))
+                           * ((na_t + nb_t) - CAST(da + db AS DOUBLE))
+                           / ((na_t + nb_t) - 1)
+                           ELSE 0.0 END * 1e9) AS BIGINT) AS v_e9
+                FROM terms
+            )
+            SELECT (SELECT n_a FROM tot) AS n_a,
+                   (SELECT n_b FROM tot) AS n_b,
+                   CAST(SUM(da) AS BIGINT) AS observed_a,
+                   CAST(SUM(e_e9) AS BIGINT) AS expected_a_e9,
+                   CAST(round(
+                       CASE WHEN SUM(v_e9) > 0 THEN
+                           (CAST(SUM(da) AS DOUBLE)
+                            - CAST(SUM(e_e9) AS DOUBLE) / 1e9)
+                           / sqrt(CAST(SUM(v_e9) AS DOUBLE) / 1e9)
+                       END * 1000000) AS BIGINT) AS z_e6
+            FROM scored
         """,
     }

@@ -1330,3 +1330,90 @@ def conformal_interval(
             .alias("n_covered"),
         )
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Log-rank test between two survival cohorts — Kaplan–Meier's
+    companion significance test: are the two survival curves the same?
+
+        O_a = Σ d_a(t);  E_a = Σ d(t)·n_a(t)/n(t);
+        V   = Σ d(t)·(n_a/n)(1−n_a/n)·(n−d)/(n−1);
+        z   = (O_a − E_a)/√V
+
+    Distributed shape: collapse to the per-distinct-time (d, c) table
+    per cohort (one hash aggregate), derive at-risk counts WITHOUT a
+    global sort via ``partitioned_cumsum`` exclusive prefixes
+    (``n_g(t) = N_g − cum_before``), then pre-round each E and V term
+    to integer nanounits so the sums are order-free — the same
+    engine-portability pattern as ``mutual_information``.  O_a is pure
+    integer.  Returns one row ``(n_a, n_b, observed_a, expected_a_e9,
+    z_e6)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .select(
+            F.col(duration_col).alias("t"),
+            ev.alias("e"),
+            (F.col(group_col) == group_a).alias("is_a"),
+        )
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("is_a"), F.col("e")).otherwise(0))
+            .cast("long")
+            .alias("da"),
+            F.sum(F.when(~F.col("is_a"), F.col("e")).otherwise(0))
+            .cast("long")
+            .alias("db"),
+            F.count(F.when(F.col("is_a"), 1)).cast("long").alias("ra"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("rb"),
+        )
+    )
+    cum = partitioned_cumsum(per_t, ["t"], ["ra", "rb"], inclusive=False)
+    totals = cum.agg(
+        F.sum("ra").cast("long").alias("n_a"),
+        F.sum("rb").cast("long").alias("n_b"),
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    na_t = (F.col("n_a") - F.col("cum_ra").cast("long")).cast("double")
+    nb_t = (F.col("n_b") - F.col("cum_rb").cast("long")).cast("double")
+    n_t = na_t + nb_t
+    d_t = (F.col("da") + F.col("db")).cast("double")
+    e_term = d_t * na_t / n_t
+    v_term = F.when(
+        n_t > 1,
+        d_t * (na_t / n_t) * (F.lit(1.0) - na_t / n_t)
+        * (n_t - d_t) / (n_t - 1),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("da").cast("long").alias("observed_a"),
+        F.sum(F.round(e_term * 1e9).cast("long")).cast("long").alias("e_e9"),
+        F.sum(F.round(v_term * 1e9).cast("long")).cast("long").alias("v_e9"),
+    )
+    z = F.when(
+        F.col("v_e9") > 0,
+        (
+            F.col("observed_a").cast("double")
+            - F.col("e_e9").cast("double") / 1e9
+        )
+        / F.sqrt(F.col("v_e9").cast("double") / 1e9),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "observed_a",
+        F.col("e_e9").alias("expected_a_e9"),
+        F.round(z * 1000000).cast("long").alias("z_e6"),
+    )

@@ -65,6 +65,7 @@ SINGLE_PARTITION_OK = {
     "mutual_information",     # 1-row statistic: total + per-cell term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
+    "log_rank",               # 1-row statistic: O/E/V term combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -102,6 +103,7 @@ BNLJ_OK = {
     "mutual_information",     # 1-row total broadcast cross join (chi_square shape)
     "conformal",              # 1-row q-hat broadcast cross join
     "negative_samples",       # bounded candidate-pool broadcast cross join
+    "log_rank",               # 1-row cohort-total broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

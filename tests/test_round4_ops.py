@@ -1406,3 +1406,30 @@ def test_negative_samples_growth_stable(spark):
         if r["a"] == 1
     }
     assert n1 == n2
+
+
+# ------------------------------------------------- log-rank
+
+def test_log_rank_identical_cohorts_zero(spark):
+    from smartpy_arc_spark.operators.stats import log_rank_test
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, float(t), 1) for t in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    r = log_rank_test(df, "g", "dur", "ev", "a", "b").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["observed_a"] == 5
+    assert abs(r["z_e6"]) <= 1  # symmetric cohorts → z == 0 (rounding slack)
+
+
+def test_log_rank_shifted_cohort_detected(spark):
+    """Cohort b survives uniformly longer: z is strongly negative for a
+    (more early events than expected under the null)."""
+    from smartpy_arc_spark.operators.stats import log_rank_test
+
+    rows = [("a", float(t), 1) for t in range(1, 21)]
+    rows += [("b", float(t + 20), 1) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    r = log_rank_test(df, "g", "dur", "ev", "a", "b").collect()[0]
+    assert r["z_e6"] > 3000000 or r["z_e6"] < -3000000
