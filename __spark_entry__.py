@@ -4475,6 +4475,32 @@ def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase cosine over order baskets (part groups):
+    basket-local self-join, broadcast supports, per-item top-5."""
+    from smartpy_arc_spark.operators.itemsets import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_group")
+    )
+    return item_similarity(
+        li,
+        basket_col="l_orderkey",
+        item_col="part_group",
+        min_cooccur=20,
+        top_k_per_item=5,
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus word-frequency distribution: OLS of
+    ln(freq) on ln(rank), per-point integer-nanounit pre-rounding."""
+    from smartpy_arc_spark.operators.text import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_n=500)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4743,6 +4769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "negative_samples": q_negative_samples,
         "log_rank": q_log_rank,
+        "item_similarity": q_item_similarity,
+        "zipf_slope": q_zipf_slope,
     })
 
 
@@ -8921,5 +8949,79 @@ def oracle_sql() -> dict[str, str]:
                            / sqrt(CAST(SUM(v_e9) AS DOUBLE) / 1e9)
                        END * 1000000) AS BIGINT) AS z_e6
             FROM scored
+        """,
+        "item_similarity": """
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS b,
+                       l_partkey % 100 AS i
+                FROM lineitem
+            ), supports AS (
+                SELECT i, CAST(count(*) AS BIGINT) AS n
+                FROM bi GROUP BY i
+            ), co AS (
+                SELECT x.i AS item_a, y.i AS item_b,
+                       CAST(count(*) AS BIGINT) AS n_cooccur
+                FROM bi x JOIN bi y USING (b)
+                WHERE x.i <> y.i GROUP BY 1, 2
+                HAVING count(*) >= 20
+            ), scored AS (
+                SELECT c.item_a, c.item_b, c.n_cooccur,
+                       CAST(round(CAST(c.n_cooccur AS DOUBLE)
+                            / sqrt(CAST(sa.n * sb.n AS DOUBLE))
+                            * 1000000) AS BIGINT) AS sim_e6
+                FROM co c
+                JOIN supports sa ON sa.i = c.item_a
+                JOIN supports sb ON sb.i = c.item_b
+            )
+            SELECT item_a, item_b, n_cooccur, sim_e6,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY item_a
+                    ORDER BY sim_e6 DESC, item_b) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "zipf_slope": """
+            WITH words AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text), '[^a-z]+'),
+                        t -> t <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+                ORDER BY f DESC, w LIMIT 500
+            ), pts AS (
+                SELECT CAST(round(ln(CAST(row_number() OVER (
+                           ORDER BY f DESC, w) AS DOUBLE)) * 1e9)
+                           AS BIGINT) AS x_e9,
+                       CAST(round(ln(CAST(f AS DOUBLE)) * 1e9)
+                           AS BIGINT) AS y_e9
+                FROM words
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(x_e9 AS HUGEINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(y_e9 AS HUGEINT)) AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(x_e9 AS HUGEINT) * y_e9) AS HUGEINT)
+                           AS sxy,
+                       CAST(SUM(CAST(x_e9 AS HUGEINT) * x_e9) AS HUGEINT)
+                           AS sxx
+                FROM pts
+            ), s AS (
+                SELECT n,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           AS slope,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd
+                FROM agg
+            )
+            SELECT n AS n_words,
+                   CAST(round(slope * 1000000) AS BIGINT) AS slope_e6,
+                   CAST(round((syd - slope * sxd) / CAST(n AS DOUBLE)
+                              / 1e9 * 1000000) AS BIGINT) AS intercept_e6
+            FROM s
         """,
     }

@@ -96,3 +96,76 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_cooccur: int = 2,
+    top_k_per_item: int = 5,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity from basket
+    co-occurrence: ``cos(i, j) = n_ij / √(n_i · n_j)`` — the classic
+    "customers who bought X also bought Y" score.
+
+    Shuffle shape: distinct (basket, item) pairs self-join ON THE BASKET
+    (candidate generation is basket-local, never item × item), one hash
+    aggregate to co-occurrence counts, item supports broadcast back.
+    Per-item top-k via a window over the item partition.  The similarity
+    is ``round`` of one exact-integer ratio (√ on exact counts) —
+    deterministic.
+
+    Returns ``(item_a, item_b, n_cooccur, sim_e6, rank)`` with ordered
+    pairs (both directions, so each item's top-k is complete).
+    """
+    from pyspark.sql import Window
+
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    supports = bi.groupBy("i").agg(F.count("*").alias("n"))
+    co = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .where(F.col("x.i") != F.col("y.i"))
+        .groupBy(
+            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= min_cooccur)
+    )
+    scored = (
+        co.join(
+            F.broadcast(supports.select(F.col("i").alias("item_a"),
+                                        F.col("n").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(supports.select(F.col("i").alias("item_b"),
+                                        F.col("n").alias("nb"))),
+            "item_b",
+        )
+        .withColumn(
+            "sim_e6",
+            F.round(
+                F.col("n_cooccur").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                * 1000000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("sim_e6"), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k_per_item)
+        .select(
+            "item_a", "item_b",
+            F.col("n_cooccur").cast("long").alias("n_cooccur"),
+            "sim_e6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

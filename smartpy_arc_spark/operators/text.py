@@ -698,3 +698,61 @@ def char_entropy(
             "entropy_e9",
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law slope of the corpus word-frequency distribution: OLS
+    of ``ln(freq)`` on ``ln(rank)`` over the ``top_n`` words — natural
+    corpora slope near −1; machine-generated or templated text bends
+    away.  A one-number corpus-health check.
+
+    Distributed: one word-count aggregate; ranking the bounded top-n is
+    a TakeOrdered; each (ln rank, ln freq) pair is pre-rounded to
+    integer nanounits so the OLS moment sums are order-free integer
+    aggregates (the closed-form slope then runs in one deterministic
+    1-row combine).
+
+    Returns one row ``(n_words, slope_e6, intercept_e6)``.
+    """
+    words = (
+        df.select(F.explode(alpha_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.col("w"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("f"), F.col("w"))
+    pts = words.withColumn("r", F.row_number().over(w_rank)).select(
+        F.round(F.log(F.col("r").cast("double")) * 1e9)
+        .cast("long")
+        .alias("x_e9"),
+        F.round(F.log(F.col("f").cast("double")) * 1e9)
+        .cast("long")
+        .alias("y_e9"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_e9").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_e9").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_e9").cast("decimal(38,0)") * F.col("y_e9")).alias("sxy"),
+        F.sum(F.col("x_e9").cast("decimal(38,0)") * F.col("x_e9")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    # degenerate vocabulary (<2 distinct words): no line to fit
+    slope = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n / 1e9
+    return agg.select(
+        F.col("n").alias("n_words"),
+        F.round(slope * 1000000).cast("long").alias("slope_e6"),
+        F.round(intercept * 1000000).cast("long").alias("intercept_e6"),
+    )

@@ -1433,3 +1433,41 @@ def test_log_rank_shifted_cohort_detected(spark):
     df = spark.createDataFrame(rows, "g string, dur double, ev int")
     r = log_rank_test(df, "g", "dur", "ev", "a", "b").collect()[0]
     assert r["z_e6"] > 3000000 or r["z_e6"] < -3000000
+
+
+# ------------------------------------------------- item similarity
+
+def test_item_similarity_hand_case(spark):
+    """Items 1,2 co-occur in both baskets (cos=1); item 3 appears once
+    with them (cos = 1/sqrt(2))."""
+    from smartpy_arc_spark.operators.itemsets import item_similarity
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "b int, i int")
+    got = {
+        (r["item_a"], r["item_b"]): r["sim_e6"]
+        for r in item_similarity(
+            df, basket_col="b", item_col="i", min_cooccur=1, top_k_per_item=5
+        ).collect()
+    }
+    assert got[(1, 2)] == 1000000 and got[(2, 1)] == 1000000
+    assert got[(1, 3)] == round(1 / math.sqrt(2) * 1e6)
+
+
+# ------------------------------------------------- zipf slope
+
+def test_zipf_slope_recovers_synthetic_power_law(spark):
+    """A corpus with freq(rank) ∝ rank^-1 fits slope ≈ -1."""
+    from smartpy_arc_spark.operators.text import zipf_slope
+
+    words = []
+    for rank in range(1, 40):
+        freq = max(1, round(2000 / rank))
+        # alphabetic-only tokens: alpha_tokens splits digits away
+        name = "w" + chr(97 + rank // 26) + chr(97 + rank % 26)
+        words += [name] * freq
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_slope(df, top_n=40).collect()[0]
+    assert r["n_words"] == 39
+    assert -1100000 < r["slope_e6"] < -900000
