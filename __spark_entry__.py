@@ -4501,6 +4501,27 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(docs, top_n=500)
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge: one golden record per synthetic duplicate
+    cluster (custkey % 500), latest-non-null per field — the step after
+    linkage_clusters in an MDM pipeline."""
+    from smartpy_arc_spark.operators.linkage import golden_record
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 500).alias("dup_cluster"),
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_name")).alias("name"),
+        F.when(
+            F.col("c_custkey") % 4 != 0,
+            F.round(F.col("c_acctbal") * 100).cast("long"),
+        ).alias("bal_c"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return golden_record(
+        cust, "dup_cluster", "c_custkey", ["name", "bal_c", "segment"]
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4771,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_rank": q_log_rank,
         "item_similarity": q_item_similarity,
         "zipf_slope": q_zipf_slope,
+        "golden_record": q_golden_record,
     })
 
 
@@ -9023,5 +9045,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((syd - slope * sxd) / CAST(n AS DOUBLE)
                               / 1e9 * 1000000) AS BIGINT) AS intercept_e6
             FROM s
+        """,
+        "golden_record": """
+            WITH base AS (
+                SELECT c_custkey % 500 AS dup_cluster,
+                       c_custkey,
+                       CASE WHEN c_custkey % 3 <> 0
+                            THEN c_name END AS name,
+                       CASE WHEN c_custkey % 4 <> 0
+                            THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                            END AS bal_c,
+                       c_mktsegment AS segment
+                FROM customer
+            )
+            SELECT dup_cluster AS cluster,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   arg_max(name, CAST(name IS NOT NULL AS BIGINT)
+                           * 1125899906842624 + c_custkey) AS name,
+                   CAST(arg_max(bal_c, CAST(bal_c IS NOT NULL AS BIGINT)
+                           * 1125899906842624 + c_custkey)
+                        AS BIGINT) AS bal_c,
+                   arg_max(segment, CAST(segment IS NOT NULL AS BIGINT)
+                           * 1125899906842624 + c_custkey) AS segment
+            FROM base GROUP BY dup_cluster
         """,
     }

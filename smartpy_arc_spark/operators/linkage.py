@@ -84,3 +84,35 @@ def fuzzy_link(
         .where(F.col("edit_distance") <= max_edit)
         .select("left_id", "right_id", "left_key", "right_key", "edit_distance")
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    order_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship after entity resolution: one "golden record" per
+    cluster, taking for every field the value of the most recent record
+    THAT HAS one (latest-non-null wins — a newer record with a missing
+    phone must not erase an older record's phone).
+
+    One hash aggregate per cluster using ``max_by`` over
+    ``(has_value, order)`` struct keys: records carrying a value always
+    beat records missing it, ties resolve to the newest.  No windows, no
+    self-joins — groupBy-shaped at any scale.
+
+    Returns ``(cluster, n_records, <fields...>)``.
+    """
+    aggs = [F.count("*").cast("long").alias("n_records")]
+    for f in fields:
+        aggs.append(
+            F.max_by(
+                F.col(f),
+                F.struct(
+                    F.col(f).isNotNull().alias("has"),
+                    F.col(order_col).alias("o"),
+                ),
+            ).alias(f)
+        )
+    return df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)

@@ -1471,3 +1471,30 @@ def test_zipf_slope_recovers_synthetic_power_law(spark):
     r = zipf_slope(df, top_n=40).collect()[0]
     assert r["n_words"] == 39
     assert -1100000 < r["slope_e6"] < -900000
+
+
+# ------------------------------------------------- golden record
+
+def test_golden_record_latest_non_null_wins(spark):
+    """Newest record missing a field must not erase an older value; the
+    newest record WITH a value wins per field independently."""
+    from smartpy_arc_spark.operators.linkage import golden_record
+
+    rows = [
+        (1, 1, "old-name", 100),
+        (1, 2, None, 200),
+        (1, 3, "new-name", None),
+    ]
+    df = spark.createDataFrame(rows, "cl int, o int, name string, bal int")
+    r = golden_record(df, "cl", "o", ["name", "bal"]).collect()[0]
+    assert r["n_records"] == 3
+    assert r["name"] == "new-name"  # newest non-null name (record 3)
+    assert r["bal"] == 200          # newest non-null bal (record 2)
+
+
+def test_golden_record_all_null_field_stays_null(spark):
+    from smartpy_arc_spark.operators.linkage import golden_record
+
+    rows = [(1, 1, None), (1, 2, None)]
+    df = spark.createDataFrame(rows, "cl int, o int, x string")
+    assert golden_record(df, "cl", "o", ["x"]).collect()[0]["x"] is None
