@@ -1498,3 +1498,30 @@ def test_golden_record_all_null_field_stays_null(spark):
     rows = [(1, 1, None), (1, 2, None)]
     df = spark.createDataFrame(rows, "cl int, o int, x string")
     assert golden_record(df, "cl", "o", ["x"]).collect()[0]["x"] is None
+
+
+# ------------------------------------------------- schema compat
+
+def test_schema_compat_classification(spark):
+    from smartpy_arc_spark.sources.inspect import (
+        is_breaking_change,
+        schema_compat_report,
+    )
+
+    old = spark.createDataFrame([], "a int, b string, c int, d float")
+    new = spark.createDataFrame([], "a bigint, b int, d double, e string")
+    rep = schema_compat_report(old, new)
+    by_col = {r["column"]: r["change"] for r in rep}
+    assert by_col == {
+        "a": "widened",            # int → bigint
+        "b": "narrowed_or_changed",  # string → int
+        "c": "removed",
+        "d": "widened",            # float → double
+        "e": "added",
+    }
+    # breaking changes sort first
+    assert rep[0]["change"] in ("removed", "narrowed_or_changed")
+    assert is_breaking_change(rep)
+    assert not is_breaking_change(
+        schema_compat_report(old, old)
+    )
