@@ -298,8 +298,10 @@ def test_ewma_matches_python_fold(spark_session_holder, vals):
         s = 0.5 * v + 0.5 * s
     # tolerance, not round(s, 6) equality: python round() is banker's,
     # Spark's is HALF_UP — dyadic folds (alpha=0.5) can land exactly on
-    # a 5e-7 tie where the two conventions pick different neighbors
-    assert abs(r["ewma_value"] - s) <= 5.0e-7
+    # a 5e-7 tie where the two conventions pick different neighbors.
+    # The tie itself puts the diff AT 5e-7, and the subtraction adds a
+    # final ulp — so the bound needs headroom above the exact boundary.
+    assert abs(r["ewma_value"] - s) <= 5.1e-7
 
 
 @settings(max_examples=10, deadline=None)
