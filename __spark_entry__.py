@@ -4588,6 +4588,23 @@ def q_recs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA anomaly monitor drained to memory: per
+    user, values deviating >200 from the running level count as
+    anomalies before updating it; oracle replays the identical in-order
+    fold (single-batch drain contract)."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_ewma_anomaly,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_ewma_anomaly(stream), output_mode="update"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4860,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "golden_record": q_golden_record,
         "recs_eval": q_recs_eval,
+        "stream_ewma_anomaly": q_stream_ewma_anomaly,
     })
 
 
@@ -9201,5 +9219,30 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
             FROM profile p LEFT JOIN hits ON hits.cust = p.cust
             GROUP BY p.profile_item
+        """,
+        "stream_ewma_anomaly": """
+            WITH s AS (
+                SELECT user_id,
+                       list(CAST(round(value * 100) AS DOUBLE)
+                            ORDER BY ts, event_id) AS xs
+                FROM events GROUP BY user_id
+            ), folded AS (
+                SELECT user_id, xs,
+                       list_reduce(
+                           list_prepend([xs[1], 0.0],
+                               list_transform(xs[2:], v -> [v, 0.0])),
+                           (acc, x) -> [
+                               0.25 * x[1] + 0.75 * acc[1],
+                               acc[2] + CASE WHEN abs(x[1] - acc[1])
+                                                  > 20000.0
+                                             THEN 1.0 ELSE 0.0 END])
+                           AS acc
+                FROM s
+            )
+            SELECT user_id,
+                   CAST(len(xs) AS BIGINT) AS n_events,
+                   CAST(floor(acc[1] * 100 + 0.5) AS BIGINT) AS ewma_e4,
+                   CAST(acc[2] AS BIGINT) AS n_anomalies
+            FROM folded
         """,
     }

@@ -601,3 +601,77 @@ def run_stream_until_idle(
         q.stop()
         q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def streaming_ewma_anomaly(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.25,
+    threshold: float = 200.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Stateful streaming anomaly detection: each key carries its EWMA
+    level across micro-batches (``applyInPandasWithState``), and an
+    arriving value deviating from the CURRENT level by more than
+    ``threshold`` counts as an anomaly before it updates the level —
+    the classic online change monitor, state = two numbers per key.
+
+    Determinism contract: within a batch each group folds in
+    ``(ts, tiebreak)`` order; with a single-batch drain (availableNow
+    over one input) the result is exactly the batch in-order EWMA fold,
+    which is what the oracle replays.  Dyadic ``alpha`` on fixed-point
+    ticks keeps the Python fold bit-identical to any IEEE engine; the
+    output rounding is ``floor(x·100 + 0.5)`` on BOTH sides (python
+    ``round`` is banker's — a silent half-tie mismatch otherwise).
+
+    Emits per key and batch: ``(key, n_events, ewma_e4, n_anomalies)``.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(events.sparkSession)
+    thr_ticks = float(round(threshold * scale))
+    a = float(alpha)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            level, n, n_anom = state.get
+        else:
+            level, n, n_anom = 0.0, 0, 0
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        for v in pdf[value_col]:
+            x = float(round(v * scale))
+            if n == 0:
+                level = x
+            else:
+                if abs(x - level) > thr_ticks:
+                    n_anom += 1
+                level = a * x + (1.0 - a) * level
+            n += 1
+        state.update((level, n, n_anom))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "ewma_e4": [int(math.floor(level * 100 + 0.5))],
+                "n_anomalies": [n_anom],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=f"{key_col} long, n_events long, ewma_e4 long, "
+        "n_anomalies long",
+        stateStructType="level double, n long, n_anom long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

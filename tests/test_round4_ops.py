@@ -1543,3 +1543,46 @@ def test_recs_eval_bounds(spark, sf_dir):
     assert n_users > 0
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_users"]
+
+
+# ------------------------------------------------- streaming ewma anomaly
+
+def test_stream_ewma_anomaly_hand_fold(spark, tmp_path):
+    """Values (10, 10, 500, 10): the 500 jump and the drop back both
+    deviate > threshold from the running level; final level matches the
+    python fold."""
+    import math
+
+    from smartpy_arc_spark.streaming.stream import (
+        run_stream_to_memory,
+        streaming_ewma_anomaly,
+    )
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(seconds=i), float(v), i)
+        for i, v in enumerate([10, 10, 500, 10])
+    ]
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double, event_id long"
+    ).parquet(src_dir)
+    out = run_stream_to_memory(
+        streaming_ewma_anomaly(stream, threshold=200.0), output_mode="update"
+    ).collect()[0]
+    level, n_anom = 1000.0, 0
+    for x in (1000.0, 50000.0, 1000.0):
+        if abs(x - level) > 20000.0:
+            n_anom += 1
+        level = 0.25 * x + 0.75 * level
+    assert out["n_events"] == 4
+    # only the 500-jump exceeds the threshold; the drop back deviates
+    # 122.5 from the pulled-up level (< 200) — the fold decides, not
+    # the raw step size
+    assert out["n_anomalies"] == n_anom == 1
+    assert out["ewma_e4"] == int(math.floor(level * 100 + 0.5))
