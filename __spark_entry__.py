@@ -4605,6 +4605,40 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over deterministic pure-tone WAVs
+    (tone frequency varies with doc_id): dominant/centroid/bandwidth Hz
+    via numpy rFFT in mapInPandas.  No SQL oracle (FFT); pinned by
+    closed-form pure-tone expectations in tests."""
+    from smartpy_arc_spark.multimodal.codecs import wav_spectral_features
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 100").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate, n = 16000, 1600
+                freq = 250.0 * (1 + d % 8)  # 250..2000 Hz tones
+                i = np.arange(n)
+                x = (10000 * np.sin(2 * np.pi * freq * i / rate)).astype(
+                    "int16"
+                )
+                payloads.append(make_wav(x, rate=rate))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return wav_spectral_features(blobs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4878,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "recs_eval": q_recs_eval,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
+        "wav_spectral": q_wav_spectral,
     })
 
 

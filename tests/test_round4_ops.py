@@ -1586,3 +1586,32 @@ def test_stream_ewma_anomaly_hand_fold(spark, tmp_path):
     # the raw step size
     assert out["n_anomalies"] == n_anom == 1
     assert out["ewma_e4"] == int(math.floor(level * 100 + 0.5))
+
+
+# ------------------------------------------------- wav spectral
+
+def test_wav_spectral_pure_tone(spark):
+    """A 1 kHz pure tone: dominant bin and centroid land at 1000 Hz
+    (bin-exact for n a multiple of rate/freq), bandwidth near 0."""
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.codecs import (
+        make_wav,
+        wav_spectral_features,
+    )
+
+    rate, n, freq = 16000, 1600, 1000.0
+    i = np.arange(n)
+    tone = (10000 * np.sin(2 * np.pi * freq * i / rate)).astype("int16")
+    noiseish = ((i * 7919) % 65536 - 32768).astype("int16")
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(tone, rate=rate))),
+         (2, bytearray(make_wav(noiseish, rate=rate)))],
+        "item_id long, payload binary",
+    )
+    got = {r["item_id"]: r for r in wav_spectral_features(df).collect()}
+    assert got[1]["dominant_hz_e2"] == 100000        # exactly 1000.00 Hz
+    assert abs(got[1]["centroid_hz_e2"] - 100000) < 2000   # leakage slack
+    assert got[1]["bandwidth_hz_e2"] < got[2]["bandwidth_hz_e2"]
+    # broadband signal: centroid far from any single tone, wide bandwidth
+    assert got[2]["bandwidth_hz_e2"] > 100000
