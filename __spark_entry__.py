@@ -4639,6 +4639,20 @@ def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_spectral_features(blobs)
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: synthetic deterministic probabilities
+    vs 'order finalized' outcomes, per-row predictions pre-rounded to
+    integer millionths before the bin sums."""
+    from smartpy_arc_spark.operators.checks import calibration_bins
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "p", ((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0
+    )
+    return calibration_bins(
+        orders, "p", F.col("o_orderstatus") == "F", n_bins=10
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4913,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recs_eval": q_recs_eval,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "wav_spectral": q_wav_spectral,
+        "calibration": q_calibration,
     })
 
 
@@ -9279,5 +9294,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(acc[1] * 100 + 0.5) AS BIGINT) AS ewma_e4,
                    CAST(acc[2] AS BIGINT) AS n_anomalies
             FROM folded
+        """,
+        "calibration": """
+            WITH base AS (
+                SELECT CAST((o_orderkey * 37) % 1000 AS DOUBLE) / 1000.0
+                           AS p,
+                       o_orderstatus = 'F' AS y
+                FROM orders
+            ), binned AS (
+                SELECT CAST(least(CAST(floor(p * 10) AS INTEGER), 9)
+                            AS INTEGER) AS bin,
+                       CAST(round(p * 1000000) AS BIGINT) AS p_e6,
+                       y
+                FROM base WHERE p IS NOT NULL
+            )
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(CAST(SUM(p_e6) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS avg_pred_e6,
+                   CAST(round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                                   AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS pos_rate_e6
+            FROM binned GROUP BY bin
         """,
     }

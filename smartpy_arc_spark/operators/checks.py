@@ -385,3 +385,51 @@ def table_fingerprint(
         F.count("*").cast("long").alias("n_rows"),
         (F.sum("h") % m).cast("long").alias("fingerprint"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket
+    predictions into ``n_bins`` equal-width probability bins and compare
+    each bin's mean predicted probability against its empirical positive
+    rate — the calibration readout behind ECE and calibration plots.
+
+    Per-row predictions pre-round to integer millionths before the bin
+    sums (order-free aggregates); each emitted mean is ONE division.
+    One hash aggregate over a bounded bin key.  Returns per bin:
+    ``(bin, n, avg_pred_e6, pos_rate_e6)``.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    p = F.col(prob_col)
+    b = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    p_e6 = F.round(p * 1000000).cast("long")
+    return (
+        df.where(p.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(p_e6).cast("long").alias("sp"),
+            F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("sp").cast("double") / F.col("n").cast("double"))
+            .cast("long")
+            .alias("avg_pred_e6"),
+            F.round(
+                F.col("pos").cast("double")
+                / F.col("n").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("pos_rate_e6"),
+        )
+    )

@@ -1615,3 +1615,32 @@ def test_wav_spectral_pure_tone(spark):
     assert got[1]["bandwidth_hz_e2"] < got[2]["bandwidth_hz_e2"]
     # broadband signal: centroid far from any single tone, wide bandwidth
     assert got[2]["bandwidth_hz_e2"] > 100000
+
+
+# ------------------------------------------------- calibration
+
+def test_calibration_perfectly_calibrated_and_overconfident(spark):
+    """Labels drawn exactly by the prediction rule → avg_pred ≈ pos_rate
+    per bin; a constant-0.9 overconfident predictor shows the gap."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.checks import calibration_bins
+
+    # exact construction: for every pct, 100 rows with p=(pct+0.5)/100 of
+    # which exactly pct are positive → per-bin |avg_pred − pos_rate| = 0.005
+    rows = [
+        ((pct + 0.5) / 100.0, j < pct)
+        for pct in range(100)
+        for j in range(100)
+    ]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    bins = calibration_bins(df, "p", F.col("y"), n_bins=10).collect()
+    assert len(bins) == 10
+    for r in bins:
+        assert abs(r["avg_pred_e6"] - r["pos_rate_e6"]) == 5000
+    over = spark.createDataFrame(
+        [(0.9, i % 2 == 0) for i in range(100)], "p double, y boolean"
+    )
+    r = calibration_bins(over, "p", F.col("y"), n_bins=10).collect()[0]
+    assert r["bin"] == 9 and r["avg_pred_e6"] == 900000
+    assert r["pos_rate_e6"] == 500000
