@@ -4653,6 +4653,22 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the lang_id heuristic's
+    predictions against the corpus's ground-truth lang column, one row
+    per (truth, predicted) cell."""
+    from smartpy_arc_spark.operators.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4928,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "wav_spectral": q_wav_spectral,
         "calibration": q_calibration,
+        "langid_confusion": q_langid_confusion,
     })
 
 
@@ -9318,5 +9335,52 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(count(*) AS DOUBLE) * 1000000)
                         AS BIGINT) AS pos_rate_e6
             FROM binned GROUP BY bin
+        """,
+        "langid_confusion": """
+            WITH pred AS (
+
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(t, x -> x = 'der'))
+                     + len(list_filter(t, x -> x = 'die'))
+                     + len(list_filter(t, x -> x = 'und'))
+                     + len(list_filter(t, x -> x = 'ist'))
+                     + len(list_filter(t, x -> x = 'das')) AS INTEGER) AS score_de,
+                  CAST(len(list_filter(t, x -> x = 'the'))
+                     + len(list_filter(t, x -> x = 'and'))
+                     + len(list_filter(t, x -> x = 'of'))
+                     + len(list_filter(t, x -> x = 'to'))
+                     + len(list_filter(t, x -> x = 'is')) AS INTEGER) AS score_en,
+                  CAST(len(list_filter(t, x -> x = 'el'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'que'))
+                     + len(list_filter(t, x -> x = 'de'))
+                     + len(list_filter(t, x -> x = 'es')) AS INTEGER) AS score_es,
+                  CAST(len(list_filter(t, x -> x = 'le'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'et'))
+                     + len(list_filter(t, x -> x = 'est'))
+                     + len(list_filter(t, x -> x = 'les')) AS INTEGER) AS score_fr
+                FROM toks
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+                   CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                        THEN 'und'
+                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM scored
+        
+            )
+            SELECT d.lang AS true_lang, p.predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.predicted_lang
         """,
     }

@@ -1644,3 +1644,19 @@ def test_calibration_perfectly_calibrated_and_overconfident(spark):
     r = calibration_bins(over, "p", F.col("y"), n_bins=10).collect()[0]
     assert r["bin"] == 9 and r["avg_pred_e6"] == 900000
     assert r["pos_rate_e6"] == 500000
+
+
+# ------------------------------------------------- langid confusion
+
+def test_langid_confusion_counts_total(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["langid_confusion"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs  # every doc lands in exactly one cell
+    langs = {r["true_lang"] for r in rows}
+    assert len(langs) >= 2
