@@ -4669,6 +4669,32 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error over the calibration bins: the
+    bin-weighted mean |avg_pred − pos_rate|, exact integer numerator
+    and ONE division — the scalar behind the reliability diagram."""
+    from smartpy_arc_spark.operators.checks import calibration_bins
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "p", ((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0
+    )
+    bins = calibration_bins(
+        orders, "p", F.col("o_orderstatus") == "F", n_bins=10
+    )
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.round(
+            F.sum(
+                F.col("n").cast("decimal(38,0)")
+                * F.abs(F.col("avg_pred_e6") - F.col("pos_rate_e6"))
+            ).cast("double")
+            / F.sum("n").cast("double")
+        )
+        .cast("long")
+        .alias("ece_e6"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4945,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_spectral": q_wav_spectral,
         "calibration": q_calibration,
         "langid_confusion": q_langid_confusion,
+        "ece": q_ece,
     })
 
 
@@ -9382,5 +9409,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY d.lang, p.predicted_lang
+        """,
+        "ece": """
+            WITH base AS (
+                SELECT CAST((o_orderkey * 37) % 1000 AS DOUBLE) / 1000.0
+                           AS p,
+                       o_orderstatus = 'F' AS y
+                FROM orders
+            ), binned AS (
+                SELECT CAST(least(CAST(floor(p * 10) AS INTEGER), 9)
+                            AS INTEGER) AS bin,
+                       CAST(round(p * 1000000) AS BIGINT) AS p_e6,
+                       y
+                FROM base WHERE p IS NOT NULL
+            ), bins AS (
+                SELECT bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(round(CAST(SUM(p_e6) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                           AS avg_pred_e6,
+                       CAST(round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                                       AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE) * 1000000)
+                            AS BIGINT) AS pos_rate_e6
+                FROM binned GROUP BY bin
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(round(CAST(SUM(CAST(n AS HUGEINT)
+                       * abs(avg_pred_e6 - pos_rate_e6)) AS DOUBLE)
+                       / CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS ece_e6
+            FROM bins
         """,
     }

@@ -66,6 +66,7 @@ SINGLE_PARTITION_OK = {
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
+    "ece",                    # 1-row statistic over <=n_bins bin rows
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is

@@ -1660,3 +1660,17 @@ def test_langid_confusion_counts_total(spark, sf_dir):
     assert total == n_docs  # every doc lands in exactly one cell
     langs = {r["true_lang"] for r in rows}
     assert len(langs) >= 2
+
+
+# ------------------------------------------------- ece
+
+def test_ece_zero_for_perfect_and_large_for_overconfident(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    r = entry.queries()["ece"](spark, sf_dir).collect()[0]
+    assert r["n_total"] > 0
+    # synthetic uniform p vs ~1/3 base rate: substantial miscalibration
+    assert r["ece_e6"] > 100000
