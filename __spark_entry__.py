@@ -4695,6 +4695,35 @@ def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC from the Mann-Whitney identity
+    ``AUC = U_pos / (n_pos · n_neg)`` — tie-correct (average ranks),
+    computed on the distinct-score contingency via partitioned_cumsum,
+    one division at the end.  Same fixture as the calibration queries."""
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    scored = _t(spark, sf_dir, "orders").select(
+        (((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0).alias(
+            "p"
+        ),
+        F.when(F.col("o_orderstatus") == "F", "pos")
+        .otherwise("neg")
+        .alias("y"),
+    )
+    mw = mann_whitney_u(scored, "y", "p", "pos", "neg")
+    return mw.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("u2_a").cast("double")
+            / (F.lit(2.0) * (F.col("n_a") * F.col("n_b")).cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("auc_e6"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -4972,6 +5001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "langid_confusion": q_langid_confusion,
         "ece": q_ece,
+        "auc": q_auc,
     })
 
 
@@ -9439,5 +9469,38 @@ def oracle_sql() -> dict[str, str]:
                        * abs(avg_pred_e6 - pos_rate_e6)) AS DOUBLE)
                        / CAST(SUM(n) AS DOUBLE)) AS BIGINT) AS ece_e6
             FROM bins
+        """,
+        "auc": """
+            WITH scored AS (
+                SELECT CAST((o_orderkey * 37) % 1000 AS DOUBLE) / 1000.0
+                           AS p,
+                       CASE WHEN o_orderstatus = 'F'
+                            THEN 'pos' ELSE 'neg' END AS y
+                FROM orders
+            ), vals AS (
+                SELECT p AS v,
+                       CAST(count(CASE WHEN y = 'pos' THEN 1 END)
+                            AS BIGINT) AS na_v,
+                       CAST(count(CASE WHEN y = 'neg' THEN 1 END)
+                            AS BIGINT) AS nb_v
+                FROM scored GROUP BY p
+            ), cum AS (
+                SELECT v, na_v, nb_v,
+                       CAST(SUM(na_v + nb_v) OVER (ORDER BY v)
+                            - (na_v + nb_v) AS BIGINT) AS cb
+                FROM vals
+            ), agg AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b,
+                       CAST(SUM(na_v * (2 * cb + na_v + nb_v + 1))
+                            AS BIGINT) AS r2a
+                FROM cum
+            )
+            SELECT n_a, n_b,
+                   CAST(round(
+                       CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+                       / (2.0 * CAST(n_a * n_b AS DOUBLE))
+                       * 1000000) AS BIGINT) AS auc_e6
+            FROM agg
         """,
     }

@@ -67,6 +67,7 @@ SINGLE_PARTITION_OK = {
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
     "ece",                    # 1-row statistic over <=n_bins bin rows
+    "auc",                    # 1-row statistic: rank-sum combine (MW shape)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is

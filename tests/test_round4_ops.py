@@ -1674,3 +1674,25 @@ def test_ece_zero_for_perfect_and_large_for_overconfident(spark, sf_dir):
     assert r["n_total"] > 0
     # synthetic uniform p vs ~1/3 base rate: substantial miscalibration
     assert r["ece_e6"] > 100000
+
+
+# ------------------------------------------------- auc
+
+def test_auc_separable_and_random(spark):
+    """Perfectly separable scores → AUC 1; identical score distributions
+    → AUC 0.5 (tie-corrected)."""
+    from pyspark.sql import functions as F
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from smartpy_arc_spark.operators.stats import mann_whitney_u
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "y string, p double")
+        mw = mann_whitney_u(df, "y", "p", "pos", "neg").collect()[0]
+        return mw["u2_a"] / (2.0 * mw["n_a"] * mw["n_b"])
+
+    sep = [("pos", 0.9), ("pos", 0.8), ("neg", 0.2), ("neg", 0.1)]
+    assert auc_of(sep) == 1.0
+    rnd = [("pos", 0.5), ("neg", 0.5), ("pos", 0.3), ("neg", 0.3)]
+    assert auc_of(rnd) == 0.5
