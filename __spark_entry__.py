@@ -4724,6 +4724,48 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded precision/recall/F1/accuracy/Brier in one aggregate
+    pass over the synthetic calibration fixture."""
+    from smartpy_arc_spark.operators.checks import classification_metrics
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "p", ((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0
+    )
+    return classification_metrics(
+        orders, "p", F.col("o_orderstatus") == "F", threshold=0.5
+    )
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: score-ranked deciles via
+    distributed_ntile (descending score, deterministic tiebreak), per-
+    decile response counts — lift is the consumer's one division."""
+    from smartpy_arc_spark.operators.scale import distributed_ntile
+
+    scored = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        (((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0).alias(
+            "p"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    # descending score: ntile over the NEGATED score with the key tiebreak
+    binned = distributed_ntile(
+        scored.withColumn("np", -F.col("p")),
+        ["np", "o_orderkey"],
+        10,
+        out_col="decile",
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.sum(F.round(F.col("p") * 1000000).cast("long")))
+        .cast("long")
+        .alias("sum_pred_e6"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5002,6 +5044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "ece": q_ece,
         "auc": q_auc,
+        "classification_metrics": q_classification_metrics,
+        "lift_table": q_lift_table,
     })
 
 
@@ -9502,5 +9546,77 @@ def oracle_sql() -> dict[str, str]:
                        / (2.0 * CAST(n_a * n_b AS DOUBLE))
                        * 1000000) AS BIGINT) AS auc_e6
             FROM agg
+        """,
+        "classification_metrics": """
+            WITH base AS (
+                SELECT CAST((o_orderkey * 37) % 1000 AS DOUBLE) / 1000.0
+                           AS p,
+                       o_orderstatus = 'F' AS lab
+                FROM orders
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN p >= 0.5 AND lab
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(SUM(CASE WHEN p >= 0.5 AND NOT lab
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(SUM(CASE WHEN p < 0.5 AND lab
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(SUM(CASE WHEN p < 0.5 AND NOT lab
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                       CAST(SUM(CAST(
+                           (CAST(round(p * 1000000) AS BIGINT)
+                            - CASE WHEN lab THEN 1 ELSE 0 END * 1000000)
+                           * (CAST(round(p * 1000000) AS BIGINT)
+                              - CASE WHEN lab THEN 1 ELSE 0 END
+                                * 1000000) AS HUGEINT)) AS HUGEINT) AS sq
+                FROM base WHERE p IS NOT NULL
+            )
+            SELECT n, tp, fp, fn, tn,
+                   CAST(round(CASE WHEN tp + fp > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                       END * 1000000) AS BIGINT) AS precision_e6,
+                   CAST(round(CASE WHEN tp + fn > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                       END * 1000000) AS BIGINT) AS recall_e6,
+                   CAST(round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                                   AND (CAST(tp AS DOUBLE)
+                                        / CAST(tp + fp AS DOUBLE)
+                                        + CAST(tp AS DOUBLE)
+                                          / CAST(tp + fn AS DOUBLE)) > 0
+                       THEN 2.0 * (CAST(tp AS DOUBLE)
+                                   / CAST(tp + fp AS DOUBLE))
+                            * (CAST(tp AS DOUBLE)
+                               / CAST(tp + fn AS DOUBLE))
+                            / (CAST(tp AS DOUBLE)
+                               / CAST(tp + fp AS DOUBLE)
+                               + CAST(tp AS DOUBLE)
+                                 / CAST(tp + fn AS DOUBLE))
+                       END * 1000000) AS BIGINT) AS f1_e6,
+                   CAST(round(CAST(tp + tn AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 1000000) AS BIGINT)
+                       AS accuracy_e6,
+                   CAST(round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                              / 1e6) AS BIGINT) AS brier_e6
+            FROM agg
+        """,
+        "lift_table": """
+            WITH scored AS (
+                SELECT o_orderkey,
+                       CAST((o_orderkey * 37) % 1000 AS DOUBLE) / 1000.0
+                           AS p,
+                       CASE WHEN o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END AS y
+                FROM orders
+            )
+            SELECT CAST(decile AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(round(p * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_pred_e6
+            FROM (
+                SELECT p, y,
+                       ntile(10) OVER (ORDER BY -p, o_orderkey) AS decile
+                FROM scored
+            ) GROUP BY decile
         """,
     }

@@ -433,3 +433,55 @@ def calibration_bins(
             .alias("pos_rate_e6"),
         )
     )
+
+
+def classification_metrics(
+    df: DataFrame,
+    prob_col: str,
+    label_col,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Thresholded binary-classification metrics in ONE aggregate pass:
+    confusion counts plus precision / recall / F1 / accuracy and the
+    Brier score.  Counts are exact integers; each emitted metric is a
+    single division (Brier's numerator sums per-row integer
+    ``(p_e6 − y·1e6)²`` in DECIMAL), so everything is engine-portable.
+
+    Returns one row ``(n, tp, fp, fn, tn, precision_e6, recall_e6,
+    f1_e6, accuracy_e6, brier_e6)``.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    p = F.col(prob_col)
+    pred = p >= threshold
+    y = F.when(label, 1).otherwise(0)
+    p_e6 = F.round(p * 1000000).cast("long")
+    diff = p_e6 - y.cast("long") * 1000000
+    agg = df.where(p.isNotNull()).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(pred & label, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~label, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & label, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~label, 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum((diff * diff).cast("decimal(38,0)")).alias("sq"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    n = F.col("n").cast("double")
+    e6 = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        e6(prec).alias("precision_e6"),
+        e6(rec).alias("recall_e6"),
+        e6(f1).alias("f1_e6"),
+        e6((tp + tn) / n).alias("accuracy_e6"),
+        # brier = mean((p-y)^2); sq is in e12 units
+        F.round(F.col("sq").cast("double") / n / 1e6).cast("long").alias(
+            "brier_e6"
+        ),
+    )

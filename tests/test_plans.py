@@ -68,6 +68,8 @@ SINGLE_PARTITION_OK = {
     "log_rank",               # 1-row statistic: O/E/V term combine
     "ece",                    # 1-row statistic over <=n_bins bin rows
     "auc",                    # 1-row statistic: rank-sum combine (MW shape)
+    "classification_metrics", # 1-row confusion/Brier combine
+    "lift_table",             # 1-row row-count scalar for the ntile rule
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -106,6 +108,7 @@ BNLJ_OK = {
     "conformal",              # 1-row q-hat broadcast cross join
     "negative_samples",       # bounded candidate-pool broadcast cross join
     "log_rank",               # 1-row cohort-total broadcast cross join
+    "lift_table",             # 1-row row-count broadcast cross join (ntile)
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -1696,3 +1696,39 @@ def test_auc_separable_and_random(spark):
     assert auc_of(sep) == 1.0
     rnd = [("pos", 0.5), ("neg", 0.5), ("pos", 0.3), ("neg", 0.3)]
     assert auc_of(rnd) == 0.5
+
+
+# ------------------------------------------------- classification metrics
+
+def test_classification_metrics_hand_confusion(spark):
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.checks import classification_metrics
+
+    rows = [(0.9, True), (0.8, False), (0.4, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    r = classification_metrics(df, "p", F.col("y"), threshold=0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+    assert r["precision_e6"] == 500000 and r["recall_e6"] == 500000
+    assert r["f1_e6"] == 500000 and r["accuracy_e6"] == 500000
+    brier = ((0.9 - 1) ** 2 + 0.8**2 + (0.4 - 1) ** 2 + 0.1**2) / 4
+    assert abs(r["brier_e6"] - round(brier * 1e6)) <= 1
+
+
+def test_lift_table_top_decile_concentrates(spark, sf_dir):
+    """Deciles partition all rows ~evenly and predictions decrease with
+    the decile (descending-score ranking)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry.queries()["lift_table"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    avg_pred = [r["sum_pred_e6"] / r["n"] for r in rows]
+    assert all(a >= b for a, b in zip(avg_pred, avg_pred[1:]))
