@@ -4766,6 +4766,15 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned decomposition of the
+    event user base — per-user lag/lead windows, bounded weekly counts."""
+    from smartpy_arc_spark.operators.sessionize import growth_accounting
+
+    ev = _t(spark, sf_dir, "events")
+    return growth_accounting(ev)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5046,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "classification_metrics": q_classification_metrics,
         "lift_table": q_lift_table,
+        "growth_accounting": q_growth_accounting,
     })
 
 
@@ -9618,5 +9628,48 @@ def oracle_sql() -> dict[str, str]:
                        ntile(10) OVER (ORDER BY -p, o_orderkey) AS decile
                 FROM scored
             ) GROUP BY decile
+        """,
+        "growth_accounting": """
+            WITH uw AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS w
+                FROM events
+            ), flagged AS (
+                SELECT u, w,
+                       lag(w) OVER (PARTITION BY u ORDER BY w) AS prev_w,
+                       lead(w) OVER (PARTITION BY u ORDER BY w) AS next_w
+                FROM uw
+            ), statused AS (
+                SELECT u, w, next_w,
+                       CASE WHEN prev_w IS NULL THEN 'new'
+                            WHEN prev_w + INTERVAL 7 DAY = w
+                            THEN 'retained'
+                            ELSE 'resurrected' END AS status
+                FROM flagged
+            ), active AS (
+                SELECT w,
+                       CAST(SUM(CASE WHEN status = 'new'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_new,
+                       CAST(SUM(CASE WHEN status = 'retained'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_retained,
+                       CAST(SUM(CASE WHEN status = 'resurrected'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_resurrected
+                FROM statused GROUP BY w
+            ), churn AS (
+                SELECT CAST(w + INTERVAL 7 DAY AS DATE) AS w,
+                       CAST(count(*) AS BIGINT) AS n_churned
+                FROM statused
+                WHERE next_w IS NULL OR next_w > w + INTERVAL 7 DAY
+                GROUP BY 1
+            )
+            SELECT COALESCE(a.w, c.w) AS week,
+                   COALESCE(n_new, 0) AS n_new,
+                   COALESCE(n_retained, 0) AS n_retained,
+                   COALESCE(n_resurrected, 0) AS n_resurrected,
+                   COALESCE(n_churned, 0) AS n_churned
+            FROM active a FULL OUTER JOIN churn c ON a.w = c.w
         """,
     }

@@ -129,3 +129,77 @@ def hopping_window_counts(
             F.sum("ticks").cast("long").alias("sum_ticks"),
         )
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting — the canonical user-base decomposition:
+    every active (user, week) is NEW (first week ever), RETAINED (also
+    active the immediately previous week) or RESURRECTED (active before,
+    but not last week); CHURNED counts users active last week who did
+    not return this week.  New + retained + resurrected = weekly actives,
+    and actives(w) − retained(w+1) = churned(w+1): the identities every
+    growth dashboard is built on.
+
+    Plan: distinct (user, week) once, then per-USER lag/lead windows
+    (never global), and bounded per-week count aggregates.  Churn at
+    week w+1 is derived from each activity row's ``lead`` gap — no
+    per-week anti-joins.
+
+    Returns per week: ``(week, n_new, n_retained, n_resurrected,
+    n_churned)`` — churn rows exist for one week past each gap.
+    """
+    from pyspark.sql import Window
+
+    uw = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("w"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("u").orderBy("w")
+    flagged = (
+        uw.withColumn("prev_w", F.lag("w").over(win))
+        .withColumn("next_w", F.lead("w").over(win))
+        .withColumn(
+            "status",
+            F.when(F.col("prev_w").isNull(), "new")
+            .when(F.date_add(F.col("prev_w"), 7) == F.col("w"), "retained")
+            .otherwise("resurrected"),
+        )
+    )
+    active = flagged.groupBy("w").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        flagged.where(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.date_add(F.col("w"), 7))
+        )
+        .select(F.date_add(F.col("w"), 7).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "w", "full_outer")
+        .select(
+            F.col("w").alias("week"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

@@ -1732,3 +1732,44 @@ def test_lift_table_top_decile_concentrates(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     avg_pred = [r["sum_pred_e6"] / r["n"] for r in rows]
     assert all(a >= b for a, b in zip(avg_pred, avg_pred[1:]))
+
+
+# ------------------------------------------------- growth accounting
+
+def test_growth_accounting_lifecycle(spark):
+    """User A: weeks 1,2,4 → new, retained, (churn at 3), resurrected at
+    4, churn at 5.  User B: week 1 only → new, churn at 2."""
+    import datetime
+
+    from smartpy_arc_spark.operators.sessionize import growth_accounting
+
+    def ts(week, day=0):
+        # Mondays: 2024-01-01 is a Monday
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            days=(week - 1) * 7 + day
+        )
+
+    rows = [(1, ts(1)), (1, ts(2, 3)), (1, ts(4)), (2, ts(1, 2))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["week"]): r for r in growth_accounting(df).collect()}
+    w = lambda k: ts(k).date().isoformat()  # noqa: E731
+    assert got[w(1)]["n_new"] == 2
+    assert got[w(2)]["n_retained"] == 1 and got[w(2)]["n_churned"] == 1
+    assert got[w(3)]["n_churned"] == 1  # user A inactive after week 2
+    assert got[w(4)]["n_resurrected"] == 1
+    assert got[w(5)]["n_churned"] == 1
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """actives(w) − retained(w+1) == churned(w+1) for interior weeks."""
+    from smartpy_arc_spark.operators.sessionize import growth_accounting
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sorted(
+        growth_accounting(ev).collect(), key=lambda r: str(r["week"])
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        actives_prev = (
+            prev["n_new"] + prev["n_retained"] + prev["n_resurrected"]
+        )
+        assert actives_prev - cur["n_retained"] == cur["n_churned"]
