@@ -4775,6 +4775,19 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(ev)
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus truth lang and the lang_id
+    heuristic — chance-corrected annotator agreement over the same
+    confusion table as langid_confusion."""
+    from smartpy_arc_spark.operators.stats import cohens_kappa
+    from smartpy_arc_spark.operators.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(docs).select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(joined, "lang", "predicted_lang")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5056,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_metrics": q_classification_metrics,
         "lift_table": q_lift_table,
         "growth_accounting": q_growth_accounting,
+        "cohens_kappa": q_cohens_kappa,
     })
 
 
@@ -9671,5 +9685,81 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_resurrected, 0) AS n_resurrected,
                    COALESCE(n_churned, 0) AS n_churned
             FROM active a FULL OUTER JOIN churn c ON a.w = c.w
+        """,
+        "cohens_kappa": """
+            WITH pred AS (
+
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(t, x -> x = 'der'))
+                     + len(list_filter(t, x -> x = 'die'))
+                     + len(list_filter(t, x -> x = 'und'))
+                     + len(list_filter(t, x -> x = 'ist'))
+                     + len(list_filter(t, x -> x = 'das')) AS INTEGER) AS score_de,
+                  CAST(len(list_filter(t, x -> x = 'the'))
+                     + len(list_filter(t, x -> x = 'and'))
+                     + len(list_filter(t, x -> x = 'of'))
+                     + len(list_filter(t, x -> x = 'to'))
+                     + len(list_filter(t, x -> x = 'is')) AS INTEGER) AS score_en,
+                  CAST(len(list_filter(t, x -> x = 'el'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'que'))
+                     + len(list_filter(t, x -> x = 'de'))
+                     + len(list_filter(t, x -> x = 'es')) AS INTEGER) AS score_es,
+                  CAST(len(list_filter(t, x -> x = 'le'))
+                     + len(list_filter(t, x -> x = 'la'))
+                     + len(list_filter(t, x -> x = 'et'))
+                     + len(list_filter(t, x -> x = 'est'))
+                     + len(list_filter(t, x -> x = 'les')) AS INTEGER) AS score_fr
+                FROM toks
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+                   CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0
+                        THEN 'und'
+                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM scored
+        
+            ), joined AS (
+                SELECT d.lang AS a, p.predicted_lang AS b
+                FROM documents d JOIN pred p USING (doc_id)
+            ), cells AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS c
+                FROM joined GROUP BY a, b
+            ), agg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
+                            AS BIGINT) AS n_agree
+                FROM cells
+            ), pe AS (
+                SELECT CAST(SUM(CAST(ma.na AS HUGEINT) * mb.nb)
+                            AS HUGEINT) AS pe_num
+                FROM (SELECT a, SUM(c) AS na FROM cells GROUP BY a) ma
+                JOIN (SELECT b, SUM(c) AS nb FROM cells GROUP BY b) mb
+                  ON ma.a = mb.b
+            )
+            SELECT n, n_agree,
+                   CAST(round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1000000) AS BIGINT) AS po_e6,
+                   CAST(round(CAST(pe_num AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                              * 1000000) AS BIGINT) AS pe_e6,
+                   CAST(round(CASE WHEN CAST(pe_num AS DOUBLE)
+                                        / (CAST(n AS DOUBLE)
+                                           * CAST(n AS DOUBLE)) < 1.0
+                       THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                             - CAST(pe_num AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                            / (1.0 - CAST(pe_num AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       END * 1000000) AS BIGINT) AS kappa_e6
+            FROM agg, pe
         """,
     }

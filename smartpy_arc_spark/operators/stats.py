@@ -1417,3 +1417,53 @@ def log_rank_test(
         F.col("e_e9").alias("expected_a_e9"),
         F.round(z * 1000000).cast("long").alias("z_e6"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Cohen's kappa — agreement between two labelers corrected for
+    chance: ``κ = (p_o − p_e)/(1 − p_e)`` with observed agreement
+    ``p_o`` and the chance agreement ``p_e`` from the raters' marginal
+    distributions.  The standard QA statistic for double-annotated
+    training data (raw percent-agreement flatters skewed label sets).
+
+    One contingency aggregate + broadcast marginals — chi-square's
+    shape; all counts exact, one float combine.  Returns one row
+    ``(n, n_agree, po_e6, pe_e6, kappa_e6)``.
+    """
+    cells = (
+        df.select(F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("nb"))
+    agg = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe_num = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(
+            F.sum(F.col("na").cast("decimal(38,0)") * F.col("nb")).alias(
+                "pe_num"
+            )
+        )
+    )
+    j = agg.crossJoin(F.broadcast(pe_num))
+    n = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("pe_num").cast("double") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    e6 = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    return j.select(
+        "n",
+        "n_agree",
+        e6(po).alias("po_e6"),
+        e6(pe).alias("pe_e6"),
+        e6(kappa).alias("kappa_e6"),
+    )

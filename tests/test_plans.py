@@ -69,6 +69,7 @@ SINGLE_PARTITION_OK = {
     "ece",                    # 1-row statistic over <=n_bins bin rows
     "auc",                    # 1-row statistic: rank-sum combine (MW shape)
     "classification_metrics", # 1-row confusion/Brier combine
+    "cohens_kappa",           # 1-row agreement statistic combine
     "lift_table",             # 1-row row-count scalar for the ntile rule
 }
 
@@ -109,6 +110,7 @@ BNLJ_OK = {
     "negative_samples",       # bounded candidate-pool broadcast cross join
     "log_rank",               # 1-row cohort-total broadcast cross join
     "lift_table",             # 1-row row-count broadcast cross join (ntile)
+    "cohens_kappa",           # 1-row chance-agreement broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -1773,3 +1773,21 @@ def test_growth_accounting_identity(spark, sf_dir):
             prev["n_new"] + prev["n_retained"] + prev["n_resurrected"]
         )
         assert actives_prev - cur["n_retained"] == cur["n_churned"]
+
+
+# ------------------------------------------------- cohen's kappa
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from smartpy_arc_spark.operators.stats import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(30)], "a int, b int"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["kappa_e6"] == 1000000 and r["po_e6"] == 1000000
+    # independent raters with uniform marginals → kappa ≈ 0
+    chance = spark.createDataFrame(
+        [(i % 2, (i // 2) % 2) for i in range(40)], "a int, b int"
+    )
+    r2 = cohens_kappa(chance, "a", "b").collect()[0]
+    assert abs(r2["kappa_e6"]) <= 1
