@@ -3706,9 +3706,7 @@ def q_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # queries whose semantics changed after their last green stamp — treated
 # as unstamped so the driver re-records them against the CURRENT code
-_FORCE_RESTAMP = {
-    "duplicate_spans",  # island merge fixed (gap > n) after the r2 stamp
-}
+_FORCE_RESTAMP: set[str] = set()  # duplicate_spans re-stamped green in r4
 
 
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4788,6 +4786,46 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(joined, "lang", "predicted_lang")
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of `percentiles`: ``approx_percentile``
+    (KLL-style mergeable sketch, accuracy 1/10000) replaces the exact
+    buffered aggregate — partials combine map-side, no single-node
+    percentile buffer.  Rows-only check: the sketch is engine-specific,
+    so no bit-exact DuckDB oracle exists by construction; the exact
+    variant (`percentiles`) carries the value-hash evidence."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+            ).alias("_p"),
+            F.round(
+                F.expr("approx_percentile(l_quantity, 0.25, 10000)"), 4
+            ).alias("p25_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("median_price"),
+            F.round(F.col("_p")[1], 4).alias("p90_price"),
+            "p25_qty",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of `profile`: ``approx_count_distinct``
+    (HLL++) replaces the exact multi-distinct, eliminating the Expand
+    stage — one sketch per column, map-side mergeable.  Rows-only: HLL
+    estimates are engine-specific; the exact variant (`profile`) carries
+    the value-hash evidence."""
+    from smartpy_arc_spark.operators.checks import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders, approx=True)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5070,6 +5108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table": q_lift_table,
         "growth_accounting": q_growth_accounting,
         "cohens_kappa": q_cohens_kappa,
+        "percentiles_approx": q_percentiles_approx,
+        "profile_approx": q_profile_approx,
     })
 
 

@@ -165,8 +165,21 @@ def arc_to_spark(data, flds=None, where: str | None = None,
     return _apply_geometry_encoding(df, geometry_encoding)
 
 
-# keep the reference's polars entry-point name as an alias of the modern path
-arc_to_polars = arc_to_spark
+def arc_to_polars(data, flds=None, where: str | None = None,
+                  geometry_encoding: str | None = None, **kw):
+    """Reference entry-point name (arc_utils.py:991-1051): an EAGER polars
+    DataFrame of the scan. When ``polars`` is importable the reference
+    contract is honored exactly (Arrow-native transfer via
+    ``DataFrame.toArrow()`` → ``pl.from_arrow``); otherwise this degrades
+    to the lazy Spark DataFrame from :func:`arc_to_spark` (the documented
+    rename) so the call shape still works in minimal environments."""
+    df = arc_to_spark(data, flds=flds, where=where,
+                      geometry_encoding=geometry_encoding, **kw)
+    try:
+        import polars as pl  # optional dependency, absent in the sandbox
+    except ImportError:
+        return df
+    return pl.from_arrow(df.toArrow())
 
 
 def pandas_to_arc(

@@ -297,6 +297,7 @@ def profile_table(
     columns: list[str] | None = None,
     *,
     scale: int = 100,
+    approx: bool = False,
 ) -> DataFrame:
     """One-pass column profile — the `DESCRIBE`-on-steroids every
     ingestion pipeline runs first: per column, row count, null count,
@@ -306,8 +307,10 @@ def profile_table(
     All columns profile in a SINGLE aggregate over one scan (Catalyst
     expands the multi-distinct into one shuffle); the wide 1-row result
     unpivots to one row per column.  Exact ``count_distinct`` is the
-    oracle-matching choice — at the 100 TB tier swap in
-    ``approx_count_distinct``, the rest of the plan is unchanged.
+    oracle-matching choice; ``approx=True`` swaps in
+    ``approx_count_distinct`` (HLL++, one partial-mergeable sketch per
+    column, NO Expand stage) — the 100 TB configuration — with the rest
+    of the plan unchanged.
 
     Returns ``(column, dtype, n_rows, n_null, n_distinct, min_value,
     max_value, mean_e4)`` — ``mean_e4`` NULL for non-numeric columns.
@@ -321,7 +324,10 @@ def profile_table(
         aggs += [
             F.count("*").alias(f"{c}__n"),
             F.count(F.when(col.isNull(), 1)).alias(f"{c}__nul"),
-            F.count_distinct(col).alias(f"{c}__dis"),
+            (
+                F.approx_count_distinct(col) if approx
+                else F.count_distinct(col)
+            ).alias(f"{c}__dis"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
             (

@@ -99,6 +99,22 @@ def test_compat_arc_to_spark_workspace_path(spark, sf_dir):
     assert df.count() == 5
 
 
+def test_compat_arc_to_polars_reference_name(spark, sf_dir):
+    """Reference call shape (arc_utils.py:991): ``arc_to_polars(data, flds,
+    where)`` resolves by name and returns the scan (polars frame when the
+    optional dep is present, lazy Spark DataFrame otherwise)."""
+    from smartpy_arc_spark import compat
+
+    out = compat.arc_to_polars(f"{sf_dir}//region", flds=["r_name"],
+                               where="r_regionkey < 3")
+    try:
+        import polars as pl
+        assert isinstance(out, pl.DataFrame)
+        assert out.height == 3 and out.columns == ["r_name"]
+    except ImportError:
+        assert out.count() == 3 and out.columns == ["r_name"]
+
+
 def test_compat_pandas_to_features(spark, sf_dir, tmp_path):
     from smartpy_arc_spark import compat
 
