@@ -4826,6 +4826,35 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders, approx=True)
 
 
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale MinHash-LSH configuration: exact duplicates collapse
+    to a min-id representative before banding, and any (band, bucket) above
+    64 members spills to representative star edges instead of quadratic
+    pairs — so one boilerplate-heavy hot bucket can no longer dominate the
+    stage.  Rows-only (xxhash64 family); `minhash_pairs` is the uncapped
+    classic-LSH reference output."""
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, shingle_mode="word", shingle_size=3,
+        collapse_exact=True, max_bucket_size=64,
+    )
+
+
+def q_lsh_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket diagnostics for the capped configuration: bucket
+    counts, hottest bucket, docs in oversized buckets, and quadratic-vs-
+    star-spilled pair counts — the no-silent-truncation audit companion of
+    `minhash_pairs_capped` (rows-only)."""
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_bucket_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_bucket_stats(
+        docs, shingle_mode="word", shingle_size=3, max_bucket_size=64
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5110,6 +5139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "percentiles_approx": q_percentiles_approx,
         "profile_approx": q_profile_approx,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
+        "lsh_bucket_report": q_lsh_bucket_report,
     })
 
 

@@ -167,6 +167,8 @@ def minhash_lsh_candidates(
     shingle_size: int = 5,
     shingle_mode: str = "char",
     bands: int = 4,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -175,10 +177,45 @@ def minhash_lsh_candidates(
     pair.  The join is per-(band, bucket) — the classic LSH trick that
     replaces O(n²) all-pairs with bucket-local pairs.  Output includes the
     signature-agreement Jaccard estimate.
+
+    Hot-bucket hardening (the corpus-scale configuration — boilerplate-heavy
+    corpora put thousands of docs in one bucket, and a single m-member bucket
+    otherwise emits m²/2 pairs):
+
+    - ``collapse_exact=True`` collapses byte-identical texts to their min-id
+      representative BEFORE banding; members link to the representative as
+      star edges with ``jaccard_est=1.0`` (exact — identical text means an
+      identical signature), so cluster connectivity is preserved while the
+      bucket join only ever sees one copy per distinct text.
+    - ``max_bucket_size=m`` spills every (band, bucket) larger than ``m`` to
+      a representative-only pass: members pair with the bucket's min-id
+      member (m-1 star edges, real signature-agreement estimates) instead of
+      forming C(m,2) pairs.  Connected-components downstream recovers the
+      same clusters when bucket members are genuinely similar; the
+      approximation is quantified — never silent — via
+      :func:`minhash_lsh_bucket_stats` over the same banding.
+
+    Defaults keep both off, making the output bit-identical to classic LSH.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+
+    star_exact = None
+    if collapse_exact:
+        # min-id representative per byte-identical text: one window shuffle
+        # on the text hash, then members drop out of the LSH phase entirely
+        keyed = df.select(id_col, text_col).withColumn(
+            "_th", F.xxhash64(F.col(text_col))
+        )
+        rep = F.min(id_col).over(W.partitionBy("_th"))
+        keyed = keyed.withColumn("_rep", rep)
+        star_exact = (
+            keyed.where(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        df = keyed.where(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
+
     sigs = minhash_signatures(
         df,
         text_col=text_col,
@@ -210,14 +247,33 @@ def minhash_lsh_candidates(
     # the bucket self-join carries ONLY ids: at corpus scale the shuffle is
     # bands× the id column, not bands× a num_hashes-long signature array.
     # Signatures re-attach afterwards to the (far smaller) candidate set.
+    star_capped = None
+    if max_bucket_size is not None:
+        # one window shuffle on the join key computes bucket size + min-id
+        # representative; oversized buckets divert to star edges
+        wb = W.partitionBy("band", "bucket")
+        sized = banded.withColumn("_m", F.count("*").over(wb)).withColumn(
+            "_rep", F.min(id_col).over(wb)
+        )
+        star_capped = (
+            sized.where(
+                (F.col("_m") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        banded = sized.where(F.col("_m") <= max_bucket_size).select(
+            id_col, "band", "bucket"
+        )
     left = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     right = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star_capped is not None:
+        pairs = pairs.unionAll(star_capped)
+    pairs = pairs.distinct()
     pairs = (
         pairs.join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")), "id_b")
@@ -227,10 +283,76 @@ def minhash_lsh_candidates(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
         )
     )
-    return pairs.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         F.round(agree * F.lit(1.0) / F.lit(num_hashes), 4).alias("jaccard_est"),
+    )
+    if star_exact is not None:
+        out = out.unionAll(
+            star_exact.select("id_a", "id_b", F.lit(1.0).alias("jaccard_est"))
+        )
+    return out
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+    shingle_mode: str = "char",
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-band LSH bucket diagnostics — the report that makes
+    ``max_bucket_size`` capping auditable rather than silent.
+
+    For each band: bucket count, largest bucket, docs in oversized buckets,
+    the quadratic pair count classic LSH would emit, and the pair count
+    after star-spilling oversized buckets.  Run alongside
+    :func:`minhash_lsh_candidates` (same banding, so the numbers describe
+    exactly the join being capped); at 100 TB this is one extra
+    groupBy-on-the-join-key aggregate over already-computed signatures.
+    """
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_size=shingle_size, shingle_mode=shingle_mode,
+    )
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("minhash_sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.lit(None)
+    per_bucket = banded.groupBy("band", "bucket").agg(F.count("*").alias("m"))
+    quad = (F.col("m") * (F.col("m") - 1) / 2).cast("long")
+    spilled = F.when(cap.isNotNull() & (F.col("m") > cap), F.col("m") - 1).otherwise(quad)
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("m").alias("max_bucket"),
+            F.sum(
+                F.when(cap.isNotNull() & (F.col("m") > cap), F.col("m")).otherwise(0)
+            ).alias("docs_in_capped_buckets"),
+            F.sum(quad).alias("pairs_uncapped"),
+            F.sum(spilled).alias("pairs_after_cap"),
+        )
+        .orderBy("band")
     )
 
 
@@ -401,12 +523,35 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance ≤ ``max_hamming`` via the
     pigeonhole banding trick: split the 64-bit signature into ``chunks``
     16-bit chunks; any pair within distance < chunks must agree on ≥1 chunk,
     so bucket-join on (chunk index, chunk value), then exact-filter by
-    popcount of XOR."""
+    popcount of XOR.
+
+    ``collapse_exact`` / ``max_bucket_size`` mirror
+    :func:`minhash_lsh_candidates`: byte-identical texts collapse to a
+    min-id representative (star edges, hamming 0) before signing, and
+    chunk buckets larger than the cap spill to representative star edges
+    (still exact-filtered by real popcount) instead of quadratic pairs."""
+    star_exact = None
+    if collapse_exact:
+        keyed = df.select(id_col, text_col).withColumn(
+            "_th", F.xxhash64(F.col(text_col))
+        )
+        keyed = keyed.withColumn("_rep", F.min(id_col).over(W.partitionBy("_th")))
+        star_exact = (
+            keyed.where(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+        df = keyed.where(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
     sigs = simhash(df, text_col=text_col, id_col=id_col)
     width = 64 // chunks
     chunk_cols = F.array(
@@ -420,6 +565,28 @@ def simhash_candidates(
     banded = sigs.select(
         id_col, "simhash", F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val")
     )
+    star_capped = None
+    if max_bucket_size is not None:
+        wb = W.partitionBy("chunk_idx", "chunk_val")
+        # min-by-id representative: carry (id, sig) as a struct so the
+        # star edge keeps the representative's signature for the popcount
+        rep = F.min(F.struct(F.col(id_col), F.col("simhash"))).over(wb)
+        sized = banded.withColumn("_m", F.count("*").over(wb)).withColumn("_rep", rep)
+        star_capped = (
+            sized.where(
+                (F.col("_m") > max_bucket_size)
+                & (F.col(id_col) != F.col("_rep")[id_col])
+            )
+            .select(
+                F.col("_rep")[id_col].alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_rep")["simhash"].alias("sig_a"),
+                F.col("simhash").alias("sig_b"),
+            )
+        )
+        banded = sized.where(F.col("_m") <= max_bucket_size).select(
+            id_col, "simhash", "chunk_idx", "chunk_val"
+        )
     left = banded.select(
         "chunk_idx", "chunk_val",
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
@@ -432,14 +599,19 @@ def simhash_candidates(
         left.join(right, on=["chunk_idx", "chunk_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
     )
+    if star_capped is not None:
+        pairs = pairs.unionAll(star_capped)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
+    out = (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if star_exact is not None:
+        out = out.unionAll(star_exact)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,73 @@ def test_minhash_lsh_finds_dup_pair(docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_minhash_hot_bucket_collapse_exact(spark, docs):
+    """10k byte-identical docs: collapse_exact keeps the candidate count
+    LINEAR (9,999 star edges to the min-id representative) where classic
+    LSH would emit ~50M quadratic pairs; near/far behavior of the distinct
+    texts is unchanged."""
+    boiler = spark.range(10, 10_010).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page " * 8).alias("text")
+    )
+    corpus = docs.unionAll(boiler)
+    pairs = minhash_lsh_candidates(corpus, collapse_exact=True).collect()
+    star = [(r.id_a, r.id_b) for r in pairs if r.id_a == 10]
+    assert len(star) == 9_999 and all(r.jaccard_est <= 1.0 for r in pairs)
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
+    # bounded total: stars + the small distinct-doc candidate set
+    assert len(pairs) < 10_010
+
+
+def test_minhash_hot_bucket_cap_star_spill(spark):
+    """Distinct-but-near-identical docs over the cap: the oversized bucket
+    spills to m-1 representative star edges (real signature-agreement
+    estimates), not C(m,2) pairs, and nothing is silently dropped — every
+    member still connects to the bucket representative."""
+    n = 500
+    base = "shared legal disclaimer text repeated across pages " * 5
+    near = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base), F.col("id").cast("string")).alias("text"),
+    )
+    capped = minhash_lsh_candidates(near, max_bucket_size=32)
+    rows = capped.collect()
+    # linear, not quadratic: <= bands * (m-1) + small-bucket pairs
+    assert 0 < len(rows) < 5_000
+    ids_linked = {r.id_b for r in rows} | {r.id_a for r in rows}
+    assert len(ids_linked) == n  # every doc reaches its representative
+
+
+def test_minhash_bucket_stats_reports_cap(spark):
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_bucket_stats
+
+    n = 200
+    same = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("identical " * 20).alias("text")
+    )
+    stats = minhash_lsh_bucket_stats(same, max_bucket_size=32).collect()
+    assert len(stats) == 4  # one row per band
+    for r in stats:
+        assert r.max_bucket == n and r.docs_in_capped_buckets == n
+        assert r.pairs_uncapped == n * (n - 1) // 2
+        assert r.pairs_after_cap == n - 1
+
+
+def test_simhash_hot_bucket_hardening(spark, docs):
+    boiler = spark.range(100, 1_100).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page " * 8).alias("text")
+    )
+    corpus = docs.unionAll(boiler)
+    rows = simhash_candidates(
+        corpus, collapse_exact=True, max_bucket_size=32
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert got[(1, 2)] == 0  # exact-dup star edge
+    star = [p for p in got if p[0] == 100]
+    assert len(star) == 999 and all(got[p] == 0 for p in star)
+    assert len(rows) < 2_200  # linear, not ~500k quadratic
+
+
 def test_simhash_hamming(docs):
     sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sigs[1] == sigs[2]
