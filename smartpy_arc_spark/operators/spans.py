@@ -57,17 +57,22 @@ def duplicate_spans(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
 
+    # tokenizer staged behind a projection boundary: slice() inside the
+    # transform lambda re-evaluates its input expression per index (no
+    # CSE in HOF lambdas) — staging keeps gram extraction O(len) per doc
     toks = F.filter(F.split(F.col(text_col), r"\s+", -1), lambda t: t != F.lit(""))
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    tk = F.col("_toks")
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
             # hash immediately: positions shuffle as int64, never strings
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+            lambda i: F.xxhash64(F.array_join(F.slice(tk, i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
-    pos = df.select(
+    pos = staged.select(
         F.col(id_col), F.posexplode(grams).alias("pos0", "gram_h")
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram_h")
 
