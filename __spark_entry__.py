@@ -4855,6 +4855,41 @@ def q_lsh_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro interchange via the pure-Python Object Container File codec
+    (sources/avro.py — the spark-avro SQL datasource jar is absent from
+    this distribution): write an orders slice as deflate-compressed Avro
+    (one container per partition, executor-side), read it back through
+    scan(fmt='avro') with sync-marker-splittable partitions, aggregate.
+    Sums are exact fixed-point (cents as bigint) so the result is
+    independent of the re-partitioned read order."""
+    import os
+    import shutil
+    import tempfile
+
+    from smartpy_arc_spark.sources.avro import write_avro_files
+
+    d = os.path.join(tempfile.gettempdir(), "sas_avro_ws")
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    write_avro_files(orders.repartition(4), os.path.join(d, "orders.avro"))
+    back = scan(spark, d, "orders", fmt="avro")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5141,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_approx": q_profile_approx,
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "lsh_bucket_report": q_lsh_bucket_report,
+        "avro_roundtrip": q_avro_roundtrip,
     })
 
 
@@ -9832,5 +9868,16 @@ def oracle_sql() -> dict[str, str]:
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                        END * 1000000) AS BIGINT) AS kappa_e6
             FROM agg, pe
+        """,
+        "avro_roundtrip": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   min(o_orderdate) AS first_order,
+                   max(o_orderkey) AS max_key
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
     }

@@ -168,6 +168,14 @@ def scan(
 
         register_dbf_source(spark)
         df = reader.format("dbf").load(path)
+    elif fmt == "avro":
+        # Avro Object Container Files via the pure-Python splittable
+        # reader in sources/avro.py (the spark-avro SQL datasource jar is
+        # not in this distribution)
+        from smartpy_arc_spark.sources.avro import register_avro_source
+
+        register_avro_source(spark)
+        df = reader.format("avro_py").load(path)
     elif fmt in ("shp", "shapefile"):
         # folder-workspace shapefile (arc_pandas.py:17-21): .dbf attributes
         # + .shp geometry as WKB, CRS from the sibling .prj
