@@ -4890,6 +4890,44 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure-Python Huffman + dequant + IDCT +
+    chroma upsampling, multimodal/jpeg.py): quality-100 constant-color
+    images — a mix of 4:4:4 and 4:2:0 layouts — round-trip through
+    genuine entropy-coded JFIF bytes.  At quality 100 the quantizer is
+    all-ones, so a constant block survives the DCT path exactly and the
+    decoded color is the closed-form YCbCr↔RGB integer roundtrip
+    (floor(x+0.5) rounding) the SQL oracle mirrors."""
+    from smartpy_arc_spark.multimodal.codecs import jpeg_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.jpeg import make_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                color = ((d * 37 + 11) % 256, (d * 59 + 5) % 256,
+                         (d * 23 + 101) % 256)
+                h = 8 * (1 + d % 2)
+                img = np.full((h, 16, 3), color, dtype=np.uint8)
+                payloads.append(
+                    make_jpeg(img, quality=100, subsample=(d % 3 == 0))
+                )
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return jpeg_features(blobs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5177,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_capped": q_minhash_pairs_capped,
         "lsh_bucket_report": q_lsh_bucket_report,
         "avro_roundtrip": q_avro_roundtrip,
+        "jpeg_decode": q_jpeg_decode,
     })
 
 
@@ -9868,6 +9907,38 @@ def oracle_sql() -> dict[str, str]:
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                        END * 1000000) AS BIGINT) AS kappa_e6
             FROM agg, pe
+        """,
+        "jpeg_decode": """
+            -- closed-form mirror of the quality-100 constant-color JPEG
+            -- decode: YCbCr forward+inverse with floor(x+0.5) rounding
+            WITH src AS (
+                SELECT doc_id,
+                       (doc_id * 37 + 11) % 256 AS r,
+                       (doc_id * 59 + 5) % 256 AS g,
+                       (doc_id * 23 + 101) % 256 AS b,
+                       8 * (1 + doc_id % 2) AS h
+                FROM documents WHERE doc_id < 150
+            ), ycc AS (
+                SELECT doc_id, h,
+                       greatest(0, least(255, floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                       greatest(0, least(255, floor(128 - 0.168736*r - 0.331264*g + 0.5*b + 0.5))) AS cb,
+                       greatest(0, least(255, floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
+                FROM src
+            ), rgb AS (
+                SELECT doc_id, h,
+                       greatest(0, least(255, floor(y + 1.402*(cr-128) + 0.5))) AS rr,
+                       greatest(0, least(255, floor(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS gg,
+                       greatest(0, least(255, floor(y + 1.772*(cb-128) + 0.5))) AS bb
+                FROM ycc
+            )
+            SELECT doc_id AS item_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels,
+                   CAST(rr * 100 AS BIGINT) AS mean_r_e2,
+                   CAST(gg * 100 AS BIGINT) AS mean_g_e2,
+                   CAST(bb * 100 AS BIGINT) AS mean_b_e2
+            FROM rgb
         """,
         "avro_roundtrip": """
             SELECT o_orderstatus,

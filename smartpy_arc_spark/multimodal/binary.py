@@ -59,17 +59,36 @@ def decode_image_meta(
     The iterator-of-batches shape is the real contract: each Arrow batch is
     decoded in-place on the executor, output schema is fixed
     (``IMAGE_META_SCHEMA``), null payloads pass through as null metadata.
-    Swap ``_stub_image_meta`` for a PIL ``Image.open(BytesIO(...))`` call
-    when the decoder is available.
+
+    ``stub=False`` runs the REAL pure-Python decoders (``codecs.py`` /
+    ``jpeg.py``): the container format is sniffed from magic bytes —
+    JPEG (``FF D8``), PNG, BMP — and width/height come from an actual
+    decode.  Unrecognized payloads yield ``format=NULL`` with null
+    dimensions rather than an error (corpus-scale decode must not die on
+    one bad file).  ``stub=True`` keeps the arithmetic fake whose output
+    an external oracle can recompute from the payload length alone.
     """
     from smartpy_arc_spark.session import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
-    if not stub:
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not present in this "
-            "container — run with stub=True for the deterministic fake"
-        )
+
+    def real_meta(item_id: int, payload: bytes) -> tuple:
+        from smartpy_arc_spark.multimodal.codecs import parse_bmp, parse_png
+        from smartpy_arc_spark.multimodal.jpeg import parse_jpeg
+
+        try:
+            if payload[:2] == b"\xff\xd8":
+                img = parse_jpeg(payload)
+                return (item_id, len(payload), img.shape[1], img.shape[0], "jpeg")
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                img = parse_png(payload)
+                return (item_id, len(payload), img.shape[1], img.shape[0], "png")
+            if payload[:2] == b"BM":
+                img = parse_bmp(payload)
+                return (item_id, len(payload), img.shape[1], img.shape[0], "bmp")
+        except Exception:
+            pass  # corrupt container: report unknown, keep the row
+        return (item_id, len(payload), None, None, None)
 
     def decode(batches):
         for pdf in batches:
@@ -77,8 +96,10 @@ def decode_image_meta(
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     out.append((item_id, None, None, None, None))
-                else:
+                elif stub:
                     out.append(_stub_image_meta(int(item_id), bytes(payload)))
+                else:
+                    out.append(real_meta(int(item_id), bytes(payload)))
             yield pd.DataFrame(
                 out, columns=["item_id", "n_bytes", "width", "height", "format"]
             )
@@ -185,17 +206,45 @@ def resize_image(
     height: int = 64,
     stub: bool = True,
 ) -> DataFrame:
-    """Image resize stub: payload → fixed-size payload (truncate/cycle to
-    ``width*height`` bytes) + output dims — the in-place transform shape
-    (binary in, binary out, metadata updated) a PIL ``resize`` would have."""
+    """Image resize: payload → resized payload + output dims (binary in,
+    binary out, metadata updated — the in-place media-transform shape).
+
+    ``stub=False`` (the real path): sniff the container (JPEG/PNG/BMP),
+    decode with the pure-Python codecs, nearest-neighbor resample to
+    ``width×height``, re-encode as PNG (lossless, so the output is a
+    deterministic function of the input bytes).  Unrecognized payloads
+    pass through as null.  ``stub=True`` keeps the legacy truncate/cycle
+    fake for the arithmetic-oracle queries."""
     from smartpy_arc_spark.session import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
-    if not stub:
-        raise NotImplementedError("real resize requires PIL/opencv")
     target = width * height
 
     def resize(batches):
+        import numpy as np
+
+        from smartpy_arc_spark.multimodal.codecs import make_png, parse_bmp, parse_png
+        from smartpy_arc_spark.multimodal.jpeg import parse_jpeg
+
+        def real_resize(b: bytes) -> bytes | None:
+            try:
+                if b[:2] == b"\xff\xd8":
+                    img = parse_jpeg(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = parse_png(b)
+                elif b[:2] == b"BM":
+                    img = parse_bmp(b)
+                else:
+                    return None
+            except Exception:
+                return None
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            h0, w0, _ = img.shape
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            return make_png(img[ys][:, xs])
+
         for pdf in batches:
             ids, payloads = [], []
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -204,8 +253,11 @@ def resize_image(
                     payloads.append(None)
                     continue
                 b = bytes(payload)
-                reps = (target // max(len(b), 1)) + 1
-                payloads.append((b * reps)[:target])
+                if stub:
+                    reps = (target // max(len(b), 1)) + 1
+                    payloads.append((b * reps)[:target])
+                else:
+                    payloads.append(real_resize(b))
             yield pd.DataFrame(
                 {"item_id": ids, "payload": payloads,
                  "width": [width] * len(ids), "height": [height] * len(ids)}

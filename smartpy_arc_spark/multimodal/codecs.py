@@ -331,6 +331,51 @@ def png_features(
     return out.withColumnRenamed("__id", id_col)
 
 
+def jpeg_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode baseline-JPEG payloads (real Huffman + IDCT via
+    ``multimodal/jpeg.py``) → ``(id, width, height, n_channels,
+    mean_r_e2, mean_g_e2, mean_b_e2)`` — the same feature contract as
+    :func:`png_features` / :func:`bmp_features`, so pipelines swap
+    containers freely."""
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smartpy_arc_spark.multimodal.jpeg import parse_jpeg
+
+        for pdf in batches:
+            out = {"__id": [], "width": [], "height": [], "n_channels": [],
+                   "mean_r_e2": [], "mean_g_e2": [], "mean_b_e2": []}
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                img = parse_jpeg(bytes(payload))
+                h, w, ch = img.shape
+                sums = img.reshape(-1, ch).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["__id"].append(item_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(ch)
+                for k, c in zip(("mean_r_e2", "mean_g_e2", "mean_b_e2"), range(3)):
+                    v = int(round(sums[min(c, ch - 1)] * 100 / n)) if n else 0
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(
+        decode,
+        "__id long, width int, height int, n_channels int, "
+        "mean_r_e2 long, mean_g_e2 long, mean_b_e2 long",
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
 # ---------------------------------------------------------- perceptual hash
 
 def average_hash_array(img: np.ndarray, *, grid: int = 8) -> int:
