@@ -4928,6 +4928,49 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_features(blobs)
 
 
+def _supplier_edges(spark: SparkSession, sf_dir: str, cap: int = 40) -> DataFrame:
+    """Bounded supplier co-order graph (same fixture as bfs_hops /
+    label_propagation): distinct (src < dst) pairs sharing an order."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("dst"))
+    return (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .where((F.col("src") <= cap) & (F.col("dst") <= cap))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition of the supplier co-order
+    graph, per community, in exact integer arithmetic (L_c·4m − D_c² over
+    4m² — one division per community, no float accumulation).  The
+    quality gate every community-detection output is judged by."""
+    from smartpy_arc_spark.operators.components import modularity
+
+    edges = _supplier_edges(spark, sf_dir)
+    asg = (
+        _t(spark, sf_dir, "supplier")
+        .where("s_suppkey <= 40")
+        .select(F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("community"))
+    )
+    return modularity(edges, asg).orderBy("community")
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Louvain (synchronous parity-gated local
+    moves + coarsening) over the supplier co-order graph.  Rows-only (the
+    sweep fixpoint has no SQL form); determinism, clique recovery and
+    modularity improvement are pinned by unit tests, and the companion
+    `modularity` query is the exact quality oracle."""
+    from smartpy_arc_spark.operators.components import louvain_communities
+
+    edges = _supplier_edges(spark, sf_dir)
+    return louvain_communities(edges, max_levels=2, max_sweeps=4)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5216,6 +5259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_report": q_lsh_bucket_report,
         "avro_roundtrip": q_avro_roundtrip,
         "jpeg_decode": q_jpeg_decode,
+        "modularity": q_modularity,
+        "louvain": q_louvain,
     })
 
 
@@ -9907,6 +9952,43 @@ def oracle_sql() -> dict[str, str]:
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                        END * 1000000) AS BIGINT) AS kappa_e6
             FROM agg, pe
+        """,
+        "modularity": """
+            WITH e AS (
+                SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+                FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                  AND a.l_suppkey <= 40 AND b.l_suppkey <= 40
+            ), mm AS (SELECT count(*) AS m FROM e),
+            deg AS (
+                SELECT n, count(*) AS k FROM (
+                    SELECT s AS n FROM e UNION ALL SELECT d AS n FROM e
+                ) GROUP BY n
+            ),
+            asg AS (
+                SELECT s_suppkey AS n, s_nationkey AS c
+                FROM supplier WHERE s_suppkey <= 40
+            ),
+            pcd AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(sum(k) AS BIGINT) AS total_degree
+                FROM deg JOIN asg USING (n) GROUP BY c
+            ),
+            intr AS (
+                SELECT ca.c AS c, CAST(count(*) AS BIGINT) AS internal_edges
+                FROM e JOIN asg ca ON e.s = ca.n JOIN asg cb ON e.d = cb.n
+                WHERE ca.c = cb.c GROUP BY ca.c
+            )
+            SELECT pcd.c AS community, n_nodes,
+                   CAST(coalesce(internal_edges, 0) AS BIGINT) AS internal_edges,
+                   total_degree,
+                   CAST(round(
+                       CAST(coalesce(internal_edges, 0) * 4 * mm.m
+                            - total_degree * total_degree AS DOUBLE)
+                       / CAST(4 * mm.m * mm.m AS DOUBLE) * 1e9
+                   ) AS BIGINT) AS contribution_e9
+            FROM pcd LEFT JOIN intr ON pcd.c = intr.c CROSS JOIN mm
+            ORDER BY community
         """,
         "jpeg_decode": """
             -- closed-form mirror of the quality-100 constant-color JPEG

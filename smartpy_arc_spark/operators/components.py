@@ -630,3 +630,291 @@ def hits(
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# community quality + Louvain
+
+
+def modularity(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a given partition, per community, in exact
+    integer arithmetic.
+
+    ``Q = Σ_c [ L_c/m − (D_c/2m)² ]`` over communities c, with ``L_c`` =
+    edges inside c, ``D_c`` = total degree of c's nodes, ``m`` = edge
+    count.  Each community's contribution is computed as the integer
+    ``L_c·4m − D_c²`` over the common denominator ``4m²`` — one exact
+    division per community, no float accumulation, so the result is
+    bit-identical on any engine and any partitioning (the quality gate
+    for Louvain/label-propagation outputs).
+
+    Plan: one distinct-edge pass, one degree aggregate, two broadcast-able
+    joins against the (small) assignment, one groupBy(community).
+    Returns ``(community, n_nodes, internal_edges, total_degree,
+    contribution_e9)``; ``Q×10⁹ = Σ contribution_e9`` up to per-community
+    rounding.
+    """
+    e0 = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).where(F.col("s") != F.col("d"))
+    edges = (
+        e0.select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    asg = assignment.select(
+        F.col(node_col).alias("n"), F.col(community_col).alias("c")
+    )
+    m = edges.count()
+    deg = (
+        edges.select(F.col("s").alias("n"))
+        .unionAll(edges.select(F.col("d").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("k"))
+    )
+    per_comm_deg = (
+        deg.join(asg, "n")
+        .groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("k").cast("long").alias("total_degree"),
+        )
+    )
+    internal = (
+        edges.join(asg.select(F.col("n").alias("s"), F.col("c").alias("ca")), "s")
+        .join(asg.select(F.col("n").alias("d"), F.col("c").alias("cb")), "d")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    li = F.coalesce(F.col("internal_edges"), F.lit(0))
+    return per_comm_deg.join(internal, "c", "left").select(
+        F.col("c").alias("community"),
+        "n_nodes",
+        li.cast("long").alias("internal_edges"),
+        "total_degree",
+        F.round(
+            (li * F.lit(4 * m) - F.col("total_degree") * F.col("total_degree"))
+            .cast("double")
+            / F.lit(float(4 * m * m))
+            * 1e9
+        ).cast("long").alias("contribution_e9"),
+    )
+
+
+def louvain_communities(
+    pairs: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_levels: int = 3,
+    max_sweeps: int = 4,
+) -> DataFrame:
+    """Deterministic distributed Louvain (Blondel et al. 2008, J. Stat.
+    Mech. P10008) — synchronous parallel local moves + graph coarsening.
+
+    Classic Louvain is a sequential node-visit algorithm; the distributed
+    form here replaces the visit order with SYNCHRONOUS sweeps: every
+    node evaluates the standard modularity gain
+    ``ΔQ ∝ k_{i→c} − k_i·Σ_tot(c\\i)/2m`` against all neighboring
+    communities at once and the best move is applied to all nodes of one
+    id-parity per sweep (alternating parity prevents the two-node swap
+    oscillation synchronous updates are prone to; ties break to the
+    smallest community id, so the run is fully reproducible).  After
+    ``max_sweeps`` sweeps a level coarsens: communities collapse to
+    supernodes with summed edge weights and self-loops carrying internal
+    weight, and the next level repeats on the (much smaller) graph.
+
+    Everything is joins + grouped aggregates keyed by node or community —
+    no driver-side graph; ``localCheckpoint`` truncates lineage per sweep.
+    Returns ``(node, community)`` for the ORIGINAL nodes; community ids
+    are (coarsened) node ids.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e0 = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"), w.alias("w")
+    ).where(F.col("s") != F.col("d"))
+    # undirected, both directions, parallel edges collapsed by weight-sum
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+        )
+        .groupBy("s", "d")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # node -> final community, threaded through levels
+    mapping = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=True)
+    selfw = None  # (node, sw): collapsed internal weight (2×internal edges)
+
+    for _level in range(max_levels):
+        two_m = edges.agg(F.sum("w")).first()[0] or 0.0
+        if selfw is not None:
+            two_m += selfw.agg(F.sum("sw")).first()[0] or 0.0
+        if two_m == 0:
+            break
+        deg = edges.groupBy("s").agg(F.sum("w").alias("k"))
+        if selfw is not None:
+            deg = (
+                deg.join(selfw.withColumnRenamed("node", "s"), "s", "outer")
+                .select(
+                    "s",
+                    (
+                        F.coalesce("k", F.lit(0.0))
+                        + F.coalesce("sw", F.lit(0.0))
+                    ).alias("k"),
+                )
+            )
+        assign = deg.select(F.col("s").alias("node")).select(
+            "node", F.col("node").alias("comm")
+        ).localCheckpoint(eager=True)
+        moved_any = False
+        for sweep in range(max_sweeps):
+            tot = (
+                assign.join(deg.withColumnRenamed("s", "node"), "node")
+                .groupBy("comm")
+                .agg(F.sum("k").alias("tot"))
+            )
+            # k_{i -> c}: weight from node i into community c
+            k_to = (
+                edges.join(
+                    assign.select(
+                        F.col("node").alias("d"), F.col("comm").alias("cand")
+                    ),
+                    "d",
+                )
+                .groupBy(F.col("s").alias("node"), "cand")
+                .agg(F.sum("w").alias("k_in"))
+            )
+            cur = assign.join(deg.withColumnRenamed("s", "node"), "node")
+            # candidate set = neighbor communities ∪ the current community
+            cands = (
+                k_to.unionByName(
+                    cur.select(
+                        "node", F.col("comm").alias("cand"),
+                        F.lit(0.0).alias("k_in"),
+                    )
+                )
+                .groupBy("node", "cand")
+                .agg(F.max("k_in").alias("k_in"))
+            )
+            scored = (
+                cands.join(cur, "node")
+                .join(tot.withColumnRenamed("comm", "cand"), "cand")
+                .select(
+                    "node",
+                    "cand",
+                    "comm",
+                    (
+                        F.col("k_in")
+                        - F.col("k")
+                        * (
+                            F.col("tot")
+                            - F.when(
+                                F.col("cand") == F.col("comm"), F.col("k")
+                            ).otherwise(F.lit(0.0))
+                        )
+                        / F.lit(two_m)
+                    ).alias("gain"),
+                )
+            )
+            best = (
+                scored.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))
+                    ).alias("top")
+                )
+                .select("node", (-F.col("top.nc")).alias("best"))
+            )
+            nxt = (
+                assign.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        (F.col("node") % 2 == F.lit(sweep % 2))
+                        & F.col("best").isNotNull(),
+                        F.col("best"),
+                    )
+                    .otherwise(F.col("comm"))
+                    .alias("comm"),
+                    (
+                        F.coalesce(F.col("best"), F.col("comm"))
+                        != F.col("comm")
+                    ).alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.where(
+                F.col("__chg") & (F.col("node") % 2 == F.lit(sweep % 2))
+            ).limit(1).count()
+            assign = nxt.drop("__chg")
+            if changed:
+                moved_any = True
+            elif sweep % 2 == 1:
+                break  # both parities converged
+        # canonical community id: smallest member node id
+        canon = assign.groupBy("comm").agg(F.min("node").alias("cid"))
+        assign = assign.join(canon, "comm").select(
+            "node", F.col("cid").alias("comm")
+        ).localCheckpoint(eager=True)
+        mapping = (
+            mapping.join(
+                assign.withColumnRenamed("node", "community"), "community"
+            )
+            .select("node", F.col("comm").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        if not moved_any:
+            break
+        # coarsen: communities -> supernodes
+        ec = (
+            edges.join(
+                assign.select(F.col("node").alias("s"), F.col("comm").alias("cs")),
+                "s",
+            )
+            .join(
+                assign.select(F.col("node").alias("d"), F.col("comm").alias("cd")),
+                "d",
+            )
+        )
+        new_selfw = (
+            ec.where(F.col("cs") == F.col("cd"))
+            .groupBy(F.col("cs").alias("node"))
+            .agg(F.sum("w").alias("sw"))
+        )
+        if selfw is not None:
+            old = selfw.join(
+                assign.withColumnRenamed("node", "node0"), 
+                selfw["node"] == F.col("node0"),
+            ).groupBy(F.col("comm").alias("node")).agg(F.sum("sw").alias("sw"))
+            new_selfw = (
+                new_selfw.unionByName(old)
+                .groupBy("node")
+                .agg(F.sum("sw").alias("sw"))
+            )
+        selfw = new_selfw.localCheckpoint(eager=True)
+        edges = (
+            ec.where(F.col("cs") != F.col("cd"))
+            .groupBy(F.col("cs").alias("s"), F.col("cd").alias("d"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return mapping.select("node", "community")

@@ -124,3 +124,54 @@ def test_pagerank_symmetric_star(spark):
     assert pr["h"] > max(leaves)
     assert max(leaves) - min(leaves) < 1e-12
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_louvain_recovers_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge: Louvain assigns each
+    clique one community, and its partition's modularity beats both the
+    singleton and the one-community partitions."""
+    from smartpy_arc_spark.operators.components import (
+        louvain_communities,
+        modularity,
+    )
+
+    edges = []
+    for base in (0, 10):
+        edges += [(base + i, base + j) for i in range(5) for j in range(i + 1, 5)]
+    edges.append((0, 10))  # bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in louvain_communities(e).collect()}
+    c_a = {got[i] for i in range(5)}
+    c_b = {got[10 + i] for i in range(5)}
+    assert len(c_a) == 1 and len(c_b) == 1 and c_a != c_b
+
+    def q_of(assign_rows):
+        a = spark.createDataFrame(assign_rows, "node long, community long")
+        return sum(
+            r.contribution_e9 for r in modularity(e, a).collect()
+        )
+
+    q_louvain = q_of([(n, c) for n, c in got.items()])
+    q_single = q_of([(n, n) for n in got])
+    q_one = q_of([(n, 0) for n in got])
+    assert q_louvain > q_single and q_louvain > q_one
+    # determinism: a second run is identical
+    again = {r.node: r.community
+             for r in louvain_communities(e).collect()}
+    assert again == got
+
+
+def test_modularity_exact_values(spark):
+    """Hand-computable case: two disjoint triangles.  m=6, each community
+    has L=3, D=6 → contribution = (3·24 − 36)/144 = 0.25 per community."""
+    from smartpy_arc_spark.operators.components import modularity
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = spark.createDataFrame(
+        [(n, n // 10) for n in (0, 1, 2, 10, 11, 12)], "node long, community long"
+    )
+    rows = {r.community: r for r in modularity(e, a).collect()}
+    for c in (0, 1):
+        assert rows[c].internal_edges == 3 and rows[c].total_degree == 6
+        assert rows[c].contribution_e9 == 250_000_000
