@@ -4971,6 +4971,46 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_communities(edges, max_levels=2, max_sweeps=4)
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic calibration over the reliability-diagram fixture:
+    minimax closed form (max-min of interval averages from integer prefix
+    sums) — PAV's answer without PAV's sequential sweep.  The monotone
+    companion of `calibration`."""
+    from smartpy_arc_spark.operators.stats import isotonic_fit
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor(
+            ((F.col("o_orderkey") * 37) % 1000).cast("double") / 1000.0 * 10
+        ).alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+    )
+    return isotonic_fit(orders, "bin", "y")
+
+
+def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards score test + one-step β̂ for account
+    balance as a continuous covariate of order-span survival (same
+    duration/event fixture as kaplan_meier/log_rank; Breslow ties,
+    per-event-time integer-millionth terms)."""
+    from smartpy_arc_spark.operators.stats import cox_one_step
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    per_c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("dur"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("int")
+            .alias("ev"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return cox_one_step(per_c, "dur", "ev", "c_acctbal")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5261,6 +5301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "modularity": q_modularity,
         "louvain": q_louvain,
+        "isotonic": q_isotonic,
+        "cox_score": q_cox_score,
     })
 
 
@@ -9952,6 +9994,100 @@ def oracle_sql() -> dict[str, str]:
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                        END * 1000000) AS BIGINT) AS kappa_e6
             FROM agg, pe
+        """,
+        "isotonic": """
+            WITH src AS (
+                SELECT CAST(floor(((o_orderkey * 37) % 1000) / 1000.0 * 10)
+                            AS BIGINT) AS bin,
+                       CASE WHEN o_orderstatus = 'F' THEN 1000000 ELSE 0 END
+                           AS ys
+                FROM orders
+            ), bins AS (
+                SELECT bin, CAST(count(*) AS BIGINT) AS w,
+                       CAST(sum(ys) AS BIGINT) AS s
+                FROM src GROUP BY bin
+            ), pre AS (
+                SELECT bin, w, s,
+                       CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+                       CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+                FROM bins
+            ), pairs AS (
+                SELECT lo.bin AS i, hi.bin AS j,
+                       CAST(hi.cs - (lo.cs - lo.s) AS DOUBLE)
+                       / CAST(hi.cw - (lo.cw - lo.w) AS DOUBLE) AS avg
+                FROM pre lo JOIN pre hi ON lo.bin <= hi.bin
+            ), inner_ AS (
+                SELECT pairs.i, kb.bin AS k, min(avg) AS mn
+                FROM pairs JOIN bins kb
+                  ON pairs.j >= kb.bin AND pairs.i <= kb.bin
+                GROUP BY pairs.i, kb.bin
+            ), iso AS (
+                SELECT k AS bin, CAST(round(max(mn)) AS BIGINT) AS y_iso_e6
+                FROM inner_ GROUP BY k
+            )
+            SELECT bins.bin, w AS n_obs,
+                   CAST(round(CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+                        AS BIGINT) AS y_mean_e6,
+                   y_iso_e6
+            FROM bins JOIN iso USING (bin) ORDER BY bin
+        """,
+        "cox_score": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', min(o_orderdate),
+                                      max(o_orderdate)) AS BIGINT) AS t,
+                       max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                           AS e
+                FROM orders GROUP BY o_custkey
+            ), subj AS (
+                SELECT t, e, CAST(round(c_acctbal * 100) AS BIGINT) AS x
+                FROM per_c JOIN customer ON o_custkey = c_custkey
+            ), per_t AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+                       CAST(sum(x) AS BIGINT) AS sx_at,
+                       CAST(sum(x * x) AS BIGINT) AS sxx_at,
+                       CAST(sum(e) AS BIGINT) AS d_t,
+                       CAST(sum(e * x) AS BIGINT) AS s_t
+                FROM subj GROUP BY t
+            ), risk AS (
+                SELECT * FROM (
+                    SELECT t, d_t, s_t,
+                           CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT)
+                               AS n_t,
+                           CAST(sum(sx_at) OVER (ORDER BY t DESC) AS BIGINT)
+                               AS rx_t,
+                           CAST(sum(sxx_at) OVER (ORDER BY t DESC) AS BIGINT)
+                               AS rxx_t
+                    FROM per_t
+                ) WHERE d_t > 0
+            ), terms AS (
+                SELECT CAST(round((CAST(s_t AS DOUBLE)
+                           - CAST(d_t AS DOUBLE)
+                             * (CAST(rx_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                           * 100) AS BIGINT) AS u_term,
+                       CAST(round(CAST(d_t AS DOUBLE)
+                           * (CAST(rxx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                              - (CAST(rx_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                                * (CAST(rx_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                           ) AS BIGINT) AS i_term
+                FROM risk
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(e) AS BIGINT) AS n_events
+                FROM subj
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+                       CAST(sum(u_term) AS BIGINT) AS u_e2,
+                       CAST(sum(i_term) AS BIGINT) AS i_e0
+                FROM terms
+            )
+            SELECT n, n_events, n_event_times, u_e2, i_e0,
+                   CAST(round(CAST(u_e2 AS DOUBLE) / CAST(i_e0 AS DOUBLE)
+                              * 1e4) AS BIGINT) AS beta_e6,
+                   CAST(round(CAST(u_e2 AS DOUBLE) * CAST(u_e2 AS DOUBLE)
+                              / CAST(i_e0 AS DOUBLE) / 1e4 * 1e6)
+                        AS BIGINT) AS chi2_e6
+            FROM agg CROSS JOIN tot
         """,
         "modularity": """
             WITH e AS (

@@ -1467,3 +1467,185 @@ def cohens_kappa(
         e6(pe).alias("pe_e6"),
         e6(kappa).alias("kappa_e6"),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    bin_col: str,
+    y_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact isotonic (monotone nondecreasing) regression over pre-binned
+    data, via the minimax closed form.
+
+    The isotonic solution at bin k is ``ŷ_k = max_{i≤k} min_{j≥k}
+    avg(y over bins i..j)`` — PAV's pool-adjacent-violators result
+    without PAV's sequential sweep, which has no distributed form.  The
+    per-(i, j) interval averages come from prefix sums of the bin table,
+    so the whole fit is exact rational arithmetic: y pre-rounds to
+    integer ``scale`` units, interval averages are one integer division
+    each, and min/max never accumulate float error — the result is
+    bit-identical on any engine.
+
+    Scale shape: the ONLY per-row pass is the groupBy(bin) aggregate;
+    everything after runs on the k-row bin table (k = #bins, bounded by
+    contract — calibration uses 10-100), where the O(k²) interval pairs
+    and O(k³)-ish join are driver-free but trivially small.  The classic
+    use: isotonic calibration of classifier scores (score-bin → observed
+    rate), the monotone counterpart of `calibration_bins`.
+
+    Returns ``(bin, n_obs, y_mean_e6, y_iso_e6)`` ordered by bin;
+    ``y_iso_e6`` is nondecreasing.
+    """
+    from pyspark.sql import Window
+
+    ys = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    bins = (
+        df.select(F.col(bin_col).alias("bin"), ys.alias("ys"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("w"), F.sum("ys").alias("s"))
+    )
+    # prefix sums over the bounded bin table (single tiny partition)
+    wseq = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin", "w", "s",
+        F.sum("w").over(wseq).alias("cw"),
+        F.sum("s").over(wseq).alias("cs"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("i"),
+        (F.col("cw") - F.col("w")).alias("lw"),
+        (F.col("cs") - F.col("s")).alias("ls"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("j"), F.col("cw").alias("hw"), F.col("cs").alias("hs")
+    )
+    # avg over bins i..j, exact single division of integer sums
+    pairs = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i", "j",
+            (
+                (F.col("hs") - F.col("ls")).cast("double")
+                / (F.col("hw") - F.col("lw")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    ks = bins.select(F.col("bin").alias("k"))
+    inner = (
+        pairs.join(ks, F.col("j") >= F.col("k"))
+        .where(F.col("i") <= F.col("k"))
+        .groupBy("i", "k")
+        .agg(F.min("avg").alias("mn"))
+    )
+    iso = (
+        inner.groupBy("k")
+        .agg(F.max("mn").alias("iso"))
+        .select(F.col("k").alias("bin"), F.round("iso").cast("long").alias("y_iso_e6"))
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            F.col("w").cast("long").alias("n_obs"),
+            F.round(F.col("s").cast("double") / F.col("w").cast("double"))
+            .cast("long")
+            .alias("y_mean_e6"),
+            "y_iso_e6",
+        )
+        .orderBy("bin")
+    )
+
+
+def cox_one_step(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    *,
+    x_scale: int = 100,
+) -> DataFrame:
+    """Cox proportional-hazards: exact score test and one-step estimator
+    for a single numeric covariate (Cox 1972; the one-Newton-step-from-0
+    estimator is first-order efficient).
+
+    At each distinct event time t (Breslow ties), with risk set
+    R_t = {i : T_i ≥ t}:
+
+        U(0) = Σ_t [ s_t − d_t·x̄(R_t) ]              (score)
+        I(0) = Σ_t d_t·[ x²̄(R_t) − x̄(R_t)² ]         (information)
+        β̂₁  = U/I,   score χ² = U²/I  (~χ²₁ under H₀)
+
+    Portability: x pre-rounds to integer ``x_scale`` units so every
+    risk-set sum is an integer suffix-cumsum; each event time's U term
+    rounds to integer hundredths and I term to integer units BEFORE the
+    final sum (order-free; I terms are in x²-scaled units, so a finer
+    grid would overflow int64 at corpus scale), then β̂ and χ² are
+    single divisions of those integers.
+
+    Plan: one groupBy(time) pass over subjects, suffix sums over the
+    distinct-time table (bounded by the time resolution — days here, so
+    thousands of rows, one tiny partition), one scalar combine.  This is
+    the survival-analysis companion of `kaplan_meier`/`log_rank_test`
+    for a CONTINUOUS covariate (log-rank covers the two-group case).
+
+    Returns 1 row: ``(n, n_events, n_event_times, u_e2, i_e0, beta_e6,
+    chi2_e6)`` with β̂ and χ² × 10⁶ (x in ``x_scale`` units, so β̂ is
+    per 1/x_scale of x).
+    """
+    from pyspark.sql import Window
+
+    xs = F.round(F.col(x_col).cast("double") * x_scale).cast("long")
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.select(F.col(time_col).alias("t"), xs.alias("x"), ev.alias("e"))
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_at"),
+            F.sum("x").alias("sx_at"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx_at"),
+            F.sum("e").alias("d_t"),
+            F.sum(F.col("e") * F.col("x")).alias("s_t"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t", "d_t", "s_t",
+        F.sum("n_at").over(wdesc).alias("n_t"),
+        F.sum("sx_at").over(wdesc).alias("rx_t"),
+        F.sum("sxx_at").over(wdesc).alias("rxx_t"),
+    ).where(F.col("d_t") > 0)
+    nd = F.col("n_t").cast("double")
+    xbar = F.col("rx_t").cast("double") / nd
+    x2bar = F.col("rxx_t").cast("double") / nd
+    terms = risk.select(
+        "d_t",
+        F.round(
+            (F.col("s_t").cast("double") - F.col("d_t").cast("double") * xbar)
+            * 100
+        ).cast("long").alias("u_term"),
+        F.round(
+            F.col("d_t").cast("double") * (x2bar - xbar * xbar)
+        ).cast("long").alias("i_term"),
+    )
+    totals = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(ev).cast("long").alias("n_events"),
+    )
+    u = F.col("u_e2").cast("double")  # U × 100
+    i = F.col("i_e0").cast("double")  # I × 1
+    return (
+        terms.agg(
+            F.count("*").cast("long").alias("n_event_times"),
+            F.sum("u_term").alias("u_e2"),
+            F.sum("i_term").alias("i_e0"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n", "n_events", "n_event_times", "u_e2", "i_e0",
+            # β = (u/100)/i → ×1e6; χ² = (u/100)²/i → ×1e6
+            F.round(u / i * 1e4).cast("long").alias("beta_e6"),
+            F.round(u * u / i / 1e4 * 1e6).cast("long").alias("chi2_e6"),
+        )
+    )
