@@ -71,6 +71,9 @@ SINGLE_PARTITION_OK = {
     "classification_metrics", # 1-row confusion/Brier combine
     "cohens_kappa",           # 1-row agreement statistic combine
     "lift_table",             # 1-row row-count scalar for the ntile rule
+    "profile_approx",         # 1-row wide profile combine (HLL sketches per column)
+    "isotonic",               # prefix-sum window over the <=k-bin table (k bounded by contract)
+    "cox_score",              # suffix-sum window over distinct event times (time-resolution bounded)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -111,6 +114,8 @@ BNLJ_OK = {
     "log_rank",               # 1-row cohort-total broadcast cross join
     "lift_table",             # 1-row row-count broadcast cross join (ntile)
     "cohens_kappa",           # 1-row chance-agreement broadcast cross join
+    "isotonic",               # k-row bin-table interval joins (i<=j over bounded bins)
+    "cox_score",              # 1-row totals broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
