@@ -5011,6 +5011,62 @@ def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cox_one_step(per_c, "dur", "ev", "c_acctbal")
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (Datasketches HLL): per-(priority,
+    week) customer sketches union into per-priority totals — the re-scan-
+    free pattern for distincts at 100 TB.  Rows-only (HLL estimates are
+    library-specific); exactness on small cardinalities and the
+    union ≤ sum inequality are pinned by unit tests."""
+    from smartpy_arc_spark.operators.sketch import hll_rollup
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "wk", F.date_trunc("week", F.col("o_orderdate"))
+    )
+    return hll_rollup(
+        orders, ["o_orderpriority"], "o_custkey", "wk"
+    ).orderBy("o_orderpriority")
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection (Achlioptas) with a
+    DETERMINISTIC md5-derived sign matrix inlined as literals: map-only,
+    zero shuffle, bit-exact on any engine via in-index-order folds.
+    Output exploded to (vec_id, j, comp) scalars for value-hash compare."""
+    from smartpy_arc_spark.operators.embedding import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").where("vec_id < 300")
+    proj = random_projection(emb, k=8, seed=0)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "comp")
+    )
+
+
+def _random_projection_sql(k: int = 8, d: int = 64, seed: int = 0) -> str:
+    """Oracle generated from the SAME md5 sign derivation as
+    operators/embedding.py:random_projection_signs — literals can't drift."""
+    import math
+
+    from smartpy_arc_spark.operators.embedding import random_projection_signs
+
+    signs = random_projection_signs(k, d, seed=seed)
+    inv = repr(1.0 / math.sqrt(k))
+    parts = []
+    for j in range(k):
+        lits = ", ".join(f"{float(s)!r}" for s in signs[j])
+        fold = (
+            "list_reduce(list_prepend(0.0, "
+            f"list_transform(generate_series(1, {d}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])), "
+            "(a, b) -> a + b)"
+        )
+        parts.append(
+            f"SELECT vec_id, CAST({j} AS INTEGER) AS j, "
+            f"CAST(round({fold} * {inv} * 1000000) AS BIGINT) AS comp "
+            "FROM embeddings WHERE vec_id < 300"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5303,6 +5359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "isotonic": q_isotonic,
         "cox_score": q_cox_score,
+        "hll_rollup": q_hll_rollup,
+        "random_projection": q_random_projection,
     })
 
 
@@ -9995,6 +10053,7 @@ def oracle_sql() -> dict[str, str]:
                        END * 1000000) AS BIGINT) AS kappa_e6
             FROM agg, pe
         """,
+        "random_projection": _random_projection_sql(),
         "isotonic": """
             WITH src AS (
                 SELECT CAST(floor(((o_orderkey * 37) % 1000) / 1000.0 * 10)

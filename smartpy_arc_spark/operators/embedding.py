@@ -355,3 +355,66 @@ def geometric_median(
         [(n, n_iter, [float(c) for c in y])],
         "n long, n_iter int, median array<double>",
     )
+
+
+def random_projection_signs(k: int, d: int, *, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (k × d): sign(j, i) from the
+    parity of the first md5 hex digit of ``"{seed}:{j}:{i}"`` — the same
+    derivation any engine can reproduce, so projections are bit-exact
+    cross-engine without shipping a matrix."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(d)] for j in range(k)]
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    dense ±1 sign matrix (Achlioptas 2003: ±1 entries satisfy the JL
+    lemma with the same guarantees as Gaussians) — the cheap first stage
+    of an embedding pipeline: d → k floats per row before LSH/clustering.
+
+    The matrix is derived per (j, i) from md5 parity
+    (:func:`random_projection_signs`) and inlined as a LITERAL, so the
+    plan is a map-only zip_with/fold per output component — no broadcast
+    join, no shuffle, whole projection inside codegen.  Each component
+    folds ``Σ_i x_i·s_{j,i}`` IN INDEX ORDER (``F.aggregate``), making
+    the float result bit-identical to the same in-order fold on any
+    engine; components land as integer ``scale`` units.
+
+    Returns ``(id_col, proj)`` with ``proj`` an array of k longs
+    (component × scale / √k, rounded).
+    """
+    import math
+
+    signs = random_projection_signs(k, len_of := _emb_dim(df, emb_col), seed=seed)
+    inv = 1.0 / math.sqrt(k)
+    comps = []
+    for j in range(k):
+        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+        folded = F.aggregate(
+            F.zip_with(
+                F.col(emb_col), srow, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(F.round(folded * F.lit(inv) * scale).cast("long"))
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def _emb_dim(df: DataFrame, emb_col: str) -> int:
+    """Embedding width from one row (schema carries no fixed length)."""
+    row = df.select(F.size(emb_col).alias("d")).first()
+    return int(row["d"])

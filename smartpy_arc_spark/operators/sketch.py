@@ -97,3 +97,47 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rollup_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL (Spark 4
+    ``hll_sketch_agg`` / ``hll_union_agg``) — THE pattern for distincts
+    over 100 TB: fine-grained sketches are built once in a single pass,
+    persisted or reused, and every coarser grain is a cheap sketch UNION
+    instead of a re-scan of raw data (exact distincts don't merge:
+    |A ∪ B| ≠ |A| + |B|).
+
+    Builds one sketch per ``group_cols + [rollup_col]`` cell, then unions
+    away ``rollup_col`` — e.g. daily sketches → weekly estimate.  Output:
+    one row per ``group_cols`` with ``n_fine`` (cells merged),
+    ``distinct_est`` (union estimate) and ``sum_fine_est`` (sum of
+    per-cell estimates — the WRONG naive answer, kept so the overlap the
+    union removed is visible: ``sum_fine_est ≥ distinct_est``).
+
+    Rows-only evidence by construction: HLL estimates are
+    library-specific (Datasketches), so no cross-engine value oracle
+    exists; the unit tests pin exactness on small cardinalities and the
+    union-vs-sum inequality.
+    """
+    fine = (
+        df.groupBy(*group_cols, rollup_col)
+        .agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk"),
+        )
+        .withColumn("fine_est", F.hll_sketch_estimate("sk"))
+    )
+    return (
+        fine.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_fine"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est"),
+            F.sum("fine_est").cast("long").alias("sum_fine_est"),
+        )
+    )

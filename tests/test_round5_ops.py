@@ -77,3 +77,47 @@ def test_cox_no_signal_is_insignificant(spark):
     )
     row = cox_one_step(df, "t", "e", "x", x_scale=1).collect()[0]
     assert row.chi2_e6 / 1e6 < 3.84
+
+
+def test_hll_rollup_exact_small_and_union_bound(spark):
+    from smartpy_arc_spark.operators.sketch import hll_rollup
+
+    rows = [("a", d, u) for d in range(3) for u in range(d * 10, d * 10 + 20)]
+    # users overlap across days (d*10..d*10+19): distinct total = 40
+    df = spark.createDataFrame(rows, "g string, day int, user int")
+    out = hll_rollup(df, ["g"], "user", "day").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_fine == 3
+    assert r.distinct_est == 40      # HLL exact at tiny cardinality
+    assert r.sum_fine_est == 60      # 3 days x 20, naive double-count
+    assert r.distinct_est <= r.sum_fine_est
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: projected pairwise distance ratios concentrate near 1,
+    and the projection is deterministic across runs."""
+    from smartpy_arc_spark.operators.embedding import random_projection
+
+    rng = np.random.default_rng(2)
+    d, n, k = 64, 40, 16
+    X = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: np.array(r.proj) / 1e6
+           for r in random_projection(df, k=k).collect()}
+    again = {r.vec_id: np.array(r.proj) / 1e6
+             for r in random_projection(df, k=k).collect()}
+    assert all((out[i] == again[i]).all() for i in range(n))
+    ratios = []
+    for i in range(0, n, 3):
+        for j in range(i + 1, n, 7):
+            orig = np.linalg.norm(X[i] - X[j])
+            proj = np.linalg.norm(out[i] - out[j])
+            ratios.append(proj / orig)
+    ratios = np.array(ratios)
+    # JL with k=16: most ratios within ~40% of 1, mean near 1
+    assert 0.75 < ratios.mean() < 1.25
+    assert (np.abs(ratios - 1) < 0.6).mean() > 0.9
