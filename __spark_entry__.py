@@ -5067,6 +5067,17 @@ def _random_projection_sql(k: int = 8, d: int = 64, seed: int = 0) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly revenue: centered
+    MA-12 trend (half-weight endpoints), per-month-of-cycle seasonal
+    means, remainder — exact integer arithmetic with one division per
+    output value; edge months null as in every classical implementation."""
+    from smartpy_arc_spark.operators.resample import seasonal_decompose
+
+    orders = _t(spark, sf_dir, "orders")
+    return seasonal_decompose(orders, "o_orderdate", "o_totalprice")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5361,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_score": q_cox_score,
         "hll_rollup": q_hll_rollup,
         "random_projection": q_random_projection,
+        "seasonal_decompose": q_seasonal_decompose,
     })
 
 
@@ -10054,6 +10066,50 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "seasonal_decompose": """
+            WITH monthly AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS y
+                FROM orders GROUP BY 1
+            ), mi AS (
+                SELECT month, y,
+                       year(month) * 12 + month(month) AS midx
+                FROM monthly
+            ), t AS (
+                SELECT month, midx, y,
+                       CAST(sum(y) OVER (ORDER BY midx RANGE BETWEEN
+                                         6 PRECEDING AND 6 FOLLOWING)
+                          + sum(y) OVER (ORDER BY midx RANGE BETWEEN
+                                         5 PRECEDING AND 5 FOLLOWING)
+                            AS BIGINT) AS num,
+                       count(*) OVER (ORDER BY midx RANGE BETWEEN
+                                      6 PRECEDING AND 6 FOLLOWING) AS nwin
+                FROM mi
+            ), t2 AS (
+                SELECT *, CASE WHEN nwin = 13 THEN 24 * y - num END AS dx,
+                       midx % 12 AS moc
+                FROM t
+            ), seas AS (
+                SELECT moc,
+                       CAST(round(CAST(sum(dx) AS DOUBLE) * 100
+                                  / (2400.0 * count(*))) AS BIGINT)
+                           AS seasonal_e2
+                FROM t2 WHERE dx IS NOT NULL GROUP BY moc
+            )
+            SELECT month, y AS y_scaled,
+                   CASE WHEN dx IS NOT NULL THEN
+                       CAST(round(CAST(num AS DOUBLE) * 100 / 2400.0)
+                            AS BIGINT)
+                   END AS trend_e2,
+                   seasonal_e2,
+                   CASE WHEN dx IS NOT NULL THEN
+                       CAST(round(CAST(dx AS DOUBLE) * 100 / 2400.0)
+                            AS BIGINT)
+                       - seasonal_e2
+                   END AS remainder_e2
+            FROM t2 LEFT JOIN seas USING (moc) ORDER BY month
+        """,
         "isotonic": """
             WITH src AS (
                 SELECT CAST(floor(((o_orderkey * 37) % 1000) / 1000.0 * 10)

@@ -425,3 +425,101 @@ def time_weighted_avg(
             .alias("twap_e4"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: int = 12,
+    scale: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average STL
+    ancestor, Kendall/Stuart): per calendar month,
+
+        y = trend + seasonal + remainder
+
+    with trend the centered MA of even order ``period`` (half-weight end
+    points: ``(y₋ₕ + 2·Σ y₋ₕ₊₁..ₕ₋₁ + yₕ) / 2·period``, h = period/2) and
+    seasonal the per-month-of-cycle mean of the detrended series.
+
+    Everything is EXACT integer arithmetic until one division per output
+    value: y aggregates to integer ``scale`` units, the MA numerator is an
+    integer window sum over a RANGE frame keyed by month index (so data
+    gaps disqualify a window via the count guard instead of silently
+    shifting it), detrended values stay ×2·period integers, and seasonal
+    means are a single division of integer sums — bit-identical on any
+    engine.  Edge months (first/last h) have null trend/remainder, as in
+    every classical implementation.
+
+    One monthly aggregate, one bounded window pass over the month table
+    (#months rows — calendar-bounded, the `mom_change` allowlist shape),
+    one tiny month-of-cycle join.  Returns ``(month, y_scaled, trend_e2,
+    seasonal_e2, remainder_e2)`` with e2 = hundredths of a value unit.
+    """
+    if period % 2:
+        raise ValueError("period must be even (centered MA of even order)")
+    h = period // 2
+    denom = 2 * period
+    monthly = (
+        df.select(
+            F.date_trunc("month", F.col(ts_col)).alias("month"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("ys"),
+        )
+        .groupBy("month")
+        .agg(F.sum("ys").alias("y"))
+        .withColumn(
+            "midx", F.year("month") * 12 + F.month("month")
+        )
+    )
+    full = W.orderBy("midx").rangeBetween(-h, h)
+    inner = W.orderBy("midx").rangeBetween(-(h - 1), h - 1)
+    t = monthly.select(
+        "month",
+        "midx",
+        "y",
+        (F.sum("y").over(full) + F.sum("y").over(inner)).alias("num"),
+        F.count("*").over(full).alias("nwin"),
+    ).withColumn(
+        "dx", F.when(F.col("nwin") == period + 1, F.lit(denom) * F.col("y") - F.col("num"))
+    )
+    moc = (F.col("midx") % period).alias("moc")  # month-of-cycle
+    seas = (
+        t.where(F.col("dx").isNotNull())
+        .groupBy(moc)
+        .agg(F.sum("dx").alias("sdx"), F.count("*").alias("cnt"))
+        .select(
+            "moc",
+            F.round(
+                F.col("sdx").cast("double") * 100
+                / (F.lit(float(denom * scale)) * F.col("cnt").cast("double"))
+            ).cast("long").alias("seasonal_e2"),
+        )
+    )
+    out = (
+        t.withColumn("moc", F.col("midx") % period)
+        .join(F.broadcast(seas), "moc", "left")
+        .select(
+            "month",
+            F.col("y").alias("y_scaled"),
+            F.when(
+                F.col("dx").isNotNull(),
+                F.round(
+                    F.col("num").cast("double") * 100 / F.lit(float(denom * scale))
+                ).cast("long"),
+            ).alias("trend_e2"),
+            "seasonal_e2",
+            F.when(
+                F.col("dx").isNotNull(),
+                F.round(
+                    F.col("dx").cast("double") * 100 / F.lit(float(denom * scale))
+                ).cast("long")
+                - F.col("seasonal_e2"),
+            ).alias("remainder_e2"),
+        )
+        .orderBy("month")
+    )
+    return out

@@ -121,3 +121,37 @@ def test_random_projection_preserves_distances(spark):
     # JL with k=16: most ratios within ~40% of 1, mean near 1
     assert 0.75 < ratios.mean() < 1.25
     assert (np.abs(ratios - 1) < 0.6).mean() > 0.9
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """Pure y = 10·m + seasonal[moc] series: trend ≈ the linear part and
+    seasonal indexes recover the injected pattern up to its mean (the
+    classical identifiability convention)."""
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.resample import seasonal_decompose
+
+    pattern = [5, -3, 0, 7, -9, 2, 4, -6, 1, -2, 3, -2]
+    rows = []
+    for m in range(48):
+        ts = dt.datetime(2020 + m // 12, m % 12 + 1, 15)
+        rows.append((ts, float(10 * m + pattern[m % 12])))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = sorted(
+        seasonal_decompose(df, "ts", "v").collect(), key=lambda r: r.month
+    )
+    assert len(out) == 48
+    # edges: first/last 6 months have null trend
+    assert all(r.trend_e2 is None for r in out[:6] + out[-6:])
+    mean_p = sum(pattern) / 12
+    for r in out[6:-6]:
+        m = (r.month.year - 2020) * 12 + r.month.month - 1
+        # centered MA of a linear+periodic series = the linear part
+        assert abs(r.trend_e2 / 100 - 10 * m) < 0.02
+        assert abs(r.remainder_e2) < 2  # exact up to e2 rounding
+    seas = {}
+    for r in out:
+        if r.seasonal_e2 is not None:
+            seas[(r.month.month - 1)] = r.seasonal_e6 if False else r.seasonal_e2
+    for j in range(12):
+        assert abs(seas[j] / 100 - (pattern[j] - mean_p)) < 0.02
