@@ -5078,6 +5078,47 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(orders, "o_orderdate", "o_totalprice")
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode (pure-Python variable-width LZW with
+    dictionary growth, palettes, multi-frame containers): deterministic
+    two-color checkerboard animations round-trip losslessly, so channel
+    means over all frames have a closed-form SQL oracle."""
+    from smartpy_arc_spark.multimodal.codecs import gif_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.gif import make_gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(1 + d % 3):
+                    a = ((d * 13 + f * 7) % 256, (d * 5 + f * 11) % 256,
+                         (f * 29 + 3) % 256)
+                    b = ((d * 17 + f * 3) % 256, (d * 7 + f * 19) % 256,
+                         (d * 3 + f * 5) % 256)
+                    img = np.zeros((6, 10, 3), dtype=np.uint8)
+                    yy, xx = np.meshgrid(np.arange(6), np.arange(10),
+                                         indexing="ij")
+                    img[(yy + xx) % 2 == 0] = a
+                    img[(yy + xx) % 2 == 1] = b
+                    frames.append(img)
+                payloads.append(make_gif(frames))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return gif_features(blobs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5373,6 +5414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": q_hll_rollup,
         "random_projection": q_random_projection,
         "seasonal_decompose": q_seasonal_decompose,
+        "gif_decode": q_gif_decode,
     })
 
 
@@ -10066,6 +10108,36 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "gif_decode": """
+            -- lossless checkerboard animation: 30 cells of color a and 30
+            -- of color b per 6x10 frame, n_frames = 1 + doc_id % 3
+            WITH src AS (
+                SELECT doc_id, 1 + doc_id % 3 AS nf
+                FROM documents WHERE doc_id < 150
+            ), per_frame AS (
+                SELECT s.doc_id, s.nf, f.f,
+                       (s.doc_id * 13 + f.f * 7) % 256 AS ar,
+                       (s.doc_id * 5 + f.f * 11) % 256 AS ag,
+                       (f.f * 29 + 3) % 256 AS ab,
+                       (s.doc_id * 17 + f.f * 3) % 256 AS br,
+                       (s.doc_id * 7 + f.f * 19) % 256 AS bg,
+                       (s.doc_id * 3 + f.f * 5) % 256 AS bb
+                FROM src s, LATERAL (
+                    SELECT unnest(generate_series(0, s.nf - 1)) AS f
+                ) f
+            )
+            SELECT doc_id AS item_id,
+                   CAST(10 AS INTEGER) AS width,
+                   CAST(6 AS INTEGER) AS height,
+                   CAST(nf AS INTEGER) AS n_frames,
+                   CAST(round(SUM((ar + br) * 30) * 100.0 / (60 * nf))
+                        AS BIGINT) AS mean_r_e2,
+                   CAST(round(SUM((ag + bg) * 30) * 100.0 / (60 * nf))
+                        AS BIGINT) AS mean_g_e2,
+                   CAST(round(SUM((ab + bb) * 30) * 100.0 / (60 * nf))
+                        AS BIGINT) AS mean_b_e2
+            FROM per_frame GROUP BY doc_id, nf
+        """,
         "seasonal_decompose": """
             WITH monthly AS (
                 SELECT date_trunc('month', o_orderdate) AS month,

@@ -86,6 +86,11 @@ def decode_image_meta(
             if payload[:2] == b"BM":
                 img = parse_bmp(payload)
                 return (item_id, len(payload), img.shape[1], img.shape[0], "bmp")
+            if payload[:4] == b"GIF8":
+                from smartpy_arc_spark.multimodal.gif import parse_gif
+
+                img = parse_gif(payload)[0]
+                return (item_id, len(payload), img.shape[1], img.shape[0], "gif")
         except Exception:
             pass  # corrupt container: report unknown, keep the row
         return (item_id, len(payload), None, None, None)
@@ -115,30 +120,49 @@ def frame_sample(
     n_frames: int = 4,
     stub: bool = True,
 ) -> DataFrame:
-    """Video frame sampling stub: emits ``n_frames`` evenly-spaced fake
-    frames (slices of the payload) per item — the explode-shaped output a
-    real ffmpeg sampler would produce.  One input row → n output rows, all
-    executor-side."""
+    """Moving-image frame sampling: ``n_frames`` evenly-spaced frames per
+    item, one input row → n output rows, all executor-side.
+
+    ``stub=False`` (the real path): animated-GIF payloads decode with the
+    pure-Python LZW codec (``multimodal/gif.py``) and the sampled frames
+    re-encode as single-frame lossless PNG; other containers (mp4 etc.)
+    would need ffmpeg, which is absent — those payloads are skipped.
+    ``stub=True`` keeps the byte-slice fake whose output an arithmetic
+    oracle can recompute."""
     from smartpy_arc_spark.session import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
-    if not stub:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
 
     def sample(batches):
+        from smartpy_arc_spark.multimodal.codecs import make_png
+        from smartpy_arc_spark.multimodal.gif import parse_gif
+
         for pdf in batches:
             ids, idxs, frames, hashes = [], [], [], []
+
+            def push(item_id, i, chunk):
+                ids.append(int(item_id))
+                idxs.append(i)
+                frames.append(chunk)
+                hashes.append(hashlib.md5(chunk).hexdigest())
+
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                step = max(len(b) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = b[i * step : (i + 1) * step] or b[-1:]
-                    ids.append(int(item_id))
-                    idxs.append(i)
-                    frames.append(chunk)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
+                if stub:
+                    step = max(len(b) // n_frames, 1)
+                    for i in range(n_frames):
+                        push(item_id, i, b[i * step : (i + 1) * step] or b[-1:])
+                elif b[:4] == b"GIF8":
+                    try:
+                        decoded = parse_gif(b)
+                    except Exception:
+                        continue
+                    k = len(decoded)
+                    picks = sorted({i * k // n_frames for i in range(min(n_frames, k))})
+                    for i, fi in enumerate(picks):
+                        push(item_id, i, make_png(decoded[fi]))
             yield pd.DataFrame(
                 {"item_id": ids, "frame_idx": idxs, "frame": frames,
                  "frame_md5": hashes}

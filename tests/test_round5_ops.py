@@ -155,3 +155,57 @@ def test_seasonal_decompose_recovers_components(spark):
             seas[(r.month.month - 1)] = r.seasonal_e6 if False else r.seasonal_e2
     for j in range(12):
         assert abs(seas[j] / 100 - (pattern[j] - mean_p)) < 0.02
+
+
+def test_gif_codec_lossless_roundtrip():
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.gif import make_gif, parse_gif
+
+    rng = np.random.default_rng(4)
+    # 200 distinct colors, real LZW dictionary growth
+    img = np.zeros((15, 20, 3), np.uint8)
+    for y in range(15):
+        for x in range(20):
+            c = (y * 20 + x) % 200
+            img[y, x] = (c, (c * 9) % 256, (c * 13) % 256)
+    assert (parse_gif(make_gif(img))[0] == img).all()
+    frames = [np.full((7, 9, 3), (i * 50, 255 - i * 60, 7 + i), np.uint8)
+              for i in range(4)]
+    dec = parse_gif(make_gif(frames))
+    assert len(dec) == 4 and all((a == b).all() for a, b in zip(dec, frames))
+
+
+def test_frame_sample_real_path_decodes_gif(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.binary import frame_sample
+    from smartpy_arc_spark.multimodal.codecs import parse_png
+    from smartpy_arc_spark.multimodal.gif import make_gif
+
+    frames = [np.full((8, 8, 3), (i * 30, 10, 200 - i * 20), np.uint8)
+              for i in range(6)]
+    media = spark.createDataFrame(
+        [(1, bytearray(make_gif(frames))), (2, bytearray(b"not video"))],
+        "item_id long, payload binary",
+    )
+    out = frame_sample(media, n_frames=3, stub=False).collect()
+    got = sorted((r.item_id, r.frame_idx) for r in out)
+    assert got == [(1, 0), (1, 1), (1, 2)]  # junk payload skipped
+    first = next(r for r in out if r.frame_idx == 0)
+    img = parse_png(bytes(first.frame))
+    assert (img == frames[0]).all()  # evenly spaced: pick 0, 2, 4
+
+
+def test_decode_image_meta_sniffs_gif(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.binary import decode_image_meta
+    from smartpy_arc_spark.multimodal.gif import make_gif
+
+    img = np.full((5, 11, 3), (9, 8, 7), np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(make_gif(img)))], "item_id long, payload binary"
+    )
+    r = decode_image_meta(media, stub=False).collect()[0]
+    assert r.format == "gif" and (r.width, r.height) == (11, 5)
