@@ -5119,6 +5119,46 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_features(blobs)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: per-source banner and
+    global footer lines (df ≥ 2 across docs) are dropped from inside
+    otherwise-distinct documents; content lines survive and reassemble in
+    order.  The corpus has single-line docs, so the fixture synthesizes
+    the classic web-page shape (banner + content lines + footer) the
+    oracle mirrors exactly."""
+    from smartpy_arc_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SOURCE BANNER "), F.col("source"), F.lit("\n"),
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.substring("text", 61, 60), F.lit("\n"),
+            F.lit("COPYRIGHT FOOTER 2024"),
+        ).alias("text"),
+    )
+    return line_dedup(pages, min_df=2).orderBy("doc_id")
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted order value per market segment: customer account
+    balance as the pre-period covariate; exact DECIMAL moments, one
+    double division per reported number."""
+    from smartpy_arc_spark.operators.stats import cuped_adjust
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice", "c_acctbal")
+    return cuped_adjust(
+        joined, "o_totalprice", "c_acctbal", "c_mktsegment"
+    ).orderBy("c_mktsegment")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5415,6 +5455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "seasonal_decompose": q_seasonal_decompose,
         "gif_decode": q_gif_decode,
+        "line_dedup": q_line_dedup,
+        "cuped": q_cuped,
     })
 
 
@@ -10108,6 +10150,80 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "cuped": """
+            WITH base AS (
+                SELECT c_mktsegment AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS x
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ), per_g AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(sum(y) AS HUGEINT) AS sy_g,
+                       CAST(sum(x) AS HUGEINT) AS sx_g
+                FROM base GROUP BY g
+            ), pooled AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(x) AS HUGEINT) AS sx,
+                       CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                       CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                       CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+                FROM base
+            )
+            SELECT g AS c_mktsegment, n_g AS n,
+                   CAST(round(CAST(sy_g AS DOUBLE)
+                              / (CAST(n_g AS DOUBLE) * 100.0) * 1e4)
+                        AS BIGINT) AS mean_y_e4,
+                   CAST(round((CAST(sy_g AS DOUBLE)
+                               / (CAST(n_g AS DOUBLE) * 100.0)
+                               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * (CAST(sx_g AS DOUBLE)
+                                    / (CAST(n_g AS DOUBLE) * 100.0)
+                                    - CAST(sx AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) * 100.0)))
+                              * 1e4) AS BIGINT) AS mean_cuped_e4,
+                   CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                        AS BIGINT) AS theta_e6,
+                   CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                              * CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS var_reduction_e6
+            FROM per_g CROSS JOIN pooled ORDER BY g
+        """,
+        "line_dedup": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'SOURCE BANNER ' || source || chr(10)
+                       || substr(text, 1, 60) || chr(10)
+                       || substr(text, 61, 60) || chr(10)
+                       || 'COPYRIGHT FOOTER 2024' AS text
+                FROM documents WHERE doc_id < 400
+            ), lines AS (
+                SELECT doc_id, i.i AS pos, str_split(text, chr(10))[i.i] AS line
+                FROM pages, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, len(str_split(text, chr(10))))) AS i
+                ) i
+            ), df AS (
+                SELECT trim(line) AS k, count(DISTINCT doc_id) AS d
+                FROM lines WHERE trim(line) <> ''
+                GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       (df.k IS NULL) AS kept
+                FROM lines l LEFT JOIN df ON trim(l.line) = df.k
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                                       ORDER BY pos), '') AS text_clean
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
         "gif_decode": """
             -- lossless checkerboard animation: 30 cells of color a and 30
             -- of color b per 6x10 frame, n_frames = 1 + doc_id % 3

@@ -872,3 +872,75 @@ def containment_pairs(
         F.col("size_contained").cast("long").alias("size_contained"),
         "containment_e4",
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet-style)
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_df: int = 2,
+    trim: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al. 2020, §4.1):
+    drop every line that occurs in at least ``min_df`` documents across
+    the corpus — headers, navigation, cookie banners and other
+    boilerplate repeat verbatim across pages, while real content lines
+    don't.  This is the standard pre-LLM web-corpus cleaning step that
+    document-level dedup (MinHash et al.) cannot do: the duplicated
+    material is INSIDE otherwise-distinct documents.
+
+    Plan: posexplode lines (position kept for order-preserving
+    reassembly), one distinct per (line-hash, doc) then a hash aggregate
+    on the line hash for document frequency, broadcast-or-shuffle join
+    back, groupBy(doc) reassembly via sort_array — line-keyed shuffles
+    only, never doc×doc.  Lines compare after optional trim; empty lines
+    are never counted as boilerplate.
+
+    Returns ``(id, n_lines, n_kept, text_clean)``.
+    """
+    line_raw = F.col("_line")
+    line_key = F.trim(line_raw) if trim else line_raw
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64(line_key)).withColumn(
+        "_empty", F.length(F.trim(line_raw)) == 0
+    )
+    docfreq = (
+        lines.where(~F.col("_empty"))
+        .select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+    )
+    marked = lines.join(docfreq, "_h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_df").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_df").isNull(),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+    )

@@ -1649,3 +1649,77 @@ def cox_one_step(
             F.round(u * u / i / 1e4 * 1e6).cast("long").alias("chi2_e6"),
         )
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013):
+    adjust an experiment metric with a pre-experiment covariate,
+
+        ŷ = y − θ·(x − x̄),   θ = cov(x, y) / var(x)   (pooled),
+
+    which shrinks metric variance by ρ² while leaving group-mean
+    DIFFERENCES unbiased — the standard trick that cuts A/B-test sample
+    sizes by the covariate's explanatory power.
+
+    Exactness: y and x pre-round to integer ``scale`` units; all moments
+    are integer sums widened to DECIMAL(38,0) (HUGEINT on DuckDB) so
+    θ's numerator/denominator are exact integers, and every reported
+    number is one double division of exact integers — bit-identical on
+    any engine.  Plan: ONE grouped aggregate pass + a 1-row pooled
+    broadcast; group count is bounded (experiment arms).
+
+    Returns one row per group: ``(group, n, mean_y_e4, mean_cuped_e4)``
+    plus the pooled ``theta_e6`` and ``var_reduction_e6`` (= ρ²×10⁶)
+    repeated on each row for context.
+    """
+    ys = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    xs = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), ys.alias("y"), xs.alias("x"))
+    dec = "decimal(38,0)"
+    per_g = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("y").cast(dec).alias("sy_g"),
+        F.sum("x").cast(dec).alias("sx_g"),
+    )
+    pooled = base.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    cov_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_num = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov_num / varx_num
+    rho2 = cov_num * cov_num / (varx_num * vary_num)
+    mean_y = F.col("sy_g").cast("double") / (
+        F.col("n_g").cast("double") * F.lit(float(scale))
+    )
+    mean_x_g = F.col("sx_g").cast("double") / (
+        F.col("n_g").cast("double") * F.lit(float(scale))
+    )
+    mean_x = F.col("sx").cast("double") / (
+        F.col("n").cast("double") * F.lit(float(scale))
+    )
+    return (
+        per_g.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n"),
+            F.round(mean_y * 1e4).cast("long").alias("mean_y_e4"),
+            F.round((mean_y - theta * (mean_x_g - mean_x)) * 1e4)
+            .cast("long")
+            .alias("mean_cuped_e4"),
+            F.round(theta * 1e6).cast("long").alias("theta_e6"),
+            F.round(rho2 * 1e6).cast("long").alias("var_reduction_e6"),
+        )
+    )

@@ -209,3 +209,44 @@ def test_decode_image_meta_sniffs_gif(spark):
     )
     r = decode_image_meta(media, stub=False).collect()[0]
     assert r.format == "gif" and (r.width, r.height) == (11, 5)
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from smartpy_arc_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "BANNER\nalpha unique one\nbeta unique two\nFOOTER"),
+        (2, "BANNER\ngamma unique three\nFOOTER"),
+        (3, "BANNER\n  BANNER \ndelta unique four\nFOOTER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_df=2).collect()}
+    assert out[1].text_clean == "alpha unique one\nbeta unique two"
+    assert out[2].text_clean == "gamma unique three"
+    # trimmed match: "  BANNER " dies with BANNER; order preserved
+    assert out[3].text_clean == "delta unique four"
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert (out[3].n_lines, out[3].n_kept) == (4, 1)
+
+
+def test_cuped_reduces_variance_preserves_lift(spark):
+    """y = 2x + arm lift + noise: CUPED removes the x component, so the
+    adjusted arm difference equals the raw difference (unbiased) while
+    var_reduction reports a large rho^2."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for arm, lift in (("a", 0.0), ("b", 5.0)):
+        for _ in range(2000):
+            x = float(rng.normal(50, 10))
+            y = 2 * x + lift + float(rng.normal(0, 1))
+            rows.append((arm, y, x))
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    from smartpy_arc_spark.operators.stats import cuped_adjust
+
+    out = {r.arm: r for r in cuped_adjust(df, "y", "x", "arm").collect()}
+    raw_diff = (out["b"].mean_y_e4 - out["a"].mean_y_e4) / 1e4
+    adj_diff = (out["b"].mean_cuped_e4 - out["a"].mean_cuped_e4) / 1e4
+    assert abs(adj_diff - 5.0) < 0.2           # lift preserved
+    assert abs(adj_diff - raw_diff) < 1.0      # unbiased vs raw
+    assert abs(out["a"].theta_e6 / 1e6 - 2.0) < 0.05
+    assert out["a"].var_reduction_e6 / 1e6 > 0.95  # x explains ~99.8%
