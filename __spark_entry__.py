@@ -5159,6 +5159,37 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords over the corpus word co-occurrence graph
+    (adjacent-token edges, stopwords removed, 5 PageRank iterations).
+    Rows-only: the power iteration over a text-derived graph has no
+    tractable SQL form; determinism and ranking behavior are pinned by
+    unit tests and the shared pagerank operator's own oracle-backed
+    queries."""
+    from smartpy_arc_spark.operators.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, top_k=20)
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction maintenance op: 24 deliberately tiny parquet
+    files rewrite into one right-sized file; the report row (before /
+    after / row count) is the oracle-checkable contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from smartpy_arc_spark.operators.scale import compact_small_files
+
+    base = os.path.join(tempfile.gettempdir(), "sas_compact_ws")
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    cust = _t(spark, sf_dir, "customer")
+    cust.repartition(24).write.parquet(src)
+    return compact_small_files(spark, src, dst, target_bytes=1 << 30)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5457,6 +5488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "line_dedup": q_line_dedup,
         "cuped": q_cuped,
+        "textrank": q_textrank,
+        "compact_files": q_compact_files,
     })
 
 
@@ -10150,6 +10183,12 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "compact_files": """
+            SELECT CAST(24 AS INTEGER) AS n_files_before,
+                   CAST(1 AS INTEGER) AS n_files_after,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM customer
+        """,
         "cuped": """
             WITH base AS (
                 SELECT c_mktsegment AS g,

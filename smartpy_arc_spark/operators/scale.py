@@ -413,3 +413,46 @@ def skew_report(
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> "DataFrame":
+    """Small-file compaction — the table-maintenance op every long-lived
+    lake table needs: streaming ingestion and fine-grained upserts leave
+    thousands of KB-sized files, and at 100 TB the resulting task-per-file
+    scheduling + open/close overhead dominates scans.  Rewrite the
+    directory into ``ceil(total_bytes / target_bytes)`` files.
+
+    The driver only LISTS the directory (names + sizes — metadata, never
+    data); the rewrite itself is a distributed read → repartition →
+    write.  Returns a 1-row DataFrame ``(n_files_before, n_files_after,
+    n_rows)`` for the maintenance log.
+    """
+    import glob as _glob
+    import math as _math
+    import os as _os
+
+    ext = {"parquet": ".parquet", "orc": ".orc"}[fmt]
+    files = [
+        p for p in _glob.glob(_os.path.join(src_dir, f"*{ext}"))
+        if _os.path.isfile(p)
+    ]
+    total = sum(_os.path.getsize(p) for p in files)
+    n_out = max(1, _math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(src_dir)
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst_dir)
+    after = [
+        p for p in _glob.glob(_os.path.join(dst_dir, f"*{ext}"))
+        if _os.path.isfile(p)
+    ]
+    n_rows = spark.read.format(fmt).load(dst_dir).count()
+    return spark.createDataFrame(
+        [(len(files), len(after), n_rows)],
+        "n_files_before int, n_files_after int, n_rows long",
+    )

@@ -783,3 +783,64 @@ def zipf_slope(
         F.round(slope * 1000000).cast("long").alias("slope_e6"),
         F.round(intercept * 1000000).cast("long").alias("intercept_e6"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): build
+    the corpus-wide word co-occurrence graph (adjacent-token edges,
+    stopwords removed) and rank words by PageRank over it — the graph
+    reuses :func:`smartpy_arc_spark.operators.components.pagerank`, so
+    the iteration is the same distributed power method with dangling
+    redistribution used for the link graph.
+
+    Graph construction is one staged-tokens pass + a distinct on edges
+    (word-keyed shuffle); corpus size only affects edge WEIGHT discovery,
+    the node set is the vocabulary.  Deterministic: fixed iteration
+    count, uniform init, smallest-word tie-break on rank ties.
+
+    Returns the ``top_k`` rows ``(word, rank_e9)``.
+    """
+    from smartpy_arc_spark.operators.components import pagerank
+
+    stop = set(RAKE_STOPWORDS)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1),
+        lambda t: (t != F.lit("")) & ~t.isin(*stop),
+    )
+    staged = df.select(toks.alias("_toks"))
+    tk = F.col("_toks")
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("a"),
+                F.element_at(tk, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    edges = (
+        staged.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(und, iterations=iterations, damping=damping)
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"),
+        )
+        .orderBy(F.desc("rank_e9"), "word")
+        .limit(top_k)
+    )

@@ -250,3 +250,32 @@ def test_cuped_reduces_variance_preserves_lift(spark):
     assert abs(adj_diff - raw_diff) < 1.0      # unbiased vs raw
     assert abs(out["a"].theta_e6 / 1e6 - 2.0) < 0.05
     assert out["a"].var_reduction_e6 / 1e6 > 0.95  # x explains ~99.8%
+
+
+def test_textrank_ranks_hub_words(spark):
+    """'spark' co-occurs with everything → highest rank; deterministic."""
+    from smartpy_arc_spark.operators.text import textrank_keywords
+
+    rows = [
+        (1, "spark shuffle join"),
+        (2, "spark window aggregate"),
+        (3, "spark codegen pipeline"),
+        (4, "shuffle spark"),
+        (5, "unrelated lonely pairing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(df, top_k=5).collect()
+    assert out[0].word == "spark"
+    assert out == textrank_keywords(df, top_k=5).collect()  # deterministic
+
+
+def test_compact_small_files_rewrites(spark, sf_dir, tmp_path):
+    from smartpy_arc_spark.operators.scale import compact_small_files
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.repartition(10).write.parquet(src)
+    r = compact_small_files(spark, src, dst, target_bytes=1 << 30).collect()[0]
+    assert (r.n_files_before, r.n_files_after, r.n_rows) == (10, 1, 25)
+    back = spark.read.parquet(dst)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
