@@ -256,17 +256,19 @@ def test_textrank_ranks_hub_words(spark):
     """'spark' co-occurs with everything → highest rank; deterministic."""
     from smartpy_arc_spark.operators.text import textrank_keywords
 
-    rows = [
-        (1, "spark shuffle join"),
-        (2, "spark window aggregate"),
-        (3, "spark codegen pipeline"),
-        (4, "shuffle spark"),
-        (5, "unrelated lonely pairing"),
+    rows = [  # star graph: every leaf co-occurs only with 'spark'
+        (1, "spark shuffle"),
+        (2, "spark join"),
+        (3, "spark window"),
+        (4, "spark codegen"),
+        (5, "lonely pairing"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = textrank_keywords(df, top_k=5).collect()
+    out = textrank_keywords(df, top_k=7).collect()
     assert out[0].word == "spark"
-    assert out == textrank_keywords(df, top_k=5).collect()  # deterministic
+    ranks = {r.word: r.rank_e9 for r in out}
+    assert ranks["spark"] > ranks["lonely"] == ranks["pairing"]
+    assert out == textrank_keywords(df, top_k=7).collect()  # deterministic
 
 
 def test_compact_small_files_rewrites(spark, sf_dir, tmp_path):
