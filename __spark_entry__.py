@@ -5190,6 +5190,27 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_small_files(spark, src, dst, target_bytes=1 << 30)
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned DBSCAN over deterministic 2-D points: three dense
+    unit-box clusters (10 apart) plus isolated far-away noise points.
+    Oracle = identical pair predicate + recursive-CTE reachability
+    closure for the core components (the linkage_clusters pattern)."""
+    from smartpy_arc_spark.operators.semdedup import dbscan_2d
+
+    cust = _t(spark, sf_dir, "customer").where("c_custkey < 600")
+    k = F.col("c_custkey") % 3
+    px = F.when(
+        F.col("c_custkey") % 97 == 0, F.lit(1000.0) + F.col("c_custkey")
+    ).otherwise(k * 10.0 + ((F.col("c_custkey") * 7) % 100) / F.lit(100.0))
+    py = F.when(
+        F.col("c_custkey") % 97 == 0, F.lit(-500.0)
+    ).otherwise(k * 5.0 + ((F.col("c_custkey") * 13) % 100) / F.lit(100.0))
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), px.alias("x"), py.alias("y")
+    )
+    return dbscan_2d(pts, "x", "y", id_col="id", eps=0.3, min_pts=4).orderBy("id")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5490,6 +5511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "textrank": q_textrank,
         "compact_files": q_compact_files,
+        "dbscan": q_dbscan,
     })
 
 
@@ -10183,6 +10205,53 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "dbscan": """
+            WITH pts AS (
+                SELECT c_custkey AS id,
+                       CASE WHEN c_custkey % 97 = 0
+                            THEN 1000.0 + c_custkey
+                            ELSE (c_custkey % 3) * 10.0
+                                 + ((c_custkey * 7) % 100) / 100.0 END AS x,
+                       CASE WHEN c_custkey % 97 = 0 THEN -500.0
+                            ELSE (c_custkey % 3) * 5.0
+                                 + ((c_custkey * 13) % 100) / 100.0 END AS y
+                FROM customer WHERE c_custkey < 600
+            ), pairs AS (
+                SELECT a.id AS ia, b.id AS ib
+                FROM pts a JOIN pts b ON a.id <> b.id
+                 AND (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) <= 0.3 * 0.3
+            ), deg AS (
+                SELECT ia, count(*) AS c FROM pairs GROUP BY ia
+            ), core AS (
+                SELECT p.id, coalesce(d.c, 0) + 1 >= 4 AS isc
+                FROM pts p LEFT JOIN deg d ON p.id = d.ia
+            ), ce AS (
+                SELECT ia, ib FROM pairs
+                JOIN core ca ON pairs.ia = ca.id AND ca.isc
+                JOIN core cb ON pairs.ib = cb.id AND cb.isc
+            ), reach AS (
+                WITH RECURSIVE r(node, lbl) AS (
+                    SELECT id, id FROM core WHERE isc
+                    UNION
+                    SELECT ce.ib, r.lbl FROM r JOIN ce ON ce.ia = r.node
+                ) SELECT node, min(lbl) AS cluster FROM r GROUP BY node
+            ), border AS (
+                SELECT pairs.ia, min(reach.cluster) AS bcluster
+                FROM pairs JOIN core cb ON pairs.ib = cb.id AND cb.isc
+                JOIN reach ON reach.node = pairs.ib
+                GROUP BY pairs.ia
+            )
+            SELECT p.id, p.x, p.y, core.isc AS is_core,
+                   CAST(CASE WHEN core.isc THEN reach.cluster
+                             ELSE coalesce(border.bcluster, -1) END
+                        AS BIGINT) AS cluster
+            FROM pts p
+            JOIN core ON p.id = core.id
+            LEFT JOIN reach ON reach.node = p.id
+            LEFT JOIN border ON border.ia = p.id
+            ORDER BY p.id
+        """,
         "compact_files": """
             SELECT CAST(24 AS INTEGER) AS n_files_before,
                    CAST(1 AS INTEGER) AS n_files_after,

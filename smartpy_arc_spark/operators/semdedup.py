@@ -135,3 +135,118 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def dbscan_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    id_col: str = "id",
+    eps: float = 0.5,
+    min_pts: int = 4,
+) -> DataFrame:
+    """Grid-partitioned DBSCAN (Ester et al., KDD 1996) over 2-D points.
+
+    The classic density clustering, distributed the standard way: bucket
+    points into an ``eps``-sized grid, generate candidate pairs only
+    between a point and the 3×3 neighboring cells (every true ε-neighbor
+    lands there, and cell population bounds the join fan-out), exact-
+    filter by squared distance, then:
+
+      * core points — ≥ ``min_pts`` points (self included) within ε;
+      * clusters — connected components of the core–core ε-graph
+        (:func:`~smartpy_arc_spark.operators.components.connected_components`,
+        the same pointer-jumping iteration the dedup pipeline uses);
+      * border points — non-core with a core ε-neighbor, assigned the
+        SMALLEST neighboring core's cluster (classic DBSCAN leaves border
+        assignment visit-order-dependent; the min rule makes it
+        deterministic);
+      * noise — cluster −1.
+
+    Cell-keyed shuffles only; no all-pairs anywhere.  Returns
+    ``(id, x, y, is_core, cluster)`` with cluster ids = min member id.
+    """
+    from smartpy_arc_spark.operators.components import connected_components
+
+    inv = 1.0 / eps
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    ).withColumn("cx", F.floor(F.col("px") * inv).cast("long")).withColumn(
+        "cy", F.floor(F.col("py") * inv).cast("long")
+    )
+    pts = pts.localCheckpoint(eager=True)
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    probes = pts.select(
+        F.col("pid").alias("id_a"), F.col("px").alias("xa"),
+        F.col("py").alias("ya"), "cx", "cy", offs.alias("o"),
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("o.ox")).alias("cx"),
+        (F.col("cy") + F.col("o.oy")).alias("cy"),
+    )
+    pairs = (
+        probes.join(
+            pts.select(
+                F.col("pid").alias("id_b"), F.col("px").alias("xb"),
+                F.col("py").alias("yb"), "cx", "cy",
+            ),
+            ["cx", "cy"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(eps * eps)
+        )
+        .select("id_a", "id_b")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    deg = pairs.groupBy("id_a").agg(F.count("*").alias("nn"))
+    core = (
+        pts.join(deg, pts["pid"] == deg["id_a"], "left")
+        .select("pid", (F.coalesce("nn", F.lit(0)) + 1 >= min_pts).alias("is_core"))
+    ).localCheckpoint(eager=True)
+    core_ids = core.where("is_core").select(F.col("pid").alias("cid_"))
+    core_edges = (
+        pairs.join(core_ids.withColumnRenamed("cid_", "id_a"), "id_a")
+        .join(core_ids.withColumnRenamed("cid_", "id_b"), "id_b")
+    )
+    comp = connected_components(core_edges, src_col="id_a", dst_col="id_b")
+    # singleton cores never appear in core_edges: they are their own cluster
+    core_clusters = (
+        core_ids.join(comp, core_ids["cid_"] == comp["node"], "left")
+        .select(
+            F.col("cid_").alias("pid"),
+            F.coalesce("component", "cid_").alias("cluster"),
+        )
+    )
+    border = (
+        pairs.join(
+            core_clusters.withColumnRenamed("pid", "id_b"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("cluster").alias("bcluster"))
+    )
+    return (
+        pts.join(core, "pid")
+        .join(core_clusters.withColumnRenamed("cluster", "ccluster"), "pid", "left")
+        .join(border.withColumnRenamed("id_a", "pid"), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.col("px").alias(x_col),
+            F.col("py").alias(y_col),
+            "is_core",
+            F.when(F.col("is_core"), F.col("ccluster"))
+            .otherwise(F.coalesce("bcluster", F.lit(-1)))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

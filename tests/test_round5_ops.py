@@ -281,3 +281,25 @@ def test_compact_small_files_rewrites(spark, sf_dir, tmp_path):
     assert (r.n_files_before, r.n_files_after, r.n_rows) == (10, 1, 25)
     back = spark.read.parquet(dst)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_dbscan_core_border_noise(spark):
+    """Hand-built set: a 5-point dense blob (cores), one border point
+    within eps of a single core, one isolated noise point."""
+    from smartpy_arc_spark.operators.semdedup import dbscan_2d
+
+    blob = [(i, 0.0 + i * 0.05, 0.0) for i in range(5)]        # 0..4 dense line
+    border = [(10, 0.2 + 0.28, 0.0)]                           # near core 4 only
+    noise = [(99, 50.0, 50.0)]
+    df = spark.createDataFrame(blob + border + noise, "id long, x double, y double")
+    out = {r.id: r for r in
+           dbscan_2d(df, "x", "y", id_col="id", eps=0.3, min_pts=4).collect()}
+    assert all(out[i].is_core for i in range(5))
+    assert len({out[i].cluster for i in range(5)}) == 1  # one cluster
+    assert not out[10].is_core and out[10].cluster == out[0].cluster  # border
+    assert out[99].cluster == -1  # noise
+    # two separated blobs → two clusters
+    far = [(100 + i, 30.0 + i * 0.05, 0.0) for i in range(5)]
+    df2 = spark.createDataFrame(blob + far, "id long, x double, y double")
+    out2 = dbscan_2d(df2, "x", "y", id_col="id", eps=0.3, min_pts=4).collect()
+    assert len({r.cluster for r in out2}) == 2
