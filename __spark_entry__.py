@@ -5211,6 +5211,56 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_2d(pts, "x", "y", id_col="id", eps=0.3, min_pts=4).orderBy("id")
 
 
+_IPF_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): calibrate the customer
+    (segment × nation-bucket) contingency table to uniform 1000-unit
+    margins.  Quantized-integer iterations make the fixpoint bit-exact
+    cross-engine; the oracle unrolls the same 5 double-scaling rounds."""
+    from smartpy_arc_spark.operators.sample import ipf_raking
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_nationkey") % 5).alias("nk")
+    )
+    return ipf_raking(
+        cust, "c_mktsegment", "nk",
+        {s: 1000 for s in _IPF_SEGMENTS},
+        {i: 1000 for i in range(5)},
+    ).orderBy("c_mktsegment", "nk")
+
+
+def _ipf_sql(iterations: int = 5, scale: int = 1_000_000) -> str:
+    """Oracle generated by unrolling the SAME quantized IPF rounds as
+    operators/sample.py:ipf_raking (identical double expression shapes:
+    window margin sums + CASE target literals)."""
+    parts = [
+        "WITH cells0 AS (SELECT c_mktsegment AS r, c_nationkey % 5 AS c, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(*) AS BIGINT) * {scale} AS w FROM customer GROUP BY 1, 2)"
+    ]
+    cur = "cells0"
+    step = 0
+    for _ in range(iterations):
+        for key in ("r", "c"):
+            step += 1
+            parts.append(
+                f"cells{step} AS (SELECT r, c, n, "
+                f"CAST(round(CAST(w AS DOUBLE) "
+                f"* (CAST(1000 AS DOUBLE) * {scale}) "
+                f"/ CAST(CAST(sum(w) OVER (PARTITION BY {key}) AS BIGINT) "
+                f"AS DOUBLE)) AS BIGINT) AS w FROM {cur})"
+            )
+            cur = f"cells{step}"
+    return (
+        ", ".join(parts)
+        + f" SELECT r AS c_mktsegment, c AS nk, n, w AS weight_scaled, "
+        f"CAST(round(CAST(w AS DOUBLE) * 100 / {scale}) AS BIGINT) "
+        f"AS cell_weight_e2 FROM {cur} ORDER BY r, c"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5512,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "compact_files": q_compact_files,
         "dbscan": q_dbscan,
+        "ipf_raking": q_ipf_raking,
     })
 
 
@@ -10205,6 +10256,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "ipf_raking": _ipf_sql(),
         "dbscan": """
             WITH pts AS (
                 SELECT c_custkey AS id,

@@ -339,3 +339,75 @@ def negative_samples(
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+    *,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    reweight a 2-way contingency table so its row and column margins hit
+    known population targets — THE survey/panel calibration step before
+    any weighted analysis, and the classic dataset-mixing tool when a
+    corpus must match target marginals on two attributes at once.
+
+    Determinism: weights live as integer ``scale`` units and each
+    margin-scaling step rounds back to integers (``w ← round(w·t/s)``,
+    one exact rational per cell), so margin sums are integer sums —
+    order-free — and a fixed iteration count reproduces bit-identically
+    on any engine (true IPF's irrational intermediates would make float
+    accumulation order observable).
+
+    Plan: ONE full-data aggregate builds the cell table; all iterations
+    run on the bounded |rows|×|cols| cell table with broadcast margin
+    joins.  Returns ``(row, col, n, weight_scaled, cell_weight_e6)``
+    where ``cell_weight_e6 ≈ target cell mass`` and per-UNIT design
+    weight = cell mass / n.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("w", F.col("n") * scale)
+        .localCheckpoint(eager=True)
+    )
+
+    def target_expr(targets: dict, key: str):
+        expr = F.lit(None).cast("long")
+        for k, v in sorted(targets.items()):
+            expr = F.when(F.col(key) == F.lit(k), F.lit(int(v))).otherwise(expr)
+        return expr
+
+    rt, ct = target_expr(row_targets, "r"), target_expr(col_targets, "c")
+    # margin sums as WINDOW aggregates and targets as literal CASE chains:
+    # each phase is one projection over the bounded cell table, so all
+    # iterations compose into ONE linear plan — no joins, no per-round
+    # jobs, no exponential re-evaluation of the previous phase
+    for _ in range(iterations):
+        for tgt, key in ((rt, "r"), (ct, "c")):
+            msum = F.sum("w").over(Window.partitionBy(key))
+            cells = cells.select(
+                "r", "c", "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * (tgt.cast("double") * scale)
+                    / msum.cast("double")
+                ).cast("long").alias("w"),
+            )
+    return cells.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "n",
+        F.col("w").alias("weight_scaled"),
+        F.round(F.col("w").cast("double") * 100 / scale).cast("long").alias(
+            "cell_weight_e2"
+        ),
+    )

@@ -74,6 +74,9 @@ SINGLE_PARTITION_OK = {
     "profile_approx",         # 1-row wide profile combine (HLL sketches per column)
     "isotonic",               # prefix-sum window over the <=k-bin table (k bounded by contract)
     "cox_score",              # suffix-sum window over distinct event times (time-resolution bounded)
+    "seasonal_decompose",     # centered-MA window over calendar-bounded month rows (mom_change shape)
+    "cuped",                  # 1-row pooled-moment combine broadcast to bounded groups
+    "textrank",               # pagerank dangling-mass scalar combine per iteration
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -116,6 +119,7 @@ BNLJ_OK = {
     "cohens_kappa",           # 1-row chance-agreement broadcast cross join
     "isotonic",               # k-row bin-table interval joins (i<=j over bounded bins)
     "cox_score",              # 1-row totals broadcast cross join
+    "cuped",                  # 1-row pooled-moment broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
