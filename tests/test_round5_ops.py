@@ -303,3 +303,22 @@ def test_dbscan_core_border_noise(spark):
     df2 = spark.createDataFrame(blob + far, "id long, x double, y double")
     out2 = dbscan_2d(df2, "x", "y", id_col="id", eps=0.3, min_pts=4).collect()
     assert len({r.cluster for r in out2}) == 2
+
+
+def test_ipf_raking_hits_margins(spark):
+    from smartpy_arc_spark.operators.sample import ipf_raking
+
+    rows = [("a", 0)] * 30 + [("a", 1)] * 10 + [("b", 0)] * 5 + [("b", 1)] * 55
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = ipf_raking(
+        df, "r", "c", {"a": 100, "b": 100}, {0: 120, 1: 80}, iterations=20
+    ).collect()
+    rm, cm = {}, {}
+    for x in out:
+        rm[x.r] = rm.get(x.r, 0) + x.weight_scaled
+        cm[x.c] = cm.get(x.c, 0) + x.weight_scaled
+    # last phase scales columns: column margins exact, rows converging
+    assert abs(cm[0] / 1e6 - 120) < 0.01 and abs(cm[1] / 1e6 - 80) < 0.01
+    assert all(abs(v / 1e6 - 100) < 0.05 for v in rm.values())
+    # weights stay proportional within structure: zero cells stay zero
+    assert all(x.weight_scaled > 0 for x in out)
