@@ -5,12 +5,18 @@ for 100 TB multimodal training pipelines: Spark moves bytes + metadata,
 per-item decode happens in Arrow-batched Python workers near the data,
 never on the driver.
 
-The real decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode step is stubbed: ``decode_image_meta(..., stub=True)`` produces a
-deterministic fake derived from the payload bytes; ``stub=False`` raises
-``NotImplementedError`` where the real library call belongs.  Everything
-around the stub — schema contract, mapInPandas batch iteration, partition
-parallelism, null passthrough — is real and tested.
+Decode is REAL for every container with a pure-Python codec in this repo —
+JPEG (``jpeg.py``: Huffman+IDCT), PNG/BMP/WAV (``codecs.py``), GIF
+animations (``gif.py``: LZW) — selected by magic-byte sniffing under
+``stub=False``.  Each operator also keeps a ``stub=True`` arithmetic fake
+whose output an external oracle can recompute from payload bytes alone
+(the cross-engine-checkable mode the driver's oracle queries use).  The
+only genuinely out-of-scope decode is real video (mp4/webm — needs
+ffmpeg, absent here); ``frame_sample`` documents that boundary and
+handles animated GIF as the real moving-image path.  Learned-model
+embedding extraction (CLIP/ResNet) is likewise out of scope — the real
+path of ``extract_features`` computes CLASSICAL decode-based features
+with the same schema a model would produce.
 """
 
 from __future__ import annotations
@@ -186,33 +192,78 @@ def extract_features(
     ``mapInPandas`` (``array<float>`` output, the shape a CLIP/ResNet
     encoder produces; feeds the similarity/ANN operators directly).
 
-    The fake is arithmetic on payload length — ``v_j = ((n·P_j + Q_j) mod
-    1000) / 1000`` — so an external oracle can recompute it; a real encoder
-    replaces the inner loop with a batched model call on the Arrow batch.
+    The ``stub=True`` fake is arithmetic on payload length — ``v_j =
+    ((n·P_j + Q_j) mod 1000) / 1000`` — so an external oracle can
+    recompute it.  ``stub=False`` computes REAL classical features from an
+    actual decode (magic-sniffed JPEG/PNG/BMP/GIF via the pure-Python
+    codecs): normalized channel means/stds, aspect ratio, and coarse
+    2×2-region luminances, tiled/truncated to ``dim`` — the schema and
+    batch shape are exactly what a learned encoder would produce, so the
+    similarity/ANN operators downstream are agnostic to which ran.
+    Learned-model (CLIP/ResNet) extraction itself is out of scope here
+    (no model runtime in this container); unrecognized payloads yield
+    null vectors.
     """
     from smartpy_arc_spark.session import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
-    if not stub:
-        raise NotImplementedError(
-            "real feature extraction requires a vision/audio encoder"
-        )
+
+    def real_features(b: bytes):
+        import numpy as np
+
+        from smartpy_arc_spark.multimodal.codecs import parse_bmp, parse_png
+        from smartpy_arc_spark.multimodal.gif import parse_gif
+        from smartpy_arc_spark.multimodal.jpeg import parse_jpeg
+
+        try:
+            if b[:2] == b"\xff\xd8":
+                img = parse_jpeg(b)
+            elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                img = parse_png(b)
+            elif b[:2] == b"BM":
+                img = parse_bmp(b)
+            elif b[:4] == b"GIF8":
+                img = parse_gif(b)[0]
+            else:
+                return None
+        except Exception:
+            return None
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        f = img.astype(np.float64) / 255.0
+        h, w, _ = f.shape
+        lum = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        hh, wh = max(h // 2, 1), max(w // 2, 1)
+        feats = [
+            *f.reshape(-1, 3).mean(axis=0),          # channel means
+            *f.reshape(-1, 3).std(axis=0),           # channel stds
+            min(w / h, 4.0) / 4.0,                   # bounded aspect
+            float(lum[:hh, :wh].mean()),             # 2x2 region luminances
+            float(lum[:hh, wh:].mean()) if w > 1 else 0.0,
+            float(lum[hh:, :wh].mean()) if h > 1 else 0.0,
+            float(lum[hh:, wh:].mean()) if h > 1 and w > 1 else 0.0,
+        ]
+        reps = (dim + len(feats) - 1) // len(feats)
+        return [float(x) for x in (feats * reps)[:dim]]
 
     def featurize(batches):
         for pdf in batches:
             ids, vecs = [], []
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(item_id))
                 if payload is None:
-                    ids.append(int(item_id))
                     vecs.append(None)
                     continue
-                n = len(bytes(payload))
-                v = [((n * (2 * j + 3) + 7 * j) % 1000) / 1000.0
-                     for j in range(dim)]
-                if normalize:
+                b = bytes(payload)
+                if stub:
+                    n = len(b)
+                    v = [((n * (2 * j + 3) + 7 * j) % 1000) / 1000.0
+                         for j in range(dim)]
+                else:
+                    v = real_features(b)
+                if v is not None and normalize:
                     norm = sum(x * x for x in v) ** 0.5 or 1.0
                     v = [x / norm for x in v]
-                ids.append(int(item_id))
                 vecs.append(v)
             yield pd.DataFrame({"item_id": ids, "features": vecs})
 

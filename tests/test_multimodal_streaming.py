@@ -202,9 +202,10 @@ def test_extract_features_stub(media):
         if r.features is not None:
             assert abs(sum(x * x for x in r.features) - 1.0) < 1e-5
 
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        extract_features(media, stub=False)
+    # real path: non-container payloads (plain text bytes) → null vectors
+    real = {r.item_id: r.features
+            for r in extract_features(media, stub=False).collect()}
+    assert all(v is None for v in real.values())
 
 
 def test_resize_image_stub(media):

@@ -322,3 +322,26 @@ def test_ipf_raking_hits_margins(spark):
     assert all(abs(v / 1e6 - 100) < 0.05 for v in rm.values())
     # weights stay proportional within structure: zero cells stay zero
     assert all(x.weight_scaled > 0 for x in out)
+
+
+def test_extract_features_real_path(spark):
+    """stub=False: real decode-based classical features — same constant
+    image in two different containers yields the SAME feature vector."""
+    import numpy as np
+
+    from smartpy_arc_spark.multimodal.binary import extract_features
+    from smartpy_arc_spark.multimodal.codecs import make_png
+    from smartpy_arc_spark.multimodal.gif import make_gif
+
+    img = np.full((10, 20, 3), (40, 90, 200), np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(make_png(img))), (2, bytearray(make_gif(img))),
+         (3, bytearray(b"junk"))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r.features
+           for r in extract_features(media, dim=10, stub=False).collect()}
+    assert out[1] is not None and len(out[1]) == 10
+    assert out[1] == out[2]  # lossless containers, identical pixels
+    assert abs(out[1][0] - 40 / 255) < 1e-6  # mean_r of constant image
+    assert out[3] is None
