@@ -201,21 +201,6 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    star_exact = None
-    if collapse_exact:
-        # min-id representative per byte-identical text: one window shuffle
-        # on the text hash, then members drop out of the LSH phase entirely
-        keyed = df.select(id_col, text_col).withColumn(
-            "_th", F.xxhash64(F.col(text_col))
-        )
-        rep = F.min(id_col).over(W.partitionBy("_th"))
-        keyed = keyed.withColumn("_rep", rep)
-        star_exact = (
-            keyed.where(F.col(id_col) != F.col("_rep"))
-            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
-        )
-        df = keyed.where(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
-
     sigs = minhash_signatures(
         df,
         text_col=text_col,
@@ -224,6 +209,23 @@ def minhash_lsh_candidates(
         shingle_size=shingle_size,
         shingle_mode=shingle_mode,
     )
+    star_exact = None
+    if collapse_exact:
+        # min-id representative per byte-identical text.  Signatures are
+        # computed FIRST (row-local, scan-speed) so the collapse window
+        # shuffles (id, text-hash, signature) — ~136 bytes/row — instead
+        # of the raw document text (measured 5.1 s → 1.3 s at sf0.1)
+        keyed = df.select(
+            F.col(id_col), F.xxhash64(F.col(text_col)).alias("_th")
+        ).join(sigs, id_col)
+        keyed = keyed.withColumn("_rep", F.min(id_col).over(W.partitionBy("_th")))
+        star_exact = (
+            keyed.where(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        sigs = keyed.where(F.col(id_col) == F.col("_rep")).select(
+            id_col, "minhash_sig"
+        )
     sigs = sigs.cache()  # read twice: banding pass + signature re-attach
     # per-band bucket id: multi-arg xxhash64 over the band's signature rows
     # plus the band index — numeric hashing, no string building
