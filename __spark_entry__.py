@@ -5261,6 +5261,31 @@ def _ipf_sql(iterations: int = 5, scale: int = 1_000_000) -> str:
     )
 
 
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test Naive Bayes language ID on a deterministic split: the
+    even-doc half trains per-language token models, the odd half scores;
+    output is the (true, predicted) confusion table with mean margins.
+    Rows-only: log-likelihood floats make cross-engine argmax brittle in
+    principle; accuracy and exact small-case likelihoods are pinned by
+    unit tests."""
+    from smartpy_arc_spark.operators.text import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_train(docs.where("doc_id % 2 = 0"), label_col="lang")
+    test = docs.where("doc_id % 2 = 1")
+    scored = nb_score(test, model)
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(scored, "doc_id")
+        .groupBy("true_lang", "predicted_label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("margin_e6")).cast("long").alias("avg_margin_e6"),
+        )
+        .orderBy("true_lang", "predicted_label")
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5563,6 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "dbscan": q_dbscan,
         "ipf_raking": q_ipf_raking,
+        "nb_langid": q_nb_langid,
     })
 
 

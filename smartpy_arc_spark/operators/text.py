@@ -844,3 +844,145 @@ def textrank_keywords(
         .orderBy(F.desc("rank_e9"), "word")
         .limit(top_k)
     )
+
+
+def nb_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha_num: int = 1,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes text classifier: per-(label, token)
+    counts plus per-label totals — the CCNet-style cheap quality/language
+    classifier a corpus pipeline trains in one pass.
+
+    The "model" IS a DataFrame (``label, token, n_tok, n_label_tokens,
+    n_label_docs, n_docs, vocab``) — it persists as a table, broadcasts
+    for scoring, and is exact integer counts so training is
+    engine-reproducible.  One explode + two hash aggregates.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
+    )
+    pairs = df.select(F.col(label_col).alias("label"), toks.alias("_toks"))
+    exploded = pairs.select("label", F.explode("_toks").alias("token"))
+    counts = exploded.groupBy("label", "token").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    label_tot = exploded.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_label_tokens")
+    )
+    label_docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("long").alias("n_label_docs")
+    )
+    n_docs = df.count()
+    vocab = counts.select("token").distinct().count()
+    return (
+        counts.join(label_tot, "label")
+        .join(label_docs, "label")
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("vocab", F.lit(vocab))
+        .withColumn("alpha_num", F.lit(alpha_num))
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a :func:`nb_train` model: predicted label =
+    argmax over labels of ``log P(label) + Σ_tokens log P(token|label)``
+    (Laplace-smoothed; unseen tokens fall back to the smoothing floor).
+
+    Plan shape is DSIR's: explode document tokens, broadcast-join the
+    (label, token) weight table, ONE groupBy(doc, label) partial-sum and
+    a per-doc argmax — the corpus is never shuffled by anything wider
+    than the doc id.  Ties break to the lexicographically smallest
+    label, so predictions are deterministic.
+
+    Returns ``(id, predicted_label, margin_e6)`` where margin is the
+    log-likelihood gap to the runner-up (confidence proxy).
+    """
+    labels = model.select(
+        "label", "n_label_tokens", "n_label_docs", "n_docs", "vocab", "alpha_num"
+    ).distinct()
+    weights = model.select(
+        "label", "token",
+        (
+            F.log(
+                (F.col("n_tok") + F.col("alpha_num")).cast("double")
+                / (F.col("n_label_tokens")
+                   + F.col("alpha_num") * F.col("vocab")).cast("double")
+            )
+            - F.log(
+                F.col("alpha_num").cast("double")
+                / (F.col("n_label_tokens")
+                   + F.col("alpha_num") * F.col("vocab")).cast("double")
+            )
+        ).alias("w_gain"),  # log-lift of a SEEN token over the unseen floor
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
+    )
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    exploded = staged.select(
+        F.col(id_col), F.size("_toks").alias("_n"), F.explode("_toks").alias("token")
+    )
+    # per-(doc, label) sum of seen-token log-lifts; docs × labels base
+    # score (prior + all-unseen floor) joins in from the bounded label dim
+    seen = (
+        exploded.join(F.broadcast(weights), "token")
+        .groupBy(id_col, "label")
+        .agg(F.sum("w_gain").alias("gain"))
+    )
+    base = (
+        staged.select(F.col(id_col), F.size("_toks").alias("_n"))
+        .crossJoin(
+            F.broadcast(
+                labels.select(
+                    "label",
+                    F.log(
+                        F.col("n_label_docs").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ).alias("prior"),
+                    F.log(
+                        F.col("alpha_num").cast("double")
+                        / (F.col("n_label_tokens")
+                           + F.col("alpha_num") * F.col("vocab")).cast("double")
+                    ).alias("floor"),
+                )
+            )
+        )
+        .select(
+            id_col, "label",
+            (F.col("prior") + F.col("_n") * F.col("floor")).alias("base"),
+        )
+    )
+    scored = (
+        base.join(seen, [id_col, "label"], "left")
+        .select(
+            id_col, "label",
+            (F.col("base") + F.coalesce("gain", F.lit(0.0))).alias("ll"),
+        )
+    )
+    # bounded per-doc list: one struct per LABEL (languages — a handful),
+    # sorted ascending on (-ll, label) so rank 0 is the max-likelihood
+    # label with ties broken to the lexicographically smallest label
+    top2 = scored.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("ll")).alias("nll"), F.col("label")))
+        ).alias("ranked"),
+    )
+    return top2.select(
+        F.col(id_col),
+        F.col("ranked")[0]["label"].alias("predicted_label"),
+        F.round(
+            (F.coalesce(
+                F.col("ranked")[1]["nll"], F.col("ranked")[0]["nll"]
+            ) - F.col("ranked")[0]["nll"]) * 1e6
+        ).cast("long").alias("margin_e6"),
+    )

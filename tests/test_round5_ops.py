@@ -345,3 +345,53 @@ def test_extract_features_real_path(spark):
     assert out[1] == out[2]  # lossless containers, identical pixels
     assert abs(out[1][0] - 40 / 255) < 1e-6  # mean_r of constant image
     assert out[3] is None
+
+
+def test_naive_bayes_train_score(spark):
+    """NB learns the vocabulary split and classifies held-out docs;
+    margins positive, predictions deterministic, matches a direct numpy
+    computation of the smoothed log-likelihoods."""
+    import math
+
+    from smartpy_arc_spark.operators.text import nb_score, nb_train
+
+    train_rows = [
+        (1, "spark shuffle codegen executor", "tech"),
+        (2, "executor shuffle partition spark", "tech"),
+        (3, "codegen partition spark executor", "tech"),
+        (4, "recipe butter flour sugar", "food"),
+        (5, "sugar flour oven recipe", "food"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    model = nb_train(train, label_col="lang")
+    test = spark.createDataFrame(
+        [(10, "spark executor shuffle"), (11, "flour sugar recipe"),
+         (12, "totally unseen tokens")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in nb_score(test, model).collect()}
+    assert out[10].predicted_label == "tech" and out[10].margin_e6 > 0
+    assert out[11].predicted_label == "food" and out[11].margin_e6 > 0
+    # all-unseen doc: prior favors tech (3/5) but food's smaller corpus
+    # gives unseen tokens a higher Laplace floor (1/18 vs 1/22) — with 3
+    # unseen tokens the floor term wins: proper multinomial NB behavior
+    assert out[12].predicted_label == "food"
+
+    # direct check for doc 10: smoothed multinomial log-likelihoods
+    counts = {"tech": {"spark": 3, "shuffle": 2, "codegen": 2,
+                       "executor": 3, "partition": 2},
+              "food": {"recipe": 2, "butter": 1, "flour": 2,
+                       "sugar": 2, "oven": 1}}
+    vocab = 10
+    tot = {"tech": 12, "food": 8}
+    prior = {"tech": math.log(3 / 5), "food": math.log(2 / 5)}
+
+    def ll(label, toks):
+        return prior[label] + sum(
+            math.log((counts[label].get(t, 0) + 1) / (tot[label] + vocab))
+            for t in toks
+        )
+
+    toks10 = ["spark", "executor", "shuffle"]
+    expect_margin = ll("tech", toks10) - ll("food", toks10)
+    assert abs(out[10].margin_e6 / 1e6 - expect_margin) < 1e-4
