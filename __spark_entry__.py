@@ -5286,6 +5286,23 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Newton-Raphson logistic regression: does order value /
+    customer balance predict 'order finalized'?  One (d+1)²-moment
+    aggregate per iteration, bounded driver solve.  Rows-only (IRLS
+    floats); coefficient recovery vs a numpy IRLS of the same spec is
+    pinned to 1e-6 by unit tests."""
+    from smartpy_arc_spark.operators.stats import logistic_fit
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.col("o_totalprice"), F.col("c_acctbal"),
+    )
+    return logistic_fit(base, "y", ["o_totalprice", "c_acctbal"]).orderBy("term")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5589,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "ipf_raking": q_ipf_raking,
         "nb_langid": q_nb_langid,
+        "logistic": q_logistic,
     })
 
 
