@@ -120,6 +120,7 @@ BNLJ_OK = {
     "isotonic",               # k-row bin-table interval joins (i<=j over bounded bins)
     "cox_score",              # 1-row totals broadcast cross join
     "cuped",                  # 1-row pooled-moment broadcast cross join
+    "nb_langid",              # bounded label-dim broadcast cross join (docs x languages)
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
