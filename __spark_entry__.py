@@ -5303,6 +5303,36 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_fit(base, "y", ["o_totalprice", "c_acctbal"]).orderBy("term")
 
 
+_SHARED_WORKSPACE_SQL = """
+    WITH rev AS (
+        SELECT n_name, o_orderpriority,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+    )
+    SELECT n_name, o_orderpriority, rev_cents,
+           CAST(rank() OVER (PARTITION BY n_name
+                             ORDER BY rev_cents DESC, o_orderpriority)
+                AS BIGINT) AS rnk
+    FROM rev ORDER BY n_name, rnk
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL surface: `open_workspace` registers every table in
+    the folder as a lazy temp view, then ONE ANSI SQL string runs
+    unchanged on Spark AND on the DuckDB oracle — the strongest possible
+    portability statement (the oracle entry IS the query text)."""
+    from smartpy_arc_spark.sources.catalog import open_workspace
+
+    open_workspace(spark, sf_dir)
+    return spark.sql(_SHARED_WORKSPACE_SQL)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5607,6 +5637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipf_raking": q_ipf_raking,
         "nb_langid": q_nb_langid,
         "logistic": q_logistic,
+        "sql_surface": q_sql_surface,
     })
 
 
@@ -10300,6 +10331,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "sql_surface": _SHARED_WORKSPACE_SQL,
         "ipf_raking": _ipf_sql(),
         "dbscan": """
             WITH pts AS (

@@ -108,3 +108,40 @@ def jdbc_conn(
         return reader.load()
 
     return read
+
+
+def open_workspace(
+    spark: SparkSession,
+    workspace: str,
+    *,
+    fmt: str = "parquet",
+    nanos_ts_cols: Mapping[str, list] | None = None,
+) -> list[str]:
+    """Register every ``<name>.<fmt>`` table in a folder workspace as a
+    temp view named ``<name>`` — the reference's workspace concept
+    (``arcpy.env.workspace``) mapped onto the Spark catalog, which turns
+    the whole engine into a PLAIN-SQL surface:
+
+        open_workspace(spark, "/data/sf0.1")
+        spark.sql("SELECT ... FROM orders JOIN customer ON ...")
+
+    Views are lazy scans (predicate pushdown / column pruning intact);
+    registration touches no data.  ``nanos_ts_cols`` maps table name →
+    event-time columns needing the TIMESTAMP(NANOS) normalization (the
+    ``events.ts`` case).  Returns the sorted registered names.
+    """
+    import glob as _glob
+    import os as _os
+
+    from smartpy_arc_spark.sources.scan import scan
+
+    names = []
+    for p in sorted(_glob.glob(_os.path.join(workspace, f"*.{fmt}"))):
+        name = _os.path.splitext(_os.path.basename(p))[0]
+        df = scan(
+            spark, workspace, name, fmt=fmt,
+            nanos_ts_cols=(nanos_ts_cols or {}).get(name, ()),
+        )
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

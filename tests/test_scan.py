@@ -254,3 +254,20 @@ def test_compact_files(spark, tmp_path):
     files = _g.glob(path + "/*.parquet")
     assert len(files) == 1  # tiny dataset -> single target-size file
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_open_workspace_registers_lazy_views(spark, sf_dir):
+    from smartpy_arc_spark.sources.catalog import open_workspace
+
+    names = open_workspace(spark, sf_dir)
+    assert "nation" in names and "lineitem" in names
+    out = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert out.count() == 5
+    # pushdown intact through the view: filter reaches the parquet scan
+    plan = spark.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 3"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
