@@ -27,7 +27,12 @@ from smartpy_arc_spark.sources.inspect import (
     get_oid_fld,
     get_shp_fld,
 )
-from smartpy_arc_spark.sources.catalog import get_df, get_table_unique, jdbc_conn
+from smartpy_arc_spark.sources.catalog import (
+    get_df,
+    get_table_unique,
+    jdbc_conn,
+    open_workspace,
+)
 
 from smartpy_arc_spark.sinks.write import write_table, copy_feats
 
@@ -62,6 +67,7 @@ __all__ = [
     "get_df",
     "get_table_unique",
     "jdbc_conn",
+    "open_workspace",
     "write_table",
     "copy_feats",
     "enrich_join",
