@@ -5333,6 +5333,25 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHARED_WORKSPACE_SQL)
 
 
+def q_dtw_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic shape similarity between event types: DTW over each type's
+    hourly count series (Sakoe-Chiba band 24).  Rows-only (the DP fold is
+    numpy inside mapInPandas); exact small-case distances and metric
+    properties are pinned by unit tests."""
+    from smartpy_arc_spark.operators.resample import dtw_pairwise
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return dtw_pairwise(
+        hourly, key_col="event_type", order_col="h", value_col="n", band=24
+    ).orderBy("key_a", "key_b")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5638,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid": q_nb_langid,
         "logistic": q_logistic,
         "sql_surface": q_sql_surface,
+        "dtw_types": q_dtw_types,
     })
 
 

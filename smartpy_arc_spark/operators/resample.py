@@ -523,3 +523,92 @@ def seasonal_decompose(
         .orderBy("month")
     )
     return out
+
+
+def dtw_pairwise(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    band: int | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Dynamic Time Warping distance between every pair of per-key series
+    (Sakoe & Chiba 1978) — the standard elastic distance for comparing
+    time series that are similar in SHAPE but locally stretched or
+    shifted (daily traffic curves, sensor traces, per-segment seasonality).
+
+    Plan: one groupBy(key) assembles each ordered series (values
+    pre-rounded to integer ``scale`` units so assembly is order-exact);
+    the bounded key×key pair grid (series comparison is quadratic in
+    KEYS by definition — callers pass a bounded key domain, e.g. event
+    types or segments, never raw ids) joins the two series arrays and a
+    vectorized numpy DP inside ``mapInPandas`` computes the alignment
+    cost, O(n·m) per pair or O(n·band) with the Sakoe-Chiba ``band``.
+
+    Returns ``(key_a, key_b, len_a, len_b, dtw_e2)`` for key_a < key_b —
+    ``dtw_e2`` the total |a−b| alignment cost in integer hundredths.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
+    ys = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    series = (
+        df.select(F.col(key_col).alias("k"), F.col(order_col).alias("o"), ys.alias("v"))
+        .groupBy("k")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("o", "v"))), lambda s: s["v"]
+            ).alias("series")
+        )
+    )
+    pairs = (
+        series.select(F.col("k").alias("key_a"), F.col("series").alias("sa"))
+        .join(
+            series.select(F.col("k").alias("key_b"), F.col("series").alias("sb")),
+            F.col("key_a") < F.col("key_b"),
+        )
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            rows = []
+            for ka, kb, sa, sb in zip(
+                pdf["key_a"], pdf["key_b"], pdf["sa"], pdf["sb"]
+            ):
+                a = np.asarray(sa, dtype=np.float64)
+                b = np.asarray(sb, dtype=np.float64)
+                n, m = len(a), len(b)
+                w = max(band, abs(n - m)) if band is not None else max(n, m)
+                INF = np.inf
+                prev = np.full(m + 1, INF)
+                prev[0] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full(m + 1, INF)
+                    lo, hi = max(1, i - w), min(m, i + w)
+                    if lo > hi:
+                        prev = cur
+                        continue
+                    cost = np.abs(a[i - 1] - b[lo - 1 : hi])
+                    # vectorized DP row: min of (insert, delete, match)
+                    # still needs the left-to-right scan for cur[j-1]
+                    for j, c in zip(range(lo, hi + 1), cost):
+                        cur[j] = c + min(prev[j], prev[j - 1], cur[j - 1])
+                    prev = cur
+                d = prev[m]
+                rows.append(
+                    (ka, kb, n, m,
+                     int(round(d / scale * 100)) if np.isfinite(d) else None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["key_a", "key_b", "len_a", "len_b", "dtw_e2"]
+            )
+
+    return pairs.mapInPandas(
+        compute,
+        f"key_a string, key_b string, len_a int, len_b int, dtw_e2 long",
+    )

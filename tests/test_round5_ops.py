@@ -430,3 +430,35 @@ def test_logistic_fit_recovers_coefficients(spark):
         beta -= np.linalg.solve(H, g)
     assert abs(out["x1"].std_coef - beta[1]) < 1e-6
     assert abs(out["x2"].std_coef - beta[2]) < 1e-6
+
+
+def test_dtw_identity_shift_and_reference(spark):
+    """DTW: identical series → 0; a time-shifted copy costs far less than
+    euclidean; matches a plain-python DP reference exactly."""
+    from smartpy_arc_spark.operators.resample import dtw_pairwise
+
+    a = [0, 0, 1, 5, 9, 5, 1, 0, 0, 0]
+    b = [0, 0, 0, 0, 1, 5, 9, 5, 1, 0]   # same pulse, shifted by 2
+    c = a                                  # identical
+    rows = [(k, i, float(v)) for k, s in (("a", a), ("b", b), ("c", c))
+            for i, v in enumerate(s)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = {(r.key_a, r.key_b): r.dtw_e2
+           for r in dtw_pairwise(df, key_col="k", order_col="i",
+                                 value_col="v").collect()}
+    assert out[("a", "c")] == 0
+
+    def dtw_ref(x, y):
+        import math
+        n, m = len(x), len(y)
+        D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i][j] = abs(x[i - 1] - y[j - 1]) + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+        return D[n][m]
+
+    assert out[("a", "b")] == round(dtw_ref(a, b) * 100)
+    euclid = sum(abs(x - y) for x, y in zip(a, b))
+    assert out[("a", "b")] / 100 < euclid  # elastic alignment helps
