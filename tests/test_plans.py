@@ -121,6 +121,7 @@ BNLJ_OK = {
     "cox_score",              # 1-row totals broadcast cross join
     "cuped",                  # 1-row pooled-moment broadcast cross join
     "nb_langid",              # bounded label-dim broadcast cross join (docs x languages)
+    "dtw_types",              # bounded key-grid pair join (series comparison is quadratic in KEYS by contract)
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
