@@ -5352,6 +5352,23 @@ def q_dtw_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line capacity statistic: peak simultaneously-open orders per
+    month (interval = order date + 1..7 days by key), with the earliest
+    instant the peak occurs.  Exact integer deltas; [start, end) ends
+    sort before starts."""
+    from smartpy_arc_spark.operators.sessionize import peak_concurrency
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_dt_interval((o_orderkey % 7) + 1)"
+        ).alias("e"),
+    )
+    return peak_concurrency(orders, "s", "e", group_col="month").orderBy("month")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5658,6 +5675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic": q_logistic,
         "sql_surface": q_sql_surface,
         "dtw_types": q_dtw_types,
+        "peak_concurrency": q_peak_concurrency,
     })
 
 
@@ -10351,6 +10369,36 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "peak_concurrency": """
+            WITH base AS (
+                SELECT date_trunc('month', o_orderdate) AS g,
+                       o_orderdate AS s,
+                       o_orderdate
+                       + ((o_orderkey % 7) + 1) * INTERVAL 1 DAY AS e
+                FROM orders
+            ), deltas AS (
+                SELECT g, s AS t, 1 AS d FROM base
+                UNION ALL SELECT g, e AS t, -1 AS d FROM base
+            ), curve AS (
+                SELECT g, t,
+                       CAST(sum(d) OVER (PARTITION BY g ORDER BY t, d
+                                         ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS c
+                FROM deltas
+            )
+            , stats AS (
+                SELECT g, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+                       CAST(max(c) AS BIGINT) AS peak_concurrency
+                FROM curve GROUP BY g
+            ), at AS (
+                SELECT curve.g, min(t) AS peak_at
+                FROM curve JOIN stats ON curve.g = stats.g
+                 AND curve.c = stats.peak_concurrency
+                GROUP BY curve.g
+            )
+            SELECT stats.g AS month, n_intervals, peak_concurrency, peak_at
+            FROM stats JOIN at ON stats.g = at.g ORDER BY month
+        """,
         "sql_surface": _SHARED_WORKSPACE_SQL,
         "ipf_raking": _ipf_sql(),
         "dbscan": """

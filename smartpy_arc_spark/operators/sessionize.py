@@ -203,3 +203,64 @@ def growth_accounting(
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    group_col: str,
+) -> DataFrame:
+    """Sweep-line peak concurrency per group: the maximum number of
+    intervals simultaneously open — peak concurrent sessions/users/open
+    orders, the capacity-planning statistic interval tables exist for.
+
+    Classic event-delta formulation: every interval emits (start, +1)
+    and (end, −1); ordered by (time, delta) — ends sort BEFORE starts at
+    the same instant, giving half-open ``[start, end)`` semantics — the
+    running delta sum IS the concurrency curve, and its max is the peak.
+    All integer arithmetic over one window keyed by ``group_col`` (the
+    partition must bound the sweep: group by day/month so one task never
+    sorts the global timeline).  Intervals are assigned to the group of
+    their START; document that convention at call sites.
+
+    Returns ``(group, n_intervals, peak_concurrency, peak_at)`` —
+    ``peak_at`` the earliest instant the peak is reached.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    )
+    deltas = base.select("g", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        base.select("g", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = deltas.withColumn("c", F.sum("d").over(w))
+    # peak + earliest peak instant in one pass over the same window
+    # partitioning: rank each group's curve points by (-c, t)
+    stats = curve.groupBy("g").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.max("c").cast("long").alias("peak_concurrency"),
+    )
+    at = (
+        curve.join(
+            stats.select("g", F.col("peak_concurrency").alias("_pk")), "g"
+        )
+        .where(F.col("c") == F.col("_pk"))
+        .groupBy("g")
+        .agg(F.min("t").alias("peak_at"))
+    )
+    return stats.join(at, "g").select(
+        F.col("g").alias(group_col),
+        "n_intervals",
+        "peak_concurrency",
+        "peak_at",
+    )

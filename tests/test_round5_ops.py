@@ -462,3 +462,26 @@ def test_dtw_identity_shift_and_reference(spark):
     assert out[("a", "b")] == round(dtw_ref(a, b) * 100)
     euclid = sum(abs(x - y) for x, y in zip(a, b))
     assert out[("a", "b")] / 100 < euclid  # elastic alignment helps
+
+
+def test_peak_concurrency_sweep(spark):
+    """Hand-built intervals: [0,10) [5,15) [9,12) overlap 3-deep at t=9;
+    half-open semantics — an interval ending exactly when another starts
+    does not overlap it."""
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.sessionize import peak_concurrency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [("g", ts(0), ts(10)), ("g", ts(5), ts(15)), ("g", ts(9), ts(12)),
+            ("h", ts(0), ts(5)), ("h", ts(5), ts(9))]  # touch, no overlap
+    df = spark.createDataFrame(rows, "grp string, s timestamp, e timestamp")
+    out = {r.grp: r for r in
+           peak_concurrency(df, "s", "e", group_col="grp").collect()}
+    assert out["g"].peak_concurrency == 3 and out["g"].peak_at == ts(9)
+    assert out["h"].peak_concurrency == 1
+    assert out["g"].n_intervals == 3 and out["h"].n_intervals == 2
