@@ -5369,6 +5369,77 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(orders, "s", "e", group_col="month").orderBy("month")
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple exponential smoothing of monthly revenue per
+    order priority (additive seasonality, period 12; list-accumulator
+    in-order fold).  Oracle = the same fold unrolled as a DuckDB
+    list_reduce with the seasonal queue rotated by list slicing."""
+    from smartpy_arc_spark.operators.resample import holt_winters
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("rev")
+        )
+    )
+    return holt_winters(monthly, "k", "m", "rev", period=12).orderBy("k")
+
+
+def _holt_winters_sql(p: int = 12, alpha: float = 0.5, beta: float = 0.25,
+                      gamma: float = 0.5) -> str:
+    """Oracle generated from the same fold spec as resample.py:holt_winters
+    (no let-binding in either engine's lambdas, so shared subexpressions
+    are inlined identically)."""
+    a, na = repr(float(alpha)), repr(float(1.0 - alpha))
+    b, nb = repr(float(beta)), repr(float(1.0 - beta))
+    g, ng = repr(float(gamma)), repr(float(1.0 - gamma))
+    L0 = (f"(list_reduce(list_prepend(0.0, xs[1:{p}]), (a2, b2) -> a2 + b2)"
+          f" / {float(p)!r})")
+    M2 = (f"(list_reduce(list_prepend(0.0, xs[{p + 1}:{2 * p}]), "
+          f"(a2, b2) -> a2 + b2) / {float(p)!r})")
+    B0 = f"(({M2} - {L0}) / {float(p)!r})"
+    S0 = f"list_transform(xs[1:{p}], v -> v - {L0})"
+    INIT = f"(list_concat([{L0}, {B0}], {S0}))"
+    LNEW = f"({a} * (x[1] - acc[3]) + {na} * (acc[1] + acc[2]))"
+    BNEW = f"({b} * ({LNEW} - acc[1]) + {nb} * acc[2])"
+    SNEW = f"({g} * (x[1] - {LNEW}) + {ng} * acc[3])"
+    FOLD = (
+        f"list_reduce(list_prepend({INIT}, "
+        f"list_transform(xs[{p + 1}:], v -> [v])), "
+        f"(acc, x) -> list_concat(list_concat([{LNEW}, {BNEW}], acc[4:]), "
+        f"[{SNEW}]))"
+    )
+    e4 = "CAST(round({expr} / 100 * 10000) AS BIGINT)"
+    return f"""
+        WITH monthly AS (
+            SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS rev
+            FROM orders GROUP BY 1, 2
+        ), s AS (
+            SELECT k, list(CAST(round(rev * 100) AS DOUBLE) ORDER BY m) AS xs
+            FROM monthly GROUP BY k
+        ), f AS (
+            SELECT k, CAST(len(xs) AS BIGINT) AS n_obs,
+                   CASE WHEN len(xs) >= {2 * p} THEN {FOLD} END AS hw
+            FROM s
+        )
+        SELECT k, n_obs,
+               {e4.format(expr="hw[1]")} AS level_e4,
+               {e4.format(expr="hw[2]")} AS trend_e4,
+               {e4.format(expr="(hw[1] + hw[2] + hw[3])")} AS f1_e4,
+               {e4.format(expr="(hw[1] + 2.0 * hw[2] + hw[4])")} AS f2_e4
+        FROM f ORDER BY k
+    """
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5676,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface": q_sql_surface,
         "dtw_types": q_dtw_types,
         "peak_concurrency": q_peak_concurrency,
+        "holt_winters": q_holt_winters,
     })
 
 
@@ -10369,6 +10441,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "holt_winters": _holt_winters_sql(),
         "peak_concurrency": """
             WITH base AS (
                 SELECT date_trunc('month', o_orderdate) AS g,

@@ -612,3 +612,95 @@ def dtw_pairwise(
         compute,
         f"key_a string, key_b string, len_a int, len_b int, dtw_e2 long",
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: int = 12,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Holt-Winters additive triple exponential smoothing (level +
+    trend + seasonal) — the rung above :func:`holt_linear` for seasonal
+    series:
+
+        l_t = α(y_t − s_{t−p}) + (1−α)(l + b)
+        b_t = β(l_t − l) + (1−β)b
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−p}
+
+    State is a single LIST accumulator ``[l, b, s₁…s_p]`` (the seasonal
+    queue rotates by list slicing) folded in order with ``F.aggregate``
+    — the same fixed-order codegen fold as holt/ewma, so with dyadic
+    α/β/γ on fixed-point ticks every step is the identical binary-float
+    expression on any engine.  Init is the textbook two-season scheme:
+    ``l₀ = mean(season 1)``, ``b₀ = (mean(season 2) − mean(season 1))/p``,
+    ``s_i = y_i − l₀``; the fold consumes observations p+1…n.  Keys with
+    fewer than 2p observations return nulls (insufficient history).
+
+    Returns ``(key, n_obs, level_e4, trend_e4, f1_e4, f2_e4)`` —
+    one- and two-step-ahead forecasts ``l + h·b + s[h]`` in integer
+    ten-thousandths.
+    """
+    order = [F.col(ts_col)]
+    ticks = F.round(F.col(value_col).cast("double") * scale).cast("double")
+    item = F.struct(*order, ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    p = period
+    a, b1, g1 = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+
+    def list_mean(arr):
+        # explicit in-order fold: engines may sum builtin list_sum in any
+        # order; a left fold is fixed
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v) / F.lit(
+            float(p)
+        )
+
+    season1 = F.slice(xs, 1, p)
+    season2 = F.slice(xs, p + 1, p)
+    l0 = list_mean(season1)
+    b0 = (list_mean(season2) - l0) / F.lit(float(p))
+    s0 = F.transform(season1, lambda v: v - l0)
+    init = F.concat(F.array(l0, b0), s0)
+
+    def step(acc, y):
+        l_prev = F.element_at(acc, 1)
+        b_prev = F.element_at(acc, 2)
+        s_old = F.element_at(acc, 3)
+        l_new = a * (y - s_old) + (F.lit(1.0) - a) * (l_prev + b_prev)
+        # no let-binding in HOF lambdas: l_new repeats inside b/s updates
+        b_new = (
+            b1 * (a * (y - s_old) + (F.lit(1.0) - a) * (l_prev + b_prev) - l_prev)
+            + (F.lit(1.0) - b1) * b_prev
+        )
+        s_new = (
+            g1 * (y - (a * (y - s_old) + (F.lit(1.0) - a) * (l_prev + b_prev)))
+            + (F.lit(1.0) - g1) * s_old
+        )
+        return F.concat(
+            F.array(l_new, b_new), F.slice(acc, 4, p - 1), F.array(s_new)
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, p + 1, F.greatest(F.size(xs) - p, F.lit(0))), init, step
+    )
+    ok = F.size(xs) >= 2 * p
+    e4 = lambda c: F.when(ok, F.round(c / scale * 10000).cast("long"))  # noqa: E731
+    l_f = F.element_at(folded, 1)
+    b_f = F.element_at(folded, 2)
+    return per_key.select(
+        F.col(key_col),
+        F.size("series").cast("long").alias("n_obs"),
+        e4(l_f).alias("level_e4"),
+        e4(b_f).alias("trend_e4"),
+        e4(l_f + b_f + F.element_at(folded, 3)).alias("f1_e4"),
+        e4(l_f + F.lit(2.0) * b_f + F.element_at(folded, 4)).alias("f2_e4"),
+    )

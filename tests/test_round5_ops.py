@@ -485,3 +485,40 @@ def test_peak_concurrency_sweep(spark):
     assert out["g"].peak_concurrency == 3 and out["g"].peak_at == ts(9)
     assert out["h"].peak_concurrency == 1
     assert out["g"].n_intervals == 3 and out["h"].n_intervals == 2
+
+
+def test_holt_winters_matches_python_reference(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.resample import holt_winters
+
+    p, alpha, beta, gamma = 4, 0.5, 0.25, 0.5
+    pattern = [10, -5, 3, -8]
+    ys = [100 + 2 * t + pattern[t % p] for t in range(16)]
+    rows = [("k", dt.datetime(2024, 1, 1) + dt.timedelta(days=t), float(v))
+            for t, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = holt_winters(df, "k", "ts", "v", period=p, alpha=alpha,
+                       beta=beta, gamma=gamma).collect()[0]
+
+    # plain-python reference of the documented spec (ticks = v*100)
+    xs = [v * 100 for v in ys]
+    l = sum(xs[:p]) / p
+    b = (sum(xs[p:2 * p]) / p - l) / p
+    s = [x - l for x in xs[:p]]
+    for y in xs[p:]:
+        s_old = s.pop(0)
+        l_new = alpha * (y - s_old) + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        s.append(gamma * (y - l_new) + (1 - gamma) * s_old)
+        l = l_new
+    assert out.level_e4 == round(l / 100 * 10000)
+    assert out.trend_e4 == round(b / 100 * 10000)
+    assert out.f1_e4 == round((l + b + s[0]) / 100 * 10000)
+    # trend ~ 2/day and forecasts track the seasonal pattern direction
+    assert abs(out.trend_e4 / 1e4 - 2.0) < 1.0
+
+    # short series -> nulls
+    short = spark.createDataFrame(rows[:6], "k string, ts timestamp, v double")
+    r = holt_winters(short, "k", "ts", "v", period=p).collect()[0]
+    assert r.level_e4 is None and r.f1_e4 is None
