@@ -5440,6 +5440,22 @@ def _holt_winters_sql(p: int = 12, alpha: float = 0.5, beta: float = 0.25,
     """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily click and view
+    counts: integer window moments + one closed-form expression per row
+    (IEEE sqrt is correctly rounded, so even the sqrt is bit-portable)."""
+    from smartpy_arc_spark.operators.stats import rolling_corr
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+    )
+    return rolling_corr(
+        daily, "d", "clicks", "views", window=14, min_periods=7, scale=1
+    ).orderBy("d")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5748,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_types": q_dtw_types,
         "peak_concurrency": q_peak_concurrency,
         "holt_winters": q_holt_winters,
+        "rolling_corr": q_rolling_corr,
     })
 
 
@@ -10441,6 +10458,36 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "rolling_corr": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS d,
+                       CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                            AS BIGINT) AS x,
+                       CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                            AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT d,
+                       CAST(count(*) OVER w AS BIGINT) AS n,
+                       CAST(sum(x) OVER w AS BIGINT) AS sx,
+                       CAST(sum(y) OVER w AS BIGINT) AS sy,
+                       CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                       CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                       CAST(sum(y * y) OVER w AS BIGINT) AS syy
+                FROM daily
+                WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT d, n AS n_window,
+                   CAST(round(CASE WHEN n >= 7
+                        AND sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        END * 1e6) AS BIGINT) AS corr_e6
+            FROM m ORDER BY d
+        """,
         "holt_winters": _holt_winters_sql(),
         "peak_concurrency": """
             WITH base AS (

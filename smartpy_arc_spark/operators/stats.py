@@ -1828,3 +1828,53 @@ def logistic_fit(
         F.lit(round(float(loss_row["ll"]), 8)).alias("log_loss"),
         F.lit(int(n)).alias("n"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    window: int = 30,
+    min_periods: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series — the
+    co-movement monitor (metric A vs metric B over a trailing window).
+
+    Exactness: both series pre-round to integer ``scale`` units and the
+    window carries the six raw integer moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²); the correlation is then ONE closed-form double expression per
+    row — no Welford-style running state whose accumulation order an
+    engine could choose differently.  Rows with fewer than
+    ``min_periods`` observations yield null.
+
+    One ordered window pass (the input must already be one row per
+    ``ts_col``; the caller aggregates to the grid first — windows over a
+    time grid are calendar-bounded, the `mom_change` allowlist shape).
+
+    Returns ``(ts, n_window, corr_e6)``.
+    """
+    from pyspark.sql import Window
+
+    xs = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    ys = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), xs.alias("x"), ys.alias("y"))
+    w = Window.orderBy("t").rowsBetween(-(window - 1), 0)
+    n = F.count("*").over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    corr = F.when((n >= min_periods) & (den > 0), num / den)
+    return base.select(
+        F.col("t").alias(ts_col),
+        n.cast("long").alias("n_window"),
+        F.round(corr * 1e6).cast("long").alias("corr_e6"),
+    )

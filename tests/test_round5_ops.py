@@ -522,3 +522,24 @@ def test_holt_winters_matches_python_reference(spark):
     short = spark.createDataFrame(rows[:6], "k string, ts timestamp, v double")
     r = holt_winters(short, "k", "ts", "v", period=p).collect()[0]
     assert r.level_e4 is None and r.f1_e4 is None
+
+
+def test_rolling_corr_perfect_and_anti(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.stats import rolling_corr
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        # first 10 days: y = 2x (corr +1); afterwards y = -x + 100 (corr -1)
+        x = float(i + 1)
+        y = 2 * x if i < 10 else 100 - x
+        rows.append((t0 + dt.timedelta(days=i), x, y))
+    df = spark.createDataFrame(rows, "t timestamp, x double, y double")
+    out = sorted(rolling_corr(df, "t", "x", "y", window=5, min_periods=5)
+                 .collect(), key=lambda r: r.t)
+    assert out[0].corr_e6 is None           # below min_periods
+    assert out[6].corr_e6 == 1_000_000      # pure linear window
+    assert out[-1].corr_e6 == -1_000_000    # pure anti-linear window
+    assert all(r.n_window <= 5 for r in out)
