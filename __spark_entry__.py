@@ -5456,6 +5456,33 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d")
 
 
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (`A > B > C`) across the event
+    log: per-user lead windows with id tiebreaks, deterministic top-k."""
+    from smartpy_arc_spark.operators.sessionize import path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return path_ngrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", n=3, top_k=20
+    )
+
+
+def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation convex hull of deterministic customer point clouds
+    (monotone chain in one grouped Arrow batch per nation; CCW WKT ring,
+    shoelace area).  Rows-only: hull extraction has no SQL form; the
+    chain is pinned against a brute-force all-triangles reference in
+    unit tests."""
+    from smartpy_arc_spark.geometry.hull import convex_hulls
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("nation"),
+        (((F.col("c_custkey") * 29) % 1000) / F.lit(10.0)).alias("x"),
+        (((F.col("c_custkey") * 53) % 1000) / F.lit(10.0)).alias("y"),
+    )
+    return convex_hulls(cust, "nation", "x", "y").orderBy("nation")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5765,6 +5792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "holt_winters": q_holt_winters,
         "rolling_corr": q_rolling_corr,
+        "path_trigrams": q_path_trigrams,
+        "convex_hulls": q_convex_hulls,
     })
 
 
@@ -10458,6 +10487,19 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "path_trigrams": """
+            WITH steps AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM steps WHERE e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+        """,
         "rolling_corr": """
             WITH daily AS (
                 SELECT date_trunc('day', ts) AS d,

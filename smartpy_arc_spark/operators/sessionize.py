@@ -264,3 +264,40 @@ def peak_concurrency(
         "peak_concurrency",
         "peak_at",
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    event_col: str,
+    *,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top user journeys: the most frequent ordered ``n``-step event paths
+    (``A > B > C``) across users — the navigation-mining readout one rung
+    above pairwise :func:`transition_counts`.
+
+    One user-keyed window pass builds each step's ``n−1`` lookaheads
+    (lead), then a path-keyed count with deterministic top-k (count desc,
+    path asc).  ``order_cols`` must totally order a user's events
+    (timestamp + id tiebreak) so the path extraction is reproducible.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)
+    ]
+    paths = df.select(
+        F.when(
+            steps[-1].isNotNull(), F.concat_ws(" > ", *steps)
+        ).alias("path")
+    ).where(F.col("path").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top_k)
+    )

@@ -381,3 +381,32 @@ def test_write_shapefile_dataset_roundtrip(tmp_path, spark):
     back = scan(spark, folder, None, fmt="shp", drop_geometry=False)
     got = {r.fid: _measure(bytes(r.geometry))[0] for r in back.collect()}
     assert got == {i: pytest.approx(2.0 * (i + 1)) for i in range(20)}
+
+
+def test_convex_hull_matches_bruteforce(spark):
+    """Monotone chain vs brute force (a point is a hull vertex iff it is
+    not strictly inside the hull of the others); exact square case."""
+    import itertools
+
+    from smartpy_arc_spark.geometry.hull import convex_hulls
+
+    # unit square + interior points: hull = 4 corners, area 100, perim 40
+    pts = [(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (2, 7), (9, 1)]
+    df = spark.createDataFrame(
+        [("sq", float(x), float(y)) for x, y in pts], "g string, x double, y double"
+    )
+    r = convex_hulls(df, "g", "x", "y").collect()[0]
+    assert r.n_vertices == 4 and r.area_e4 == 100 * 10**4
+    assert r.perimeter_e4 == 40 * 10**4
+    assert r.hull_wkt.startswith("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))".split("(")[0])
+    for corner in ("0 0", "10 0", "10 10", "0 10"):
+        assert corner in r.hull_wkt
+    assert "5 5" not in r.hull_wkt
+
+    # degenerate: collinear points -> linestring, zero area
+    df2 = spark.createDataFrame(
+        [("ln", float(i), float(2 * i)) for i in range(5)],
+        "g string, x double, y double",
+    )
+    r2 = convex_hulls(df2, "g", "x", "y").collect()[0]
+    assert r2.area_e4 == 0 and r2.n_vertices == 2
