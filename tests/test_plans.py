@@ -77,6 +77,7 @@ SINGLE_PARTITION_OK = {
     "seasonal_decompose",     # centered-MA window over calendar-bounded month rows (mom_change shape)
     "cuped",                  # 1-row pooled-moment combine broadcast to bounded groups
     "textrank",               # pagerank dangling-mass scalar combine per iteration
+    "rolling_corr",           # trailing window over the calendar-bounded day grid (mom_change shape)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
