@@ -5483,6 +5483,22 @@ def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hulls(cust, "nation", "x", "y").orderBy("nation")
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-experimental DiD: BUILDING-segment customers (treated) vs
+    the rest, pre/post 1998, on order value — exact DECIMAL moments in
+    one conditional aggregate, explicit four-term arithmetic."""
+    from smartpy_arc_spark.operators.stats import diff_in_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treat"),
+        (F.year("o_orderdate") >= 1998).cast("int").alias("post"),
+    )
+    return diff_in_diff(base, "y", "treat", "post")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5794,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "path_trigrams": q_path_trigrams,
         "convex_hulls": q_convex_hulls,
+        "diff_in_diff": q_diff_in_diff,
     })
 
 
@@ -10487,6 +10504,58 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "diff_in_diff": """
+            WITH base AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+                       CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                           AS t,
+                       CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END
+                           AS p
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ), cells AS (
+                SELECT
+                  CAST(count(CASE WHEN t=0 AND p=0 THEN 1 END) AS BIGINT) AS n00,
+                  CAST(sum(CASE WHEN t=0 AND p=0 THEN y END) AS BIGINT) AS s00,
+                  CAST(sum(CASE WHEN t=0 AND p=0 THEN CAST(y AS HUGEINT)*y END) AS HUGEINT) AS q00,
+                  CAST(count(CASE WHEN t=0 AND p=1 THEN 1 END) AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN t=0 AND p=1 THEN y END) AS BIGINT) AS s01,
+                  CAST(sum(CASE WHEN t=0 AND p=1 THEN CAST(y AS HUGEINT)*y END) AS HUGEINT) AS q01,
+                  CAST(count(CASE WHEN t=1 AND p=0 THEN 1 END) AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN t=1 AND p=0 THEN y END) AS BIGINT) AS s10,
+                  CAST(sum(CASE WHEN t=1 AND p=0 THEN CAST(y AS HUGEINT)*y END) AS HUGEINT) AS q10,
+                  CAST(count(CASE WHEN t=1 AND p=1 THEN 1 END) AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN t=1 AND p=1 THEN y END) AS BIGINT) AS s11,
+                  CAST(sum(CASE WHEN t=1 AND p=1 THEN CAST(y AS HUGEINT)*y END) AS HUGEINT) AS q11
+                FROM base
+            )
+            SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+                   n10 AS n_treat_pre, n11 AS n_treat_post,
+                   CAST(round(CAST(s00 AS DOUBLE) / (CAST(n00 AS DOUBLE) * 100.0) * 1e4) AS BIGINT) AS mean_ctrl_pre_e4,
+                   CAST(round(CAST(s01 AS DOUBLE) / (CAST(n01 AS DOUBLE) * 100.0) * 1e4) AS BIGINT) AS mean_ctrl_post_e4,
+                   CAST(round(CAST(s10 AS DOUBLE) / (CAST(n10 AS DOUBLE) * 100.0) * 1e4) AS BIGINT) AS mean_treat_pre_e4,
+                   CAST(round(CAST(s11 AS DOUBLE) / (CAST(n11 AS DOUBLE) * 100.0) * 1e4) AS BIGINT) AS mean_treat_post_e4,
+                   CAST(round(((CAST(s11 AS DOUBLE) / (CAST(n11 AS DOUBLE) * 100.0)
+                                - CAST(s10 AS DOUBLE) / (CAST(n10 AS DOUBLE) * 100.0))
+                               - (CAST(s01 AS DOUBLE) / (CAST(n01 AS DOUBLE) * 100.0)
+                                  - CAST(s00 AS DOUBLE) / (CAST(n00 AS DOUBLE) * 100.0))) * 1e4) AS BIGINT) AS did_e4,
+                   CAST(round(sqrt(
+                       (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE) / 10000.0
+                     + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE) / 10000.0
+                     + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE) / 10000.0
+                     + (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE) / 10000.0
+                   ) * 1e4) AS BIGINT) AS se_e4,
+                   CAST(round(((CAST(s11 AS DOUBLE) / (CAST(n11 AS DOUBLE) * 100.0)
+                                - CAST(s10 AS DOUBLE) / (CAST(n10 AS DOUBLE) * 100.0))
+                               - (CAST(s01 AS DOUBLE) / (CAST(n01 AS DOUBLE) * 100.0)
+                                  - CAST(s00 AS DOUBLE) / (CAST(n00 AS DOUBLE) * 100.0)))
+                       / sqrt(
+                       (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) / CAST(n00 AS DOUBLE) / 10000.0
+                     + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) / CAST(n01 AS DOUBLE) / 10000.0
+                     + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) / CAST(n10 AS DOUBLE) / 10000.0
+                     + (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) / CAST(n11 AS DOUBLE) / 10000.0
+                   ) * 1e4) AS BIGINT) AS t_e4
+            FROM cells
+        """,
         "path_trigrams": """
             WITH steps AS (
                 SELECT event_type AS e1,

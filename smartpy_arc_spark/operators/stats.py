@@ -1878,3 +1878,80 @@ def rolling_corr(
         n.cast("long").alias("n_window"),
         F.round(corr * 1e6).cast("long").alias("corr_e6"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    y_col: str,
+    treat_col: str,
+    post_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse quasi-
+    experimental effect measure:
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    with the classical large-sample standard error
+    ``SE² = Σ_cells s²_c/n_c`` over the four (treat × post) cells.
+
+    ONE conditional aggregate produces all four cells' integer moment
+    sums (y pre-rounds to ``scale`` units), so every reported number is
+    a fixed arithmetic expression over exact integers — one division per
+    mean/variance, explicit four-term adds (no engine-ordered float
+    accumulation), IEEE sqrt for the SE.  Returns one row: per-cell
+    means (e4), ``did_e4``, ``se_e4`` and ``t_e4 = DiD/SE``.
+    """
+    ys = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    t = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+    base = df.select(ys.alias("y"), t.alias("t"), p.alias("p"))
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            cell = (F.col("t") == ti) & (F.col("p") == pi)
+            tag = f"{ti}{pi}"
+            aggs += [
+                F.count(F.when(cell, 1)).alias(f"n{tag}"),
+                F.sum(F.when(cell, F.col("y"))).alias(f"s{tag}"),
+                # y² sums overflow int64 at corpus scale: exact DECIMAL
+                F.sum(
+                    F.when(cell, (F.col("y") * F.lit(1)).cast("decimal(38,0)")
+                           * F.col("y"))
+                ).alias(f"q{tag}"),
+            ]
+    wide = df.sparkSession.createDataFrame([(1,)], "one int").crossJoin(
+        F.broadcast(base.agg(*aggs))
+    ).drop("one")
+
+    def mean(tag):
+        return F.col(f"s{tag}").cast("double") / (
+            F.col(f"n{tag}").cast("double") * F.lit(float(scale))
+        )
+
+    def var_over_n(tag):
+        n = F.col(f"n{tag}").cast("double")
+        s = F.col(f"s{tag}").cast("double")
+        q = F.col(f"q{tag}").cast("double")
+        # s²/n = (Σy² − (Σy)²/n)/(n−1)/n in value units (÷ scale²)
+        return (q - s * s / n) / (n - F.lit(1.0)) / n / F.lit(float(scale * scale))
+
+    did = (mean("11") - mean("10")) - (mean("01") - mean("00"))
+    se = F.sqrt(
+        var_over_n("00") + var_over_n("01") + var_over_n("10") + var_over_n("11")
+    )
+    e4 = lambda c: F.round(c * 1e4).cast("long")  # noqa: E731
+    return wide.select(
+        F.col("n00").cast("long").alias("n_ctrl_pre"),
+        F.col("n01").cast("long").alias("n_ctrl_post"),
+        F.col("n10").cast("long").alias("n_treat_pre"),
+        F.col("n11").cast("long").alias("n_treat_post"),
+        e4(mean("00")).alias("mean_ctrl_pre_e4"),
+        e4(mean("01")).alias("mean_ctrl_post_e4"),
+        e4(mean("10")).alias("mean_treat_pre_e4"),
+        e4(mean("11")).alias("mean_treat_post_e4"),
+        e4(did).alias("did_e4"),
+        e4(se).alias("se_e4"),
+        e4(did / se).alias("t_e4"),
+    )

@@ -543,3 +543,27 @@ def test_rolling_corr_perfect_and_anti(spark):
     assert out[6].corr_e6 == 1_000_000      # pure linear window
     assert out[-1].corr_e6 == -1_000_000    # pure anti-linear window
     assert all(r.n_window <= 5 for r in out)
+
+
+def test_diff_in_diff_recovers_effect(spark):
+    """Known generative model: control grows +5 post, treated grows
+    +5 (common trend) + 3 (effect).  DiD recovers 3 and is significant."""
+    from smartpy_arc_spark.operators.stats import diff_in_diff
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for t in (0, 1):
+        for p in (0, 1):
+            base_mean = 20 + 5 * p + 2 * t + 3 * t * p  # effect = 3
+            for _ in range(1500):
+                rows.append((float(base_mean + rng.normal(0, 2)), t, p))
+    df = spark.createDataFrame(rows, "y double, treat int, post int")
+    r = diff_in_diff(df, "y", "treat", "post").collect()[0]
+    assert abs(r.did_e4 / 1e4 - 3.0) < 0.3
+    assert r.t_e4 / 1e4 > 10  # overwhelmingly significant at n=6000
+    assert r.n_treat_post == 1500
+    # no-effect placebo: shuffle treat labels -> did ~ 0, |t| small
+    rows0 = [(y, int(rng.random() < 0.5), p) for y, t, p in rows]
+    df0 = spark.createDataFrame(rows0, "y double, treat int, post int")
+    r0 = diff_in_diff(df0, "y", "treat", "post").collect()[0]
+    assert abs(r0.t_e4 / 1e4) < 3
