@@ -5499,6 +5499,23 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff(base, "y", "treat", "post")
 
 
+def q_explain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan introspection as data: the q3-style join-aggregate's physical
+    plan summarized to assertable metric rows (CI's `.explain()`
+    replacement).  Deterministic given the plan; the oracle pins the
+    broadcast-join/pushdown shape this repo's scans guarantee."""
+    from smartpy_arc_spark.operators.checks import explain_summary
+
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity < 10")
+    o = _t(spark, sf_dir, "orders")
+    q = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    return explain_summary(q)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5811,6 +5828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_trigrams": q_path_trigrams,
         "convex_hulls": q_convex_hulls,
         "diff_in_diff": q_diff_in_diff,
+        "explain_summary": q_explain_summary,
     })
 
 

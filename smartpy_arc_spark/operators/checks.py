@@ -491,3 +491,45 @@ def classification_metrics(
             "brier_e6"
         ),
     )
+
+
+def explain_summary(df: DataFrame) -> DataFrame:
+    """Physical-plan introspection as DATA: one row per plan metric —
+    exchanges, shuffle vs broadcast, join strategies, scan count, pushed
+    filters, whole-stage-codegen spans — the `.explain()` facts a
+    pipeline can assert on in CI instead of eyeballing (this is the same
+    sweep `tools/audit_plans.py` runs repo-wide, packaged per-DataFrame).
+
+    Driver-only: reads the executed plan string, touches no data.
+    Returns ``(metric, value)`` rows.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    metrics = {
+        "exchanges_total": len(re.findall(r"Exchange ", plan)),
+        "exchanges_single_partition": len(
+            re.findall(r"Exchange SinglePartition", plan)
+        ),
+        "broadcast_exchanges": len(re.findall(r"BroadcastExchange", plan)),
+        "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "broadcast_nested_loop_joins": len(
+            re.findall(r"BroadcastNestedLoopJoin", plan)
+        ),
+        "cartesian_products": len(re.findall(r"CartesianProduct", plan)),
+        "file_scans": len(re.findall(r"FileScan|Scan parquet", plan)),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        # span markers ("*(N)") only appear once AQE finalizes a plan;
+        # 0 on an unexecuted adaptive plan is expected
+        "wholestage_codegen_spans": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        ),
+        "sorts": len(re.findall(r"\bSort \[", plan)),
+        "windows": len(re.findall(r"\bWindow \[|WindowExec", plan)),
+    }
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(metrics.items()), "metric string, value long"
+    )

@@ -567,3 +567,18 @@ def test_diff_in_diff_recovers_effect(spark):
     df0 = spark.createDataFrame(rows0, "y double, treat int, post int")
     r0 = diff_in_diff(df0, "y", "treat", "post").collect()[0]
     assert abs(r0.t_e4 / 1e4) < 3
+
+
+def test_explain_summary_metrics(spark, sf_dir):
+    from smartpy_arc_spark.operators.checks import explain_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where("l_quantity < 10")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+        "o_orderstatus").count()
+    m = {r.metric: r.value for r in explain_summary(q).collect()}
+    assert m["cartesian_products"] == 0
+    assert m["broadcast_hash_joins"] + m["sort_merge_joins"] >= 1
+    assert m["pushed_filters"] >= 1          # l_quantity < 10 reaches the scan
+    assert m["file_scans"] == 2
+    assert m["exchanges_total"] >= 1
