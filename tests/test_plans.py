@@ -78,6 +78,7 @@ SINGLE_PARTITION_OK = {
     "cuped",                  # 1-row pooled-moment combine broadcast to bounded groups
     "textrank",               # pagerank dangling-mass scalar combine per iteration
     "rolling_corr",           # trailing window over the calendar-bounded day grid (mom_change shape)
+    "diff_in_diff",           # 1-row four-cell moment combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -123,6 +124,7 @@ BNLJ_OK = {
     "cuped",                  # 1-row pooled-moment broadcast cross join
     "nb_langid",              # bounded label-dim broadcast cross join (docs x languages)
     "dtw_types",              # bounded key-grid pair join (series comparison is quadratic in KEYS by contract)
+    "diff_in_diff",           # 1-row cell-moment broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
