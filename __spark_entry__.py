@@ -5516,6 +5516,83 @@ def q_explain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explain_summary(q)
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-driven dedup evidence: MinHash-LSH candidate pairs
+    scored against exact WORD-trigram Jaccard ground truth — the SAME
+    shingle space the signatures hash — at the banding's operating
+    threshold (16 hashes / 4 bands targets s ≥ 0.8, where theory gives
+    P(candidate) = 1−(1−s⁴)⁴ ≈ 0.88).  Precision / recall / F1 in
+    integer millionths, rows-only (xxhash64 candidates); the recall the
+    banding is tuned for is measured, not asserted."""
+    from smartpy_arc_spark.operators.contamination import (
+        _space_tokens,
+        word_ngrams_of_tokens,
+    )
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    grams = (
+        docs.select("doc_id", _space_tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams_of_tokens(F.col("_toks"), 3))
+            ).alias("g"),
+        )
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        grams.select(F.col("doc_id").alias("id_a"), "g")
+        .join(grams.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sb")), "id_b")
+        .where(
+            F.col("i").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("i")).cast("double")
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(1))
+    )
+    cand = (
+        minhash_lsh_candidates(docs, shingle_mode="word", shingle_size=3)
+        .select("id_a", "id_b")
+        .withColumn("_c", F.lit(1))
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = joined.agg(
+        F.sum(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1))
+        .alias("tp"),
+        F.sum(F.when(F.col("_t").isNotNull() & F.col("_c").isNull(), 1))
+        .alias("fn"),
+        F.sum(F.when(F.col("_t").isNull() & F.col("_c").isNotNull(), 1))
+        .alias("fp"),
+    )
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("double")
+    fn = F.coalesce(F.col("fn"), F.lit(0)).cast("double")
+    fp = F.coalesce(F.col("fp"), F.lit(0)).cast("double")
+    prec = tp / F.greatest(tp + fp, F.lit(1.0))
+    rec = tp / F.greatest(tp + fn, F.lit(1.0))
+    return agg.select(
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("n_tp"),
+        F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("n_fn"),
+        F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("n_fp"),
+        F.round(prec * 1e6).cast("long").alias("precision_e6"),
+        F.round(rec * 1e6).cast("long").alias("recall_e6"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+            * 1e6
+        ).cast("long").alias("f1_e6"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5829,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hulls": q_convex_hulls,
         "diff_in_diff": q_diff_in_diff,
         "explain_summary": q_explain_summary,
+        "dedup_eval": q_dedup_eval,
     })
 
 
