@@ -79,6 +79,7 @@ SINGLE_PARTITION_OK = {
     "textrank",               # pagerank dangling-mass scalar combine per iteration
     "rolling_corr",           # trailing window over the calendar-bounded day grid (mom_change shape)
     "diff_in_diff",           # 1-row four-cell moment combine
+    "dedup_eval",             # 1-row precision/recall statistic combine
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
