@@ -867,11 +867,13 @@ def nb_train(
     )
     pairs = df.select(F.col(label_col).alias("label"), toks.alias("_toks"))
     exploded = pairs.select("label", F.explode("_toks").alias("token"))
+    # ONE pass over the exploded corpus; every other statistic (label
+    # totals, vocabulary size) derives from the far smaller counts table
     counts = exploded.groupBy("label", "token").agg(
         F.count("*").cast("long").alias("n_tok")
-    )
-    label_tot = exploded.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_label_tokens")
+    ).localCheckpoint(eager=True)
+    label_tot = counts.groupBy("label").agg(
+        F.sum("n_tok").cast("long").alias("n_label_tokens")
     )
     label_docs = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").cast("long").alias("n_label_docs")
