@@ -5593,6 +5593,16 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup over gap-30min sessions: sessions, events per
+    session, bounce rate, average duration — exact microsecond sums,
+    one reused user-keyed exchange."""
+    from smartpy_arc_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, tiebreak_col="event_id")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5907,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "explain_summary": q_explain_summary,
         "dedup_eval": q_dedup_eval,
+        "session_stats": q_session_stats,
     })
 
 
@@ -10600,6 +10611,45 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, pe
         """,
         "random_projection": _random_projection_sql(),
+        "session_stats": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            ), per_sess AS (
+                SELECT user_id, session_id,
+                       CAST(count(*) AS BIGINT) AS n_ev,
+                       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                           AS dur_us
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_ev) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   CAST(round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                                   AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT)
+                       AS bounce_rate_e6,
+                   CAST(round(CAST(sum(n_ev) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1e4) AS BIGINT)
+                       AS avg_events_per_session_e4,
+                   CAST(round(CAST(sum(dur_us) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) / 1e6 * 100)
+                        AS BIGINT) AS avg_duration_s_e2
+            FROM per_sess
+        """,
         "diff_in_diff": """
             WITH base AS (
                 SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,

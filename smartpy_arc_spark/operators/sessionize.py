@@ -301,3 +301,54 @@ def path_ngrams(
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Session-level web-analytics rollup on top of :func:`sessionize`:
+    per (user, session) duration/event-count, aggregated to the corpus
+    numbers every engagement dashboard opens with — sessions, events per
+    session, session-duration totals, and BOUNCE RATE (single-event
+    sessions / sessions).
+
+    Plan: sessionize's one user-keyed shuffle, one (user, session)
+    aggregate on the same partitioning (exchange reused), one bounded
+    final combine.  Durations sum as exact microsecond integers.
+
+    Returns 1 row: ``(n_sessions, n_events, n_bounces,
+    bounce_rate_e6, avg_events_per_session_e4, avg_duration_s_e2)``.
+    """
+    sess = sessionize(
+        df, user_col=user_col, ts_col=ts_col, gap_minutes=gap_minutes,
+        tiebreak_col=tiebreak_col,
+    )
+    per_sess = sess.groupBy(user_col, "session_id").agg(
+        F.count("*").cast("long").alias("n_ev"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("dur_us"),
+    )
+    ns = F.count("*").cast("double")
+    return per_sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0)).cast("double")
+            / ns * 1e6
+        ).cast("long").alias("bounce_rate_e6"),
+        F.round(F.sum("n_ev").cast("double") / ns * 1e4)
+        .cast("long")
+        .alias("avg_events_per_session_e4"),
+        F.round(
+            F.sum("dur_us").cast("double") / ns / 1e6 * 100
+        ).cast("long").alias("avg_duration_s_e2"),
+    )
