@@ -5603,6 +5603,228 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, tiebreak_col="event_id")
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: a customer dimension (open rows) plus
+    an event-ordered change batch (orders as segment changes) chained
+    into validity intervals — matched open rows close at the key's first
+    change, consecutive changes form [from, to) chains, only the latest
+    stays open.  Integer event-time (orderkey) keeps the contract
+    timezone-free."""
+    from smartpy_arc_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").where("c_custkey <= 200")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    orders = _t(spark, sf_dir, "orders").where("o_custkey <= 200")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderkey").cast("long").alias("change_ts"),
+    )
+    return scd2_apply(current, changes, key="c_custkey", ts_col="change_ts")
+
+
+def _sparse_supplier_edges(spark: SparkSession, sf_dir: str, max_supp: int):
+    """Shared co-order supplier graph for the graph-analytics queries:
+    edge (a, b) when two high-quantity lineitems of one order come from
+    suppliers a < b ≤ max_supp.  The quantity floor keeps the slice
+    sparse at every SF (without it the ≤40 clique saturates at sf0.01
+    and link prediction has no non-adjacent pairs left to score)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(f"l_suppkey <= {max_supp} AND l_quantity >= 45")
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the sparse supplier co-order graph: top
+    non-adjacent pairs by resource-allocation index (order-independent
+    integer sum), with common-neighbor and Jaccard-e6 scores."""
+    from smartpy_arc_spark.operators.components import link_predict
+
+    edges = _sparse_supplier_edges(spark, sf_dir, 40)
+    return link_predict(edges, top_k=100)
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier node on the sparse
+    co-order graph — triangle closure fraction, e6 fixed-point."""
+    from smartpy_arc_spark.operators.components import clustering_coefficient
+
+    edges = _sparse_supplier_edges(spark, sf_dir, 60)
+    return clustering_coefficient(edges)
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based exact CART stump: best Gini split of order status
+    F-vs-rest on totalprice, found from a binned histogram + prefix
+    window (the XGBoost/LightGBM split-finding primitive, relationally)."""
+    from smartpy_arc_spark.operators.stats import decision_stump
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+    )
+    return decision_stump(
+        orders, feature_col="o_totalprice", label_col="is_f",
+        bin_width=20000.0,
+    )
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over orders column pairs: which
+    det→dep dependencies hold, and violation counts where they don't."""
+    from smartpy_arc_spark.operators.checks import fd_check
+
+    orders = _t(spark, sf_dir, "orders")
+    return fd_check(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_orderkey", "o_totalprice"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_totalprice", "o_custkey"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion: BM25 lexical top-50 and cosine-kNN vector
+    top-50 merged by reciprocal-rank fusion (k=60), contributions
+    pre-rounded to integers so the fused score is an order-independent
+    exact sum."""
+    from smartpy_arc_spark.operators.similarity import (
+        knn_cosine_bruteforce,
+        rrf_fuse,
+    )
+    from smartpy_arc_spark.operators.text import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_search(docs, ["spark", "shuffle", "join"], top_k=50)
+    lexr = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rnk"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = knn_cosine_bruteforce(emb.where("vec_id = 0"), emb, k=50)
+    vecr = knn.select(
+        F.col("neighbor_id").alias("id"), F.col("rk").alias("rnk")
+    )
+    return rrf_fuse([lexr, vecr], rank_col="rnk", k=60, top_k=20)
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd's k-means (k=8, 2 iterations, deterministic
+    lowest-id seeds) over the 64-dim embeddings: e6 integer coordinates
+    make every distance an exact bigint and the assignment argmin
+    bit-portable.  Output is the per-cluster size + centroid checksums."""
+    from smartpy_arc_spark.operators.embedding import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=8, iters=2)
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over part-brand baskets (brands
+    co-ordered within an order): support, confidence, lift, conviction —
+    each ONE integer-operand division, e6 fixed point."""
+    from smartpy_arc_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return association_rules(
+        baskets,
+        basket_col="l_orderkey",
+        item_col="p_brand",
+        min_support=100,
+        min_confidence_e6=100000,
+    )
+
+
+def q_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 histogram decision tree on lineitem: root splits return
+    flag R-vs-rest on quantity, each side then splits on extendedprice —
+    the level-wise GBDT growth step from one 2-D histogram."""
+    from smartpy_arc_spark.operators.stats import decision_tree_depth2
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+    )
+    return decision_tree_depth2(
+        li,
+        feature_a="l_quantity",
+        feature_b="l_extendedprice",
+        label_col="is_r",
+        bin_width_a=5.0,
+        bin_width_b=5000.0,
+    )
+
+
+def q_ar_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit on the daily event-count series: closed-form 2x2
+    normal-equation solve on the rounded-mean-centered integer series
+    (Cramer's rule, integer moments, one IEEE division per phi)."""
+    from smartpy_arc_spark.operators.stats import ar_model
+
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    return ar_model(ev, ts_col="day")
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type on the daily rate series: days
+    whose count exceeds 1.25x the trailing-7-day average, flagged by
+    integer cross-multiplication (no float rates)."""
+    from smartpy_arc_spark.operators.stats import burst_detect
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    return burst_detect(
+        ev, key_col="event_type", ts_col="day", window_rows=7, num=5, den=4
+    )
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of customer order-span durations
+    (same risk-set contract as the Kaplan-Meier query): e9/e12
+    pre-rounded increments, integer prefix sums over the bounded curve."""
+    from smartpy_arc_spark.operators.stats import nelson_aalen
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dur"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("int")
+        .alias("ev"),
+    )
+    return nelson_aalen(per_c, "dur", "ev")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -5918,6 +6140,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_summary": q_explain_summary,
         "dedup_eval": q_dedup_eval,
         "session_stats": q_session_stats,
+        "scd2_build": q_scd2_build,
+        "link_predict": q_link_predict,
+        "clustering_coeff": q_clustering_coeff,
+        "decision_stump": q_decision_stump,
+        "fd_discovery": q_fd_discovery,
+        "rrf_fusion": q_rrf_fusion,
+        "kmeans": q_kmeans,
+        "association_rules": q_association_rules,
+        "decision_tree": q_decision_tree,
+        "ar_model": q_ar_model,
+        "burst_detect": q_burst_detect,
+        "nelson_aalen": q_nelson_aalen,
     })
 
 
@@ -11152,5 +11386,591 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "scd2_build": """
+            WITH cur AS (
+                SELECT c_custkey, c_mktsegment AS seg,
+                       CAST(0 AS BIGINT) AS valid_from,
+                       CAST(NULL AS BIGINT) AS valid_to
+                FROM customer WHERE c_custkey <= 200
+            ), ch AS (
+                SELECT o_custkey AS c_custkey, o_orderpriority AS seg,
+                       CAST(o_orderkey AS BIGINT) AS change_ts
+                FROM orders WHERE o_custkey <= 200
+            ), chained AS (
+                SELECT c_custkey, seg,
+                       change_ts AS valid_from,
+                       lead(change_ts) OVER (
+                           PARTITION BY c_custkey ORDER BY change_ts
+                       ) AS valid_to
+                FROM ch
+            ), first_change AS (
+                SELECT c_custkey, min(change_ts) AS fc
+                FROM ch GROUP BY c_custkey
+            )
+            SELECT cur.c_custkey, cur.seg, cur.valid_from,
+                   CAST(NULL AS BIGINT) AS valid_to
+            FROM cur
+            WHERE cur.c_custkey NOT IN (SELECT c_custkey FROM ch)
+            UNION ALL
+            SELECT cur.c_custkey, cur.seg, cur.valid_from, fc.fc AS valid_to
+            FROM cur JOIN first_change fc USING (c_custkey)
+            UNION ALL
+            SELECT c_custkey, seg, valid_from, valid_to FROM chained
+        """,
+        "link_predict": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_suppkey <= 40 AND l_quantity >= 45
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), adj AS (
+                SELECT lo AS u, hi AS z FROM e
+                UNION ALL SELECT hi, lo FROM e
+            ), deg AS (
+                SELECT z, CAST(count(*) AS BIGINT) AS deg_z
+                FROM adj GROUP BY z
+            ), adjz AS (
+                SELECT adj.u, adj.z, deg.deg_z FROM adj JOIN deg USING (z)
+            ), pairs AS (
+                SELECT a.u AS u, b.u AS v,
+                       CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(CAST(round(1000000.0 / a.deg_z) AS BIGINT))
+                            AS BIGINT) AS ra_e6
+                FROM adjz a JOIN adjz b ON a.z = b.z AND a.u < b.u
+                GROUP BY a.u, b.u
+            ), nonadj AS (
+                SELECT p.* FROM pairs p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e WHERE e.lo = p.u AND e.hi = p.v
+                )
+            )
+            SELECT n.u, n.v, n.cn,
+                   du.deg_z AS deg_u, dv.deg_z AS deg_v,
+                   CAST(round(CAST(n.cn AS DOUBLE) * 1000000.0
+                              / CAST(du.deg_z + dv.deg_z - n.cn AS DOUBLE))
+                        AS BIGINT) AS jaccard_e6,
+                   n.ra_e6
+            FROM nonadj n
+            JOIN deg du ON du.z = n.u
+            JOIN deg dv ON dv.z = n.v
+            ORDER BY n.ra_e6 DESC, n.cn DESC, n.u, n.v
+            LIMIT 100
+        """,
+        "clustering_coeff": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_suppkey <= 60 AND l_quantity >= 45
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+            ), tris AS (
+                SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+                WHERE EXISTS (
+                    SELECT 1 FROM e WHERE e.lo = e1.lo AND e.hi = e2.hi
+                )
+            ), pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+                FROM (
+                    SELECT a AS node FROM tris
+                    UNION ALL SELECT b FROM tris
+                    UNION ALL SELECT c FROM tris
+                )
+                GROUP BY node
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (
+                    SELECT lo AS node FROM e
+                    UNION ALL SELECT hi FROM e
+                )
+                GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+                   CASE WHEN d.deg >= 2 THEN
+                       CAST(round(CAST(coalesce(pn.n_tri, 0) AS DOUBLE)
+                                  * 2000000.0
+                                  / CAST(d.deg * (d.deg - 1) AS DOUBLE))
+                            AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS cc_e6
+            FROM deg d LEFT JOIN pn ON pn.node = d.node
+            ORDER BY d.node
+        """,
+        "decision_stump": """
+            WITH b AS (
+                SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                FROM orders
+            ), h AS (
+                SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS pos
+                FROM b GROUP BY bin
+            ), c AS (
+                SELECT bin,
+                       CAST(sum(n) OVER w AS BIGINT) AS nl,
+                       CAST(sum(pos) OVER w AS BIGINT) AS posl,
+                       CAST(sum(n) OVER t AS BIGINT) AS nt,
+                       CAST(sum(pos) OVER t AS BIGINT) AS post,
+                       max(bin) OVER t AS mb
+                FROM h
+                WINDOW w AS (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW),
+                       t AS (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+            ), s AS (
+                SELECT bin, nl AS n_left, posl AS pos_left,
+                       nt - nl AS n_right, post - posl AS pos_right,
+                       CAST(posl * posl + (nl - posl) * (nl - posl)
+                            AS DOUBLE) / CAST(nl AS DOUBLE)
+                       + CAST((post - posl) * (post - posl)
+                              + ((nt - nl) - (post - posl))
+                                * ((nt - nl) - (post - posl))
+                              AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                           AS score
+                FROM c WHERE bin < mb
+            )
+            SELECT bin AS split_bin,
+                   CAST((bin + 1) * 20000.0 AS DOUBLE) AS split_upper,
+                   n_left, pos_left, n_right, pos_right,
+                   CAST(round(score * 1000000.0) AS BIGINT) AS score_e6
+            FROM s ORDER BY score DESC, bin LIMIT 1
+        """,
+        "fd_discovery": """
+            WITH p1 AS (
+                SELECT count(DISTINCT o_custkey) AS nd
+                FROM orders GROUP BY o_orderkey
+            ), p2 AS (
+                SELECT count(DISTINCT o_totalprice) AS nd
+                FROM orders GROUP BY o_orderkey
+            ), p3 AS (
+                SELECT count(DISTINCT o_orderstatus) AS nd
+                FROM orders GROUP BY o_custkey
+            ), p4 AS (
+                SELECT count(DISTINCT o_custkey) AS nd
+                FROM orders GROUP BY o_totalprice
+            ), p5 AS (
+                SELECT count(DISTINCT o_orderpriority) AS nd
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                       CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_violating,
+                       CAST(max(nd) AS BIGINT) AS max_dep_per_det,
+                       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                      = 0
+                            THEN 1 ELSE 0 END AS INTEGER) AS holds
+                FROM p1
+                UNION ALL
+                SELECT 'o_orderkey', 'o_totalprice',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(max(nd) AS BIGINT),
+                       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                      = 0
+                            THEN 1 ELSE 0 END AS INTEGER)
+                FROM p2
+                UNION ALL
+                SELECT 'o_custkey', 'o_orderstatus',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(max(nd) AS BIGINT),
+                       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                      = 0
+                            THEN 1 ELSE 0 END AS INTEGER)
+                FROM p3
+                UNION ALL
+                SELECT 'o_totalprice', 'o_custkey',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(max(nd) AS BIGINT),
+                       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                      = 0
+                            THEN 1 ELSE 0 END AS INTEGER)
+                FROM p4
+                UNION ALL
+                SELECT 'o_orderstatus', 'o_orderpriority',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(max(nd) AS BIGINT),
+                       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                      = 0
+                            THEN 1 ELSE 0 END AS INTEGER)
+                FROM p5
+            )
+            ORDER BY determinant, dependent
+        """,
+        "rrf_fusion": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), d AS (
+                SELECT doc_id, len(w) AS dl, w FROM toks
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                FROM d
+            ), tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+                WHERE term IN ('spark', 'shuffle', 'join')
+                GROUP BY doc_id, dl, term
+            ), dfreq AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf GROUP BY term
+            ), bm AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2
+                              * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                       ), 4) + 0.0 AS score
+                FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+                GROUP BY tf.doc_id
+                ORDER BY score DESC, tf.doc_id LIMIT 50
+            ), lexr AS (
+                SELECT doc_id AS id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rnk
+                FROM bm
+            ), vpairs AS (
+                SELECT e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos_sim
+                FROM embeddings q
+                JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id = 0
+            ), vecr AS (
+                SELECT neighbor_id AS id,
+                       CAST(row_number() OVER (
+                           ORDER BY cos_sim DESC, neighbor_id ASC
+                       ) AS BIGINT) AS rnk
+                FROM vpairs
+                QUALIFY rnk <= 50
+            ), u AS (
+                SELECT CAST(id AS BIGINT) AS id, rnk FROM lexr
+                UNION ALL
+                SELECT CAST(id AS BIGINT), rnk FROM vecr
+            )
+            SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_lists,
+                   CAST(min(rnk) AS BIGINT) AS best_rank,
+                   CAST(sum(CAST(round(1000000000.0 / (60 + rnk)) AS BIGINT))
+                        AS BIGINT) AS rrf_e9
+            FROM u GROUP BY id
+            ORDER BY rrf_e9 DESC, id
+            LIMIT 20
+        """,
+        "kmeans": """
+            WITH pts AS (
+                SELECT vec_id AS pid,
+                       list_transform(embedding, x ->
+                           CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                AS BIGINT)) AS v
+                FROM embeddings
+            ), pd AS (
+                SELECT pid,
+                       unnest(generate_series(1, len(v))) AS i,
+                       unnest(v) AS x
+                FROM pts
+            ), c0 AS (
+                SELECT pid AS cid, i, x AS cx FROM pd
+                WHERE pid IN (SELECT pid FROM pts ORDER BY pid LIMIT 8)
+            ), d1 AS (
+                SELECT pd.pid, c.cid,
+                       SUM((pd.x - c.cx) * (pd.x - c.cx)) AS d2
+                FROM pd JOIN c0 c ON pd.i = c.i
+                GROUP BY pd.pid, c.cid
+            ), a1 AS (
+                SELECT pid, cid FROM (
+                    SELECT pid, cid, row_number() OVER (
+                        PARTITION BY pid ORDER BY d2, cid) AS rk
+                    FROM d1) WHERE rk = 1
+            ), c1 AS (
+                SELECT a1.cid, pd.i,
+                       CAST(round(CAST(SUM(pd.x) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+                FROM pd JOIN a1 USING (pid)
+                GROUP BY a1.cid, pd.i
+            ), d2t AS (
+                SELECT pd.pid, c.cid,
+                       SUM((pd.x - c.cx) * (pd.x - c.cx)) AS d2
+                FROM pd JOIN c1 c ON pd.i = c.i
+                GROUP BY pd.pid, c.cid
+            ), a2 AS (
+                SELECT pid, cid FROM (
+                    SELECT pid, cid, row_number() OVER (
+                        PARTITION BY pid ORDER BY d2, cid) AS rk
+                    FROM d2t) WHERE rk = 1
+            ), c2 AS (
+                SELECT a2.cid, pd.i,
+                       CAST(round(CAST(SUM(pd.x) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+                FROM pd JOIN a2 USING (pid)
+                GROUP BY a2.cid, pd.i
+            ), d3 AS (
+                SELECT pd.pid, c.cid,
+                       SUM((pd.x - c.cx) * (pd.x - c.cx)) AS d2
+                FROM pd JOIN c2 c ON pd.i = c.i
+                GROUP BY pd.pid, c.cid
+            ), a3 AS (
+                SELECT pid, cid FROM (
+                    SELECT pid, cid, row_number() OVER (
+                        PARTITION BY pid ORDER BY d2, cid) AS rk
+                    FROM d3) WHERE rk = 1
+            ), cs AS (
+                SELECT cid, CAST(SUM(cx) AS BIGINT) AS cent_sum,
+                       CAST(SUM(abs(cx)) AS BIGINT) AS cent_l1
+                FROM c2 GROUP BY cid
+            )
+            SELECT a3.cid, CAST(count(*) AS BIGINT) AS n_points,
+                   cs.cent_sum, cs.cent_l1
+            FROM a3 JOIN cs USING (cid)
+            GROUP BY a3.cid, cs.cent_sum, cs.cent_l1
+            ORDER BY a3.cid
+        """,
+        "association_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), ntx AS (
+                SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b
+            ), f AS (
+                SELECT it, CAST(count(*) AS BIGINT) AS nf
+                FROM b GROUP BY it
+            ), pb AS (
+                SELECT bk, it FROM b JOIN f USING (it) WHERE nf >= 100
+            ), sized AS (
+                SELECT bk FROM pb GROUP BY bk
+                HAVING count(*) BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT x.it AS a, y.it AS b2,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM pb x
+                JOIN pb y ON x.bk = y.bk AND x.it < y.it
+                JOIN sized s ON s.bk = x.bk
+                GROUP BY x.it, y.it HAVING count(*) >= 100
+            ), directed AS (
+                SELECT a, b2 AS b, n_ab FROM pairs
+                UNION ALL SELECT b2, a, n_ab FROM pairs
+            ), scored AS (
+                SELECT d.a AS antecedent, d.b AS consequent,
+                       d.n_ab AS support, fa.nf AS n_a, fb.nf AS n_b,
+                       CAST(round(CAST(d.n_ab AS DOUBLE) * 1000000.0
+                                  / CAST(fa.nf AS DOUBLE)) AS BIGINT)
+                           AS confidence_e6,
+                       CAST(round(CAST(d.n_ab * ntx.n AS DOUBLE) * 1000000.0
+                                  / CAST(fa.nf * fb.nf AS DOUBLE)) AS BIGINT)
+                           AS lift_e6,
+                       CASE WHEN fa.nf > d.n_ab THEN
+                           CAST(round(CAST((ntx.n - fb.nf) * fa.nf AS DOUBLE)
+                                      * 1000000.0
+                                      / CAST(ntx.n * (fa.nf - d.n_ab)
+                                             AS DOUBLE)) AS BIGINT)
+                       END AS conviction_e6
+                FROM directed d
+                JOIN f fa ON fa.it = d.a
+                JOIN f fb ON fb.it = d.b
+                CROSS JOIN ntx
+            )
+            SELECT * FROM scored
+            WHERE confidence_e6 >= 100000
+            ORDER BY antecedent, consequent
+        """,
+        "decision_tree": """
+            WITH binned AS (
+                SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS ba,
+                       CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bb,
+                       CAST(CASE WHEN l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END AS BIGINT) AS y
+                FROM lineitem
+            ), h2 AS (
+                SELECT ba, bb, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS pos
+                FROM binned GROUP BY ba, bb
+            ), ha AS (
+                SELECT ba, CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(SUM(pos) AS BIGINT) AS pos
+                FROM h2 GROUP BY ba
+            ), cuma AS (
+                SELECT ba AS bin,
+                       SUM(n) OVER w AS nl, SUM(pos) OVER w AS posl,
+                       SUM(n) OVER () AS nt, SUM(pos) OVER () AS post,
+                       max(ba) OVER () AS mx
+                FROM ha
+                WINDOW w AS (ORDER BY ba
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), scra AS (
+                SELECT bin, nl AS n_left, posl AS pos_left,
+                       nt - nl AS n_right, post - posl AS pos_right,
+                       CAST(posl * posl + (nl - posl) * (nl - posl)
+                            AS DOUBLE) / CAST(nl AS DOUBLE)
+                       + CAST((post - posl) * (post - posl)
+                              + ((nt - nl) - (post - posl))
+                                * ((nt - nl) - (post - posl))
+                              AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS score
+                FROM cuma WHERE bin < mx
+            ), root AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        ORDER BY score DESC, bin ASC) AS rk
+                    FROM scra) WHERE rk = 1
+            ), sided AS (
+                SELECT CASE WHEN h2.ba <= root.bin
+                            THEN 'L' ELSE 'R' END AS node,
+                       h2.bb,
+                       CAST(SUM(h2.n) AS BIGINT) AS n,
+                       CAST(SUM(h2.pos) AS BIGINT) AS pos
+                FROM h2 CROSS JOIN root
+                GROUP BY 1, 2
+            ), cumb AS (
+                SELECT node, bb AS bin,
+                       SUM(n) OVER w AS nl, SUM(pos) OVER w AS posl,
+                       SUM(n) OVER p AS nt, SUM(pos) OVER p AS post,
+                       max(bb) OVER p AS mx
+                FROM sided
+                WINDOW w AS (PARTITION BY node ORDER BY bb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                p AS (PARTITION BY node)
+            ), scrb AS (
+                SELECT node, bin, nl AS n_left, posl AS pos_left,
+                       nt - nl AS n_right, post - posl AS pos_right,
+                       CAST(posl * posl + (nl - posl) * (nl - posl)
+                            AS DOUBLE) / CAST(nl AS DOUBLE)
+                       + CAST((post - posl) * (post - posl)
+                              + ((nt - nl) - (post - posl))
+                                * ((nt - nl) - (post - posl))
+                              AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS score
+                FROM cumb WHERE bin < mx
+            ), children AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY node
+                        ORDER BY score DESC, bin ASC) AS rk
+                    FROM scrb) WHERE rk = 1
+            )
+            SELECT 'root' AS node, 'l_quantity' AS split_col,
+                   bin AS split_bin, (bin + 1) * 5.0 AS split_upper,
+                   CAST(n_left AS BIGINT) AS n_left,
+                   CAST(pos_left AS BIGINT) AS pos_left,
+                   CAST(n_right AS BIGINT) AS n_right,
+                   CAST(pos_right AS BIGINT) AS pos_right,
+                   CAST(round(score * 1000000.0) AS BIGINT) AS score_e6
+            FROM root
+            UNION ALL
+            SELECT node, 'l_extendedprice', bin, (bin + 1) * 5000.0,
+                   CAST(n_left AS BIGINT), CAST(pos_left AS BIGINT),
+                   CAST(n_right AS BIGINT), CAST(pos_right AS BIGINT),
+                   CAST(round(score * 1000000.0) AS BIGINT)
+            FROM children
+            ORDER BY node
+        """,
+        "ar_model": """
+            WITH per_t AS (
+                SELECT CAST(ts AS DATE) AS t,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT CAST(round(CAST(SUM(y) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                           AS ybar
+                FROM per_t
+            ), lagd AS (
+                SELECT y - ybar AS z,
+                       lag(y, 1) OVER (ORDER BY t) - ybar AS z1,
+                       lag(y, 2) OVER (ORDER BY t) - ybar AS z2,
+                       ybar
+                FROM per_t CROSS JOIN m
+            ), v AS (
+                SELECT * FROM lagd WHERE z2 IS NOT NULL
+            ), mm AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+                       CAST(max(ybar) AS BIGINT) AS mean_y,
+                       CAST(SUM(z1 * z1) AS BIGINT) AS a,
+                       CAST(SUM(z1 * z2) AS BIGINT) AS b,
+                       CAST(SUM(z2 * z2) AS BIGINT) AS c,
+                       CAST(SUM(z1 * z) AS BIGINT) AS e,
+                       CAST(SUM(z2 * z) AS BIGINT) AS f
+                FROM v
+            )
+            SELECT n_obs, mean_y,
+                   CASE WHEN a * c - b * b <> 0 THEN
+                       CAST(round(CAST(c * e - b * f AS DOUBLE) * 1000000.0
+                                  / CAST(a * c - b * b AS DOUBLE)) AS BIGINT)
+                   END AS phi1_e6,
+                   CASE WHEN a * c - b * b <> 0 THEN
+                       CAST(round(CAST(a * f - b * e AS DOUBLE) * 1000000.0
+                                  / CAST(a * c - b * b AS DOUBLE)) AS BIGINT)
+                   END AS phi2_e6
+            FROM mm
+        """,
+        "burst_detect": """
+            WITH per_t AS (
+                SELECT event_type AS key, CAST(ts AS DATE) AS t,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ), tr AS (
+                SELECT key, t, cnt,
+                       CAST(SUM(cnt) OVER w AS BIGINT) AS trail_sum,
+                       CAST(COUNT(cnt) OVER w AS BIGINT) AS trail_n
+                FROM per_t
+                WINDOW w AS (PARTITION BY key ORDER BY t
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT key, t, cnt, trail_sum, trail_n,
+                   CAST(round(CAST(cnt * trail_n AS DOUBLE) * 1000000.0
+                              / CAST(trail_sum AS DOUBLE)) AS BIGINT)
+                       AS intensity_e6
+            FROM tr
+            WHERE trail_n = 7 AND cnt * 7 * 4 > 5 * trail_sum
+            ORDER BY key, t
+        """,
+        "nelson_aalen": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', min(o_orderdate),
+                                      max(o_orderdate)) AS BIGINT) AS t,
+                       CAST(max(CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS INTEGER) AS e
+                FROM orders GROUP BY o_custkey
+            ), per_t AS (
+                SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM per_c GROUP BY t
+            ), ar AS (
+                SELECT *, CAST(SUM(d + c) OVER (
+                    ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_at_risk
+                FROM per_t
+            ), terms AS (
+                SELECT t, n_at_risk, d AS n_events, c AS n_censored,
+                       CAST(round(CAST(d AS DOUBLE) * 1000000000.0
+                                  / CAST(n_at_risk AS DOUBLE)) AS BIGINT)
+                           AS dh,
+                       CAST(round(CAST(d AS DOUBLE) * 1000000000000.0
+                                  / CAST(n_at_risk * n_at_risk AS DOUBLE))
+                            AS BIGINT) AS dv
+                FROM ar
+            )
+            SELECT t, n_at_risk, n_events, n_censored,
+                   CAST(SUM(dh) OVER (ORDER BY t) AS BIGINT) AS h_e9,
+                   CAST(SUM(dv) OVER (ORDER BY t) AS BIGINT) AS var_e12
+            FROM terms ORDER BY t
         """,
     }

@@ -533,3 +533,53 @@ def explain_summary(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         sorted(metrics.items()), "metric string, value long"
     )
+
+
+def fd_check(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency discovery/validation: for each candidate
+    pair ``(determinant, dependent)`` report whether ``det → dep`` holds
+    (every determinant value maps to exactly one dependent value) and,
+    when it doesn't, how badly — the schema-profiling primitive behind
+    key inference, normalization advice, and silent-join-corruption
+    checks in data-quality suites.
+
+    Per pair: one determinant-keyed aggregate counting distinct
+    dependents per group, then a bounded rollup — ``n_groups``,
+    ``n_violating`` (groups with >1 dependent value), ``max_dep_per_det``
+    and ``holds``.  Pairs are independent aggregates unioned together
+    (each its own map-side-combined shuffle; a 100 TB scan amortizes
+    across pairs via Spark's shared scan reuse when cached upstream).
+    Exact by construction — counts only.
+    """
+    outs = []
+    for det, dep in pairs:
+        g = (
+            df.groupBy(F.col(det).alias("_det"))
+            .agg(F.count_distinct(F.col(dep)).cast("long").alias("_ndep"))
+            .agg(
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("_ndep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("_ndep").cast("long").alias("max_dep_per_det"),
+            )
+            .select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violating",
+                "max_dep_per_det",
+                F.when(F.col("n_violating") == 0, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("holds"),
+            )
+        )
+        outs.append(g)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("determinant", "dependent")

@@ -918,3 +918,162 @@ def louvain_communities(
             .localCheckpoint(eager=True)
         )
     return mapping.select("node", "community")
+
+
+def link_predict(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 100,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: score
+    every NON-adjacent pair (u, v) that shares at least one neighbor.
+
+    Emits per candidate pair:
+
+    - ``cn`` — common-neighbor count (exact integer),
+    - ``jaccard_e6`` — ``round(cn·1e6 / (deg(u)+deg(v)−cn))``; one
+      integer-operand division, portable across engines,
+    - ``ra_e6`` — resource-allocation index as an ORDER-INDEPENDENT
+      integer sum ``Σ_z round(1e6 / deg(z))`` over shared neighbors z.
+      Chosen over Adamic-Adar's ``Σ 1/ln(deg)`` precisely because
+      pre-rounded integer contributions sum exactly in any order —
+      a float Σ 1/ln(·) is summation-order-dependent at the ulp level
+      across engines/partitionings.
+
+    Plan: one shuffle to build the (node → neighbor) adjacency, one
+    self-join keyed by the shared neighbor z (pair fan-out is
+    Σ_z deg(z)², the standard common-neighbor cost), one (u,v)
+    aggregate, one anti-join against existing edges.  On hub-heavy
+    graphs pass ``max_neighbor_degree`` to drop intermediates with
+    deg(z) above the cap (the same guardrail as the LSH hot-bucket
+    cap: a celebrity node contributes deg² pairs but near-zero RA
+    weight ``1/deg``, so capping loses almost no signal).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("z")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("z"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("deg_z"))
+    adjz = adj.join(deg, "z")
+    if max_neighbor_degree is not None:
+        adjz = adjz.where(F.col("deg_z") <= F.lit(max_neighbor_degree))
+    a = adjz.select("z", F.col("u").alias("u"), "deg_z")
+    b = adjz.select("z", F.col("u").alias("v"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(F.round(F.lit(1000000.0) / F.col("deg_z")).cast("long"))
+            .cast("long")
+            .alias("ra_e6"),
+        )
+    )
+    non_adj = pairs.join(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("deg_z").alias("deg_u"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg_z").alias("deg_v"))
+    scored = (
+        non_adj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("cn").cast("double")
+                * 1000000.0
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+            "ra_e6",
+        )
+    )
+    return scored.orderBy(
+        F.desc("ra_e6"), F.desc("cn"), F.asc("u"), F.asc("v")
+    ).limit(top_k)
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2·tri(v) /
+    (deg(v)·(deg(v)−1))``, the fraction of a node's neighbor pairs that
+    are themselves connected — the classic small-world statistic and a
+    per-node companion to :func:`triangle_count`.
+
+    Same low-to-high oriented path join as :func:`triangle_count` (each
+    triangle materialized once), then each triangle credits its three
+    corners via ``explode``.  Coefficient is emitted as
+    ``cc_e6 = round(2·tri·1e6 / (deg·(deg−1)))`` — a single division of
+    exact integer operands, portable bit-for-bit.  Nodes with deg < 2
+    report 0.  Two shuffled joins + one node-keyed aggregate.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    paths = e1.join(e2, "b").select("a", "b", "c")
+    tris = paths.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                    * 2000000.0
+                    / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cc_e6"),
+        )
+        .orderBy("node")
+    )

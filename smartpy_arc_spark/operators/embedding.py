@@ -418,3 +418,123 @@ def _emb_dim(df: DataFrame, emb_col: str) -> int:
     """Embedding width from one row (schema carries no fixed length)."""
     row = df.select(F.size(emb_col).alias("d")).first()
     return int(row["d"])
+
+
+def kmeans_quantized(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, made bit-portable by
+    integer quantization: coordinates round to e6 fixed-point longs, so
+    every distance is an EXACT bigint sum of squares and the argmin
+    assignment is deterministic on any engine/partitioning (ties break
+    to the lowest centroid id).  Init is deterministic too — the ``k``
+    vectors with the lowest ids seed the centroids (k-means|| trades
+    determinism for balance; a fixed seed set is the reproducible-build
+    choice, mirroring the reference's seeded clustering contract).
+
+    Per iteration: centroids (k rows) broadcast against the point set,
+    per-pair distance via ``zip_with``/``aggregate`` (JVM codegen — the
+    64-wide loop never leaves Tungsten), a map-side-combinable struct-min argmin (no sort window),
+    one (cluster, dim)-keyed mean.  New centroids re-round to e6 longs
+    (one integer-operand division per dim — portable), so iteration
+    ``t+1``'s input is exact again.  At 100 TB the point table is the
+    only big side; centroids stay a k×d broadcast and the argmin is a
+    map-side window over k rows per point.
+
+    Returns one row per surviving cluster:
+    ``(cid, n_points, cent_sum, cent_l1)`` — exact integer centroid
+    checksums, ordered by cid.
+    """
+    pts = vectors.select(
+        F.col(id_col).alias("pid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+        ).alias("v"),
+    )
+    cents = (
+        pts.orderBy("pid")
+        .limit(k)
+        .select(F.col("pid").alias("cid"), F.col("v").alias("c"))
+    )
+    for _ in range(iters):
+        d2 = (
+            pts.crossJoin(F.broadcast(cents))
+            .select(
+                "pid",
+                "v",
+                "cid",
+                F.aggregate(
+                    F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+        )
+        # argmin as a lexicographic struct-min: (d2, cid) min == nearest
+        # centroid with lowest-cid tiebreak, map-side combinable (no
+        # per-point sort window)
+        assign = (
+            d2.groupBy("pid")
+            .agg(
+                F.min(F.struct("d2", "cid", "v")).alias("m")
+            )
+            .select("pid", F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
+        )
+        per_dim = (
+            assign.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("cx")
+            )
+        )
+        # k rows: pin each iteration's centroids so iteration t+1 (and
+        # the final assignment) doesn't re-derive the whole chain
+        cents = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        ).localCheckpoint(eager=True)
+    # final assignment against the converged centroids
+    d2 = (
+        pts.crossJoin(F.broadcast(cents))
+        .select(
+            "pid",
+            "cid",
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    assign = (
+        d2.groupBy("pid")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("pid", F.col("m.cid").alias("cid"))
+    )
+    cent_stats = cents.select(
+        "cid",
+        F.aggregate(
+            "c", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("cent_sum"),
+        F.aggregate(
+            "c", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("cent_l1"),
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .join(cent_stats, "cid")
+        .select("cid", "n_points", "cent_sum", "cent_l1")
+        .orderBy("cid")
+    )

@@ -169,3 +169,111 @@ def item_similarity(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence_e6: int = 0,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Directed association rules ``a → b`` from basket co-occurrence —
+    the Agrawal/Srikant market-basket output that :func:`frequent_pairs`
+    stops short of: per ordered pair, SUPPORT (co-occurrence count),
+    CONFIDENCE ``P(b|a)``, LIFT, and CONVICTION
+    ``(1 − P(b)) / (1 − conf)``.
+
+    Every measure is emitted as an e6 fixed-point integer computed as
+    ONE division of exact integer operands, so results are bit-identical
+    across engines:
+
+    - ``confidence_e6 = round(1e6·n_ab / n_a)``
+    - ``lift_e6       = round(1e6·n_ab·n_tx / (n_a·n_b))``
+    - ``conviction_e6 = round(1e6·(n_tx − n_b)·n_a / (n_tx·(n_a − n_ab)))``
+      (NULL when confidence = 1 — conviction is +∞ there by definition).
+
+    Plan mirrors :func:`frequent_pairs` (support-pruned pair expansion
+    with the quadratic ``max_basket`` fan-out guard), then each unordered
+    pair emits both directions and joins broadcast item supports.  The
+    basket-universe size is a 1-row scalar reused as a literal.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_tx = baskets.select("__b").distinct().count()
+
+    item_freq = baskets.groupBy("__i").agg(F.count("*").cast("long").alias("__if"))
+    frequent_items = item_freq.where(F.col("__if") >= min_support)
+
+    pruned = baskets.join(F.broadcast(frequent_items.select("__i")), "__i")
+    per_basket = (
+        pruned.groupBy("__b")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+        .where(F.size("__items").between(2, max_basket))
+    )
+    pairs = per_basket.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("__items"),
+                        lambda x: F.transform(
+                            F.col("__items"),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("__p")
+    )
+    pair_counts = (
+        pairs.groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    directed = pair_counts.unionByName(
+        pair_counts.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    fa = item_freq.select(F.col("__i").alias("a"), F.col("__if").alias("n_a"))
+    fb = item_freq.select(F.col("__i").alias("b"), F.col("__if").alias("n_b"))
+    ntx = F.lit(int(n_tx)).cast("long")
+    scored = (
+        directed.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("n_ab").alias("support"),
+            F.col("n_a"),
+            F.col("n_b"),
+            F.round(
+                F.col("n_ab").cast("double") * 1e6 / F.col("n_a").cast("double")
+            )
+            .cast("long")
+            .alias("confidence_e6"),
+            F.round(
+                (F.col("n_ab") * ntx).cast("double")
+                * 1e6
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            )
+            .cast("long")
+            .alias("lift_e6"),
+            F.when(
+                F.col("n_a") > F.col("n_ab"),
+                F.round(
+                    ((ntx - F.col("n_b")) * F.col("n_a")).cast("double")
+                    * 1e6
+                    / (ntx * (F.col("n_a") - F.col("n_ab"))).cast("double")
+                ).cast("long"),
+            ).alias("conviction_e6"),
+        )
+    )
+    return scored.where(
+        F.col("confidence_e6") >= F.lit(min_confidence_e6)
+    ).orderBy("antecedent", "consequent")

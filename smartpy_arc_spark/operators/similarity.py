@@ -651,3 +651,47 @@ def ivfpq_search(
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the standard way hybrid
+    search engines merge a lexical (BM25) ranking with a vector (kNN)
+    ranking without score calibration:  ``RRF(d) = Σ_lists 1/(k + rank)``.
+
+    Portability/scale design: each list's contribution is pre-rounded to
+    an integer ``round(1e9 / (k + rank))`` so the fused score is an
+    ORDER-INDEPENDENT integer sum — exact under any partitioning and
+    bit-identical across engines (a float Σ would be summation-order
+    sensitive).  Plan: union of the input rankings (ids + integer ranks
+    only — scores stay in their source queries), one id-keyed aggregate,
+    bounded top-k sort.
+    """
+    parts = [
+        r.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.min("rank").cast("long").alias("best_rank"),
+        F.sum(
+            F.round(F.lit(1000000000.0) / (F.lit(k) + F.col("rank"))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("rrf_e9"),
+    )
+    return fused.orderBy(F.desc("rrf_e9"), F.asc("id")).limit(top_k)

@@ -1955,3 +1955,430 @@ def diff_in_diff(
         e4(se).alias("se_e4"),
         e4(did / se).alias("t_e4"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    *,
+    feature_col: str,
+    label_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Exact one-split decision tree (CART stump) by Gini impurity over a
+    histogram of the feature — the distributed tree-learning primitive:
+    bin, histogram, prefix-scan, argmin.  This is exactly how XGBoost /
+    LightGBM / Spark MLlib pick splits at scale (histogram-based split
+    finding), expressed relationally.
+
+    One pass bins ``feature_col`` into ``floor(x / bin_width)`` buckets
+    (integer-keyed — no min/max pre-pass needed, unlike equal-width
+    binning), one aggregate produces per-bin (n, n_pos), a window
+    prefix-sum turns the histogram into left/right class counts for every
+    candidate split, and the best split maximizes
+
+        score = (posL² + negL²)/nL + (posR² + negR²)/nR
+
+    (algebraically equivalent to minimizing weighted Gini impurity:
+    n·(1−gini) = that sum).  Each term is one division of exact integer
+    operands, so the score is bit-portable across engines.
+
+    Plan: one shuffle to the bin histogram (map-side combined), then a
+    single-partition window over ≤ n_bins rows (bounded — the histogram,
+    not the data) and a 1-row argmin.  Returns 1 row:
+    ``(split_bin, split_upper, n_left, pos_left, n_right, pos_right,
+    score_e6)`` where ``split_upper`` = exclusive upper feature bound of
+    the left side and rows with ``x < split_upper`` go left.
+    """
+    from pyspark.sql import Window
+
+    binned = df.select(
+        F.floor(F.col(feature_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("pos").over(tot).alias("post"),
+        F.max("bin").over(tot).alias("max_bin"),
+    ).where(F.col("bin") < F.col("max_bin"))
+    negl = F.col("nl") - F.col("posl")
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("post") - F.col("posl")
+    negr = nr - posr
+    scored = cum.select(
+        "bin",
+        F.col("nl").alias("n_left"),
+        F.col("posl").alias("pos_left"),
+        nr.alias("n_right"),
+        posr.alias("pos_right"),
+        (
+            (F.col("posl") * F.col("posl") + negl * negl).cast("double")
+            / F.col("nl").cast("double")
+            + (posr * posr + negr * negr).cast("double") / nr.cast("double")
+        ).alias("score"),
+    )
+    best = Window.orderBy(F.desc("score"), F.asc("bin"))
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("bin").alias("split_bin"),
+            ((F.col("bin") + 1) * F.lit(bin_width)).alias("split_upper"),
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.round(F.col("score") * 1000000.0).cast("long").alias("score_e6"),
+        )
+    )
+
+
+def nelson_aalen(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the additive
+    companion to :func:`kaplan_meier`: ``H(t) = Σ_{t'≤t} d/n`` with the
+    same risk-set bookkeeping (censored subjects leave the risk set
+    without contributing events), plus its standard variance estimate
+    ``Σ d/n²``.
+
+    Portability: each increment is pre-rounded to an integer
+    (``round(1e9·d/n)`` / ``round(1e12·d/n²)`` — one division of exact
+    integer operands), so the cumulative hazard is an ORDER-INDEPENDENT
+    integer prefix sum rather than a float accumulation.  Same
+    bounded-curve contract as Kaplan–Meier: the per-time table has one
+    row per distinct observed duration (resolution = the time unit), so
+    the unpartitioned prefix windows run over a bounded curve, not the
+    subject table.
+
+    Returns per distinct time ``(t, n_at_risk, n_events, n_censored,
+    h_e9, var_e12)`` ordered by t.
+    """
+    from pyspark.sql import Window
+
+    ev = F.col(event_col).cast("int")
+    per_t = (
+        df.select(F.col(duration_col).alias("t"), ev.alias("e"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(1 - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = per_t.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long")
+    )
+    terms = at_risk.select(
+        "t",
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.col("d").cast("double") * 1e9 / F.col("n_at_risk").cast("double")
+        )
+        .cast("long")
+        .alias("dh_e9"),
+        F.round(
+            F.col("d").cast("double")
+            * 1e12
+            / (F.col("n_at_risk") * F.col("n_at_risk")).cast("double")
+        )
+        .cast("long")
+        .alias("dv_e12"),
+    )
+    w_asc = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.sum("dh_e9").over(w_asc).cast("long").alias("h_e9"),
+        F.sum("dv_e12").over(w_asc).cast("long").alias("var_e12"),
+    ).orderBy("t")
+
+
+def ar_model(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """AR(2) autoregression fit over a regularly-indexed series — the
+    classic Box–Jenkins building block, here as a closed-form
+    least-squares solve expressed relationally (no iteration): regress
+    the demeaned series on its first two lags.
+
+    Exactness strategy: the series values are integer counts (or
+    pre-quantized integers); demeaning subtracts the ROUNDED mean
+    (``round(S/n)`` — one portable integer division), keeping every
+    residual an exact integer.  The 2×2 normal equations then involve
+    only integer sums of products; Cramer's rule gives
+    ``φ₁ = (Σz₂²·Σz₁z − Σz₁z₂·Σz₂z) / det`` with integer numerator and
+    determinant, emitted as ``round(1e6·num/det)`` — numerator and
+    denominator are each exact in a double (≪ 2⁵³ at the demeaned
+    scale), and one IEEE division + round is bit-identical across
+    engines.
+
+    Plan: one keyed aggregate to the per-step table, a 1-row mean
+    scalar, two lag windows over the bounded step grid (calendar-bounded
+    — the ``mom_change`` contract), one 1-row moment combine.  Returns
+    1 row ``(n_obs, mean_y, phi1_e6, phi2_e6)``.
+    """
+    from pyspark.sql import Window
+
+    val = (
+        F.col(value_col) if value_col is not None else F.lit(1)
+    )
+    per_t = df.groupBy(F.col(ts_col).alias("t")).agg(
+        F.sum(val).cast("long").alias("y")
+    )
+    mean_row = per_t.agg(
+        F.round(F.sum("y").cast("double") / F.count("*").cast("double"))
+        .cast("long")
+        .alias("ybar"),
+        F.count("*").cast("long").alias("n_steps"),
+    )
+    w = Window.orderBy("t")
+    lagged = (
+        per_t.crossJoin(F.broadcast(mean_row))
+        .select(
+            "t",
+            "ybar",
+            "n_steps",
+            (F.col("y") - F.col("ybar")).alias("z"),
+            (F.lag("y", 1).over(w) - F.col("ybar")).alias("z1"),
+            (F.lag("y", 2).over(w) - F.col("ybar")).alias("z2"),
+        )
+        .where(F.col("z2").isNotNull())
+    )
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.max("ybar").alias("mean_y"),
+        F.sum(F.col("z1") * F.col("z1")).cast("long").alias("a"),
+        F.sum(F.col("z1") * F.col("z2")).cast("long").alias("b"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("c"),
+        F.sum(F.col("z1") * F.col("z")).cast("long").alias("e"),
+        F.sum(F.col("z2") * F.col("z")).cast("long").alias("f"),
+    )
+    deti = F.col("a") * F.col("c") - F.col("b") * F.col("b")
+    det = deti.cast("double")
+    num1 = (F.col("c") * F.col("e") - F.col("b") * F.col("f")).cast("double")
+    num2 = (F.col("a") * F.col("f") - F.col("b") * F.col("e")).cast("double")
+    # singular normal equations (collinear lags) -> NULL coefficients
+    return m.select(
+        "n_obs",
+        "mean_y",
+        F.when(deti != 0, F.round(num1 * 1e6 / det).cast("long")).alias(
+            "phi1_e6"
+        ),
+        F.when(deti != 0, F.round(num2 * 1e6 / det).cast("long")).alias(
+            "phi2_e6"
+        ),
+    )
+
+
+def burst_detect(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    window_rows: int = 7,
+    num: int = 2,
+    den: int = 1,
+) -> DataFrame:
+    """Burst detection over per-key event-rate series (the practical
+    core of Kleinberg's burst model, without the HMM): a step is
+    BURSTING when its count exceeds ``num/den`` × its trailing
+    ``window_rows``-step average, tested by integer cross-multiplication
+    (``cnt·w·den > num·trail_sum``) — no float rate ever materializes,
+    so the flag is exact on any engine.
+
+    One (key, step) aggregate, one key-partitioned trailing window
+    (parallel across keys — no global ordering).  Emits only the
+    bursting steps: ``(key, t, cnt, trail_sum, trail_n,
+    intensity_e6 = round(1e6·cnt·trail_n / trail_sum))``.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("t")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("key").orderBy("t").rowsBetween(-window_rows, -1)
+    trail = per_t.select(
+        "key",
+        "t",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("trail_sum"),
+        F.count("cnt").over(w).cast("long").alias("trail_n"),
+    ).where(F.col("trail_n") == window_rows)
+    return (
+        trail.where(
+            F.col("cnt") * F.lit(window_rows) * F.lit(den)
+            > F.lit(num) * F.col("trail_sum")
+        )
+        .select(
+            "key",
+            "t",
+            "cnt",
+            "trail_sum",
+            "trail_n",
+            F.round(
+                (F.col("cnt") * F.col("trail_n")).cast("double")
+                * 1e6
+                / F.col("trail_sum").cast("double")
+            )
+            .cast("long")
+            .alias("intensity_e6"),
+        )
+        .orderBy("key", "t")
+    )
+
+
+def decision_tree_depth2(
+    df: DataFrame,
+    *,
+    feature_a: str,
+    feature_b: str,
+    label_col: str,
+    bin_width_a: float,
+    bin_width_b: float,
+) -> DataFrame:
+    """Exact depth-2 decision tree by histogram split-finding — the
+    recursive step :func:`decision_stump` stops short of: the root
+    splits on ``feature_a``, then EACH side independently finds its best
+    ``feature_b`` split, exactly how distributed GBDT libraries grow
+    level-wise trees from one 2-D histogram.
+
+    One shuffle builds the (bin_a, bin_b) → (n, n_pos) histogram; the
+    root's candidates come from marginalizing over bin_b, the children's
+    from conditioning on the chosen side — all on the bounded histogram
+    table (single-partition windows over ≤ n_bins rows, never the data).
+    The split score is the same integer-exact Gini form as the stump
+    (``(pos²+neg²)/n`` summed over the two halves, one IEEE division per
+    term), so the whole tree is bit-portable.
+
+    Returns 3 rows ordered L, R, root:
+    ``(node, split_col, split_bin, split_upper, n_left, pos_left,
+    n_right, pos_right, score_e6)``.
+    """
+    from pyspark.sql import Window
+
+    binned = df.select(
+        F.floor(F.col(feature_a) / F.lit(bin_width_a)).cast("long").alias("ba"),
+        F.floor(F.col(feature_b) / F.lit(bin_width_b)).cast("long").alias("bb"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    # the 2-D histogram is the only pass over the data; pin it so the
+    # root/children stages (which each reference it) don't re-scan
+    hist2 = binned.groupBy("ba", "bb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    ).localCheckpoint(eager=True)
+
+    def _best_split(hist, bin_col, part_cols):
+        """Argmin split over a (part, bin) histogram: per-partition
+        prefix window + score + rank-1 pick.  `part_cols` empty = root."""
+        part = [F.col(c) for c in part_cols]
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(bin_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = (
+            Window.partitionBy(*part)
+            .orderBy(bin_col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        cum = hist.select(
+            *part_cols,
+            F.col(bin_col).alias("bin"),
+            F.sum("n").over(w).alias("nl"),
+            F.sum("pos").over(w).alias("posl"),
+            F.sum("n").over(tot).alias("nt"),
+            F.sum("pos").over(tot).alias("post"),
+            F.max(bin_col).over(tot).alias("max_bin"),
+        ).where(F.col("bin") < F.col("max_bin"))
+        negl = F.col("nl") - F.col("posl")
+        nr = F.col("nt") - F.col("nl")
+        posr = F.col("post") - F.col("posl")
+        negr = nr - posr
+        scored = cum.select(
+            *part_cols,
+            "bin",
+            F.col("nl").alias("n_left"),
+            F.col("posl").alias("pos_left"),
+            nr.alias("n_right"),
+            posr.alias("pos_right"),
+            (
+                (F.col("posl") * F.col("posl") + negl * negl).cast("double")
+                / F.col("nl").cast("double")
+                + (posr * posr + negr * negr).cast("double")
+                / nr.cast("double")
+            ).alias("score"),
+        )
+        best = Window.partitionBy(*part).orderBy(
+            F.desc("score"), F.asc("bin")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(best))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    hist_a = hist2.groupBy("ba").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("pos").cast("long").alias("pos")
+    )
+    root = _best_split(hist_a, "ba", []).select(
+        F.lit("root").alias("node"),
+        F.lit(feature_a).alias("split_col"),
+        F.col("bin").alias("split_bin"),
+        ((F.col("bin") + 1) * F.lit(bin_width_a)).alias("split_upper"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    )
+    sided = (
+        hist2.crossJoin(
+            F.broadcast(root.select(F.col("split_bin").alias("root_bin")))
+        )
+        .select(
+            F.when(F.col("ba") <= F.col("root_bin"), F.lit("L"))
+            .otherwise(F.lit("R"))
+            .alias("node"),
+            "bb",
+            "n",
+            "pos",
+        )
+        .groupBy("node", "bb")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("pos").cast("long").alias("pos"))
+    )
+    children = _best_split(sided, "bb", ["node"]).select(
+        "node",
+        F.lit(feature_b).alias("split_col"),
+        F.col("bin").alias("split_bin"),
+        ((F.col("bin") + 1) * F.lit(bin_width_b)).alias("split_upper"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    )
+    return root.unionByName(children).orderBy("node")

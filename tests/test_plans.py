@@ -80,6 +80,14 @@ SINGLE_PARTITION_OK = {
     "rolling_corr",           # trailing window over the calendar-bounded day grid (mom_change shape)
     "diff_in_diff",           # 1-row four-cell moment combine
     "dedup_eval",             # 1-row precision/recall statistic combine
+    "session_stats",          # 1-row engagement rollup combine (map-side partials)
+    "decision_stump",         # prefix-sum window + argmin over the <=n_bins histogram (bounded by contract)
+    "fd_discovery",           # 1-row-per-candidate-pair rollup combine (pairs list bounded)
+    "rrf_fusion",             # rank window + fused top-k over pre-truncated top-50 lists
+    "kmeans",                 # k-row centroid seeding (ordered limit) + k-cluster result assembly
+    "decision_tree",          # prefix windows + argmin over the <=n_bins 2-D histogram (bounded by contract)
+    "ar_model",               # lag windows over the calendar-bounded day grid (mom_change shape)
+    "nelson_aalen",           # bounded-curve prefix sums (kaplan_meier contract: distinct observed times)
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side is
@@ -126,6 +134,10 @@ BNLJ_OK = {
     "nb_langid",              # bounded label-dim broadcast cross join (docs x languages)
     "dtw_types",              # bounded key-grid pair join (series comparison is quadratic in KEYS by contract)
     "diff_in_diff",           # 1-row cell-moment broadcast cross join
+    "rrf_fusion",             # bm25 corpus-stats scalar + bounded 1-query knn broadcast
+    "kmeans",                 # k-row centroid broadcast cross join per Lloyd iteration
+    "decision_tree",          # 1-row root-split broadcast cross join
+    "ar_model",               # 1-row mean scalar broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -582,3 +582,215 @@ def test_explain_summary_metrics(spark, sf_dir):
     assert m["pushed_filters"] >= 1          # l_quantity < 10 reaches the scan
     assert m["file_scans"] == 2
     assert m["exchanges_total"] >= 1
+
+
+def test_link_predict_square_graph(spark):
+    from smartpy_arc_spark.operators.components import link_predict
+
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) are the only
+    # non-adjacent pairs; each shares 2 neighbors of degree 2.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    rows = {(r.u, r.v): r for r in link_predict(edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    r = rows[(1, 3)]
+    assert r.cn == 2
+    assert r.ra_e6 == 1000000  # 2 * round(1e6/2)
+    assert r.jaccard_e6 == 1000000  # 2 / (2+2-2)
+
+
+def test_link_predict_hub_cap(spark):
+    from smartpy_arc_spark.operators.components import link_predict
+
+    # star: hub 0 connects 1..30 -> every leaf pair is a candidate via
+    # the hub; capping max_neighbor_degree below 30 drops them all.
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 31)], "src long, dst long"
+    )
+    assert link_predict(edges, top_k=1000).count() == (30 * 29) // 2
+    assert link_predict(edges, top_k=1000, max_neighbor_degree=10).count() == 0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    from smartpy_arc_spark.operators.components import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    cc = {r.node: (r.deg, r.n_tri, r.cc_e6)
+          for r in clustering_coefficient(edges).collect()}
+    assert cc[1] == (2, 1, 1000000)
+    assert cc[2] == (2, 1, 1000000)
+    assert cc[3] == (3, 1, 333333)  # 2*1/(3*2)
+    assert cc[4] == (1, 0, 0)
+
+
+def test_decision_stump_perfect_split(spark):
+    from smartpy_arc_spark.operators.stats import decision_stump
+
+    df = spark.createDataFrame(
+        [(float(i), 1 if i >= 500 else 0) for i in range(1000)],
+        "x double, y int",
+    )
+    r = decision_stump(df, feature_col="x", label_col="y",
+                       bin_width=100.0).collect()[0]
+    assert r.split_bin == 4
+    assert r.split_upper == 500.0
+    assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (500, 0, 500, 500)
+    assert r.score_e6 == 1000 * 1000000  # pure partition: score = n
+
+
+def test_fd_check_holds_and_violations(spark):
+    from smartpy_arc_spark.operators.checks import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (3, "b", "z")],
+        "k long, g string, v string",
+    )
+    out = {(r.determinant, r.dependent): r
+           for r in fd_check(df, [("k", "g"), ("g", "v")]).collect()}
+    assert out[("k", "g")].holds == 1
+    assert out[("k", "g")].n_groups == 3
+    g = out[("g", "v")]
+    assert g.holds == 0 and g.n_violating == 1 and g.max_dep_per_det == 2
+
+
+def test_rrf_fuse_agreement_wins(spark):
+    from smartpy_arc_spark.operators.similarity import rrf_fuse
+
+    # doc 7 is rank-2 in both lists; doc 1 / doc 2 are rank-1 in one
+    # list only.  RRF(7) = 2*round(1e9/62) > round(1e9/61) = RRF(1).
+    a = spark.createDataFrame([(1, 1), (7, 2), (3, 3)], "id long, rank long")
+    b = spark.createDataFrame([(2, 1), (7, 2), (4, 3)], "id long, rank long")
+    out = rrf_fuse([a, b], top_k=10).collect()
+    assert out[0].id == 7 and out[0].n_lists == 2
+    assert out[0].rrf_e9 == 2 * round(1e9 / 62)
+    assert out[0].best_rank == 2
+    ids = [r.id for r in out]
+    assert ids[1:3] == [1, 2]  # tie on round(1e9/61) broken by id
+
+
+def test_kmeans_two_blobs(spark):
+    from smartpy_arc_spark.operators.embedding import kmeans_quantized
+
+    # two tight 2-D blobs; k=2 seeded by ids 0 (blob A) and 1 (blob B)
+    rows = [(0, [0.0, 0.0]), (2, [0.01, 0.0]), (4, [0.0, 0.01]),
+            (1, [1.0, 1.0]), (3, [0.99, 1.0]), (5, [1.0, 0.99])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.cid: r for r in kmeans_quantized(df, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_points == 3 and out[1].n_points == 3
+    # centroid of blob B: mean of (1e6,1e6),(99e4,1e6),(1e6,99e4)
+    assert out[1].cent_sum == 2 * round((1000000 + 990000 + 1000000) / 3)
+
+
+def test_association_rules_measures(spark):
+    from smartpy_arc_spark.operators.itemsets import association_rules
+
+    # 4 baskets: {a,b} x3, {a,c} x1 -> rule a->b: conf 3/4, lift (3*4)/(4*3)=1
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (4, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r.antecedent, r.consequent): r
+           for r in association_rules(
+               df, basket_col="bk", item_col="it", min_support=1).collect()}
+    ab = out[("a", "b")]
+    assert ab.support == 3 and ab.n_a == 4 and ab.n_b == 3
+    assert ab.confidence_e6 == 750000
+    assert ab.lift_e6 == 1000000
+    # conviction a->b = (1 - 3/4)/(1 - 3/4) = 1
+    assert ab.conviction_e6 == 1000000
+    ba = out[("b", "a")]
+    assert ba.confidence_e6 == 1000000 and ba.conviction_e6 is None
+
+
+def test_decision_tree_depth2_xor(spark):
+    from smartpy_arc_spark.operators.stats import decision_tree_depth2
+
+    # XOR-ish: label = (x >= 10) != (z >= 10); root must split x at 10,
+    # children split z at 10 (perfect leaves).
+    rows = []
+    for i in range(20):
+        for j in range(20):
+            rows.append((float(i), float(j),
+                         1 if (i >= 10) != (j >= 10) else 0))
+    df = spark.createDataFrame(rows, "x double, z double, y int")
+    out = {r.node: r for r in decision_tree_depth2(
+        df, feature_a="x", feature_b="z", label_col="y",
+        bin_width_a=10.0, bin_width_b=10.0).collect()}
+    assert out["root"].split_upper == 10.0
+    for side in ("L", "R"):
+        r = out[side]
+        assert r.split_upper == 10.0 and r.n_left == 100
+        assert r.score_e6 == 200 * 1000000  # pure leaves: score = n
+        assert {r.pos_left, r.pos_right} == {0, 100}
+
+
+def test_ar_model_matches_numpy(spark):
+    import numpy as np
+    from smartpy_arc_spark.operators.stats import ar_model
+
+    counts = [20 + ((t * 7) % 13) - 6 for t in range(40)]
+    rows = []
+    for t, cnt in enumerate(counts):
+        rows.extend([(t,)] * cnt)
+    df = spark.createDataFrame(rows, "day long")
+    r = ar_model(df, ts_col="day").collect()[0]
+    assert r.n_obs == 38
+    y = np.array(counts, dtype=np.int64)
+    ybar = round(y.sum() / len(y))
+    assert r.mean_y == ybar
+    z = y - ybar
+    zt, z1, z2 = z[2:], z[1:-1], z[:-2]
+    a, b, c = (z1 * z1).sum(), (z1 * z2).sum(), (z2 * z2).sum()
+    e, f = (z1 * zt).sum(), (z2 * zt).sum()
+    det = a * c - b * b
+    assert r.phi1_e6 == round((c * e - b * f) * 1e6 / det)
+    assert r.phi2_e6 == round((a * f - b * e) * 1e6 / det)
+
+
+def test_ar_model_singular_is_null(spark):
+    from smartpy_arc_spark.operators.stats import ar_model
+
+    # perfect alternation makes the lag matrix collinear -> NULL phis
+    rows = []
+    for t in range(40):
+        rows.extend([(t,)] * (30 if t % 2 == 0 else 10))
+    df = spark.createDataFrame(rows, "day long")
+    r = ar_model(df, ts_col="day").collect()[0]
+    assert r.n_obs == 38 and r.mean_y == 20
+    assert r.phi1_e6 is None and r.phi2_e6 is None
+
+
+def test_burst_detect_flags_spike(spark):
+    from smartpy_arc_spark.operators.stats import burst_detect
+
+    rows = []
+    for t in range(10):
+        rows.extend([("k", t)] * 10)   # steady 10/day
+    rows.extend([("k", 10)] * 40)      # spike day 10
+    df = spark.createDataFrame(rows, "key string, t long")
+    out = burst_detect(df, key_col="key", ts_col="t",
+                       window_rows=7, num=3, den=2).collect()
+    assert [(r.t, r.cnt) for r in out] == [(10, 40)]
+    assert out[0].trail_sum == 70
+    assert out[0].intensity_e6 == 4000000
+
+
+def test_nelson_aalen_small(spark):
+    from smartpy_arc_spark.operators.stats import nelson_aalen
+
+    # durations: events at t=1 (n=4), t=2 (n=2, one censored at t=1... )
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (3, 1)], "dur long, ev int"
+    )
+    out = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert out[1].n_at_risk == 4 and out[1].n_events == 1
+    assert out[1].h_e9 == round(1e9 / 4)
+    assert out[2].n_at_risk == 2
+    assert out[2].h_e9 == round(1e9 / 4) + round(1e9 / 2)
+    assert out[3].n_at_risk == 1
+    assert out[3].h_e9 == round(1e9 / 4) + round(1e9 / 2) + 1000000000
+    assert out[1].var_e12 == round(1e12 / 16)
