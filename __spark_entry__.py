@@ -5825,6 +5825,239 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nelson_aalen(per_c, "dur", "ev")
 
 
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per event type: daily counts
+    of high-value (>= 200) events on a dense calendar spine, coupled
+    demand/interval EWMAs (dyadic alpha = 0.25) folded in order, demand
+    rate = z/p in one IEEE division."""
+    from smartpy_arc_spark.operators.resample import croston
+
+    ev = _t(spark, sf_dir, "events").where("value >= 200")
+    return croston(ev, "event_type", "ts")
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per event type (rolling WAU):
+    contribution explode of each distinct presence day over the window it
+    covers, then one distinct-agg — no range join, linear at any SF."""
+    from smartpy_arc_spark.operators.resample import rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct(ev, "event_type", "ts", "user_id")
+
+
+def q_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the signup and purchase daily
+    count series at lags -7..+7: exact DECIMAL moments per lag, IEEE
+    sqrt + one division for r."""
+    from smartpy_arc_spark.operators.stats import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(t: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("v"))
+        )
+
+    return cross_correlation(daily("signup"), daily("purchase"), max_lag=7)
+
+
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance (standardized mean differences) between the
+    odd/even user-id split on per-user activity covariates — the
+    balance pre-test a CUPED/diff-in-diff readout publishes.  Value sums
+    pre-rounded to cents per row so every moment is an exact integer."""
+    from smartpy_arc_spark.operators.stats import covariate_balance
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct(F.to_date("ts")).cast("long").alias("active_days"),
+    )
+    unit = per_user.select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "n_events",
+        "value_cents",
+        "n_types",
+        "active_days",
+    )
+    return covariate_balance(
+        unit, "treat", ["active_days", "n_events", "n_types", "value_cents"]
+    )
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch vs exact self-join size of lineitem order keys:
+    33 md5-parity sign counters in one map-side aggregate, mean/median
+    estimators and the median's signed relative error."""
+    from smartpy_arc_spark.operators.sketch import ams_f2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ams_f2(li, "l_orderkey", k=33)
+
+
+def q_hilbert_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index of two 8-bit key projections — the
+    jump-free alternative to `zorder_code` for 2-D clustering; the
+    xy-to-d walk runs as one integer fold over the bit planes."""
+    from smartpy_arc_spark.operators.scale import hilbert_code
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        hilbert_code(
+            F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=8
+        ).alias("hcode"),
+    )
+
+
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping report over lineitem order-key zones:
+    per-zone row counts, ship-date/price min-max envelopes, and 0/1
+    would-scan flags for a date-range and a price predicate — the
+    parquet-footer pruning decision as assertable data."""
+    from smartpy_arc_spark.operators.scale import zone_map
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zone_map(
+        li,
+        F.expr("l_orderkey div 2048"),
+        ["l_shipdate", "l_extendedprice"],
+        predicates={
+            "ship94": ("l_shipdate", "1994-01-01", "1994-12-31"),
+            "price_hi": ("l_extendedprice", 90000.0, None),
+        },
+    )
+
+
+def _hilbert_oracle_sql(bits: int = 8) -> str:
+    """Oracle generated from the SAME reflect/swap walk as
+    operators/scale.py:hilbert_code — one CTE per bit plane, pure
+    integer CASE/xor arithmetic."""
+    ctes = [
+        "s0 AS (SELECT l_orderkey AS okey, l_linenumber AS lineno, "
+        "CAST(l_partkey % 256 AS BIGINT) AS hx, "
+        "CAST(l_suppkey % 256 AS BIGINT) AS hy, "
+        "CAST(0 AS BIGINT) AS hd FROM lineitem)"
+    ]
+    for i, b in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << b
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"s{i + 1} AS (SELECT okey, lineno, "
+            f"CASE WHEN (hy & {s}) > 0 THEN hx ELSE "
+            f"CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END END "
+            f"AS hx, "
+            f"CASE WHEN (hy & {s}) > 0 THEN hy ELSE "
+            f"CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END END "
+            f"AS hy, "
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd FROM s{i})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT okey, lineno, CAST(hd AS BIGINT) AS hcode FROM s{bits}"
+    )
+
+
+def _ams_f2_sql(k: int = 33, seed: int = 0) -> str:
+    """Oracle generated with the SAME md5-parity sign derivation as
+    operators/sketch.py:ams_f2 (counter index inlined per branch)."""
+    cs = ", ".join(
+        "CAST(sum(1 - 2 * (CAST(concat('0x', substr(md5(concat("
+        f"'{seed}:{j}:', CAST(l_orderkey AS VARCHAR))), 1, 1)) AS BIGINT)"
+        f" % 2)) AS BIGINT) AS c{j}"
+        for j in range(k)
+    )
+    arr = ", ".join(f"c{j} * c{j}" for j in range(k))
+    return f"""
+        WITH counters AS (SELECT {cs} FROM lineitem),
+        sq AS (SELECT [{arr}] AS sqs FROM counters),
+        est AS (
+            SELECT
+                CAST(round(CAST(list_sum(sqs) AS DOUBLE) / {float(k)!r})
+                     AS BIGINT) AS est_mean,
+                CAST(list_sort(sqs)[{(k + 1) // 2}] AS BIGINT)
+                    AS est_median
+            FROM sq
+        ), exact AS (
+            SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+            FROM (SELECT CAST(count(*) AS HUGEINT) AS c
+                  FROM lineitem GROUP BY l_orderkey)
+        )
+        SELECT CAST({k} AS INTEGER) AS k, exact_f2, est_mean, est_median,
+               CAST(round(CAST(est_median - exact_f2 AS DOUBLE)
+                          / CAST(exact_f2 AS DOUBLE) * 1000000)
+                    AS BIGINT) AS err_med_e6
+        FROM est CROSS JOIN exact
+    """
+
+
+def _smd_balance_sql() -> str:
+    """Oracle generated over the SAME covariate list and moment order as
+    q_smd_balance / operators/stats.py:covariate_balance."""
+    covs = ["active_days", "n_events", "n_types", "value_cents"]
+    moms = ", ".join(
+        f"sum(CAST({c} AS HUGEINT)) AS s{i}, "
+        f"sum(CAST({c} AS HUGEINT) * {c}) AS ss{i}"
+        for i, c in enumerate(covs)
+    )
+    rows = []
+    for i, c in enumerate(covs):
+        mean_t = f"(CAST(tt.s{i} AS DOUBLE) / CAST(tt.n AS DOUBLE))"
+        mean_c = f"(CAST(cc.s{i} AS DOUBLE) / CAST(cc.n AS DOUBLE))"
+        var_t = (
+            f"(CAST(tt.n * tt.ss{i} - tt.s{i} * tt.s{i} AS DOUBLE)"
+            f" / CAST(tt.n * (tt.n - 1) AS DOUBLE))"
+        )
+        var_c = (
+            f"(CAST(cc.n * cc.ss{i} - cc.s{i} * cc.s{i} AS DOUBLE)"
+            f" / CAST(cc.n * (cc.n - 1) AS DOUBLE))"
+        )
+        pooled = f"(({var_t} + {var_c}) / 2.0)"
+        smd_e6 = (
+            f"CASE WHEN {pooled} > 0 THEN CAST(round(({mean_t} - {mean_c})"
+            f" / sqrt({pooled}) * 1000000) AS BIGINT) END"
+        )
+        rows.append(
+            f"SELECT '{c}' AS covariate, CAST(tt.n AS BIGINT) AS n_t,"
+            f" CAST(cc.n AS BIGINT) AS n_c,"
+            f" CAST(round({mean_t} * 1000000) AS BIGINT) AS mean_t_e6,"
+            f" CAST(round({mean_c} * 1000000) AS BIGINT) AS mean_c_e6,"
+            f" {smd_e6} AS smd_e6,"
+            f" CAST(CASE WHEN ({smd_e6}) IS NULL THEN NULL"
+            f" WHEN abs({smd_e6}) > 100000 THEN 1 ELSE 0 END"
+            f" AS INTEGER) AS imbalanced"
+            f" FROM tt CROSS JOIN cc"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS active_days
+            FROM events GROUP BY user_id
+        ), g AS (
+            SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+                   CAST(count(*) AS HUGEINT) AS n, {moms}
+            FROM pu GROUP BY 1
+        ), tt AS (SELECT * FROM g WHERE t = 1),
+           cc AS (SELECT * FROM g WHERE t = 0)
+        SELECT * FROM ({union}) ORDER BY covariate
+    """
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6152,6 +6385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_model": q_ar_model,
         "burst_detect": q_burst_detect,
         "nelson_aalen": q_nelson_aalen,
+        "croston": q_croston,
+        "rolling_distinct": q_rolling_distinct,
+        "xcorr_leadlag": q_xcorr_leadlag,
+        "smd_balance": q_smd_balance,
+        "ams_f2": q_ams_f2,
+        "hilbert_code": q_hilbert_code,
+        "zone_map": q_zone_map,
     })
 
 
@@ -11973,4 +12213,134 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dv) OVER (ORDER BY t) AS BIGINT) AS var_e12
             FROM terms ORDER BY t
         """,
+        "croston": """
+            WITH f AS (
+                SELECT event_type, CAST(ts AS DATE) AS d
+                FROM events WHERE value >= 200
+            ), b AS (
+                SELECT min(d) AS d0, max(d) AS d1 FROM f
+            ), daily AS (
+                SELECT event_type, d, CAST(count(*) AS DOUBLE) AS x
+                FROM f GROUP BY 1, 2
+            ), spine AS (
+                SELECT k.event_type, CAST(u.gd AS DATE) AS d
+                FROM (SELECT DISTINCT event_type FROM f) k
+                CROSS JOIN (
+                    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS gd
+                    FROM b
+                ) u
+            ), dense AS (
+                SELECT s.event_type, s.d, coalesce(daily.x, 0.0) AS x
+                FROM spine s
+                LEFT JOIN daily
+                  ON daily.event_type = s.event_type AND daily.d = s.d
+            ), ser AS (
+                SELECT event_type, list(x ORDER BY d) AS xs
+                FROM dense GROUP BY 1
+            ), folded AS (
+                SELECT event_type,
+                       CAST(len(xs) AS BIGINT) AS n_periods,
+                       CAST(len(list_filter(xs, v -> v > 0)) AS BIGINT)
+                           AS n_demand,
+                       list_reduce(
+                           list_prepend(
+                               [0.0, 0.0, 0.0, 0.0],
+                               list_transform(xs, v -> [v, 0.0, 0.0, 0.0])),
+                           (acc, e) -> [
+                               CASE WHEN e[1] > 0 THEN
+                                   CASE WHEN acc[4] = 1
+                                        THEN 0.25 * e[1] + 0.75 * acc[1]
+                                        ELSE e[1] END
+                               ELSE acc[1] END,
+                               CASE WHEN e[1] > 0 THEN
+                                   CASE WHEN acc[4] = 1
+                                        THEN 0.25 * (acc[3] + 1)
+                                             + 0.75 * acc[2]
+                                        ELSE acc[3] + 1 END
+                               ELSE acc[2] END,
+                               CASE WHEN e[1] > 0 THEN 0.0
+                                    ELSE acc[3] + 1 END,
+                               CASE WHEN e[1] > 0 THEN 1.0
+                                    ELSE acc[4] END
+                           ]) AS st
+                FROM ser
+            )
+            SELECT event_type, n_periods, n_demand,
+                   CASE WHEN st[4] = 1
+                        THEN CAST(round(st[1] * 10000) AS BIGINT) END
+                       AS z_e4,
+                   CASE WHEN st[4] = 1
+                        THEN CAST(round(st[2] * 10000) AS BIGINT) END
+                       AS p_e4,
+                   CASE WHEN st[4] = 1
+                        THEN CAST(round(st[1] / st[2] * 1000000) AS BIGINT)
+                        END AS rate_e6
+            FROM folded
+        """,
+        "rolling_distinct": """
+            WITH p AS (
+                SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+                FROM events
+            ), a AS (
+                SELECT DISTINCT event_type, d FROM p
+            )
+            SELECT a.event_type, a.d AS day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+            FROM a
+            JOIN p ON p.event_type = a.event_type
+                  AND p.d BETWEEN a.d - 6 AND a.d
+            GROUP BY 1, 2
+        """,
+        "xcorr_leadlag": """
+            WITH a AS (
+                SELECT CAST(ts AS DATE) AS da,
+                       CAST(count(*) AS BIGINT) AS xa
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ), b AS (
+                SELECT CAST(ts AS DATE) AS db,
+                       CAST(count(*) AS BIGINT) AS xb
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), lags AS (
+                SELECT CAST(unnest(generate_series(-7, 7)) AS INTEGER)
+                    AS lag
+            ), m AS (
+                SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(xa AS HUGEINT)) AS sa,
+                       sum(CAST(xb AS HUGEINT)) AS sb,
+                       sum(CAST(xa AS HUGEINT) * xb) AS sab,
+                       sum(CAST(xa AS HUGEINT) * xa) AS saa,
+                       sum(CAST(xb AS HUGEINT) * xb) AS sbb
+                FROM a CROSS JOIN lags
+                JOIN b ON b.db = a.da + lag
+                GROUP BY lag
+            )
+            SELECT lag, n AS n_days,
+                   CASE WHEN n >= 3 AND (n * saa - sa * sa) > 0
+                             AND (n * sbb - sb * sb) > 0
+                        THEN CAST(round(
+                            CAST(n * sab - sa * sb AS DOUBLE)
+                            / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                               * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                            * 1000000) AS BIGINT)
+                   END AS r_e6
+            FROM m ORDER BY lag
+        """,
+        "zone_map": """
+            SELECT CAST(l_orderkey // 2048 AS BIGINT) AS zone,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(l_shipdate) AS min_l_shipdate,
+                   max(l_shipdate) AS max_l_shipdate,
+                   min(l_extendedprice) AS min_l_extendedprice,
+                   max(l_extendedprice) AS max_l_extendedprice,
+                   CAST(CASE WHEN max(l_shipdate) >= DATE '1994-01-01'
+                              AND min(l_shipdate) <= DATE '1994-12-31'
+                             THEN 1 ELSE 0 END AS INTEGER) AS scan_ship94,
+                   CAST(CASE WHEN max(l_extendedprice) >= 90000.0
+                             THEN 1 ELSE 0 END AS INTEGER) AS scan_price_hi
+            FROM lineitem GROUP BY 1 ORDER BY zone
+        """,
+        "smd_balance": _smd_balance_sql(),
+        "ams_f2": _ams_f2_sql(),
+        "hilbert_code": _hilbert_oracle_sql(),
     }

@@ -704,3 +704,147 @@ def holt_winters(
         e4(l_f + b_f + F.element_at(folded, 3)).alias("f1_e4"),
         e4(l_f + F.lit(2.0) * b_f + F.element_at(folded, 4)).alias("f2_e4"),
     )
+
+
+def croston(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Croston's method for intermittent demand: per key, the daily
+    demand series (row counts on a dense day spine over the global
+    observation window) is folded into two coupled EWMAs — demand size
+    ``z`` over the *non-zero* observations and inter-demand interval
+    ``p`` — whose ratio ``z/p`` is the per-period demand-rate forecast.
+    The standard forecaster for spare-parts/sparse-SKU series, where
+    plain exponential smoothing decays to zero between demands.
+
+    Layout: one shuffle builds per-(key, day) counts; the dense spine is
+    a bounded calendar ``sequence()`` explode per key (span is calendar-
+    bounded, not data-bounded, so the fold list stays small at any SF);
+    the fold itself is one ``aggregate`` HOF in codegen — bit-exact in
+    any engine folding the same list because demands/intervals are
+    integers and ``alpha`` is dyadic.
+
+    Returns ``(key, n_periods, n_demand, z_e4, p_e4, rate_e6)`` with
+    ``z``/``p`` in ten-thousandths and the forecast rate ``z/p`` (one
+    IEEE division) in millionths; NULL smoothing outputs for keys with
+    zero demand periods.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    bounds = df.select(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = (
+        daily.select("k").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("k", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    dense = spine.join(daily, ["k", "d"], "left").select(
+        "k", "d", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    per_key = dense.groupBy("k").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("x")))
+        ).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    a = F.lit(float(alpha))
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    # acc = [z, p, q, seen]: smoothed demand, smoothed interval, periods
+    # since last demand, 0/1 any-demand flag.
+    init = F.array(zero, zero, zero, zero)
+
+    def step(acc, x):
+        z, p, q, seen = (F.element_at(acc, i) for i in (1, 2, 3, 4))
+        pos = x > zero
+        interval = q + one
+        z_new = F.when(
+            pos, F.when(seen == one, a * x + (one - a) * z).otherwise(x)
+        ).otherwise(z)
+        p_new = F.when(
+            pos,
+            F.when(seen == one, a * interval + (one - a) * p).otherwise(
+                interval
+            ),
+        ).otherwise(p)
+        q_new = F.when(pos, zero).otherwise(interval)
+        seen_new = F.when(pos, one).otherwise(seen)
+        return F.array(z_new, p_new, q_new, seen_new)
+
+    folded = F.aggregate(xs, init, step)
+    z_f, p_f = F.element_at(folded, 1), F.element_at(folded, 2)
+    ok = F.element_at(folded, 4) == one
+    e4 = lambda c: F.when(ok, F.round(c * 10000).cast("long"))  # noqa: E731
+    n_demand = F.aggregate(
+        xs, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x > zero, 1).otherwise(0),
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        F.size("series").cast("long").alias("n_periods"),
+        n_demand.alias("n_demand"),
+        e4(z_f).alias("z_e4"),
+        e4(p_f).alias("p_e4"),
+        F.when(ok, F.round(z_f / p_f * 1000000).cast("long")).alias(
+            "rate_e6"
+        ),
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-N-day distinct-entity count per (key, day) — the rolling
+    WAU/MAU primitive.  ``count(DISTINCT ...) OVER (RANGE ...)`` has no
+    decomposable form, so the scale path is a *contribution explode*:
+    each distinct (key, entity, day) presence covers the ``window_days``
+    output days it can be seen from (a bounded ×N fan-out that partial
+    aggregation collapses), then one distinct-agg per (key, day).  No
+    range join, no per-day self-join — linear in input at any SF.
+
+    Output days are restricted to days the key actually had activity.
+    Returns ``(key, day, n_active)``.
+    """
+    day = F.to_date(F.col(ts_col))
+    present = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(id_col).alias("e"),
+            day.alias("d"),
+        )
+        .distinct()
+    )
+    active_days = present.select("k", "d").distinct()
+    covered = present.select(
+        "k",
+        "e",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("d"),
+    )
+    return (
+        covered.join(active_days, ["k", "d"])
+        .groupBy("k", "d")
+        .agg(F.count_distinct("e").cast("long").alias("n_active"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("d").alias("day"),
+            "n_active",
+        )
+    )

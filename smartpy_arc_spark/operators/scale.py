@@ -456,3 +456,84 @@ def compact_small_files(
         [(len(files), len(after), n_rows)],
         "n_files_before int, n_files_after int, n_rows long",
     )
+
+
+def hilbert_code(x, y, *, bits: int = 8):
+    """Hilbert-curve index of two non-negative integer columns in
+    ``[0, 2^bits)`` — the locality-preserving alternative to
+    :func:`morton_code` (Z-order) used by modern table formats for
+    multi-dimensional clustering: Hilbert has no Z-shaped "jumps", so
+    file min-max rectangles are tighter and 2-D range predicates skip
+    more files.
+
+    The classic xy→d walk (Hamilton's algorithm: per bit-plane, quadrant
+    digit + reflect/swap rotation) runs as ONE ``aggregate`` HOF over the
+    literal bit-plane list with an ``[x, y, d]`` accumulator — constant
+    expression size (no per-bit plan unrolling), whole-stage codegen,
+    pure integer ops, bit-identical in any engine folding the same list.
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    planes = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(bits - 1, -1, -1)]
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    init = F.array(x.cast("long"), y.cast("long"), zero)
+
+    def step(acc, s):
+        hx, hy, hd = (F.element_at(acc, i) for i in (1, 2, 3))
+        rx = F.when(hx.bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(hy.bitwiseAND(s) > 0, one).otherwise(zero)
+        # no CSE in HOF lambdas: rx/ry are re-inlined where used (bounded)
+        d_new = hd + s * s * (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        # rotation: when ry = 0, reflect within the quadrant if rx = 1,
+        # then swap the axes; when ry = 1 the frame is unchanged.
+        x_new = F.when(ry == one, hx).otherwise(
+            F.when(rx == one, s - one - hy).otherwise(hy)
+        )
+        y_new = F.when(ry == one, hy).otherwise(
+            F.when(rx == one, s - one - hx).otherwise(hx)
+        )
+        return F.array(x_new, y_new, d_new)
+
+    return F.element_at(F.aggregate(planes, init, step), 3)
+
+
+def zone_map(
+    df: DataFrame,
+    zone_expr,
+    stats_cols: list[str],
+    predicates: dict[str, tuple[str, object, object]] | None = None,
+) -> DataFrame:
+    """Zone-map (data-skipping) statistics: per zone — a file/row-group
+    surrogate such as ``floor(key / width)`` — the row count and min/max
+    of each stats column, plus an optional ``scan_<name>`` 0/1 flag per
+    named range predicate saying whether the zone's [min, max] envelope
+    can satisfy it (0 = the scan planner skips the whole zone).  This is
+    the parquet-footer / Delta-stats pruning decision made inspectable:
+    the fraction of zones with ``scan_* = 0`` is the I/O the layout saves
+    at 100 TB, and comparing it across layouts (sorted vs Z-order vs
+    Hilbert) is how a layout choice is justified with data.
+
+    One hash aggregate; min/max are algebraic so the map side collapses
+    each partition to one row per zone before the (bounded) shuffle.
+
+    ``predicates`` maps name → ``(col, lo, hi)`` (closed interval; either
+    bound may be None for one-sided).
+    """
+    zone_expr = F.col(zone_expr) if isinstance(zone_expr, str) else zone_expr
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    zones = df.groupBy(zone_expr.alias("zone")).agg(*aggs)
+    for name, (c, lo, hi) in (predicates or {}).items():
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
+        zones = zones.withColumn(f"scan_{name}", cond.cast("int"))
+    return zones.orderBy("zone")

@@ -141,3 +141,75 @@ def hll_rollup(
             F.sum("fine_est").cast("long").alias("sum_fine_est"),
         )
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 33,
+    seed: int = 0,
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch: estimate the second frequency
+    moment ``F₂ = Σ_key count(key)²`` — equivalently the self-join size,
+    the quantity a join planner needs to predict skew/output size without
+    running the join.  Counter ``j`` accumulates ``Σ_rows sign_j(key)``
+    with a deterministic ±1 key hash (md5-parity of ``"seed:j:key"``,
+    reproducible in any engine); ``E[counter²] = F₂``.
+
+    Scale shape: the k counters are ONE map-side-combining aggregate over
+    the raw rows (k expressions, no explode, no shuffle of data — each
+    partition emits one k-vector); the exact F₂ for the error report is
+    a separate grouped count (the thing the sketch avoids at 100 TB —
+    here it is the oracle half).  ``k`` odd keeps the median an exact
+    integer.
+
+    Returns one row ``(k, exact_f2, est_mean, est_median, err_med_e6)``
+    where ``err_med_e6`` is the median estimator's signed relative error
+    in millionths.
+    """
+    key = F.col(key_col).cast("string")
+    signs = []
+    for j in range(k):
+        digit = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:{j}:"), key)), 1, 1),
+            16,
+            10,
+        ).cast("long")
+        signs.append(
+            F.sum(F.lit(1).cast("long") - F.lit(2).cast("long") * (digit % 2))
+            .alias(f"c{j}")
+        )
+    counters = df.agg(*signs).select(
+        F.array(*[F.col(f"c{j}") for j in range(k)]).alias("cs")
+    )
+    sq = F.transform(F.col("cs"), lambda c: c * c)
+    est_mean = F.round(
+        F.aggregate(sq, F.lit(0).cast("decimal(38,0)"), lambda a, v: a + v)
+        .cast("double")
+        / F.lit(float(k))
+    ).cast("long")
+    est_median = F.element_at(F.array_sort(sq), (k + 1) // 2)
+    sketch = counters.select(
+        F.lit(k).cast("int").alias("k"),
+        est_mean.alias("est_mean"),
+        est_median.alias("est_median"),
+    )
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "exact_f2",
+        "est_mean",
+        "est_median",
+        F.round(
+            (F.col("est_median") - F.col("exact_f2")).cast("double")
+            / F.col("exact_f2").cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("err_med_e6"),
+    )

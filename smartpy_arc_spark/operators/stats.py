@@ -2382,3 +2382,143 @@ def decision_tree_depth2(
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
     )
     return root.unionByName(children).orderBy("node")
+
+
+def cross_correlation(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    *,
+    ts_col: str = "day",
+    val_col: str = "v",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two daily integer series:
+    Pearson r between ``a(t)`` and ``b(t + lag)`` for every lag in
+    ``[-max_lag, +max_lag]``, over the days where both sides exist.
+    Positive-lag peaks mean A leads B — the standard "does signups
+    activity predict purchases next week?" diagnostic.
+
+    Shape: the (2·max_lag+1)-row lag table broadcasts against series A
+    (bounded fan-out), one equi-join shuffle aligns B at ``t + lag``,
+    and one grouped aggregate per lag collects the exact DECIMAL
+    moments; r is computed from them with IEEE sqrt (correctly rounded,
+    engine-portable) and one final division.
+
+    Returns ``(lag, n_days, r_e6)`` for lags with enough overlap to
+    define r (ties/degenerate variance yield NULL r).
+    """
+    spark = series_a.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series_a.select(
+        F.col(ts_col).alias("da"), F.col(val_col).cast("long").alias("xa")
+    )
+    b = series_b.select(
+        F.col(ts_col).alias("db"), F.col(val_col).cast("long").alias("xb")
+    )
+    fanned = a.crossJoin(F.broadcast(lags)).withColumn(
+        "db", F.date_add(F.col("da"), F.col("lag"))
+    )
+    paired = fanned.join(b, "db")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = paired.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("xa")).alias("sa"),
+        F.sum(dec("xb")).alias("sb"),
+        F.sum(dec("xa") * dec("xb")).alias("sab"),
+        F.sum(dec("xa") * dec("xa")).alias("saa"),
+        F.sum(dec("xb") * dec("xb")).alias("sbb"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    var_a = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    var_b = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = cov / (F.sqrt(var_a) * F.sqrt(var_b))
+    return (
+        m.select(
+            "lag",
+            F.col("n").alias("n_days"),
+            F.when(
+                (F.col("n") >= 3) & (var_a > 0) & (var_b > 0),
+                F.round(r * 1000000).cast("long"),
+            ).alias("r_e6"),
+        )
+        .orderBy("lag")
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    treat_col: str,
+    covariates: list[str],
+    *,
+    smd_flag_e6: int = 100000,
+) -> DataFrame:
+    """Covariate balance table for an experiment or observational
+    comparison: per covariate, group means and the standardized mean
+    difference ``(mean_t − mean_c) / sqrt((var_t + var_c) / 2)`` —
+    the pre-test every CUPED/diff-in-diff readout should publish
+    (|SMD| > 0.1 is the conventional imbalance flag).
+
+    One grouped aggregate collects exact DECIMAL moments for every
+    covariate in a single scan (no per-covariate job); the 2-row combine
+    uses IEEE sqrt and a fixed division order so the floats are
+    engine-portable.  Covariates must be integer-valued (pre-scale
+    currency to cents upstream).
+
+    Returns ``(covariate, n_t, n_c, mean_t_e6, mean_c_e6, smd_e6,
+    imbalanced)`` ordered by covariate name.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in covariates:
+        aggs += [
+            F.sum(dec(F.col(c))).alias(f"s_{c}"),
+            F.sum(dec(F.col(c)) * dec(F.col(c))).alias(f"ss_{c}"),
+        ]
+    two = df.groupBy(F.col(treat_col).cast("int").alias("t")).agg(*aggs)
+    t = two.where("t = 1").alias("t")
+    c_ = two.where("t = 0").alias("c")
+    pair = t.crossJoin(c_)
+    rows = []
+    for c in covariates:
+        nt = F.col("t.n").cast("decimal(38,0)")
+        nc = F.col("c.n").cast("decimal(38,0)")
+        st, sst = F.col(f"t.s_{c}"), F.col(f"t.ss_{c}")
+        sc, ssc = F.col(f"c.s_{c}"), F.col(f"c.ss_{c}")
+        mean_t = st.cast("double") / nt.cast("double")
+        mean_c = sc.cast("double") / nc.cast("double")
+        var_t = (nt * sst - st * st).cast("double") / (
+            nt * (nt - F.lit(1).cast("decimal(38,0)"))
+        ).cast("double")
+        var_c = (nc * ssc - sc * sc).cast("double") / (
+            nc * (nc - F.lit(1).cast("decimal(38,0)"))
+        ).cast("double")
+        pooled = (var_t + var_c) / F.lit(2.0)
+        # CASE short-circuits: the division only runs when pooled > 0, so
+        # a constant covariate yields NULL SMD instead of an ANSI error.
+        smd_e6 = F.when(
+            pooled > 0,
+            F.round((mean_t - mean_c) / F.sqrt(pooled) * 1000000).cast(
+                "long"
+            ),
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                F.col("t.n").alias("n_t"),
+                F.col("c.n").alias("n_c"),
+                F.round(mean_t * 1000000).cast("long").alias("mean_t_e6"),
+                F.round(mean_c * 1000000).cast("long").alias("mean_c_e6"),
+                smd_e6.alias("smd_e6"),
+                (F.abs(smd_e6) > smd_flag_e6).cast("int").alias(
+                    "imbalanced"
+                ),
+            )
+        )
+    return (
+        pair.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("covariate")
+    )

@@ -38,6 +38,8 @@ SINGLE_PARTITION_OK = {
     "tfidf_top_terms",      # broadcast corpus-size scalar
     "theta_segment_overlap",  # global sketch merge: KB-sized partials
     "approx_topk_terms",      # global frequency sketch: bounded state
+    "croston",                # 1-row global calendar min/max bounds
+    "ams_f2",                 # 1-row sketch counters + 1-row exact combine
     "funnel_conversion",      # global funnel totals: 3 counters
     "sequence_funnel",        # global funnel totals: one counter per step
     "price_histogram",        # share-of-total window over 13 bucket counts
@@ -138,6 +140,10 @@ BNLJ_OK = {
     "kmeans",                 # k-row centroid broadcast cross join per Lloyd iteration
     "decision_tree",          # 1-row root-split broadcast cross join
     "ar_model",               # 1-row mean scalar broadcast cross join
+    "croston",                # 1-row calendar-bounds broadcast cross join
+    "xcorr_leadlag",          # 15-row lag-table broadcast cross join
+    "smd_balance",            # 1-row x 1-row group-moment cross join
+    "ams_f2",                 # 1-row exact-F2 broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}
