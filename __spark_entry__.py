@@ -6058,6 +6058,140 @@ def _smd_balance_sql() -> str:
     """
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: high-quantity shipment
+    intervals [shipdate, receiptdate] per supplier merged into maximal
+    covered spans (one key-partitioned window pass, islands by running
+    max end)."""
+    from smartpy_arc_spark.operators.sessionize import merge_intervals
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where("l_suppkey <= 100 AND l_quantity >= 48")
+        .select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("iv_start"),
+            F.date_add(
+                F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+            ).alias("iv_end"),
+        )
+    )
+    return merge_intervals(li, "l_suppkey", "iv_start", "iv_end")
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 1000 days over the same
+    customer order-span contract as kaplan_meier: exact integer area
+    under the e6-rounded step curve."""
+    from smartpy_arc_spark.operators.stats import rmst
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dur"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("int")
+        .alias("ev"),
+    )
+    return rmst(per_c, "dur", "ev", tau=1000)
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration in deciles
+    (cents-exact cumulative shares, custkey tiebreak) — the curve behind
+    the gini query, as assertable points."""
+    from smartpy_arc_spark.operators.stats import lorenz_curve
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    return lorenz_curve(per_c, "rev_c", "o_custkey")
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of (mktsegment, nation) QI classes against the
+    account-balance distribution (1000-unit buckets): EMD over the
+    ordered domain from exact integer cumulative cross-products, one
+    division per class."""
+    from smartpy_arc_spark.operators.checks import t_closeness
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return t_closeness(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_bucket"
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks over the 64-dim embeddings (4
+    subspaces x 4 codes, one Lloyd iteration, e6-quantized exact
+    distances): per (subspace, code) assignment counts, exact total
+    distortion and centroid checksums."""
+    from smartpy_arc_spark.operators.embedding import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=4, k=4, iters=1)
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase latency distribution: first signup to first
+    subsequent purchase per user, summarized by selection-based exact
+    order statistics (no interpolation)."""
+    from smartpy_arc_spark.operators.funnel import time_to_convert
+
+    ev = _t(spark, sf_dir, "events")
+    return time_to_convert(
+        ev, "user_id", "event_type", "ts", "signup", "purchase"
+    )
+
+
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency in BUSINESS days per order
+    priority: weekend-free day counts from a pure-integer closed form
+    (no calendar explode), exact sums, one division per reported mean."""
+    from smartpy_arc_spark.operators.resample import business_days_between
+
+    orders = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+    )
+    lat = business_days_between(
+        F.to_date("o_orderdate"), F.col("first_ship")
+    )
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority", lat.alias("bd")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("bd").cast("long").alias("total_bd"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "total_bd",
+            F.round(
+                F.col("total_bd").cast("double")
+                / F.col("n_orders").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("avg_bd_e6"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6392,6 +6526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "hilbert_code": q_hilbert_code,
         "zone_map": q_zone_map,
+        "interval_merge": q_interval_merge,
+        "rmst": q_rmst,
+        "lorenz_curve": q_lorenz_curve,
+        "t_closeness": q_t_closeness,
+        "pq_encode": q_pq_encode,
+        "time_to_convert": q_time_to_convert,
+        "business_days": q_business_days,
     })
 
 
@@ -12343,4 +12484,281 @@ def oracle_sql() -> dict[str, str]:
         "smd_balance": _smd_balance_sql(),
         "ams_f2": _ams_f2_sql(),
         "hilbert_code": _hilbert_oracle_sql(),
+        "interval_merge": """
+            WITH iv AS (
+                SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+                       CAST(l_shipdate AS DATE)
+                           + CAST(l_quantity AS INTEGER) AS e
+                FROM lineitem WHERE l_suppkey <= 100 AND l_quantity >= 48
+            ), w1 AS (
+                SELECT k, s, e,
+                       max(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS pme
+                FROM iv
+            ), w2 AS (
+                SELECT k, s, e,
+                       sum(CASE WHEN pme IS NULL OR s > pme
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+                FROM w1
+            )
+            SELECT k AS l_suppkey, min(s) AS span_start,
+                   max(e) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM w2 GROUP BY k, island
+        """,
+        "rmst": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', min(o_orderdate),
+                                      max(o_orderdate)) AS BIGINT) AS t,
+                       CAST(max(CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS INTEGER) AS e
+                FROM orders GROUP BY o_custkey
+            ), per_t AS (
+                SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM per_c GROUP BY t
+            ), curve AS (
+                SELECT list([CAST(d AS DOUBLE), CAST(d + c AS DOUBLE),
+                             CAST(t AS DOUBLE), CAST(c AS DOUBLE)]
+                            ORDER BY t) AS arr,
+                       CAST(SUM(d + c) AS BIGINT) AS n_total
+                FROM per_t
+            ), km AS (
+                SELECT CAST(arr[i][3] AS BIGINT) AS t,
+                       n_total
+                       - CAST(COALESCE(list_sum(list_transform(arr[1:i - 1],
+                             s -> CAST(s[2] AS BIGINT))), 0) AS BIGINT)
+                           AS n_at_risk,
+                       CAST(round(
+                           list_reduce(
+                               list_prepend([1.0, 0.0],
+                                   list_transform(arr[1:i],
+                                       s -> [s[1], s[2]])),
+                               (acc, x) -> [
+                                   acc[1] * (1.0 - x[1]
+                                       / (CAST(n_total AS DOUBLE) - acc[2])),
+                                   acc[2] + x[2]])[1]
+                           * 1000000) AS BIGINT) AS s_e6
+                FROM curve,
+                     LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+            ), seg AS (
+                SELECT t, n_at_risk, s_e6,
+                       coalesce(lead(t) OVER (ORDER BY t), 1000) AS nt,
+                       row_number() OVER (ORDER BY t) AS rn
+                FROM km
+            )
+            SELECT CAST(1000 AS BIGINT) AS tau,
+                   CAST(max(CASE WHEN rn = 1 THEN n_at_risk END) AS BIGINT)
+                       AS n_subjects,
+                   CAST(max(CASE WHEN rn = 1
+                                 THEN 1000000 * least(t, 1000) END)
+                        + sum(CAST(s_e6 AS HUGEINT)
+                              * (least(nt, 1000) - least(t, 1000)))
+                        AS BIGINT) AS rmst_e6
+            FROM seg
+        """,
+        "lorenz_curve": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY o_custkey
+            ), ranked AS (
+                SELECT rev_c,
+                       CAST(ntile(10) OVER (ORDER BY rev_c, o_custkey)
+                            AS INTEGER) AS bucket
+                FROM per_c
+            ), per_b AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_units,
+                       sum(CAST(rev_c AS HUGEINT)) AS bv
+                FROM ranked GROUP BY bucket
+            )
+            SELECT bucket, n_units, CAST(bv AS BIGINT) AS bucket_value,
+                   CAST(round(
+                       CAST(sum(bv) OVER (ORDER BY bucket
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+                            AS DOUBLE)
+                       / CAST(sum(bv) OVER () AS DOUBLE) * 1000000)
+                        AS BIGINT) AS cum_share_e6
+            FROM per_b ORDER BY bucket
+        """,
+        "t_closeness": """
+            WITH cells AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM customer GROUP BY 1, 2, 3
+            ), domain AS (
+                SELECT sv, CAST(sum(c) AS BIGINT) AS gc
+                FROM cells GROUP BY sv
+            ), mt AS (
+                SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(gc) AS BIGINT) AS n_tot
+                FROM domain
+            ), grps AS (
+                SELECT DISTINCT c_mktsegment, c_nationkey FROM cells
+            ), dense AS (
+                SELECT g.c_mktsegment, g.c_nationkey, d.sv, d.gc,
+                       CAST(coalesce(c.c, 0) AS BIGINT) AS c
+                FROM grps g CROSS JOIN domain d
+                LEFT JOIN cells c
+                  ON c.c_mktsegment = g.c_mktsegment
+                 AND c.c_nationkey = g.c_nationkey AND c.sv = d.sv
+            ), cum AS (
+                SELECT c_mktsegment, c_nationkey, sv,
+                       sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey
+                                    ORDER BY sv
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cg,
+                       sum(gc) OVER (PARTITION BY c_mktsegment, c_nationkey
+                                     ORDER BY sv
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cc,
+                       sum(c) OVER (PARTITION BY c_mktsegment,
+                                                 c_nationkey) AS n_g,
+                       row_number() OVER (PARTITION BY c_mktsegment,
+                                                       c_nationkey
+                                          ORDER BY sv) AS rn
+                FROM dense
+            ), terms AS (
+                SELECT c_mktsegment, c_nationkey, n_g, m, n_tot,
+                       CASE WHEN rn < m THEN
+                           abs(CAST(cg AS HUGEINT) * n_tot
+                               - CAST(cc AS HUGEINT) * n_g)
+                       ELSE CAST(0 AS HUGEINT) END AS term
+                FROM cum CROSS JOIN mt
+            ), agg AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(n_g AS BIGINT) AS n,
+                       CASE WHEN m > 1 THEN
+                           CAST(round(CAST(sum(term) AS DOUBLE)
+                               / CAST(CAST(n_g AS HUGEINT) * n_tot * (m - 1)
+                                      AS DOUBLE)
+                               * 1000000) AS BIGINT)
+                       END AS t_e6
+                FROM terms GROUP BY c_mktsegment, c_nationkey, n_g, m, n_tot
+            )
+            SELECT c_mktsegment, c_nationkey, n, t_e6,
+                   CAST(CASE WHEN t_e6 IS NULL THEN NULL
+                             WHEN t_e6 <= 200000 THEN 1 ELSE 0 END
+                        AS INTEGER) AS close
+            FROM agg
+        """,
+        "pq_encode": """
+            WITH pts AS (
+                SELECT vec_id AS pid,
+                       list_transform(embedding, x ->
+                           CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                AS BIGINT)) AS v
+                FROM embeddings
+            ), pd AS (
+                SELECT pid, CAST((i - 1) // 16 AS INTEGER) AS sub, i,
+                       v[i] AS x
+                FROM pts,
+                     LATERAL unnest(generate_series(1, len(v))) AS u(i)
+            ), c0 AS (
+                SELECT sub, pid AS cid, i, x AS cx FROM pd
+                WHERE pid IN (SELECT pid FROM pts ORDER BY pid LIMIT 4)
+            ), d1 AS (
+                SELECT pd.pid, pd.sub, c.cid,
+                       SUM((pd.x - c.cx) * (pd.x - c.cx)) AS d2
+                FROM pd JOIN c0 c ON pd.i = c.i AND pd.sub = c.sub
+                GROUP BY pd.pid, pd.sub, c.cid
+            ), a1 AS (
+                SELECT pid, sub, cid FROM (
+                    SELECT pid, sub, cid, row_number() OVER (
+                        PARTITION BY pid, sub ORDER BY d2, cid) AS rk
+                    FROM d1) WHERE rk = 1
+            ), c1 AS (
+                SELECT a1.sub, a1.cid, pd.i,
+                       CAST(round(CAST(SUM(pd.x) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                           AS cx
+                FROM pd JOIN a1 ON pd.pid = a1.pid AND pd.sub = a1.sub
+                GROUP BY a1.sub, a1.cid, pd.i
+            ), d2t AS (
+                SELECT pd.pid, pd.sub, c.cid,
+                       SUM((pd.x - c.cx) * (pd.x - c.cx)) AS d2
+                FROM pd JOIN c1 c ON pd.i = c.i AND pd.sub = c.sub
+                GROUP BY pd.pid, pd.sub, c.cid
+            ), a2 AS (
+                SELECT pid, sub, cid, d2 FROM (
+                    SELECT pid, sub, cid, d2, row_number() OVER (
+                        PARTITION BY pid, sub ORDER BY d2, cid) AS rk
+                    FROM d2t) WHERE rk = 1
+            ), cs AS (
+                SELECT sub, cid, CAST(SUM(cx) AS BIGINT) AS cent_sum
+                FROM c1 GROUP BY sub, cid
+            )
+            SELECT a2.sub, a2.cid, CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(a2.d2) AS BIGINT) AS sum_d2, cs.cent_sum
+            FROM a2 JOIN cs ON cs.sub = a2.sub AND cs.cid = a2.cid
+            GROUP BY a2.sub, a2.cid, cs.cent_sum
+            ORDER BY a2.sub, a2.cid
+        """,
+        "time_to_convert": """
+            WITH t0 AS (
+                SELECT user_id, min(ts) AS t0
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id
+            ), lat AS (
+                SELECT e.user_id,
+                       date_diff('second',
+                                 TIMESTAMP '1970-01-01 00:00:00',
+                                 min(e.ts))
+                       - date_diff('second',
+                                   TIMESTAMP '1970-01-01 00:00:00',
+                                   max(t0.t0)) AS lat_s
+                FROM events e JOIN t0 ON t0.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= t0.t0
+                GROUP BY e.user_id
+            ), ranked AS (
+                SELECT lat_s,
+                       row_number() OVER (ORDER BY lat_s) AS rn,
+                       count(*) OVER () AS n
+                FROM lat
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n_converted,
+                   min(lat_s) AS min_s,
+                   max(CASE WHEN rn = CAST(ceil(n * 0.25) AS INTEGER)
+                            THEN lat_s END) AS p25_s,
+                   max(CASE WHEN rn = CAST(ceil(n * 0.5) AS INTEGER)
+                            THEN lat_s END) AS p50_s,
+                   max(CASE WHEN rn = CAST(ceil(n * 0.75) AS INTEGER)
+                            THEN lat_s END) AS p75_s,
+                   max(lat_s) AS max_s
+            FROM ranked
+        """,
+        "business_days": """
+            WITH li AS (
+                SELECT l_orderkey, CAST(min(CAST(l_shipdate AS DATE))
+                                        AS DATE) AS first_ship
+                FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+                SELECT o_orderpriority,
+                       (5 * (date_diff('day', DATE '1970-01-05',
+                                       first_ship) // 7)
+                        + least(date_diff('day', DATE '1970-01-05',
+                                          first_ship) % 7, 5))
+                       - (5 * (date_diff('day', DATE '1970-01-05',
+                                         CAST(o_orderdate AS DATE)) // 7)
+                          + least(date_diff('day', DATE '1970-01-05',
+                                            CAST(o_orderdate AS DATE))
+                                  % 7, 5)) AS bd
+                FROM orders JOIN li ON o_orderkey = l_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(bd) AS BIGINT) AS total_bd,
+                   CAST(round(CAST(sum(bd) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS avg_bd_e6
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
     }

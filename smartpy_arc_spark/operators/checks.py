@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 @dataclass(frozen=True)
@@ -583,3 +584,109 @@ def fd_check(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("determinant", "dependent")
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t_flag_e6: int = 200000,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymity ladder after
+    :func:`k_anonymity` and :func:`l_diversity`: a QI class whose
+    SENSITIVE-value distribution diverges from the table-wide one leaks
+    information even when it is large and diverse (the skewness attack).
+    Distance is the Earth Mover's Distance over the ordered sensitive
+    domain with unit ground distance, normalized by ``m - 1`` — the
+    measure from Li/Li/Venkatasubramanian (ICDE 2007).
+
+    Exactness: with class cumulative count ``G_j`` (of ``n_g``) and
+    global cumulative ``C_j`` (of ``n``), each EMD term is
+    ``|G_j·n − C_j·n_g|`` — an exact integer — and the distance is ONE
+    division of the integer sum by ``n_g·n·(m−1)``.
+
+    Shape: the class × sensitive cell table densifies against the
+    bounded sensitive domain (broadcast), cumulative sums run inside the
+    class-keyed window partition, and the rollup reuses the same key —
+    groupBy-count shaped at any scale.
+
+    Returns per class: ``(quasi columns..., n, t_e6, close)``.
+    """
+    qi = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(*qi, F.col(sensitive_col).alias("sv")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    domain = (
+        cells.groupBy("sv")
+        .agg(F.sum("c").cast("long").alias("gc"))
+    )
+    m_tot = domain.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("gc").cast("long").alias("n_tot"),
+    )
+    groups = cells.select(*quasi_cols).distinct()
+    dense = (
+        groups.join(F.broadcast(domain), how="cross")
+        .join(cells, [*quasi_cols, "sv"], "left")
+        .select(
+            *quasi_cols,
+            "sv",
+            "gc",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wg = W.partitionBy(*quasi_cols).orderBy("sv")
+    full = W.partitionBy(*quasi_cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = dense.select(
+        *quasi_cols,
+        "sv",
+        F.sum("c").over(wg.rowsBetween(W.unboundedPreceding, 0)).alias("cg"),
+        F.sum("gc").over(wg.rowsBetween(W.unboundedPreceding, 0)).alias("cc"),
+        F.sum("c").over(full).cast("long").alias("n_g"),
+        F.row_number().over(wg).alias("rn"),
+    )
+    terms = cum.crossJoin(F.broadcast(m_tot)).select(
+        *quasi_cols,
+        "n_g",
+        "m",
+        F.when(
+            F.col("rn") < F.col("m"),
+            F.abs(
+                dec(F.col("cg")) * dec(F.col("n_tot"))
+                - dec(F.col("cc")) * dec(F.col("n_g"))
+            ),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("term"),
+    )
+    out = terms.groupBy(*quasi_cols, "n_g", "m").agg(
+        F.sum("term").alias("num")
+    )
+    # denominator n_g * n_tot * (m - 1): one exact decimal product,
+    # then the single IEEE division that defines t
+    return (
+        out.crossJoin(
+            F.broadcast(m_tot.select(F.col("n_tot").alias("nt")))
+        )
+        .select(
+            *quasi_cols,
+            F.col("n_g").alias("n"),
+            # CASE short-circuits: a single-value domain (m = 1) yields
+            # NULL t instead of an ANSI zero-division error
+            F.when(
+                F.col("m") > 1,
+                F.round(
+                    F.col("num").cast("double")
+                    / (
+                        dec(F.col("n_g"))
+                        * dec(F.col("nt"))
+                        * dec(F.col("m") - 1)
+                    ).cast("double")
+                    * 1000000
+                ).cast("long"),
+            ).alias("t_e6"),
+        )
+        .withColumn("close", (F.col("t_e6") <= t_flag_e6).cast("int"))
+    )

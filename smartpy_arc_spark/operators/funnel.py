@@ -154,3 +154,73 @@ def touch_attribution(
             .alias("n_conversions"),
         )
     )
+
+
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    from_event: str,
+    to_event: str,
+) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from the FIRST
+    ``from_event`` to the first ``to_event`` at or after it; summarized
+    as exact order statistics (min / lower-median p25·p50·p75 / max) —
+    the "how long does signup→purchase take" readout next to
+    ``sequence_funnel``'s how-many.
+
+    Selection beats interpolation for portability: each quantile is the
+    ``ceil(q·n)``-th smallest latency picked by row_number, an element
+    of the data — no averaging, no float percentile semantics to match
+    across engines.  Two grouped min-aggregates (one shuffle on user),
+    then a rank window over the bounded converted set.
+
+    Returns one row: ``(n_converted, min_s, p25_s, p50_s, p75_s,
+    max_s)``.
+    """
+    from pyspark.sql import Window as W
+
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = (
+        df.where(F.col(type_col).isin([from_event, to_event]))
+        .groupBy(user_col)
+        .agg(
+            F.min(F.when(F.col(type_col) == from_event, ts)).alias("t0"),
+        )
+        .where(F.col("t0").isNotNull())
+    )
+    to_after = (
+        df.where(F.col(type_col) == to_event)
+        .select(F.col(user_col).alias("u2"), ts.alias("t1"))
+        .join(
+            per_user.select(F.col(user_col).alias("u2"), "t0"), "u2"
+        )
+        .where(F.col("t1") >= F.col("t0"))
+        .groupBy("u2")
+        .agg(
+            (
+                F.min("t1").cast("long") - F.max("t0").cast("long")
+            ).alias("lat_s")
+        )
+    )
+    w = W.orderBy("lat_s")
+    ranked = to_after.select(
+        "lat_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(q)).cast("int"),
+               F.col("lat_s"))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lat_s").alias("min_s"),
+        pick(0.25).alias("p25_s"),
+        pick(0.50).alias("p50_s"),
+        pick(0.75).alias("p75_s"),
+        F.max("lat_s").alias("max_s"),
+    )

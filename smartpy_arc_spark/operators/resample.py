@@ -848,3 +848,24 @@ def rolling_distinct(
             "n_active",
         )
     )
+
+
+def business_days_between(start, end):
+    """Whole business days (Mon–Fri) in the half-open span
+    ``[start, end)`` as a pure-integer closed form — no calendar
+    explode, no UDF, portable to any engine with integer div/mod:
+    with ``x`` = days since a Monday anchor (1970-01-05),
+    ``B(x) = 5·(x div 7) + least(x mod 7, 5)`` counts the business
+    days before ``x``, and the span count is ``B(end) − B(start)``.
+    Dates must be on/after the anchor (any modern fact table is).
+    """
+    anchor = F.lit("1970-01-05").cast("date")
+
+    def b(d):
+        d = F.col(d) if isinstance(d, str) else d
+        x = F.datediff(d, anchor).cast("long")
+        return F.lit(5).cast("long") * F.floor(x / 7).cast("long") + F.least(
+            x % 7, F.lit(5).cast("long")
+        )
+
+    return b(end) - b(start)

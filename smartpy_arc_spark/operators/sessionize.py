@@ -352,3 +352,46 @@ def session_stats(
             F.sum("dur_us").cast("double") / ns / 1e6 * 100
         ).cast("long").alias("avg_duration_s_e2"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    covered spans — the gaps-and-islands primitive behind SCD repair,
+    availability/coverage reporting and interval dedup.  An interval
+    starts a new island exactly when its start exceeds the running max
+    end of every earlier interval (order by start, then end; ties
+    commute, so the result is deterministic for any stable sort).
+
+    One shuffle on the key; both window passes and the final rollup
+    reuse that single key-partitioned exchange — islands never cross
+    keys, so nothing about this grows with total data size beyond the
+    per-key sort.
+
+    Returns ``(key, span_start, span_end, n_intervals)`` — one row per
+    maximal merged span.
+    """
+    w = W.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(key_col, start_col, end_col, island.alias("_island"))
+        .groupBy(key_col, "_island")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .drop("_island")
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def chi_square_independence(
@@ -2522,3 +2523,103 @@ def covariate_balance(
         .select("r.*")
         .orderBy("covariate")
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan–Meier
+    curve up to horizon ``tau`` — the clinically-preferred effect
+    summary when hazards aren't proportional (mean survival time over
+    the first ``tau`` periods).
+
+    Built on :func:`kaplan_meier`'s bounded curve: S is a step function,
+    so the integral is the exact integer sum ``Σ s_e6(tᵢ) · (min(tᵢ₊₁,
+    τ) − min(tᵢ, τ))`` plus the leading ``S = 1`` segment — no float
+    accumulates.  The windows run over the bounded curve (distinct
+    observed times), not the subjects.
+
+    Returns one row ``(tau, n_subjects, rmst_e6)`` — RMST in millionths
+    of a time unit.
+    """
+    curve = kaplan_meier(df, duration_col, event_col)
+    w = W.orderBy("t")
+    tau_l = F.lit(int(tau)).cast("long")
+    seg = curve.select(
+        "t",
+        "n_at_risk",
+        "s_e6",
+        F.coalesce(F.lead("t").over(w), tau_l).alias("nt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    clamp = lambda c: F.least(c, tau_l)  # noqa: E731
+    return seg.agg(
+        F.lit(int(tau)).cast("long").alias("tau"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_at_risk"))).alias(
+            "n_subjects"
+        ),
+        (
+            F.max(
+                F.when(
+                    F.col("rn") == 1,
+                    F.lit(1000000).cast("long") * clamp(F.col("t")),
+                )
+            )
+            + F.sum(
+                F.col("s_e6") * (clamp(F.col("nt")) - clamp(F.col("t")))
+            )
+        )
+        .cast("long")
+        .alias("rmst_e6"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve in deciles: units ranked ascending by value, the
+    cumulative share of total value held by each decile — the curve the
+    Gini coefficient summarizes, kept as assertable points.
+
+    ``ntile`` over (value, id) is deterministic (the id tiebreak makes
+    the order total); shares are exact integer cumulative sums with one
+    final division per row.  The global ntile is a single-partition sort
+    of the PRE-AGGREGATED unit table — exactness choice; when the unit
+    table itself is huge, bin by broadcast percentile cutpoints instead
+    (``quality.equi_depth_histogram``) and accept approximate decile
+    edges.
+
+    Returns ``(bucket, n_units, bucket_value, cum_share_e6)``.
+    """
+    v = F.col(value_col).cast("long")
+    ranked = df.select(
+        v.alias("v"),
+        F.ntile(n_buckets)
+        .over(W.orderBy(F.col(value_col), F.col(id_col)))
+        .alias("bucket"),
+    )
+    per_b = ranked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("bv"),
+    )
+    wb = W.orderBy("bucket")
+    total = F.sum("bv").over(
+        wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cum = F.sum("bv").over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return per_b.select(
+        "bucket",
+        "n_units",
+        F.col("bv").cast("long").alias("bucket_value"),
+        F.round(cum.cast("double") / total.cast("double") * 1000000)
+        .cast("long")
+        .alias("cum_share_e6"),
+    ).orderBy("bucket")

@@ -40,6 +40,12 @@ SINGLE_PARTITION_OK = {
     "approx_topk_terms",      # global frequency sketch: bounded state
     "croston",                # 1-row global calendar min/max bounds
     "ams_f2",                 # 1-row sketch counters + 1-row exact combine
+    "rmst",                   # 1-row statistic over the bounded KM curve
+    "time_to_convert",        # 1-row order-statistic over converted users
+    "lorenz_curve",           # global decile ntile over pre-aggregated units
+                              #   (documented exactness choice; equi_depth_hist
+                              #   is the cutpoint-broadcast scale variant)
+    "t_closeness",            # 1-row (m, n_total) domain-stats combine
     "funnel_conversion",      # global funnel totals: 3 counters
     "sequence_funnel",        # global funnel totals: one counter per step
     "price_histogram",        # share-of-total window over 13 bucket counts
@@ -144,6 +150,7 @@ BNLJ_OK = {
     "xcorr_leadlag",          # 15-row lag-table broadcast cross join
     "smd_balance",            # 1-row x 1-row group-moment cross join
     "ams_f2",                 # 1-row exact-F2 broadcast cross join
+    "t_closeness",            # bounded sensitive-domain + 1-row stats broadcasts
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -138,8 +138,105 @@ def test_covariate_balance_flags_shift(spark):
     out = {r.covariate: r for r in covariate_balance(df, "treat", ["x", "c"]).collect()}
     x = out["x"]
     assert x.n_t == 50 and x.n_c == 50
-    assert x.mean_t_e6 == 11_000_000 - 20_000  # mean 10.98? no: see below
+    # 50 values of 10+(i%3): 17 zeros, 17 ones, 16 twos → mean 10.98
+    assert x.mean_t_e6 == 10_980_000
     # constant covariate: NULL smd, NULL flag
     c = out["c"]
     assert c.smd_e6 is None and c.imbalanced is None
     assert x.imbalanced == 1 and x.smd_e6 < -1_000_000
+
+
+def test_merge_intervals_islands(spark):
+    from smartpy_arc_spark.operators.sessionize import merge_intervals
+
+    rows = [
+        ("k", 1, 5), ("k", 3, 7), ("k", 7, 9),   # touch merges
+        ("k", 11, 12),
+        ("j", 1, 2), ("j", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted(
+        merge_intervals(df, "k", "s", "e").collect(),
+        key=lambda r: (r.k, r.span_start),
+    )
+    got = [(r.k, r.span_start, r.span_end, r.n_intervals) for r in out]
+    assert got == [
+        ("j", 1, 2, 1), ("j", 4, 5, 1), ("k", 1, 9, 3), ("k", 11, 12, 1),
+    ]
+
+
+def test_rmst_hand_computed(spark):
+    from smartpy_arc_spark.operators.stats import rmst
+
+    df = spark.createDataFrame(
+        [(5, 1), (10, 0), (15, 1), (20, 1)], "dur long, ev int"
+    )
+    row = rmst(df, "dur", "ev", tau=18).collect()[0]
+    # 1*5 + .75*5 + .75*5 + .375*3 = 13.625
+    assert row.rmst_e6 == 13_625_000 and row.n_subjects == 4
+    # tau beyond the curve extends the last segment at S(20)
+    row2 = rmst(df, "dur", "ev", tau=25).collect()[0]
+    assert row2.rmst_e6 == 13_625_000 + 375_000 * 2 + 0 * 5
+
+
+def test_lorenz_curve_shares(spark):
+    from smartpy_arc_spark.operators.stats import lorenz_curve
+
+    df = spark.createDataFrame(
+        [(i, float(1)) for i in range(8)], "id long, v double"
+    )
+    out = lorenz_curve(df, "v", "id", n_buckets=4).collect()
+    # uniform values: shares are exactly linear
+    assert [r.cum_share_e6 for r in out] == [250000, 500000, 750000, 1000000]
+    assert [r.n_units for r in out] == [2, 2, 2, 2]
+
+
+def test_t_closeness_uniform_vs_skewed(spark):
+    from smartpy_arc_spark.operators.checks import t_closeness
+
+    rows = [("A", v) for v in [1, 1, 2, 2, 3, 3]]
+    rows += [("B", v) for v in [1, 1, 1, 1, 1, 1]]
+    df = spark.createDataFrame(rows, "g string, sv long")
+    out = {r.g: r.t_e6 for r in t_closeness(df, ["g"], "sv").collect()}
+    # global p = (8,2,2)/12; A cum diffs: |2*12-8*6|/.., |4*12-10*6|=12
+    # A: (24 + 12)/(6*12*2) = 36/144 = .25 ; B: (16+4+... compute) symmetric
+    assert out["A"] == 250000
+    assert out["B"] == 250000  # complementary halves are equidistant
+
+
+def test_pq_encode_codebook_shape(spark):
+    from smartpy_arc_spark.operators.embedding import pq_encode
+
+    import math
+    rows = [
+        (i, [float(i % 4)] * 8 + [float((i * 7) % 5)] * 8)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_encode(df, m=2, k=4, iters=1).collect()
+    assert all(r.sub in (0, 1) for r in out)
+    assert sum(r.n_points for r in out if r.sub == 0) == 40
+    assert sum(r.n_points for r in out if r.sub == 1) == 40
+    # first subspace has only 4 distinct constant subvectors: after one
+    # iteration each point sits exactly on its centroid
+    assert sum(r.sum_d2 for r in out if r.sub == 0) == 0
+
+
+def test_time_to_convert_order_stats(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, lat in enumerate([10, 20, 30, 40]):
+        rows.append((u, "signup", base))
+        rows.append((u, "purchase", base + dt.timedelta(seconds=lat)))
+    rows.append((9, "purchase", base))  # never signed up: excluded
+    rows.append((0, "purchase", base - dt.timedelta(days=1)))  # before signup
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    from smartpy_arc_spark.operators.funnel import time_to_convert
+
+    row = time_to_convert(df, "u", "t", "ts", "signup", "purchase").collect()[0]
+    assert row.n_converted == 4
+    assert (row.min_s, row.p25_s, row.p50_s, row.p75_s, row.max_s) == (
+        10, 10, 20, 30, 40,
+    )
