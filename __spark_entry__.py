@@ -6192,6 +6192,59 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential 2-patterns over user event streams (b within
+    30 minutes after a, not necessarily consecutive): distinct-user
+    support and head-conditioned confidence."""
+    from smartpy_arc_spark.operators.funnel import sequential_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_pairs(
+        ev, "user_id", "event_type", "ts", max_gap_s=1800, min_support=2
+    )
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user event journeys with
+    'purchase' as the absorbing conversion: distributed transition
+    counts, bounded-matrix absorption solve on the driver (same
+    bounded-solve pattern as logistic).  Rows-only: the matrix inversion
+    has no tractable SQL form; hand-computed chain tests pin the math."""
+    from smartpy_arc_spark.operators.funnel import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "event_type", "ts", "purchase",
+        tiebreak_col="event_id",
+    )
+
+
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognition: each order's cents spread across the
+    calendar months of its 90-day service window proportional to
+    overlap days, floor allocation with the exact remainder on the
+    final month; rolled up per month."""
+    from smartpy_arc_spark.operators.resample import recognize_revenue
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("svc_start"),
+        F.date_add(F.to_date("o_orderdate"), 90).alias("svc_end"),
+    )
+    rec = recognize_revenue(
+        orders, "o_orderkey", "cents", "svc_start", "svc_end"
+    )
+    return (
+        rec.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_slices"),
+            F.sum("recognized").cast("long").alias("recognized_cents"),
+        )
+        .orderBy("month")
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6533,6 +6586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "time_to_convert": q_time_to_convert,
         "business_days": q_business_days,
+        "seq_patterns": q_seq_patterns,
+        "markov_attribution": q_markov_attribution,
+        "revenue_recognition": q_revenue_recognition,
     })
 
 
@@ -12760,5 +12816,69 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(count(*) AS DOUBLE) * 1000000)
                         AS BIGINT) AS avg_bd_e6
             FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "seq_patterns": """
+            WITH e AS (
+                SELECT user_id AS u, event_type AS t,
+                       date_diff('second',
+                                 TIMESTAMP '1970-01-01 00:00:00', ts) AS s
+                FROM events
+            ), pairs AS (
+                SELECT a.t AS type_a, b.t AS type_b,
+                       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+                FROM e a JOIN e b ON a.u = b.u
+                WHERE b.s - a.s > 0 AND b.s - a.s <= 1800
+                GROUP BY 1, 2
+            ), heads AS (
+                SELECT t AS type_a,
+                       CAST(count(DISTINCT u) AS BIGINT) AS n_head
+                FROM e GROUP BY t
+            )
+            SELECT type_a, type_b, n_users,
+                   CAST(round(CAST(n_users AS DOUBLE)
+                              / CAST(n_head AS DOUBLE) * 1000000)
+                        AS BIGINT) AS confidence_e6
+            FROM pairs JOIN heads USING (type_a)
+            WHERE n_users >= 2
+            ORDER BY type_a, type_b
+        """,
+        "revenue_recognition": """
+            WITH base AS (
+                SELECT o_orderkey AS cid,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+                       CAST(o_orderdate AS DATE) AS s,
+                       CAST(o_orderdate AS DATE) + 90 AS e,
+                       CAST(90 AS BIGINT) AS td
+                FROM orders
+            ), months AS (
+                SELECT cid, amt, s, e, td, CAST(gm AS DATE) AS month
+                FROM base,
+                     LATERAL unnest(generate_series(
+                         date_trunc('month', s),
+                         date_trunc('month', e - 1),
+                         INTERVAL 1 MONTH)) AS u(gm)
+            ), sl AS (
+                SELECT cid, amt, month,
+                       CAST(date_diff('day', greatest(s, month),
+                                      least(e, CAST(month + INTERVAL 1 MONTH
+                                                    AS DATE)))
+                            AS BIGINT) AS days,
+                       td
+                FROM months
+            ), al AS (
+                SELECT cid, amt, month, days,
+                       CAST(floor(CAST(amt * days AS DOUBLE)
+                                  / CAST(td AS DOUBLE)) AS BIGINT) AS fa
+                FROM sl
+            ), fixed AS (
+                SELECT month,
+                       CASE WHEN month = max(month) OVER (PARTITION BY cid)
+                            THEN fa + (amt - sum(fa) OVER (PARTITION BY cid))
+                            ELSE fa END AS recognized
+                FROM al
+            )
+            SELECT month, CAST(count(*) AS BIGINT) AS n_slices,
+                   CAST(sum(recognized) AS BIGINT) AS recognized_cents
+            FROM fixed GROUP BY month ORDER BY month
         """,
     }

@@ -224,3 +224,188 @@ def time_to_convert(
         pick(0.75).alias("p75_s"),
         F.max("lat_s").alias("max_s"),
     )
+
+
+def sequential_pairs(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    *,
+    max_gap_s: int = 3600,
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent sequential 2-patterns a→b with a gap constraint: the
+    number of distinct users who performed ``b`` within ``max_gap_s``
+    seconds AFTER ``a`` (PrefixSpan's bread-and-butter length-2 output,
+    which in practice drives "next action" product analytics).  Unlike
+    ``path_ngrams`` the events need not be consecutive — anything may
+    happen in between.
+
+    Gap semantics are floored-epoch-second differences (0 < gap ≤ max),
+    making the predicate pure integer.  One user-keyed equi-join shuffle
+    carries the pairing; per-user event counts bound the fan-out, and
+    the rollup is a bounded (a, b) aggregate.  Confidence divides by the
+    pattern-head's user count — ONE integer-operand division.
+
+    Returns ``(type_a, type_b, n_users, confidence_e6)`` for pairs with
+    ``n_users ≥ min_support``, ordered by (type_a, type_b).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    e = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        sec.alias("s"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    gap = F.col("b.s") - F.col("a.s")
+    pairs = (
+        a.join(b, F.col("a.u") == F.col("b.u"))
+        .where((gap > 0) & (gap <= max_gap_s))
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count_distinct(F.col("a.u")).cast("long").alias("n_users"))
+    )
+    heads = e.groupBy(F.col("t").alias("type_a")).agg(
+        F.count_distinct("u").cast("long").alias("n_head")
+    )
+    return (
+        pairs.join(F.broadcast(heads), "type_a")
+        .where(F.col("n_users") >= min_support)
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.col("n_head").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("confidence_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    conversion_value: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to first/last-touch rules: model journeys as a first-
+    order chain over channels with absorbing CONV/NULL states; a
+    channel's credit is how much total conversion probability disappears
+    when every visit to it is cut short (its outgoing edges redirected
+    to NULL).
+
+    Distributed part: per-user ordered journeys and the (from, to)
+    transition counts — one user-keyed window pass plus a bounded-key
+    aggregate.  The chain itself is a |channels|² matrix (channel
+    vocabularies are bounded by contract), solved on the driver with
+    numpy absorption probabilities — the same bounded-solve pattern as
+    ``logistic_fit``.  Rows-only evidence: the matrix solve has no
+    tractable SQL form.
+
+    Returns ``(channel, n_touches, removal_effect_e6, credit_share_e6)``
+    ordered by channel; shares normalize the removal effects over
+    channels (largest-remainder-free: one division each).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy("u").orderBy(*order)
+    steps = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("ch"),
+            *([F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])),
+        )
+        .withColumn("nxt", F.lead("ch").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    start_edges = steps.where(F.col("rn") == 1).select(
+        F.lit("__start__").alias("src"), F.col("ch").alias("dst")
+    )
+    fwd_edges = steps.select(
+        F.col("ch").alias("src"),
+        F.coalesce(F.col("nxt"), F.lit("__null__")).alias("dst"),
+    )
+    edges = start_edges.unionByName(fwd_edges)
+    counts = edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rows = counts.collect()  # bounded: (channels + 2)^2 cells
+    chans = sorted(
+        {r.src for r in rows if r.src != "__start__"}
+        | {r.dst for r in rows if r.dst not in ("__null__",)}
+    )
+    chans = [c for c in chans if c != conversion_value]
+    states = ["__start__"] + chans
+    absorb_p = {}
+
+    def p_conv(removed: str | None) -> float:
+        idx = {s: i for i, s in enumerate(states)}
+        t = np.zeros((len(states), len(states)))
+        r_conv = np.zeros(len(states))
+        for r in rows:
+            if r.src in ("__null__",) or r.src == conversion_value:
+                continue
+            if r.src not in idx:
+                continue
+            if removed is not None and r.src == removed:
+                continue  # all outgoing mass of the removed state → NULL
+            if r.dst == conversion_value:
+                r_conv[idx[r.src]] += r.n
+            elif r.dst in idx and not (
+                removed is not None and r.dst == removed
+            ):
+                t[idx[r.src], idx[r.dst]] += r.n
+            # else: edge into __null__ / removed state: absorbed at NULL
+        totals = np.array(
+            [
+                sum(rr.n for rr in rows if rr.src == s)
+                for s in states
+            ],
+            dtype=float,
+        )
+        totals[totals == 0] = 1.0
+        q = t / totals[:, None]
+        r_vec = r_conv / totals
+        a = np.linalg.solve(np.eye(len(states)) - q, r_vec)
+        return float(a[0])
+
+    base = p_conv(None)
+    touches = {
+        r.src: sum(rr.n for rr in rows if rr.src == r.src) for r in rows
+    }
+    effects = {}
+    for c in chans:
+        effects[c] = (
+            0.0 if base <= 0 else max(0.0, 1.0 - p_conv(c) / base)
+        )
+    total_eff = sum(effects.values()) or 1.0
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(touches.get(c, 0)),
+            int(round(effects[c] * 1e6)),
+            int(round(effects[c] / total_eff * 1e6)),
+        )
+        for c in chans
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, n_touches long, removal_effect_e6 long, "
+        "credit_share_e6 long",
+    ).orderBy("channel")

@@ -869,3 +869,78 @@ def business_days_between(start, end):
         )
 
     return b(end) - b(start)
+
+
+def recognize_revenue(
+    df: DataFrame,
+    id_col: str,
+    amount_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Revenue recognition: spread each contract's integer amount across
+    the calendar months its service period ``[start, end)`` overlaps,
+    proportional to overlap days — floor allocation everywhere except
+    the FINAL month, which takes the exact remainder so every contract
+    sums to its amount to the cent (the deterministic largest-bucket
+    remainder rule accountants actually use).
+
+    The month fan-out is a bounded ``sequence()`` explode (periods are
+    calendar-bounded); the remainder fix is one window sum inside the
+    contract-keyed partition.  Pure integer arithmetic throughout.
+
+    Returns per (id, month): ``(id, month, days, recognized)``.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    total_days = F.datediff(e, s).cast("long")
+    base = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(amount_col).cast("long").alias("amt"),
+        s.alias("s"),
+        e.alias("e"),
+        total_days.alias("td"),
+    ).where(F.col("td") > 0)
+    months = base.select(
+        "cid",
+        "amt",
+        "s",
+        "e",
+        "td",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "MM"),
+                F.trunc(F.date_sub(F.col("e"), 1), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    )
+    nxt_month = F.add_months(F.col("month"), 1)
+    days = (
+        F.datediff(F.least(F.col("e"), nxt_month),
+                   F.greatest(F.col("s"), F.col("month")))
+    ).cast("long")
+    alloc = F.floor(
+        (F.col("amt") * F.col("days")).cast("double") / F.col("td")
+    ).cast("long")
+    w = W.partitionBy("cid")
+    slices = months.select(
+        "cid", "amt", "td", "month", days.alias("days")
+    ).select(
+        "cid",
+        "amt",
+        "month",
+        "days",
+        alloc.alias("fa"),
+        F.sum(alloc).over(w).alias("fa_sum"),
+        F.max("month").over(w).alias("last_m"),
+    )
+    recognized = F.when(
+        F.col("month") == F.col("last_m"),
+        F.col("fa") + (F.col("amt") - F.col("fa_sum")),
+    ).otherwise(F.col("fa"))
+    return slices.select(
+        F.col("cid").alias(id_col),
+        "month",
+        "days",
+        recognized.alias("recognized"),
+    )

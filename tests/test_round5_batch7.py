@@ -240,3 +240,77 @@ def test_time_to_convert_order_stats(spark):
     assert (row.min_s, row.p25_s, row.p50_s, row.p75_s, row.max_s) == (
         10, 10, 20, 30, 40,
     )
+
+
+def test_sequential_pairs_gap(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.funnel import sequential_pairs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", base),
+        (1, "b", base + dt.timedelta(seconds=100)),   # within gap
+        (1, "c", base + dt.timedelta(seconds=5000)),  # outside gap from a
+        (2, "a", base),
+        (2, "b", base + dt.timedelta(seconds=3599)),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string, ts timestamp")
+    out = {
+        (r.type_a, r.type_b): r
+        for r in sequential_pairs(df, "u", "t", "ts").collect()
+    }
+    assert out[("a", "b")].n_users == 2
+    assert out[("a", "b")].confidence_e6 == 1_000_000
+    assert ("a", "c") not in out  # 5000s > gap
+    assert ("b", "c") not in out  # 4900s > gap too
+
+
+def test_markov_attribution_hand_chain(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.funnel import markov_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    rows, uid = [], 0
+
+    def add(seq):
+        nonlocal uid
+        for i, ch in enumerate(seq):
+            rows.append((uid, ch, base + dt.timedelta(minutes=i)))
+        uid += 1
+
+    for _ in range(3):
+        add(["A", "conv"])
+    for _ in range(3):
+        add(["B", "end"])
+    add(["A", "B", "conv"])
+    df = spark.createDataFrame(rows, "u long, ch string, ts timestamp")
+    out = {
+        r.channel: r
+        for r in markov_attribution(df, "u", "ch", "ts", "conv").collect()
+    }
+    # base P(conv) = 4/7; removing A -> 3/28, removing B -> 3/7
+    assert out["A"].removal_effect_e6 == 812500
+    assert out["B"].removal_effect_e6 == 250000
+    assert out["end"].removal_effect_e6 == 0
+
+
+def test_recognize_revenue_exact_totals(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.resample import recognize_revenue
+
+    rows = [
+        (1, 10000, dt.date(2024, 1, 15), dt.date(2024, 3, 10)),
+        (2, 999, dt.date(2024, 2, 1), dt.date(2024, 2, 11)),
+    ]
+    df = spark.createDataFrame(rows, "cid long, amt long, s date, e date")
+    out = recognize_revenue(df, "cid", "amt", "s", "e").collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, 0)
+        by_cid[r.cid] += r.recognized
+    assert by_cid == {1: 10000, 2: 999}  # exact to the cent
+    jan = [r for r in out if r.cid == 1 and r.month.month == 1][0]
+    assert jan.days == 17 and jan.recognized == 10000 * 17 // 55
