@@ -6245,6 +6245,121 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per nation: customers ranked by account balance (the
+    'model score') against graded relevance = capped order count.
+    Discount factors are pre-rounded integer literals, so DCG/IDCG are
+    exact integer sums."""
+    from smartpy_arc_spark.operators.itemsets import ndcg_at_k
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    per_c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_ord"))
+    )
+    rel = cust.join(
+        per_c, cust["c_custkey"] == per_c["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.least(F.coalesce(F.col("n_ord"), F.lit(0)), F.lit(10))
+        .cast("long")
+        .alias("rel"),
+    )
+    return ndcg_at_k(
+        rel, "c_nationkey", "c_acctbal", "rel", "c_custkey", k=10
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type (cents-exact, event_id tiebreak):
+    one hash aggregate with min_by/max_by open/close."""
+    from smartpy_arc_spark.operators.resample import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "value", tiebreak_col="event_id")
+
+
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embeddings: one d²-moment aggregate to the
+    driver, numpy eigh on the tiny matrix, literal-inlined map-only
+    transform back.  Rows-only (eigendecomposition has no SQL form);
+    identity-covariance property is pinned by tests."""
+    from smartpy_arc_spark.operators.embedding import whiten_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = whiten_embeddings(emb)
+    # checksum projection keeps the driver compare payload bounded
+    return out.select(
+        "vec_id",
+        F.round(
+            F.aggregate("white", F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("norm2"),
+    )
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP Laplace-noised event-type counts with deterministic
+    md5-derived noise (reproducible release).  Rows-only: ln is not
+    bit-portable; determinism and ε-scaling pinned by tests."""
+    from smartpy_arc_spark.operators.checks import dp_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_counts(ev, ["event_type"], epsilon=0.5, seed=7)
+
+
+def _ndcg_oracle_sql(k: int = 10) -> str:
+    """Oracle generated with the SAME pre-rounded discount literals as
+    operators/itemsets.py:ndcg_at_k."""
+    import math
+
+    weights = {i: round(1e6 / math.log2(i + 1)) for i in range(1, k + 1)}
+    case = " ".join(f"WHEN {i} THEN {w}" for i, w in weights.items())
+    w_s = f"(CASE r_s {case} END)"
+    w_i = f"(CASE r_i {case} END)"
+    return f"""
+        WITH per_c AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+            FROM orders GROUP BY o_custkey
+        ), rel AS (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CAST(least(coalesce(n_ord, 0), 10) AS BIGINT) AS rel
+            FROM customer LEFT JOIN per_c ON o_custkey = c_custkey
+        ), ranked AS (
+            SELECT c_nationkey, rel,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey)
+                       AS r_s,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY rel DESC, c_custkey) AS r_i
+            FROM rel
+        ), terms AS (
+            SELECT c_nationkey,
+                   CASE WHEN r_s <= {k} THEN rel * {w_s}
+                        ELSE CAST(0 AS BIGINT) END AS dcg_t,
+                   CASE WHEN r_i <= {k} THEN rel * {w_i}
+                        ELSE CAST(0 AS BIGINT) END AS idcg_t
+            FROM ranked
+        ), agg AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(dcg_t) AS BIGINT) AS dcg_e6,
+                   CAST(sum(idcg_t) AS BIGINT) AS idcg_e6
+            FROM terms GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, n_items, dcg_e6, idcg_e6,
+               CASE WHEN idcg_e6 > 0 THEN
+                   CAST(round(CAST(dcg_e6 AS DOUBLE)
+                              / CAST(idcg_e6 AS DOUBLE) * 1000000)
+                        AS BIGINT)
+               END AS ndcg_e6
+        FROM agg ORDER BY c_nationkey
+    """
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6589,6 +6704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": q_seq_patterns,
         "markov_attribution": q_markov_attribution,
         "revenue_recognition": q_revenue_recognition,
+        "ndcg_eval": q_ndcg_eval,
+        "ohlc_bars": q_ohlc_bars,
+        "embedding_whiten": q_embedding_whiten,
+        "dp_counts": q_dp_counts,
     })
 
 
@@ -12880,5 +12999,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT month, CAST(count(*) AS BIGINT) AS n_slices,
                    CAST(sum(recognized) AS BIGINT) AS recognized_cents
             FROM fixed GROUP BY month ORDER BY month
+        """,
+        "ndcg_eval": _ndcg_oracle_sql(),
+        "ohlc_bars": """
+            WITH t AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ), r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn_d
+                FROM t
+            )
+            SELECT event_type, day,
+                   max(CASE WHEN rn_a = 1 THEN v END) AS open_c,
+                   max(v) AS high_c,
+                   min(v) AS low_c,
+                   max(CASE WHEN rn_d = 1 THEN v END) AS close_c,
+                   CAST(count(*) AS BIGINT) AS volume
+            FROM r GROUP BY 1, 2
         """,
     }

@@ -690,3 +690,48 @@ def t_closeness(
         )
         .withColumn("close", (F.col("t_e6") <= t_flag_e6).cast("int"))
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    seed: int = 0,
+    sensitivity: int = 1,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism —
+    the release format of every DP analytics system (each unit changes a
+    count by at most ``sensitivity``, so Laplace(sensitivity/ε) noise
+    gives ε-DP).  Completes the privacy arc after k-anonymity /
+    l-diversity / t-closeness.
+
+    The noise is DETERMINISTIC given (seed, group): an md5-derived
+    uniform in (−½, ½) through the Laplace inverse CDF — reproducible
+    releases, no RNG state on executors, and the noise never leaves
+    codegen.  Rows-only evidence (ln is not bit-portable across
+    engines); tests pin determinism, integer release, and that noise
+    scales with 1/ε.
+
+    NOTE: the true counts must not be published alongside the release —
+    this operator returns ONLY the noisy counts.
+
+    Returns ``(group columns..., noisy_count, epsilon_e6)``.
+    """
+    true = df.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    gkey = F.concat_ws(
+        "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in group_cols]
+    )
+    # u in (-1/2, 1/2): 52 bits of the md5 → uniform [0,1) minus 1/2,
+    # nudged off the endpoints so ln(1 - 2|u|) is finite
+    u52 = F.conv(F.substring(F.md5(gkey), 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+    u = (u52 * F.lit(0.999998) + F.lit(0.000001)) - F.lit(0.5)
+    b = F.lit(float(sensitivity) / float(epsilon))
+    noise = -b * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    return true.select(
+        *group_cols,
+        (F.col("__n") + F.round(noise).cast("long")).alias("noisy_count"),
+        F.lit(int(round(epsilon * 1e6))).cast("long").alias("epsilon_e6"),
+    )

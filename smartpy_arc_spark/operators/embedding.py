@@ -662,3 +662,69 @@ def pq_encode(
         .select("sub", "cid", "n_points", "sum_d2", "cent_sum")
         .orderBy("sub", "cid")
     )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    eps: float = 1e-3,
+) -> DataFrame:
+    """ZCA whitening of an embedding column — the classical retrieval
+    preprocessing step (decorrelate + unit-variance; whitening measurably
+    improves cosine ANN recall on anisotropic sentence embeddings).
+
+    Distributed part: the d×d covariance reuses
+    :func:`covariance_matrix`'s per-Arrow-batch Gram pass (d² bounded
+    numbers to the driver — not a data collect) plus one d-sum mean
+    aggregate; numpy eigendecomposes the tiny matrix and the transform
+    ``U diag(1/√(λ+ε)) Uᵀ`` applies as a broadcast-free ``mapInPandas``
+    batch matmul (numpy ``(X − μ) Wᵀ`` per Arrow batch — the vectorized
+    path, not per-component expressions).  Rows-only evidence: the
+    eigendecomposition has no SQL form; tests pin that the whitened
+    set's covariance is the identity.
+
+    Returns ``(id_col, white)`` with ``white`` an array<double>.
+    """
+    import numpy as np
+
+    dim = _emb_dim(df, emb_col)
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    )
+    mrow = pts.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
+    ).first()
+    n = float(mrow["n"])
+    mu = np.array([mrow[f"s{i}"] for i in range(dim)]) / n
+    cov = np.zeros((dim, dim))
+    for r in covariance_matrix(df, vec_col=emb_col).collect():
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    lam, u = np.linalg.eigh(cov)
+    wmat = u @ np.diag(1.0 / np.sqrt(lam + eps)) @ u.T
+
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def apply_w(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            white = (x - mu) @ wmat.T
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "white": list(white)}
+            )
+
+    id_t = pts.schema["__id"].dataType.simpleString()
+    out = pts.mapInPandas(apply_w, f"__id {id_t}, white array<double>")
+    return out.select(F.col("__id").alias(id_col), "white")

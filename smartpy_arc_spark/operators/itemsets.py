@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def frequent_pairs(
@@ -277,3 +278,81 @@ def association_rules(
     return scored.where(
         F.col("confidence_e6") >= F.lit(min_confidence_e6)
     ).orderBy("antecedent", "consequent")
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per group — the graded-relevance ranking metric
+    (Järvelin & Kekäläinen, TOIS 2002): DCG sums each of the top-k
+    scored items' relevance discounted by 1/log2(rank+1); normalizing
+    by the ideal ordering's DCG gives [0, 1].
+
+    Portability: the k discount factors are PRE-ROUNDED integer
+    literals (``round(1e6 / log2(i + 1))``) computed once in Python and
+    inlined identically into any engine — log2 never runs engine-side,
+    so DCG is an exact integer sum and NDCG is one IEEE division.  Two
+    rank windows inside the group partition (scored order, ideal
+    order), no global sort.
+
+    Returns ``(group, n_items, dcg_e6, idcg_e6, ndcg_e6)``.
+    """
+    import math
+
+    weights = {i: round(1e6 / math.log2(i + 1)) for i in range(1, k + 1)}
+    w_expr = F.create_map(
+        *[x for i, w in weights.items() for x in (F.lit(i), F.lit(w))]
+    )
+    g = F.col(group_col)
+    scored_w = W.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ideal_w = W.partitionBy(group_col).orderBy(
+        F.desc(rel_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        g.alias("grp"),
+        F.col(rel_col).cast("long").alias("rel"),
+        F.row_number().over(scored_w).alias("r_s"),
+        F.row_number().over(ideal_w).alias("r_i"),
+    )
+    terms = ranked.select(
+        "grp",
+        F.when(
+            F.col("r_s") <= k,
+            F.col("rel") * F.element_at(w_expr, F.col("r_s")),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dcg_t"),
+        F.when(
+            F.col("r_i") <= k,
+            F.col("rel") * F.element_at(w_expr, F.col("r_i")),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("idcg_t"),
+    )
+    out = terms.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("dcg_t").cast("long").alias("dcg_e6"),
+        F.sum("idcg_t").cast("long").alias("idcg_e6"),
+    )
+    return out.select(
+        group_col,
+        "n_items",
+        "dcg_e6",
+        "idcg_e6",
+        F.when(
+            F.col("idcg_e6") > 0,
+            F.round(
+                F.col("dcg_e6").cast("double")
+                / F.col("idcg_e6").cast("double")
+                * 1000000
+            ).cast("long"),
+        ).alias("ndcg_e6"),
+    ).orderBy(group_col)

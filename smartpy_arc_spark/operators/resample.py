@@ -944,3 +944,52 @@ def recognize_revenue(
         "days",
         recognized.alias("recognized"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Open/high/low/close bars per (key, day) — the standard financial
+    downsample, one hash aggregate: open/close are ``min_by``/``max_by``
+    over the (ts, tiebreak) ordering struct (deterministic under ties),
+    high/low/volume are plain min/max/count.  Values land as integer
+    ``scale`` units so every output is exact.
+
+    Returns ``(key, day, open_c, high_c, low_c, close_c, volume)``.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    order = F.struct(
+        F.col(ts_col),
+        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            order.alias("o"),
+            ticks.alias("v"),
+        )
+        .groupBy("k", "day")
+        .agg(
+            F.min_by("v", "o").alias("open_c"),
+            F.max("v").alias("high_c"),
+            F.min("v").alias("low_c"),
+            F.max_by("v", "o").alias("close_c"),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "day",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "volume",
+        )
+    )

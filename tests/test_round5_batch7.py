@@ -314,3 +314,62 @@ def test_recognize_revenue_exact_totals(spark):
     assert by_cid == {1: 10000, 2: 999}  # exact to the cent
     jan = [r for r in out if r.cid == 1 and r.month.month == 1][0]
     assert jan.days == 17 and jan.recognized == 10000 * 17 // 55
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from smartpy_arc_spark.operators.itemsets import ndcg_at_k
+
+    # scores aligned with relevance -> ndcg = 1
+    rows = [("g", i, float(100 - i), 10 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long, score double, rel long")
+    row = ndcg_at_k(df, "g", "score", "rel", "id", k=10).collect()[0]
+    assert row.ndcg_e6 == 1_000_000 and row.dcg_e6 == row.idcg_e6
+    # scores inverted -> ndcg < 1
+    rows2 = [("g", i, float(i), 10 - i) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "g string, id long, score double, rel long")
+    row2 = ndcg_at_k(df2, "g", "score", "rel", "id", k=10).collect()[0]
+    assert row2.ndcg_e6 < 1_000_000 and row2.idcg_e6 == row.idcg_e6
+
+
+def test_ohlc_deterministic_ties(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.resample import ohlc_bars
+
+    t = dt.datetime(2024, 1, 1, 9)
+    rows = [("k", t, 1, 5.0), ("k", t, 2, 7.0), ("k", t, 3, 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long, value double")
+    row = ohlc_bars(df, "k", "ts", "value", tiebreak_col="event_id").collect()[0]
+    assert (row.open_c, row.high_c, row.low_c, row.close_c, row.volume) == (
+        500, 700, 300, 300, 3,
+    )
+
+
+def test_whiten_identity_covariance(spark):
+    import numpy as np
+
+    from smartpy_arc_spark.operators.embedding import whiten_embeddings
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(200, 4) @ np.array(
+        [[3, 0, 0, 0], [1, 2, 0, 0], [0, 0, 1, 0.5], [0, 0, 0, 0.2]]
+    )
+    rows = [(i, [float(x) for x in a[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = whiten_embeddings(df, eps=1e-9).collect()
+    x = np.array([r.white for r in out])
+    c = np.cov(x.T, bias=False)
+    assert np.abs(c - np.eye(4)).max() < 0.02
+
+
+def test_dp_counts_deterministic_and_scales(spark):
+    from smartpy_arc_spark.operators.checks import dp_counts
+
+    df = spark.createDataFrame([(i % 3,) for i in range(300)], "g long")
+    a = {r.g: r.noisy_count for r in dp_counts(df, ["g"], epsilon=1.0, seed=1).collect()}
+    b = {r.g: r.noisy_count for r in dp_counts(df, ["g"], epsilon=1.0, seed=1).collect()}
+    assert a == b  # deterministic release
+    tight = dp_counts(df, ["g"], epsilon=100.0, seed=1).collect()
+    assert all(abs(r.noisy_count - 100) <= 1 for r in tight)  # high eps ≈ exact
+    loose = {r.g: r.noisy_count for r in dp_counts(df, ["g"], epsilon=0.01, seed=1).collect()}
+    assert any(abs(v - 100) > 5 for v in loose.values())  # low eps = noisy
