@@ -6360,6 +6360,57 @@ def _ndcg_oracle_sql(k: int = 10) -> str:
     """
 
 
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for an account-balance
+    'model' predicting finalized orders: reliability / resolution /
+    uncertainty from exact per-bin DECIMAL moments."""
+    from smartpy_arc_spark.operators.stats import brier_decomposition
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.least(
+            F.greatest((F.col("c_acctbal") + 1000) / 11000, F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("p"),
+    )
+    yy = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    base = cust.join(
+        yy, cust["c_custkey"] == yy["o_custkey"], "left"
+    ).select("p", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    return brier_decomposition(base, "p", "y")
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value per priority: deterministic
+    (value, orderkey) rank windows, exact kept-range cents sum, one
+    division per group."""
+    from smartpy_arc_spark.operators.stats import trimmed_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    return trimmed_mean(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant activity cycles per event type: per-group FFT of the
+    dense daily count series via applyInPandas (numpy on executors,
+    calendar-bounded series).  Rows-only; sinusoid recovery pinned by
+    tests."""
+    from smartpy_arc_spark.operators.resample import periodogram_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return periodogram_topk(ev, "event_type", "ts", top_k=3)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6708,6 +6759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "embedding_whiten": q_embedding_whiten,
         "dp_counts": q_dp_counts,
+        "brier_decomposition": q_brier_decomposition,
+        "trimmed_mean": q_trimmed_mean,
+        "periodogram": q_periodogram,
     })
 
 
@@ -13022,5 +13076,91 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN v END) AS close_c,
                    CAST(count(*) AS BIGINT) AS volume
             FROM r GROUP BY 1, 2
+        """,
+        "brier_decomposition": """
+            WITH yy AS (
+                SELECT o_custkey,
+                       max(CASE WHEN o_orderstatus = 'F'
+                                THEN 1 ELSE 0 END) AS y
+                FROM orders GROUP BY o_custkey
+            ), base AS (
+                SELECT least(greatest((c_acctbal + 1000) / 11000, 0.0),
+                             1.0) AS p,
+                       coalesce(yy.y, 0) AS y
+                FROM customer LEFT JOIN yy ON o_custkey = c_custkey
+            ), qq AS (
+                SELECT CAST(round(p * 1000000) AS BIGINT) AS q,
+                       CAST(y AS BIGINT) AS y,
+                       least(CAST(floor(CAST(round(p * 1000000) AS BIGINT)
+                                        / 100000.0) AS INTEGER), 9) AS b
+                FROM base
+            ), per_b AS (
+                SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+                       sum(CAST(q AS HUGEINT)) AS sp,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(q - y * 1000000 AS HUGEINT)
+                           * CAST(q - y * 1000000 AS HUGEINT)) AS sq_err
+                FROM qq GROUP BY b
+            ), tot AS (
+                SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_bins_used,
+                       sum(sy) AS sy_t, sum(sq_err) AS sq_err_t
+                FROM per_b
+            ), per AS (
+                SELECT * FROM per_b CROSS JOIN tot
+            ), terms AS (
+                SELECT n, n_bins_used, sy_t, sq_err_t,
+                       CAST(round(CAST((sp - sy * 1000000)
+                                       * (sp - sy * 1000000) AS DOUBLE)
+                           / CAST(CAST(n_b AS HUGEINT) * 1000000 AS DOUBLE))
+                           AS BIGINT) AS rt,
+                       CAST(round(CAST((sy * n - sy_t * n_b)
+                                       * (sy * n - sy_t * n_b) * 1000000
+                                       AS DOUBLE)
+                           / CAST(CAST(n_b AS HUGEINT) * n * n AS DOUBLE))
+                           AS BIGINT) AS st
+                FROM per
+            ), summed AS (
+                SELECT n, n_bins_used, sy_t, sq_err_t,
+                       CAST(sum(rt) AS BIGINT) AS rel_num,
+                       CAST(sum(st) AS BIGINT) AS res_num
+                FROM terms GROUP BY n, n_bins_used, sy_t, sq_err_t
+            )
+            SELECT n, n_bins_used,
+                   CAST(round(CAST(sq_err_t AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * 1000000 AS DOUBLE))
+                       AS BIGINT) AS brier_e6,
+                   CAST(round(CAST(rel_num AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) AS rel_e6,
+                   CAST(round(CAST(res_num AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) AS res_e6,
+                   CAST(round(CAST(sy_t * (CAST(n AS HUGEINT) - sy_t)
+                                   * 1000000 AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+                       AS BIGINT) AS unc_e6
+            FROM summed
+        """,
+        "trimmed_mean": """
+            WITH ranked AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice,
+                                                   o_orderkey) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders
+            ), kk AS (
+                SELECT *, CAST(floor(n * 10 / 100) AS BIGINT) AS k
+                FROM ranked
+            ), kept AS (
+                SELECT * FROM kk WHERE rn > k AND rn <= n - k
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   k AS n_trimmed_each_side,
+                   CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) / 100.0
+                              * 1000000) AS BIGINT) AS trimmed_mean_e6
+            FROM kept GROUP BY g, n, k ORDER BY g
         """,
     }

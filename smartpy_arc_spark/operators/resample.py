@@ -993,3 +993,73 @@ def ohlc_bars(
             "volume",
         )
     )
+
+
+def periodogram_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    top_k: int = 3,
+) -> DataFrame:
+    """Dominant cycle detection per key: the daily count series (dense
+    spine over the key's own [min, max] span) goes through a real FFT
+    per group — ``applyInPandas`` keeps the numpy DP on executors, one
+    group per task, series length calendar-bounded — and the ``top_k``
+    non-DC frequencies by power come back as (period_days, power)
+    rows.  Rows-only evidence: FFT has no SQL form; synthetic-sinusoid
+    recovery is pinned by tests.
+
+    Returns ``(key, rank, period_days_e3, power_e3)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        d0, d1 = pdf["d"].min(), pdf["d"].max()
+        idx = pd.date_range(d0, d1, freq="D").date
+        series = pd.Series(0.0, index=idx)
+        series.loc[pdf["d"].values] = pdf["x"].values
+        x = series.values - series.values.mean()
+        if len(x) < 4:
+            return pd.DataFrame(
+                columns=["k", "rank", "period_days_e3", "power_e3"]
+            ).astype(
+                {"k": pdf["k"].dtype, "rank": "int64",
+                 "period_days_e3": "int64", "power_e3": "int64"}
+            )
+        p = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(len(x), d=1.0)
+        order = np.argsort(-p[1:]) + 1  # skip DC
+        rows = []
+        for r, j in enumerate(order[:top_k], start=1):
+            rows.append(
+                {
+                    "k": pdf["k"].iloc[0],
+                    "rank": r,
+                    "period_days_e3": int(round(1.0 / freqs[j] * 1000)),
+                    "power_e3": int(round(float(p[j]) * 1000)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    kt = daily.schema["k"].dataType.simpleString()
+    out = daily.groupBy("k").applyInPandas(
+        spectrum,
+        f"k {kt}, rank long, period_days_e3 long, power_e3 long",
+    )
+    return out.select(
+        F.col("k").alias(key_col), "rank", "period_days_e3", "power_e3"
+    ).orderBy(key_col, "rank")

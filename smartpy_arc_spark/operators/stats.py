@@ -2623,3 +2623,164 @@ def lorenz_curve(
         .cast("long")
         .alias("cum_share_e6"),
     ).orderBy("bucket")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (calibration
+    gap), resolution (how much the forecast separates outcomes) and
+    outcome uncertainty: ``Brier ≈ REL − RES + UNC``.  The companion
+    number set to the ``ece``/``calibration`` queries.
+
+    Exactness: probabilities quantize to e6 ints, so the Brier sum and
+    every per-bin squared term are exact DECIMAL integers; each reported
+    number is its integer sum through ONE final division (per-bin terms
+    pre-rounded to integers first — the order-free-sum contract).
+
+    Returns one row ``(n, n_bins_used, brier_e6, rel_e6, res_e6,
+    unc_e6)``.
+    """
+    q = F.round(F.col(prob_col) * 1000000).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(
+        q.alias("q"),
+        y.alias("y"),
+        F.least(
+            F.floor(q / F.lit(1000000.0 / n_bins)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_b = binned.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum(dec(F.col("q"))).alias("sp"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(
+            dec(F.col("q") - F.col("y") * 1000000)
+            * dec(F.col("q") - F.col("y") * 1000000)
+        ).alias("sq_err"),
+    )
+    tot = per_b.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy_t"),
+        F.sum("sq_err").cast("decimal(38,0)").alias("sq_err_t"),
+    )
+    # the reliability/resolution terms need a fixed evaluation order —
+    # compute them as exact decimal numerators with one rounded division
+    per = per_b.crossJoin(F.broadcast(tot))
+    rel_t = F.round(
+        (
+            (dec(F.col("sp")) - dec(F.col("sy")) * 1000000)
+            * (dec(F.col("sp")) - dec(F.col("sy")) * 1000000)
+        ).cast("double")
+        / (dec(F.col("n_b")) * 1000000).cast("double")
+    ).cast("long")
+    res_num = (
+        dec(F.col("sy")) * dec(F.col("n"))
+        - dec(F.col("sy_t")) * dec(F.col("n_b"))
+    )
+    res_t = F.round(
+        (res_num * res_num * 1000000).cast("double")
+        / (dec(F.col("n_b")) * dec(F.col("n")) * dec(F.col("n"))).cast(
+            "double"
+        )
+    ).cast("long")
+    summed = per.select(
+        "n", "n_bins_used", "sy_t", "sq_err_t", rel_t.alias("rt"),
+        res_t.alias("st"),
+    ).groupBy("n", "n_bins_used", "sy_t", "sq_err_t").agg(
+        F.sum("rt").cast("long").alias("rel_num"),
+        F.sum("st").cast("long").alias("res_num"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return summed.select(
+        F.col("n"),
+        "n_bins_used",
+        F.round(
+            F.col("sq_err_t").cast("double")
+            / (n * 1000000).cast("double")
+        )
+        .cast("long")
+        .alias("brier_e6"),
+        F.round(
+            F.col("rel_num").cast("double") / F.col("n").cast("double")
+        )
+        .cast("long")
+        .alias("rel_e6"),
+        F.round(
+            F.col("res_num").cast("double") / F.col("n").cast("double")
+        )
+        .cast("long")
+        .alias("res_e6"),
+        F.round(
+            (dec(F.col("sy_t")) * (n - dec(F.col("sy_t"))) * 1000000)
+            .cast("double")
+            / (n * n).cast("double")
+        )
+        .cast("long")
+        .alias("unc_e6"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    trim_pct: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Trimmed mean per group — the robust location estimate between
+    median and mean: drop the lowest and highest ``trim_pct`` percent of
+    rows (``floor(n·pct/100)`` each side, deterministic (value, id)
+    order) and average the rest.
+
+    Exact: values land as integer ``scale`` ticks, the kept-range sum is
+    an exact integer, and the mean is ONE division.  One group-keyed
+    window pass (rank + count), no global sort.
+
+    Returns ``(group, n, n_trimmed_each_side, trimmed_mean_e6)`` in
+    value units ×1e6.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    w = W.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    full = W.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        ticks.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(full).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n") * trim_pct / 100).cast("long")
+    )
+    kept = ranked.where(
+        (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    )
+    return (
+        kept.groupBy(F.col("g").alias(group_col), "n", "k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            F.col("k").alias("n_trimmed_each_side"),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n_kept").cast("double")
+                / F.lit(float(scale))
+                * 1000000
+            )
+            .cast("long")
+            .alias("trimmed_mean_e6"),
+        )
+        .orderBy(group_col)
+    )

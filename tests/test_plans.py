@@ -42,6 +42,7 @@ SINGLE_PARTITION_OK = {
     "ams_f2",                 # 1-row sketch counters + 1-row exact combine
     "rmst",                   # 1-row statistic over the bounded KM curve
     "time_to_convert",        # 1-row order-statistic over converted users
+    "brier_decomposition",    # 1-row statistic: bounded-bin combine
     "lorenz_curve",           # global decile ntile over pre-aggregated units
                               #   (documented exactness choice; equi_depth_hist
                               #   is the cutpoint-broadcast scale variant)
@@ -151,6 +152,7 @@ BNLJ_OK = {
     "smd_balance",            # 1-row x 1-row group-moment cross join
     "ams_f2",                 # 1-row exact-F2 broadcast cross join
     "t_closeness",            # bounded sensitive-domain + 1-row stats broadcasts
+    "brier_decomposition",    # 1-row totals broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

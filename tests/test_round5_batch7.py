@@ -373,3 +373,53 @@ def test_dp_counts_deterministic_and_scales(spark):
     assert all(abs(r.noisy_count - 100) <= 1 for r in tight)  # high eps ≈ exact
     loose = {r.g: r.noisy_count for r in dp_counts(df, ["g"], epsilon=0.01, seed=1).collect()}
     assert any(abs(v - 100) > 5 for v in loose.values())  # low eps = noisy
+
+
+def test_brier_decomposition_calibrated(spark):
+    import random
+
+    from smartpy_arc_spark.operators.stats import brier_decomposition
+
+    random.seed(1)
+    rows = []
+    for _ in range(4000):
+        p = random.random()
+        rows.append((p, 1 if random.random() < p else 0))
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    # calibrated forecaster over U(0,1): Brier≈1/6, REL≈0, RES≈1/12, UNC≈1/4
+    assert abs(r.brier_e6 - 166667) < 10000
+    assert r.rel_e6 < 5000
+    assert abs(r.res_e6 - 83333) < 10000
+    assert abs(r.unc_e6 - 250000) < 5000
+    # constant forecaster at the base rate: zero resolution
+    base = sum(1 for _, y in rows if y) / len(rows)
+    df2 = spark.createDataFrame([(base, y) for _, y in rows], "p double, y int")
+    r2 = brier_decomposition(df2, "p", "y").collect()[0]
+    assert r2.res_e6 == 0 and r2.rel_e6 < 1000
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    from smartpy_arc_spark.operators.stats import trimmed_mean
+
+    rows = [("g", i, float(i)) for i in range(10)] + [("g", 99, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    r = trimmed_mean(df, "g", "v", "id").collect()[0]
+    # n=11, k=1: keeps values 1..9 -> mean 5
+    assert (r.n, r.n_trimmed_each_side, r.trimmed_mean_e6) == (11, 1, 5_000_000)
+
+
+def test_periodogram_recovers_weekly_cycle(spark):
+    import datetime as dt
+    import math
+
+    from smartpy_arc_spark.operators.resample import periodogram_topk
+
+    base = dt.datetime(2024, 1, 1)
+    ev = []
+    for d in range(84):
+        n = int(10 + 8 * math.sin(2 * math.pi * d / 7))
+        ev += [("k", base + dt.timedelta(days=d, hours=1))] * max(n, 0)
+    df = spark.createDataFrame(ev, "k string, ts timestamp")
+    out = periodogram_topk(df, "k", "ts").collect()
+    assert out[0].rank == 1 and out[0].period_days_e3 == 7000
