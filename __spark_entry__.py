@@ -6411,6 +6411,43 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return periodogram_topk(ev, "event_type", "ts", top_k=3)
 
 
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Cliff's delta between purchase and view event values:
+    pooled-SD standardized difference from exact cents moments, ordinal
+    dominance from the doubled-rank U — the effect-size companions to
+    the welch_t / mann_whitney statistics."""
+    from smartpy_arc_spark.operators.stats import effect_sizes
+
+    ev = _t(spark, sf_dir, "events")
+    return effect_sizes(ev, "event_type", "value", "purchase", "view")
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: frequent brand 3-itemsets across orders with
+    downward-closure pruning (frequent items and pairs gate the triple
+    join)."""
+    from smartpy_arc_spark.operators.itemsets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    return frequent_triples(
+        baskets, "l_orderkey", "p_brand", min_support=20
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from regexp-count word /
+    sentence / vowel-group-syllable counts — map-only, fixed-order
+    divisions, bit-portable."""
+    from smartpy_arc_spark.operators.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability(docs)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6762,6 +6799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": q_brier_decomposition,
         "trimmed_mean": q_trimmed_mean,
         "periodogram": q_periodogram,
+        "effect_sizes": q_effect_sizes,
+        "frequent_triples": q_frequent_triples,
+        "readability": q_readability,
     })
 
 
@@ -13162,5 +13202,121 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(count(*) AS DOUBLE) / 100.0
                               * 1000000) AS BIGINT) AS trimmed_mean_e6
             FROM kept GROUP BY g, n, k ORDER BY g
+        """,
+        "effect_sizes": """
+            WITH two AS (
+                SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_a,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), m AS (
+                SELECT is_a, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(v AS HUGEINT)) AS s,
+                       sum(CAST(v AS HUGEINT) * v) AS ss
+                FROM two GROUP BY is_a
+            ), pair AS (
+                SELECT a.n AS na, a.s AS sa, a.ss AS ssa,
+                       b.n AS nb, b.s AS sb, b.ss AS ssb
+                FROM (SELECT * FROM m WHERE is_a = 1) a
+                CROSS JOIN (SELECT * FROM m WHERE is_a = 0) b
+            ), vals AS (
+                SELECT value AS v,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS na_v,
+                       CAST(count(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS nb_v
+                FROM events WHERE event_type IN ('purchase', 'view')
+                GROUP BY value
+            ), cum AS (
+                SELECT *, na_v + nb_v AS n_v,
+                       COALESCE(SUM(na_v + nb_v) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM vals
+            ), uagg AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b,
+                       CAST(SUM(na_v * (2 * cb + n_v + 1))
+                            - SUM(na_v) * (SUM(na_v) + 1) AS BIGINT) AS u2_a
+                FROM cum
+            ), dd AS (
+                SELECT pair.na AS n_a, pair.nb AS n_b, uagg.u2_a,
+                       CASE WHEN (
+                           (CAST(na - 1 AS DOUBLE)
+                            * (CAST(na * ssa - sa * sa AS DOUBLE)
+                               / CAST(na * (na - 1) AS DOUBLE))
+                            + CAST(nb - 1 AS DOUBLE)
+                              * (CAST(nb * ssb - sb * sb AS DOUBLE)
+                                 / CAST(nb * (nb - 1) AS DOUBLE)))
+                           / CAST(na + nb - 2 AS DOUBLE)) > 0
+                       THEN CAST(round(
+                           (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                           / sqrt((CAST(na - 1 AS DOUBLE)
+                                   * (CAST(na * ssa - sa * sa AS DOUBLE)
+                                      / CAST(na * (na - 1) AS DOUBLE))
+                                   + CAST(nb - 1 AS DOUBLE)
+                                     * (CAST(nb * ssb - sb * sb AS DOUBLE)
+                                        / CAST(nb * (nb - 1) AS DOUBLE)))
+                                  / CAST(na + nb - 2 AS DOUBLE))
+                           * 1000000) AS BIGINT)
+                       END AS cohens_d_e6
+                FROM pair CROSS JOIN uagg
+            )
+            SELECT n_a, n_b, u2_a, cohens_d_e6,
+                   CAST(round(
+                       CAST(u2_a - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                       / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                       * 1000000) AS BIGINT) AS cliffs_delta_e6
+            FROM dd
+        """,
+        "frequent_triples": """
+            WITH baskets AS (
+                SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), f1 AS (
+                SELECT it FROM baskets GROUP BY it
+                HAVING count(*) >= 20
+            ), f AS (
+                SELECT bk, it FROM baskets JOIN f1 USING (it)
+            ), p2 AS (
+                SELECT a.it AS ia, b.it AS ib
+                FROM f a JOIN f b ON a.bk = b.bk AND a.it < b.it
+                GROUP BY 1, 2 HAVING count(*) >= 20
+            ), cand AS (
+                SELECT a.bk, a.it AS ia, b.it AS ib
+                FROM f a JOIN f b ON a.bk = b.bk AND a.it < b.it
+                JOIN p2 ON p2.ia = a.it AND p2.ib = b.it
+            )
+            SELECT cand.ia AS item_a, cand.ib AS item_b, c.it AS item_c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM cand JOIN f c ON c.bk = cand.bk AND cand.ib < c.it
+            GROUP BY 1, 2, 3 HAVING count(*) >= 20
+            ORDER BY support DESC, item_a, item_b, item_c
+        """,
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                            AS BIGINT) AS n_words,
+                       CAST(greatest(len(regexp_extract_all(text,
+                                                            '[.!?]+')), 1)
+                            AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(text,
+                                                   '[aeiouyAEIOUY]+'))
+                            AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       CAST(round((206.835
+                           - 1.015 * (CAST(n_words AS DOUBLE)
+                                      / CAST(n_sentences AS DOUBLE))
+                           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                     / CAST(n_words AS DOUBLE)))
+                           * 1000) AS BIGINT)
+                   END AS flesch_e3
+            FROM c
         """,
     }

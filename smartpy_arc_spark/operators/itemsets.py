@@ -356,3 +356,74 @@ def ndcg_at_k(
             ).cast("long"),
         ).alias("ndcg_e6"),
     ).orderBy(group_col)
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int,
+) -> DataFrame:
+    """Frequent 3-itemsets with Apriori pruning — the level-3 step of
+    market-basket mining: only items and (a, b) pairs that are
+    themselves frequent enter the triple join (the downward-closure
+    property), so the cubic blow-up never materializes on infrequent
+    tails.
+
+    Scale shape: each level is a basket-keyed equi-join + bounded-key
+    aggregate; frequent-item and frequent-pair filters broadcast (their
+    cardinality is support-bounded).  Baskets are deduped first so
+    support counts distinct baskets.
+
+    Returns ``(item_a, item_b, item_c, support)`` with ``item_a <
+    item_b < item_c``, ordered by support desc then items.
+    """
+    items = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    freq1 = (
+        items.groupBy("it")
+        .agg(F.count("*").alias("n1"))
+        .where(F.col("n1") >= min_support)
+        .select("it")
+    )
+    f = items.join(F.broadcast(freq1), "it").select("bk", "it")
+    a, b = f.alias("a"), f.alias("b")
+    pairs = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.it") < F.col("b.it"))
+        .groupBy(
+            F.col("a.it").alias("ia"), F.col("b.it").alias("ib")
+        )
+        .agg(F.count("*").alias("n2"))
+    )
+    freq2 = pairs.where(F.col("n2") >= min_support).select("ia", "ib")
+    cand = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.it") < F.col("b.it"))
+        .join(
+            F.broadcast(freq2),
+            (F.col("a.it") == F.col("ia")) & (F.col("b.it") == F.col("ib")),
+        )
+        .select(
+            F.col("a.bk").alias("cbk"),
+            F.col("a.it").alias("it_a"),
+            F.col("b.it").alias("it_b"),
+        )
+    )
+    c = f.alias("c")
+    triples = (
+        cand.join(c, F.col("cbk") == F.col("c.bk"))
+        .where(F.col("it_b") < F.col("c.it"))
+        .groupBy(
+            F.col("it_a").alias("item_a"),
+            F.col("it_b").alias("item_b"),
+            F.col("c.it").alias("item_c"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return triples.orderBy(
+        F.desc("support"), "item_a", "item_b", "item_c"
+    )

@@ -988,3 +988,56 @@ def nb_score(
             ) - F.col("ranked")[0]["nll"]) * 1e6
         ).cast("long").alias("margin_e6"),
     )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classical text-quality
+    signal next to the length/punctuation ratios of ``quality_score``:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with a vowel-group syllable heuristic.
+
+    All three counts are ``regexp_extract_all`` sizes (identical RE2/
+    Java semantics for these character-class patterns), the score is
+    two divisions in fixed order — bit-portable, map-only, codegen.
+
+    Returns ``(doc_id, n_words, n_sentences, n_syllables, flesch_e3)``
+    (NULL score for empty documents).
+    """
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    sylls = F.size(
+        F.regexp_extract_all(t, F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))
+    )
+    base = df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, F.round(score * 1000).cast("long"))
+        .alias("flesch_e3"),
+    )

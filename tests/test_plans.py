@@ -43,6 +43,7 @@ SINGLE_PARTITION_OK = {
     "rmst",                   # 1-row statistic over the bounded KM curve
     "time_to_convert",        # 1-row order-statistic over converted users
     "brier_decomposition",    # 1-row statistic: bounded-bin combine
+    "effect_sizes",           # 1-row statistic: 2-cohort + U combine
     "lorenz_curve",           # global decile ntile over pre-aggregated units
                               #   (documented exactness choice; equi_depth_hist
                               #   is the cutpoint-broadcast scale variant)
@@ -153,6 +154,7 @@ BNLJ_OK = {
     "ams_f2",                 # 1-row exact-F2 broadcast cross join
     "t_closeness",            # bounded sensitive-domain + 1-row stats broadcasts
     "brier_decomposition",    # 1-row totals broadcast cross join
+    "effect_sizes",           # 1-row x 1-row cohort/U cross joins
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

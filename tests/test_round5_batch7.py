@@ -423,3 +423,53 @@ def test_periodogram_recovers_weekly_cycle(spark):
     df = spark.createDataFrame(ev, "k string, ts timestamp")
     out = periodogram_topk(df, "k", "ts").collect()
     assert out[0].rank == 1 and out[0].period_days_e3 == 7000
+
+
+def test_effect_sizes_known_shift(spark):
+    from smartpy_arc_spark.operators.stats import effect_sizes
+
+    rows = [("a", float(v)) for v in range(0, 100)]
+    rows += [("b", float(v)) for v in range(50, 150)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+    # identical spread, mean shift -50: d ≈ -50/29.01 ≈ -1.723
+    assert abs(r.cohens_d_e6 + 1_723_000) < 5000
+    # P(a>b) - P(a<b): overlap half; delta = -0.75 for this construction
+    assert r.cliffs_delta_e6 < -700000
+    # perfect separation -> delta = -1
+    rows2 = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(100, 110)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r2 = effect_sizes(df2, "g", "v", "a", "b").collect()[0]
+    assert r2.cliffs_delta_e6 == -1_000_000
+
+
+def test_frequent_triples_apriori(spark):
+    from smartpy_arc_spark.operators.itemsets import frequent_triples
+
+    rows = []
+    for bk in range(10):
+        rows += [(bk, "x"), (bk, "y"), (bk, "z")]
+    rows += [(100, "x"), (100, "q")]  # q infrequent
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = frequent_triples(df, "bk", "it", min_support=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.item_c, r.support) == ("x", "y", "z", 10)
+
+
+def test_readability_simple_text(spark):
+    from smartpy_arc_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r = out[1]
+    assert r.n_words == 6 and r.n_sentences == 2
+    # syllable groups: e,a,a,e,o,a -> 6
+    assert r.n_syllables == 6
+    assert r.flesch_e3 == round((206.835 - 1.015 * 3 - 84.6 * 1) * 1000)
+    assert out[2].flesch_e3 is None
