@@ -6448,6 +6448,103 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(docs)
 
 
+def q_pairwise_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-style post-hoc table for order value by priority: every
+    priority pair's mean difference and pooled-MSE standard error from
+    one exact-moment scan."""
+    from smartpy_arc_spark.operators.stats import pairwise_mean_diffs
+
+    orders = _t(spark, sf_dir, "orders")
+    return pairwise_mean_diffs(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the 1994 and 1995 brand revenue
+    top-20 rankings (p = 0.9, pre-rounded weight literals) — how stable
+    the leaderboard is year over year."""
+    from smartpy_arc_spark.operators.similarity import rank_biased_overlap
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def brand_rank(year: int) -> DataFrame:
+        rev = (
+            li.where(F.year("l_shipdate") == year)
+            .join(part, li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("rev")
+            )
+        )
+        return rev.select(
+            F.col("p_brand").alias("item"),
+            F.row_number()
+            .over(W.orderBy(F.desc("rev"), F.asc("p_brand")))
+            .alias("rnk"),
+        )
+
+    return rank_biased_overlap(brand_rank(1994), brand_rank(1995), k=20)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative daily value
+    series: integer running sum/max windows, earliest trough day."""
+    from smartpy_arc_spark.operators.stats import max_drawdown
+
+    ev = _t(spark, sf_dir, "events")
+    return max_drawdown(ev, "event_type", "ts", "value")
+
+
+def _rbo_oracle_sql(k: int = 20, p: float = 0.9) -> str:
+    """Oracle generated with the SAME pre-rounded weight literals as
+    operators/similarity.py:rank_biased_overlap."""
+    weights = {
+        d: round((1 - p) * (p ** (d - 1)) / d * 1e9) for d in range(1, k + 1)
+    }
+    vals = ", ".join(f"({d}, {w})" for d, w in weights.items())
+    return f"""
+        WITH rev94 AS (
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1994 GROUP BY p_brand
+        ), rev95 AS (
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1995 GROUP BY p_brand
+        ), ra AS (
+            SELECT p_brand AS it,
+                   row_number() OVER (ORDER BY rev DESC, p_brand) AS r
+            FROM rev94
+        ), rb AS (
+            SELECT p_brand AS it,
+                   row_number() OVER (ORDER BY rev DESC, p_brand) AS r
+            FROM rev95
+        ), common AS (
+            SELECT ra.it, greatest(ra.r, rb.r) AS dmin
+            FROM ra JOIN rb USING (it)
+            WHERE ra.r <= {k} AND rb.r <= {k}
+        ), w(d, wt) AS (
+            VALUES {vals}
+        ), agg AS (
+            SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+                   CAST(count(DISTINCT it) AS BIGINT) AS n_common
+            FROM common JOIN w ON dmin <= d
+        )
+        SELECT CAST({k} AS INTEGER) AS k,
+               CAST({int(round(p * 1000))} AS BIGINT) AS p_e3,
+               coalesce(n_common, 0) AS n_common,
+               coalesce(CAST(round(CAST(wsum AS DOUBLE) / 1000) AS BIGINT),
+                        0) AS rbo_e6
+        FROM agg
+    """
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6802,6 +6899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effect_sizes": q_effect_sizes,
         "frequent_triples": q_frequent_triples,
         "readability": q_readability,
+        "pairwise_diffs": q_pairwise_diffs,
+        "rbo": q_rbo,
+        "max_drawdown": q_max_drawdown,
     })
 
 
@@ -13318,5 +13418,72 @@ def oracle_sql() -> dict[str, str]:
                            * 1000) AS BIGINT)
                    END AS flesch_e3
             FROM c
+        """,
+        "pairwise_diffs": """
+            WITH m AS (
+                SELECT o_orderpriority AS g,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS HUGEINT)) AS s,
+                       sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS HUGEINT)
+                           * CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS ss
+                FROM orders GROUP BY o_orderpriority
+            ), tot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS nt,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(CAST(round(
+                           CAST(n * ss - s * s AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                           AS ssw_x
+                FROM m
+            )
+            SELECT a.g AS group_a, b.g AS group_b,
+                   a.n AS n_a, b.n AS n_b,
+                   CAST(round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                               - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                              / 100.0 * 1000000) AS BIGINT) AS diff_e6,
+                   CAST(round(sqrt(
+                       (CAST(ssw_x AS DOUBLE) / CAST(nt - k AS DOUBLE))
+                       * (1.0 / CAST(a.n AS DOUBLE)
+                          + 1.0 / CAST(b.n AS DOUBLE)))
+                       / 100.0 * 1000000) AS BIGINT) AS se_e6
+            FROM m a CROSS JOIN m b CROSS JOIN tot
+            WHERE a.g < b.g
+            ORDER BY group_a, group_b
+        """,
+        "rbo": _rbo_oracle_sql(),
+        "max_drawdown": """
+            WITH daily AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS dv
+                FROM events GROUP BY 1, 2
+            ), run AS (
+                SELECT k, d,
+                       CAST(sum(dv) OVER (PARTITION BY k ORDER BY d
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                FROM daily
+            ), pk AS (
+                SELECT k, d, cum,
+                       CAST(max(cum) OVER (PARTITION BY k ORDER BY d
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW)
+                            AS BIGINT) AS peak
+                FROM run
+            ), dd AS (
+                SELECT k, d, peak, peak - cum AS dd FROM pk
+            ), mx AS (
+                SELECT *, max(dd) OVER (PARTITION BY k) AS mdd FROM dd
+            )
+            SELECT k AS event_type,
+                   CAST(mdd AS BIGINT) AS max_drawdown_c,
+                   min(d) AS trough_day,
+                   CAST(arg_min(peak, d) AS BIGINT) AS peak_c
+            FROM mx WHERE dd = mdd
+            GROUP BY k, mdd ORDER BY event_type
         """,
     }

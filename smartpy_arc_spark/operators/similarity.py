@@ -695,3 +695,58 @@ def rrf_fuse(
         .alias("rrf_e9"),
     )
     return fused.orderBy(F.desc("rrf_e9"), F.asc("id")).limit(top_k)
+
+
+def rank_biased_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    *,
+    item_col: str = "item",
+    rank_col: str = "rnk",
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al., TOIS 2010) between
+    two top-k rankings — the top-weighted list-similarity measure for
+    comparing search/recsys result lists across models or time periods:
+    ``RBO = (1−p)·Σ_{d≤k} p^{d−1}·|A_{:d} ∩ B_{:d}|/d``.
+
+    The per-depth weights ``(1−p)p^{d−1}/d`` are PRE-ROUNDED e9 integer
+    literals (no engine-side pow), overlaps are exact integer counts
+    over the bounded top-k join, so the score is one integer sum scaled
+    down — bit-portable.  The heavy part (producing the rankings) stays
+    in the caller's aggregates; this comparison is bounded work.
+
+    Returns one row ``(k, p_e3, n_common, rbo_e6)``.
+    """
+    weights = {
+        d: round((1 - p) * (p ** (d - 1)) / d * 1e9) for d in range(1, k + 1)
+    }
+    spark = rank_a.sparkSession
+    depth_rows = [(d, w) for d, w in weights.items()]
+    depths = F.broadcast(
+        spark.createDataFrame(depth_rows, "d int, w long")
+    )
+    a = rank_a.select(
+        F.col(item_col).alias("it"), F.col(rank_col).alias("ra")
+    ).where(F.col(rank_col) <= k)
+    b = rank_b.select(
+        F.col(item_col).alias("it"), F.col(rank_col).alias("rb")
+    ).where(F.col(rank_col) <= k)
+    common = a.join(b, "it").select(
+        "it", F.greatest("ra", "rb").alias("dmin")
+    )
+    terms = common.crossJoin(depths).where(F.col("dmin") <= F.col("d"))
+    agg = terms.agg(
+        F.sum("w").cast("long").alias("wsum"),
+        F.count_distinct("it").cast("long").alias("n_common"),
+    )
+    return agg.select(
+        F.lit(k).cast("int").alias("k"),
+        F.lit(int(round(p * 1000))).cast("long").alias("p_e3"),
+        F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        F.coalesce(
+            F.round(F.col("wsum").cast("double") / 1000).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rbo_e6"),
+    )

@@ -2860,3 +2860,138 @@ def effect_sizes(
         .cast("long")
         .alias("cliffs_delta_e6"),
     )
+
+
+def pairwise_mean_diffs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Tukey-style pairwise group comparison table — the post-hoc step
+    after :func:`anova_oneway` rejects: every (group i < group j) pair
+    with mean difference and its pooled-MSE standard error (the q-dist
+    p-value belongs to the caller's stats library; the distributed part
+    is the moments).
+
+    One grouped moment scan (exact integer ticks), a bounded k-row
+    self-join for the pairs (k = number of groups), pooled MSE from the
+    same pass; every reported float is integer moments through a fixed
+    division order + IEEE sqrt.
+
+    Returns ``(group_a, group_b, n_a, n_b, diff_e6, se_e6)`` ordered by
+    (group_a, group_b).
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = df.select(F.col(group_col).alias("g"), ticks.alias("v")).groupBy(
+        "g"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("v"))).alias("s"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("ss"),
+    )
+    tot = m.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("k"),
+        # within-group sum of squares: Σ_g (ss_g − s_g²/n_g); each term
+        # one division, pre-summed in fixed double order is NOT safe —
+        # keep each term and sum the rounded e6 units instead
+        F.sum(
+            F.round(
+                (dec(F.col("n")) * F.col("ss") - F.col("s") * F.col("s"))
+                .cast("double")
+                / F.col("n").cast("double")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssw_x"),
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.crossJoin(b).where(F.col("a.g") < F.col("b.g"))
+    out = pairs.crossJoin(F.broadcast(tot))
+    mse = F.col("ssw_x").cast("double") / (
+        F.col("nt") - F.col("k")
+    ).cast("double")
+    mean_a = F.col("a.s").cast("double") / F.col("a.n").cast("double")
+    mean_b = F.col("b.s").cast("double") / F.col("b.n").cast("double")
+    se = F.sqrt(
+        mse
+        * (
+            F.lit(1.0) / F.col("a.n").cast("double")
+            + F.lit(1.0) / F.col("b.n").cast("double")
+        )
+    )
+    to_e6 = lambda c: F.round(c / scale * 1000000).cast("long")  # noqa: E731
+    return out.select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        to_e6(mean_a - mean_b).alias("diff_e6"),
+        to_e6(se).alias("se_e6"),
+    ).orderBy("group_a", "group_b")
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Maximum drawdown of the per-key cumulative daily series — the
+    risk statistic behind "how far below its best was this metric": the
+    largest peak-to-trough drop of the running total.
+
+    Integer ticks, key-partitioned running sum + running max windows
+    (one exchange), exact drawdowns; the trough day reported is the
+    EARLIEST day attaining the max (deterministic).
+
+    Returns ``(key, max_drawdown_c, trough_day, peak_c)`` where peak_c
+    is the running-max value at that trough.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            day.alias("d"),
+            F.round(F.col(value_col) * scale).cast("long").alias("v"),
+        )
+        .groupBy("k", "d")
+        .agg(F.sum("v").alias("dv"))
+    )
+    w = W.partitionBy("k").orderBy("d")
+    run = daily.select(
+        "k",
+        "d",
+        F.sum("dv").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    ).select(
+        "k",
+        "d",
+        "cum",
+        F.max("cum").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("peak"),
+    )
+    dd = run.select(
+        "k", "d", "peak", (F.col("peak") - F.col("cum")).alias("dd")
+    )
+    mx = dd.select(
+        "k",
+        "d",
+        "peak",
+        "dd",
+        F.max("dd").over(W.partitionBy("k")).alias("mdd"),
+    )
+    return (
+        mx.where(F.col("dd") == F.col("mdd"))
+        .groupBy(F.col("k").alias(key_col), F.col("mdd").alias("max_drawdown_c"))
+        .agg(
+            F.min("d").alias("trough_day"),
+            F.min_by("peak", "d").alias("peak_c"),
+        )
+        .select(key_col, "max_drawdown_c", "trough_day", "peak_c")
+        .orderBy(key_col)
+    )

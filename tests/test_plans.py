@@ -44,6 +44,7 @@ SINGLE_PARTITION_OK = {
     "time_to_convert",        # 1-row order-statistic over converted users
     "brier_decomposition",    # 1-row statistic: bounded-bin combine
     "effect_sizes",           # 1-row statistic: 2-cohort + U combine
+    "pairwise_diffs",         # bounded k-group moment table combine
     "lorenz_curve",           # global decile ntile over pre-aggregated units
                               #   (documented exactness choice; equi_depth_hist
                               #   is the cutpoint-broadcast scale variant)
@@ -155,6 +156,8 @@ BNLJ_OK = {
     "t_closeness",            # bounded sensitive-domain + 1-row stats broadcasts
     "brier_decomposition",    # 1-row totals broadcast cross join
     "effect_sizes",           # 1-row x 1-row cohort/U cross joins
+    "pairwise_diffs",         # bounded k-row group-pair cross joins
+    "rbo",                    # bounded top-k x depth-literal cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

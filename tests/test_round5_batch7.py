@@ -473,3 +473,52 @@ def test_readability_simple_text(spark):
     assert r.n_syllables == 6
     assert r.flesch_e3 == round((206.835 - 1.015 * 3 - 84.6 * 1) * 1000)
     assert out[2].flesch_e3 is None
+
+
+def test_pairwise_diffs_known_groups(spark):
+    from smartpy_arc_spark.operators.stats import pairwise_mean_diffs
+
+    rows = [("a", 10.0), ("a", 12.0), ("b", 20.0), ("b", 22.0),
+            ("c", 30.0), ("c", 32.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.group_a, r.group_b): r
+           for r in pairwise_mean_diffs(df, "g", "v").collect()}
+    assert out[("a", "b")].diff_e6 == -10_000_000
+    assert out[("a", "c")].diff_e6 == -20_000_000
+    # pooled MSE = 2 (all within-var equal), se = sqrt(2*(1/2+1/2)) = sqrt(2)
+    import math
+    assert abs(out[("a", "b")].se_e6 - round(math.sqrt(2) * 1e6)) <= 1
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from smartpy_arc_spark.operators.similarity import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(f"i{r}", r) for r in range(1, 21)], "item string, rnk long"
+    )
+    same = rank_biased_overlap(a, a, k=20, p=0.9).collect()[0]
+    # truncated RBO of identical lists = 1 - p^k
+    assert abs(same.rbo_e6 - round((1 - 0.9 ** 20) * 1e6)) <= 25
+    b = spark.createDataFrame(
+        [(f"j{r}", r) for r in range(1, 21)], "item string, rnk long"
+    )
+    disj = rank_biased_overlap(a, b, k=20, p=0.9).collect()[0]
+    assert disj.rbo_e6 == 0 and disj.n_common == 0
+
+
+def test_max_drawdown_hand_series(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.stats import max_drawdown
+
+    base = dt.datetime(2024, 1, 1, 6)
+    vals = [10, 5, -8, 2, -4, 20]  # cum: 10,15,7,9,5,25 ; peak 15 → trough 5
+    rows = [
+        ("k", base + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = max_drawdown(df, "k", "ts", "v").collect()[0]
+    assert r.max_drawdown_c == 1000  # 15 - 5 = 10.00
+    assert r.trough_day.isoformat() == "2024-01-05"
+    assert r.peak_c == 1500
