@@ -6459,7 +6459,7 @@ def q_pairwise_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-biased overlap between the 1994 and 1995 brand revenue
+    """Rank-biased overlap between the 1996 and 1997 brand revenue
     top-20 rankings (p = 0.9, pre-rounded weight literals) — how stable
     the leaderboard is year over year."""
     from smartpy_arc_spark.operators.similarity import rank_biased_overlap
@@ -6485,7 +6485,7 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rnk"),
         )
 
-    return rank_biased_overlap(brand_rank(1994), brand_rank(1995), k=20)
+    return rank_biased_overlap(brand_rank(1996), brand_rank(1997), k=20)
 
 
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6510,13 +6510,13 @@ def _rbo_oracle_sql(k: int = 20, p: float = 0.9) -> str:
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS rev
             FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE year(l_shipdate) = 1994 GROUP BY p_brand
+            WHERE year(l_shipdate) = 1996 GROUP BY p_brand
         ), rev95 AS (
             SELECT p_brand,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS rev
             FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE year(l_shipdate) = 1995 GROUP BY p_brand
+            WHERE year(l_shipdate) = 1997 GROUP BY p_brand
         ), ra AS (
             SELECT p_brand AS it,
                    row_number() OVER (ORDER BY rev DESC, p_brand) AS r
@@ -6543,6 +6543,45 @@ def _rbo_oracle_sql(k: int = 20, p: float = 0.9) -> str:
                         0) AS rbo_e6
         FROM agg
     """
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers cohorted by first-order month,
+    cumulative order revenue (cents) per month-age — the revenue
+    companion to cohort_retention."""
+    from smartpy_arc_spark.operators.funnel import cohort_ltv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return cohort_ltv(orders, "o_custkey", "o_orderdate", "cents")
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc (midpoint) price elasticity per brand between 1996 and 1997:
+    quantity-weighted unit prices, log-free midpoint formula, NULL on
+    degenerate denominators."""
+    from smartpy_arc_spark.operators.stats import arc_elasticity
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = (
+        li.where(F.year("l_shipdate").isin(1996, 1997))
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    return arc_elasticity(
+        rows, "p_brand", "yr", "unit_price", "qty", 1996, 1997
+    )
 
 
 def _stamp_order(q: dict) -> dict:
@@ -6902,6 +6941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_diffs": q_pairwise_diffs,
         "rbo": q_rbo,
         "max_drawdown": q_max_drawdown,
+        "cohort_ltv": q_cohort_ltv,
+        "price_elasticity": q_price_elasticity,
     })
 
 
@@ -13485,5 +13526,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_min(peak, d) AS BIGINT) AS peak_c
             FROM mx WHERE dd = mdd
             GROUP BY k, mdd ORDER BY event_type
+        """,
+        "cohort_ltv": """
+            WITH base AS (
+                SELECT o_custkey AS u,
+                       date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+                FROM orders
+            ), firsts AS (
+                SELECT u, min(m) AS cohort_month FROM base GROUP BY u
+            ), j AS (
+                SELECT f.cohort_month,
+                       CAST((year(b.m) - year(f.cohort_month)) * 12
+                            + (month(b.m) - month(f.cohort_month))
+                            AS BIGINT) AS age_months,
+                       b.u, b.amt
+                FROM base b JOIN firsts f ON b.u = f.u
+            ), cell AS (
+                SELECT cohort_month, age_months,
+                       CAST(count(DISTINCT u) AS BIGINT) AS n_active,
+                       CAST(sum(amt) AS BIGINT) AS revenue_c
+                FROM j GROUP BY 1, 2
+            )
+            SELECT CAST(cohort_month AS DATE) AS cohort_month, age_months,
+                   n_active, revenue_c,
+                   CAST(sum(revenue_c) OVER (
+                       PARTITION BY cohort_month ORDER BY age_months
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_revenue_c
+            FROM cell ORDER BY cohort_month, age_months
+        """,
+        "price_elasticity": """
+            WITH rows_ AS (
+                SELECT p_brand,
+                       CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END
+                           AS is2,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_extendedprice / l_quantity * 100)
+                            AS BIGINT) AS pc
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE year(l_shipdate) IN (1996, 1997)
+            ), per AS (
+                SELECT p_brand,
+                       CAST(sum(CASE WHEN is2 = 0 THEN q ELSE 0 END)
+                            AS BIGINT) AS q1,
+                       CAST(sum(CASE WHEN is2 = 1 THEN q ELSE 0 END)
+                            AS BIGINT) AS q2,
+                       sum(CASE WHEN is2 = 0
+                                THEN CAST(pc AS HUGEINT) * q
+                                ELSE CAST(0 AS HUGEINT) END) AS pq1,
+                       sum(CASE WHEN is2 = 1
+                                THEN CAST(pc AS HUGEINT) * q
+                                ELSE CAST(0 AS HUGEINT) END) AS pq2
+                FROM rows_ GROUP BY p_brand
+            )
+            SELECT p_brand, q1, q2,
+                   CAST(round(CAST(pq1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                        AS BIGINT) AS p1_c,
+                   CAST(round(CAST(pq2 AS DOUBLE) / CAST(q2 AS DOUBLE))
+                        AS BIGINT) AS p2_c,
+                   CASE WHEN (CAST(pq2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                              - CAST(pq1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                             != 0
+                        THEN CAST(round(
+                            (CAST(q2 - q1 AS DOUBLE)
+                             / CAST(q2 + q1 AS DOUBLE))
+                            / ((CAST(pq2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                                - CAST(pq1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                               / (CAST(pq2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                                  + CAST(pq1 AS DOUBLE)
+                                    / CAST(q1 AS DOUBLE)))
+                            * 1000000) AS BIGINT)
+                   END AS elasticity_e6
+            FROM per WHERE q1 > 0 AND q2 > 0
+            ORDER BY p_brand
         """,
     }

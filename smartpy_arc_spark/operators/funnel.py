@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def sequence_funnel(
@@ -409,3 +410,53 @@ def markov_attribution(
         "channel string, n_touches long, removal_effect_e6 long, "
         "credit_share_e6 long",
     ).orderBy("channel")
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort LTV triangle — the revenue companion to retention: users
+    cohort by their FIRST-activity month, and each cohort's cumulative
+    revenue per month-age answers "what is a month-M customer worth by
+    month N".  Integer cents throughout; the cumulative sum runs inside
+    the cohort partition (bounded rows: cohorts × ages).
+
+    Returns ``(cohort_month, age_months, n_active, revenue_c,
+    cum_revenue_c)`` ordered by (cohort_month, age_months).
+    """
+    month = F.trunc(F.to_date(F.col(ts_col)), "MM")
+    base = df.select(
+        F.col(user_col).alias("u"),
+        month.alias("m"),
+        F.col(amount_col).cast("long").alias("amt"),
+    )
+    firsts = base.groupBy("u").agg(F.min("m").alias("cohort_month"))
+    j = base.join(firsts, "u").select(
+        "cohort_month",
+        (
+            (F.year("m") - F.year("cohort_month")) * 12
+            + (F.month("m") - F.month("cohort_month"))
+        )
+        .cast("long")
+        .alias("age_months"),
+        "u",
+        "amt",
+    )
+    cell = j.groupBy("cohort_month", "age_months").agg(
+        F.count_distinct("u").cast("long").alias("n_active"),
+        F.sum("amt").cast("long").alias("revenue_c"),
+    )
+    w = W.partitionBy("cohort_month").orderBy("age_months")
+    return cell.select(
+        "cohort_month",
+        "age_months",
+        "n_active",
+        "revenue_c",
+        F.sum("revenue_c")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_revenue_c"),
+    ).orderBy("cohort_month", "age_months")

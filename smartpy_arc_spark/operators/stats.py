@@ -2995,3 +2995,73 @@ def max_drawdown(
         .select(key_col, "max_drawdown_c", "trough_day", "peak_c")
         .orderBy(key_col)
     )
+
+
+def arc_elasticity(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    price_col: str,
+    qty_col: str,
+    period_a,
+    period_b,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Arc price elasticity of demand per key between two periods — the
+    midpoint formula ``((q₂−q₁)/(q₂+q₁)) / ((p₂−p₁)/(p₂+p₁))``, the
+    log-free form (no ln — portable) every pricing team starts with.
+    Price per period is the quantity-weighted average unit price.
+
+    One grouped aggregate builds the two-period cells from exact integer
+    ticks; the elasticity is a fixed chain of IEEE divisions over exact
+    integers, NULL where a denominator degenerates (equal prices, zero
+    quantity).
+
+    Returns ``(key, q1, q2, p1_c, p2_c, elasticity_e6)``.
+    """
+    ticks = F.round(F.col(price_col) * scale).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        df.where(F.col(period_col).isin(period_a, period_b))
+        .select(
+            F.col(key_col).alias("k"),
+            (F.col(period_col) == period_b).cast("int").alias("is2"),
+            F.col(qty_col).cast("long").alias("q"),
+            ticks.alias("pc"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("is2") == 0, F.col("q")).otherwise(0))
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(F.col("is2") == 1, F.col("q")).otherwise(0))
+            .cast("long")
+            .alias("q2"),
+            F.sum(
+                F.when(F.col("is2") == 0, dec(F.col("pc")) * dec(F.col("q")))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("pq1"),
+            F.sum(
+                F.when(F.col("is2") == 1, dec(F.col("pc")) * dec(F.col("q")))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("pq2"),
+        )
+        .where((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    p1 = F.col("pq1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("pq2").cast("double") / F.col("q2").cast("double")
+    qrel = (F.col("q2") - F.col("q1")).cast("double") / (
+        F.col("q2") + F.col("q1")
+    ).cast("double")
+    prel = (p2 - p1) / (p2 + p1)
+    return per.select(
+        F.col("k").alias(key_col),
+        "q1",
+        "q2",
+        F.round(p1).cast("long").alias("p1_c"),
+        F.round(p2).cast("long").alias("p2_c"),
+        F.when(
+            (p2 - p1) != 0, F.round(qrel / prel * 1000000).cast("long")
+        ).alias("elasticity_e6"),
+    ).orderBy(key_col)

@@ -522,3 +522,43 @@ def test_max_drawdown_hand_series(spark):
     assert r.max_drawdown_c == 1000  # 15 - 5 = 10.00
     assert r.trough_day.isoformat() == "2024-01-05"
     assert r.peak_c == 1500
+
+
+def test_cohort_ltv_triangle(spark):
+    import datetime as dt
+
+    from smartpy_arc_spark.operators.funnel import cohort_ltv
+
+    rows = [
+        (1, dt.date(2024, 1, 5), 100),
+        (1, dt.date(2024, 2, 7), 50),
+        (2, dt.date(2024, 2, 1), 200),
+        (1, dt.date(2024, 3, 9), 25),
+    ]
+    df = spark.createDataFrame(rows, "u long, d date, amt long")
+    out = {
+        (r.cohort_month.isoformat(), r.age_months): r
+        for r in cohort_ltv(df, "u", "d", "amt").collect()
+    }
+    jan = out[("2024-01-01", 0)]
+    assert jan.revenue_c == 100 and jan.cum_revenue_c == 100
+    assert out[("2024-01-01", 1)].cum_revenue_c == 150
+    assert out[("2024-01-01", 2)].cum_revenue_c == 175
+    feb = out[("2024-02-01", 0)]
+    assert feb.n_active == 1 and feb.revenue_c == 200
+
+
+def test_arc_elasticity_halved_demand(spark):
+    from smartpy_arc_spark.operators.stats import arc_elasticity
+
+    # price 1.00 -> 2.00, qty 100 -> 50: qrel = -1/3, prel = 1/3 -> e = -1
+    rows = [("x", 1, 1.0, 100), ("x", 2, 2.0, 50)]
+    df = spark.createDataFrame(rows, "k string, per int, up double, q long")
+    r = arc_elasticity(df, "k", "per", "up", "q", 1, 2).collect()[0]
+    assert r.elasticity_e6 == -1_000_000
+    assert (r.p1_c, r.p2_c, r.q1, r.q2) == (100, 200, 100, 50)
+    # equal prices -> NULL elasticity
+    rows2 = [("y", 1, 1.0, 100), ("y", 2, 1.0, 70)]
+    df2 = spark.createDataFrame(rows2, "k string, per int, up double, q long")
+    r2 = arc_elasticity(df2, "k", "per", "up", "q", 1, 2).collect()[0]
+    assert r2.elasticity_e6 is None
