@@ -6584,6 +6584,44 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift table over users: odd/even user-id split as treatment,
+    engagement (event count) as the targeting score, purchase as the
+    outcome — response-rate lift per score decile."""
+    from smartpy_arc_spark.operators.stats import uplift_by_decile
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchased"),
+    )
+    unit = per_user.select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        "n_events",
+        "purchased",
+        "user_id",
+    )
+    return uplift_by_decile(
+        unit, "treat", "n_events", "purchased", "user_id", n_buckets=5
+    )
+
+
+def q_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation of mean document length: the
+    cheapest data-valuation signal for corpus curation (delta > 0 =
+    removing the source RAISES the corpus mean)."""
+    from smartpy_arc_spark.operators.stats import group_ablation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("double").alias("doc_len")
+    )
+    return group_ablation(docs, "source", "doc_len", scale=1)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6943,6 +6981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "cohort_ltv": q_cohort_ltv,
         "price_elasticity": q_price_elasticity,
+        "uplift_deciles": q_uplift_deciles,
+        "source_ablation": q_source_ablation,
     })
 
 
@@ -13600,5 +13640,68 @@ def oracle_sql() -> dict[str, str]:
                    END AS elasticity_e6
             FROM per WHERE q1 > 0 AND q2 > 0
             ORDER BY p_brand
+        """,
+        "uplift_deciles": """
+            WITH per_user AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS purchased
+                FROM events GROUP BY user_id
+            ), ranked AS (
+                SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+                       purchased AS y,
+                       CAST(ntile(5) OVER (ORDER BY n_events DESC,
+                                           user_id) AS INTEGER) AS bucket
+                FROM per_user
+            ), per AS (
+                SELECT bucket,
+                       CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_t,
+                       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c,
+                       CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                            AS BIGINT) AS resp_t,
+                       CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                            AS BIGINT) AS resp_c
+                FROM ranked GROUP BY bucket
+            )
+            SELECT bucket, n_t, n_c, resp_t, resp_c,
+                   CASE WHEN n_t > 0 AND n_c > 0 THEN
+                       CAST(round((CAST(resp_t AS DOUBLE)
+                                   / CAST(n_t AS DOUBLE)
+                                   - CAST(resp_c AS DOUBLE)
+                                     / CAST(n_c AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                   END AS uplift_e6
+            FROM per ORDER BY bucket
+        """,
+        "source_ablation": """
+            WITH per AS (
+                SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(CAST(round(CAST(length(text) AS DOUBLE))
+                                     AS BIGINT) AS HUGEINT)) AS s
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st FROM per
+            )
+            SELECT g AS source, n,
+                   CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              / 1 * 1000000) AS BIGINT) AS group_mean_e6,
+                   CASE WHEN nt > n THEN
+                       CAST(round(CAST(st - s AS DOUBLE)
+                                  / CAST(nt - n AS DOUBLE)
+                                  / 1 * 1000000) AS BIGINT)
+                   END AS loo_mean_e6,
+                   CASE WHEN nt > n THEN
+                       CAST(round(CAST(st - s AS DOUBLE)
+                                  / CAST(nt - n AS DOUBLE)
+                                  / 1 * 1000000) AS BIGINT)
+                   END
+                   - CAST(round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                                / 1 * 1000000) AS BIGINT) AS delta_e6
+            FROM per CROSS JOIN tot
+            ORDER BY delta_e6 DESC NULLS LAST, source
         """,
     }

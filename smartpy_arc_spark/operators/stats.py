@@ -3065,3 +3065,112 @@ def arc_elasticity(
             (p2 - p1) != 0, F.round(qrel / prel * 1000000).cast("long")
         ).alias("elasticity_e6"),
     ).orderBy(key_col)
+
+
+def uplift_by_decile(
+    df: DataFrame,
+    treat_col: str,
+    score_col: str,
+    outcome_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Uplift (qini-style) table: units ranked by a targeting score into
+    deciles, each decile's treatment-vs-control response-rate lift — the
+    readout that says WHERE a treatment works, not just whether.
+
+    Deterministic ntile over (score desc, id), exact integer response
+    counts, two divisions per row in fixed order (rate_t, rate_c) and
+    their difference — portable.
+
+    Returns ``(bucket, n_t, n_c, resp_t, resp_c, uplift_e6)`` (NULL
+    uplift when a cell is empty).
+    """
+    ranked = df.select(
+        F.col(treat_col).cast("int").alias("t"),
+        F.col(outcome_col).cast("long").alias("y"),
+        F.ntile(n_buckets)
+        .over(W.orderBy(F.desc(score_col), F.asc(id_col)))
+        .alias("bucket"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("resp_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("resp_c"),
+    )
+    rate_t = F.col("resp_t").cast("double") / F.col("n_t").cast("double")
+    rate_c = F.col("resp_c").cast("double") / F.col("n_c").cast("double")
+    return per.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "resp_t",
+        "resp_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round((rate_t - rate_c) * 1000000).cast("long"),
+        ).alias("uplift_e6"),
+    ).orderBy("bucket")
+
+
+def group_ablation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Leave-one-group-out ablation — the cheapest data-valuation
+    signal: for each group (source, domain, shard), how much does the
+    corpus-level mean of a metric move if the group is removed?
+    ``delta = mean_without − mean_with`` > 0 means the group was
+    DRAGGING the metric down.  One grouped moment pass + a 1-row total
+    broadcast: the jackknife-by-groups identity ``mean_without =
+    (S − s_g) / (N − n_g)`` needs no second scan.
+
+    Returns ``(group, n, group_mean_e6, loo_mean_e6, delta_e6)`` ordered
+    by delta desc (most-harmful group first), NULL loo for a group that
+    is the whole corpus.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = df.select(F.col(group_col).alias("g"), ticks.alias("v")).groupBy(
+        "g"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("v"))).alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("decimal(38,0)").alias("st"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    e6 = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double") / scale * 1000000
+    ).cast("long")
+    gmean = e6(F.col("s"), dec(F.col("n")))
+    loo = F.when(
+        F.col("nt") > F.col("n"),
+        e6(
+            dec(F.col("st")) - dec(F.col("s")),
+            dec(F.col("nt")) - dec(F.col("n")),
+        ),
+    )
+    full = e6(F.col("st"), dec(F.col("nt")))
+    return out.select(
+        F.col("g").alias(group_col),
+        "n",
+        gmean.alias("group_mean_e6"),
+        loo.alias("loo_mean_e6"),
+        (loo - full).alias("delta_e6"),
+    ).orderBy(F.desc_nulls_last("delta_e6"), group_col)

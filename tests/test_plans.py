@@ -45,6 +45,8 @@ SINGLE_PARTITION_OK = {
     "brier_decomposition",    # 1-row statistic: bounded-bin combine
     "effect_sizes",           # 1-row statistic: 2-cohort + U combine
     "pairwise_diffs",         # bounded k-group moment table combine
+    "uplift_deciles",         # global decile ntile over pre-aggregated units
+    "source_ablation",        # 1-row corpus-total combine
     "lorenz_curve",           # global decile ntile over pre-aggregated units
                               #   (documented exactness choice; equi_depth_hist
                               #   is the cutpoint-broadcast scale variant)
@@ -158,6 +160,7 @@ BNLJ_OK = {
     "effect_sizes",           # 1-row x 1-row cohort/U cross joins
     "pairwise_diffs",         # bounded k-row group-pair cross joins
     "rbo",                    # bounded top-k x depth-literal cross join
+    "source_ablation",        # 1-row corpus-total broadcast cross join
 }
 
 _STREAMING = {n for n in entry.queries() if n.startswith("stream")}

@@ -562,3 +562,32 @@ def test_arc_elasticity_halved_demand(spark):
     df2 = spark.createDataFrame(rows2, "k string, per int, up double, q long")
     r2 = arc_elasticity(df2, "k", "per", "up", "q", 1, 2).collect()[0]
     assert r2.elasticity_e6 is None
+
+
+def test_uplift_by_decile_signal(spark):
+    from smartpy_arc_spark.operators.stats import uplift_by_decile
+
+    rows = []
+    # high-score units respond only under treatment; low never respond
+    for i in range(100):
+        score = 100 - i
+        treat = i % 2 == 0
+        y = 1 if (treat and score > 50) else 0
+        rows.append((treat, float(score), y, i))
+    df = spark.createDataFrame(rows, "treat boolean, s double, y long, id long")
+    out = {r.bucket: r for r in
+           uplift_by_decile(df, "treat", "s", "y", "id", n_buckets=2).collect()}
+    assert out[1].uplift_e6 == 1_000_000  # top half: full lift
+    assert out[2].uplift_e6 == 0
+
+
+def test_group_ablation_identity(spark):
+    from smartpy_arc_spark.operators.stats import group_ablation
+
+    rows = [("a", 10.0)] * 3 + [("b", 1.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in group_ablation(df, "g", "v", scale=1).collect()}
+    # full mean 5.5; removing b -> 10, removing a -> 1
+    assert out["b"].loo_mean_e6 == 10_000_000
+    assert out["b"].delta_e6 == 4_500_000
+    assert out["a"].delta_e6 == -4_500_000
