@@ -6622,6 +6622,34 @@ def q_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_ablation(docs, "source", "doc_len", scale=1)
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard on the odd/even user-id split of
+    event users: exact rational 1-df chi-square against the e6-literal
+    0.05 critical value."""
+    from smartpy_arc_spark.operators.stats import srm_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("user_id") % 2 == 1).alias("treat")
+    )
+    return srm_check(ev, "user_id", "treat")
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment sample-size requirements to detect a 2% lift of mean
+    order value at 95%/80%: exact cents moments, pre-rounded z-constant
+    literal — no engine-side normal quantile."""
+    from smartpy_arc_spark.operators.stats import power_analysis
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    return power_analysis(j, "c_mktsegment", "o_totalprice")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -6983,6 +7011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_elasticity": q_price_elasticity,
         "uplift_deciles": q_uplift_deciles,
         "source_ablation": q_source_ablation,
+        "srm_check": q_srm_check,
+        "power_analysis": q_power_analysis,
     })
 
 
@@ -13703,5 +13733,66 @@ def oracle_sql() -> dict[str, str]:
                                 / 1 * 1000000) AS BIGINT) AS delta_e6
             FROM per CROSS JOIN tot
             ORDER BY delta_e6 DESC NULLS LAST, source
+        """,
+        "srm_check": """
+            WITH units AS (
+                SELECT DISTINCT user_id,
+                       CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+                FROM events
+            ), agg AS (
+                SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_t,
+                       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c
+                FROM units
+            )
+            SELECT n_t, n_c,
+                   CAST(round(CAST(CAST(n_t - n_c AS HUGEINT)
+                                   * (n_t - n_c) * 1000000 AS DOUBLE)
+                              / CAST(CAST(n_t AS HUGEINT) + n_c AS DOUBLE))
+                        AS BIGINT) AS chi2_e6,
+                   CAST(CASE WHEN round(CAST(CAST(n_t - n_c AS HUGEINT)
+                                   * (n_t - n_c) * 1000000 AS DOUBLE)
+                              / CAST(CAST(n_t AS HUGEINT) + n_c
+                                     AS DOUBLE)) > 3841459
+                             THEN 1 ELSE 0 END AS INTEGER) AS srm_detected
+            FROM agg
+        """,
+        "power_analysis": """
+            WITH m AS (
+                SELECT c_mktsegment AS g,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS HUGEINT)) AS s,
+                       sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS HUGEINT)
+                           * CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS ss
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+            )
+            SELECT g AS c_mktsegment, n,
+                   CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              / 100 * 1000000) AS BIGINT) AS mean_e6,
+                   CASE WHEN n > 1 THEN
+                       CAST(round((CAST(n * ss - s * s AS DOUBLE)
+                                   / CAST(n * (n - 1) AS DOUBLE))
+                                  / (100 * 100) * 1000000) AS BIGINT)
+                   END AS var_e6,
+                   CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 200 / 10000.0
+                              / 100 * 1000000) AS BIGINT) AS mde_e6,
+                   CASE WHEN n > 1
+                             AND (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * 200 / 10000.0 != 0
+                        THEN CAST(ceil(2.0 * 7.848886
+                            * (CAST(n * ss - s * s AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE))
+                            / (((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * 200 / 10000.0)
+                               * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * 200 / 10000.0))) AS BIGINT)
+                   END AS n_per_arm
+            FROM m ORDER BY c_mktsegment
         """,
     }

@@ -3174,3 +3174,101 @@ def group_ablation(
         loo.alias("loo_mean_e6"),
         (loo - full).alias("delta_e6"),
     ).orderBy(F.desc_nulls_last("delta_e6"), group_col)
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    treat_col: str,
+    *,
+    chi2_crit_e6: int = 3_841_459,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 experiment — the first
+    thing to check before reading ANY result: with an even split
+    expected, the 1-df chi-square reduces to the exact rational
+    ``(n_t − n_c)² / n``, so the statistic is one integer division and
+    the flag compares against the 0.05 critical value (3.841…, inlined
+    as an e6 literal).
+
+    Returns one row ``(n_t, n_c, chi2_e6, srm_detected)``.
+    """
+    units = df.select(
+        F.col(unit_col).alias("u"), F.col(treat_col).cast("int").alias("t")
+    ).distinct()
+    agg = units.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("n_t")) - dec(F.col("n_c"))
+    n = dec(F.col("n_t")) + dec(F.col("n_c"))
+    chi2 = F.round(
+        (diff * diff * 1000000).cast("double") / n.cast("double")
+    ).cast("long")
+    return agg.select(
+        "n_t",
+        "n_c",
+        chi2.alias("chi2_e6"),
+        (chi2 > chi2_crit_e6).cast("int").alias("srm_detected"),
+    )
+
+
+# (z_{0.025} + z_{0.8})² for 95% confidence / 80% power, pre-rounded in
+# Python so no engine ever evaluates a normal quantile
+_POWER_K_E6 = 7_848_886
+
+
+def power_analysis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    rel_mde_e4: int = 200,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample test power analysis per segment: the units needed PER
+    ARM to detect a ``rel_mde_e4``/1e4 relative lift of the segment mean
+    at 95% confidence / 80% power — ``n = 2(z_{α/2}+z_β)²σ²/δ²`` with
+    the z-constant pre-rounded into ``_POWER_K_E6`` (no engine-side
+    normal quantile).
+
+    Variance comes from exact integer-tick moments; the final expression
+    is a fixed chain of IEEE ops, ceil'd to an integer sample size.
+
+    Returns ``(group, n, mean_e6, var_e6, mde_e6, n_per_arm)``.
+    """
+    ticks = F.round(F.col(value_col) * scale).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = df.select(F.col(group_col).alias("g"), ticks.alias("v")).groupBy(
+        "g"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("v"))).alias("s"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("ss"),
+    )
+    nn = dec(F.col("n"))
+    mean_t = F.col("s").cast("double") / nn.cast("double")
+    var_t = (nn * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        nn * (nn - 1)
+    ).cast("double")
+    mde_t = mean_t * F.lit(float(rel_mde_e4)) / F.lit(10000.0)
+    k = F.lit(_POWER_K_E6 / 1e6)
+    n_req = F.ceil(
+        F.lit(2.0) * k * var_t / (mde_t * mde_t)
+    ).cast("long")
+    e6 = lambda c: F.round(c / scale * 1000000).cast("long")  # noqa: E731
+    return m.select(
+        F.col("g").alias(group_col),
+        "n",
+        e6(mean_t).alias("mean_e6"),
+        F.when(
+            F.col("n") > 1,
+            F.round(var_t / (scale * scale) * 1000000).cast("long"),
+        ).alias("var_e6"),
+        e6(mde_t).alias("mde_e6"),
+        F.when((F.col("n") > 1) & (mde_t != 0), n_req).alias("n_per_arm"),
+    ).orderBy(group_col)

@@ -46,6 +46,7 @@ SINGLE_PARTITION_OK = {
     "effect_sizes",           # 1-row statistic: 2-cohort + U combine
     "pairwise_diffs",         # bounded k-group moment table combine
     "uplift_deciles",         # global decile ntile over pre-aggregated units
+    "srm_check",              # 1-row assignment-count statistic
     "source_ablation",        # 1-row corpus-total combine
     "lorenz_curve",           # global decile ntile over pre-aggregated units
                               #   (documented exactness choice; equi_depth_hist

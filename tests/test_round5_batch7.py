@@ -591,3 +591,35 @@ def test_group_ablation_identity(spark):
     assert out["b"].loo_mean_e6 == 10_000_000
     assert out["b"].delta_e6 == 4_500_000
     assert out["a"].delta_e6 == -4_500_000
+
+
+def test_srm_check_detects_mismatch(spark):
+    from smartpy_arc_spark.operators.stats import srm_check
+
+    ok_rows = [(i, i % 2 == 0) for i in range(1000)]
+    df = spark.createDataFrame(ok_rows, "u long, treat boolean")
+    r = srm_check(df, "u", "treat").collect()[0]
+    assert r.srm_detected == 0 and r.chi2_e6 == 0
+    bad_rows = [(i, i % 10 != 0) for i in range(1000)]  # 900/100 split
+    r2 = srm_check(
+        spark.createDataFrame(bad_rows, "u long, treat boolean"),
+        "u", "treat",
+    ).collect()[0]
+    # chi2 = (800)^2/1000 = 640
+    assert r2.chi2_e6 == 640_000_000 and r2.srm_detected == 1
+
+
+def test_power_analysis_scales_with_variance(spark):
+    from smartpy_arc_spark.operators.stats import power_analysis
+
+    rows = [("lo", 100.0 + (i % 3)) for i in range(300)]
+    rows += [("hi", 100.0 + 30 * (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in power_analysis(df, "g", "v").collect()}
+    # same means (~101/130...) but hi has ~900x the variance of lo
+    assert out["hi"].n_per_arm > 100 * out["lo"].n_per_arm
+    # closed-form check for lo: n = ceil(2K var / (0.02 mean)^2)
+    import math
+    var = out["lo"].var_e6 / 1e6
+    mde = out["lo"].mde_e6 / 1e6
+    assert out["lo"].n_per_arm == math.ceil(2 * 7.848886 * var / mde ** 2)
