@@ -6650,6 +6650,105 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_analysis(j, "c_mktsegment", "o_totalprice")
 
 
+def q_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: spec-complete AVI (RIFF hdrl/movi/idx1,
+    uncompressed 24-bit bottom-up DIB frames with 4-byte row padding)
+    built and parsed by the pure-Python codec in ``multimodal/avi.py``.
+    Deterministic checkerboard clips round-trip losslessly, so frame
+    count, fps, and channel means over all frames have a closed-form SQL
+    oracle.  w=7 exercises the stride-padding path."""
+    from smartpy_arc_spark.multimodal.codecs import avi_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.avi import make_avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(2 + d % 4):
+                    a = ((d * 11 + f * 5) % 256, (d * 3 + f * 13) % 256,
+                         (f * 23 + 7) % 256)
+                    b = ((d * 19 + f * 2) % 256, (d * 9 + f * 17) % 256,
+                         (d * 2 + f * 3) % 256)
+                    img = np.zeros((5, 7, 3), dtype=np.uint8)
+                    yy, xx = np.meshgrid(np.arange(5), np.arange(7),
+                                         indexing="ij")
+                    img[(yy + xx) % 2 == 0] = a
+                    img[(yy + xx) % 2 == 1] = b
+                    frames.append(img)
+                payloads.append(make_avi(frames, fps=5 + d % 10))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return avi_features(blobs)
+
+
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video frame-sampling pipeline: deterministic solid-color
+    AVI clips → ``frame_sample`` (real path: RIFF/DIB parse, evenly-spaced
+    pick ``{i·k/2}``, lossless PNG re-encode) → PNG decode back to exact
+    per-frame channel values.  Solid frames make every reported channel
+    value an exact integer with a closed-form oracle."""
+    from smartpy_arc_spark.multimodal.binary import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 120").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.avi import make_avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(2 + d % 5):
+                    img = np.zeros((4, 6, 3), dtype=np.uint8)
+                    img[:, :] = ((d * 7 + f * 31) % 256, (d * 13 + f * 11) % 256,
+                                 (d * 5 + f * 3) % 256)
+                    frames.append(img)
+                payloads.append(make_avi(frames, fps=8))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    def back(batches):
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import parse_png
+
+        for pdf in batches:
+            out = {"item_id": [], "frame_idx": [], "r": [], "g": [], "b": []}
+            for item_id, idx, frame in zip(pdf["item_id"], pdf["frame_idx"],
+                                           pdf["frame"]):
+                px = parse_png(bytes(frame))
+                out["item_id"].append(int(item_id))
+                out["frame_idx"].append(int(idx))
+                out["r"].append(int(px[0, 0, 0]))
+                out["g"].append(int(px[0, 0, 1]))
+                out["b"].append(int(px[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    sampled = frame_sample(blobs, n_frames=2, stub=False)
+    return sampled.mapInPandas(
+        back, "item_id long, frame_idx int, r int, g int, b int"
+    ).orderBy("item_id", "frame_idx")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7013,6 +7112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_ablation": q_source_ablation,
         "srm_check": q_srm_check,
         "power_analysis": q_power_analysis,
+        "avi_decode": q_avi_decode,
+        "avi_frames": q_avi_frames,
     })
 
 
@@ -13794,5 +13895,56 @@ def oracle_sql() -> dict[str, str]:
                                   * 200 / 10000.0))) AS BIGINT)
                    END AS n_per_arm
             FROM m ORDER BY c_mktsegment
+        """,
+        "avi_decode": """
+            -- lossless RIFF/DIB video: 5x7 checkerboard (18 even cells of
+            -- color a, 17 odd of color b), nf = 2 + doc_id % 4 frames,
+            -- fps = 5 + doc_id % 10
+            WITH src AS (
+                SELECT doc_id, 2 + doc_id % 4 AS nf, 5 + doc_id % 10 AS fps
+                FROM documents WHERE doc_id < 150
+            ), per_frame AS (
+                SELECT s.doc_id, s.nf, s.fps, f.f,
+                       (s.doc_id * 11 + f.f * 5) % 256 AS ar,
+                       (s.doc_id * 3 + f.f * 13) % 256 AS ag,
+                       (f.f * 23 + 7) % 256 AS ab,
+                       (s.doc_id * 19 + f.f * 2) % 256 AS br,
+                       (s.doc_id * 9 + f.f * 17) % 256 AS bg,
+                       (s.doc_id * 2 + f.f * 3) % 256 AS bb
+                FROM src s, LATERAL (
+                    SELECT unnest(generate_series(0, s.nf - 1)) AS f
+                ) f
+            )
+            SELECT doc_id AS item_id,
+                   CAST(7 AS INTEGER) AS width,
+                   CAST(5 AS INTEGER) AS height,
+                   CAST(nf AS INTEGER) AS n_frames,
+                   CAST(fps AS INTEGER) AS fps,
+                   CAST(round(SUM(ar * 18 + br * 17) * 100.0 / (35 * nf))
+                        AS BIGINT) AS mean_r_e2,
+                   CAST(round(SUM(ag * 18 + bg * 17) * 100.0 / (35 * nf))
+                        AS BIGINT) AS mean_g_e2,
+                   CAST(round(SUM(ab * 18 + bb * 17) * 100.0 / (35 * nf))
+                        AS BIGINT) AS mean_b_e2
+            FROM per_frame GROUP BY doc_id, nf, fps
+        """,
+        "avi_frames": """
+            -- solid-color clips: k = 2 + doc_id % 5 frames; evenly-spaced
+            -- sample of 2 picks frames {0, k//2}; PNG round-trip is
+            -- lossless so channel values are the synth formula exactly
+            WITH src AS (
+                SELECT doc_id, 2 + doc_id % 5 AS k
+                FROM documents WHERE doc_id < 120
+            ), picks AS (
+                SELECT doc_id, 0 AS frame_idx, 0 AS f FROM src
+                UNION ALL
+                SELECT doc_id, 1 AS frame_idx, k // 2 AS f FROM src
+            )
+            SELECT doc_id AS item_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST((doc_id * 7 + f * 31) % 256 AS INTEGER) AS r,
+                   CAST((doc_id * 13 + f * 11) % 256 AS INTEGER) AS g,
+                   CAST((doc_id * 5 + f * 3) % 256 AS INTEGER) AS b
+            FROM picks ORDER BY item_id, frame_idx
         """,
     }

@@ -130,9 +130,11 @@ def frame_sample(
     item, one input row → n output rows, all executor-side.
 
     ``stub=False`` (the real path): animated-GIF payloads decode with the
-    pure-Python LZW codec (``multimodal/gif.py``) and the sampled frames
-    re-encode as single-frame lossless PNG; other containers (mp4 etc.)
-    would need ffmpeg, which is absent — those payloads are skipped.
+    pure-Python LZW codec (``multimodal/gif.py``), AVI video payloads with
+    the pure-Python RIFF/DIB codec (``multimodal/avi.py``), and the
+    sampled frames re-encode as single-frame lossless PNG; compressed
+    containers (mp4/webm) would need ffmpeg, which is absent — those
+    payloads are skipped.
     ``stub=True`` keeps the byte-slice fake whose output an arithmetic
     oracle can recompute."""
     from smartpy_arc_spark.session import ensure_worker_imports
@@ -160,9 +162,14 @@ def frame_sample(
                     step = max(len(b) // n_frames, 1)
                     for i in range(n_frames):
                         push(item_id, i, b[i * step : (i + 1) * step] or b[-1:])
-                elif b[:4] == b"GIF8":
+                elif b[:4] == b"GIF8" or (b[:4] == b"RIFF" and b[8:12] == b"AVI "):
                     try:
-                        decoded = parse_gif(b)
+                        if b[:4] == b"GIF8":
+                            decoded = parse_gif(b)
+                        else:
+                            from smartpy_arc_spark.multimodal.avi import parse_avi
+
+                            decoded, _ = parse_avi(b)
                     except Exception:
                         continue
                     k = len(decoded)

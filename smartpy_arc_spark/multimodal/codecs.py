@@ -422,6 +422,53 @@ def gif_features(
     return out.withColumnRenamed("__id", id_col)
 
 
+def avi_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode AVI video payloads (real RIFF/DIB parse via
+    ``multimodal/avi.py``) → ``(id, width, height, n_frames, fps,
+    mean_r_e2, mean_g_e2, mean_b_e2)`` with channel means over ALL frames
+    — same exact-integer-sums contract as the image codecs, plus the
+    frame count and frame rate a video pipeline needs."""
+    spark = df.sparkSession
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smartpy_arc_spark.multimodal.avi import parse_avi
+
+        for pdf in batches:
+            out = {"__id": [], "width": [], "height": [], "n_frames": [],
+                   "fps": [], "mean_r_e2": [], "mean_g_e2": [], "mean_b_e2": []}
+            for item_id, payload in zip(pdf["__id"], pdf["__p"]):
+                frames, info = parse_avi(bytes(payload))
+                h, w, _ = frames[0].shape
+                sums = np.zeros(3, dtype=np.int64)
+                for fr in frames:
+                    sums += fr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w * len(frames)
+                out["__id"].append(item_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["fps"].append(info.get("fps", 0))
+                for k, c in zip(("mean_r_e2", "mean_g_e2", "mean_b_e2"), range(3)):
+                    out[k].append(int(round(sums[c] * 100 / n)) if n else 0)
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    out = src.mapInPandas(
+        decode,
+        "__id long, width int, height int, n_frames int, fps int, "
+        "mean_r_e2 long, mean_g_e2 long, mean_b_e2 long",
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
 # ---------------------------------------------------------- perceptual hash
 
 def average_hash_array(img: np.ndarray, *, grid: int = 8) -> int:

@@ -794,3 +794,57 @@ def test_nelson_aalen_small(spark):
     assert out[3].n_at_risk == 1
     assert out[3].h_e9 == round(1e9 / 4) + round(1e9 / 2) + 1000000000
     assert out[1].var_e12 == round(1e12 / 16)
+
+
+def test_avi_codec_lossless_roundtrip():
+    """RIFF/AVI codec: random frames survive encode→decode bit-exactly,
+    including odd widths that exercise the 4-byte row-stride padding."""
+    from smartpy_arc_spark.multimodal.avi import avi_info, make_avi, parse_avi
+
+    rng = np.random.default_rng(11)
+    for h, w, n in [(6, 10, 1), (5, 7, 3), (4, 6, 5)]:
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        payload = make_avi(frames, fps=9)
+        info = avi_info(payload)
+        assert (info["width"], info["height"], info["n_frames"],
+                info["fps"]) == (w, h, n, 9)
+        decoded, _ = parse_avi(payload)
+        assert len(decoded) == n
+        for a, b in zip(frames, decoded):
+            assert np.array_equal(a, b)
+
+
+def test_avi_rejects_non_dib():
+    from smartpy_arc_spark.multimodal.avi import avi_info, make_avi
+
+    with pytest.raises(ValueError):
+        avi_info(b"RIFX" + b"\x00" * 20)
+    payload = bytearray(make_avi(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # corrupt bit depth to 8 → decoder must refuse, not fake pixels
+    idx = payload.find(b"strf")
+    payload[idx + 8 + 14] = 8
+    from smartpy_arc_spark.multimodal.avi import parse_avi
+
+    with pytest.raises(NotImplementedError):
+        parse_avi(bytes(payload))
+
+
+def test_frame_sample_real_path_decodes_avi(spark):
+    """frame_sample(stub=False) sniffs RIFF/AVI payloads and re-encodes
+    evenly-spaced real frames as lossless PNG."""
+    import pandas as pd
+
+    from smartpy_arc_spark.multimodal.avi import make_avi
+    from smartpy_arc_spark.multimodal.binary import frame_sample
+    from smartpy_arc_spark.multimodal.codecs import parse_png
+
+    frames = [np.full((3, 5, 3), (10 * i, 20, 30), dtype=np.uint8)
+              for i in range(4)]
+    pdf = pd.DataFrame({"item_id": [1], "payload": [make_avi(frames)]})
+    out = frame_sample(spark.createDataFrame(pdf), n_frames=2,
+                       stub=False).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 1]
+    # picks = {0, 4//2=2} → frame colors r=0 and r=20
+    got = [int(parse_png(bytes(r["frame"]))[0, 0, 0]) for r in out]
+    assert got == [0, 20]
