@@ -6749,6 +6749,33 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id", "frame_idx")
 
 
+def q_lsa_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned embeddings: corpus-fit LSA (truncated SVD of the
+    hashed TF-IDF doc-term matrix) — the basis is trained on the corpus
+    itself via one integer-exact distributed Gram pass + driver ``eigh``,
+    then a map-only batch-matmul projection.  Deterministic end-to-end
+    (integer TF·IDF_e3 Gram, fixed eigen sign), so reruns are
+    bit-identical; rows-only (no SQL engine can eigendecompose)."""
+    from smartpy_arc_spark.operators.lsa import lsa_embed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb, _vals = lsa_embed(docs, dim=64, k=8)
+    return emb.select(
+        "doc_id",
+        F.col("embedding").getItem(0).alias("c0"),
+        F.col("embedding").getItem(1).alias("c1"),
+        F.col("embedding").getItem(2).alias("c2"),
+        F.col("embedding").getItem(3).alias("c3"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        ).alias("norm"),
+    ).orderBy("doc_id")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7114,6 +7141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_analysis": q_power_analysis,
         "avi_decode": q_avi_decode,
         "avi_frames": q_avi_frames,
+        "lsa_embeddings": q_lsa_embeddings,
     })
 
 

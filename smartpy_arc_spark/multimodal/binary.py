@@ -207,9 +207,10 @@ def extract_features(
     2×2-region luminances, tiled/truncated to ``dim`` — the schema and
     batch shape are exactly what a learned encoder would produce, so the
     similarity/ANN operators downstream are agnostic to which ran.
-    Learned-model (CLIP/ResNet) extraction itself is out of scope here
-    (no model runtime in this container); unrecognized payloads yield
-    null vectors.
+    Neural-model (CLIP/ResNet) extraction itself is out of scope here (no
+    model runtime in this container); corpus-TRAINED text embeddings are
+    real and live in ``operators/lsa.py`` (distributed LSA).
+    Unrecognized payloads yield null vectors.
     """
     from smartpy_arc_spark.session import ensure_worker_imports
 

@@ -848,3 +848,43 @@ def test_frame_sample_real_path_decodes_avi(spark):
     # picks = {0, 4//2=2} → frame colors r=0 and r=20
     got = [int(parse_png(bytes(r["frame"]))[0, 0, 0]) for r in out]
     assert got == [0, 20]
+
+
+def test_lsa_learned_embeddings(spark):
+    """LSA trainer: matches the numpy SVD reference exactly, duplicate
+    docs embed identically, basis is orthonormal, reruns bit-identical."""
+    import pandas as pd
+
+    from smartpy_arc_spark.operators.lsa import (
+        dense_doc_vectors, hashed_tfidf_counts, lsa_embed, lsa_fit,
+    )
+
+    texts = ["the quick brown fox jumps", "pack my box with five dozen jugs",
+             "the lazy dog sleeps all day", "quick brown dogs and lazy foxes",
+             "five quick jugs of brown liquor"] * 3
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    emb, vals = lsa_embed(docs, dim=16, k=4)
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in emb.collect()}
+
+    X = np.zeros((len(texts), 16), dtype=np.int64)
+    for r in hashed_tfidf_counts(docs, dim=16).collect():
+        X[r["doc_id"], r["bucket"]] = r["x"]
+    w, v = np.linalg.eigh((X.T @ X).astype(float))
+    order = np.argsort(w)[::-1][:4]
+    C = v[:, order].T.copy()
+    for c in C:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    ref = X.astype(float) @ C.T
+    for i in range(len(texts)):
+        assert np.allclose(got[i], ref[i], atol=1e-9)
+    assert np.array_equal(got[0], got[5])          # dup docs identical
+    assert np.allclose(w[order], vals)
+    comps, _ = lsa_fit(dense_doc_vectors(hashed_tfidf_counts(docs, dim=16),
+                                         dim=16), dim=16, k=4)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)  # orthonormal
+    emb2, _ = lsa_embed(docs, dim=16, k=4)
+    got2 = {r["doc_id"]: np.array(r["embedding"]) for r in emb2.collect()}
+    assert all(np.array_equal(got[i], got2[i]) for i in got)   # rerun exact
