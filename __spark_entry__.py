@@ -6776,6 +6776,80 @@ def q_lsa_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _daily_rev(spark: SparkSession, sf_dir: str, by_flag: bool):
+    """Daily revenue grid from lineitem: exact cent sums per day (and
+    optionally per returnflag), exposed in dollars.  The shared input of
+    the market-series queries (bollinger/rsi/macd/beta/sharpe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    keys = ([F.col("l_returnflag").alias("flag")] if by_flag else []) + [
+        F.to_date("l_shipdate").alias("d")
+    ]
+    return li.groupBy(*keys).agg(
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("rev")
+    )
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average unit price per part: one hash aggregate
+    of exact bigint price×qty products, single division per group."""
+    from smartpy_arc_spark.operators.resample import vwap
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.withColumn(
+        "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
+    )
+    return vwap(base, "l_partkey", "unit_price", "l_quantity")
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the global daily-revenue series (20-day
+    trailing window, ±2σ): integer window moments, integer band edges
+    from the two pre-rounded e4 values."""
+    from smartpy_arc_spark.operators.resample import bollinger_bands
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False)
+    return bollinger_bands(daily, "d", "rev", window=20, width=2, scale=1)
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI(14) of each returnflag's daily-revenue series: two
+    fixed-order smoothing folds per key (list_reduce-mirrored)."""
+    from smartpy_arc_spark.operators.resample import rsi
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return rsi(daily, "flag", "d", "rev", period=14, scale=100)
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) of each returnflag's daily-revenue series: all
+    three EMAs advance in ONE array-accumulator fold per key."""
+    from smartpy_arc_spark.operators.resample import macd
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return macd(daily, "flag", "d", "rev", scale=100)
+
+
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag beta/alpha/correlation against the all-flags
+    "market" daily series: five exact bigint moments per key, broadcast
+    market join (one row per calendar day)."""
+    from smartpy_arc_spark.operators.stats import market_beta
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return market_beta(daily, "flag", "d", "rev", scale=1)
+
+
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe ratio of day-over-day revenue returns per returnflag:
+    returns pre-round to integer e6 before the moment sums (order-free),
+    annualized by the √252 literal."""
+    from smartpy_arc_spark.operators.stats import sharpe_ratio
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return sharpe_ratio(daily, "flag", "d", "rev", scale=1)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7142,6 +7216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_decode": q_avi_decode,
         "avi_frames": q_avi_frames,
         "lsa_embeddings": q_lsa_embeddings,
+        "vwap": q_vwap,
+        "bollinger": q_bollinger,
+        "rsi": q_rsi,
+        "macd": q_macd,
+        "market_beta": q_market_beta,
+        "sharpe": q_sharpe,
     })
 
 
@@ -7153,6 +7233,111 @@ def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
         terms.append(f"((({xe}) >> {b}) & 1) << {2 * b + 1}")
         terms.append(f"((({ye}) >> {b}) & 1) << {2 * b}")
     return " | ".join(f"({t})" for t in terms)
+
+
+_DAILY_REV_SQL = """
+            SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS rev
+            FROM lineitem GROUP BY 1, 2
+"""
+
+_DAILY_REV_GLOBAL_SQL = """
+            SELECT CAST(l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS rev
+            FROM lineitem GROUP BY 1
+"""
+
+
+def _rsi_sql(period: int = 14) -> str:
+    """Generated mirror of ``operators.resample.rsi``: the seed mean and
+    the Wilder fold are emitted programmatically so the Spark
+    ``F.aggregate`` expression and the DuckDB ``list_reduce`` can't
+    drift (the ``holt_winters`` oracle pattern)."""
+    p = float(period)
+
+    def wilder(arr: str) -> str:
+        seed = (
+            f"(list_reduce(list_prepend(0.0, {arr}[1:{period}]), "
+            f"(a2, b2) -> a2 + b2) / {p})"
+        )
+        return (
+            f"list_reduce(list_prepend({seed}, {arr}[{period + 1}:]), "
+            f"(acc, v) -> (acc * {p - 1.0} + v) / {p})"
+        )
+
+    return f"""
+        WITH daily AS ({_DAILY_REV_SQL}
+        ), ticked AS (
+            SELECT flag, d, round(rev * 100) AS x FROM daily
+        ), diffs AS (
+            SELECT flag, d,
+                   x - lag(x) OVER (PARTITION BY flag ORDER BY d) AS dx
+            FROM ticked
+        ), series AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n_obs,
+                   list(CASE WHEN dx > 0 THEN dx ELSE 0.0 END ORDER BY d)
+                       FILTER (WHERE dx IS NOT NULL) AS gains,
+                   list(CASE WHEN dx < 0 THEN -dx ELSE 0.0 END ORDER BY d)
+                       FILTER (WHERE dx IS NOT NULL) AS losses
+            FROM diffs GROUP BY flag
+        ), f AS (
+            SELECT flag, n_obs, {wilder('gains')} AS ag,
+                   {wilder('losses')} AS al
+            FROM series
+        )
+        SELECT flag, n_obs,
+               CASE WHEN n_obs >= {period + 1}
+                    THEN CAST(round(ag / 100 * 10000) AS BIGINT)
+               END AS avg_gain_e4,
+               CASE WHEN n_obs >= {period + 1}
+                    THEN CAST(round(al / 100 * 10000) AS BIGINT)
+               END AS avg_loss_e4,
+               CASE WHEN n_obs >= {period + 1}
+                    THEN CAST(round(CASE WHEN ag + al > 0
+                              THEN 100.0 * ag / (ag + al) * 10000
+                              ELSE 0.0 END) AS BIGINT)
+               END AS rsi_e4
+        FROM f
+    """
+
+
+def _macd_sql(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    """Generated mirror of ``operators.resample.macd``: the three-EMA
+    array-accumulator fold, element order [fast, slow, signal]."""
+    af = f"(2.0 / {float(fast + 1)})"
+    asl = f"(2.0 / {float(slow + 1)})"
+    ag = f"(2.0 / {float(signal + 1)})"
+    ef = f"({af} * x[1] + (1.0 - {af}) * acc[1])"
+    es = f"({asl} * x[1] + (1.0 - {asl}) * acc[2])"
+    sg = f"({ag} * ({ef} - {es}) + (1.0 - {ag}) * acc[3])"
+    fold = (
+        "list_reduce(list_prepend([xs[1], xs[1], 0.0], "
+        "list_transform(xs[2:], v -> [v])), "
+        f"(acc, x) -> [{ef}, {es}, {sg}])"
+    )
+    return f"""
+        WITH daily AS ({_DAILY_REV_SQL}
+        ), ticked AS (
+            SELECT flag, d, round(rev * 100) AS x FROM daily
+        ), s AS (
+            SELECT flag, list(x ORDER BY d) AS xs FROM ticked GROUP BY flag
+        ), f AS (
+            SELECT flag, CAST(len(xs) AS BIGINT) AS n_obs,
+                   CASE WHEN len(xs) >= 2 THEN {fold} END AS hw
+            FROM s
+        ), g AS (
+            SELECT flag, n_obs,
+                   CAST(round((hw[1] - hw[2]) / 100 * 10000) AS BIGINT)
+                       AS macd_e4,
+                   CAST(round(hw[3] / 100 * 10000) AS BIGINT) AS signal_e4
+            FROM f
+        )
+        SELECT flag, n_obs, macd_e4, signal_e4,
+               macd_e4 - signal_e4 AS hist_e4
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9448,7 +9633,7 @@ def oracle_sql() -> dict[str, str]:
             ), d AS (
                 SELECT n,
                        CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
-                       CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+                       CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_x,
                        CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
                        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
                 FROM a
@@ -11961,10 +12146,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d, n AS n_window,
                    CAST(round(CASE WHEN n >= 7
-                        AND sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        AND sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
                         THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         END * 1e6) AS BIGINT) AS corr_e6
             FROM m ORDER BY d
@@ -12082,18 +12267,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((CAST(sy_g AS DOUBLE)
                                / (CAST(n_g AS DOUBLE) * 100.0)
                                - (CAST(n * sxy - sx * sy AS DOUBLE)
-                                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                                  / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                                  * (CAST(sx_g AS DOUBLE)
                                     / (CAST(n_g AS DOUBLE) * 100.0)
                                     - CAST(sx AS DOUBLE)
                                       / (CAST(n AS DOUBLE) * 100.0)))
                               * 1e4) AS BIGINT) AS mean_cuped_e4,
                    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                              / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6)
+                              / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6)
                         AS BIGINT) AS theta_e6,
                    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
                               * CAST(n * sxy - sx * sy AS DOUBLE)
-                              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                                  * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6)
                         AS BIGINT) AS var_reduction_e6
             FROM per_g CROSS JOIN pooled ORDER BY g
@@ -13974,5 +14159,143 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13 + f * 11) % 256 AS INTEGER) AS g,
                    CAST((doc_id * 5 + f * 3) % 256 AS INTEGER) AS b
             FROM picks ORDER BY item_id, frame_idx
+        """,
+        "vwap": """
+            WITH base AS (
+                SELECT l_partkey AS g,
+                       CAST(round(l_extendedprice / l_quantity * 100)
+                            AS BIGINT) AS p,
+                       CAST(round(l_quantity) AS BIGINT) AS q
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            )
+            SELECT g AS l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(q) AS BIGINT) AS total_qty,
+                   CASE WHEN SUM(q) > 0 THEN
+                       CAST(round(CAST(SUM(p * q) AS DOUBLE)
+                                  / CAST(SUM(q) AS DOUBLE)
+                                  / 100 * 10000) AS BIGINT)
+                   END AS vwap_e4
+            FROM base GROUP BY g
+        """,
+        "bollinger": f"""
+            WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+            ), t2 AS (
+                SELECT d, CAST(round(rev * 1) AS BIGINT) AS x FROM daily
+            ), winz AS (
+                SELECT d, x,
+                       CAST(count(*) OVER w AS BIGINT) AS n,
+                       CAST(SUM(x) OVER w AS BIGINT) AS s,
+                       CAST(SUM(x * x) OVER w AS BIGINT) AS q
+                FROM t2
+                WINDOW w AS (ORDER BY d
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ), calc AS (
+                SELECT d, n,
+                       CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / 1 * 10000) AS BIGINT) AS mid_e4,
+                       CAST(round(sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+                                  / CAST(n AS DOUBLE)
+                                  / 1 * 10000) AS BIGINT) AS sd_e4,
+                       x * 10000 AS v_e4
+                FROM winz
+            )
+            SELECT d, n AS n_window, mid_e4, sd_e4,
+                   mid_e4 + 2 * sd_e4 AS upper_e4,
+                   mid_e4 - 2 * sd_e4 AS lower_e4,
+                   CAST(v_e4 > mid_e4 + 2 * sd_e4
+                        OR v_e4 < mid_e4 - 2 * sd_e4 AS INT) AS outside
+            FROM calc
+        """,
+        "rsi": _rsi_sql(),
+        "macd": _macd_sql(),
+        "market_beta": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), per AS (
+                SELECT flag AS k, d AS t,
+                       CAST(round(rev * 1) AS BIGINT) AS x
+                FROM daily
+            ), mkt AS (
+                SELECT t, CAST(SUM(x) AS BIGINT) AS m FROM per GROUP BY t
+            ), j AS (
+                SELECT per.k, per.x, mkt.m FROM per JOIN mkt USING (t)
+            ), mom AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(m) AS BIGINT) AS sm,
+                       SUM(CAST(x AS HUGEINT) * m) AS sxm,
+                       SUM(CAST(m AS HUGEINT) * m) AS smm,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM j GROUP BY k
+            )
+            SELECT k AS flag, n AS n_obs,
+                   CASE WHEN CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE) > 0 THEN
+                       CAST(round(CAST(CAST(n AS HUGEINT) * sxm - CAST(sx AS HUGEINT) * sm AS DOUBLE)
+                                  / CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+                   END AS beta_e6,
+                   CASE WHEN CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE) > 0 THEN
+                       CAST(round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                                   - CAST(CAST(n AS HUGEINT) * sxm - CAST(sx AS HUGEINT) * sm AS DOUBLE)
+                                     / CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                                     * (CAST(sm AS DOUBLE)
+                                        / CAST(n AS DOUBLE)))
+                                  / 1 * 10000.0) AS BIGINT)
+                   END AS alpha_e4,
+                   CASE WHEN CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE) > 0
+                         AND CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0 THEN
+                       CAST(round(CAST(CAST(n AS HUGEINT) * sxm - CAST(sx AS HUGEINT) * sm AS DOUBLE)
+                                  / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                     * sqrt(CAST(CAST(n AS HUGEINT) * smm
+                                                 - CAST(sm AS HUGEINT) * sm
+                                                 AS DOUBLE)))
+                                  * 1000000.0) AS BIGINT)
+                   END AS corr_e6
+            FROM mom
+        """,
+        "sharpe": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), tick AS (
+                SELECT flag AS k, d AS t,
+                       CAST(round(rev * 1) AS BIGINT) AS x
+                FROM daily
+            ), rets AS (
+                SELECT k, lag(x) OVER (PARTITION BY k ORDER BY t) AS p, x
+                FROM tick
+            ), r2 AS (
+                SELECT k, CAST(round(CAST(x - p AS DOUBLE)
+                                     / CAST(p AS DOUBLE)
+                                     * 1000000.0) AS BIGINT) AS r
+                FROM rets WHERE p IS NOT NULL AND p != 0
+            ), mom AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(r) AS BIGINT) AS s,
+                       SUM(CAST(r AS HUGEINT) * r) AS q
+                FROM r2 GROUP BY k
+            )
+            SELECT k AS flag, n AS n_returns,
+                   CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) AS mean_ret_e6,
+                   CASE WHEN n >= 2 THEN
+                       CAST(round(sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                       / CAST(n * (n - 1) AS DOUBLE)))
+                            AS BIGINT)
+                   END AS sd_ret_e6,
+                   CASE WHEN n >= 2 AND sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+                       CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                         / CAST(n * (n - 1) AS DOUBLE))
+                                  * 10000.0) AS BIGINT)
+                   END AS sharpe_e4,
+                   CASE WHEN n >= 2 AND sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+                       CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                         / CAST(n * (n - 1) AS DOUBLE))
+                                  * sqrt(252.0) * 10000.0) AS BIGINT)
+                   END AS sharpe_ann_e4
+            FROM mom
         """,
     }

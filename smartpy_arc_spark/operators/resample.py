@@ -1063,3 +1063,264 @@ def periodogram_topk(
     return out.select(
         F.col("k").alias(key_col), "rank", "period_days_e3", "power_e3"
     ).orderBy(key_col, "rank")
+
+
+def vwap(
+    df: DataFrame,
+    group_col: str,
+    price_col: str,
+    qty_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Volume-weighted average price per group — the execution-quality /
+    unit-economics companion to :func:`time_weighted_avg` (TWAP weights
+    by elapsed time; VWAP weights by transacted quantity).
+
+    Exactness: prices pre-round to integer ``scale`` units and
+    quantities to integers, so the weighted sum is ONE exact bigint
+    aggregate per group and the average is a single correctly-rounded
+    double division — no float accumulation anywhere.
+
+    Plan shape (100 TB): one hash aggregate on ``group_col`` with
+    map-side partial combine; no joins, no windows.
+
+    Returns ``(group, n_obs, total_qty, vwap_e4)``.
+    """
+    p = F.round(F.col(price_col).cast("double") * scale).cast("long")
+    q = F.round(F.col(qty_col).cast("double")).cast("long")
+    base = df.where(
+        F.col(price_col).isNotNull() & F.col(qty_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), p.alias("p"), q.alias("q"))
+    agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("q").cast("long").alias("total_qty"),
+        F.sum(F.col("p") * F.col("q")).cast("long").alias("pq"),
+    )
+    vw = (
+        F.col("pq").cast("double")
+        / F.col("total_qty").cast("double")
+        / scale
+        * 10000
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_obs",
+        "total_qty",
+        F.when(F.col("total_qty") > 0, F.round(vw).cast("long")).alias(
+            "vwap_e4"
+        ),
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int = 20,
+    width: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Bollinger bands over a pre-aggregated series: trailing-``window``
+    mean ± ``width``·σ (population), plus an outside-band breakout flag
+    — the volatility-envelope monitor.
+
+    Exactness (the :func:`~smartpy_arc_spark.operators.stats.rolling_corr`
+    moment pattern): values pre-round to integer ``scale`` ticks; the
+    window carries (n, Σx, Σx²) as exact bigints; mean and σ are each
+    ONE closed-form double expression (IEEE sqrt on an exact integer
+    operand is correctly rounded); band edges are *integer* arithmetic
+    over the two pre-rounded e4 values, so no double ever re-rounds.
+
+    One ordered window pass over calendar-bounded input (the caller
+    aggregates to a daily/monthly grid first — the ``mom_change``
+    allowlist shape).
+
+    Returns ``(ts, n_window, mid_e4, sd_e4, upper_e4, lower_e4,
+    outside)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
+    w = W.orderBy("t").rowsBetween(-(window - 1), 0)
+    n = F.count("*").over(w)
+    s = F.sum("x").over(w)
+    q = F.sum(F.col("x") * F.col("x")).over(w)
+    mid = s.cast("double") / n.cast("double") / scale * 10000
+    sd = (
+        F.sqrt((n * q - s * s).cast("double"))
+        / n.cast("double")
+        / scale
+        * 10000
+    )
+    stepped = base.select(
+        "t",
+        n.cast("long").alias("n_window"),
+        F.round(mid).cast("long").alias("mid_e4"),
+        F.round(sd).cast("long").alias("sd_e4"),
+        (F.col("x") * (10000 // scale)).alias("v_e4"),
+    )
+    upper = F.col("mid_e4") + width * F.col("sd_e4")
+    lower = F.col("mid_e4") - width * F.col("sd_e4")
+    return stepped.select(
+        F.col("t").alias(ts_col),
+        "n_window",
+        "mid_e4",
+        "sd_e4",
+        upper.cast("long").alias("upper_e4"),
+        lower.cast("long").alias("lower_e4"),
+        (
+            (F.col("v_e4") > upper) | (F.col("v_e4") < lower)
+        ).cast("int").alias("outside"),
+    )
+
+
+def rsi(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: int = 14,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Wilder relative-strength index — the bounded [0, 100]
+    momentum oscillator:
+
+        RSI = 100 · AG / (AG + AL)
+
+    where AG/AL are Wilder-smoothed averages of the up/down moves
+    (``ag_t = (ag·(p−1) + gain_t)/p``), seeded with the simple mean of
+    the first ``period`` moves.
+
+    Exactness: moves are integer tick differences; both smoothers fold
+    in observation order with ``F.aggregate`` — the fixed-order fold
+    contract of ``ewma``/``holt_winters``, mirrored by DuckDB
+    ``list_reduce`` — and the final ratio is one fixed double
+    expression over the two fold results.  Keys with fewer than
+    ``period + 1`` observations return null.
+
+    Plan shape (100 TB): one hash aggregate collects each key's series
+    (bounded: one float per grid bucket); the fold is per-row codegen —
+    no shuffle beyond the initial groupBy.
+
+    Returns ``(key, n_obs, avg_gain_e4, avg_loss_e4, rsi_e4)``.
+    """
+    ticks = F.round(F.col(value_col).cast("double") * scale).cast("double")
+    item = F.struct(F.col(ts_col), ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    nx = F.size(xs)
+    diffs = F.transform(
+        F.slice(xs, 2, F.greatest(nx - 1, F.lit(0))),
+        lambda v, i: v - F.element_at(xs, i + 1),
+    )
+    gains = F.transform(
+        diffs, lambda d: F.when(d > 0, d).otherwise(F.lit(0.0))
+    )
+    losses = F.transform(
+        diffs, lambda d: F.when(d < 0, -d).otherwise(F.lit(0.0))
+    )
+    p = float(period)
+
+    def seed(arr):
+        return (
+            F.aggregate(F.slice(arr, 1, period), F.lit(0.0), lambda a, v: a + v)
+            / F.lit(p)
+        )
+
+    def wilder(arr):
+        return F.aggregate(
+            F.slice(arr, period + 1, F.greatest(F.size(arr) - period, F.lit(0))),
+            seed(arr),
+            lambda acc, v: (acc * F.lit(p - 1.0) + v) / F.lit(p),
+        )
+
+    ag = wilder(gains)
+    al = wilder(losses)
+    ok = nx >= period + 1
+    e4 = lambda c: F.when(ok, F.round(c).cast("long"))  # noqa: E731
+    rsi_expr = F.when(
+        ag + al > 0, F.lit(100.0) * ag / (ag + al) * 10000
+    ).otherwise(F.lit(0.0))
+    return per_key.select(
+        F.col(key_col),
+        nx.cast("long").alias("n_obs"),
+        e4(ag / scale * 10000).alias("avg_gain_e4"),
+        e4(al / scale * 10000).alias("avg_loss_e4"),
+        e4(rsi_expr).alias("rsi_e4"),
+    )
+
+
+def macd(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key MACD (moving-average convergence/divergence): fast EMA −
+    slow EMA, with a signal EMA over the MACD line and the histogram
+    (MACD − signal) — the trend-crossover detector.
+
+    All three EMAs advance in ONE ``F.aggregate`` fold with a
+    ``[ema_fast, ema_slow, signal]`` array accumulator (the
+    ``holt_winters`` list-fold contract: fixed evaluation order, so the
+    double recurrence is engine-portable via a DuckDB ``list_reduce``
+    mirror).  α = 2/(n+1) literals constant-fold identically on both
+    engines.  Seeds: both EMAs start at the first observation, the
+    signal at 0 (so the histogram warms up from the MACD line itself).
+
+    Returns ``(key, n_obs, macd_e4, signal_e4, hist_e4)`` with the
+    histogram computed from the two pre-rounded integers (no double
+    re-round).  Keys with fewer than 2 observations return nulls.
+    """
+    ticks = F.round(F.col(value_col).cast("double") * scale).cast("double")
+    item = F.struct(F.col(ts_col), ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    nx = F.size(xs)
+    af = F.lit(2.0 / (fast + 1.0))
+    as_ = F.lit(2.0 / (slow + 1.0))
+    ag = F.lit(2.0 / (signal + 1.0))
+    one = F.lit(1.0)
+    init = F.array(
+        F.element_at(xs, 1), F.element_at(xs, 1), F.lit(0.0)
+    )
+
+    def step(acc, y):
+        # no let-binding in HOF lambdas: the macd term (ef' - es')
+        # repeats inside the signal update
+        ef = af * y + (one - af) * F.element_at(acc, 1)
+        es = as_ * y + (one - as_) * F.element_at(acc, 2)
+        return F.array(
+            ef,
+            es,
+            ag * (ef - es) + (one - ag) * F.element_at(acc, 3),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(nx - 1, F.lit(0))), init, step
+    )
+    ok = nx >= 2
+    m = F.element_at(folded, 1) - F.element_at(folded, 2)
+    sg = F.element_at(folded, 3)
+    e4 = lambda c: F.when(ok, F.round(c / scale * 10000).cast("long"))  # noqa: E731
+    out = per_key.select(
+        F.col(key_col),
+        nx.cast("long").alias("n_obs"),
+        e4(m).alias("macd_e4"),
+        e4(sg).alias("signal_e4"),
+    )
+    return out.select(
+        "*",
+        (F.col("macd_e4") - F.col("signal_e4")).alias("hist_e4"),
+    )

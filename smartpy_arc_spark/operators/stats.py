@@ -3272,3 +3272,146 @@ def power_analysis(
         e6(mde_t).alias("mde_e6"),
         F.when((F.col("n") > 1) & (mde_t != 0), n_req).alias("n_per_arm"),
     ).orderBy(group_col)
+
+
+def market_beta(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key CAPM-style beta of each segment's series against the
+    "market" (the sum of all segments at each grid point):
+
+        β_k = cov(x_k, m) / var(m),   α_k = x̄_k − β_k·m̄
+
+    Exactness: both series pre-round to integer ``scale`` ticks; each
+    key carries five exact bigint moments (n, Σx, Σm, Σxm, Σmm); β and
+    α are fixed closed-form double expressions over them.
+
+    Plan shape (100 TB): one (key, bucket) aggregate, one bucket-keyed
+    aggregate for the market series joined back broadcast (one row per
+    grid bucket — calendar-bounded), then one per-key moment aggregate.
+    No windows, no cartesian anything.
+
+    Returns ``(key, n_obs, beta_e6, alpha_e4, corr_e6)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    per = (
+        df.select(F.col(key_col).alias("k"), F.col(ts_col).alias("t"), x.alias("x"))
+        .groupBy("k", "t")
+        .agg(F.sum("x").alias("x"))
+    )
+    market = per.groupBy("t").agg(F.sum("x").alias("m"))
+    j = per.join(F.broadcast(market), "t")
+    # second-order moments and their n·Σ cross terms run in
+    # DECIMAL(38,0) — exact like bigint with headroom past int64
+    # (n·Σm² alone passes 2⁶³ on ~2500-day grids; ANSI mode would make
+    # that a query error, silent wraparound otherwise)
+    xd = F.col("x").cast("decimal(19,0)")
+    md = F.col("m").cast("decimal(19,0)")
+    mom = j.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum(xd * md).cast("decimal(38,0)").alias("sxm"),
+        F.sum(md * md).cast("decimal(38,0)").alias("smm"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+    )
+    n = F.col("n")
+    nd = n.cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    smd = F.col("sm").cast("decimal(19,0)")
+    cov_n = (nd * F.col("sxm") - sxd * smd).cast("double")
+    var_m = (nd * F.col("smm") - smd * smd).cast("double")
+    var_x = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    beta = cov_n / var_m
+    alpha = (
+        F.col("sx").cast("double") / n.cast("double")
+        - beta * (F.col("sm").cast("double") / n.cast("double"))
+    ) / scale
+    corr = cov_n / (F.sqrt(var_x) * F.sqrt(var_m))
+    return mom.select(
+        F.col("k").alias(key_col),
+        n.alias("n_obs"),
+        F.when(var_m > 0, F.round(beta * 1e6).cast("long")).alias("beta_e6"),
+        F.when(var_m > 0, F.round(alpha * 1e4).cast("long")).alias("alpha_e4"),
+        F.when(
+            (var_m > 0) & (var_x > 0), F.round(corr * 1e6).cast("long")
+        ).alias("corr_e6"),
+    )
+
+
+def sharpe_ratio(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    periods_per_year: int = 252,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Sharpe ratio of period-over-period returns (risk-free
+    rate 0): mean(r)/sd(r) with sample sd, plus the √periods-per-year
+    annualized variant.
+
+    Exactness: each return ``(v_t − v_{t−1})/v_{t−1}`` is a single
+    division of exact integer ticks, pre-rounded to integer e6 BEFORE
+    aggregation (the ``seasonal_naive`` per-term contract) so the
+    moment sums are order-free bigints; mean/sd/ratio are then fixed
+    double expressions.  The lag pairing is a per-key ordered window —
+    one shuffle on the key, reused by the moment aggregate.
+
+    Returns ``(key, n_returns, mean_ret_e6, sd_ret_e6, sharpe_e4,
+    sharpe_ann_e4)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("t"), x.alias("x")
+    )
+    w = W.partitionBy("k").orderBy("t")
+    prev = F.lag("x").over(w)
+    r = F.round(
+        (F.col("x") - prev).cast("double") / prev.cast("double") * 1e6
+    ).cast("long")
+    rets = base.select("k", prev.alias("p"), r.alias("r")).where(
+        F.col("p").isNotNull() & (F.col("p") != 0)
+    )
+    # r can reach ~1e12 e6-units on near-zero denominators, so the
+    # second moment runs in DECIMAL(38,0) — exact like bigint, headroom
+    # past int64 (ANSI mode makes a long overflow a query error)
+    rd = F.col("r").cast("decimal(19,0)")
+    mom = rets.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum(rd * rd).cast("decimal(38,0)").alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n.cast("double")
+    sd = F.sqrt(
+        (
+            n.cast("decimal(19,0)") * F.col("q")
+            - (
+                F.col("s").cast("decimal(19,0)")
+                * F.col("s").cast("decimal(19,0)")
+            )
+        ).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    sharpe = mean / sd
+    return mom.select(
+        F.col("k").alias(key_col),
+        n.alias("n_returns"),
+        F.round(mean).cast("long").alias("mean_ret_e6"),
+        F.when(n >= 2, F.round(sd).cast("long")).alias("sd_ret_e6"),
+        F.when((n >= 2) & (sd > 0), F.round(sharpe * 1e4).cast("long")).alias(
+            "sharpe_e4"
+        ),
+        F.when(
+            (n >= 2) & (sd > 0),
+            F.round(sharpe * F.sqrt(F.lit(float(periods_per_year))) * 1e4)
+            .cast("long"),
+        ).alias("sharpe_ann_e4"),
+    )

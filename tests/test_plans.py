@@ -61,6 +61,9 @@ SINGLE_PARTITION_OK = {
     "equi_depth_hist",        # one cutpoint aggregate + <=n_buckets-row share window
     "quantile_norm",          # 1-row total-n scalar for the rank grid
     "mom_change",             # lag window over calendar-bounded month rows
+    "bollinger",              # moment window over calendar-bounded day rows
+                              #   (the mom_change shape: input pre-aggregated
+                              #   to one row per day)
     "target_encode",          # 1-row global-mean prior scalar
     "psi_drift",              # 1-row totals + scalar PSI combine
     "skew_report",            # 2-scalar totals combine over key counts
