@@ -6850,6 +6850,81 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharpe_ratio(daily, "flag", "d", "rev", scale=1)
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across order priorities on total price:
+    doubled-rank integer construction over the distinct-value table
+    (partitioned_cumsum — no global sort task), per-group terms
+    pre-rounded to e6."""
+    from smartpy_arc_spark.operators.stats import kruskal_wallis
+
+    orders = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equal-variance test across order priorities:
+    explicit lower-median centering, DECIMAL second moments, e6
+    pre-rounded per-group terms."""
+    from smartpy_arc_spark.operators.stats import levene_bf
+
+    orders = _t(spark, sf_dir, "orders")
+    return levene_bf(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of the global daily-revenue series
+    around its explicit lower median: exact integer run/sign counts,
+    one fixed z expression."""
+    from smartpy_arc_spark.operators.stats import runs_test
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False)
+    return runs_test(daily, "d", "rev", scale=100)
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness / excess kurtosis / Jarque–Bera normality:
+    integer-mean shift pass, exact DECIMAL power sums to the 4th."""
+    from smartpy_arc_spark.operators.stats import jarque_bera
+
+    orders = _t(spark, sf_dir, "orders")
+    return jarque_bera(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of the daily-revenue
+    linear-trend residuals: DECIMAL OLS moments, residuals pre-rounded
+    to ONE integer each, exact quadratic forms."""
+    from smartpy_arc_spark.operators.stats import durbin_watson
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False).withColumn(
+        "xi", F.datediff(F.col("d"), F.to_date(F.lit("1992-01-01")))
+    )
+    return durbin_watson(daily, "d", "xi", "rev", scale=100)
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-customer spend shift between
+    the early and late halves of the order history?  Doubled-rank
+    construction over distinct |d| (partitioned_cumsum), tie-corrected
+    z.  Pairs = customers active in both halves."""
+    from smartpy_arc_spark.operators.stats import wilcoxon_signed_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("1995-06-01").cast("timestamp")
+    per = orders.groupBy("o_custkey").agg(
+        (
+            F.sum(F.when(F.col("o_orderdate") < cut, cents)).cast("double")
+            / F.lit(100.0)
+        ).alias("early"),
+        (
+            F.sum(F.when(F.col("o_orderdate") >= cut, cents)).cast("double")
+            / F.lit(100.0)
+        ).alias("late"),
+    )
+    return wilcoxon_signed_rank(per, "early", "late", scale=100)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7222,6 +7297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macd": q_macd,
         "market_beta": q_market_beta,
         "sharpe": q_sharpe,
+        "kruskal_wallis": q_kruskal_wallis,
+        "levene_bf": q_levene_bf,
+        "runs_test": q_runs_test,
+        "jarque_bera": q_jarque_bera,
+        "durbin_watson": q_durbin_watson,
+        "wilcoxon": q_wilcoxon,
     })
 
 
@@ -14297,5 +14378,314 @@ def oracle_sql() -> dict[str, str]:
                                   * sqrt(252.0) * 10000.0) AS BIGINT)
                    END AS sharpe_ann_e4
             FROM mom
+        """,
+        "kruskal_wallis": """
+            WITH base AS (
+                SELECT o_orderpriority AS g, o_totalprice AS v
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+            ), vals AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS n_v
+                FROM base GROUP BY v
+            ), cum AS (
+                SELECT v, n_v,
+                       CAST(COALESCE(SUM(n_v) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cumv
+                FROM vals
+            ), cells AS (
+                SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv
+                FROM base GROUP BY g, v
+            ), perg AS (
+                SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+                       CAST(SUM(n_gv * (2 * cumv + n_v + 1)) AS BIGINT) AS r2
+                FROM cells JOIN cum USING (v) GROUP BY g
+            ), terms AS (
+                SELECT n_g, CAST(round(
+                    CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) / 4) AS HUGEINT) AS term
+                FROM perg
+            ), ties AS (
+                SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+                FROM vals
+            ), comb AS (
+                SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k_groups,
+                       SUM(term) AS t_sum
+                FROM terms
+            ), stat AS (
+                SELECT n, k_groups,
+                       12.0 * CAST(t_sum AS DOUBLE)
+                           / CAST(n * (n + 1) AS DOUBLE)
+                           - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+                       1.0 - CAST(tie_term AS DOUBLE)
+                           / CAST(n * n * n - n AS DOUBLE) AS c
+                FROM comb, ties
+            )
+            SELECT n, k_groups,
+                   CAST(round(h * 1000000.0) AS BIGINT) AS h_e6,
+                   CASE WHEN c > 0
+                        THEN CAST(round(h / c * 1000000.0) AS BIGINT)
+                   END AS h_adj_e6
+            FROM stat
+        """,
+        "levene_bf": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+            ), ranked AS (
+                SELECT g, y,
+                       row_number() OVER (PARTITION BY g ORDER BY y) AS rk
+                FROM base
+            ), sizes AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_g
+                FROM base GROUP BY g
+            ), med AS (
+                SELECT r.g, r.y AS med
+                FROM ranked r JOIN sizes s ON r.g = s.g
+                WHERE r.rk = (s.n_g + 1) // 2
+            ), zed AS (
+                SELECT b.g, abs(b.y - m.med) AS z
+                FROM base b JOIN med m USING (g)
+            ), perg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(SUM(z) AS BIGINT) AS z1,
+                       SUM(CAST(z AS HUGEINT) * z) AS z2
+                FROM zed GROUP BY g
+            ), terms AS (
+                SELECT n_g, z1, z2, CAST(round(
+                    CAST(CAST(z1 AS HUGEINT) * z1 AS DOUBLE)
+                    / CAST(n_g AS DOUBLE)) AS HUGEINT) AS term
+                FROM perg
+            ), comb AS (
+                SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k_groups,
+                       CAST(SUM(z1) AS BIGINT) AS z1t,
+                       SUM(z2) AS z2t,
+                       SUM(term) AS t_sum
+                FROM terms
+            ), stat AS (
+                SELECT n, k_groups,
+                       greatest(CAST(t_sum AS DOUBLE)
+                           - CAST(z1t AS DOUBLE) * CAST(z1t AS DOUBLE)
+                             / CAST(n AS DOUBLE), 0.0) AS ssb,
+                       CAST(z2t AS DOUBLE)
+                           - CAST(t_sum AS DOUBLE) AS ssw
+                FROM comb
+            )
+            SELECT n, k_groups,
+                   CASE WHEN k_groups > 1 AND ssw > 0 THEN
+                       CAST(round(CAST(n - k_groups AS DOUBLE) * ssb
+                                  / (CAST(k_groups - 1 AS DOUBLE) * ssw)
+                                  * 1000000.0) AS BIGINT)
+                   END AS w_e6
+            FROM stat
+        """,
+        "runs_test": f"""
+            WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+            ), base AS (
+                SELECT d AS t, CAST(round(rev * 100) AS BIGINT) AS x
+                FROM daily
+            ), ranked AS (
+                SELECT x, row_number() OVER (ORDER BY x) AS rk FROM base
+            ), med AS (
+                SELECT x AS med FROM ranked
+                WHERE rk = (SELECT (count(*) + 1) // 2 FROM base)
+            ), signed AS (
+                SELECT t, CAST(x > (SELECT med FROM med) AS INT) AS s
+                FROM base
+            ), lagged AS (
+                SELECT s, CASE WHEN lag(s) OVER (ORDER BY t) IS NULL
+                                 OR lag(s) OVER (ORDER BY t) != s
+                          THEN 1 ELSE 0 END AS new_run
+                FROM signed
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(s) AS BIGINT) AS n_above,
+                       CAST(count(*) - SUM(s) AS BIGINT) AS n_below,
+                       CAST(SUM(new_run) AS BIGINT) AS runs
+                FROM lagged
+            ), stat AS (
+                SELECT n, n_above, n_below, runs,
+                       CAST(2 * n_above * n_below AS DOUBLE)
+                           / CAST(n AS DOUBLE) + 1 AS mu,
+                       CAST(2 * n_above * n_below AS DOUBLE)
+                           * (CAST(2 * n_above * n_below AS DOUBLE)
+                              - CAST(n AS DOUBLE))
+                           / CAST(n * n AS DOUBLE)
+                           / CAST(n - 1 AS DOUBLE) AS var
+                FROM agg
+            )
+            SELECT n, n_above, n_below, runs,
+                   CASE WHEN var > 0 THEN
+                       CAST(round((CAST(runs AS DOUBLE) - mu) / sqrt(var)
+                                  * 1000000.0) AS BIGINT)
+                   END AS z_e6
+            FROM stat
+        """,
+        "jarque_bera": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+            ), shift AS (
+                SELECT g, CAST(round(CAST(SUM(y) AS DOUBLE)
+                                     / CAST(count(*) AS DOUBLE))
+                               AS BIGINT) AS c
+                FROM base GROUP BY g
+            ), sh AS (
+                SELECT b.g, b.y - s.c AS u FROM base b JOIN shift s USING (g)
+            ), mom AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(u) AS BIGINT) AS s1,
+                       CAST(SUM(u * u) AS BIGINT) AS s2,
+                       SUM(CAST(u * u AS HUGEINT) * u) AS s3,
+                       SUM(CAST(u * u AS HUGEINT) * (u * u)) AS s4
+                FROM sh GROUP BY g
+            ), raw AS (
+                SELECT g, n,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                       CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                FROM mom
+            ), cm AS (
+                SELECT g, n,
+                       r2 - m1 * m1 AS m2,
+                       r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                       r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                          - 3.0 * m1 * m1 * m1 * m1 AS m4
+                FROM raw
+            ), sk AS (
+                SELECT g, n, m2,
+                       m3 / sqrt(m2 * m2 * m2) AS skew,
+                       m4 / (m2 * m2) - 3.0 AS kurt
+                FROM cm
+            )
+            SELECT g AS o_orderpriority, n,
+                   CASE WHEN n >= 3 AND m2 > 0
+                        THEN CAST(round(skew * 1000000.0) AS BIGINT)
+                   END AS skew_e6,
+                   CASE WHEN n >= 3 AND m2 > 0
+                        THEN CAST(round(kurt * 1000000.0) AS BIGINT)
+                   END AS kurt_e6,
+                   CASE WHEN n >= 3 AND m2 > 0
+                        THEN CAST(round(CAST(n AS DOUBLE) / 6.0
+                                        * (skew * skew
+                                           + kurt * kurt / 4.0)
+                                        * 1000000.0) AS BIGINT)
+                   END AS jb_e6
+            FROM sk
+        """,
+        "durbin_watson": f"""
+            WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+            ), base AS (
+                SELECT d AS t,
+                       CAST(date_diff('day', DATE '1992-01-01', d)
+                            AS BIGINT) AS x,
+                       CAST(round(rev * 100) AS BIGINT) AS y
+                FROM daily
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM base
+            ), fit AS (
+                SELECT n,
+                       CAST(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+                       (CAST(sy AS DOUBLE)
+                        - CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS a
+                FROM mom
+            ), resid AS (
+                SELECT base.t, fit.n, fit.b,
+                       CAST(round(CAST(y AS DOUBLE)
+                                  - (fit.a + fit.b * CAST(x AS DOUBLE)))
+                            AS BIGINT) AS e
+                FROM base, fit
+            ), stepped AS (
+                SELECT n, b, e, e - lag(e) OVER (ORDER BY t) AS de
+                FROM resid
+            ), agg AS (
+                SELECT n, b,
+                       SUM(CAST(e AS HUGEINT) * e) AS see,
+                       SUM(CAST(de AS HUGEINT) * de) AS sde
+                FROM stepped GROUP BY n, b
+            )
+            SELECT n,
+                   CAST(round(b * 1000000.0) AS BIGINT) AS b_e6,
+                   CASE WHEN CAST(see AS DOUBLE) > 0 THEN
+                       CAST(round(CAST(sde AS DOUBLE) / CAST(see AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+                   END AS dw_e6
+            FROM agg
+        """,
+        "wilcoxon": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(SUM(CASE WHEN o_orderdate
+                                          < TIMESTAMP '1995-06-01'
+                                THEN CAST(round(o_totalprice * 100)
+                                          AS BIGINT) END) AS BIGINT) AS ca,
+                       CAST(SUM(CASE WHEN o_orderdate
+                                          >= TIMESTAMP '1995-06-01'
+                                THEN CAST(round(o_totalprice * 100)
+                                          AS BIGINT) END) AS BIGINT) AS cb
+                FROM orders GROUP BY o_custkey
+            ), diffs AS (
+                SELECT CAST(round(CAST(ca AS DOUBLE) / 100.0 * 100)
+                            AS BIGINT)
+                     - CAST(round(CAST(cb AS DOUBLE) / 100.0 * 100)
+                            AS BIGINT) AS d
+                FROM per WHERE ca IS NOT NULL AND cb IS NOT NULL
+            ), nz AS (
+                SELECT abs(d) AS ad, CAST(d > 0 AS INT) AS pos
+                FROM diffs WHERE d != 0
+            ), vals AS (
+                SELECT ad, CAST(count(*) AS BIGINT) AS n_v,
+                       CAST(SUM(pos) AS BIGINT) AS n_pos_v
+                FROM nz GROUP BY ad
+            ), cum AS (
+                SELECT ad, n_v, n_pos_v,
+                       CAST(COALESCE(SUM(n_v) OVER (
+                           ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cumv
+                FROM vals
+            ), agg AS (
+                SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+                       CAST(SUM(n_pos_v * (2 * cumv + n_v + 1))
+                            AS BIGINT) AS w2_plus,
+                       CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT)
+                           AS tie_term
+                FROM cum
+            ), stat AS (
+                SELECT n, w2_plus,
+                       CAST(n * (n + 1) AS DOUBLE) / 2 AS mu2,
+                       CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6
+                           - CAST(tie_term AS DOUBLE) / 12 AS var2
+                FROM agg
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM diffs) AS n_pairs,
+                   n AS n_nonzero, w2_plus,
+                   CASE WHEN var2 > 0 THEN
+                       CAST(round((CAST(w2_plus AS DOUBLE) - mu2)
+                                  / sqrt(var2) * 1000000.0) AS BIGINT)
+                   END AS z_e6
+            FROM stat
         """,
     }

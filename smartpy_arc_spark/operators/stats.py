@@ -3415,3 +3415,424 @@ def sharpe_ratio(
             .cast("long"),
         ).alias("sharpe_ann_e4"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H (one-way ANOVA on ranks, k ≥ 2 groups) with the
+    tie correction — the distribution-free companion to
+    :func:`anova_oneway`, generalizing :func:`mann_whitney_u`.
+
+    Ranking never sorts in one task (the mann_whitney contract): values
+    collapse to the distinct-value table, global exclusive cumulative
+    counts come from ``partitioned_cumsum``, and each group's DOUBLED
+    rank sum ``R2_g = Σ_v n_gv·(2·cum_v + n_v + 1)`` stays in exact
+    integer space.  Per-group terms ``R2_g²/(4·n_g)`` pre-round to
+    integer e6 (DECIMAL square → one division) so the cross-group sum
+    is order-free; H and the tie-corrected H' are then fixed double
+    expressions over exact integers.
+
+    Returns one row ``(n, k_groups, h_e6, h_adj_e6)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
+    vals = base.groupBy("v").agg(F.count("*").alias("n_v"))
+    cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
+    d2 = 2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1
+    cells = (
+        base.groupBy("g", "v")
+        .agg(F.count("*").alias("n_gv"))
+        .join(cum.select("v", d2.alias("d2"), "n_v"), "v")
+    )
+    per_g = cells.groupBy("g").agg(
+        F.sum("n_gv").cast("long").alias("n_g"),
+        F.sum(F.col("n_gv") * F.col("d2")).cast("long").alias("r2"),
+    )
+    r2d = F.col("r2").cast("decimal(19,0)")
+    # term values reach ~1e17 rank-units² at 10⁵ rows — pre-round to the
+    # nearest INTEGER (relative error ~1e-17, far below the e6 output
+    # precision) and carry them in DECIMAL(38,0), not int64
+    term = F.round(
+        (r2d * r2d).cast("double")
+        / F.col("n_g").cast("double")
+        / 4
+    ).cast("decimal(38,0)")
+    ties = vals.agg(
+        F.sum(
+            F.col("n_v").cast("long") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        )
+        .cast("long")
+        .alias("tie_term")
+    )
+    combined = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(term).cast("decimal(38,0)").alias("t_sum"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = (
+        F.lit(12.0)
+        * F.col("t_sum").cast("double")
+        / (n * (n + 1)).cast("double")
+        - F.lit(3.0) * (n + 1).cast("double")
+    )
+    c = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        n * n * n - n
+    ).cast("double")
+    return combined.select(
+        "n",
+        "k_groups",
+        F.round(h * 1e6).cast("long").alias("h_e6"),
+        F.when(c > 0, F.round(h / c * 1e6).cast("long")).alias("h_adj_e6"),
+    )
+
+
+def levene_bf(
+    df: DataFrame, group_col: str, value_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of equal variances
+    across k groups — the robust gate before trusting a pooled-variance
+    ANOVA/t-test:
+
+        W = ((N−k)/(k−1)) · SSB_z / SSW_z,   z_ij = |y_ij − med_j|
+
+    Exactness: y pre-rounds to integer ``scale`` units; each group's
+    median is an EXPLICIT order statistic (the lower median, rank
+    ``(n+1) div 2`` — engine-selection conventions differ, an explicit
+    integer rank rule does not, the ``quantile_normalize`` contract);
+    z is then an exact integer, per-group ``Z1_g²/n_g`` terms pre-round
+    to e6 (order-free integer sum), and W is one fixed double
+    expression.  Second moments run in DECIMAL(38,0) (Σz² passes 2⁶³
+    at ~10⁵ rows of 10⁷-unit deviations).
+
+    Returns one row ``(n, k_groups, w_e6)``.
+    """
+    y = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), y.alias("y")).where(
+        F.col("y").isNotNull() & F.col("g").isNotNull()
+    )
+    w_rank = W.partitionBy("g").orderBy("y")
+    ranked = base.select(
+        "g", "y", F.row_number().over(w_rank).alias("rk")
+    )
+    sizes = base.groupBy("g").agg(F.count("*").alias("n_g"))
+    med = (
+        ranked.join(F.broadcast(sizes), "g")
+        .where(F.col("rk") == F.expr("(n_g + 1) div 2"))
+        .select("g", F.col("y").alias("med"))
+    )
+    zed = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("y") - F.col("med")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(19,0)")
+    per_g = zed.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("z1"),
+        F.sum(zd * zd).cast("decimal(38,0)").alias("z2"),
+    )
+    z1d = F.col("z1").cast("decimal(19,0)")
+    # Z1²/n reaches ~1e16 scaled-units² — integer pre-round in
+    # DECIMAL(38,0) (see kruskal_wallis)
+    term = F.round(
+        (z1d * z1d).cast("double") / F.col("n_g").cast("double")
+    ).cast("decimal(38,0)")
+    combined = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("z1").cast("long").alias("z1t"),
+        F.sum("z2").cast("decimal(38,0)").alias("z2t"),
+        F.sum(term).cast("decimal(38,0)").alias("t_sum"),
+    )
+    n, k = F.col("n"), F.col("k_groups")
+    t = F.col("t_sum").cast("double")
+    # the per-group integer pre-round leaves ±k/2 absolute slack in SSB
+    # (negligible against real ~1e16 magnitudes, but it can push a true
+    # zero slightly negative) — clamp at 0 on both engines
+    ssb = F.greatest(
+        t
+        - (F.col("z1t").cast("double") * F.col("z1t").cast("double"))
+        / n.cast("double"),
+        F.lit(0.0),
+    )
+    ssw = F.col("z2t").cast("double") - t
+    w_stat = (
+        (n - k).cast("double") * ssb / ((k - 1).cast("double") * ssw)
+    )
+    return combined.select(
+        "n",
+        "k_groups",
+        F.when((k > 1) & (ssw > 0), F.round(w_stat * 1e6).cast("long")).alias(
+            "w_e6"
+        ),
+    )
+
+
+def runs_test(
+    df: DataFrame, ts_col: str, value_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of a series around its
+    median — detects trend/oscillation a mean-based monitor misses.
+
+    The series dichotomizes against its EXPLICIT lower median (integer
+    rank ``(n+1) div 2`` over pre-rounded ticks; ties count as "below",
+    documented), runs are counted with one ordered lag pass, and z is a
+    fixed double expression over the exact integer counts
+    ``(R, n_above, n_below)``.
+
+    One ordered window over calendar-bounded input (1-row output).
+    Returns ``(n, n_above, n_below, runs, z_e6)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
+    n_tot = base.count()
+    med = (
+        base.select("x", F.row_number().over(W.orderBy("x")).alias("rk"))
+        .where(F.col("rk") == (n_tot + 1) // 2)
+        .select(F.col("x").alias("med"))
+    )
+    signed = base.crossJoin(F.broadcast(med)).select(
+        "t", (F.col("x") > F.col("med")).cast("int").alias("s")
+    )
+    w = W.orderBy("t")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = F.col("n")
+    two_n1n2 = (2 * n1 * n2).cast("double")
+    mu = two_n1n2 / n.cast("double") + 1
+    var = (
+        two_n1n2
+        * (two_n1n2 - n.cast("double"))
+        / (n * n).cast("double")
+        / (n - 1).cast("double")
+    )
+    z = F.when(var > 0, (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return agg.select(
+        "n",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame, group_col: str, value_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Per-group skewness, excess kurtosis, and the Jarque–Bera
+    normality statistic ``JB = n/6·(S² + K²/4)``.
+
+    Exactness: a first pass shifts each group by its ROUNDED integer
+    mean (an integer shift leaves central moments unchanged but keeps
+    the power sums small and exactly representable); the four shifted
+    power sums are exact integers — squares in bigint, cubes and
+    fourth powers in DECIMAL(38,0) (mirrored by DuckDB HUGEINT) — and
+    skew/kurtosis/JB are fixed double expressions over them.
+
+    Returns ``(group, n, skew_e6, kurt_e6, jb_e6)``.
+    """
+    y = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), y.alias("y")).where(
+        F.col("y").isNotNull() & F.col("g").isNotNull()
+    )
+    shift = base.groupBy("g").agg(
+        F.round(
+            F.sum("y").cast("double") / F.count("*").cast("double")
+        )
+        .cast("long")
+        .alias("c")
+    )
+    sh = base.join(F.broadcast(shift), "g").select(
+        "g", (F.col("y") - F.col("c")).alias("u")
+    )
+    u = F.col("u")
+    u2 = (u * u).alias("u2")
+    sh2 = sh.select("g", u, u2)
+    u2d = F.col("u2").cast("decimal(19,0)")
+    ud = F.col("u").cast("decimal(19,0)")
+    mom = sh2.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("s1"),
+        F.sum("u2").cast("long").alias("s2"),
+        F.sum(u2d * ud).cast("decimal(38,0)").alias("s3"),
+        F.sum(u2d * u2d).cast("decimal(38,0)").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    ok = (F.col("n") >= 3) & (m2 > 0)
+    return mom.select(
+        F.col("g").alias(group_col),
+        F.col("n"),
+        F.when(ok, F.round(skew * 1e6).cast("long")).alias("skew_e6"),
+        F.when(ok, F.round(kurt * 1e6).cast("long")).alias("kurt_e6"),
+        F.when(ok, F.round(jb * 1e6).cast("long")).alias("jb_e6"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame, ts_col: str, x_col: str, y_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Durbin–Watson autocorrelation statistic of simple-OLS residuals
+    — the serial-correlation check on a fitted trend:
+
+        DW = Σ(e_t − e_{t−1})² / Σe_t²
+
+    Exactness: the OLS slope/intercept come from exact DECIMAL moment
+    sums (one division each); each residual then pre-rounds to ONE
+    integer (`round(y − (a + b·x))` — identical expression tree on both
+    engines), so both quadratic forms are exact integer sums in
+    DECIMAL(38,0) and DW is a single division.  DW ≈ 2 means no serial
+    correlation, → 0 positive, → 4 negative.
+
+    Returns one row ``(n, b_e6, dw_e6)``.
+    """
+    yv = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(ts_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        yv.alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    num = (nd * F.col("sxy") - F.col("sx").cast("decimal(19,0)")
+           * F.col("sy").cast("decimal(19,0)")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx").cast("decimal(19,0)")
+           * F.col("sx").cast("decimal(19,0)")).cast("double")
+    fit = mom.select(
+        "n",
+        (num / den).alias("b"),
+        (
+            (F.col("sy").cast("double") - num / den
+             * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "b",
+        F.round(
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    w = W.orderBy("t")
+    de = F.col("e") - F.lag("e").over(w)
+    stepped = resid.select(
+        "n", "b", "e", de.alias("de")
+    )
+    ed = F.col("e").cast("decimal(19,0)")
+    ded = F.col("de").cast("decimal(19,0)")
+    agg = stepped.groupBy("n", "b").agg(
+        F.sum(ed * ed).cast("decimal(38,0)").alias("see"),
+        F.sum(ded * ded).cast("decimal(38,0)").alias("sde"),
+    )
+    dw = F.col("sde").cast("double") / F.col("see").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("b") * 1e6).cast("long").alias("b_e6"),
+        F.when(
+            F.col("see").cast("double") > 0, F.round(dw * 1e6).cast("long")
+        ).alias("dw_e6"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, a_col: str, b_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Wilcoxon signed-rank test for paired samples (one row per pair)
+    — the nonparametric paired-t: did the population shift between the
+    two measurements?
+
+    Zero differences drop (the standard convention); |d| ranks use the
+    DOUBLED-rank integer construction over the distinct-|d| table with
+    ``partitioned_cumsum`` (never a global sort task — the
+    ``mann_whitney_u`` contract), W⁺ keeps doubled units, and z with
+    the tie correction is one fixed double expression over exact
+    integers.
+
+    Returns one row ``(n_pairs, n_nonzero, w2_plus, z_e6)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    da = F.round(F.col(a_col).cast("double") * scale).cast("long")
+    db = F.round(F.col(b_col).cast("double") * scale).cast("long")
+    diffs = df.select((da - db).alias("d")).where(F.col("d").isNotNull())
+    n_pairs = diffs.count()
+    nz = diffs.where(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        (F.col("d") > 0).cast("int").alias("pos"),
+    )
+    vals = nz.groupBy("ad").agg(
+        F.count("*").alias("n_v"), F.sum("pos").alias("n_pos_v")
+    )
+    cum = partitioned_cumsum(vals, ["ad"], ["n_v"], inclusive=False)
+    d2 = 2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1
+    agg = cum.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(F.col("n_pos_v") * d2).cast("long").alias("w2_plus"),
+        F.sum(
+            F.col("n_v").cast("long") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n = F.col("n")
+    mu2 = (n * (n + 1)).cast("double") / 2  # doubled-units mean: n(n+1)/2
+    var2 = (
+        (n * (n + 1) * (2 * n + 1)).cast("double") / 6
+        - F.col("tie_term").cast("double") / 12
+    )  # doubled-units variance: 4·(n(n+1)(2n+1)/24 − T/48)
+    z = F.when(
+        var2 > 0,
+        (F.col("w2_plus").cast("double") - mu2) / F.sqrt(var2),
+    )
+    return agg.select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.col("n").alias("n_nonzero"),
+        "w2_plus",
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )

@@ -56,6 +56,13 @@ SINGLE_PARTITION_OK = {
     "sequence_funnel",        # global funnel totals: one counter per step
     "price_histogram",        # share-of-total window over 13 bucket counts
     "mann_whitney",           # 1-row statistic: global rank-sum combine
+    "kruskal_wallis",         # 1-row statistic: bounded k-group term combine
+    "levene_bf",              # 1-row statistic: bounded k-group term combine
+    "runs_test",              # 1-row statistic: run counts over the
+                              #   calendar-bounded daily grid
+    "durbin_watson",          # 1-row statistic: residual lag pass over the
+                              #   calendar-bounded daily grid
+    "wilcoxon",               # 1-row statistic: global signed-rank combine
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "equi_depth_hist",        # one cutpoint aggregate + <=n_buckets-row share window
@@ -112,6 +119,9 @@ SINGLE_PARTITION_OK = {
 # broadcast dims under non-equi conditions) — each documented in place.
 BNLJ_OK = {
     "dsir_weights",           # 1-row corpus-total broadcast cross joins
+    "kruskal_wallis",         # 1-row tie-term broadcast cross join
+    "runs_test",              # 1-row median broadcast cross join
+    "durbin_watson",          # 1-row OLS-fit broadcast cross join
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
     "perplexity_buckets",     # 1-row LM-total / cut-point broadcast cross joins
     "mixture_allocation",     # 1-row normalizer broadcast cross join
