@@ -6925,6 +6925,63 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilcoxon_signed_rank(per, "early", "late", scale=100)
 
 
+def q_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-relevance IR eval per nation (MRR / AP@10 / P@10 / R@10):
+    customers ranked by account balance, relevant = ≥3 orders.
+    Reciprocal-rank literals pre-rounded; AP terms e6-pre-rounded."""
+    from smartpy_arc_spark.operators.itemsets import ir_eval
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    per_c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_ord"))
+    )
+    rel = cust.join(
+        per_c, cust["c_custkey"] == per_c["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (F.coalesce(F.col("n_ord"), F.lit(0)) >= 3).cast("int").alias("rel"),
+    )
+    return ir_eval(rel, "c_nationkey", "c_acctbal", "rel", "c_custkey", k=10)
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein distance between returned (A) and refused (R)
+    lineitems' price distributions: distributed CDF segments, exact
+    integer numerators, e6-pre-rounded terms."""
+    from smartpy_arc_spark.operators.stats import wasserstein_1d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return wasserstein_1d(li, "l_returnflag", "l_extendedprice", "A", "R")
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL / Jensen–Shannon divergence of the language mix
+    against the corpus mix: explicit bounded grid with zero cells,
+    nanonat per-cell pre-rounding."""
+    from smartpy_arc_spark.operators.stats import js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return js_divergence(docs, "source", "lang")
+
+
+def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression of extended price on quantity and
+    discount (λ = 1e6 tick², no intercept): exact DECIMAL normal
+    equations, Cramer closed form."""
+    from smartpy_arc_spark.operators.stats import ridge_2f
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ridge_2f(
+        li, "l_quantity", "l_discount", "l_extendedprice", lam=1000000
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7303,6 +7360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera": q_jarque_bera,
         "durbin_watson": q_durbin_watson,
         "wilcoxon": q_wilcoxon,
+        "ir_eval": q_ir_eval,
+        "wasserstein": q_wasserstein,
+        "js_divergence": q_js_divergence,
+        "ridge": q_ridge,
     })
 
 
@@ -7418,6 +7479,64 @@ def _macd_sql(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
         SELECT flag, n_obs, macd_e4, signal_e4,
                macd_e4 - signal_e4 AS hist_e4
         FROM g
+    """
+
+
+def _ir_eval_sql(k: int = 10) -> str:
+    """Generated mirror of ``operators.itemsets.ir_eval``: the
+    reciprocal-rank literals are computed by the SAME Python round as
+    the Spark map literal (the ndcg pre-rounded-literal contract)."""
+    rr_case = " ".join(
+        f"WHEN {r} THEN {round(1e6 / r)}" for r in range(1, k + 1)
+    )
+    return f"""
+        WITH per_c AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+            FROM orders GROUP BY o_custkey
+        ), base AS (
+            SELECT c.c_nationkey AS g, c.c_acctbal AS score,
+                   c.c_custkey AS id,
+                   CASE WHEN COALESCE(p.n_ord, 0) >= 3 THEN 1 ELSE 0 END
+                       AS rel
+            FROM customer c LEFT JOIN per_c p ON c.c_custkey = p.o_custkey
+        ), ranked AS (
+            SELECT g, rel,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY score DESC, id) AS rk
+            FROM base
+        ), cumd AS (
+            SELECT g, rel, rk,
+                   CAST(SUM(rel) OVER (PARTITION BY g ORDER BY rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c
+            FROM ranked
+        ), agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel,
+                   min(CASE WHEN rel = 1 THEN rk END) AS fr,
+                   CAST(SUM(CASE WHEN rel = 1 AND rk <= {k}
+                        THEN CAST(round(CAST(c AS DOUBLE)
+                                        / CAST(rk AS DOUBLE)
+                                        * 1000000.0) AS BIGINT) END)
+                        AS BIGINT) AS ap_sum,
+                   CAST(SUM(CASE WHEN rel = 1 AND rk <= {k}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_k
+            FROM cumd GROUP BY g
+        )
+        SELECT g AS c_nationkey, n_items, n_rel,
+               CAST(CASE fr {rr_case} ELSE 0 END AS BIGINT) AS rr_e6,
+               CASE WHEN n_rel > 0 THEN
+                   CAST(round(CAST(ap_sum AS DOUBLE)
+                              / CAST(least(n_rel, {k}) AS DOUBLE))
+                        AS BIGINT)
+               END AS ap_e6,
+               CAST(round(CAST(c_k AS DOUBLE) / {k} * 1000000.0)
+                    AS BIGINT) AS p_at_k_e6,
+               CASE WHEN n_rel > 0 THEN
+                   CAST(round(CAST(c_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                              * 1000000.0) AS BIGINT)
+               END AS r_at_k_e6
+        FROM agg
     """
 
 
@@ -14687,5 +14806,122 @@ def oracle_sql() -> dict[str, str]:
                                   / sqrt(var2) * 1000000.0) AS BIGINT)
                    END AS z_e6
             FROM stat
+        """,
+        "ir_eval": _ir_eval_sql(),
+        "wasserstein": """
+            WITH vals AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END)
+                            AS BIGINT) AS na_v,
+                       CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                            AS BIGINT) AS nb_v
+                FROM lineitem WHERE l_returnflag IN ('A', 'R')
+                GROUP BY 1
+            ), cum AS (
+                SELECT v, na_v, nb_v,
+                       CAST(SUM(na_v) OVER w AS BIGINT) AS ca,
+                       CAST(SUM(nb_v) OVER w AS BIGINT) AS cb,
+                       lead(v) OVER (ORDER BY v) - v AS gap
+                FROM vals
+                WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            ), tot AS (
+                SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+                       CAST(SUM(nb_v) AS BIGINT) AS n_b
+                FROM vals
+            ), seg AS (
+                SELECT ca, cb, gap FROM cum WHERE gap IS NOT NULL
+            )
+            SELECT n_a, n_b,
+                   CAST(SUM(CAST(round(
+                       CAST(CAST(abs(ca * n_b - cb * n_a) AS HUGEINT)
+                            * gap AS DOUBLE)
+                       / CAST(n_a * n_b AS DOUBLE) / 100 * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS w1_e6
+            FROM seg, tot GROUP BY n_a, n_b
+        """,
+        "js_divergence": """
+            WITH base AS (
+                SELECT source AS g, lang AS c FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ), cells AS (
+                SELECT g, c, CAST(count(*) AS BIGINT) AS n_gc
+                FROM base GROUP BY g, c
+            ), gtot AS (
+                SELECT g, CAST(SUM(n_gc) AS BIGINT) AS n_g
+                FROM cells GROUP BY g
+            ), ctot AS (
+                SELECT c, CAST(SUM(n_gc) AS BIGINT) AS n_c
+                FROM cells GROUP BY c
+            ), tot AS (
+                SELECT CAST(SUM(n_gc) AS BIGINT) AS n_tot FROM cells
+            ), grid AS (
+                SELECT gtot.g, gtot.n_g, ctot.c, ctot.n_c, tot.n_tot,
+                       COALESCE(cells.n_gc, 0) AS n_gc
+                FROM gtot CROSS JOIN ctot CROSS JOIN tot
+                LEFT JOIN cells
+                  ON cells.g = gtot.g AND cells.c = ctot.c
+            ), calc AS (
+                SELECT g, n_g, n_gc,
+                       CAST(n_gc AS DOUBLE) / CAST(n_g AS DOUBLE) AS p,
+                       CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+                FROM grid
+            ), terms AS (
+                SELECT g, n_g,
+                       CASE WHEN n_gc > 0
+                            THEN CAST(round(p * ln(p / q) * 1000000000.0)
+                                      AS BIGINT)
+                            ELSE 0 END AS klt,
+                       CAST(round((CASE WHEN n_gc > 0
+                                   THEN 0.5 * p * ln(p / ((p + q) / 2))
+                                   ELSE 0.0 END
+                                   + 0.5 * q * ln(q / ((p + q) / 2)))
+                                  * 1000000000.0) AS BIGINT) AS jst
+                FROM calc
+            )
+            SELECT g AS source, CAST(max(n_g) AS BIGINT) AS n,
+                   CAST(SUM(klt) AS BIGINT) AS kl_e9,
+                   CAST(SUM(jst) AS BIGINT) AS js_e9
+            FROM terms GROUP BY g
+        """,
+        "ridge": """
+            WITH base AS (
+                SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+                       CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+                       SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+                       SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+                       SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+                       SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+                FROM base
+            ), fit AS (
+                SELECT n,
+                       CAST(s11 AS DOUBLE) + 1000000.0 AS a11,
+                       CAST(s22 AS DOUBLE) + 1000000.0 AS a22,
+                       CAST(s12 AS DOUBLE) AS a12,
+                       CAST(s1y AS DOUBLE) AS b1,
+                       CAST(s2y AS DOUBLE) AS b2
+                FROM mom
+            ), det AS (
+                SELECT n, a11, a22, a12, b1, b2,
+                       a11 * a22 - a12 * a12 AS dt
+                FROM fit
+            )
+            SELECT n, CAST(dt != 0 AS INT) AS det_ok,
+                   CASE WHEN dt != 0 THEN
+                       CAST(round((b1 * a22 - b2 * a12) / dt * 1000000.0)
+                            AS BIGINT)
+                   END AS beta1_e6,
+                   CASE WHEN dt != 0 THEN
+                       CAST(round((a11 * b2 - a12 * b1) / dt * 1000000.0)
+                            AS BIGINT)
+                   END AS beta2_e6
+            FROM det
         """,
     }

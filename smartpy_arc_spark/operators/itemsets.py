@@ -427,3 +427,86 @@ def frequent_triples(
     return triples.orderBy(
         F.desc("support"), "item_a", "item_b", "item_c"
     )
+
+
+def ir_eval(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance IR evaluation per group: MRR, AP@k, P@k, R@k —
+    the un-graded companion to :func:`ndcg_at_k` (binary labels are what
+    dedup/retrieval pipelines actually have).
+
+    Portability (the ndcg contract): the k reciprocal-rank values
+    ``round(1e6/r)`` are PRE-ROUNDED integer literals inlined into both
+    engines; AP@k's per-hit precision terms ``c/r`` pre-round to e6 and
+    sum as integers, with ONE final division by ``min(R, k)``.  Ranks
+    are deterministic (score desc, id asc).  Groups with no relevant
+    items return 0 MRR and null AP/recall.
+
+    Two windows inside the group partition — no global sort.
+    Returns ``(group, n_items, n_rel, rr_e6, ap_e6, p_at_k_e6,
+    r_at_k_e6)``.
+    """
+    rr_lit = {r: round(1e6 / r) for r in range(1, k + 1)}
+    rr_map = F.create_map(
+        *[x for r, w in rr_lit.items() for x in (F.lit(r), F.lit(w))]
+    )
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(rel_col).cast("int").alias("rel"),
+        F.row_number().over(
+            W.partitionBy(group_col).orderBy(
+                F.col(score_col).desc(), F.col(id_col)
+            )
+        ).alias("rk"),
+    )
+    w_cum = (
+        W.partitionBy("g").orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cumd = ranked.select(
+        "g", "rel", "rk", F.sum("rel").over(w_cum).alias("c")
+    )
+    ap_term = F.when(
+        (F.col("rel") == 1) & (F.col("rk") <= k),
+        F.round(
+            F.col("c").cast("double") / F.col("rk").cast("double") * 1e6
+        ).cast("long"),
+    )
+    agg = cumd.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("fr"),
+        F.sum(ap_term).cast("long").alias("ap_sum"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rk") <= k), 1).otherwise(0))
+        .cast("long")
+        .alias("c_k"),
+    )
+    r_tot = F.col("n_rel")
+    denom = F.least(r_tot, F.lit(k).cast("long"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_items",
+        "n_rel",
+        F.coalesce(rr_map[F.col("fr")], F.lit(0)).cast("long").alias("rr_e6"),
+        F.when(
+            r_tot > 0,
+            F.round(
+                F.col("ap_sum").cast("double") / denom.cast("double")
+            ).cast("long"),
+        ).alias("ap_e6"),
+        F.round(F.col("c_k").cast("double") / k * 1e6)
+        .cast("long")
+        .alias("p_at_k_e6"),
+        F.when(
+            r_tot > 0,
+            F.round(
+                F.col("c_k").cast("double") / r_tot.cast("double") * 1e6
+            ).cast("long"),
+        ).alias("r_at_k_e6"),
+    )

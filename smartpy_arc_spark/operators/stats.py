@@ -3836,3 +3836,182 @@ def wilcoxon_signed_rank(
         "w2_plus",
         F.round(z * 1e6).cast("long").alias("z_e6"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between two cohorts'
+    empirical distributions — the magnitude-aware companion to
+    :func:`ks_test_2samp` (KS reports the worst CDF gap; W₁ integrates
+    ALL of it):
+
+        W₁ = Σ_segments |F_a − F_b| · (v_{i+1} − v_i)
+
+    Same distributed-CDF shape as ks_test: distinct-value collapse,
+    ``partitioned_cumsum``, CDF differences as the exact integer
+    numerator ``|cum_a·n_b − cum_b·n_a|``.  Each segment's term
+    ``|d|·gap/(n_a·n_b)`` pre-rounds to e6 (DECIMAL product — the
+    numerator passes 2⁶³ at ~10⁶ rows × 10⁷-tick gaps) so the sum is
+    order-free.  The segment walk is one ordered pass over the
+    distinct-value table (the ks_test distinct-value contract).
+
+    Returns one row ``(n_a, n_b, w1_e6)`` — distance in original value
+    units.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    vals = (
+        df.where(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(group_col).alias("g"), x.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("g") == group_a, 1)).alias("na_v"),
+            F.count(F.when(F.col("g") == group_b, 1)).alias("nb_v"),
+        )
+    )
+    cum = partitioned_cumsum(vals, ["v"], ["na_v", "nb_v"])
+    totals = cum.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    gap = F.lead("v").over(W.orderBy("v")) - F.col("v")
+    seg = cum.select(
+        F.col("cum_na_v").cast("long").alias("ca"),
+        F.col("cum_nb_v").cast("long").alias("cb"),
+        "v",
+        gap.alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    scored = seg.crossJoin(F.broadcast(totals))
+    d = F.abs(
+        F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    ).cast("decimal(19,0)")
+    term = F.round(
+        (d * F.col("gap").cast("decimal(19,0)")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+        / scale
+        * 1e6
+    ).cast("long")
+    return scored.groupBy("n_a", "n_b").agg(
+        F.sum(term).cast("long").alias("w1_e6")
+    )
+
+
+def js_divergence(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Per-group KL and Jensen–Shannon divergence of each group's
+    category distribution against the corpus distribution — the drift /
+    source-skew monitor (JS is symmetric, bounded by ln 2, defined even
+    when a group misses categories).
+
+    The (group × category) grid is materialized explicitly (both
+    dimensions bounded: they're the table's categorical domains) so
+    zero cells contribute their exact ``½·q·ln 2``-shaped JS mass.
+    Each cell's nats pre-round to integer e9 (the ``mutual_information``
+    per-term contract) so group sums are order-free.
+
+    Returns ``(group, n, kl_e9, js_e9)``.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+    ).where(F.col("g").isNotNull() & F.col("c").isNotNull())
+    cells = base.groupBy("g", "c").agg(F.count("*").alias("n_gc"))
+    gtot = cells.groupBy("g").agg(F.sum("n_gc").cast("long").alias("n_g"))
+    ctot = cells.groupBy("c").agg(F.sum("n_gc").cast("long").alias("n_c"))
+    tot = cells.agg(F.sum("n_gc").cast("long").alias("n_tot"))
+    grid = (
+        gtot.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["g", "c"], "left")
+        .select(
+            "g",
+            "n_g",
+            "n_c",
+            "n_tot",
+            F.coalesce(F.col("n_gc"), F.lit(0)).cast("long").alias("n_gc"),
+        )
+    )
+    p = F.col("n_gc").cast("double") / F.col("n_g").cast("double")
+    q = F.col("n_c").cast("double") / F.col("n_tot").cast("double")
+    m = (p + q) / 2
+    kl_term = F.when(
+        F.col("n_gc") > 0, F.round(p * F.log(p / q) * 1e9).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    js_val = (
+        F.when(F.col("n_gc") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    js_term = F.round(js_val * 1e9).cast("long")
+    return grid.groupBy("g").agg(
+        F.max("n_g").alias("n"),
+        F.sum(kl_term).cast("long").alias("kl_e9"),
+        F.sum(js_term).cast("long").alias("js_e9"),
+    ).select(F.col("g").alias(group_col), "n", "kl_e9", "js_e9")
+
+
+def ridge_2f(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    lam: int = 0,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-feature ridge regression (no intercept), closed form by
+    Cramer's rule on the regularized normal equations
+
+        (XᵀX + λI) β = Xᵀy
+
+    — the L2-shrunk companion to ``ols_fit`` (λ=0 recovers unpenalized
+    least squares; λ in squared-tick units).
+
+    Exactness: all five moment sums are exact DECIMAL(38,0) integers
+    (mirrored by DuckDB HUGEINT); determinant and solutions are fixed
+    double expressions over them, one division per coefficient.  One
+    map-side-combined aggregate — no shuffle beyond the 1-row combine.
+
+    Returns one row ``(n, det_ok, beta1_e6, beta2_e6)`` — coefficients
+    in original (y-unit per x-unit) scale.
+    """
+    x1 = F.round(F.col(x1_col).cast("double") * scale).cast("long")
+    x2 = F.round(F.col(x2_col).cast("double") * scale).cast("long")
+    yv = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(x1.alias("x1"), x2.alias("x2"), yv.alias("y")).where(
+        F.col("x1").isNotNull()
+        & F.col("x2").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d("x1") * d("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(d("x1") * d("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(d("x2") * d("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(d("x1") * d("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(d("x2") * d("y")).cast("decimal(38,0)").alias("s2y"),
+    )
+    a11 = F.col("s11").cast("double") + F.lit(float(lam))
+    a22 = F.col("s22").cast("double") + F.lit(float(lam))
+    a12 = F.col("s12").cast("double")
+    b1 = F.col("s1y").cast("double")
+    b2 = F.col("s2y").cast("double")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (a11 * b2 - a12 * b1) / det
+    return mom.select(
+        "n",
+        (det != 0).cast("int").alias("det_ok"),
+        F.when(det != 0, F.round(beta1 * 1e6).cast("long")).alias("beta1_e6"),
+        F.when(det != 0, F.round(beta2 * 1e6).cast("long")).alias("beta2_e6"),
+    )

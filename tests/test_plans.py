@@ -65,6 +65,10 @@ SINGLE_PARTITION_OK = {
     "wilcoxon",               # 1-row statistic: global signed-rank combine
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
+    "ridge",                  # 1-row regularized normal-equation sums
+    "wasserstein",            # segment walk over the distinct-value CDF
+                              #   (the ks_test distinct-value contract)
+    "js_divergence",          # 1-row corpus-total scalar for q
     "equi_depth_hist",        # one cutpoint aggregate + <=n_buckets-row share window
     "quantile_norm",          # 1-row total-n scalar for the rank grid
     "mom_change",             # lag window over calendar-bounded month rows
@@ -122,6 +126,9 @@ BNLJ_OK = {
     "kruskal_wallis",         # 1-row tie-term broadcast cross join
     "runs_test",              # 1-row median broadcast cross join
     "durbin_watson",          # 1-row OLS-fit broadcast cross join
+    "wasserstein",            # 1-row cohort-totals broadcast cross join
+    "js_divergence",          # bounded category-domain / 1-row total
+                              #   broadcast cross joins
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
     "perplexity_buckets",     # 1-row LM-total / cut-point broadcast cross joins
     "mixture_allocation",     # 1-row normalizer broadcast cross join
