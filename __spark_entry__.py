@@ -6982,6 +6982,55 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode of each user's event sequence under the literal
+    2-state session-quality HMM: integer max-plus fold, all
+    log-probabilities pre-rounded e6 literals (log never runs
+    engine-side)."""
+    from smartpy_arc_spark.operators.hmm import viterbi_decode
+
+    ev = _t(spark, sf_dir, "events")
+    return viterbi_decode(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter over each returnflag's daily-revenue
+    series: [level, variance] double fold with literal noise terms,
+    list_reduce-mirrored."""
+    from smartpy_arc_spark.operators.resample import kalman_level
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return kalman_level(daily, "flag", "d", "rev", scale=100)
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of the global daily-revenue series by
+    binary segmentation: exact integer prefix sums, deterministic
+    argmax (gain desc, earliest index)."""
+    from smartpy_arc_spark.operators.stats import changepoint_binseg
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False)
+    return changepoint_binseg(daily, "d", "rev", min_seg=30, scale=100)
+
+
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell ids (precision 8 and 4) for event coordinates
+    derived deterministically from ids: pure shift/and/concat
+    expression, generated-SQL mirror — no UDF."""
+    from smartpy_arc_spark.operators.scale import geohash_expr
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon = (F.col("event_id") % 36000) / F.lit(100.0) - F.lit(180.0)
+    return ev.select(
+        "event_id",
+        geohash_expr(lat, lon, precision=8).alias("gh8"),
+        geohash_expr(lat, lon, precision=4).alias("gh4"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7364,6 +7413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "js_divergence": q_js_divergence,
         "ridge": q_ridge,
+        "viterbi": q_viterbi,
+        "kalman": q_kalman,
+        "changepoint": q_changepoint,
+        "geohash": q_geohash,
     })
 
 
@@ -7537,6 +7590,110 @@ def _ir_eval_sql(k: int = 10) -> str:
                               * 1000000.0) AS BIGINT)
                END AS r_at_k_e6
         FROM agg
+    """
+
+
+def _geohash_oracle_sql() -> str:
+    """Geohash oracle from the same generator as the Spark expression
+    (``operators.scale.geohash_sql`` shares the bit-layout loop with
+    ``geohash_expr``)."""
+    from smartpy_arc_spark.operators.scale import geohash_sql
+
+    lat = "(user_id % 18000) / 100.0 - 90.0"
+    lon = "(event_id % 36000) / 100.0 - 180.0"
+    return f"""
+        SELECT event_id,
+               {geohash_sql(lat, lon, precision=8)} AS gh8,
+               {geohash_sql(lat, lon, precision=4)} AS gh4
+        FROM events
+    """
+
+
+_GEOHASH_ORACLE_SQL = _geohash_oracle_sql()
+
+
+def _viterbi_sql() -> str:
+    """Generated mirror of ``operators.hmm.viterbi_decode``: the
+    integer log-literals come from the SAME ``log_literals()`` call the
+    Spark expression inlines — one source of truth, no drift."""
+    from smartpy_arc_spark.operators.hmm import EMIT, log_literals
+
+    start, trans, emit, unseen = log_literals()
+
+    def ecase(state: int) -> str:
+        whens = " ".join(
+            f"WHEN '{k}' THEN {emit[state][k]}" for k in EMIT[state]
+        )
+        return (
+            f"CAST(CASE event_type {whens} ELSE {unseen} END AS BIGINT)"
+        )
+
+    step0 = (
+        f"greatest(acc[1] + {trans[0][0]}, acc[2] + {trans[1][0]}) + x[1]"
+    )
+    step1 = (
+        f"greatest(acc[1] + {trans[0][1]}, acc[2] + {trans[1][1]}) + x[2]"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT user_id, ts, event_id,
+                   {ecase(0)} AS e0,
+                   {ecase(1)} AS e1
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   list([e0, e1] ORDER BY ts, event_id) AS pairs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM scored GROUP BY user_id
+        ), f AS (
+            SELECT user_id, n,
+                   list_reduce(
+                       list_prepend(
+                           [{start[0]} + pairs[1][1],
+                            {start[1]} + pairs[1][2]],
+                           pairs[2:]),
+                       (acc, x) -> [{step0}, {step1}]) AS sc
+            FROM s
+        )
+        SELECT user_id, n AS n_events,
+               CASE WHEN sc[1] >= sc[2] THEN 0 ELSE 1 END AS best_state,
+               CAST(greatest(sc[1], sc[2]) AS BIGINT) AS best_score_e6,
+               CAST(sc[1] - sc[2] AS BIGINT) AS margin_e6
+        FROM f
+    """
+
+
+def _kalman_sql(q: float = 2500.0, r: float = 10000.0) -> str:
+    """Generated mirror of ``operators.resample.kalman_level``: the
+    [level, variance] fold with the gain expression repeated verbatim
+    (no let-binding in either engine's lambda)."""
+    g = f"(acc[2] + {q}) / (acc[2] + {q} + {r})"
+    step = (
+        f"[acc[1] + {g} * (x[1] - acc[1]), "
+        f"(1.0 - {g}) * (acc[2] + {q})]"
+    )
+    gf = f"(f[2] + {q}) / (f[2] + {q} + {r})"
+    return f"""
+        WITH daily AS ({_DAILY_REV_SQL}
+        ), ticked AS (
+            SELECT flag, d, round(rev * 100) AS x FROM daily
+        ), s AS (
+            SELECT flag, list(x ORDER BY d) AS xs,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM ticked GROUP BY flag
+        ), folded AS (
+            SELECT flag, n_obs,
+                   list_reduce(
+                       list_prepend([xs[1], {r}],
+                                    list_transform(xs[2:], v -> [v])),
+                       (acc, x) -> {step}) AS f
+            FROM s
+        )
+        SELECT flag, n_obs,
+               CAST(round(f[1] / 100 * 10000) AS BIGINT) AS level_e4,
+               CAST(round(f[2] * 100) AS BIGINT) AS p_e2,
+               CAST(round({gf} * 1000000.0) AS BIGINT) AS gain_e6
+        FROM folded
     """
 
 
@@ -14924,4 +15081,54 @@ def oracle_sql() -> dict[str, str]:
                    END AS beta2_e6
             FROM det
         """,
+        "viterbi": _viterbi_sql(),
+        "kalman": _kalman_sql(),
+        "changepoint": f"""
+            WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+            ), base AS (
+                SELECT d AS t, CAST(round(rev * 100) AS BIGINT) AS x
+                FROM daily
+            ), pre AS (
+                SELECT t,
+                       row_number() OVER (ORDER BY t) AS i,
+                       CAST(SUM(x) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                            ROW) AS BIGINT) AS st
+                FROM base
+            ), totals AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS s
+                FROM base
+            ), cand AS (
+                SELECT pre.t, pre.i, pre.st, totals.n, totals.s
+                FROM pre, totals
+                WHERE pre.i >= 30 AND pre.i <= totals.n - 30
+            ), scored AS (
+                SELECT n, i AS split_idx, t AS split_ts,
+                       CAST(round((CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                   / CAST(i AS DOUBLE)
+                                   + (CAST(s AS DOUBLE)
+                                      - CAST(st AS DOUBLE))
+                                     * (CAST(s AS DOUBLE)
+                                        - CAST(st AS DOUBLE))
+                                     / (CAST(n AS DOUBLE)
+                                        - CAST(i AS DOUBLE))
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / 100 / 100) AS BIGINT) AS gain_units,
+                       CAST(round(CAST(st AS DOUBLE) / CAST(i AS DOUBLE)
+                                  / 100 * 10000) AS BIGINT)
+                           AS mean_left_e4,
+                       CAST(round((CAST(s AS DOUBLE) - CAST(st AS DOUBLE))
+                                  / (CAST(n AS DOUBLE)
+                                     - CAST(i AS DOUBLE))
+                                  / 100 * 10000) AS BIGINT)
+                           AS mean_right_e4
+                FROM cand
+            )
+            SELECT n, split_idx, split_ts, gain_units,
+                   mean_left_e4, mean_right_e4
+            FROM scored ORDER BY gain_units DESC, split_idx LIMIT 1
+        """,
+        "geohash": _GEOHASH_ORACLE_SQL,
     }

@@ -1324,3 +1324,66 @@ def macd(
         "*",
         (F.col("macd_e4") - F.col("signal_e4")).alias("hist_e4"),
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    q_noise: float = 2500.0,
+    r_noise: float = 10000.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key local-level (random-walk + noise) Kalman filter — the
+    optimal-under-Gaussian smoother the EWMA family approximates, with
+    an adaptive gain instead of a fixed α:
+
+        k = (p + q) / (p + q + r)
+        x' = x + k·(y − x),   p' = (1 − k)·(p + q)
+
+    State ``[x, p]`` folds in observation order (``F.aggregate`` /
+    ``list_reduce`` — the fixed-order contract of ``ewma``), with
+    process/measurement noise as double literals in tick² units.  Seeds:
+    ``x₀ = y₁``, ``p₀ = r`` (diffuse-ish).  The gain converges to the
+    steady-state Riccati value; its final value is re-derived from the
+    folded ``p`` with the same expression.
+
+    Returns ``(key, n_obs, level_e4, p_e2, gain_e6)``.
+    """
+    ticks = F.round(F.col(value_col).cast("double") * scale).cast("double")
+    item = F.struct(F.col(ts_col), ticks.alias("x"))
+    per_key = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(item)).alias("series")
+    )
+    xs = F.transform(F.col("series"), lambda s: s["x"])
+    n = F.size(xs)
+    q = F.lit(float(q_noise))
+    r = F.lit(float(r_noise))
+    one = F.lit(1.0)
+    init = F.array(F.element_at(xs, 1), r)
+
+    def step(acc, y):
+        # no let-binding in HOF lambdas: the gain expression repeats
+        x_prev = F.element_at(acc, 1)
+        p_prev = F.element_at(acc, 2)
+        return F.array(
+            x_prev
+            + (p_prev + q) / (p_prev + q + r) * (y - x_prev),
+            (one - (p_prev + q) / (p_prev + q + r)) * (p_prev + q),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(n - 1, F.lit(0))), init, step
+    )
+    xf = F.element_at(folded, 1)
+    pf = F.element_at(folded, 2)
+    gain = (pf + q) / (pf + q + r)
+    return per_key.select(
+        F.col(key_col),
+        n.cast("long").alias("n_obs"),
+        F.round(xf / scale * 10000).cast("long").alias("level_e4"),
+        F.round(pf * 100).cast("long").alias("p_e2"),
+        F.round(gain * 1e6).cast("long").alias("gain_e6"),
+    )

@@ -537,3 +537,102 @@ def zone_map(
             cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
         zones = zones.withColumn(f"scan_{name}", cond.cast("int"))
     return zones.orderBy("zone")
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat, lon, *, precision: int = 8):
+    """Geohash cell id of (lat, lon) at ``precision`` base-32 chars as a
+    pure shift/and/concat Column expression — no UDF, whole-stage
+    codegen, engine-portable (the ``morton_code`` contract).
+
+    Equivalence to the textbook bisection construction: ``precision``
+    chars carry 5p bits alternating lon (from the most significant bit)
+    and lat; successive bisection of [-180, 180] / [-90, 90] is exactly
+    floor-quantization to ``ceil(5p/2)`` / ``floor(5p/2)`` bits, so the
+    cell index is one multiply+floor per axis (clamped at the top
+    edge), then a bit interleave, then 5-bit groups mapped through the
+    base-32 alphabet.
+    """
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    nbits = 5 * precision
+    bits_lon = (nbits + 1) // 2
+    bits_lat = nbits // 2
+    ix = F.least(
+        F.floor(
+            (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << bits_lon))
+        ).cast("long"),
+        F.lit((1 << bits_lon) - 1),
+    )
+    iy = F.least(
+        F.floor(
+            (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << bits_lat))
+        ).cast("long"),
+        F.lit((1 << bits_lat) - 1),
+    )
+    code = F.lit(0).cast("long")
+    for b in range(bits_lon):
+        # lon bit (bits_lon-1-b) -> global bit position (nbits-1 - 2b)
+        code = code.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(ix, bits_lon - 1 - b).bitwiseAND(F.lit(1)),
+                nbits - 1 - 2 * b,
+            )
+        )
+    for b in range(bits_lat):
+        # lat bit (bits_lat-1-b) -> global bit position (nbits-2 - 2b)
+        code = code.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(iy, bits_lat - 1 - b).bitwiseAND(F.lit(1)),
+                nbits - 2 - 2 * b,
+            )
+        )
+    chars = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    return F.concat(
+        *[
+            F.element_at(
+                chars,
+                (
+                    F.shiftright(code, 5 * (precision - 1 - g))
+                    .bitwiseAND(F.lit(31))
+                    + F.lit(1)
+                ).cast("int"),
+            )
+            for g in range(precision)
+        ]
+    )
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, *, precision: int = 8) -> str:
+    """The SQL mirror of :func:`geohash_expr`, generated from the SAME
+    loop so the two expressions cannot drift."""
+    nbits = 5 * precision
+    bits_lon = (nbits + 1) // 2
+    bits_lat = nbits // 2
+    ix = (
+        f"least(CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+        f"* {float(1 << bits_lon)}) AS BIGINT), {(1 << bits_lon) - 1})"
+    )
+    iy = (
+        f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 "
+        f"* {float(1 << bits_lat)}) AS BIGINT), {(1 << bits_lat) - 1})"
+    )
+    terms = []
+    for b in range(bits_lon):
+        terms.append(
+            f"((({ix}) >> {bits_lon - 1 - b}) & 1) << {nbits - 1 - 2 * b}"
+        )
+    for b in range(bits_lat):
+        terms.append(
+            f"((({iy}) >> {bits_lat - 1 - b}) & 1) << {nbits - 2 - 2 * b}"
+        )
+    code = " | ".join(f"({t})" for t in terms)
+    parts = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((({code}) >> {5 * (precision - 1 - g)}) & 31) + 1 "
+        f"AS INTEGER), 1)"
+        for g in range(precision)
+    ]
+    return " || ".join(parts)

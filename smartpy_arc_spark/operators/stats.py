@@ -4015,3 +4015,65 @@ def ridge_2f(
         F.when(det != 0, F.round(beta1 * 1e6).cast("long")).alias("beta1_e6"),
         F.when(det != 0, F.round(beta2 * 1e6).cast("long")).alias("beta2_e6"),
     )
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    min_seg: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Single best changepoint by binary segmentation: the split that
+    maximizes the SSE reduction of a two-mean fit over a one-mean fit
+    (the first step of the classic recursive segmentation / the exact
+    CUSUM-of-squares optimum):
+
+        gain(t) = S_t²/t + (S−S_t)²/(n−t) − S²/n
+
+    Prefix sums over the ordered pre-rounded series give exact integer
+    ``(t, S_t)``; gain is one fixed double expression per candidate;
+    the argmax is deterministic (gain desc, earliest t).  Splits closer
+    than ``min_seg`` to either edge are excluded.
+
+    One ordered prefix pass over calendar-bounded input + a 1-row
+    totals broadcast.  Returns one row ``(n, split_idx, split_ts,
+    gain_units, mean_left_e4, mean_right_e4)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    pre = base.select(
+        "t",
+        F.row_number().over(W.orderBy("t")).alias("i"),
+        F.sum("x").over(w).alias("st"),
+    )
+    totals = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    cand = pre.crossJoin(F.broadcast(totals)).where(
+        (F.col("i") >= min_seg) & (F.col("i") <= F.col("n") - min_seg)
+    )
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    s = F.col("s").cast("double")
+    gain = st * st / i + (s - st) * (s - st) / (n - i) - s * s / n
+    # gain is a sum-of-squares difference (~n·σ² in tick² units): report
+    # it as integer squared ORIGINAL units (tick²/scale²) — an e6 scaling
+    # would pass 2⁶³ on ~10⁹-tick daily series
+    scored = cand.select(
+        F.col("n"),
+        F.col("i").cast("long").alias("split_idx"),
+        F.col("t").alias("split_ts"),
+        F.round(gain / scale / scale).cast("long").alias("gain_units"),
+        F.round(st / i / scale * 10000).cast("long").alias("mean_left_e4"),
+        F.round((s - st) / (n - i) / scale * 10000)
+        .cast("long")
+        .alias("mean_right_e4"),
+    )
+    return scored.orderBy(
+        F.col("gain_units").desc(), F.col("split_idx")
+    ).limit(1)

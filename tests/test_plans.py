@@ -63,6 +63,8 @@ SINGLE_PARTITION_OK = {
     "durbin_watson",          # 1-row statistic: residual lag pass over the
                               #   calendar-bounded daily grid
     "wilcoxon",               # 1-row statistic: global signed-rank combine
+    "changepoint",            # prefix pass over the calendar-bounded daily
+                              #   grid, 1-row argmax output
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "ridge",                  # 1-row regularized normal-equation sums
@@ -127,6 +129,7 @@ BNLJ_OK = {
     "runs_test",              # 1-row median broadcast cross join
     "durbin_watson",          # 1-row OLS-fit broadcast cross join
     "wasserstein",            # 1-row cohort-totals broadcast cross join
+    "changepoint",            # 1-row totals broadcast cross join
     "js_divergence",          # bounded category-domain / 1-row total
                               #   broadcast cross joins
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
