@@ -7031,6 +7031,39 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction over the embedding corpus (odd ids scored
+    against even ids, k=5): exact e6-integer squared-L2 distances,
+    deterministic neighbor order and majority vote."""
+    from smartpy_arc_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, "vec_id", "embedding", "label", k=5)
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the three returnflags rank consistently across
+    daily blocks?  Within-block doubled ranks (k-row windows partitioned
+    by day — scale-free), complete blocks only."""
+    from smartpy_arc_spark.operators.stats import friedman_test
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return friedman_test(daily, "d", "flag", "rev", scale=100)
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations of four lineitem measures from
+    ONE DECIMAL moment scan (6 pairs, listwise deletion)."""
+    from smartpy_arc_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scale=100,
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7417,6 +7450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman": q_kalman,
         "changepoint": q_changepoint,
         "geohash": q_geohash,
+        "knn_classify": q_knn_classify,
+        "friedman": q_friedman,
+        "corr_matrix": q_corr_matrix,
     })
 
 
@@ -7610,6 +7646,98 @@ def _geohash_oracle_sql() -> str:
 
 
 _GEOHASH_ORACLE_SQL = _geohash_oracle_sql()
+
+
+def _knn_classify_sql(dim: int = 64, k: int = 5) -> str:
+    """Generated mirror of ``operators.similarity.knn_classify``: the
+    64-term exact integer distance sum is emitted per dimension."""
+    dist = " + ".join(
+        f"(te.e[{i}] - tr.e[{i}]) * (te.e[{i}] - tr.e[{i}])"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       v -> CAST(round(v * 1000000) AS BIGINT)) AS e
+            FROM embeddings
+        ), te AS (
+            SELECT * FROM q WHERE vec_id % 2 = 1
+        ), tr AS (
+            SELECT * FROM q WHERE NOT (vec_id % 2 = 1)
+        ), pairs AS (
+            SELECT te.vec_id AS tid, te.label AS tlabel,
+                   tr.vec_id AS nid, tr.label AS nlabel,
+                   ({dist}) AS d
+            FROM te JOIN tr ON tr.vec_id != te.vec_id
+        ), ranked AS (
+            SELECT tid, tlabel, nid, nlabel, d,
+                   row_number() OVER (PARTITION BY tid
+                                      ORDER BY d, nid) AS rk
+            FROM pairs
+        ), votes AS (
+            SELECT tid, tlabel, nlabel, count(*) AS votes
+            FROM ranked WHERE rk <= {k}
+            GROUP BY tid, tlabel, nlabel
+        ), best AS (
+            SELECT tid, tlabel, nlabel,
+                   row_number() OVER (PARTITION BY tid
+                                      ORDER BY votes DESC, nlabel) AS vr
+            FROM votes
+        )
+        SELECT tid AS vec_id, tlabel AS true_label,
+               nlabel AS pred_label,
+               CAST(tlabel = nlabel AS INT) AS correct
+        FROM best WHERE vr = 1
+    """
+
+
+def _corr_matrix_sql(cols, *, table: str = "lineitem") -> str:
+    """Generated mirror of ``operators.stats.corr_matrix`` over the
+    SAME column list, pair order, and expression tree."""
+    n = len(cols)
+    sel = [
+        f"CAST(round({c} * 100) AS BIGINT) AS x{i}"
+        for i, c in enumerate(cols)
+    ]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(n):
+        aggs.append(f"CAST(SUM(x{i}) AS BIGINT) AS s{i}")
+        aggs.append(f"SUM(CAST(x{i} AS HUGEINT) * x{i}) AS q{i}")
+    for i in range(n):
+        for j in range(i + 1, n):
+            aggs.append(f"SUM(CAST(x{i} AS HUGEINT) * x{j}) AS p{i}_{j}")
+    selects = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            num = (
+                f"CAST(CAST(n AS HUGEINT) * p{i}_{j} "
+                f"- CAST(s{i} AS HUGEINT) * s{j} AS DOUBLE)"
+            )
+            vi = (
+                f"CAST(CAST(n AS HUGEINT) * q{i} "
+                f"- CAST(s{i} AS HUGEINT) * s{i} AS DOUBLE)"
+            )
+            vj = (
+                f"CAST(CAST(n AS HUGEINT) * q{j} "
+                f"- CAST(s{j} AS HUGEINT) * s{j} AS DOUBLE)"
+            )
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n, "
+                f"CASE WHEN {vi} > 0 AND {vj} > 0 THEN "
+                f"CAST(round({num} / (sqrt({vi}) * sqrt({vj})) "
+                f"* 1000000.0) AS BIGINT) END AS corr_e6 FROM mom"
+            )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH base AS (
+            SELECT {', '.join(sel)} FROM {table} WHERE {notnull}
+        ), mom AS (
+            SELECT {', '.join(aggs)} FROM base
+        )
+        {union}
+    """
 
 
 def _viterbi_sql() -> str:
@@ -15131,4 +15259,55 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY gain_units DESC, split_idx LIMIT 1
         """,
         "geohash": _GEOHASH_ORACLE_SQL,
+        "knn_classify": _knn_classify_sql(),
+        "friedman": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), base AS (
+                SELECT d AS b, flag AS tr,
+                       CAST(round(rev * 100) AS BIGINT) AS y
+                FROM daily
+            ), ktot AS (
+                SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM base
+            ), sizes AS (
+                SELECT b, count(*) AS n_b, count(DISTINCT tr) AS k_b
+                FROM base GROUP BY b
+            ), complete AS (
+                SELECT b FROM sizes, ktot
+                WHERE n_b = k AND k_b = k
+            ), inb AS (
+                SELECT base.b, base.tr, base.y
+                FROM base JOIN complete USING (b)
+            ), ranked AS (
+                SELECT b, tr,
+                       2 * count(*) OVER (PARTITION BY b ORDER BY y
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+                       + count(*) OVER (PARTITION BY b ORDER BY y
+                           RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING)
+                       + 1 AS r2
+                FROM inb
+            ), per_t AS (
+                SELECT tr, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+                       CAST(count(*) AS BIGINT) AS n_blocks
+                FROM ranked GROUP BY tr
+            ), agg AS (
+                SELECT CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+                       CAST(count(*) AS BIGINT) AS k_treatments,
+                       SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS sum_r2sq
+                FROM per_t
+            )
+            SELECT n_blocks, k_treatments,
+                   CASE WHEN n_blocks > 0 AND k_treatments > 1 THEN
+                       CAST(round((3.0 * CAST(sum_r2sq AS DOUBLE)
+                                   / CAST(n_blocks * k_treatments
+                                          * (k_treatments + 1) AS DOUBLE)
+                                   - 3.0 * CAST(n_blocks
+                                          * (k_treatments + 1) AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                   END AS q_e6
+            FROM agg
+        """,
+        "corr_matrix": _corr_matrix_sql(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
     }

@@ -750,3 +750,92 @@ def rank_biased_overlap(
             F.lit(0).cast("long"),
         ).alias("rbo_e6"),
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+    test_pred=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """k-nearest-neighbor classification by majority vote over exact
+    integer squared-L2 distances — the label-propagation baseline every
+    embedding pipeline needs before training anything.
+
+    Split: rows satisfying ``test_pred`` (default: odd ids) are scored
+    against the rest as the reference set.  Exactness (the ``kmeans``
+    e6-integer contract): coordinates quantize to e6 bigints, distances
+    are exact integer sums (64 dims × (2e6)² ≈ 2.6e14 ≪ 2⁶³), neighbor
+    order is total (distance asc, id asc), and the vote is
+    deterministic (count desc, label asc).
+
+    Plan shape (100 TB): the test side broadcasts (bounded by contract
+    — at scale you window the scoring set); ONE broadcast-hash pass over
+    the reference set, then a k-row-per-test top-k aggregate.  No
+    shuffle of the big side.
+
+    Returns ``(id, true_label, pred_label, correct)`` per test row.
+    """
+    qvec = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        qvec.alias("q"),
+    )
+    pred = (
+        test_pred(F.col("id"))
+        if test_pred is not None
+        else (F.col("id") % 2 == 1)
+    )
+    test = base.where(pred)
+    train = base.where(~pred)
+    j = train.alias("tr").join(
+        F.broadcast(
+            test.select(
+                F.col("id").alias("tid"),
+                F.col("label").alias("tlabel"),
+                F.col("q").alias("tq"),
+            )
+        ),
+        F.col("tr.id") != F.col("tid"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("tq"), F.col("tr.q"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w_nn = W.partitionBy("tid").orderBy(F.col("d"), F.col("nid"))
+    nn = (
+        j.select(
+            "tid",
+            "tlabel",
+            F.col("tr.id").alias("nid"),
+            F.col("tr.label").alias("nlabel"),
+            dist.alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(w_nn))
+        .where(F.col("rk") <= k)
+    )
+    votes = nn.groupBy("tid", "tlabel", "nlabel").agg(
+        F.count("*").alias("votes")
+    )
+    w_vote = W.partitionBy("tid").orderBy(
+        F.col("votes").desc(), F.col("nlabel")
+    )
+    best = votes.withColumn("vr", F.row_number().over(w_vote)).where(
+        F.col("vr") == 1
+    )
+    return best.select(
+        F.col("tid").alias(id_col),
+        F.col("tlabel").alias("true_label"),
+        F.col("nlabel").alias("pred_label"),
+        (F.col("tlabel") == F.col("nlabel")).cast("int").alias("correct"),
+    )

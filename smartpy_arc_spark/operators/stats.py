@@ -4077,3 +4077,158 @@ def changepoint_binseg(
     return scored.orderBy(
         F.col("gain_units").desc(), F.col("split_idx")
     ).limit(1)
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Friedman test for k treatments over n matched blocks (the
+    repeated-measures companion to :func:`kruskal_wallis`):
+
+        Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+
+    Within-block ranking is a tiny k-row window PARTITIONED BY BLOCK —
+    scale-free — with ties as doubled average ranks (``2·cnt_less +
+    cnt_eq + 1``, exact integers).  Only complete blocks (all k
+    treatments present exactly once) participate.  Q is one fixed
+    double expression over the exact integer rank sums.
+
+    Returns one row ``(n_blocks, k_treatments, q_e6)``.
+    """
+    y = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treat_col).alias("tr"),
+        y.alias("y"),
+    ).where(
+        F.col("b").isNotNull() & F.col("tr").isNotNull() & F.col("y").isNotNull()
+    )
+    k_total = base.select("tr").distinct().count()
+    sizes = base.groupBy("b").agg(
+        F.count("*").alias("n_b"),
+        F.count_distinct("tr").alias("k_b"),
+    )
+    complete = sizes.where(
+        (F.col("n_b") == k_total) & (F.col("k_b") == k_total)
+    ).select("b")
+    inb = base.join(complete, "b")
+    # doubled average rank within block: 2*(# smaller) + (# equal) + 1,
+    # via two range-frame window counts over the k-row block
+    ranked = inb.select(
+        "b",
+        "tr",
+        "y",
+        (
+            2 * F.count(F.when(F.col("y").isNotNull(), 1)).over(
+                W.partitionBy("b").orderBy("y").rangeBetween(
+                    W.unboundedPreceding, -1
+                )
+            )
+            + F.count(F.when(F.col("y").isNotNull(), 1)).over(
+                W.partitionBy("b").orderBy("y").rangeBetween(0, 0)
+            )
+            + 1
+        ).alias("r2"),
+    )
+    per_t = ranked.groupBy("tr").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    r2d = F.col("r2_sum").cast("decimal(19,0)")
+    agg = per_t.agg(
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum((r2d * r2d).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_r2sq"),
+    )
+    n = F.col("n_blocks")
+    kk = F.col("k_treatments")
+    q = (
+        F.lit(3.0)
+        * F.col("sum_r2sq").cast("double")
+        / (n * kk * (kk + 1)).cast("double")
+        - F.lit(3.0) * (n * (kk + 1)).cast("double")
+    )
+    return agg.select(
+        "n_blocks",
+        "k_treatments",
+        F.when(
+            (n > 0) & (kk > 1), F.round(q * 1e6).cast("long")
+        ).alias("q_e6"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame, cols: list, *, scale: int = 100
+) -> DataFrame:
+    """All pairwise Pearson correlations of k numeric columns in ONE
+    moment aggregate — the feature-screening matrix (k(k-1)/2 pairs
+    from a single scan, never k² passes).
+
+    Exactness: columns pre-round to integer ``scale`` ticks; all k
+    first moments, k second moments, and k(k-1)/2 cross moments are
+    exact DECIMAL(38,0) sums; each correlation is one fixed double
+    expression (the ``market_beta`` DECIMAL/HUGEINT contract — n·Σxy
+    passes 2⁶³ on ~10⁵ rows of 10⁷-tick values).  Rows with a null in
+    ANY column drop (listwise deletion), so every pair shares one n.
+
+    Returns one row per (col_a, col_b) pair, ``(col_a, col_b, n,
+    corr_e6)``, pairs in input-list order.
+    """
+    ticks = [
+        F.round(F.col(c).cast("double") * scale).cast("long").alias(f"x{i}")
+        for i, c in enumerate(cols)
+    ]
+    d = lambda i: F.col(f"x{i}").cast("decimal(19,0)")  # noqa: E731
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(f"x{i}").cast("long").alias(f"s{i}"))
+        aggs.append(
+            F.sum(d(i) * d(i)).cast("decimal(38,0)").alias(f"q{i}")
+        )
+    for i in range(len(cols)):
+        for jj in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(d(i) * d(jj))
+                .cast("decimal(38,0)")
+                .alias(f"p{i}_{jj}")
+            )
+    mom = df.select(*ticks)
+    for i in range(len(cols)):
+        mom = mom.where(F.col(f"x{i}").isNotNull())
+    mom = mom.agg(*aggs)
+    nd = F.col("n").cast("decimal(19,0)")
+
+    def corr(i, jj):
+        si = F.col(f"s{i}").cast("decimal(19,0)")
+        sj = F.col(f"s{jj}").cast("decimal(19,0)")
+        num = (nd * F.col(f"p{i}_{jj}") - si * sj).cast("double")
+        vi = (nd * F.col(f"q{i}") - si * si).cast("double")
+        vj = (nd * F.col(f"q{jj}") - sj * sj).cast("double")
+        return F.when(
+            (vi > 0) & (vj > 0),
+            F.round(num / (F.sqrt(vi) * F.sqrt(vj)) * 1e6).cast("long"),
+        )
+
+    stack_args = []
+    for i in range(len(cols)):
+        for jj in range(i + 1, len(cols)):
+            stack_args += [
+                F.lit(cols[i]),
+                F.lit(cols[jj]),
+                corr(i, jj),
+            ]
+    n_pairs = len(cols) * (len(cols) - 1) // 2
+    pairs = mom.select(
+        "n",
+        F.stack(
+            F.lit(n_pairs), *stack_args
+        ).alias("col_a", "col_b", "corr_e6"),
+    )
+    return pairs.select("col_a", "col_b", "n", "corr_e6")

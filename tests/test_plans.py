@@ -68,6 +68,8 @@ SINGLE_PARTITION_OK = {
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "ridge",                  # 1-row regularized normal-equation sums
+    "corr_matrix",            # 1-row all-pairs moment combine
+    "friedman",               # 1-row statistic: bounded k-treatment combine
     "wasserstein",            # segment walk over the distinct-value CDF
                               #   (the ks_test distinct-value contract)
     "js_divergence",          # 1-row corpus-total scalar for q
@@ -130,6 +132,8 @@ BNLJ_OK = {
     "durbin_watson",          # 1-row OLS-fit broadcast cross join
     "wasserstein",            # 1-row cohort-totals broadcast cross join
     "changepoint",            # 1-row totals broadcast cross join
+    "knn_classify",           # bounded-test-side broadcast inequality join
+                              #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
                               #   broadcast cross joins
     "semdedup",               # k-row seed-centroid broadcast cross join (k bounded)
