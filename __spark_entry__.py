@@ -7064,6 +7064,79 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest of the supplier co-order graph
+    (bounded slice, weight = min co-occurrence linenumber sum): strict
+    (w, s, d) total order makes the forest unique under ties.  Rows-only
+    (iterative halving; no SQL oracle) — pinned against a Kruskal
+    reference in tests."""
+    from smartpy_arc_spark.operators.components import (
+        minimum_spanning_forest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    a = li.where("l_suppkey <= 60").alias("a")
+    b = li.where("l_suppkey <= 60").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("s"),
+            F.col("b.l_suppkey").alias("d"),
+        )
+        .agg(
+            F.min(F.col("a.l_linenumber") + F.col("b.l_linenumber"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    return minimum_spanning_forest(edges).orderBy("s", "d")
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core SQL window-function surface in one query — row_number /
+    rank / dense_rank / ntile / percent-rank (explicit rational) /
+    cume_dist / lag / lead / first_value gap — per-nation customers by
+    balance, tie semantics exercised on the value-ordered windows."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        bal.alias("bal"),
+    )
+    w_tie = W.partitionBy("nk").orderBy(F.col("bal").desc(), F.col("ck"))
+    w_val = W.partitionBy("nk").orderBy(F.col("bal").desc())
+    n = F.count("*").over(W.partitionBy("nk"))
+    rnk = F.rank().over(w_val)
+    return base.select(
+        "nk",
+        "ck",
+        "bal",
+        F.row_number().over(w_tie).alias("rn"),
+        rnk.alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_tie).alias("quartile"),
+        F.when(
+            n > 1,
+            F.round(
+                (rnk - 1).cast("double") / (n - 1).cast("double") * 1e6
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("pct_rank_e6"),
+        F.round(F.cume_dist().over(w_val) * 1e6)
+        .cast("long")
+        .alias("cume_e6"),
+        F.lag("bal").over(w_tie).alias("prev_bal"),
+        F.lead("bal").over(w_tie).alias("next_bal"),
+        (F.first("bal").over(w_tie) - F.col("bal")).alias("gap_to_top"),
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7453,6 +7526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "friedman": q_friedman,
         "corr_matrix": q_corr_matrix,
+        "mst": q_mst,
+        "window_suite": q_window_suite,
     })
 
 
@@ -15310,4 +15385,29 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _corr_matrix_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
+        "window_suite": """
+            WITH base AS (
+                SELECT c_nationkey AS nk, c_custkey AS ck,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                FROM customer
+            )
+            SELECT nk, ck, bal,
+                   CAST(row_number() OVER tie AS INTEGER) AS rn,
+                   CAST(rank() OVER val AS INTEGER) AS rnk,
+                   CAST(dense_rank() OVER val AS INTEGER) AS drnk,
+                   CAST(ntile(4) OVER tie AS INTEGER) AS quartile,
+                   CAST(CASE WHEN count(*) OVER (PARTITION BY nk) > 1
+                        THEN round(CAST(rank() OVER val - 1 AS DOUBLE)
+                                   / CAST(count(*) OVER (PARTITION BY nk)
+                                          - 1 AS DOUBLE) * 1000000.0)
+                        ELSE 0 END AS BIGINT) AS pct_rank_e6,
+                   CAST(round(cume_dist() OVER val * 1000000.0)
+                        AS BIGINT) AS cume_e6,
+                   lag(bal) OVER tie AS prev_bal,
+                   lead(bal) OVER tie AS next_bal,
+                   first_value(bal) OVER tie - bal AS gap_to_top
+            FROM base
+            WINDOW tie AS (PARTITION BY nk ORDER BY bal DESC, ck),
+                   val AS (PARTITION BY nk ORDER BY bal DESC)
+        """,
     }

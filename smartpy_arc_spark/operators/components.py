@@ -1077,3 +1077,90 @@ def clustering_coefficient(
         )
         .orderBy("node")
     )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    *,
+    src_col: str = "s",
+    dst_col: str = "d",
+    weight_col: str = "w",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Distributed Borůvka minimum spanning forest: each round every
+    component selects its lightest outgoing edge, the selected edges
+    join the forest, and components merge — component count at least
+    halves per round, so ``max_rounds = 20`` covers 10⁶ components.
+
+    Cycle-safety under ties: "lightest" uses the STRICT total order
+    ``(w, s, d)`` (a unique minimum per component can never close a
+    cycle — the classic Borůvka tie rule), so the output forest is
+    deterministic even with duplicate weights.
+
+    Everything is key-partitioned: per-component ``min_by`` aggregates,
+    hash joins against the (checkpointed) component labels, and a
+    pointer-jumping CC pass over each round's SELECTED edges only (a
+    graph with ≤ one edge per component).  No driver-side adjacency.
+
+    Returns the forest edge list ``(s, d, w)``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .withColumn("c", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for _ in range(max_rounds):
+        lab = comp
+        annotated = (
+            e.join(
+                lab.select(F.col("node").alias("s"), F.col("c").alias("cs")),
+                "s",
+            )
+            .join(
+                lab.select(F.col("node").alias("d"), F.col("c").alias("cd")),
+                "d",
+            )
+            .where(F.col("cs") != F.col("cd"))
+        )
+        if annotated.limit(1).count() == 0:
+            break
+        pick = F.struct("w", "s", "d", "cs", "cd")
+        incident = annotated.select(
+            F.col("cs").alias("comp"), pick.alias("e")
+        ).union(annotated.select(F.col("cd").alias("comp"), pick.alias("e")))
+        chosen = (
+            incident.groupBy("comp")
+            .agg(F.min("e").alias("e"))
+            .select("e.w", "e.s", "e.d", "e.cs", "e.cd")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sel = chosen.select("s", "d", "w")
+        forest = sel if forest is None else forest.union(sel)
+        merge_labels = connected_components(
+            chosen.select("cs", "cd"), src_col="cs", dst_col="cd"
+        ).select(F.col("node").alias("c"), F.col("component").alias("c_new"))
+        comp = (
+            comp.join(merge_labels, "c", "left")
+            .select(
+                "node", F.coalesce(F.col("c_new"), F.col("c")).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    if forest is None:
+        return e.where(F.lit(False)).select("s", "d", "w")
+    return forest.groupBy("s", "d").agg(F.min("w").alias("w"))
