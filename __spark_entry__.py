@@ -7137,6 +7137,67 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange (Spark 4 built-in source): write a customer
+    slice as rowTag XML, read back through scan(fmt='xml') with an
+    explicit schema, aggregate — cents-exact totals."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "sas_xml_ws")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+        os.path.join(d, "cust_slice.xml")
+    )
+    back = scan(
+        spark,
+        d,
+        "cust_slice",
+        fmt="xml",
+        schema="c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("total_bal_cents"),
+    )
+
+
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model diagnostics for orders-per-customer by market
+    segment: dispersion ratio + method-of-moments negative-binomial
+    fit from exact integer moments."""
+    from smartpy_arc_spark.operators.stats import overdispersion_fit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_ord"))
+    )
+    counts = cust.join(
+        per_c, cust["c_custkey"] == per_c["o_custkey"], "left"
+    ).select(
+        "c_mktsegment",
+        F.coalesce(F.col("n_ord"), F.lit(0)).cast("long").alias("n_ord"),
+    )
+    return overdispersion_fit(counts, "c_mktsegment", "n_ord")
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR/CVaR (5% tail) of day-over-day revenue changes
+    per returnflag: explicit integer rank selection, exact tail mean."""
+    from smartpy_arc_spark.operators.stats import var_cvar
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return var_cvar(daily, "flag", "d", "rev", tail_den=20, scale=100)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7528,6 +7589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "mst": q_mst,
         "window_suite": q_window_suite,
+        "xml_roundtrip": q_xml_roundtrip,
+        "overdispersion": q_overdispersion,
+        "var_cvar": q_var_cvar,
     })
 
 
@@ -15409,5 +15473,80 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             WINDOW tie AS (PARTITION BY nk ORDER BY bal DESC, ck),
                    val AS (PARTITION BY nk ORDER BY bal DESC)
+        """,
+        "xml_roundtrip": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_cents
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "overdispersion": """
+            WITH per_c AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+                FROM orders GROUP BY o_custkey
+            ), counts AS (
+                SELECT c.c_mktsegment AS g,
+                       COALESCE(p.n_ord, 0) AS c
+                FROM customer c LEFT JOIN per_c p
+                  ON c.c_custkey = p.o_custkey
+            ), mom AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS q
+                FROM counts GROUP BY g
+            ), calc AS (
+                SELECT g, n,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       CAST(n * q - s * s AS DOUBLE)
+                           / CAST(n * (n - 1) AS DOUBLE) AS var
+                FROM mom
+            )
+            SELECT g AS c_mktsegment, n,
+                   CAST(round(mean * 1000000.0) AS BIGINT) AS mean_e6,
+                   CASE WHEN n >= 2
+                        THEN CAST(round(var * 1000000.0) AS BIGINT)
+                   END AS var_e6,
+                   CASE WHEN n >= 2 AND mean > 0
+                        THEN CAST(round(var / mean * 1000000.0) AS BIGINT)
+                   END AS dispersion_e6,
+                   CASE WHEN n >= 2 AND var > mean AND mean > 0
+                        THEN CAST(round(mean * mean / (var - mean)
+                                        * 1000000.0) AS BIGINT)
+                   END AS nb_r_e6,
+                   CASE WHEN n >= 2 AND var > mean AND mean > 0
+                        THEN CAST(round(mean / var * 1000000.0) AS BIGINT)
+                   END AS nb_p_e6
+            FROM calc
+        """,
+        "var_cvar": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), tick AS (
+                SELECT flag AS k, d AS t,
+                       CAST(round(rev * 100) AS BIGINT) AS x
+                FROM daily
+            ), chg AS (
+                SELECT k, t,
+                       x - lag(x) OVER (PARTITION BY k ORDER BY t) AS d
+                FROM tick
+            ), ranked AS (
+                SELECT k, d,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY d, t) AS rk
+                FROM chg WHERE d IS NOT NULL
+            ), sizes AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST((count(*) + 19) // 20 AS BIGINT) AS kt
+                FROM ranked GROUP BY k
+            ), tail AS (
+                SELECT r.k, s.n, s.kt, r.d, r.rk
+                FROM ranked r JOIN sizes s ON r.k = s.k
+                WHERE r.rk <= s.kt
+            )
+            SELECT k AS flag, n AS n_changes, kt AS k_tail,
+                   CAST(max(CASE WHEN rk = kt THEN d END) * 100
+                        AS BIGINT) AS var_e4,
+                   CAST(round(CAST(SUM(d) AS DOUBLE) / CAST(kt AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS cvar_e4
+            FROM tail GROUP BY k, n, kt
         """,
     }

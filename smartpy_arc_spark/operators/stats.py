@@ -4232,3 +4232,112 @@ def corr_matrix(
         ).alias("col_a", "col_b", "corr_e6"),
     )
     return pairs.select("col_a", "col_b", "n", "corr_e6")
+
+
+def overdispersion_fit(
+    df: DataFrame, group_col: str, count_col: str
+) -> DataFrame:
+    """Per-group count-model diagnostics: mean, sample variance, the
+    dispersion ratio var/mean (≈1 ⇒ Poisson; >1 ⇒ overdispersed), and
+    the method-of-moments negative-binomial fit
+
+        r = mean² / (var − mean),   p = mean / var
+
+    — the decision table for modeling count columns (orders per
+    customer, events per session) before reaching for a GLM.
+
+    Exactness: counts are integers, so (n, Σc, Σc²) are exact bigint
+    moments and every statistic is a fixed double expression; NB
+    parameters are null when var ≤ mean (Poisson or under-dispersed —
+    MoM undefined).
+
+    Returns ``(group, n, mean_e6, var_e6, dispersion_e6, nb_r_e6,
+    nb_p_e6)``.
+    """
+    c = F.col(count_col).cast("long")
+    base = df.select(F.col(group_col).alias("g"), c.alias("c")).where(
+        F.col("c").isNotNull() & F.col("g").isNotNull()
+    )
+    mom = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n.cast("double")
+    var = (
+        (n * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    disp = var / mean
+    nb_ok = (n >= 2) & (var > mean) & (mean > 0)
+    r = mean * mean / (var - mean)
+    p = mean / var
+    return mom.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(mean * 1e6).cast("long").alias("mean_e6"),
+        F.when(n >= 2, F.round(var * 1e6).cast("long")).alias("var_e6"),
+        F.when((n >= 2) & (mean > 0), F.round(disp * 1e6).cast("long")).alias(
+            "dispersion_e6"
+        ),
+        F.when(nb_ok, F.round(r * 1e6).cast("long")).alias("nb_r_e6"),
+        F.when(nb_ok, F.round(p * 1e6).cast("long")).alias("nb_p_e6"),
+    )
+
+
+def var_cvar(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tail_den: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Historical Value-at-Risk and Conditional VaR (expected shortfall)
+    of period-over-period changes, per key, at tail fraction
+    ``1/tail_den`` (default 5%).
+
+    Selection, not interpolation (the ``time_to_convert`` contract):
+    the VaR is the ``k = ceil(n_changes/tail_den)``-th SMALLEST change
+    by the total order (change, ts) — an explicit integer rank rule —
+    and CVaR is the exact integer mean of those k worst changes (one
+    division).  Engine quantile conventions never enter.
+
+    Returns ``(key, n_changes, k_tail, var_e4, cvar_e4)`` in original
+    value units (negative = loss).
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("t"), x.alias("x")
+    )
+    wt = W.partitionBy("k").orderBy("t")
+    d = (F.col("x") - F.lag("x").over(wt)).alias("d")
+    chg = base.select("k", "t", d).where(F.col("d").isNotNull())
+    wr = W.partitionBy("k").orderBy(F.col("d"), F.col("t"))
+    ranked = chg.select(
+        "k", "d", F.row_number().over(wr).alias("rk")
+    )
+    sizes = ranked.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+    kk = F.expr(f"(n + {tail_den - 1}) div {tail_den}")
+    sized = ranked.join(F.broadcast(sizes.select("k", "n", kk.alias("kt"))), "k")
+    tail = sized.where(F.col("rk") <= F.col("kt"))
+    agg = tail.groupBy("k", "n", "kt").agg(
+        F.max(F.when(F.col("rk") == F.col("kt"), F.col("d"))).alias("var_d"),
+        F.sum("d").cast("long").alias("tail_sum"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_changes"),
+        F.col("kt").alias("k_tail"),
+        (F.col("var_d") * (10000 // scale)).cast("long").alias("var_e4"),
+        F.round(
+            F.col("tail_sum").cast("double")
+            / F.col("kt").cast("double")
+            / scale
+            * 10000
+        )
+        .cast("long")
+        .alias("cvar_e4"),
+    )

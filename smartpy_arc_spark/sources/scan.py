@@ -176,6 +176,14 @@ def scan(
 
         register_avro_source(spark)
         df = reader.format("avro_py").load(path)
+    elif fmt == "xml":
+        # Spark 4 built-in XML source (the spark-xml package merged in
+        # 4.0): rowTag-delimited records; explicit schema avoids the
+        # second inference scan exactly like the csv branch
+        xml_reader = reader.format("xml").option("rowTag", "row")
+        if schema is not None:
+            xml_reader = xml_reader.schema(schema)
+        df = xml_reader.load(path)
     elif fmt in ("shp", "shapefile"):
         # folder-workspace shapefile (arc_pandas.py:17-21): .dbf attributes
         # + .shp geometry as WKB, CRS from the sibling .prj
