@@ -7198,6 +7198,27 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var_cvar(daily, "flag", "d", "rev", tail_den=20, scale=100)
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast scorecard for the weekly-naive (lag-7) forecaster over
+    each returnflag's daily revenue: MAE/RMSE/MAPE/sMAPE/MASE/pinball,
+    all from exact integer error sums with per-term e6 pre-rounding."""
+    from smartpy_arc_spark.operators.resample import forecast_eval
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    w = W.partitionBy("flag").orderBy("d")
+    with_f = daily.withColumn("fc", F.lag("rev", 7).over(w))
+    return forecast_eval(with_f, "flag", "d", "rev", "fc", scale=100)
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs most-extreme-day screen on the global daily-revenue
+    series: exact integer deviation numerators, deterministic argmax."""
+    from smartpy_arc_spark.operators.stats import grubbs_statistic
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False)
+    return grubbs_statistic(daily, "d", "rev", scale=100)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7592,6 +7613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "overdispersion": q_overdispersion,
         "var_cvar": q_var_cvar,
+        "forecast_eval": q_forecast_eval,
+        "grubbs": q_grubbs,
     })
 
 
@@ -15548,5 +15571,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(CAST(SUM(d) AS DOUBLE) / CAST(kt AS DOUBLE)
                               / 100 * 10000) AS BIGINT) AS cvar_e4
             FROM tail GROUP BY k, n, kt
+        """,
+        "forecast_eval": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), wf AS (
+                SELECT flag AS k, d AS t,
+                       CAST(round(rev * 100) AS BIGINT) AS a,
+                       CAST(round(lag(rev, 7) OVER (PARTITION BY flag
+                                                    ORDER BY d) * 100)
+                            AS BIGINT) AS f
+                FROM daily
+            ), naive AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS m,
+                       CAST(SUM(ne) AS BIGINT) AS ns
+                FROM (
+                    SELECT k,
+                           abs(a - lag(a) OVER (PARTITION BY k ORDER BY t))
+                               AS ne
+                    FROM wf
+                ) WHERE ne IS NOT NULL GROUP BY k
+            ), scored AS (
+                SELECT k, a, f, a - f AS e, abs(a - f) AS ae
+                FROM wf WHERE f IS NOT NULL
+            ), agg AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(ae) AS BIGINT) AS sae,
+                       SUM(CAST(ae AS HUGEINT) * ae) AS sse,
+                       CAST(count(CASE WHEN a != 0 THEN 1 END) AS BIGINT)
+                           AS n_mape,
+                       CAST(SUM(CASE WHEN a != 0 THEN
+                            CAST(round(CAST(ae AS DOUBLE)
+                                       / CAST(abs(a) AS DOUBLE)
+                                       * 1000000.0) AS BIGINT) END)
+                            AS BIGINT) AS s_mape,
+                       CAST(count(CASE WHEN abs(a) + abs(f) > 0 THEN 1 END)
+                            AS BIGINT) AS n_smape,
+                       CAST(SUM(CASE WHEN abs(a) + abs(f) > 0 THEN
+                            CAST(round(2.0 * CAST(ae AS DOUBLE)
+                                       / CAST(abs(a) + abs(f) AS DOUBLE)
+                                       * 1000000.0) AS BIGINT) END)
+                            AS BIGINT) AS s_smape,
+                       CAST(SUM(9 * greatest(e, 0) + greatest(-e, 0))
+                            AS BIGINT) AS s_pin10
+                FROM scored GROUP BY k
+            )
+            SELECT agg.k AS flag, n AS n_scored,
+                   CAST(round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS mae_e4,
+                   CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE))
+                              / 100 * 10000) AS BIGINT) AS rmse_e4,
+                   CASE WHEN n_mape > 0 THEN
+                       CAST(round(CAST(s_mape AS DOUBLE)
+                                  / CAST(n_mape AS DOUBLE)) AS BIGINT)
+                   END AS mape_e6,
+                   CASE WHEN n_smape > 0 THEN
+                       CAST(round(CAST(s_smape AS DOUBLE)
+                                  / CAST(n_smape AS DOUBLE)) AS BIGINT)
+                   END AS smape_e6,
+                   CASE WHEN ns > 0 THEN
+                       CAST(round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / (CAST(ns AS DOUBLE)
+                                     / CAST(m AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                   END AS mase_e6,
+                   CAST(round(CAST(s_pin10 AS DOUBLE)
+                              / CAST(10 * n AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS pinball90_e4
+            FROM agg LEFT JOIN naive ON agg.k = naive.k
+        """,
+        "grubbs": f"""
+            WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+            ), base AS (
+                SELECT d AS t, CAST(round(rev * 100) AS BIGINT) AS x
+                FROM daily
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM base
+            ), flagged AS (
+                SELECT t, x, n, s, q, abs(n * x - s) AS dev
+                FROM base, mom
+            ), top AS (
+                SELECT * FROM flagged
+                ORDER BY dev DESC, t LIMIT 1
+            )
+            SELECT n,
+                   CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS mean_e4,
+                   CASE WHEN n >= 2 THEN
+                       CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * q
+                                  - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                  / CAST(n * (n - 1) AS DOUBLE))
+                              / 100 * 10000) AS BIGINT)
+                   END AS sd_e4,
+                   CASE WHEN n >= 2 AND sqrt(CAST(CAST(n AS HUGEINT) * q
+                             - CAST(s AS HUGEINT) * s AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE)) > 0 THEN
+                       CAST(round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)
+                                  / sqrt(CAST(CAST(n AS HUGEINT) * q
+                                         - CAST(s AS HUGEINT) * s
+                                         AS DOUBLE)
+                                         / CAST(n * (n - 1) AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                   END AS g_e6,
+                   t AS outlier_ts,
+                   CAST(x * 100 AS BIGINT) AS outlier_e4
+            FROM top
         """,
     }

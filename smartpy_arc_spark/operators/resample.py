@@ -1387,3 +1387,111 @@ def kalman_level(
         F.round(pf * 100).cast("long").alias("p_e2"),
         F.round(gain * 1e6).cast("long").alias("gain_e6"),
     )
+
+
+def forecast_eval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    actual_col: str,
+    forecast_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key forecast-accuracy table: MAE, RMSE, MAPE, sMAPE, MASE
+    (vs the in-sample lag-1 naive), and the 0.9-quantile pinball loss —
+    the standard scorecard for any of the forecasting operators
+    (``seasonal_naive`` / ``holt_winters`` / ``croston`` / ``ar_model``).
+
+    Exactness: actuals/forecasts pre-round to integer ticks; absolute
+    and squared error sums are exact integers (DECIMAL second moments);
+    MAPE/sMAPE terms pre-round to integer e6 each (order-free sums);
+    the 0.9 pinball loss stays integer via the ×10 trick
+    (``10·L = 9·(a−f)⁺ + (f−a)⁺``); MASE's naive MAE uses the key's
+    FULL actual series (one lag window), not just scored rows.
+
+    Rows with a null forecast are excluded from scoring.  Returns
+    ``(key, n_scored, mae_e4, rmse_e4, mape_e6, smape_e6, mase_e6,
+    pinball90_e4)``.
+    """
+    a = F.round(F.col(actual_col).cast("double") * scale).cast("long")
+    f = F.round(F.col(forecast_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        a.alias("a"),
+        f.alias("f"),
+    ).where(F.col("a").isNotNull())
+    w = W.partitionBy("k").orderBy("t")
+    naive_err = F.abs(F.col("a") - F.lag("a").over(w))
+    naive = base.select("k", naive_err.alias("ne")).where(
+        F.col("ne").isNotNull()
+    )
+    naive_mae = naive.groupBy("k").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("ne").cast("long").alias("ns"),
+    )
+    scored = base.where(F.col("f").isNotNull())
+    e = F.col("a") - F.col("f")
+    ae = F.abs(e)
+    aed = ae.cast("decimal(19,0)")
+    mape_t = F.when(
+        F.col("a") != 0,
+        F.round(
+            ae.cast("double") / F.abs(F.col("a")).cast("double") * 1e6
+        ).cast("long"),
+    )
+    sden = F.abs(F.col("a")) + F.abs(F.col("f"))
+    smape_t = F.when(
+        sden > 0,
+        F.round(
+            F.lit(2.0) * ae.cast("double") / sden.cast("double") * 1e6
+        ).cast("long"),
+    )
+    pin10 = 9 * F.greatest(e, F.lit(0)) + F.greatest(-e, F.lit(0))
+    agg = scored.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(ae).cast("long").alias("sae"),
+        F.sum(aed * aed).cast("decimal(38,0)").alias("sse"),
+        F.count(mape_t).cast("long").alias("n_mape"),
+        F.sum(mape_t).cast("long").alias("s_mape"),
+        F.count(smape_t).cast("long").alias("n_smape"),
+        F.sum(smape_t).cast("long").alias("s_smape"),
+        F.sum(pin10).cast("long").alias("s_pin10"),
+    )
+    j = agg.join(naive_mae, "k", "left")
+    n = F.col("n").cast("double")
+    mae = F.col("sae").cast("double") / n
+    rmse = F.sqrt(F.col("sse").cast("double") / n)
+    naive_mean = F.col("ns").cast("double") / F.col("m").cast("double")
+    return j.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_scored"),
+        F.round(mae / scale * 10000).cast("long").alias("mae_e4"),
+        F.round(rmse / scale * 10000).cast("long").alias("rmse_e4"),
+        F.when(
+            F.col("n_mape") > 0,
+            F.round(
+                F.col("s_mape").cast("double")
+                / F.col("n_mape").cast("double")
+            ).cast("long"),
+        ).alias("mape_e6"),
+        F.when(
+            F.col("n_smape") > 0,
+            F.round(
+                F.col("s_smape").cast("double")
+                / F.col("n_smape").cast("double")
+            ).cast("long"),
+        ).alias("smape_e6"),
+        F.when(
+            F.col("ns") > 0,
+            F.round(mae / naive_mean * 1e6).cast("long"),
+        ).alias("mase_e6"),
+        F.round(
+            F.col("s_pin10").cast("double") / (10 * F.col("n")).cast("double")
+            / scale
+            * 10000
+        )
+        .cast("long")
+        .alias("pinball90_e4"),
+    )

@@ -4341,3 +4341,67 @@ def var_cvar(
         .cast("long")
         .alias("cvar_e4"),
     )
+
+
+def grubbs_statistic(
+    df: DataFrame, ts_col: str, value_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Grubbs outlier statistic ``G = max|x − x̄|/s`` with the offending
+    observation — the single-most-extreme-point screen for a series
+    (compare G against the t-based critical value for your α off-line).
+
+    Exactness: the per-row deviation keeps the exact integer numerator
+    ``|n·x − S|`` (no float mean subtraction), the argmax is
+    deterministic (deviation desc, earliest ts), and G is one fixed
+    double expression over exact DECIMAL moments.
+
+    Returns one row ``(n, mean_e4, sd_e4, g_e6, outlier_ts,
+    outlier_e4)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
+    xd = F.col("x").cast("decimal(19,0)")
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("q"),
+    )
+    dev = F.abs(F.col("n") * F.col("x") - F.col("s"))
+    flagged = base.crossJoin(F.broadcast(mom)).select(
+        "t", "x", "n", "s", "q", dev.alias("dev")
+    )
+    top = (
+        flagged.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("dev").desc(), F.col("t"))),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    n = F.col("n")
+    nd = n.cast("decimal(19,0)")
+    sd = F.sqrt(
+        (
+            nd * F.col("q")
+            - F.col("s").cast("decimal(19,0)")
+            * F.col("s").cast("decimal(19,0)")
+        ).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    g = F.col("dev").cast("double") / n.cast("double") / sd
+    return top.select(
+        "n",
+        F.round(
+            F.col("s").cast("double") / n.cast("double") / scale * 10000
+        )
+        .cast("long")
+        .alias("mean_e4"),
+        F.when(n >= 2, F.round(sd / scale * 10000).cast("long")).alias(
+            "sd_e4"
+        ),
+        F.when((n >= 2) & (sd > 0), F.round(g * 1e6).cast("long")).alias(
+            "g_e6"
+        ),
+        F.col("t").alias("outlier_ts"),
+        (F.col("x") * (10000 // scale)).cast("long").alias("outlier_e4"),
+    )

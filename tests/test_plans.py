@@ -65,6 +65,8 @@ SINGLE_PARTITION_OK = {
     "wilcoxon",               # 1-row statistic: global signed-rank combine
     "changepoint",            # prefix pass over the calendar-bounded daily
                               #   grid, 1-row argmax output
+    "grubbs",                 # 1-row argmax over the calendar-bounded daily
+                              #   grid
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "ridge",                  # 1-row regularized normal-equation sums
@@ -132,6 +134,7 @@ BNLJ_OK = {
     "durbin_watson",          # 1-row OLS-fit broadcast cross join
     "wasserstein",            # 1-row cohort-totals broadcast cross join
     "changepoint",            # 1-row totals broadcast cross join
+    "grubbs",                 # 1-row moments broadcast cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
