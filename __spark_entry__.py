@@ -7219,6 +7219,24 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grubbs_statistic(daily, "d", "rev", scale=100)
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked radius self-join (the cartesian-killer spatial
+    pattern): event points within 0.05° of each other via 3×3 cell
+    neighborhoods + exact integer distance verify — every pair meets
+    once, no cross join anywhere."""
+    from smartpy_arc_spark.operators.spatial import radius_self_join
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    pts = ev.select(
+        "event_id",
+        ((F.col("user_id") % 1000) / F.lit(100.0)).alias("lat"),
+        ((F.col("event_id") % 1000) / F.lit(100.0)).alias("lon"),
+    )
+    return radius_self_join(
+        pts, "event_id", "lat", "lon", radius_e4=500
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7615,6 +7633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_cvar": q_var_cvar,
         "forecast_eval": q_forecast_eval,
         "grubbs": q_grubbs,
+        "radius_join": q_radius_join,
     })
 
 
@@ -15678,5 +15697,41 @@ def oracle_sql() -> dict[str, str]:
                    t AS outlier_ts,
                    CAST(x * 100 AS BIGINT) AS outlier_e4
             FROM top
+        """,
+        "radius_join": """
+            WITH pts AS (
+                SELECT event_id AS pid,
+                       CAST(round((user_id % 1000) / 100.0 * 10000)
+                            AS BIGINT) AS la,
+                       CAST(round((event_id % 1000) / 100.0 * 10000)
+                            AS BIGINT) AS lo
+                FROM events WHERE event_id < 3000
+            ), celled AS (
+                SELECT pid, la, lo,
+                       CAST(floor(CAST(la AS DOUBLE) / 500) AS BIGINT)
+                           AS cx,
+                       CAST(floor(CAST(lo AS DOUBLE) / 500) AS BIGINT)
+                           AS cy
+                FROM pts
+            ), a AS (
+                SELECT pid AS id_a, la AS la_a, lo AS lo_a,
+                       cx + o.dx AS jx, cy + o.dy AS jy
+                FROM celled, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                     (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+            ), b AS (
+                SELECT pid AS id_b, la AS la_b, lo AS lo_b,
+                       cx AS jx, cy AS jy
+                FROM celled
+            ), pairs AS (
+                SELECT id_a, id_b,
+                       (la_a - la_b) * (la_a - la_b)
+                       + (lo_a - lo_b) * (lo_a - lo_b) AS dist2
+                FROM a JOIN b USING (jx, jy)
+                WHERE id_a < id_b
+            )
+            SELECT id_a, id_b, dist2,
+                   CAST(round(sqrt(CAST(dist2 AS DOUBLE))) AS BIGINT)
+                       AS dist_e4
+            FROM pairs WHERE dist2 <= 500 * 500
         """,
     }
