@@ -7237,6 +7237,84 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-fold-out OLS stability (5 folds by orderkey mod):
+    train-split moments by subtraction from the totals — one scan, k
+    Cramer solves."""
+    from smartpy_arc_spark.operators.stats import kfold_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kfold_regression(
+        li, "l_orderkey", "l_quantity", "l_extendedprice", k=5
+    )
+
+
+def q_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy harness (the dedup_eval pattern for sketches):
+    approx_count_distinct and approx_percentile against their exact
+    counterparts, with relative errors and bound flags.  Rows-only —
+    sketch values are engine-specific by nature; the ERROR BOUNDS are
+    the assertable contract (tested)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    exact = li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("nd_exact"),
+        F.expr(
+            "CAST(percentile(CAST(round(l_extendedprice * 100) AS BIGINT),"
+            " 0.5) AS DOUBLE)"
+        ).alias("p50_exact"),
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02)
+        .cast("long")
+        .alias("nd_approx"),
+        F.percentile_approx(cents, F.lit(0.5), F.lit(10000))
+        .cast("double")
+        .alias("p50_approx"),
+    )
+    j = exact.crossJoin(approx)
+    nd_rel = (
+        F.abs(F.col("nd_approx") - F.col("nd_exact")).cast("double")
+        / F.col("nd_exact").cast("double")
+    )
+    p_rel = F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col(
+        "p50_exact"
+    )
+    return j.select(
+        "nd_exact",
+        "nd_approx",
+        F.round(nd_rel * 1e6).cast("long").alias("nd_rel_err_e6"),
+        (nd_rel <= 0.06).cast("int").alias("nd_within_3rsd"),
+        F.col("p50_exact").cast("long").alias("p50_exact_cents"),
+        F.col("p50_approx").cast("long").alias("p50_approx_cents"),
+        F.round(p_rel * 1e6).cast("long").alias("p50_rel_err_e6"),
+        (p_rel <= 0.01).cast("int").alias("p50_within_1pct"),
+    )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed type counts drained through the memory sink,
+    then ranked to per-window top-2 event types (deterministic count
+    desc, type asc) — the trending-items shape: streaming agg + batch
+    post-rank."""
+    from smartpy_arc_spark.streaming.stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = run_stream_to_memory(windowed_event_counts(stream))
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7634,6 +7712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "grubbs": q_grubbs,
         "radius_join": q_radius_join,
+        "kfold_ols": q_kfold_ols,
+        "sketch_eval": q_sketch_eval,
+        "stream_topk": q_stream_topk,
     })
 
 
@@ -15733,5 +15814,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sqrt(CAST(dist2 AS DOUBLE))) AS BIGINT)
                        AS dist_e4
             FROM pairs WHERE dist2 <= 500 * 500
+        """,
+        "kfold_ols": """
+            WITH base AS (
+                SELECT CAST(l_orderkey % 5 AS INTEGER) AS fold,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), per_fold AS (
+                SELECT fold, CAST(count(*) AS BIGINT) AS n_f,
+                       CAST(SUM(x) AS BIGINT) AS sx_f,
+                       CAST(SUM(y) AS BIGINT) AS sy_f,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy_f,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx_f
+                FROM base GROUP BY fold
+            ), totals AS (
+                SELECT CAST(SUM(n_f) AS BIGINT) AS n_t,
+                       CAST(SUM(sx_f) AS BIGINT) AS sx_t,
+                       CAST(SUM(sy_f) AS BIGINT) AS sy_t,
+                       SUM(sxy_f) AS sxy_t,
+                       SUM(sxx_f) AS sxx_t
+                FROM per_fold
+            ), fit AS (
+                SELECT fold,
+                       CAST(n_t - n_f AS BIGINT) AS n,
+                       CAST(sx_t - sx_f AS BIGINT) AS sx,
+                       CAST(sy_t - sy_f AS BIGINT) AS sy,
+                       sxy_t - sxy_f AS sxy,
+                       sxx_t - sxx_f AS sxx
+                FROM per_fold, totals
+            ), calc AS (
+                SELECT fold, n,
+                       CAST(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+                       CAST(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd
+                FROM fit
+            )
+            SELECT fold, n AS n_train,
+                   CASE WHEN den > 0 THEN
+                       CAST(round(num / den * 1000000.0) AS BIGINT)
+                   END AS slope_e6,
+                   CASE WHEN den > 0 THEN
+                       CAST(round((syd - num / den * sxd)
+                                  / CAST(n AS DOUBLE) / 100
+                                  * 10000.0) AS BIGINT)
+                   END AS intercept_e4
+            FROM calc
+        """,
+        "stream_topk": """
+            WITH counts AS (
+                SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                           AS window_start,
+                       event_type,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ), ranked AS (
+                SELECT window_start, event_type,
+                       CAST(n_events AS BIGINT) AS n_events,
+                       CAST(row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n_events DESC, event_type)
+                           AS INTEGER) AS rk
+                FROM counts
+            )
+            SELECT window_start, event_type, n_events, rk
+            FROM ranked WHERE rk <= 2
         """,
     }

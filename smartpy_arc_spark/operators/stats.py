@@ -4405,3 +4405,74 @@ def grubbs_statistic(
         F.col("t").alias("outlier_ts"),
         (F.col("x") * (10000 // scale)).cast("long").alias("outlier_e4"),
     )
+
+
+def kfold_regression(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    k: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """K-fold OLS coefficient stability: for each fold, fit the simple
+    regression on the OTHER k−1 folds (leave-fold-out) — the
+    cross-validation primitive, relationally:  per-fold exact DECIMAL
+    moment sums, train-split moments by SUBTRACTION from the 1-row
+    totals (never k passes over the data), one Cramer solve per fold.
+
+    Fold assignment is ``id mod k`` — deterministic on any engine (a
+    hash-based split would pin the fold map to one engine's hash).
+
+    Returns ``(fold, n_train, slope_e6, intercept_e4)`` — the spread
+    across folds is the stability diagnostic.
+    """
+    x = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    y = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(
+        (F.col(id_col) % k).cast("int").alias("fold"),
+        x.alias("x"),
+        y.alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    per_fold = base.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_f"),
+        F.sum("x").cast("long").alias("sx_f"),
+        F.sum("y").cast("long").alias("sy_f"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy_f"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx_f"),
+    )
+    totals = per_fold.agg(
+        F.sum("n_f").cast("long").alias("n_t"),
+        F.sum("sx_f").cast("long").alias("sx_t"),
+        F.sum("sy_f").cast("long").alias("sy_t"),
+        F.sum("sxy_f").cast("decimal(38,0)").alias("sxy_t"),
+        F.sum("sxx_f").cast("decimal(38,0)").alias("sxx_t"),
+    )
+    j = per_fold.crossJoin(F.broadcast(totals))
+    n = (F.col("n_t") - F.col("n_f")).cast("long")
+    sx = (F.col("sx_t") - F.col("sx_f")).cast("long")
+    sy = (F.col("sy_t") - F.col("sy_f")).cast("long")
+    sxy = F.col("sxy_t") - F.col("sxy_f")
+    sxx = F.col("sxx_t") - F.col("sxx_f")
+    nd = n.cast("decimal(19,0)")
+    num = (nd * sxy - sx.cast("decimal(19,0)") * sy.cast("decimal(19,0)")).cast(
+        "double"
+    )
+    den = (nd * sxx - sx.cast("decimal(19,0)") * sx.cast("decimal(19,0)")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        sy.cast("double") - num / den * sx.cast("double")
+    ) / n.cast("double") / scale
+    return j.select(
+        "fold",
+        n.alias("n_train"),
+        F.when(den > 0, F.round(slope * 1e6).cast("long")).alias("slope_e6"),
+        F.when(den > 0, F.round(intercept * 1e4).cast("long")).alias(
+            "intercept_e4"
+        ),
+    )

@@ -67,6 +67,8 @@ SINGLE_PARTITION_OK = {
                               #   grid, 1-row argmax output
     "grubbs",                 # 1-row argmax over the calendar-bounded daily
                               #   grid
+    "kfold_ols",              # 1-row totals combine over k fold-moment rows
+    "sketch_eval",            # 1-row exact vs 1-row sketch combine
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "ridge",                  # 1-row regularized normal-equation sums
@@ -135,6 +137,8 @@ BNLJ_OK = {
     "wasserstein",            # 1-row cohort-totals broadcast cross join
     "changepoint",            # 1-row totals broadcast cross join
     "grubbs",                 # 1-row moments broadcast cross join
+    "kfold_ols",              # 1-row totals broadcast cross join
+    "sketch_eval",            # 1-row x 1-row exact/sketch cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
