@@ -7315,6 +7315,27 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modal market segment with deterministic ties
+    (count desc, value asc) — never engine-arbitrary like mode()."""
+    from smartpy_arc_spark.operators.stats import group_mode
+
+    cust = _t(spark, sf_dir, "customer")
+    return group_mode(cust, "c_nationkey", "c_mktsegment")
+
+
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 order-price bands per priority by explicit selection
+    rank (always a real data value — interpolation conventions never
+    enter)."""
+    from smartpy_arc_spark.operators.stats import percentile_bands
+
+    orders = _t(spark, sf_dir, "orders")
+    return percentile_bands(
+        orders, "o_orderpriority", "o_totalprice", qs=(10, 50, 90)
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7715,6 +7736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_ols": q_kfold_ols,
         "sketch_eval": q_sketch_eval,
         "stream_topk": q_stream_topk,
+        "group_mode": q_group_mode,
+        "percentile_bands": q_percentile_bands,
     })
 
 
@@ -15883,5 +15906,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, event_type, n_events, rk
             FROM ranked WHERE rk <= 2
+        """,
+        "group_mode": """
+            WITH cells AS (
+                SELECT c_nationkey AS g, c_mktsegment AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM customer
+                WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT g, v, c,
+                       CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY c DESC, v) AS rk
+                FROM cells
+            )
+            SELECT g AS c_nationkey, v AS mode_value, c AS mode_count, n,
+                   CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS share_e6
+            FROM ranked WHERE rk = 1
+        """,
+        "percentile_bands": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+            ), ranked AS (
+                SELECT g, x,
+                       row_number() OVER (PARTITION BY g ORDER BY x) AS rk,
+                       CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                FROM base
+            )
+            SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN rk = (n * 10 + 99) // 100
+                            THEN x END) * 100 AS BIGINT) AS p10_e4,
+                   CAST(max(CASE WHEN rk = (n * 50 + 99) // 100
+                            THEN x END) * 100 AS BIGINT) AS p50_e4,
+                   CAST(max(CASE WHEN rk = (n * 90 + 99) // 100
+                            THEN x END) * 100 AS BIGINT) AS p90_e4
+            FROM ranked GROUP BY g
         """,
     }

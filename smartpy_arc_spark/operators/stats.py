@@ -4476,3 +4476,89 @@ def kfold_regression(
             "intercept_e4"
         ),
     )
+
+
+def group_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Most frequent value per group with a deterministic tie rule
+    (count desc, value asc) — the categorical central tendency
+    aggregate SQL engines leave out (or define with engine-specific
+    ties: Spark's ``mode()`` picks arbitrarily; this one never does).
+
+    One hash aggregate to (group, value) counts, then a 1-row-per-group
+    window argmax inside the group partition.  Returns
+    ``(group, mode_value, mode_count, n, share_e6)``.
+    """
+    cells = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .where(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = W.partitionBy("g").orderBy(F.col("c").desc(), F.col("v"))
+    tot = W.partitionBy("g")
+    top = (
+        cells.select(
+            "g",
+            "v",
+            "c",
+            F.sum("c").over(tot).cast("long").alias("n"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return top.select(
+        F.col("g").alias(group_col),
+        F.col("v").alias("mode_value"),
+        F.col("c").alias("mode_count"),
+        "n",
+        F.round(
+            F.col("c").cast("double") / F.col("n").cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("share_e6"),
+    )
+
+
+def percentile_bands(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    qs: tuple = (10, 50, 90),
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group percentile bands by EXPLICIT selection rank — the
+    ``ceil(q·n/100)``-th smallest actual value (the ``time_to_convert``
+    /
+    ``quantile_normalize`` contract: engine interpolation conventions
+    never enter, the reported number is always a real data value).
+
+    One ordered rank window per group partition + a per-group size
+    window over the same exchange; each requested q becomes a
+    conditional aggregate column.  Returns ``(group, n, p{q}_e4...)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), x.alias("x")).where(
+        F.col("x").isNotNull() & F.col("g").isNotNull()
+    )
+    w = W.partitionBy("g").orderBy("x")
+    ranked = base.select(
+        "g",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("g")).cast("long").alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        k = F.expr(f"(n * {q} + 99) div 100")
+        aggs.append(
+            (
+                F.max(F.when(F.col("rk") == k, F.col("x")))
+                * (10000 // scale)
+            )
+            .cast("long")
+            .alias(f"p{q}_e4")
+        )
+    return ranked.groupBy("g").agg(*aggs).select(
+        F.col("g").alias(group_col), "n", *[f"p{q}_e4" for q in qs]
+    )
