@@ -769,17 +769,22 @@ def knn_classify(
     Split: rows satisfying ``test_pred`` (default: odd ids) are scored
     against the rest as the reference set.  Exactness (the ``kmeans``
     e6-integer contract): coordinates quantize to e6 bigints, distances
-    are exact integer sums (64 dims × (2e6)² ≈ 2.6e14 ≪ 2⁶³), neighbor
-    order is total (distance asc, id asc), and the vote is
-    deterministic (count desc, label asc).
+    are exact int64 ``‖a‖² + ‖b‖² − 2a·b`` matmuls (64 dims × (2e6)²
+    ≈ 2.6e14 ≪ 2⁶³), neighbor order is total (distance asc, id asc) —
+    the train side pre-sorts by id so a STABLE argsort on distance IS
+    that order — and the vote is deterministic (count desc, label asc).
 
-    Plan shape (100 TB): the test side broadcasts (bounded by contract
-    — at scale you window the scoring set); ONE broadcast-hash pass over
-    the reference set, then a k-row-per-test top-k aggregate.  No
-    shuffle of the big side.
+    Plan shape (100 TB): the test matrix broadcasts (bounded by
+    contract — at scale you window the scoring set); ONE ``mapInPandas``
+    numpy-matmul pass over the reference set emits only each
+    partition's local top-k per test point (k·n_test rows per
+    partition, never the full pairs matrix), then a global top-k merge
+    and the vote.  The big side never shuffles.
 
     Returns ``(id, true_label, pred_label, correct)`` per test row.
     """
+    import numpy as np
+
     qvec = F.transform(
         F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("long")
     )
@@ -795,34 +800,61 @@ def knn_classify(
     )
     test = base.where(pred)
     train = base.where(~pred)
-    j = train.alias("tr").join(
-        F.broadcast(
-            test.select(
-                F.col("id").alias("tid"),
-                F.col("label").alias("tlabel"),
-                F.col("q").alias("tq"),
+
+    trows = test.collect()  # bounded scoring set by contract
+    t_ids = np.array([r["id"] for r in trows], dtype=np.int64)
+    t_labels = np.array([r["label"] for r in trows], dtype=np.int64)
+    t_mat = np.array([r["q"] for r in trows], dtype=np.int64)
+    t_norm = (t_mat * t_mat).sum(axis=1)
+    spark = df.sparkSession
+    b_test = spark.sparkContext.broadcast((t_ids, t_labels, t_mat, t_norm))
+
+    def local_topk(batches):
+        import pandas as pd
+
+        ids_t, labels_t, mat_t, norm_t = b_test.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            order = pdf["id"].to_numpy(dtype=np.int64).argsort(kind="stable")
+            nid = pdf["id"].to_numpy(dtype=np.int64)[order]
+            nlabel = pdf["label"].to_numpy(dtype=np.int64)[order]
+            bmat = np.array(
+                [pdf["q"].iloc[int(i)] for i in order], dtype=np.int64
             )
-        ),
-        F.col("tr.id") != F.col("tid"),
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("tq"), F.col("tr.q"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+            bnorm = (bmat * bmat).sum(axis=1)
+            # exact int64 distances: ||b||^2 + ||a||^2 - 2 b.a
+            d = (
+                bnorm[:, None]
+                + norm_t[None, :]
+                - 2 * (bmat @ mat_t.T)
+            )
+            # self-pairs (same id on both sides) are excluded
+            mask = nid[:, None] == ids_t[None, :]
+            if mask.any():
+                d = np.where(mask, np.iinfo(np.int64).max, d)
+            kk = min(k, d.shape[0])
+            # rows pre-sorted by nid -> stable argsort on d == (d, nid)
+            idx = np.argsort(d, axis=0, kind="stable")[:kk, :]
+            out = {
+                "tid": np.repeat(ids_t[None, :], kk, axis=0).ravel(),
+                "tlabel": np.repeat(labels_t[None, :], kk, axis=0).ravel(),
+                "nid": nid[idx].ravel(),
+                "nlabel": nlabel[idx].ravel(),
+                "d": np.take_along_axis(d, idx, axis=0).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    cand = train.mapInPandas(
+        local_topk,
+        "tid long, tlabel long, nid long, nlabel long, d long",
+    ).where(F.col("d") < np.iinfo(np.int64).max)
     w_nn = W.partitionBy("tid").orderBy(F.col("d"), F.col("nid"))
-    nn = (
-        j.select(
-            "tid",
-            "tlabel",
-            F.col("tr.id").alias("nid"),
-            F.col("tr.label").alias("nlabel"),
-            dist.alias("d"),
-        )
-        .withColumn("rk", F.row_number().over(w_nn))
-        .where(F.col("rk") <= k)
+    nn = cand.withColumn("rk", F.row_number().over(w_nn)).where(
+        F.col("rk") <= k
     )
     votes = nn.groupBy("tid", "tlabel", "nlabel").agg(
         F.count("*").alias("votes")
@@ -835,7 +867,7 @@ def knn_classify(
     )
     return best.select(
         F.col("tid").alias(id_col),
-        F.col("tlabel").alias("true_label"),
-        F.col("nlabel").alias("pred_label"),
+        F.col("tlabel").cast("int").alias("true_label"),
+        F.col("nlabel").cast("int").alias("pred_label"),
         (F.col("tlabel") == F.col("nlabel")).cast("int").alias("correct"),
     )
