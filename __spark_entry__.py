@@ -7336,6 +7336,37 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher price indices per ship year vs the 1995
+    base basket: per-item unit-price rationals, per-term e2 pre-rounds,
+    order-free basket sums."""
+    from smartpy_arc_spark.operators.stats import price_index
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        "l_partkey",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return price_index(
+        li, "yr", "l_partkey", "l_extendedprice", "l_quantity", 1995
+    )
+
+
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC–XYZ part classification: cumulative revenue share via
+    partitioned_cumsum (never a one-task sort) × demand-CV classes,
+    integer e6 cuts."""
+    from smartpy_arc_spark.operators.stats import abc_xyz
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        "l_extendedprice",
+    )
+    return abc_xyz(li, "l_partkey", "yr", "l_extendedprice")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7738,6 +7769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "group_mode": q_group_mode,
         "percentile_bands": q_percentile_bands,
+        "price_index": q_price_index,
+        "abc_xyz": q_abc_xyz,
     })
 
 
@@ -15947,5 +15980,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN rk = (n * 90 + 99) // 100
                             THEN x END) * 100 AS BIGINT) AS p90_e4
             FROM ranked GROUP BY g
+        """,
+        "price_index": """
+            WITH per AS (
+                SELECT CAST(year(l_shipdate) AS INTEGER) AS t,
+                       l_partkey AS i,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS c,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL AND round(l_quantity) > 0
+                GROUP BY 1, 2
+            ), base AS (
+                SELECT i, c AS c0, s AS s0 FROM per WHERE t = 1995
+            ), j AS (
+                SELECT per.t, per.c, per.s, base.c0, base.s0
+                FROM per JOIN base USING (i) WHERE per.t != 1995
+            ), agg AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                            / CAST(s AS DOUBLE) * CAST(s0 AS DOUBLE))
+                            AS BIGINT)) AS BIGINT) AS l_num,
+                       CAST(SUM(CAST(round(CAST(c0 AS DOUBLE)
+                            / CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                            AS BIGINT)) AS BIGINT) AS l_den,
+                       CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                            / CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            AS BIGINT)) AS BIGINT) AS p_num,
+                       CAST(SUM(CAST(round(CAST(c0 AS DOUBLE)
+                            / CAST(s0 AS DOUBLE) * CAST(s AS DOUBLE))
+                            AS BIGINT)) AS BIGINT) AS p_den
+                FROM j GROUP BY t
+            )
+            SELECT t AS yr, n_items,
+                   CAST(round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS laspeyres_e6,
+                   CAST(round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS paasche_e6,
+                   CAST(round(sqrt(CAST(l_num AS DOUBLE)
+                                   / CAST(l_den AS DOUBLE)
+                                   * (CAST(p_num AS DOUBLE)
+                                      / CAST(p_den AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS fisher_e6
+            FROM agg
+        """,
+        "abc_xyz": """
+            WITH cells AS (
+                SELECT l_partkey AS i,
+                       CAST(year(l_shipdate) AS INTEGER) AS t,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS v
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                GROUP BY 1, 2
+            ), per_item AS (
+                SELECT i, CAST(count(*) AS BIGINT) AS m,
+                       CAST(SUM(v) AS BIGINT) AS rev,
+                       SUM(CAST(v AS HUGEINT) * v) AS q
+                FROM cells GROUP BY i
+            ), cum AS (
+                SELECT i, m, rev, q,
+                       CAST(SUM(rev) OVER (ORDER BY -rev, i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                            ROW) AS BIGINT) AS cum_rev,
+                       CAST(SUM(rev) OVER () AS BIGINT) AS tot
+                FROM per_item
+            ), scored AS (
+                SELECT i, rev,
+                       CAST(round(CAST(cum_rev AS DOUBLE)
+                                  / CAST(tot AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS cum_share_e6,
+                       CASE WHEN m >= 2
+                             AND CAST(rev AS DOUBLE) / CAST(m AS DOUBLE) > 0
+                            THEN CAST(round(
+                                sqrt(CAST(CAST(m AS HUGEINT) * q
+                                     - CAST(rev AS HUGEINT) * rev
+                                     AS DOUBLE)
+                                     / CAST(m * (m - 1) AS DOUBLE))
+                                / (CAST(rev AS DOUBLE)
+                                   / CAST(m AS DOUBLE))
+                                * 1000000.0) AS BIGINT)
+                       END AS cv_e6
+                FROM cum
+            ), classed AS (
+                SELECT i, rev, cum_share_e6,
+                       CASE WHEN cum_share_e6 <= 800000 THEN 'A'
+                            WHEN cum_share_e6 <= 950000 THEN 'B'
+                            ELSE 'C' END AS abc,
+                       cv_e6,
+                       CASE WHEN cv_e6 IS NULL THEN 'Z'
+                            WHEN cv_e6 < 500000 THEN 'X'
+                            WHEN cv_e6 < 1000000 THEN 'Y'
+                            ELSE 'Z' END AS xyz
+                FROM scored
+            )
+            SELECT i AS l_partkey, rev AS revenue, cum_share_e6, abc,
+                   cv_e6, xyz, abc || xyz AS klass
+            FROM classed
         """,
     }

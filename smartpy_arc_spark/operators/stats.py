@@ -4562,3 +4562,156 @@ def percentile_bands(
     return ranked.groupBy("g").agg(*aggs).select(
         F.col("g").alias(group_col), "n", *[f"p{q}_e4" for q in qs]
     )
+
+
+def price_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    amount_col: str,
+    qty_col: str,
+    base_period,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices per period against a
+    base period — the standard inflation/price-drift decomposition (did
+    revenue move because of PRICE or because of MIX?):
+
+        L_t = Σ p_t·q_0 / Σ p_0·q_0      (base-period basket)
+        P_t = Σ p_t·q_t / Σ p_0·q_t      (current basket)
+        F_t = √(L_t · P_t)
+
+    over items present in both periods.  Per-item unit prices are
+    rationals (amount cents / qty); each basket term ``(c/s)·q`` is a
+    single exact-operand division pre-rounded to integer e2 cents
+    (playbook rule 7: round per-term, sum integers), so all four basket
+    sums are order-free and each index is one division of exact
+    integers.
+
+    Returns ``(period, n_items, laspeyres_e6, paasche_e6, fisher_e6)``.
+    """
+    amt = F.round(F.col(amount_col).cast("double") * scale).cast("long")
+    qty = F.round(F.col(qty_col).cast("double")).cast("long")
+    per = (
+        df.select(
+            F.col(period_col).alias("t"),
+            F.col(item_col).alias("i"),
+            amt.alias("c"),
+            qty.alias("s"),
+        )
+        .where(F.col("c").isNotNull() & F.col("s").isNotNull() & (F.col("s") > 0))
+        .groupBy("t", "i")
+        .agg(F.sum("c").alias("c"), F.sum("s").alias("s"))
+    )
+    base = per.where(F.col("t") == F.lit(base_period)).select(
+        "i", F.col("c").alias("c0"), F.col("s").alias("s0")
+    )
+    j = per.where(F.col("t") != F.lit(base_period)).join(base, "i")
+
+    def term(cn, sn, qn):
+        # (c/s)·q pre-rounded to integer cents
+        return F.round(
+            F.col(cn).cast("double")
+            / F.col(sn).cast("double")
+            * F.col(qn).cast("double")
+        ).cast("long")
+
+    agg = j.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(term("c", "s", "s0")).cast("long").alias("l_num"),
+        F.sum(term("c0", "s0", "s0")).cast("long").alias("l_den"),
+        F.sum(term("c", "s", "s")).cast("long").alias("p_num"),
+        F.sum(term("c0", "s0", "s")).cast("long").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        F.col("t").alias(period_col),
+        "n_items",
+        F.round(lasp * 1e6).cast("long").alias("laspeyres_e6"),
+        F.round(paas * 1e6).cast("long").alias("paasche_e6"),
+        F.round(F.sqrt(lasp * paas) * 1e6).cast("long").alias("fisher_e6"),
+    )
+
+
+def abc_xyz(
+    df: DataFrame,
+    item_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    a_cut_e6: int = 800000,
+    b_cut_e6: int = 950000,
+    x_cut_e6: int = 500000,
+    y_cut_e6: int = 1000000,
+) -> DataFrame:
+    """ABC–XYZ inventory classification: ABC by cumulative revenue share
+    (A ≤ 80%, B ≤ 95%, C above) and XYZ by demand variability
+    (coefficient of variation across periods: X < 0.5, Y < 1.0, Z
+    above) — the 9-cell planning matrix.
+
+    Scale shape: the revenue ranking never sorts in one task — the
+    cumulative share comes from ``partitioned_cumsum`` over
+    ``(−revenue, item)`` (range partition + offsets).  CV uses exact
+    DECIMAL per-period moments; all class cuts are INTEGER e6
+    comparisons (no float thresholds).
+
+    Returns ``(item, revenue, cum_share_e6, abc, cv_e6, xyz, klass)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    cells = (
+        df.select(
+            F.col(item_col).alias("i"),
+            F.col(period_col).alias("t"),
+            v.alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("i", "t")
+        .agg(F.sum("v").alias("v"))
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    per_item = cells.groupBy("i").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("v").cast("long").alias("rev"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("q"),
+    )
+    keyed = per_item.select(
+        "i", "m", "rev", "q", (-F.col("rev")).alias("neg_rev")
+    )
+    cum = partitioned_cumsum(keyed, ["neg_rev", "i"], ["rev"])
+    total = cum.agg(F.sum("rev").cast("long").alias("tot"))
+    scored = cum.crossJoin(F.broadcast(total))
+    share = F.round(
+        F.col("cum_rev").cast("double") / F.col("tot").cast("double") * 1e6
+    ).cast("long")
+    m = F.col("m")
+    mean = F.col("rev").cast("double") / m.cast("double")
+    md = m.cast("decimal(19,0)")
+    revd = F.col("rev").cast("decimal(19,0)")
+    sd = F.sqrt(
+        (md * F.col("q") - revd * revd).cast("double")
+        / (m * (m - 1)).cast("double")
+    )
+    cv = F.when((m >= 2) & (mean > 0), F.round(sd / mean * 1e6).cast("long"))
+    out = scored.select(
+        F.col("i").alias(item_col),
+        F.col("rev").alias("revenue"),
+        share.alias("cum_share_e6"),
+        F.when(share <= a_cut_e6, "A")
+        .when(share <= b_cut_e6, "B")
+        .otherwise("C")
+        .alias("abc"),
+        cv.alias("cv_e6"),
+        F.when(cv.isNull(), "Z")
+        .when(cv < x_cut_e6, "X")
+        .when(cv < y_cut_e6, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return out.select(
+        "*", F.concat("abc", "xyz").alias("klass")
+    )

@@ -68,6 +68,8 @@ SINGLE_PARTITION_OK = {
     "grubbs",                 # 1-row argmax over the calendar-bounded daily
                               #   grid
     "kfold_ols",              # 1-row totals combine over k fold-moment rows
+    "abc_xyz",                # 1-row grand-total scalar for the share cuts
+                              #   (the abc_classification shape)
     "sketch_eval",            # 1-row exact vs 1-row sketch combine
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
@@ -138,6 +140,7 @@ BNLJ_OK = {
     "changepoint",            # 1-row totals broadcast cross join
     "grubbs",                 # 1-row moments broadcast cross join
     "kfold_ols",              # 1-row totals broadcast cross join
+    "abc_xyz",                # 1-row grand-total broadcast cross join
     "sketch_eval",            # 1-row x 1-row exact/sketch cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
