@@ -7367,6 +7367,34 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_xyz(li, "l_partkey", "yr", "l_extendedprice")
 
 
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-customer order-finalization
+    rates toward the MoM beta prior — the small-sample rate-ranking
+    fix (1/1 must not beat 97/100)."""
+    from smartpy_arc_spark.operators.stats import eb_shrinkage
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("hits"),
+        F.count("*").cast("long").alias("trials"),
+    )
+    return eb_shrinkage(per_c, "o_custkey", "hits", "trials")
+
+
+def q_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron–Kenny mediation with Sobel z (quantity → discount →
+    extended price): integer-mean centering, exact DECIMAL cross
+    moments, Cramer 2×2 for the multiple regression."""
+    from smartpy_arc_spark.operators.stats import mediation_analysis
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mediation_analysis(
+        li, "l_quantity", "l_discount", "l_extendedprice"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7771,6 +7799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_bands": q_percentile_bands,
         "price_index": q_price_index,
         "abc_xyz": q_abc_xyz,
+        "eb_shrinkage": q_eb_shrinkage,
+        "mediation": q_mediation,
     })
 
 
@@ -16078,5 +16108,140 @@ def oracle_sql() -> dict[str, str]:
             SELECT i AS l_partkey, rev AS revenue, cum_share_e6, abc,
                    cv_e6, xyz, abc || xyz AS klass
             FROM classed
+        """,
+        "eb_shrinkage": """
+            WITH base AS (
+                SELECT o_custkey AS i,
+                       CAST(count(CASE WHEN o_orderstatus = 'F'
+                                  THEN 1 END) AS BIGINT) AS x,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey
+            ), rated AS (
+                SELECT i, x, n,
+                       CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS r6
+                FROM base WHERE n > 0
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(SUM(r6) AS BIGINT) AS s,
+                       SUM(CAST(r6 AS HUGEINT) * r6) AS q
+                FROM rated
+            ), pri AS (
+                SELECT k,
+                       CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 1000000.0 AS m,
+                       CAST(CAST(k AS HUGEINT) * q
+                            - CAST(s AS HUGEINT) * s AS DOUBLE)
+                           / CAST(k * (k - 1) AS DOUBLE)
+                           / 1000000000000.0 AS v
+                FROM mom
+            ), pri2 AS (
+                SELECT k, m, v,
+                       m * (1.0 - m) / v - 1.0 AS ab,
+                       (k >= 2 AND v > 0
+                        AND m * (1.0 - m) / v - 1.0 > 0) AS ok
+                FROM pri
+            ), pri3 AS (
+                SELECT ok,
+                       CASE WHEN ok THEN m * ab END AS a,
+                       CASE WHEN ok THEN (1.0 - m) * ab END AS b
+                FROM pri2
+            )
+            SELECT i AS o_custkey, x AS hits, n AS trials, r6 AS rate_e6,
+                   CAST(round(a * 1000000.0) AS BIGINT) AS alpha_e6,
+                   CAST(round(b * 1000000.0) AS BIGINT) AS beta_e6,
+                   CAST(round(CASE WHEN ok THEN
+                       (CAST(x AS DOUBLE) + a)
+                       / (CAST(n AS DOUBLE) + a + b) * 1000000.0
+                       ELSE CAST(r6 AS DOUBLE) END) AS BIGINT) AS shrunk_e6
+            FROM rated, pri3
+        """,
+        "mediation": """
+            WITH base AS (
+                SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS m,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), shift AS (
+                SELECT
+                    CAST(round(CAST(SUM(x) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cx,
+                    CAST(round(CAST(SUM(m) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm,
+                    CAST(round(CAST(SUM(y) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cy
+                FROM base
+            ), cen AS (
+                SELECT x - cx AS x, m - cm AS m, y - cy AS y
+                FROM base, shift
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS tx,
+                       CAST(SUM(m) AS BIGINT) AS tm,
+                       CAST(SUM(y) AS BIGINT) AS ty,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * m) AS sxm,
+                       SUM(CAST(m AS HUGEINT) * m) AS smm,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(m AS HUGEINT) * y) AS smy,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy
+                FROM cen
+            ), corr AS (
+                SELECT n,
+                       CAST(sxx AS DOUBLE) - CAST(tx AS DOUBLE)
+                           * CAST(tx AS DOUBLE) / CAST(n AS DOUBLE) AS Sxx,
+                       CAST(sxm AS DOUBLE) - CAST(tx AS DOUBLE)
+                           * CAST(tm AS DOUBLE) / CAST(n AS DOUBLE) AS Sxm,
+                       CAST(smm AS DOUBLE) - CAST(tm AS DOUBLE)
+                           * CAST(tm AS DOUBLE) / CAST(n AS DOUBLE) AS Smm,
+                       CAST(sxy AS DOUBLE) - CAST(tx AS DOUBLE)
+                           * CAST(ty AS DOUBLE) / CAST(n AS DOUBLE) AS Sxy,
+                       CAST(smy AS DOUBLE) - CAST(tm AS DOUBLE)
+                           * CAST(ty AS DOUBLE) / CAST(n AS DOUBLE) AS Smy,
+                       CAST(syy AS DOUBLE) - CAST(ty AS DOUBLE)
+                           * CAST(ty AS DOUBLE) / CAST(n AS DOUBLE) AS Syy
+                FROM mom
+            ), fit AS (
+                SELECT n, Sxx, Sxm, Smm, Sxy, Smy, Syy,
+                       Sxm / Sxx AS a,
+                       Sxy / Sxx AS c,
+                       Sxx * Smm - Sxm * Sxm AS det
+                FROM corr
+            ), fit2 AS (
+                SELECT *,
+                       (Sxy * Smm - Smy * Sxm) / det AS c_p,
+                       (Sxx * Smy - Sxm * Sxy) / det AS b
+                FROM fit
+            ), fit3 AS (
+                SELECT *,
+                       (Smm - a * Sxm) / CAST(n - 2 AS DOUBLE) / Sxx
+                           AS se_a2,
+                       (Syy - c_p * Sxy - b * Smy)
+                           / CAST(n - 3 AS DOUBLE) * Sxx / det AS se_b2,
+                       (n >= 4 AND det > 0 AND Sxx > 0) AS ok
+                FROM fit2
+            )
+            SELECT n,
+                   CASE WHEN ok THEN CAST(round(a * 1000000.0) AS BIGINT)
+                   END AS a_e6,
+                   CASE WHEN ok THEN CAST(round(c * 1000000.0) AS BIGINT)
+                   END AS c_e6,
+                   CASE WHEN ok THEN CAST(round(c_p * 1000000.0) AS BIGINT)
+                   END AS c_prime_e6,
+                   CASE WHEN ok THEN CAST(round(b * 1000000.0) AS BIGINT)
+                   END AS b_e6,
+                   CASE WHEN ok THEN CAST(round(a * b * 1000000.0)
+                                          AS BIGINT)
+                   END AS indirect_e6,
+                   CASE WHEN ok THEN CAST(round(a * b
+                       / sqrt(b * b * se_a2 + a * a * se_b2)
+                       * 1000000.0) AS BIGINT)
+                   END AS sobel_z_e6,
+                   CASE WHEN ok THEN CAST(round(a * b / c * 1000000.0)
+                                          AS BIGINT)
+                   END AS prop_mediated_e6
+            FROM fit3
         """,
     }

@@ -4715,3 +4715,176 @@ def abc_xyz(
     return out.select(
         "*", F.concat("abc", "xyz").alias("klass")
     )
+
+
+def eb_shrinkage(
+    df: DataFrame, item_col: str, hits_col: str, trials_col: str
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) rate shrinkage: fit a beta prior
+    to the observed per-item rates by method of moments, then shrink
+    each item's rate toward it —
+
+        α + β = m(1−m)/v − 1,   shrunk = (x + α)/(n + α + β)
+
+    — the small-sample fix for ranking items by conversion/defect rate
+    (an item at 1/1 must not beat one at 97/100).
+
+    Exactness: per-item rates pre-round to integer e6 (one division of
+    exact counts each) so the prior's mean/variance come from order-free
+    integer sums; α/β and every shrunk rate are then fixed double
+    expressions.  Degenerate priors (v ≥ m(1−m) or v = 0) return the
+    raw rates with null α/β.
+
+    Returns ``(item, hits, trials, rate_e6, alpha_e6, beta_e6,
+    shrunk_e6)``.
+    """
+    x = F.col(hits_col).cast("long")
+    n = F.col(trials_col).cast("long")
+    base = df.select(
+        F.col(item_col).alias("i"), x.alias("x"), n.alias("n")
+    ).where(F.col("n") > 0)
+    r6 = F.round(
+        F.col("x").cast("double") / F.col("n").cast("double") * 1e6
+    ).cast("long")
+    rated = base.select("i", "x", "n", r6.alias("r6"))
+    mom = rated.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("r6").cast("long").alias("s"),
+        F.sum(
+            F.col("r6").cast("decimal(19,0)") * F.col("r6").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    k = F.col("k")
+    m = F.col("s").cast("double") / k.cast("double") / 1e6
+    v = (
+        (
+            k.cast("decimal(19,0)") * F.col("q")
+            - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        ).cast("double")
+        / (k * (k - 1)).cast("double")
+        / 1e12
+    )
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior_ok = (k >= 2) & (v > 0) & (ab > 0)
+    alpha = m * ab
+    beta = (F.lit(1.0) - m) * ab
+    pri = mom.select(
+        prior_ok.alias("ok"),
+        F.when(prior_ok, alpha).alias("a"),
+        F.when(prior_ok, beta).alias("b"),
+    )
+    j = rated.crossJoin(F.broadcast(pri))
+    shrunk = F.when(
+        F.col("ok"),
+        (F.col("x").cast("double") + F.col("a"))
+        / (F.col("n").cast("double") + F.col("a") + F.col("b"))
+        * 1e6,
+    ).otherwise(F.col("r6").cast("double"))
+    return j.select(
+        F.col("i").alias(item_col),
+        F.col("x").alias("hits"),
+        F.col("n").alias("trials"),
+        F.col("r6").alias("rate_e6"),
+        F.round(F.col("a") * 1e6).cast("long").alias("alpha_e6"),
+        F.round(F.col("b") * 1e6).cast("long").alias("beta_e6"),
+        F.round(shrunk).cast("long").alias("shrunk_e6"),
+    )
+
+
+def mediation_analysis(
+    df: DataFrame,
+    x_col: str,
+    m_col: str,
+    y_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Baron–Kenny mediation with the Sobel test: does X affect Y
+    through M?
+
+        a  = slope of M ~ X          (path a)
+        b, c' = slopes of Y ~ X + M  (path b, direct effect)
+        c  = slope of Y ~ X          (total effect)
+        indirect = a·b,  Sobel z = a·b / √(b²·se_a² + a²·se_b²)
+
+    Exactness: all variables pre-round to integer ticks and center by
+    their ROUNDED integer means (the ``jarque_bera`` shift — keeps the
+    DECIMAL cross-moments small and exact); every path coefficient and
+    standard error is then a fixed double expression (Cramer 2×2 for
+    the multiple regression, classical OLS variance formulas).
+
+    Returns one row ``(n, a_e6, c_e6, c_prime_e6, b_e6, indirect_e6,
+    sobel_z_e6, prop_mediated_e6)``.
+    """
+    xv = F.round(F.col(x_col).cast("double") * scale).cast("long")
+    mv = F.round(F.col(m_col).cast("double") * scale).cast("long")
+    yv = F.round(F.col(y_col).cast("double") * scale).cast("long")
+    base = df.select(xv.alias("x"), mv.alias("m"), yv.alias("y")).where(
+        F.col("x").isNotNull() & F.col("m").isNotNull() & F.col("y").isNotNull()
+    )
+    shift = base.agg(
+        *[
+            F.round(F.sum(c).cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias(f"c_{c}")
+            for c in ("x", "m", "y")
+        ]
+    )
+    cen = base.crossJoin(F.broadcast(shift)).select(
+        (F.col("x") - F.col("c_x")).alias("x"),
+        (F.col("m") - F.col("c_m")).alias("m"),
+        (F.col("y") - F.col("c_y")).alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = cen.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tx"),
+        F.sum("m").cast("long").alias("tm"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum(d("x") * d("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d("x") * d("m")).cast("decimal(38,0)").alias("sxm"),
+        F.sum(d("m") * d("m")).cast("decimal(38,0)").alias("smm"),
+        F.sum(d("x") * d("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d("m") * d("y")).cast("decimal(38,0)").alias("smy"),
+        F.sum(d("y") * d("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    # centered (about the rounded mean) corrected moments: subtract the
+    # residual mean contribution t·t/n exactly in double (t is tiny)
+    def cm(s, ta, tb):
+        return F.col(s).cast("double") - F.col(ta).cast(
+            "double"
+        ) * F.col(tb).cast("double") / nd
+
+    Sxx = cm("sxx", "tx", "tx")
+    Sxm = cm("sxm", "tx", "tm")
+    Smm = cm("smm", "tm", "tm")
+    Sxy = cm("sxy", "tx", "ty")
+    Smy = cm("smy", "tm", "ty")
+    Syy = cm("syy", "ty", "ty")
+    a = Sxm / Sxx
+    c = Sxy / Sxx
+    det = Sxx * Smm - Sxm * Sxm
+    c_p = (Sxy * Smm - Smy * Sxm) / det
+    b = (Sxx * Smy - Sxm * Sxy) / det
+    # residual variances
+    s2_a = (Smm - a * Sxm) / (n - 2).cast("double")
+    se_a2 = s2_a / Sxx
+    s2_y = (Syy - c_p * Sxy - b * Smy) / (n - 3).cast("double")
+    se_b2 = s2_y * Sxx / det
+    sobel = (a * b) / F.sqrt(b * b * se_a2 + a * a * se_b2)
+    ok = (n >= 4) & (det > 0) & (Sxx > 0)
+    e6 = lambda cexpr: F.when(ok, F.round(cexpr * 1e6).cast("long"))  # noqa: E731
+    return mom.select(
+        "n",
+        e6(a).alias("a_e6"),
+        e6(c).alias("c_e6"),
+        e6(c_p).alias("c_prime_e6"),
+        e6(b).alias("b_e6"),
+        e6(a * b).alias("indirect_e6"),
+        e6(sobel).alias("sobel_z_e6"),
+        e6(a * b / c).alias("prop_mediated_e6"),
+    )

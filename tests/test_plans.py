@@ -71,6 +71,8 @@ SINGLE_PARTITION_OK = {
     "abc_xyz",                # 1-row grand-total scalar for the share cuts
                               #   (the abc_classification shape)
     "sketch_eval",            # 1-row exact vs 1-row sketch combine
+    "eb_shrinkage",           # 1-row prior-moment combine
+    "mediation",              # 1-row centering + path-moment combines
     "ks_test",                # 1-row statistic: D over distinct-value CDF
     "ols_regression",         # 1-row normal-equation sums
     "ridge",                  # 1-row regularized normal-equation sums
@@ -142,6 +144,8 @@ BNLJ_OK = {
     "kfold_ols",              # 1-row totals broadcast cross join
     "abc_xyz",                # 1-row grand-total broadcast cross join
     "sketch_eval",            # 1-row x 1-row exact/sketch cross join
+    "eb_shrinkage",           # 1-row prior broadcast cross join
+    "mediation",              # 1-row shift broadcast cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
