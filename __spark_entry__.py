@@ -7395,6 +7395,44 @@ def q_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen competing-risks curve over customer order spans
+    (cause from the LAST order's status: F=1, P=2, O=censored):
+    bounded distinct-time curve, in-order (S, CIF₁, CIF₂) struct
+    folds."""
+    from smartpy_arc_spark.operators.stats import cumulative_incidence
+
+    orders = _t(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("dur"),
+        F.max_by(
+            "o_orderstatus", F.struct("o_orderdate", "o_orderkey")
+        ).alias("last_status"),
+    )
+    caused = per_c.select(
+        "dur",
+        F.when(F.col("last_status") == "F", 1)
+        .when(F.col("last_status") == "P", 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    return cumulative_incidence(caused, "dur", "cause")
+
+
+def q_shapley_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-channel Shapley attribution of user reach across
+    view/click/purchase: bitmask coalition counts, integer sixths,
+    efficiency axiom holds exactly."""
+    from smartpy_arc_spark.operators.funnel import shapley_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_coverage(
+        ev, "user_id", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7801,6 +7839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_xyz": q_abc_xyz,
         "eb_shrinkage": q_eb_shrinkage,
         "mediation": q_mediation,
+        "cumulative_incidence": q_cumulative_incidence,
+        "shapley_coverage": q_shapley_coverage,
     })
 
 
@@ -8085,6 +8125,80 @@ def _corr_matrix_sql(cols, *, table: str = "lineitem") -> str:
             SELECT {', '.join(aggs)} FROM base
         )
         {union}
+    """
+
+
+def _cif_sql() -> str:
+    """Generated mirror of ``operators.stats.cumulative_incidence``:
+    per-point list_reduce folds over the [d1, d2, c] curve array with a
+    [p, cif1, cif2, used] accumulator (the kaplan_meier oracle shape)."""
+    nr = "(n_total - acc[4])"
+    step = (
+        f"[acc[1] * (1.0 - (x[1] + x[2]) / {nr}), "
+        f"acc[2] + acc[1] * (x[1] / {nr}), "
+        f"acc[3] + acc[1] * (x[2] / {nr}), "
+        f"acc[4] + x[1] + x[2] + x[3]]"
+    )
+
+    def fold(upto: str, field: int) -> str:
+        return (
+            "list_reduce(list_prepend([1.0, 0.0, 0.0, 0.0], "
+            f"arr[1:{upto}]), (acc, x) -> {step})[{field}]"
+        )
+
+    return f"""
+        WITH spans AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', min(o_orderdate),
+                                  max(o_orderdate)) AS BIGINT) AS dur
+            FROM orders GROUP BY o_custkey
+        ), lasts AS (
+            SELECT o_custkey, o_orderstatus AS last_status
+            FROM (
+                SELECT o_custkey, o_orderstatus,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC,
+                                    o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ), per_c AS (
+            SELECT spans.o_custkey, spans.dur, lasts.last_status
+            FROM spans JOIN lasts USING (o_custkey)
+        ), caused AS (
+            SELECT dur AS t,
+                   CASE last_status WHEN 'F' THEN 1 WHEN 'P' THEN 2
+                        ELSE 0 END AS k
+            FROM per_c WHERE dur IS NOT NULL
+        ), per_t AS (
+            SELECT t,
+                   CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS d1,
+                   CAST(count(CASE WHEN k = 2 THEN 1 END) AS BIGINT) AS d2,
+                   CAST(count(CASE WHEN k = 0 THEN 1 END) AS BIGINT) AS c
+            FROM caused GROUP BY t
+        ), curve AS (
+            SELECT list([CAST(d1 AS DOUBLE), CAST(d2 AS DOUBLE),
+                         CAST(c AS DOUBLE)] ORDER BY t) AS arr,
+                   list(t ORDER BY t) AS ts,
+                   list(d1 ORDER BY t) AS d1s,
+                   list(d2 ORDER BY t) AS d2s,
+                   list(c ORDER BY t) AS cs,
+                   CAST(SUM(d1 + d2 + c) AS BIGINT) AS n_total
+            FROM per_t
+        )
+        SELECT ts[i] AS t,
+               CAST(n_total - COALESCE(
+                   CAST({fold("i - 1", 4)} AS BIGINT), 0) AS BIGINT)
+                   AS n_at_risk,
+               CAST(d1s[i] AS BIGINT) AS d1,
+               CAST(d2s[i] AS BIGINT) AS d2,
+               CAST(cs[i] AS BIGINT) AS n_censored,
+               CAST(round({fold("i", 1)} * 1000000.0) AS BIGINT)
+                   AS surv_e6,
+               CAST(round({fold("i", 2)} * 1000000.0) AS BIGINT)
+                   AS cif1_e6,
+               CAST(round({fold("i", 3)} * 1000000.0) AS BIGINT)
+                   AS cif2_e6
+        FROM curve, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
     """
 
 
@@ -16243,5 +16357,61 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT)
                    END AS prop_mediated_e6
             FROM fit3
+        """,
+        "cumulative_incidence": _cif_sql(),
+        "shapley_coverage": """
+            WITH masks AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'view' THEN 1
+                           ELSE 0 END)
+                       + 2 * max(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END)
+                       + 4 * max(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS mask
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+                GROUP BY user_id
+            ), cnt AS (
+                SELECT mask, CAST(count(*) AS BIGINT) AS n FROM masks
+                GROUP BY mask
+            ), v AS (
+                SELECT
+                  CAST(SUM(CASE WHEN mask & 1 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v1,
+                  CAST(SUM(CASE WHEN mask & 2 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v2,
+                  CAST(SUM(CASE WHEN mask & 3 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v3,
+                  CAST(SUM(CASE WHEN mask & 4 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v4,
+                  CAST(SUM(CASE WHEN mask & 5 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v5,
+                  CAST(SUM(CASE WHEN mask & 6 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v6,
+                  CAST(SUM(CASE WHEN mask & 7 > 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS v7
+                FROM cnt
+            ), stacked AS (
+                SELECT 'view' AS channel, v1 AS solo_coverage,
+                       2*v1 + (v3 - v2) + (v5 - v4) + 2*(v7 - v6) AS phi6,
+                       v7 AS v_all
+                FROM v
+                UNION ALL
+                SELECT 'click', v2,
+                       2*v2 + (v3 - v1) + (v6 - v4) + 2*(v7 - v5), v7
+                FROM v
+                UNION ALL
+                SELECT 'purchase', v4,
+                       2*v4 + (v5 - v1) + (v6 - v2) + 2*(v7 - v3), v7
+                FROM v
+            )
+            SELECT channel, solo_coverage,
+                   CAST(phi6 AS BIGINT) AS phi6,
+                   CAST(round(CAST(phi6 AS DOUBLE) / 6 * 100) AS BIGINT)
+                       AS phi_e2,
+                   CAST(round(CAST(phi6 AS DOUBLE)
+                              / CAST(6 * v_all AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS share_e6
+            FROM stacked
         """,
     }

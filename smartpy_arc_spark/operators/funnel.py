@@ -460,3 +460,90 @@ def cohort_ltv(
         .cast("long")
         .alias("cum_revenue_c"),
     ).orderBy("cohort_month", "age_months")
+
+
+def shapley_coverage(
+    df: DataFrame,
+    unit_col: str,
+    channel_col: str,
+    channels: list,
+) -> DataFrame:
+    """EXACT Shapley attribution of audience coverage across three
+    channels: the characteristic function is "units reached by at least
+    one channel in the coalition", and with |N| = 3 the Shapley sum has
+    denominator 3! = 6, so every value is an exact integer sixth —
+    no sampling, no floats (the fair-division upgrade over last-touch /
+    Markov removal attribution for REACH).
+
+    One pass builds each unit's channel bitmask, one hash aggregate
+    counts the 7 non-empty masks, one literal combination per channel
+    produces 6·φ.  Σφ = v(N) exactly (efficiency axiom — tested).
+
+    Returns per channel ``(channel, solo_coverage, phi6, phi_e2,
+    share_e6)`` — ``phi6`` the exact integer 6·φ in units, ``phi_e2``
+    φ in hundredths of a unit.
+    """
+    if len(channels) != 3:
+        raise ValueError("exact 3-channel Shapley (n!=6) only")
+    tags = [
+        F.max((F.col("ch") == F.lit(c)).cast("int")).alias(f"b{i}")
+        for i, c in enumerate(channels)
+    ]
+    masks = (
+        df.select(
+            F.col(unit_col).alias("u"), F.col(channel_col).alias("ch")
+        )
+        .where(F.col("ch").isin(list(channels)))
+        .groupBy("u")
+        .agg(*tags)
+        .select(
+            (
+                F.col("b0") + 2 * F.col("b1") + 4 * F.col("b2")
+            ).alias("mask")
+        )
+    )
+    cnt = masks.groupBy("mask").agg(F.count("*").cast("long").alias("n"))
+    # v(S) for each coalition bitmask S: units whose mask intersects S
+    v_cols = [
+        F.sum(
+            F.when(F.expr(f"mask & {S}") > 0, F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"v{S}")
+        for S in range(1, 8)
+    ]
+    vrow = cnt.agg(*v_cols)
+    stack_args = []
+    for i, name in enumerate(channels):
+        me = 1 << i
+        others = [b for b in (0, 1, 2) if b != i]
+        o1, o2 = 1 << others[0], 1 << others[1]
+        # weights |S|!(2-|S|)!: {} -> 2, {j} -> 1, {j,k} -> 2
+        phi6 = (
+            2 * F.col(f"v{me}")
+            + (F.col(f"v{me | o1}") - F.col(f"v{o1}"))
+            + (F.col(f"v{me | o2}") - F.col(f"v{o2}"))
+            + 2 * (F.col("v7") - F.col(f"v{o1 | o2}"))
+        )
+        stack_args += [F.lit(name), F.col(f"v{me}"), phi6]
+    out = vrow.select(
+        F.col("v7").alias("v_all"),
+        F.stack(F.lit(3), *stack_args).alias(
+            "channel", "solo_coverage", "phi6"
+        ),
+    )
+    return out.select(
+        "channel",
+        "solo_coverage",
+        F.col("phi6").cast("long").alias("phi6"),
+        F.round(F.col("phi6").cast("double") / 6 * 100)
+        .cast("long")
+        .alias("phi_e2"),
+        F.round(
+            F.col("phi6").cast("double")
+            / (6 * F.col("v_all")).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("share_e6"),
+    )

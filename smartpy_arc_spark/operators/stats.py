@@ -4888,3 +4888,100 @@ def mediation_analysis(
         e6(sobel).alias("sobel_z_e6"),
         e6(a * b / c).alias("prop_mediated_e6"),
     )
+
+
+def cumulative_incidence(
+    df: DataFrame, duration_col: str, cause_col: str
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence for two competing risks —
+    the correct "probability of event k by time t" when another event
+    can preempt it (1 − KM per cause overestimates):
+
+        CIF_k(t) = Σ_{s≤t} S(s⁻) · d_k(s)/n(s),
+        S(t) = Π_{s≤t} (1 − (d₁+d₂)(s)/n(s))
+
+    ``cause_col``: 0 = censored, 1/2 = competing event types.
+
+    Distributed shape (the ``kaplan_meier`` contract): one hash
+    aggregate to the bounded distinct-time table, then per-point
+    in-order struct folds ``(S, CIF₁, CIF₂, used)`` — fixed evaluation
+    order, list_reduce-mirrored.  CIF₁ + CIF₂ + S = 1 absent censoring.
+
+    Returns per distinct time ``(t, n_at_risk, d1, d2, n_censored,
+    surv_e6, cif1_e6, cif2_e6)``.
+    """
+    cause = F.col(cause_col).cast("int")
+    per_t = (
+        df.select(F.col(duration_col).alias("t"), cause.alias("k"))
+        .where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("k") == 1).cast("int")).cast("long").alias("d1"),
+            F.sum((F.col("k") == 2).cast("int")).cast("long").alias("d2"),
+            F.sum((F.col("k") == 0).cast("int")).cast("long").alias("c"),
+        )
+    )
+    curve = per_t.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d1", "d2", "c"))).alias(
+            "arr"
+        ),
+        F.sum(F.col("d1") + F.col("d2") + F.col("c"))
+        .cast("long")
+        .alias("n_total"),
+    )
+    arr = F.col("arr")
+
+    def at(i):
+        return F.element_at(arr, i)
+
+    def prefix(i, init, step):
+        return F.aggregate(F.slice(arr, 1, i), init, step)
+
+    zero = F.lit(0.0)
+    init = F.struct(
+        F.lit(1.0).alias("p"),
+        zero.alias("c1"),
+        zero.alias("c2"),
+        F.lit(0).cast("long").alias("used"),
+    )
+
+    def step(acc, s):
+        nr = (F.col("n_total") - acc["used"]).cast("double")
+        return F.struct(
+            (acc["p"] * (F.lit(1.0) - (s["d1"] + s["d2"]) / nr)).alias("p"),
+            (acc["c1"] + acc["p"] * (s["d1"] / nr)).alias("c1"),
+            (acc["c2"] + acc["p"] * (s["d2"] / nr)).alias("c2"),
+            (acc["used"] + s["d1"] + s["d2"] + s["c"]).alias("used"),
+        )
+
+    rows = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.struct(
+            at(i)["t"].alias("t"),
+            (
+                F.col("n_total")
+                - prefix(
+                    i - 1,
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s["d1"] + s["d2"] + s["c"],
+                )
+            ).alias("n_at_risk"),
+            at(i)["d1"].alias("d1"),
+            at(i)["d2"].alias("d2"),
+            at(i)["c"].alias("n_censored"),
+            F.round(prefix(i, init, step)["p"] * 1e6)
+            .cast("long")
+            .alias("surv_e6"),
+            F.round(prefix(i, init, step)["c1"] * 1e6)
+            .cast("long")
+            .alias("cif1_e6"),
+            F.round(prefix(i, init, step)["c2"] * 1e6)
+            .cast("long")
+            .alias("cif2_e6"),
+        ),
+    )
+    return (
+        curve.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("t")
+    )

@@ -102,6 +102,8 @@ SINGLE_PARTITION_OK = {
     "theil_sen",              # 1-row statistic: median-selection scalars
     "abc_classification",     # 1-row grand-total scalar for the class cuts
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
+    "cumulative_incidence",   # bounded-curve assembly (distinct-times contract)
+    "shapley_coverage",       # 1-row 7-coalition-value combine
     "mutual_information",     # 1-row statistic: total + per-cell term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
