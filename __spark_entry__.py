@@ -7433,6 +7433,39 @@ def q_shapley_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-word suggestion table over the document corpus: top-3
+    following words per head with exact conditional probabilities."""
+    from smartpy_arc_spark.operators.text import bigram_suggest
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_suggest(docs, "text", top_k=3, min_count=2)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced downsample of documents by language:
+    every lang keeps min-class-size rows chosen by md5(id) order —
+    reproducible on any engine."""
+    from smartpy_arc_spark.operators.sample import class_balance
+
+    docs = _t(spark, sf_dir, "documents")
+    return class_balance(docs, "lang", "doc_id")
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / Information Value of order price deciles against the
+    finalized-order target: explicit deterministic ntile, e9 nanonat
+    per-bin pre-rounds."""
+    from smartpy_arc_spark.operators.stats import woe_iv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return woe_iv(orders, "o_totalprice", "is_final", "o_orderkey")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7841,6 +7874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mediation": q_mediation,
         "cumulative_incidence": q_cumulative_incidence,
         "shapley_coverage": q_shapley_coverage,
+        "bigram_suggest": q_bigram_suggest,
+        "class_balance": q_class_balance,
+        "woe_iv": q_woe_iv,
     })
 
 
@@ -16413,5 +16449,95 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(6 * v_all AS DOUBLE) * 1000000.0)
                         AS BIGINT) AS share_e6
             FROM stacked
+        """,
+        "bigram_suggest": """
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), w -> w != '') AS w
+                FROM documents
+            ), pairs AS (
+                SELECT w[i] AS head, w[i + 1] AS nxt
+                FROM toks, LATERAL unnest(generate_series(1, len(w) - 1))
+                     AS u(i)
+                WHERE len(w) >= 2
+            ), counts AS (
+                SELECT head, nxt, CAST(count(*) AS BIGINT) AS n_pair
+                FROM pairs GROUP BY head, nxt
+            ), ranked AS (
+                SELECT head, nxt, n_pair,
+                       CAST(SUM(n_pair) OVER (PARTITION BY head)
+                            AS BIGINT) AS n_head,
+                       CAST(row_number() OVER (PARTITION BY head
+                            ORDER BY n_pair DESC, nxt) AS INTEGER) AS rank
+                FROM counts
+            )
+            SELECT head, nxt AS next_word, n_pair, n_head, rank,
+                   CAST(round(CAST(n_pair AS DOUBLE)
+                              / CAST(n_head AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS p_e6
+            FROM ranked WHERE rank <= 3 AND n_pair >= 2
+        """,
+        "class_balance": """
+            WITH base AS (
+                SELECT lang AS lbl, doc_id AS rid FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+            ), n_min AS (
+                SELECT CAST(min(n) AS BIGINT) AS n_min FROM (
+                    SELECT count(*) AS n FROM base GROUP BY lbl
+                )
+            ), ranked AS (
+                SELECT lbl, rid,
+                       CAST(row_number() OVER (PARTITION BY lbl
+                            ORDER BY md5(CAST(rid AS VARCHAR)), rid)
+                            AS INTEGER) AS pick_rank
+                FROM base
+            )
+            SELECT lbl AS lang, rid AS doc_id, pick_rank
+            FROM ranked, n_min WHERE pick_rank <= n_min
+        """,
+        "woe_iv": """
+            WITH base AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                       CAST(o_orderstatus = 'F' AS INTEGER) AS y,
+                       o_orderkey AS rid
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_tot FROM base
+            ), binned AS (
+                SELECT y,
+                       CAST(((row_number() OVER (ORDER BY x, rid) - 1)
+                             * 10) // n_tot AS BIGINT) AS bin
+                FROM base, tot
+            ), per_bin AS (
+                SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS n_good,
+                       CAST(count(*) - SUM(y) AS BIGINT) AS n_bad
+                FROM binned GROUP BY bin
+            ), totals AS (
+                SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+                       CAST(SUM(n_bad) AS BIGINT) AS b
+                FROM per_bin
+            )
+            SELECT bin, n, n_good, n_bad,
+                   CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                       CAST(round(ln((CAST(n_good AS DOUBLE)
+                                      / CAST(g AS DOUBLE))
+                                     / (CAST(n_bad AS DOUBLE)
+                                        / CAST(b AS DOUBLE)))
+                                  * 1000000000.0) AS BIGINT)
+                   END AS woe_e9,
+                   CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                       CAST(round((CAST(n_good AS DOUBLE)
+                                   / CAST(g AS DOUBLE)
+                                   - CAST(n_bad AS DOUBLE)
+                                     / CAST(b AS DOUBLE))
+                                  * ln((CAST(n_good AS DOUBLE)
+                                        / CAST(g AS DOUBLE))
+                                       / (CAST(n_bad AS DOUBLE)
+                                          / CAST(b AS DOUBLE)))
+                                  * 1000000000.0) AS BIGINT)
+                   END AS iv_term_e9
+            FROM per_bin, totals
         """,
     }

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def _hex_threshold(fraction: float) -> str | None:
@@ -410,4 +411,40 @@ def ipf_raking(
         F.round(F.col("w").cast("double") * 100 / scale).cast("long").alias(
             "cell_weight_e2"
         ),
+    )
+
+
+def class_balance(
+    df: DataFrame, label_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic balanced downsampling: every class keeps exactly
+    ``min(class sizes)`` rows, chosen by md5 order of the id — the
+    engine-portable shuffle (md5 of the same string is identical
+    everywhere; the repo's portable-randomness contract) so the
+    selected SET is reproducible across engines and reruns, unlike
+    ``sampleBy`` fractions.
+
+    One class-size aggregate (broadcast, bounded by the label domain),
+    one per-class rank window.  Returns the selected rows as
+    ``(label, id, pick_rank)``.
+    """
+    base = df.select(
+        F.col(label_col).alias("lbl"), F.col(id_col).alias("rid")
+    ).where(F.col("lbl").isNotNull() & F.col("rid").isNotNull())
+    sizes = base.groupBy("lbl").agg(F.count("*").alias("n"))
+    n_min = sizes.agg(F.min("n").cast("long").alias("n_min"))
+    w = W.partitionBy("lbl").orderBy(
+        F.md5(F.col("rid").cast("string")), F.col("rid")
+    )
+    ranked = base.select(
+        "lbl", "rid", F.row_number().over(w).alias("pick_rank")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_min))
+        .where(F.col("pick_rank") <= F.col("n_min"))
+        .select(
+            F.col("lbl").alias(label_col),
+            F.col("rid").alias(id_col),
+            "pick_rank",
+        )
     )

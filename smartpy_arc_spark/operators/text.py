@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.sql import types as T
 
 # BPE-ish word/number/punct tokenizer (kept free of \s so the same pattern
@@ -1040,4 +1041,68 @@ def readability(
         "n_syllables",
         F.when(F.col("n_words") > 0, F.round(score * 1000).cast("long"))
         .alias("flesch_e3"),
+    )
+
+
+def bigram_suggest(
+    df: DataFrame, text_col: str, *, top_k: int = 3, min_count: int = 2
+) -> DataFrame:
+    """Next-word suggestion table: for each head word, the top-k
+    following words by bigram count with conditional probability — the
+    queryable core of a count-based bigram LM (autocomplete /
+    boilerplate detection).
+
+    One tokenize-explode pass (lowercased whitespace words), one
+    (head, next) hash aggregate, per-head totals over the same
+    partitioning, deterministic rank (count desc, word asc).
+    Conditional probabilities are one exact-integer division each.
+
+    Returns ``(head, next_word, n_pair, n_head, rank, p_e6)``.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.filter(words, lambda w: w != "").alias("w")
+    ).where(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                lambda head, i: F.struct(
+                    head.alias("head"),
+                    F.element_at(F.col("w"), i + 2).alias("nxt"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.head", "p.nxt")
+    counts = pairs.groupBy("head", "nxt").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    wh = W.partitionBy("head")
+    ranked = counts.select(
+        "head",
+        "nxt",
+        "n_pair",
+        F.sum("n_pair").over(wh).cast("long").alias("n_head"),
+        F.row_number()
+        .over(wh.orderBy(F.col("n_pair").desc(), F.col("nxt")))
+        .alias("rank"),
+    )
+    return (
+        ranked.where(
+            (F.col("rank") <= top_k) & (F.col("n_pair") >= min_count)
+        )
+        .select(
+            "head",
+            F.col("nxt").alias("next_word"),
+            "n_pair",
+            "n_head",
+            "rank",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("n_head").cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("p_e6"),
+        )
     )

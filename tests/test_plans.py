@@ -104,6 +104,9 @@ SINGLE_PARTITION_OK = {
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
     "cumulative_incidence",   # bounded-curve assembly (distinct-times contract)
     "shapley_coverage",       # 1-row 7-coalition-value combine
+    "class_balance",          # 1-row min-class-size scalar combine
+    "woe_iv",                 # global decile ntile over pre-aggregated units
+                              #   (the lorenz_curve shape) + 1-row G/B totals
     "mutual_information",     # 1-row statistic: total + per-cell term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
@@ -148,6 +151,8 @@ BNLJ_OK = {
     "sketch_eval",            # 1-row x 1-row exact/sketch cross join
     "eb_shrinkage",           # 1-row prior broadcast cross join
     "mediation",              # 1-row shift broadcast cross join
+    "class_balance",          # 1-row min-size broadcast cross join
+    "woe_iv",                 # 1-row totals broadcast cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
