@@ -7466,6 +7466,51 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv(orders, "o_totalprice", "is_final", "o_orderkey")
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature table per returnflag: lag-1/7 values,
+    7/28-day trailing means (count-guarded), calendar features — exact
+    integer window sums."""
+    from smartpy_arc_spark.operators.features import make_lag_features
+
+    daily = _daily_rev(spark, sf_dir, by_flag=True)
+    return make_lag_features(daily, "flag", "d", "rev", scale=100)
+
+
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend in the finalized-order share across ship
+    years (integer score weights; exact moment sums)."""
+    from smartpy_arc_spark.operators.stats import trend_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    weights = {1995 + i: i + 1 for i in range(7)}
+    return trend_test(orders, "yr", "is_final", weights)
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired flip test: was each customer active (≥1 order) in
+    the early vs late half of the history?  Discordant cells only,
+    exact integers."""
+    from smartpy_arc_spark.operators.stats import mcnemar_test
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate") < cut).cast("int")).alias("early"),
+        F.max((F.col("o_orderdate") >= cut).cast("int")).alias("late"),
+    )
+    paired = cust.join(
+        per_c, cust["c_custkey"] == per_c["o_custkey"], "left"
+    ).select(
+        F.coalesce(F.col("early"), F.lit(0)).alias("early"),
+        F.coalesce(F.col("late"), F.lit(0)).alias("late"),
+    )
+    return mcnemar_test(paired, "early", "late")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7877,6 +7922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_suggest": q_bigram_suggest,
         "class_balance": q_class_balance,
         "woe_iv": q_woe_iv,
+        "lag_features": q_lag_features,
+        "trend_test": q_trend_test,
+        "mcnemar": q_mcnemar,
     })
 
 
@@ -16539,5 +16587,98 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000000.0) AS BIGINT)
                    END AS iv_term_e9
             FROM per_bin, totals
+        """,
+        "lag_features": f"""
+            WITH daily AS ({_DAILY_REV_SQL}
+            ), base AS (
+                SELECT flag, d, CAST(round(rev * 100) AS BIGINT) AS y
+                FROM daily
+            )
+            SELECT flag, d, y,
+                   lag(y, 1) OVER w AS lag_1,
+                   lag(y, 7) OVER w AS lag_7,
+                   CAST(round(CAST(SUM(y) OVER w7 AS DOUBLE)
+                              / CAST(count(*) OVER w7 AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS rmean7_e4,
+                   CAST(count(*) OVER w7 AS BIGINT) AS n7,
+                   CAST(round(CAST(SUM(y) OVER w28 AS DOUBLE)
+                              / CAST(count(*) OVER w28 AS DOUBLE)
+                              / 100 * 10000) AS BIGINT) AS rmean28_e4,
+                   CAST(count(*) OVER w28 AS BIGINT) AS n28,
+                   CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+                   CAST(month(d) AS INTEGER) AS month
+            FROM base
+            WINDOW w AS (PARTITION BY flag ORDER BY d),
+                   w7 AS (PARTITION BY flag ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   w28 AS (PARTITION BY flag ORDER BY d
+                           ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+        """,
+        "trend_test": """
+            WITH base AS (
+                SELECT CAST(CASE year(o_orderdate)
+                            WHEN 1995 THEN 1 WHEN 1996 THEN 2
+                            WHEN 1997 THEN 3 WHEN 1998 THEN 4
+                            WHEN 1999 THEN 5 WHEN 2000 THEN 6
+                            WHEN 2001 THEN 7 END AS BIGINT) AS w,
+                       CAST(o_orderstatus = 'F' AS INTEGER) AS y
+                FROM orders
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(y) AS BIGINT) AS x_tot,
+                       CAST(SUM(w * y) AS BIGINT) AS swx,
+                       CAST(SUM(w) AS BIGINT) AS swn,
+                       CAST(SUM(w * w) AS BIGINT) AS sw2n
+                FROM base WHERE w IS NOT NULL AND y IS NOT NULL
+            ), stat AS (
+                SELECT n, x_tot,
+                       n * swx - swn * x_tot AS num,
+                       CAST(x_tot AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+                       CAST(sw2n AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS bracket
+                FROM agg
+            )
+            SELECT n, x_tot AS n_hits, CAST(num AS BIGINT) AS num,
+                   CASE WHEN pbar * (1.0 - pbar) * bracket > 0 THEN
+                       CAST(round((CAST(num AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / sqrt(pbar * (1.0 - pbar) * bracket)
+                                  * 1000000.0) AS BIGINT)
+                   END AS z_e6
+            FROM stat
+        """,
+        "mcnemar": """
+            WITH per_c AS (
+                SELECT o_custkey,
+                       max(CASE WHEN o_orderdate < TIMESTAMP '1998-06-01'
+                           THEN 1 ELSE 0 END) AS early,
+                       max(CASE WHEN o_orderdate >= TIMESTAMP '1998-06-01'
+                           THEN 1 ELSE 0 END) AS late
+                FROM orders GROUP BY o_custkey
+            ), paired AS (
+                SELECT COALESCE(p.early, 0) AS p, COALESCE(p.late, 0) AS q
+                FROM customer c LEFT JOIN per_c p
+                  ON c.c_custkey = p.o_custkey
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CASE WHEN p = 1 AND q = 0 THEN 1 ELSE 0
+                                END) AS BIGINT) AS b,
+                       CAST(SUM(CASE WHEN p = 0 AND q = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS c
+                FROM paired
+            )
+            SELECT n_pairs, b, c,
+                   CASE WHEN b + c > 0 THEN
+                       CAST(round(CAST((b - c) * (b - c) AS DOUBLE)
+                                  / CAST(b + c AS DOUBLE) * 1000000.0)
+                            AS BIGINT)
+                   END AS chi2_e6,
+                   CASE WHEN b + c > 0 THEN
+                       CAST(round(CAST((abs(b - c) - 1) * (abs(b - c) - 1)
+                                       AS DOUBLE)
+                                  / CAST(b + c AS DOUBLE) * 1000000.0)
+                            AS BIGINT)
+                   END AS chi2_cc_e6
+            FROM agg
         """,
     }

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def target_encode_smoothed(
@@ -191,3 +192,55 @@ def rfm_segments(
         "f_bucket",
         "m_bucket",
     )
+
+
+def make_lag_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lags: tuple = (1, 7),
+    roll_windows: tuple = (7, 28),
+    scale: int = 100,
+) -> DataFrame:
+    """Supervised-learning feature table from a keyed daily series: lag
+    values, trailing-window means, and calendar features — the
+    feature-store materialization every forecasting model trains on.
+
+    Exactness: values pre-round to integer ticks; lags are exact
+    integers; each rolling mean is ONE division of an exact integer
+    window sum (count-guarded: windows shorter than the nominal width
+    report their true count).  All windows share one (key → ts)
+    exchange.
+
+    Returns ``(key, ts, y, lag_{L}..., rmean{W}_e4..., n{W}...,
+    dow, month)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("t"), x.alias("y")
+    )
+    w = W.partitionBy("k").orderBy("t")
+    cols = [
+        F.col("k").alias(key_col),
+        F.col("t").alias(ts_col),
+        "y",
+    ]
+    for lag in lags:
+        cols.append(F.lag("y", lag).over(w).alias(f"lag_{lag}"))
+    for win in roll_windows:
+        frame = w.rowsBetween(-(win - 1), 0)
+        s = F.sum("y").over(frame)
+        n = F.count("*").over(frame)
+        cols.append(
+            F.round(
+                s.cast("double") / n.cast("double") / scale * 10000
+            )
+            .cast("long")
+            .alias(f"rmean{win}_e4")
+        )
+        cols.append(n.cast("long").alias(f"n{win}"))
+    cols.append(F.dayofweek("t").cast("int").alias("dow"))
+    cols.append(F.month("t").cast("int").alias("month"))
+    return base.select(*cols)

@@ -5053,3 +5053,99 @@ def woe_iv(
             "iv_term_e9"
         ),
     ).orderBy("bin")
+
+
+def trend_test(
+    df: DataFrame, group_col: str, hit_col: str, weight_map: dict
+) -> DataFrame:
+    """Cochran–Armitage test for a linear trend in proportions across
+    ordered groups (dose-response / year-over-year adoption):
+
+        z = Σ wᵢ(xᵢ − nᵢ·p̄) / √( p̄(1−p̄)·[Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N] )
+
+    with INTEGER score weights ``weight_map[group]`` (pipeline
+    constants).  Every moment is an exact integer; z is one fixed
+    double expression.
+
+    Returns one row ``(n, n_hits, num, z_e6)`` — ``num = Σw·x·N −
+    Σw·n·X`` the exact integer numerator (×N).
+    """
+    wm = F.create_map(
+        *[x for kv in weight_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    hit = F.col(hit_col).cast("int")
+    base = df.select(
+        wm[F.col(group_col)].cast("long").alias("w"), hit.alias("y")
+    ).where(F.col("w").isNotNull() & F.col("y").isNotNull())
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x_tot"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("swx"),
+        F.sum("w").cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sw2n"),
+    )
+    n = F.col("n")
+    # numerator ×N: Σw·x·N − Σw·n·X  (exact integers)
+    num = n * F.col("swx") - F.col("swn") * F.col("x_tot")
+    pbar = F.col("x_tot").cast("double") / n.cast("double")
+    bracket = (
+        F.col("sw2n").cast("double")
+        - F.col("swn").cast("double")
+        * F.col("swn").cast("double")
+        / n.cast("double")
+    )
+    var = pbar * (F.lit(1.0) - pbar) * bracket
+    z = F.when(
+        var > 0,
+        (num.cast("double") / n.cast("double")) / F.sqrt(var),
+    )
+    return agg.select(
+        "n",
+        F.col("x_tot").alias("n_hits"),
+        num.cast("long").alias("num"),
+        F.round(z * 1e6).cast("long").alias("z_e6"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, before_col: str, after_col: str
+) -> DataFrame:
+    """McNemar test for paired binary outcomes (did the flip rate
+    change direction?): only the discordant cells matter,
+
+        χ² = (b − c)² / (b + c)
+
+    with ``b`` = 1→0 flips, ``c`` = 0→1 flips — exact integers, one
+    division.  Includes the continuity-corrected variant
+    ``(|b−c|−1)²/(b+c)``.
+
+    Returns one row ``(n_pairs, b, c, chi2_e6, chi2_cc_e6)``.
+    """
+    bv = F.col(before_col).cast("int")
+    av = F.col(after_col).cast("int")
+    base = df.select(bv.alias("p"), av.alias("q")).where(
+        F.col("p").isNotNull() & F.col("q").isNotNull()
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(((F.col("p") == 1) & (F.col("q") == 0)).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("p") == 0) & (F.col("q") == 1)).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    disc = b + c
+    chi2 = ((b - c) * (b - c)).cast("double") / disc.cast("double")
+    cc = (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+    chi2_cc = cc.cast("double") / disc.cast("double")
+    return agg.select(
+        "n_pairs",
+        "b",
+        "c",
+        F.when(disc > 0, F.round(chi2 * 1e6).cast("long")).alias("chi2_e6"),
+        F.when(
+            disc > 0, F.round(chi2_cc * 1e6).cast("long")
+        ).alias("chi2_cc_e6"),
+    )

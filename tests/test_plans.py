@@ -104,6 +104,8 @@ SINGLE_PARTITION_OK = {
     "kaplan_meier",           # bounded-curve assembly (distinct-times contract)
     "cumulative_incidence",   # bounded-curve assembly (distinct-times contract)
     "shapley_coverage",       # 1-row 7-coalition-value combine
+    "trend_test",             # 1-row statistic: weighted-moment combine
+    "mcnemar",                # 1-row statistic: discordant-cell combine
     "class_balance",          # 1-row min-class-size scalar combine
     "woe_iv",                 # global decile ntile over pre-aggregated units
                               #   (the lorenz_curve shape) + 1-row G/B totals
