@@ -7511,6 +7511,45 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(paired, "early", "late")
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-order graph (bounded
+    slice): Pearson over edge-end degrees, exact DECIMAL moments."""
+    from smartpy_arc_spark.operators.components import assortativity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.where("l_suppkey <= 60").alias("a")
+    b = li.where("l_suppkey <= 60").alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("s"),
+            F.col("b.l_suppkey").alias("d"),
+        )
+        .distinct()
+    )
+    return assortativity(edges)
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth fit over the document corpus:
+    first-occurrence positions via partitioned_cumsum offsets, 20
+    checkpoint vocab sizes, log-log OLS with fixed-order ln sums."""
+    from smartpy_arc_spark.operators.text import heaps_law
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_law(docs, "doc_id", "text", n_checkpoints=20)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of per-user event inter-arrivals:
+    exact integer second gaps (integer div), DECIMAL moments."""
+    from smartpy_arc_spark.operators.stats import burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    return burstiness(ev, "user_id", "ts")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7925,6 +7964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "trend_test": q_trend_test,
         "mcnemar": q_mcnemar,
+        "assortativity": q_assortativity,
+        "heaps_law": q_heaps_law,
+        "burstiness": q_burstiness,
     })
 
 
@@ -8283,6 +8325,63 @@ def _cif_sql() -> str:
                CAST(round({fold("i", 3)} * 1000000.0) AS BIGINT)
                    AS cif2_e6
         FROM curve, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+    """
+
+
+def _heaps_sql(n_checkpoints: int = 20) -> str:
+    """Generated mirror of ``operators.text.heaps_law``: checkpoint
+    columns and the fixed-order ln sums are emitted from the same
+    loop."""
+    k = n_checkpoints
+    ck_cols = ", ".join(
+        f"CAST(max((n_tokens * {i} + {k - 1}) // {k}) AS BIGINT) AS c{i}, "
+        f"CAST(SUM(CASE WHEN first_pos <= (n_tokens * {i} + {k - 1}) // {k}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i in range(1, k + 1)
+    )
+    lx = [f"ln(CAST(c{i} AS DOUBLE))" for i in range(1, k + 1)]
+    ly = [f"ln(CAST(v{i} AS DOUBLE))" for i in range(1, k + 1)]
+    sx = " + ".join(lx)
+    sy = " + ".join(ly)
+    sxy = " + ".join(f"{a} * {b}" for a, b in zip(lx, ly))
+    sxx = " + ".join(f"{a} * {a}" for a in lx)
+    kf = float(k)
+    beta = f"(({kf} * ({sxy}) - ({sx}) * ({sy})) / ({kf} * ({sxx}) - ({sx}) * ({sx})))"
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS doc,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), w -> w != '') AS w
+            FROM documents
+        ), sized AS (
+            SELECT doc, w, CAST(len(w) AS BIGINT) AS len
+            FROM docs WHERE len(w) > 0
+        ), offs AS (
+            SELECT doc, w,
+                   CAST(COALESCE(SUM(len) OVER (ORDER BY doc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS off
+            FROM sized
+        ), toks AS (
+            SELECT w[u.pos] AS word, offs.off + u.pos AS gpos
+            FROM offs,
+                 LATERAL unnest(generate_series(1, len(w))) AS u(pos)
+        ), firsts AS (
+            SELECT word, CAST(min(gpos) AS BIGINT) AS first_pos
+            FROM toks GROUP BY word
+        ), total AS (
+            SELECT CAST(max(gpos) AS BIGINT) AS n_tokens FROM toks
+        ), wide AS (
+            SELECT CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   {ck_cols}
+            FROM firsts, total
+        )
+        SELECT n_tokens, vocab,
+               CAST(round({beta} * 1000000.0) AS BIGINT) AS beta_e6,
+               CAST(round((({sy}) - {beta} * ({sx})) / {kf} * 1000000.0)
+                    AS BIGINT) AS log_k_e6
+        FROM wide
     """
 
 
@@ -16680,5 +16779,87 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)
                    END AS chi2_cc_e6
             FROM agg
+        """,
+        "assortativity": """
+            WITH und AS (
+                SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey <= 60 AND b.l_suppkey <= 60
+                  AND a.l_suppkey < b.l_suppkey
+            ), dirs AS (
+                SELECT s AS a, d AS b FROM und
+                UNION ALL
+                SELECT d AS a, s AS b FROM und
+            ), deg AS (
+                SELECT a, CAST(count(*) AS BIGINT) AS deg
+                FROM dirs GROUP BY a
+            ), j AS (
+                SELECT dx.deg AS dx, dy.deg AS dy
+                FROM dirs
+                JOIN deg dx ON dirs.a = dx.a
+                JOIN deg dy ON dirs.b = dy.a
+            ), mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS m2,
+                       CAST(SUM(dx) AS BIGINT) AS sx,
+                       CAST(SUM(dy) AS BIGINT) AS sy,
+                       SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+                       SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+                       SUM(CAST(dy AS HUGEINT) * dy) AS syy
+                FROM j
+            )
+            SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN CAST(CAST(m2 AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+                         AND CAST(CAST(m2 AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0
+                   THEN
+                       CAST(round(CAST(CAST(m2 AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                                  / (sqrt(CAST(CAST(m2 AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                     * sqrt(CAST(CAST(m2 AS HUGEINT) * syy
+                                       - CAST(sy AS HUGEINT) * sy
+                                       AS DOUBLE)))
+                                  * 1000000.0) AS BIGINT)
+                   END AS r_e6
+            FROM mom
+        """,
+        "heaps_law": _heaps_sql(),
+        "burstiness": """
+            WITH lagged AS (
+                SELECT user_id AS k, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev_ts
+                FROM events
+            ), gaps AS (
+                SELECT k,
+                       CAST((epoch_us(CAST(ts AS TIMESTAMP))
+                             - epoch_us(CAST(prev_ts AS TIMESTAMP)))
+                            // 1000000 AS BIGINT) AS g
+                FROM lagged WHERE prev_ts IS NOT NULL
+            ), mom AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(g) AS BIGINT) AS s,
+                       SUM(CAST(g AS HUGEINT) * g) AS q
+                FROM gaps GROUP BY k
+            ), stat AS (
+                SELECT k, n, s,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       CASE WHEN n >= 2 THEN
+                           sqrt(CAST(CAST(n AS HUGEINT) * q
+                                - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE))
+                       END AS sd
+                FROM mom
+            )
+            SELECT k AS user_id, n AS n_gaps,
+                   CAST(round(mean * 100) AS BIGINT) AS mean_gap_e2,
+                   CAST(round(sd * 100) AS BIGINT) AS sd_gap_e2,
+                   CASE WHEN n >= 2 AND sd + mean > 0 THEN
+                       CAST(round((sd - mean) / (sd + mean) * 1000000.0)
+                            AS BIGINT)
+                   END AS b_e6
+            FROM stat
         """,
     }

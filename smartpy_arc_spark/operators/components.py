@@ -1164,3 +1164,54 @@ def minimum_spanning_forest(
     if forest is None:
         return e.where(F.lit(False)).select("s", "d", "w")
     return forest.groupBy("s", "d").agg(F.min("w").alias("w"))
+
+
+def assortativity(
+    edges: DataFrame, *, src_col: str = "s", dst_col: str = "d"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of the
+    degrees at the two ends of every edge — positive means hubs link to
+    hubs (social nets), negative means hub-and-spoke (infrastructure).
+
+    Two hash aggregates (degrees, then directed-edge-end moments over
+    both orientations) — the correlation is one fixed double expression
+    over exact DECIMAL sums.
+
+    Returns one row ``(n_edges, r_e6)``.
+    """
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    both = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    j = (
+        both.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")),
+            "b",
+        )
+    )
+    xd = F.col("dx").cast("decimal(19,0)")
+    yd = F.col("dy").cast("decimal(19,0)")
+    mom = j.agg(
+        F.count("*").cast("long").alias("m2"),  # 2x undirected edges
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("m2")
+    nd = n.cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    num = (nd * F.col("sxy") - sxd * syd).cast("double")
+    vx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vy = (nd * F.col("syy") - syd * syd).cast("double")
+    r = num / (F.sqrt(vx) * F.sqrt(vy))
+    return mom.select(
+        (n / F.lit(2)).cast("long").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0), F.round(r * 1e6).cast("long")).alias(
+            "r_e6"
+        ),
+    )

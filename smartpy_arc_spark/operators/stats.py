@@ -5149,3 +5149,61 @@ def mcnemar_test(
             disc > 0, F.round(chi2_cc * 1e6).cast("long")
         ).alias("chi2_cc_e6"),
     )
+
+
+def burstiness(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Burstiness index of inter-arrival times (Goh & Barabási):
+
+        B = (σ − μ) / (σ + μ)
+
+    −1 = perfectly periodic, 0 = Poisson, → 1 = extremely bursty — the
+    one-number arrival-pattern classifier per key (complements
+    ``burst_detect``'s windowed alarms).
+
+    Inter-arrival gaps are exact integer seconds (lag over the per-key
+    order); μ/σ come from exact DECIMAL moments; B is one fixed double
+    expression.  Keys with < 3 events return null.
+
+    Returns ``(key, n_gaps, mean_gap_e2, sd_gap_e2, b_e6)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("k").orderBy("us")
+    lagged = base.select(
+        "k", "us", F.lag("us").over(w).alias("prev_us")
+    ).where(F.col("prev_us").isNotNull())
+    # integer `div`, not a double divide + cast: Spark's double->long
+    # cast truncates while DuckDB's rounds (playbook rule 6)
+    gaps = lagged.select(
+        "k", F.expr("(us - prev_us) div 1000000").alias("g")
+    )
+    gd = F.col("g").cast("decimal(19,0)")
+    mom = gaps.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(gd * gd).cast("decimal(38,0)").alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n.cast("double")
+    sd = F.sqrt(
+        (
+            n.cast("decimal(19,0)") * F.col("q")
+            - F.col("s").cast("decimal(19,0)")
+            * F.col("s").cast("decimal(19,0)")
+        ).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    b = F.when(
+        (n >= 2) & (sd + mean > 0), (sd - mean) / (sd + mean)
+    )
+    return mom.select(
+        F.col("k").alias(key_col),
+        n.alias("n_gaps"),
+        F.round(mean * 100).cast("long").alias("mean_gap_e2"),
+        F.when(n >= 2, F.round(sd * 100).cast("long")).alias("sd_gap_e2"),
+        F.round(b * 1e6).cast("long").alias("b_e6"),
+    )

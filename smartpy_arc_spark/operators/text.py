@@ -1106,3 +1106,89 @@ def bigram_suggest(
             .alias("p_e6"),
         )
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_checkpoints: int = 20,
+) -> DataFrame:
+    """Heaps-law vocabulary growth fit ``V(n) = K·n^β``: how fast does
+    the corpus vocabulary grow with token count?  β ≈ 0.5 for natural
+    text; β near 1 screams boilerplate-free/unique ids, β near 0
+    duplication — a corpus-health scaling diagnostic.
+
+    Distributed shape: one tokenize-explode pass; each word keeps its
+    FIRST occurrence position (min global token index via exact
+    per-document token offsets from ``partitioned_cumsum``); checkpoint
+    vocabulary sizes are one bounded cumulative pass; the log-log OLS
+    fit runs over ≤ ``n_checkpoints`` exact integer pairs (ln of exact
+    integers — the engine-portable transcendental discipline of
+    ``mutual_information``).
+
+    Returns one row ``(n_tokens, vocab, beta_e6, log_k_e6)``.
+    """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc"), words.alias("w")
+    ).where(F.size("w") > 0)
+    sized = docs.select("doc", "w", F.size("w").alias("len"))
+    offs = partitioned_cumsum(
+        sized.select("doc", "len"), ["doc"], ["len"], inclusive=False
+    )
+    toks = (
+        sized.join(offs.select("doc", "cum_len"), "doc")
+        .select(
+            F.posexplode("w").alias("pos", "word"),
+            F.col("cum_len").alias("off"),
+        )
+        .select("word", (F.col("off") + F.col("pos") + 1).alias("gpos"))
+    )
+    firsts = toks.groupBy("word").agg(F.min("gpos").alias("first_pos"))
+    total = toks.agg(
+        F.max("gpos").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    # checkpoint c_k = ceil(k·N/n_checkpoints); vocab(c) = words with
+    # first_pos <= c — a bounded conditional aggregate
+    pts = firsts.crossJoin(F.broadcast(total))
+    aggs = [F.max("n_tokens").alias("n_tokens"), F.count("*").cast("long").alias("vocab")]
+    for k in range(1, n_checkpoints + 1):
+        ck = F.expr(f"(n_tokens * {k} + {n_checkpoints - 1}) div {n_checkpoints}")
+        aggs.append(
+            F.sum((F.col("first_pos") <= ck).cast("int"))
+            .cast("long")
+            .alias(f"v{k}")
+        )
+        aggs.append(F.max(ck).cast("long").alias(f"c{k}"))
+    wide = pts.agg(*aggs)
+    # log-log OLS over the checkpoints: explicit fixed-order sums of k
+    # bounded terms (k <= n_checkpoints literals)
+    lx = [F.log(F.col(f"c{k}").cast("double")) for k in range(1, n_checkpoints + 1)]
+    ly = [F.log(F.col(f"v{k}").cast("double")) for k in range(1, n_checkpoints + 1)]
+    kf = float(n_checkpoints)
+
+    def ssum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    sx = ssum(lx)
+    sy = ssum(ly)
+    sxy = ssum([a * b for a, b in zip(lx, ly)])
+    sxx = ssum([a * a for a in lx])
+    beta = (F.lit(kf) * sxy - sx * sy) / (F.lit(kf) * sxx - sx * sx)
+    logk = (sy - beta * sx) / F.lit(kf)
+    return wide.select(
+        "n_tokens",
+        "vocab",
+        F.round(beta * 1e6).cast("long").alias("beta_e6"),
+        F.round(logk * 1e6).cast("long").alias("log_k_e6"),
+    )

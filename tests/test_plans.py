@@ -106,6 +106,8 @@ SINGLE_PARTITION_OK = {
     "shapley_coverage",       # 1-row 7-coalition-value combine
     "trend_test",             # 1-row statistic: weighted-moment combine
     "mcnemar",                # 1-row statistic: discordant-cell combine
+    "assortativity",          # 1-row statistic: edge-end moment combine
+    "heaps_law",              # 1-row checkpoint-vocabulary combine
     "class_balance",          # 1-row min-class-size scalar combine
     "woe_iv",                 # global decile ntile over pre-aggregated units
                               #   (the lorenz_curve shape) + 1-row G/B totals
@@ -155,6 +157,7 @@ BNLJ_OK = {
     "mediation",              # 1-row shift broadcast cross join
     "class_balance",          # 1-row min-size broadcast cross join
     "woe_iv",                 # 1-row totals broadcast cross join
+    "heaps_law",              # 1-row token-total broadcast cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
