@@ -7550,6 +7550,53 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(ev, "user_id", "ts")
 
 
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-date islands per supplier's shipping calendar (bounded
+    slice, ≥3 consecutive absent days): the delivery-outage
+    detector."""
+    from smartpy_arc_spark.operators.sessionize import calendar_gaps
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where("l_suppkey <= 20")
+        .select("l_suppkey", F.to_date("l_shipdate").alias("d"))
+    )
+    return calendar_gaps(li, "l_suppkey", "d", min_gap_days=3)
+
+
+def q_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-shipment screen: the same part shipped in the same
+    exact quantity within 7 days — blocked self-join on (entity,
+    amount), each pair once.  Line id is the deterministic
+    orderkey·10 + linenumber surrogate."""
+    from smartpy_arc_spark.operators.checks import duplicate_charges
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+    )
+    return duplicate_charges(
+        li,
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+        "line_id",
+        window_days=7,
+        scale=1,
+    )
+
+
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-dollar clustering per priority (forensic round-number
+    screen): exact counts, binomial z against the literal 1%."""
+    from smartpy_arc_spark.operators.checks import round_number_bias
+
+    orders = _t(spark, sf_dir, "orders")
+    return round_number_bias(orders, "o_orderpriority", "o_totalprice")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -7967,6 +8014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "heaps_law": q_heaps_law,
         "burstiness": q_burstiness,
+        "calendar_gaps": q_calendar_gaps,
+        "double_charge": q_double_charge,
+        "round_number_bias": q_round_number_bias,
     })
 
 
@@ -16861,5 +16911,62 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)
                    END AS b_e6
             FROM stat
+        """,
+        "calendar_gaps": """
+            WITH days AS (
+                SELECT DISTINCT l_suppkey AS k,
+                       CAST(l_shipdate AS DATE) AS d
+                FROM lineitem WHERE l_suppkey <= 20
+            ), stepped AS (
+                SELECT k, d,
+                       lead(d) OVER (PARTITION BY k ORDER BY d) AS nxt
+                FROM days
+            )
+            SELECT k AS l_suppkey,
+                   d + 1 AS gap_start,
+                   nxt - 1 AS gap_end,
+                   CAST(date_diff('day', d, nxt) - 1 AS BIGINT) AS gap_days
+            FROM stepped
+            WHERE nxt IS NOT NULL
+              AND date_diff('day', d, nxt) - 1 >= 3
+        """,
+        "double_charge": """
+            WITH base AS (
+                SELECT l_partkey AS e,
+                       CAST(round(l_quantity * 1) AS BIGINT) AS c,
+                       CAST(l_shipdate AS DATE) AS d,
+                       l_orderkey * 10 + l_linenumber AS rid
+                FROM lineitem WHERE l_quantity IS NOT NULL
+            )
+            SELECT a.e AS l_partkey, a.c AS amount_units,
+                   a.rid AS id_a, b.rid AS id_b,
+                   CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT)
+                       AS days_apart
+            FROM base a JOIN base b
+              ON a.e = b.e AND a.c = b.c AND a.rid < b.rid
+            WHERE abs(date_diff('day', a.d, b.d)) <= 7
+        """,
+        "round_number_bias": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_round
+                FROM base GROUP BY g
+            )
+            SELECT g AS o_orderpriority, n, n_round,
+                   CAST(round(CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS share_e6,
+                   CASE WHEN n > 0 THEN
+                       CAST(round((CAST(n_round AS DOUBLE)
+                                   - CAST(n AS DOUBLE) * 0.01)
+                                  / sqrt(CAST(n AS DOUBLE) * 0.01
+                                         * (1.0 - 0.01))
+                                  * 1000000.0) AS BIGINT)
+                   END AS z_e6
+            FROM agg
         """,
     }

@@ -735,3 +735,93 @@ def dp_counts(
         (F.col("__n") + F.round(noise).cast("long")).alias("noisy_count"),
         F.lit(int(round(epsilon * 1e6))).cast("long").alias("epsilon_e6"),
     )
+
+
+def duplicate_charges(
+    df: DataFrame,
+    entity_col: str,
+    amount_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    window_days: int = 7,
+    scale: int = 100,
+) -> DataFrame:
+    """Duplicate-payment screen: pairs of SAME-entity, SAME-amount
+    transactions within ``window_days`` of each other — the classic
+    accounts-payable / double-charge fraud test.
+
+    Scale shape: the self-join blocks on the exact (entity, amount-
+    cents) key — never all-pairs per entity — and each qualifying pair
+    meets once (``id_a < id_b``).  Amount equality is integer-cent
+    equality; the window predicate is exact day arithmetic.
+
+    Returns ``(entity, amount_units, id_a, id_b, days_apart)`` —
+    amounts in integer ``scale`` units.
+    """
+    cents = F.round(F.col(amount_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(entity_col).alias("e"),
+        cents.alias("c"),
+        F.col(ts_col).cast("date").alias("d"),
+        F.col(id_col).alias("rid"),
+    ).where(F.col("c").isNotNull())
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.e") == F.col("b.e")) & (F.col("a.c") == F.col("b.c")),
+        )
+        .where(F.col("a.rid") < F.col("b.rid"))
+        .select(
+            F.col("a.e").alias(entity_col),
+            F.col("a.c").alias("amount_units"),
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )
+    return pairs.where(F.col("days_apart") <= window_days)
+
+
+def round_number_bias(
+    df: DataFrame, group_col: str, amount_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Round-number forensic screen: is the share of whole-dollar
+    amounts (cents == 00) higher than the 1% a uniform cent
+    distribution implies?  (Fabricated figures cluster on round
+    numbers — the Benford companion at the other end of the digits.)
+
+        z = (x − n·p) / √(n·p·(1−p)),  p = 1/100
+
+    Exact integer counts; z is one fixed double expression with the
+    literal p.  Returns ``(group, n, n_round, share_e6, z_e6)``.
+    """
+    cents = F.round(F.col(amount_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), cents.alias("c")
+    ).where(F.col("c").isNotNull())
+    is_round = (F.col("c") % 100 == 0).cast("int")
+    agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(is_round).cast("long").alias("n_round"),
+    )
+    n = F.col("n")
+    p = F.lit(0.01)
+    z = (F.col("n_round").cast("double") - n.cast("double") * p) / F.sqrt(
+        n.cast("double") * p * (F.lit(1.0) - p)
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        "n_round",
+        F.round(
+            F.col("n_round").cast("double") / n.cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("share_e6"),
+        F.when(n > 0, F.round(z * 1e6).cast("long")).alias("z_e6"),
+    )

@@ -395,3 +395,37 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def calendar_gaps(
+    df: DataFrame, key_col: str, date_col: str, *, min_gap_days: int = 2
+) -> DataFrame:
+    """Missing-date islands per key — the inverse of
+    :func:`merge_intervals`: report every hole of at least
+    ``min_gap_days`` consecutive absent days between a key's first and
+    last activity (data-delivery / outage detection).
+
+    One distinct pass + one per-key lead window: a gap exists where the
+    next active day is more than one day ahead.  Exact integer day
+    arithmetic.
+
+    Returns ``(key, gap_start, gap_end, gap_days)`` — the inclusive
+    missing range.
+    """
+    days = df.select(
+        F.col(key_col).alias("k"), F.col(date_col).cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("k").orderBy("d")
+    stepped = days.select(
+        "k", "d", F.lead("d").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    gap = F.datediff(F.col("nxt"), F.col("d")) - 1
+    return (
+        stepped.where(gap >= min_gap_days)
+        .select(
+            F.col("k").alias(key_col),
+            F.date_add(F.col("d"), 1).alias("gap_start"),
+            F.date_sub(F.col("nxt"), 1).alias("gap_end"),
+            gap.cast("long").alias("gap_days"),
+        )
+    )
