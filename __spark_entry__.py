@@ -7597,6 +7597,18 @@ def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_number_bias(orders, "o_orderpriority", "o_totalprice")
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain over event types
+    (the 400th query): per-cell nanonat pre-rounds, order-free sum,
+    predictability = 1 − H/H_max."""
+    from smartpy_arc_spark.operators.funnel import markov_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_entropy(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8017,6 +8029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gaps": q_calendar_gaps,
         "double_charge": q_double_charge,
         "round_number_bias": q_round_number_bias,
+        "markov_entropy": q_markov_entropy,
     })
 
 
@@ -16967,6 +16980,45 @@ def oracle_sql() -> dict[str, str]:
                                          * (1.0 - 0.01))
                                   * 1000000.0) AS BIGINT)
                    END AS z_e6
+            FROM agg
+        """,
+        "markov_entropy": """
+            WITH steps AS (
+                SELECT event_type AS a,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS b
+                FROM events
+            ), cells AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                FROM steps WHERE b IS NOT NULL GROUP BY a, b
+            ), src AS (
+                SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+                FROM cells GROUP BY a
+            ), tot AS (
+                SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+                       CAST(count(DISTINCT a) AS BIGINT) AS k
+                FROM cells
+            ), scored AS (
+                SELECT n, k,
+                       CAST(round(-(CAST(n_ab AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_ab AS DOUBLE)
+                                       / CAST(n_a AS DOUBLE))
+                                  * 1000000000.0) AS BIGINT) AS t
+                FROM cells JOIN src USING (a), tot
+            ), agg AS (
+                SELECT n, k, CAST(SUM(t) AS BIGINT) AS h_e9
+                FROM scored GROUP BY n, k
+            )
+            SELECT n AS n_transitions, k AS n_states, h_e9,
+                   CAST(round(ln(CAST(k AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS h_max_e9,
+                   CASE WHEN k > 1 THEN
+                       CAST(round((1.0 - (CAST(h_e9 AS DOUBLE)
+                                          / 1000000000.0)
+                                         / ln(CAST(k AS DOUBLE)))
+                                  * 1000000.0) AS BIGINT)
+                   END AS predictability_e6
             FROM agg
         """,
     }

@@ -547,3 +547,74 @@ def shapley_coverage(
         .cast("long")
         .alias("share_e6"),
     )
+
+
+def markov_entropy(
+    df: DataFrame, key_col: str, ts_col: str, state_col: str, *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain over observed state
+    transitions — the one-number predictability of user journeys:
+
+        H = Σ_i π(i) · Σ_j −p(j|i)·ln p(j|i)
+
+    with π the empirical source-state distribution and p(j|i) the
+    transition probabilities.  0 = deterministic paths, ln(k) =
+    uniform chaos over k states.
+
+    One per-key lead pass builds transitions, one hash aggregate counts
+    them; every cell's contribution ``−(n_ij/N)·ln(n_ij/n_i)``
+    pre-rounds to integer nanonats (the ``mutual_information``
+    contract) so the total is an order-free integer sum.
+
+    Returns one row ``(n_transitions, n_states, h_e9, h_max_e9,
+    predictability_e6 = 1 − H/H_max)``.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(key_col).orderBy(*order)
+    steps = df.select(
+        F.col(state_col).alias("a"),
+        F.lead(state_col).over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cells = steps.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    src = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    tot = cells.agg(
+        F.sum("n_ab").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("k"),
+    )
+    term = F.round(
+        -(
+            F.col("n_ab").cast("double") / F.col("n").cast("double")
+        )
+        * F.log(
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+        )
+        * 1e9
+    ).cast("long")
+    scored = (
+        cells.join(F.broadcast(src), "a")
+        .crossJoin(F.broadcast(tot))
+        .select("n", "k", term.alias("t"))
+    )
+    agg = scored.groupBy("n", "k").agg(
+        F.sum("t").cast("long").alias("h_e9")
+    )
+    h_max = F.log(F.col("k").cast("double"))
+    return agg.select(
+        F.col("n").alias("n_transitions"),
+        F.col("k").alias("n_states"),
+        "h_e9",
+        F.round(h_max * 1e9).cast("long").alias("h_max_e9"),
+        F.when(
+            F.col("k") > 1,
+            F.round(
+                (
+                    F.lit(1.0)
+                    - (F.col("h_e9").cast("double") / 1e9) / h_max
+                )
+                * 1e6
+            ).cast("long"),
+        ).alias("predictability_e6"),
+    )

@@ -112,6 +112,7 @@ SINGLE_PARTITION_OK = {
     "woe_iv",                 # global decile ntile over pre-aggregated units
                               #   (the lorenz_curve shape) + 1-row G/B totals
     "mutual_information",     # 1-row statistic: total + per-cell term combine
+    "markov_entropy",         # 1-row statistic: transition-cell term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
@@ -158,6 +159,7 @@ BNLJ_OK = {
     "class_balance",          # 1-row min-size broadcast cross join
     "woe_iv",                 # 1-row totals broadcast cross join
     "heaps_law",              # 1-row token-total broadcast cross join
+    "markov_entropy",         # 1-row totals broadcast cross join
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total
