@@ -7609,6 +7609,63 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame extraction end-to-end: deterministic
+    checkerboard animations → REAL variable-width-LZW decode of EVERY
+    frame → per-frame corner-pixel channel values (exact integers with
+    a closed-form oracle — the gif companion to ``avi_frames``)."""
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.gif import make_gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(1 + d % 3):
+                    a = ((d * 13 + f * 7) % 256, (d * 5 + f * 11) % 256,
+                         (f * 29 + 3) % 256)
+                    b = ((d * 17 + f * 3) % 256, (d * 7 + f * 19) % 256,
+                         (d * 3 + f * 5) % 256)
+                    img = np.zeros((6, 10, 3), dtype=np.uint8)
+                    yy, xx = np.meshgrid(np.arange(6), np.arange(10),
+                                         indexing="ij")
+                    img[(yy + xx) % 2 == 0] = a
+                    img[(yy + xx) % 2 == 1] = b
+                    frames.append(img)
+                payloads.append(make_gif(frames))
+            yield pd.DataFrame({"item_id": pdf["doc_id"], "payload": payloads})
+
+    def frames_out(batches):
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.gif import parse_gif
+
+        for pdf in batches:
+            out = {"item_id": [], "frame_idx": [], "r": [], "g": [], "b": []}
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                for idx, fr in enumerate(parse_gif(bytes(payload))):
+                    out["item_id"].append(int(item_id))
+                    out["frame_idx"].append(idx)
+                    out["r"].append(int(fr[0, 0, 0]))
+                    out["g"].append(int(fr[0, 0, 1]))
+                    out["b"].append(int(fr[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return blobs.mapInPandas(
+        frames_out, "item_id long, frame_idx int, r int, g int, b int"
+    ).orderBy("item_id", "frame_idx")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8030,6 +8087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_charge": q_double_charge,
         "round_number_bias": q_round_number_bias,
         "markov_entropy": q_markov_entropy,
+        "gif_frames": q_gif_frames,
     })
 
 
@@ -17020,5 +17078,18 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000.0) AS BIGINT)
                    END AS predictability_e6
             FROM agg
+        """,
+        "gif_frames": """
+            WITH src AS (
+                SELECT doc_id, 1 + doc_id % 3 AS nf
+                FROM documents WHERE doc_id < 150
+            )
+            SELECT doc_id AS item_id,
+                   CAST(u.f AS INTEGER) AS frame_idx,
+                   CAST((doc_id * 13 + u.f * 7) % 256 AS INTEGER) AS r,
+                   CAST((doc_id * 5 + u.f * 11) % 256 AS INTEGER) AS g,
+                   CAST((u.f * 29 + 3) % 256 AS INTEGER) AS b
+            FROM src, LATERAL unnest(generate_series(0, nf - 1)) AS u(f)
+            ORDER BY item_id, frame_idx
         """,
     }
