@@ -7137,10 +7137,10 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XML interchange (Spark 4 built-in source): write a customer
-    slice as rowTag XML, read back through scan(fmt='xml') with an
-    explicit schema, aggregate — cents-exact totals."""
+def q_xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML through the scan() fmt plumbing (vs q_xml_roundtrip's direct
+    reader): write a customer slice as rowTag XML, read back through
+    scan(fmt='xml') with an explicit schema — cents-exact totals."""
     import os
     import tempfile
 
@@ -8057,7 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "mst": q_mst,
         "window_suite": q_window_suite,
-        "xml_roundtrip": q_xml_roundtrip,
+        "xml_scan_roundtrip": q_xml_scan_roundtrip,
         "overdispersion": q_overdispersion,
         "var_cvar": q_var_cvar,
         "forecast_eval": q_forecast_eval,
@@ -16101,7 +16101,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW tie AS (PARTITION BY nk ORDER BY bal DESC, ck),
                    val AS (PARTITION BY nk ORDER BY bal DESC)
         """,
-        "xml_roundtrip": """
+        "xml_scan_roundtrip": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
                    CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
                         AS BIGINT) AS total_bal_cents

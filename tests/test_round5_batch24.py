@@ -78,3 +78,24 @@ def test_var_cvar_all_gains_tail_still_selected(spark):
     r = var_cvar(df, "k", "t", "v", tail_den=5, scale=1).collect()[0]
     # 5 changes, k=1: smallest change = +10
     assert r.k_tail == 1 and r.var_e4 == 100000 and r.cvar_e4 == 100000
+
+
+def test_no_duplicate_query_or_oracle_keys():
+    """A duplicate dict key silently overwrites its earlier entry —
+    this fence turns that into a failure (xml_roundtrip regression)."""
+    import re
+    from collections import Counter
+
+    import os
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__spark_entry__.py")
+    ).read()
+    start = src.index("return _stamp_order({")
+    end = src.index("})", start)
+    qkeys = re.findall(r'"([a-z0-9_]+)":\s*q_', src[start:end])
+    assert not [k for k, c in Counter(qkeys).items() if c > 1]
+    o_start = src.index("def oracle_sql()")
+    okeys = re.findall(r'^\s{8}"([a-z0-9_]+)": ', src[o_start:], re.M)
+    assert not [k for k, c in Counter(okeys).items() if c > 1]
+    assert set(okeys) <= set(qkeys)  # every oracle has a query
