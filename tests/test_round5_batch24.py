@@ -93,7 +93,7 @@ def test_no_duplicate_query_or_oracle_keys():
     ).read()
     start = src.index("return _stamp_order({")
     end = src.index("})", start)
-    qkeys = re.findall(r'"([a-z0-9_]+)":\s*q_', src[start:end])
+    qkeys = re.findall(r'"([a-z0-9_]+)":', src[start:end])
     assert not [k for k, c in Counter(qkeys).items() if c > 1]
     o_start = src.index("def oracle_sql()")
     okeys = re.findall(r'^\s{8}"([a-z0-9_]+)": ', src[o_start:], re.M)
