@@ -7666,6 +7666,54 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id", "frame_idx")
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ over orders-as-items with lineitems as raters (rating
+    = returnflag; modal rater count defines the design, other items
+    excluded and counted)."""
+    from smartpy_arc_spark.operators.stats import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    return fleiss_kappa(li, "l_orderkey", "l_returnflag")
+
+
+def q_chi_square_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted standardized residuals of the priority × status
+    contingency table — which cells drive the chi-square."""
+    from smartpy_arc_spark.operators.stats import chi_square_residuals
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_residuals(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature screening by mutual information against the order-status
+    target: priority, order year, and 50k$ price band, ranked in one
+    union (per-cell nanonat pre-rounds throughout)."""
+    from smartpy_arc_spark.operators.stats import mutual_information
+
+    orders = _t(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("year"),
+        F.expr(
+            "cast(cast(round(o_totalprice * 100) as bigint) div 5000000"
+            " as string)"
+        ).alias("price_band"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    parts = []
+    for f in ("priority", "year", "price_band"):
+        parts.append(
+            mutual_information(feats, f, "status").select(
+                F.lit(f).alias("feature"), "n", "n_cells", "mi_e9"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8088,6 +8136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_number_bias": q_round_number_bias,
         "markov_entropy": q_markov_entropy,
         "gif_frames": q_gif_frames,
+        "fleiss_kappa": q_fleiss_kappa,
+        "chi_square_residuals": q_chi_square_residuals,
+        "feature_mi_ranking": q_feature_mi_ranking,
     })
 
 
@@ -17091,5 +17142,172 @@ def oracle_sql() -> dict[str, str]:
                    CAST((u.f * 29 + 3) % 256 AS INTEGER) AS b
             FROM src, LATERAL unnest(generate_series(0, nf - 1)) AS u(f)
             ORDER BY item_id, frame_idx
+        """,
+        "fleiss_kappa": """
+            WITH base AS (
+                SELECT l_orderkey AS i, l_returnflag AS r FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+            ), sizes AS (
+                SELECT i, CAST(count(*) AS BIGINT) AS n_i
+                FROM base GROUP BY i
+            ), n_mode AS (
+                SELECT n_i AS n_raters FROM (
+                    SELECT n_i, count(*) AS c FROM sizes GROUP BY n_i
+                ) ORDER BY c DESC, n_i LIMIT 1
+            ), kept AS (
+                SELECT sizes.i, n_mode.n_raters
+                FROM sizes, n_mode WHERE sizes.n_i = n_mode.n_raters
+            ), cells AS (
+                SELECT base.i, base.r, kept.n_raters,
+                       CAST(count(*) AS BIGINT) AS n_ij
+                FROM base JOIN kept ON base.i = kept.i
+                GROUP BY base.i, base.r, kept.n_raters
+            ), per_item AS (
+                SELECT i, n_raters,
+                       CAST(SUM(n_ij * n_ij) AS BIGINT) AS ssq
+                FROM cells GROUP BY i, n_raters
+            ), cat_tot AS (
+                SELECT r, CAST(SUM(n_ij) AS BIGINT) AS n_j
+                FROM cells GROUP BY r
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(max(n_raters) AS BIGINT) AS n_raters,
+                       CAST(SUM(ssq) AS BIGINT) AS ssq_tot
+                FROM per_item
+            ), pe_row AS (
+                SELECT CAST(SUM(n_j) AS BIGINT) AS n_all,
+                       SUM(CAST(n_j AS HUGEINT) * n_j) AS sq_all
+                FROM cat_tot
+            ), excl AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_sizes FROM sizes
+            ), calc AS (
+                SELECT n_items, n_raters,
+                       n_sizes - n_items AS n_excluded,
+                       CAST(ssq_tot - n_items * n_raters AS DOUBLE)
+                           / CAST(n_items * n_raters * (n_raters - 1)
+                                  AS DOUBLE) AS pbar,
+                       CAST(sq_all AS DOUBLE)
+                           / (CAST(n_all AS DOUBLE)
+                              * CAST(n_all AS DOUBLE)) AS pe
+                FROM tot, pe_row, excl
+            )
+            SELECT n_items, n_raters,
+                   CAST(n_excluded AS BIGINT) AS n_excluded,
+                   CAST(round(pbar * 1000000.0) AS BIGINT) AS pbar_e6,
+                   CAST(round(pe * 1000000.0) AS BIGINT) AS pe_e6,
+                   CASE WHEN pe < 1 THEN
+                       CAST(round((pbar - pe) / (1.0 - pe) * 1000000.0)
+                            AS BIGINT)
+                   END AS kappa_e6
+            FROM calc
+        """,
+        "chi_square_residuals": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, CAST(SUM(o) AS BIGINT) AS n_a
+                FROM cells GROUP BY a
+            ), mb AS (
+                SELECT b, CAST(SUM(o) AS BIGINT) AS n_b
+                FROM cells GROUP BY b
+            ), tot AS (
+                SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+            ), calc AS (
+                SELECT a, b, o,
+                       CAST(o * n - n_a * n_b AS DOUBLE)
+                           / CAST(n AS DOUBLE)
+                           / sqrt(CAST(n_a AS DOUBLE)
+                                  * CAST(n_b AS DOUBLE)
+                                  / CAST(n AS DOUBLE)
+                                  * (1.0 - CAST(n_a AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                  * (1.0 - CAST(n_b AS DOUBLE)
+                                         / CAST(n AS DOUBLE))) AS resid
+                FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+            )
+            SELECT a, b, o AS n_obs,
+                   CAST(round(resid * 1000000.0) AS BIGINT) AS resid_e6,
+                   CAST(abs(resid) > 2 AS INT) AS flagged
+            FROM calc
+        """,
+        "feature_mi_ranking": """
+            SELECT 'priority' AS feature, n,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(term_e9) AS BIGINT) AS mi_e9
+            FROM (
+                SELECT n, CAST(round(
+                       CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS term_e9
+                FROM (
+                    SELECT o_orderpriority AS a, o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nab
+                    FROM orders GROUP BY 1, 2
+                ) cells
+                JOIN (
+                    SELECT o_orderpriority AS a, CAST(count(*) AS BIGINT) AS na
+                    FROM orders GROUP BY 1
+                ) ma USING (a)
+                JOIN (
+                    SELECT o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nb
+                    FROM orders GROUP BY 1
+                ) mb USING (b),
+                (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) tot
+            ) scored GROUP BY n UNION ALL\n            SELECT 'year' AS feature, n,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(term_e9) AS BIGINT) AS mi_e9
+            FROM (
+                SELECT n, CAST(round(
+                       CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS term_e9
+                FROM (
+                    SELECT CAST(year(o_orderdate) AS VARCHAR) AS a, o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nab
+                    FROM orders GROUP BY 1, 2
+                ) cells
+                JOIN (
+                    SELECT CAST(year(o_orderdate) AS VARCHAR) AS a, CAST(count(*) AS BIGINT) AS na
+                    FROM orders GROUP BY 1
+                ) ma USING (a)
+                JOIN (
+                    SELECT o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nb
+                    FROM orders GROUP BY 1
+                ) mb USING (b),
+                (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) tot
+            ) scored GROUP BY n UNION ALL\n            SELECT 'price_band' AS feature, n,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(term_e9) AS BIGINT) AS mi_e9
+            FROM (
+                SELECT n, CAST(round(
+                       CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS term_e9
+                FROM (
+                    SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS VARCHAR) AS a, o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nab
+                    FROM orders GROUP BY 1, 2
+                ) cells
+                JOIN (
+                    SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS VARCHAR) AS a, CAST(count(*) AS BIGINT) AS na
+                    FROM orders GROUP BY 1
+                ) ma USING (a)
+                JOIN (
+                    SELECT o_orderstatus AS b,
+                           CAST(count(*) AS BIGINT) AS nb
+                    FROM orders GROUP BY 1
+                ) mb USING (b),
+                (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) tot
+            ) scored GROUP BY n
         """,
     }

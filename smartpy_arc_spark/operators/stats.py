@@ -5207,3 +5207,124 @@ def burstiness(
         F.when(n >= 2, F.round(sd * 100).cast("long")).alias("sd_gap_e2"),
         F.round(b * 1e6).cast("long").alias("b_e6"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, rating_col: str
+) -> DataFrame:
+    """Fleiss' κ: chance-corrected agreement when EVERY item is rated by
+    the same number of raters n (items with a different rater count are
+    excluded and reported) — the n-rater generalization of Cohen's κ.
+
+        P̄ = mean_i [ (Σ_j n_ij² − n) / (n(n−1)) ],   P_e = Σ_j p_j²,
+        κ = (P̄ − P_e) / (1 − P_e)
+
+    Exactness: per-item agreement numerators are exact integers summed
+    order-free; p_j are exact rationals; κ is one fixed double
+    expression.  Returns one row ``(n_items, n_raters, n_excluded,
+    pbar_e6, pe_e6, kappa_e6)``.
+    """
+    base = df.select(
+        F.col(item_col).alias("i"), F.col(rating_col).alias("r")
+    ).where(F.col("i").isNotNull() & F.col("r").isNotNull())
+    sizes = base.groupBy("i").agg(F.count("*").cast("long").alias("n_i"))
+    # modal rater count = the design's n (count desc, n asc tiebreak)
+    n_mode = (
+        sizes.groupBy("n_i")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("n_i"))
+        .limit(1)
+        .select(F.col("n_i").alias("n_raters"))
+    )
+    kept = sizes.join(F.broadcast(n_mode), sizes["n_i"] == F.col("n_raters"))
+    n_excluded = sizes.count()
+    cells = (
+        base.join(kept.select("i", "n_raters"), "i")
+        .groupBy("i", "r", "n_raters")
+        .agg(F.count("*").cast("long").alias("n_ij"))
+    )
+    per_item = cells.groupBy("i", "n_raters").agg(
+        F.sum(F.col("n_ij") * F.col("n_ij")).cast("long").alias("ssq")
+    )
+    cat_tot = cells.groupBy("r").agg(
+        F.sum("n_ij").cast("long").alias("n_j")
+    )
+    tot = per_item.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.max("n_raters").cast("long").alias("n_raters"),
+        F.sum("ssq").cast("long").alias("ssq_tot"),
+    )
+    pe_row = cat_tot.agg(
+        F.sum("n_j").cast("long").alias("n_all"),
+        F.sum(
+            F.col("n_j").cast("decimal(19,0)")
+            * F.col("n_j").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sq_all"),
+    )
+    j = tot.crossJoin(F.broadcast(pe_row))
+    ni = F.col("n_items")
+    nr = F.col("n_raters")
+    pbar = (
+        (F.col("ssq_tot") - ni * nr).cast("double")
+        / (ni * nr * (nr - 1)).cast("double")
+    )
+    pe = F.col("sq_all").cast("double") / (
+        F.col("n_all").cast("double") * F.col("n_all").cast("double")
+    )
+    kappa = F.when(pe < 1, (pbar - pe) / (F.lit(1.0) - pe))
+    return j.select(
+        "n_items",
+        "n_raters",
+        (F.lit(n_excluded) - ni).cast("long").alias("n_excluded"),
+        F.round(pbar * 1e6).cast("long").alias("pbar_e6"),
+        F.round(pe * 1e6).cast("long").alias("pe_e6"),
+        F.round(kappa * 1e6).cast("long").alias("kappa_e6"),
+    )
+
+
+def chi_square_residuals(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Per-cell adjusted standardized residuals of a contingency table —
+    the post-hoc that tells you WHICH cells drive a significant
+    chi-square:
+
+        r_ij = (O − E) / √(E·(1 − p_i)·(1 − p_j)),   E = n_i·n_j/N
+
+    |r| > 2 flags a cell.  Exactness: O·N − n_i·n_j is an exact integer
+    numerator; the denominator is one fixed double expression over
+    exact counts.
+
+    Returns per cell ``(a, b, n_obs, resid_e6, flagged)``.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("o").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("n_b"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    e = F.col("n_a").cast("double") * F.col("n_b").cast("double") / n
+    pa = F.col("n_a").cast("double") / n
+    pb = F.col("n_b").cast("double") / n
+    num = (F.col("o") * F.col("n") - F.col("n_a") * F.col("n_b")).cast(
+        "double"
+    ) / n
+    resid = num / F.sqrt(e * (F.lit(1.0) - pa) * (F.lit(1.0) - pb))
+    return j.select(
+        "a",
+        "b",
+        F.col("o").alias("n_obs"),
+        F.round(resid * 1e6).cast("long").alias("resid_e6"),
+        (F.abs(resid) > 2).cast("int").alias("flagged"),
+    )

@@ -113,6 +113,9 @@ SINGLE_PARTITION_OK = {
                               #   (the lorenz_curve shape) + 1-row G/B totals
     "mutual_information",     # 1-row statistic: total + per-cell term combine
     "markov_entropy",         # 1-row statistic: transition-cell term combine
+    "fleiss_kappa",           # 1-row agreement-moment combine (modal-n scalar)
+    "chi_square_residuals",   # bounded-cell margins + 1-row total scalar
+    "feature_mi_ranking",     # 1-row-per-feature MI combines (3 features)
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
@@ -160,6 +163,9 @@ BNLJ_OK = {
     "woe_iv",                 # 1-row totals broadcast cross join
     "heaps_law",              # 1-row token-total broadcast cross join
     "markov_entropy",         # 1-row totals broadcast cross join
+    "fleiss_kappa",           # 1-row modal-n / totals broadcast cross joins
+    "chi_square_residuals",   # 1-row total broadcast cross join
+    "feature_mi_ranking",     # 1-row total broadcast cross joins
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)
     "js_divergence",          # bounded category-domain / 1-row total

@@ -1,0 +1,74 @@
+"""Batch-38: fleiss_kappa, chi_square_residuals, feature_mi_ranking."""
+
+
+def test_fleiss_perfect_agreement(spark):
+    from smartpy_arc_spark.operators.stats import fleiss_kappa
+
+    # 6 items, 3 raters each, all raters agree per item
+    rows = []
+    for i in range(6):
+        cat = "x" if i % 2 == 0 else "y"
+        rows += [(i, cat)] * 3
+    df = spark.createDataFrame(rows, "i long, r string")
+    k = fleiss_kappa(df, "i", "r").collect()[0]
+    assert k.n_items == 6 and k.n_raters == 3 and k.n_excluded == 0
+    assert k.pbar_e6 == 1_000_000 and k.kappa_e6 == 1_000_000
+
+
+def test_fleiss_modal_n_excludes_odd_items(spark):
+    from smartpy_arc_spark.operators.stats import fleiss_kappa
+
+    rows = []
+    for i in range(5):
+        rows += [(i, "x")] * 3  # 5 items with 3 raters
+    rows += [(99, "x")] * 2  # one item with only 2 raters
+    df = spark.createDataFrame(rows, "i long, r string")
+    k = fleiss_kappa(df, "i", "r").collect()[0]
+    assert k.n_items == 5 and k.n_raters == 3 and k.n_excluded == 1
+
+
+def test_fleiss_textbook_value(spark):
+    from smartpy_arc_spark.operators.stats import fleiss_kappa
+
+    # 2 items, 2 raters: item0 agrees on x, item1 splits x/y
+    rows = [(0, "x"), (0, "x"), (1, "x"), (1, "y")]
+    df = spark.createDataFrame(rows, "i long, r string")
+    k = fleiss_kappa(df, "i", "r").collect()[0]
+    # P1 = 1, P2 = 0 -> pbar = .5; p_x = 3/4, p_y = 1/4 -> pe = 10/16
+    assert k.pbar_e6 == 500000 and k.pe_e6 == 625000
+    assert k.kappa_e6 == round((0.5 - 0.625) / 0.375 * 1e6)
+
+
+def test_chi_square_residuals_independence_zero(spark):
+    from smartpy_arc_spark.operators.stats import chi_square_residuals
+
+    # perfectly independent 2x2 with equal margins: O == E everywhere
+    rows = (
+        [("a", "p")] * 4 + [("a", "q")] * 4 + [("b", "p")] * 4 + [("b", "q")] * 4
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi_square_residuals(df, "x", "y").collect()
+    assert all(r.resid_e6 == 0 and r.flagged == 0 for r in out)
+
+
+def test_chi_square_residuals_flags_association(spark):
+    from smartpy_arc_spark.operators.stats import chi_square_residuals
+
+    rows = [("a", "p")] * 30 + [("b", "q")] * 30 + [("a", "q")] * 2 + [
+        ("b", "p")
+    ] * 2
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r.a, r.b): r for r in chi_square_residuals(df, "x", "y").collect()}
+    assert out[("a", "p")].flagged == 1 and out[("a", "p")].resid_e6 > 0
+    assert out[("a", "q")].flagged == 1 and out[("a", "q")].resid_e6 < 0
+
+
+def test_feature_mi_ranking_runs(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["feature_mi_ranking"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    feats = {r.feature: r for r in out}
+    assert set(feats) == {"priority", "year", "price_band"}
+    assert all(r.n == out[0].n for r in out)  # same corpus size
