@@ -7714,6 +7714,32 @@ def q_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does high-price × finalized-status
+    association reverse across order years?  Exact integer cross-product
+    signs, no divisions."""
+    from smartpy_arc_spark.operators.stats import simpson_check
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("high_price"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return simpson_check(orders, "yr", "high_price", "is_final")
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% CI of the finalized-order share per priority: the
+    small-n-safe proportion interval, z as a pre-rounded e3 literal."""
+    from smartpy_arc_spark.operators.stats import wilson_ci
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return wilson_ci(orders, "o_orderpriority", "is_final")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8139,6 +8165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "chi_square_residuals": q_chi_square_residuals,
         "feature_mi_ranking": q_feature_mi_ranking,
+        "simpson_check": q_simpson_check,
+        "wilson_ci": q_wilson_ci,
     })
 
 
@@ -17309,5 +17337,96 @@ def oracle_sql() -> dict[str, str]:
                 ) mb USING (b),
                 (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) tot
             ) scored GROUP BY n
+        """,
+        "simpson_check": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS INTEGER) AS g,
+                       CAST(o_totalprice > 150000 AS INTEGER) AS x,
+                       CAST(o_orderstatus = 'F' AS INTEGER) AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+            ), cells AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n11,
+                       CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n10,
+                       CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n01,
+                       CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n00
+                FROM base GROUP BY g
+            ), signed AS (
+                SELECT n, n11, n10, n01, n00,
+                       CASE WHEN CAST(n11 AS HUGEINT) * n00
+                                 - CAST(n10 AS HUGEINT) * n01 > 0 THEN 1
+                            WHEN CAST(n11 AS HUGEINT) * n00
+                                 - CAST(n10 AS HUGEINT) * n01 < 0 THEN -1
+                            ELSE 0 END AS s
+                FROM cells
+            ), comb AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_strata,
+                       CAST(SUM(n11) AS BIGINT) AS t11,
+                       CAST(SUM(n10) AS BIGINT) AS t10,
+                       CAST(SUM(n01) AS BIGINT) AS t01,
+                       CAST(SUM(n00) AS BIGINT) AS t00,
+                       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_neg,
+                       CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_zero
+                FROM signed
+            ), overall AS (
+                SELECT *,
+                       CASE WHEN CAST(t11 AS HUGEINT) * t00
+                                 - CAST(t10 AS HUGEINT) * t01 > 0 THEN 1
+                            WHEN CAST(t11 AS HUGEINT) * t00
+                                 - CAST(t10 AS HUGEINT) * t01 < 0 THEN -1
+                            ELSE 0 END AS o_sgn
+                FROM comb
+            )
+            SELECT n, n_strata, CAST(o_sgn AS INTEGER) AS overall_sign,
+                   n_pos, n_neg, n_zero,
+                   CAST(CASE WHEN (o_sgn = 1 AND n_pos = 0)
+                               OR (o_sgn = -1 AND n_neg = 0)
+                        THEN 1 ELSE 0 END AS INTEGER) AS reversed
+            FROM overall
+        """,
+        "wilson_ci": """
+            WITH agg AS (
+                SELECT o_orderpriority AS g,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(o_orderstatus = 'F' AS INTEGER))
+                            AS BIGINT) AS x
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+                GROUP BY 1
+            ), calc AS (
+                SELECT g, n, x,
+                       CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                       1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE) AS denom
+                FROM agg
+            ), ci AS (
+                SELECT g, n, x, p,
+                       (p + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                           / denom AS center,
+                       1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                                   + 1.96 * 1.96
+                                     / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))) / denom
+                           AS hw
+                FROM calc
+            )
+            SELECT g AS o_orderpriority, n, x AS hits,
+                   CAST(round(p * 1000000.0) AS BIGINT) AS p_e6,
+                   CAST(round((center - hw) * 1000000.0) AS BIGINT)
+                       AS lo_e6,
+                   CAST(round((center + hw) * 1000000.0) AS BIGINT)
+                       AS hi_e6
+            FROM ci
         """,
     }

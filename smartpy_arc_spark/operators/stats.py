@@ -5328,3 +5328,128 @@ def chi_square_residuals(
         F.round(resid * 1e6).cast("long").alias("resid_e6"),
         (F.abs(resid) > 2).cast("int").alias("flagged"),
     )
+
+
+def simpson_check(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Simpson's-paradox detector for two binaries across strata: does
+    the overall association between x and y point the OPPOSITE way from
+    (almost) every within-stratum association?
+
+    Association per table = the exact integer cross-product sign
+    ``n11·n00 − n10·n01`` (the odds-ratio numerator − denominator; no
+    division, no float).  Returns the overall sign, per-stratum signs,
+    and the reversal verdict.
+
+    One conditional aggregate per stratum + a 1-row combine.  Returns
+    one row ``(n, n_strata, overall_sign, n_pos, n_neg, n_zero,
+    reversed)`` — ``reversed = 1`` when the overall sign is nonzero and
+    no stratum shares it.
+    """
+    x = F.col(x_col).cast("int")
+    y = F.col(y_col).cast("int")
+    base = df.select(
+        F.col(group_col).alias("g"), x.alias("x"), y.alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("n00"),
+    )
+    assoc = (
+        F.col("n11").cast("decimal(19,0)") * F.col("n00").cast("decimal(19,0)")
+        - F.col("n10").cast("decimal(19,0)")
+        * F.col("n01").cast("decimal(19,0)")
+    )
+    sgn = F.when(assoc > 0, 1).when(assoc < 0, -1).otherwise(0)
+    per_g = cells.select("g", "n", "n11", "n10", "n01", "n00", sgn.alias("s"))
+    comb = per_g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n11").cast("long").alias("t11"),
+        F.sum("n10").cast("long").alias("t10"),
+        F.sum("n01").cast("long").alias("t01"),
+        F.sum("n00").cast("long").alias("t00"),
+        F.sum((F.col("s") == 1).cast("int")).cast("long").alias("n_pos"),
+        F.sum((F.col("s") == -1).cast("int")).cast("long").alias("n_neg"),
+        F.sum((F.col("s") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+    o_assoc = (
+        F.col("t11").cast("decimal(19,0)") * F.col("t00").cast("decimal(19,0)")
+        - F.col("t10").cast("decimal(19,0)")
+        * F.col("t01").cast("decimal(19,0)")
+    )
+    o_sgn = F.when(o_assoc > 0, 1).when(o_assoc < 0, -1).otherwise(0)
+    rev = F.when(
+        ((o_sgn == 1) & (F.col("n_pos") == 0))
+        | ((o_sgn == -1) & (F.col("n_neg") == 0)),
+        1,
+    ).otherwise(0)
+    return comb.select(
+        "n",
+        "n_strata",
+        o_sgn.cast("int").alias("overall_sign"),
+        "n_pos",
+        "n_neg",
+        "n_zero",
+        rev.cast("int").alias("reversed"),
+    )
+
+
+def wilson_ci(
+    df: DataFrame, group_col: str, hit_col: str, *, z_e3: int = 1960
+) -> DataFrame:
+    """Wilson score confidence interval for a proportion per group —
+    the small-n-safe CI (never escapes [0,1], unlike the Wald
+    interval):
+
+        center = (p̂ + z²/2n) / (1 + z²/n),
+        hw = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    ``z`` enters as a pre-rounded e3 integer literal (1.96 by default)
+    so both engines inline the identical constant; everything else is a
+    fixed double expression over exact counts.
+
+    Returns ``(group, n, hits, p_e6, lo_e6, hi_e6)``.
+    """
+    hit = F.col(hit_col).cast("int")
+    base = df.select(F.col(group_col).alias("g"), hit.alias("y")).where(
+        F.col("y").isNotNull() & F.col("g").isNotNull()
+    )
+    agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    z = F.lit(z_e3 / 1000.0)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    hw = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n"),
+        F.col("x").alias("hits"),
+        F.round(p * 1e6).cast("long").alias("p_e6"),
+        F.round((center - hw) * 1e6).cast("long").alias("lo_e6"),
+        F.round((center + hw) * 1e6).cast("long").alias("hi_e6"),
+    )

@@ -116,6 +116,7 @@ SINGLE_PARTITION_OK = {
     "fleiss_kappa",           # 1-row agreement-moment combine (modal-n scalar)
     "chi_square_residuals",   # bounded-cell margins + 1-row total scalar
     "feature_mi_ranking",     # 1-row-per-feature MI combines (3 features)
+    "simpson_check",          # 1-row stratum-sign combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine

@@ -72,3 +72,48 @@ def test_feature_mi_ranking_runs(spark):
     feats = {r.feature: r for r in out}
     assert set(feats) == {"priority", "year", "price_band"}
     assert all(r.n == out[0].n for r in out)  # same corpus size
+
+
+def test_simpson_planted_reversal(spark):
+    from smartpy_arc_spark.operators.stats import simpson_check
+
+    # classic construction: within each stratum x HURTS y, but x
+    # concentrates in the high-y stratum so the pooled table flips
+    rows = []
+    rows += [("s1", 1, 1)] * 18 + [("s1", 1, 0)] * 2   # x=1: 90%
+    rows += [("s1", 0, 1)] * 10 + [("s1", 0, 0)] * 0   # x=0: 100%
+    rows += [("s2", 1, 1)] * 2 + [("s2", 1, 0)] * 8    # x=1: 20%
+    rows += [("s2", 0, 1)] * 9 + [("s2", 0, 0)] * 21   # x=0: 30%
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    r = simpson_check(df, "g", "x", "y").collect()[0]
+    assert r.n_strata == 2 and r.n_neg == 2 and r.n_pos == 0
+    assert r.overall_sign == 1 and r.reversed == 1
+
+
+def test_simpson_consistent_no_flag(spark):
+    from smartpy_arc_spark.operators.stats import simpson_check
+
+    rows = []
+    for g in ("s1", "s2"):
+        rows += [(g, 1, 1)] * 8 + [(g, 1, 0)] * 2
+        rows += [(g, 0, 1)] * 2 + [(g, 0, 0)] * 8
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    r = simpson_check(df, "g", "x", "y").collect()[0]
+    assert r.overall_sign == 1 and r.n_pos == 2 and r.reversed == 0
+
+
+def test_wilson_ci_properties(spark):
+    from smartpy_arc_spark.operators.stats import wilson_ci
+
+    rows = [("a", 1)] * 9 + [("a", 0)] * 1 + [("b", 1)] * 1 + [("b", 0)] * 1
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = {r.g: r for r in wilson_ci(df, "g", "y").collect()}
+    a, b = out["a"], out["b"]
+    assert a.p_e6 == 900000
+    # interval inside [0, 1] and contains p-hat
+    for r in (a, b):
+        assert 0 <= r.lo_e6 <= r.p_e6 <= r.hi_e6 <= 1_000_000
+    # tiny sample -> much wider interval
+    assert (b.hi_e6 - b.lo_e6) > (a.hi_e6 - a.lo_e6)
+    # Wilson 9/10 reference: (0.596, 0.982)
+    assert abs(a.lo_e6 - 595851) < 2000 and abs(a.hi_e6 - 982113) < 2000
