@@ -7740,6 +7740,20 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_ci(orders, "o_orderpriority", "is_final")
 
 
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel year-adjusted odds ratio + CMH chi-square for
+    high-price × finalized-status (the confounder-adjusted companion to
+    simpson_check): per-stratum e6 pre-rounded terms."""
+    from smartpy_arc_spark.operators.stats import mantel_haenszel
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("high_price"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return mantel_haenszel(orders, "yr", "high_price", "is_final")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8167,6 +8181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_mi_ranking": q_feature_mi_ranking,
         "simpson_check": q_simpson_check,
         "wilson_ci": q_wilson_ci,
+        "mantel_haenszel": q_mantel_haenszel,
     })
 
 
@@ -17428,5 +17443,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((center + hw) * 1000000.0) AS BIGINT)
                        AS hi_e6
             FROM ci
+        """,
+        "mantel_haenszel": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS INTEGER) AS g,
+                       CAST(o_totalprice > 150000 AS INTEGER) AS x,
+                       CAST(o_orderstatus = 'F' AS INTEGER) AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+            ), cells AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n11,
+                       CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n10,
+                       CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n01,
+                       CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n00
+                FROM base GROUP BY g
+            ), terms AS (
+                SELECT n, n11,
+                       CAST(round(CAST(n11 * n00 AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS a_t,
+                       CAST(round(CAST(n10 * n01 AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS b_t,
+                       CAST(round(CAST((n11 + n10) * (n11 + n01)
+                                       AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1000000.0)
+                            AS BIGINT) AS e_t,
+                       CAST(round(
+                           CAST(CAST(n11 + n10 AS HUGEINT)
+                                * (n01 + n00) AS DOUBLE)
+                           * CAST(CAST(n11 + n01 AS HUGEINT)
+                                  * (n10 + n00) AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0))
+                           * 1000000.0) AS BIGINT) AS v_t
+                FROM cells WHERE n >= 2
+            ), agg AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_strata,
+                       CAST(SUM(n11) AS BIGINT) AS t11,
+                       CAST(SUM(a_t) AS BIGINT) AS sa,
+                       CAST(SUM(b_t) AS BIGINT) AS sb,
+                       CAST(SUM(e_t) AS BIGINT) AS se_sum,
+                       CAST(SUM(v_t) AS BIGINT) AS sv
+                FROM terms
+            )
+            SELECT n, n_strata,
+                   CASE WHEN sa > 0 AND sb > 0 THEN
+                       CAST(round(CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+                   END AS or_mh_e6,
+                   CASE WHEN sa > 0 AND sb > 0 THEN
+                       CAST(round(ln(CAST(sa AS DOUBLE)
+                                     / CAST(sb AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                   END AS ln_or_e6,
+                   CASE WHEN sv > 0 THEN
+                       CAST(round((CAST(t11 AS DOUBLE)
+                                   - CAST(se_sum AS DOUBLE) / 1000000.0)
+                                  * (CAST(t11 AS DOUBLE)
+                                     - CAST(se_sum AS DOUBLE)
+                                       / 1000000.0)
+                                  / (CAST(sv AS DOUBLE) / 1000000.0)
+                                  * 1000000.0) AS BIGINT)
+                   END AS cmh_e6
+            FROM agg
         """,
     }

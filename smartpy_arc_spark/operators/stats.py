@@ -5453,3 +5453,89 @@ def wilson_ci(
         F.round((center - hw) * 1e6).cast("long").alias("lo_e6"),
         F.round((center + hw) * 1e6).cast("long").alias("hi_e6"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame, stratum_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio and the CMH chi-square across
+    stratified 2×2 tables — the confounder-adjusted association test
+    (the formal companion to :func:`simpson_check`'s sign screen):
+
+        OR_MH = Σ_k (n11·n00/n_k) / Σ_k (n10·n01/n_k)
+        CMH   = (Σ(n11 − E_k))² / Σ V_k,
+        E_k = r1·c1/n,  V_k = r1·r0·c1·c0 / (n²(n−1))
+
+    Per-stratum terms are single divisions of exact integers pre-rounded
+    to e6 (order-free sums — playbook rule 7); OR, ln OR (reported in
+    ln units — no engine-side exp), and the CMH statistic are fixed
+    double expressions.  Single-row strata (n < 2) are excluded (their
+    CMH variance is undefined).
+
+    Returns one row ``(n, n_strata, or_mh_e6, ln_or_e6, cmh_e6)``.
+    """
+    x = F.col(x_col).cast("int")
+    y = F.col(y_col).cast("int")
+    base = df.select(
+        F.col(stratum_col).alias("g"), x.alias("x"), y.alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    a_term = F.round(
+        (F.col("n11") * F.col("n00")).cast("double") / nd * 1e6
+    ).cast("long")
+    b_term = F.round(
+        (F.col("n10") * F.col("n01")).cast("double") / nd * 1e6
+    ).cast("long")
+    r1 = F.col("n11") + F.col("n10")
+    r0 = F.col("n01") + F.col("n00")
+    c1 = F.col("n11") + F.col("n01")
+    c0 = F.col("n10") + F.col("n00")
+    e_term = F.round((r1 * c1).cast("double") / nd * 1e6).cast("long")
+    v_term = F.round(
+        (r1.cast("decimal(19,0)") * r0.cast("decimal(19,0)")).cast("double")
+        * (c1.cast("decimal(19,0)") * c0.cast("decimal(19,0)")).cast("double")
+        / (nd * nd * (nd - F.lit(1.0)))
+        * 1e6
+    ).cast("long")
+    agg = cells.where(F.col("n") >= 2).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n11").cast("long").alias("t11"),
+        F.sum(a_term).cast("long").alias("sa"),
+        F.sum(b_term).cast("long").alias("sb"),
+        F.sum(e_term).cast("long").alias("se_sum"),
+        F.sum(v_term).cast("long").alias("sv"),
+    )
+    or_mh = F.col("sa").cast("double") / F.col("sb").cast("double")
+    dev = (
+        F.col("t11").cast("double")
+        - F.col("se_sum").cast("double") / 1e6
+    )
+    cmh = dev * dev / (F.col("sv").cast("double") / 1e6)
+    ok_or = (F.col("sa") > 0) & (F.col("sb") > 0)
+    return agg.select(
+        "n",
+        "n_strata",
+        F.when(ok_or, F.round(or_mh * 1e6).cast("long")).alias("or_mh_e6"),
+        F.when(ok_or, F.round(F.log(or_mh) * 1e6).cast("long")).alias(
+            "ln_or_e6"
+        ),
+        F.when(
+            F.col("sv") > 0, F.round(cmh * 1e6).cast("long")
+        ).alias("cmh_e6"),
+    )

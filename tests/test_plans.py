@@ -117,6 +117,7 @@ SINGLE_PARTITION_OK = {
     "chi_square_residuals",   # bounded-cell margins + 1-row total scalar
     "feature_mi_ranking",     # 1-row-per-feature MI combines (3 features)
     "simpson_check",          # 1-row stratum-sign combine
+    "mantel_haenszel",        # 1-row stratified-term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine

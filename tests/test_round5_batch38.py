@@ -117,3 +117,34 @@ def test_wilson_ci_properties(spark):
     assert (b.hi_e6 - b.lo_e6) > (a.hi_e6 - a.lo_e6)
     # Wilson 9/10 reference: (0.596, 0.982)
     assert abs(a.lo_e6 - 595851) < 2000 and abs(a.hi_e6 - 982113) < 2000
+
+
+def test_mantel_haenszel_textbook(spark):
+    from smartpy_arc_spark.operators.stats import mantel_haenszel
+
+    # two identical strata, OR = (6*6)/(2*2) = 9 in each -> OR_MH = 9
+    rows = []
+    for g in ("s1", "s2"):
+        rows += [(g, 1, 1)] * 6 + [(g, 1, 0)] * 2
+        rows += [(g, 0, 1)] * 2 + [(g, 0, 0)] * 6
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    r = mantel_haenszel(df, "g", "x", "y").collect()[0]
+    assert r.n == 32 and r.n_strata == 2
+    assert r.or_mh_e6 == 9_000_000
+    import math
+
+    assert abs(r.ln_or_e6 - round(math.log(9) * 1e6)) <= 1
+    assert r.cmh_e6 > 0
+
+
+def test_mantel_haenszel_null_association(spark):
+    from smartpy_arc_spark.operators.stats import mantel_haenszel
+
+    rows = []
+    for g in ("s1", "s2"):
+        rows += [(g, 1, 1)] * 4 + [(g, 1, 0)] * 4
+        rows += [(g, 0, 1)] * 4 + [(g, 0, 0)] * 4
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    r = mantel_haenszel(df, "g", "x", "y").collect()[0]
+    assert r.or_mh_e6 == 1_000_000 and r.ln_or_e6 == 0
+    assert r.cmh_e6 == 0
