@@ -7754,6 +7754,16 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mantel_haenszel(orders, "yr", "high_price", "is_final")
 
 
+def q_contingency_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority × status association summary: Pearson chi-square,
+    likelihood-ratio G, Cramer's V — per-cell e6 pre-rounded exact
+    rationals / single-ln terms."""
+    from smartpy_arc_spark.operators.stats import contingency_effects
+
+    orders = _t(spark, sf_dir, "orders")
+    return contingency_effects(orders, "o_orderpriority", "o_orderstatus")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8182,6 +8192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_check": q_simpson_check,
         "wilson_ci": q_wilson_ci,
         "mantel_haenszel": q_mantel_haenszel,
+        "contingency_effects": q_contingency_effects,
     })
 
 
@@ -17513,6 +17524,59 @@ def oracle_sql() -> dict[str, str]:
                                   / (CAST(sv AS DOUBLE) / 1000000.0)
                                   * 1000000.0) AS BIGINT)
                    END AS cmh_e6
+            FROM agg
+        """,
+        "contingency_effects": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, CAST(SUM(o) AS BIGINT) AS n_a
+                FROM cells GROUP BY a
+            ), mb AS (
+                SELECT b, CAST(SUM(o) AS BIGINT) AS n_b
+                FROM cells GROUP BY b
+            ), tot AS (
+                SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT a) AS BIGINT) AS r,
+                       CAST(count(DISTINCT b) AS BIGINT) AS c
+                FROM cells
+            ), terms AS (
+                SELECT n, r, c,
+                       CAST(round(
+                           CAST(CAST(o AS HUGEINT) * n
+                                - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                           * CAST(CAST(o AS HUGEINT) * n
+                                  - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n_a AS DOUBLE)
+                              * CAST(n_b AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS chi_t,
+                       CAST(round(2.0 * CAST(o AS DOUBLE)
+                                  * ln(CAST(o AS DOUBLE)
+                                       * CAST(n AS DOUBLE)
+                                       / (CAST(n_a AS DOUBLE)
+                                          * CAST(n_b AS DOUBLE)))
+                                  * 1000000.0) AS BIGINT) AS g_t
+                FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+            ), agg AS (
+                SELECT n, r, c,
+                       CAST(SUM(chi_t) AS BIGINT) AS chi2_sum,
+                       CAST(SUM(g_t) AS BIGINT) AS g_sum
+                FROM terms GROUP BY n, r, c
+            )
+            SELECT n, r AS n_rows, c AS n_cols,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                   chi2_sum AS chi2_e6, g_sum AS g_e6,
+                   CASE WHEN least(r - 1, c - 1) > 0 THEN
+                       CAST(round(sqrt(CAST(chi2_sum AS DOUBLE) / 1000000.0
+                                       / CAST(n * least(r - 1, c - 1)
+                                              AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                   END AS cramers_v_e6
             FROM agg
         """,
     }

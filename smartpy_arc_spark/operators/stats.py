@@ -5539,3 +5539,87 @@ def mantel_haenszel(
             F.col("sv") > 0, F.round(cmh * 1e6).cast("long")
         ).alias("cmh_e6"),
     )
+
+
+def contingency_effects(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Contingency-table association summary in one pass: Pearson χ²,
+    the likelihood-ratio G statistic, and Cramér's V effect size —
+    the "is it associated, and HOW MUCH" companion to
+    :func:`chi_square_independence` (which reports χ² alone):
+
+        χ² = Σ (O·N − nᵢ·nⱼ)² / (N·nᵢ·nⱼ),
+        G  = 2·Σ O·ln(O·N/(nᵢ·nⱼ)),
+        V  = √(χ²/(N·min(r−1, c−1)))
+
+    Per-cell χ² terms are exact rationals and G terms single ln calls,
+    each pre-rounded to integer e6 (order-free sums — playbook rule 7);
+    the three statistics are fixed double expressions.
+
+    Returns one row ``(n, n_rows, n_cols, dof, chi2_e6, g_e6,
+    cramers_v_e6)``.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("o").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("n_b"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("r"),
+        F.count_distinct("b").cast("long").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("o").cast("decimal(19,0)")
+    nd = F.col("n").cast("decimal(19,0)")
+    nab = F.col("n_a").cast("decimal(19,0)") * F.col("n_b").cast(
+        "decimal(19,0)"
+    )
+    diff = (od * nd - nab).cast("double")
+    chi_term = F.round(
+        diff
+        * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    g_term = F.round(
+        F.lit(2.0)
+        * F.col("o").cast("double")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    agg = j.groupBy("n", "r", "c").agg(
+        F.sum(chi_term).cast("long").alias("chi2_sum"),
+        F.sum(g_term).cast("long").alias("g_sum"),
+    )
+    chi2 = F.col("chi2_sum").cast("double") / 1e6
+    mind = F.least(F.col("r") - 1, F.col("c") - 1)
+    v = F.when(
+        mind > 0,
+        F.sqrt(chi2 / (F.col("n") * mind).cast("double")),
+    )
+    return agg.select(
+        "n",
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.col("chi2_sum").alias("chi2_e6"),
+        F.col("g_sum").alias("g_e6"),
+        F.round(v * 1e6).cast("long").alias("cramers_v_e6"),
+    )

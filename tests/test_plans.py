@@ -118,6 +118,7 @@ SINGLE_PARTITION_OK = {
     "feature_mi_ranking",     # 1-row-per-feature MI combines (3 features)
     "simpson_check",          # 1-row stratum-sign combine
     "mantel_haenszel",        # 1-row stratified-term combine
+    "contingency_effects",    # 1-row statistic: cell-term combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
@@ -167,6 +168,7 @@ BNLJ_OK = {
     "markov_entropy",         # 1-row totals broadcast cross join
     "fleiss_kappa",           # 1-row modal-n / totals broadcast cross joins
     "chi_square_residuals",   # 1-row total broadcast cross join
+    "contingency_effects",    # 1-row total broadcast cross join
     "feature_mi_ranking",     # 1-row total broadcast cross joins
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)

@@ -148,3 +148,29 @@ def test_mantel_haenszel_null_association(spark):
     r = mantel_haenszel(df, "g", "x", "y").collect()[0]
     assert r.or_mh_e6 == 1_000_000 and r.ln_or_e6 == 0
     assert r.cmh_e6 == 0
+
+
+def test_contingency_effects_textbook(spark):
+    from smartpy_arc_spark.operators.stats import contingency_effects
+
+    rows = (
+        [("a", "p")] * 10 + [("a", "q")] * 20
+        + [("b", "p")] * 20 + [("b", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_effects(df, "x", "y").collect()[0]
+    # chi2 = 4 * 300^2/(60*900) = 20/3; V = sqrt(chi2/60) = 1/3
+    assert r.dof == 1 and abs(r.chi2_e6 - round(20 / 3 * 1e6)) <= 4
+    assert abs(r.cramers_v_e6 - 333333) <= 1
+    assert r.g_e6 > r.chi2_e6  # G slightly exceeds chi2 here
+
+
+def test_contingency_effects_independent_zero(spark):
+    from smartpy_arc_spark.operators.stats import contingency_effects
+
+    rows = []
+    for x in ("a", "b"):
+        rows += [(x, "p")] * 6 + [(x, "q")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_effects(df, "x", "y").collect()[0]
+    assert r.chi2_e6 == 0 and r.g_e6 == 0 and r.cramers_v_e6 == 0
