@@ -7764,6 +7764,34 @@ def q_contingency_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_effects(orders, "o_orderpriority", "o_orderstatus")
 
 
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per user across event types ([event, next) integer
+    second intervals; the last event carries no fabricated horizon)."""
+    from smartpy_arc_spark.operators.sessionize import state_durations
+
+    ev = _t(spark, sf_dir, "events")
+    return state_durations(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-header vs line-total reconciliation in exact cents (TPC-H
+    totals include tax/discount, so the report quantifies the expected
+    systematic gap rather than asserting zero)."""
+    from smartpy_arc_spark.operators.checks import reconciliation_check
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    lines = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    return reconciliation_check(
+        orders, lines, "okey", "o_totalprice", "l_extendedprice"
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8193,6 +8221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_ci": q_wilson_ci,
         "mantel_haenszel": q_mantel_haenszel,
         "contingency_effects": q_contingency_effects,
+        "state_durations": q_state_durations,
+        "reconciliation": q_reconciliation,
     })
 
 
@@ -17578,5 +17608,56 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000.0) AS BIGINT)
                    END AS cramers_v_e6
             FROM agg
+        """,
+        "state_durations": """
+            WITH stepped AS (
+                SELECT user_id AS k, event_type AS s,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                       epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS TIMESTAMP)) AS nxt_us
+                FROM events
+            ), secs AS (
+                SELECT k, s, (nxt_us - us) // 1000000 AS sec
+                FROM stepped WHERE nxt_us IS NOT NULL
+            ), per AS (
+                SELECT k, s, CAST(count(*) AS BIGINT) AS n_intervals,
+                       CAST(SUM(sec) AS BIGINT) AS total_sec
+                FROM secs GROUP BY k, s
+            )
+            SELECT k AS user_id, s AS event_type, n_intervals, total_sec,
+                   CAST(round(CAST(total_sec AS DOUBLE)
+                              / CAST(SUM(total_sec) OVER (PARTITION BY k)
+                                     AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS share_e6
+            FROM per
+        """,
+        "reconciliation": """
+            WITH h AS (
+                SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS hc
+                FROM orders
+            ), l_agg AS (
+                SELECT l_orderkey AS k,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS lsum
+                FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+                SELECT h.k, h.hc, l_agg.lsum,
+                       h.hc - COALESCE(l_agg.lsum, 0) AS gap
+                FROM h LEFT JOIN l_agg ON h.k = l_agg.k
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_headers,
+                   CAST(SUM(CASE WHEN lsum IS NOT NULL AND abs(gap) <= 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN lsum IS NOT NULL AND abs(gap) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(SUM(CASE WHEN lsum IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missing_lines,
+                   CAST(max(CASE WHEN lsum IS NOT NULL THEN abs(gap)
+                            END) AS BIGINT) AS worst_gap_cents,
+                   CAST(SUM(CASE WHEN lsum IS NOT NULL THEN abs(gap)
+                            ELSE 0 END) AS BIGINT) AS total_gap_cents
+            FROM j
         """,
     }

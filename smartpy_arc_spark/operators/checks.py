@@ -825,3 +825,64 @@ def round_number_bias(
         .alias("share_e6"),
         F.when(n > 0, F.round(z * 1e6).cast("long")).alias("z_e6"),
     )
+
+
+def reconciliation_check(
+    header: DataFrame,
+    lines: DataFrame,
+    key_col: str,
+    header_amount_col: str,
+    line_amount_col: str,
+    *,
+    tolerance_cents: int = 0,
+    scale: int = 100,
+) -> DataFrame:
+    """Header↔lines amount reconciliation — the finance data-quality
+    workhorse: does each order's line total tie out to the header
+    amount (within a cent tolerance)?
+
+    Exactness: both sides sum in integer cents; the discrepancy is an
+    exact integer per key.  One line aggregate + one broadcast-able
+    equi-join; the report aggregates mismatch counts and the worst
+    absolute gap.
+
+    Returns one row ``(n_headers, n_matched, n_mismatched, n_missing_
+    lines, worst_gap_cents, total_gap_cents)``.
+    """
+    h = header.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(header_amount_col).cast("double") * scale)
+        .cast("long")
+        .alias("hc"),
+    )
+    l_agg = (
+        lines.select(
+            F.col(key_col).alias("k"),
+            F.round(F.col(line_amount_col).cast("double") * scale)
+            .cast("long")
+            .alias("lc"),
+        )
+        .groupBy("k")
+        .agg(F.sum("lc").cast("long").alias("lsum"))
+    )
+    j = h.join(l_agg, "k", "left").select(
+        "k",
+        "hc",
+        "lsum",
+        (F.col("hc") - F.coalesce(F.col("lsum"), F.lit(0))).alias("gap"),
+    )
+    missing = F.col("lsum").isNull()
+    mismatched = (~missing) & (F.abs(F.col("gap")) > tolerance_cents)
+    matched = (~missing) & (F.abs(F.col("gap")) <= tolerance_cents)
+    return j.agg(
+        F.count("*").cast("long").alias("n_headers"),
+        F.sum(matched.cast("int")).cast("long").alias("n_matched"),
+        F.sum(mismatched.cast("int")).cast("long").alias("n_mismatched"),
+        F.sum(missing.cast("int")).cast("long").alias("n_missing_lines"),
+        F.max(F.when(~missing, F.abs(F.col("gap"))))
+        .cast("long")
+        .alias("worst_gap_cents"),
+        F.sum(F.when(~missing, F.abs(F.col("gap"))).otherwise(0))
+        .cast("long")
+        .alias("total_gap_cents"),
+    )

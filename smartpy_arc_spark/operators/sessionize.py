@@ -429,3 +429,58 @@ def calendar_gaps(
             gap.cast("long").alias("gap_days"),
         )
     )
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-in-state accounting: how long does each key spend in each
+    state, attributing the interval [event, next event) to the event's
+    state (the last event of a key carries no duration — no fabricated
+    horizon).
+
+    One per-key lead pass, exact integer second durations (integer
+    ``div`` — cast-rounding differs across engines), one (key, state)
+    aggregate.
+
+    Returns ``(key, state, n_intervals, total_sec, share_e6)`` with the
+    share of the key's total accounted time.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(key_col).orderBy(*order)
+    stepped = df.select(
+        F.col(key_col).alias("k"),
+        F.col(state_col).alias("s"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.unix_micros(F.lead(ts_col).over(w).cast("timestamp")).alias(
+            "nxt_us"
+        ),
+    ).where(F.col("nxt_us").isNotNull())
+    secs = stepped.select(
+        "k", "s", F.expr("(nxt_us - us) div 1000000").alias("sec")
+    )
+    per = secs.groupBy("k", "s").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("sec").cast("long").alias("total_sec"),
+    )
+    tot = W.partitionBy("k")
+    return per.select(
+        F.col("k").alias(key_col),
+        F.col("s").alias(state_col),
+        "n_intervals",
+        "total_sec",
+        F.round(
+            F.col("total_sec").cast("double")
+            / F.sum("total_sec").over(tot).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("share_e6"),
+    )

@@ -119,6 +119,7 @@ SINGLE_PARTITION_OK = {
     "simpson_check",          # 1-row stratum-sign combine
     "mantel_haenszel",        # 1-row stratified-term combine
     "contingency_effects",    # 1-row statistic: cell-term combine
+    "reconciliation",         # 1-row tie-out report combine
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine

@@ -68,3 +68,45 @@ def test_round_number_bias_planted(spark):
     assert out["clean"].n_round == 0 and out["clean"].z_e6 < 0
     assert out["fab"].n_round == 50 and out["fab"].share_e6 == 500000
     assert out["fab"].z_e6 > 10_000_000  # wildly over the 1% base rate
+
+
+def test_state_durations_attribution(spark):
+    from smartpy_arc_spark.operators.sessionize import state_durations
+
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 0, 0, 0), "a"),
+        (1, datetime.datetime(2020, 1, 1, 0, 0, 30), "b"),
+        (1, datetime.datetime(2020, 1, 1, 0, 1, 30), "a"),
+        (1, datetime.datetime(2020, 1, 1, 0, 2, 0), "b"),  # last: no dur
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    out = {r.s: r for r in state_durations(df, "u", "ts", "s").collect()}
+    assert out["a"].total_sec == 30 + 30 and out["a"].n_intervals == 2
+    assert out["b"].total_sec == 60 and out["b"].n_intervals == 1
+    assert out["a"].share_e6 == 500000 and out["b"].share_e6 == 500000
+
+
+def test_reconciliation_tie_out(spark):
+    from smartpy_arc_spark.operators.checks import reconciliation_check
+
+    h = spark.createDataFrame(
+        [(1, 30.0), (2, 50.0), (3, 10.0)], "k long, amt double"
+    )
+    lines = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 49.99)], "k long, amt double"
+    )
+    r = reconciliation_check(h, lines, "k", "amt", "amt").collect()[0]
+    assert r.n_headers == 3 and r.n_matched == 1
+    assert r.n_mismatched == 1 and r.n_missing_lines == 1
+    assert r.worst_gap_cents == 1 and r.total_gap_cents == 1
+
+
+def test_reconciliation_tolerance(spark):
+    from smartpy_arc_spark.operators.checks import reconciliation_check
+
+    h = spark.createDataFrame([(1, 50.0)], "k long, amt double")
+    lines = spark.createDataFrame([(1, 49.99)], "k long, amt double")
+    r = reconciliation_check(
+        h, lines, "k", "amt", "amt", tolerance_cents=1
+    ).collect()[0]
+    assert r.n_matched == 1 and r.n_mismatched == 0
