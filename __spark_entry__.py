@@ -7792,6 +7792,25 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kish_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of revenue-weighted orders per
+    priority (design effect of weighting by spend)."""
+    from smartpy_arc_spark.operators.stats import kish_ess
+
+    orders = _t(spark, sf_dir, "orders")
+    return kish_ess(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box whiteness test (lags 1–7) of the global daily-revenue
+    series: integer-mean shift, exact DECIMAL lag products, e6
+    pre-rounded autocorrelations."""
+    from smartpy_arc_spark.operators.stats import ljung_box
+
+    daily = _daily_rev(spark, sf_dir, by_flag=False)
+    return ljung_box(daily, "d", "rev", max_lag=7, scale=100)
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8223,6 +8242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_effects": q_contingency_effects,
         "state_durations": q_state_durations,
         "reconciliation": q_reconciliation,
+        "kish_ess": q_kish_ess,
+        "ljung_box": q_ljung_box,
     })
 
 
@@ -8638,6 +8659,65 @@ def _heaps_sql(n_checkpoints: int = 20) -> str:
                CAST(round((({sy}) - {beta} * ({sx})) / {kf} * 1000000.0)
                     AS BIGINT) AS log_k_e6
         FROM wide
+    """
+
+
+def _ljung_sql(max_lag: int = 7) -> str:
+    """Generated mirror of ``operators.stats.ljung_box`` (same lag
+    columns, same fixed-order Q sum)."""
+    leads = ",\n                       ".join(
+        f"lead(u, {k}) OVER (ORDER BY t) AS u{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ",\n                       ".join(
+        f"SUM(CAST(u AS HUGEINT) * u{k}) AS num{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rhos = ",\n                   ".join(
+        f"CASE WHEN CAST(den AS DOUBLE) > 0 THEN "
+        f"CAST(round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" * 1000000.0) AS BIGINT) END AS rho{k}_e6"
+        for k in range(1, max_lag + 1)
+    )
+    qsum = " + ".join(
+        f"(CAST(rho{k}_e6 AS DOUBLE) / 1000000.0)"
+        f" * (CAST(rho{k}_e6 AS DOUBLE) / 1000000.0)"
+        f" / CAST(n - {k} AS DOUBLE)"
+        for k in range(1, max_lag + 1)
+    )
+    rho_cols = ", ".join(f"rho{k}_e6" for k in range(1, max_lag + 1))
+    return f"""
+        WITH daily AS ({_DAILY_REV_GLOBAL_SQL}
+        ), base AS (
+            SELECT d AS t, CAST(round(rev * 100) AS BIGINT) AS x
+            FROM daily
+        ), shift AS (
+            SELECT CAST(round(CAST(SUM(x) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+            FROM base
+        ), cen AS (
+            SELECT t, x - c AS u FROM base, shift
+        ), led AS (
+            SELECT t, u,
+                       {leads}
+            FROM cen
+        ), mom AS (
+            SELECT CAST(count(u) AS BIGINT) AS n,
+                   SUM(CAST(u AS HUGEINT) * u) AS den,
+                       {nums}
+            FROM led
+        ), sel AS (
+            SELECT n, den,
+                   {rhos}
+            FROM mom
+        )
+        SELECT n,
+               CASE WHEN n > {max_lag} AND CAST(den AS DOUBLE) > 0 THEN
+                   CAST(round(CAST(n * (n + 2) AS DOUBLE)
+                              * ({qsum}) * 1000000.0) AS BIGINT)
+               END AS q_e6,
+               {rho_cols}
+        FROM sel
     """
 
 
@@ -17660,4 +17740,28 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS total_gap_cents
             FROM j
         """,
+        "kish_ess": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS w
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND round(o_totalprice * 100) > 0
+            ), agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(w) AS BIGINT) AS s,
+                       SUM(CAST(w AS HUGEINT) * w) AS q
+                FROM base GROUP BY g
+            )
+            SELECT g AS o_orderpriority, n,
+                   CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(q AS DOUBLE) * 100) AS BIGINT)
+                       AS ess_e2,
+                   CAST(round(CAST(n AS DOUBLE)
+                              / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(q AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS deff_e6
+            FROM agg
+        """,
+        "ljung_box": _ljung_sql(),
     }

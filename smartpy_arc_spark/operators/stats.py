@@ -5623,3 +5623,128 @@ def contingency_effects(
         F.col("g_sum").alias("g_e6"),
         F.round(v * 1e6).cast("long").alias("cramers_v_e6"),
     )
+
+
+def kish_ess(
+    df: DataFrame, group_col: str, weight_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Kish effective sample size of a weighted set per group:
+
+        ESS = (Σw)² / Σw²,   deff = n / ESS
+
+    — the one-number answer to "how much did weighting cost me?"
+    (importance weights, survey weights, propensity weights).
+
+    Weights pre-round to integer ``scale`` units; both sums are exact
+    (DECIMAL second moment); ESS and the design effect are fixed double
+    expressions.  Returns ``(group, n, ess_e2, deff_e6)``.
+    """
+    w = F.round(F.col(weight_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), w.alias("w")).where(
+        F.col("w").isNotNull() & (F.col("w") > 0)
+    )
+    wd = F.col("w").cast("decimal(19,0)")
+    agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w").cast("long").alias("s"),
+        F.sum(wd * wd).cast("decimal(38,0)").alias("q"),
+    )
+    ess = (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    ) / F.col("q").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(ess * 100).cast("long").alias("ess_e2"),
+        F.round(F.col("n").cast("double") / ess * 1e6)
+        .cast("long")
+        .alias("deff_e6"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+    scale: int = 100,
+) -> DataFrame:
+    """Ljung–Box portmanteau test for autocorrelation up to ``max_lag``:
+
+        Q = n(n+2) · Σ_k ρ̂_k² / (n−k)
+
+    — the residual-whiteness check after any time-series fit
+    (complements the single-lag :func:`autocorrelation` and the
+    first-lag-only :func:`durbin_watson`).
+
+    Exactness: the series pre-rounds to ticks and shifts by its rounded
+    integer mean (the ``jarque_bera`` trick), so every lag's numerator
+    ``Σ u_t·u_{t+k}`` and the denominator ``Σ u²`` are exact DECIMAL
+    integers; each ρ̂_k pre-rounds to e6 and Q is a fixed k-term double
+    expression with exact integer factors.
+
+    One ordered pass with ``max_lag`` lead columns over the same
+    window.  Returns one row ``(n, q_e6, rho1_e6, ..., rho{L}_e6)``.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
+    shift = base.agg(
+        F.round(F.sum("x").cast("double") / F.count("*").cast("double"))
+        .cast("long")
+        .alias("c")
+    )
+    cen = base.crossJoin(F.broadcast(shift)).select(
+        "t", (F.col("x") - F.col("c")).alias("u")
+    )
+    w = W.orderBy("t")
+    cols = [F.col("u")]
+    for k in range(1, max_lag + 1):
+        cols.append(F.lead("u", k).over(w).alias(f"u{k}"))
+    led = cen.select("t", *cols)
+    ud = F.col("u").cast("decimal(19,0)")
+    aggs = [
+        F.count("u").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(ud * ud).cast("decimal(38,0)").alias("den"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(ud * F.col(f"u{k}").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias(f"num{k}")
+        )
+    mom = led.agg(*aggs)
+    n = F.col("n")
+    den_ok = F.col("den").cast("double") > 0
+    rhos = [
+        F.when(
+            den_ok,
+            F.round(
+                F.col(f"num{k}").cast("double")
+                / F.col("den").cast("double")
+                * 1e6
+            ).cast("long"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    sel = mom.select(
+        "n", F.col("den"), *[r.alias(f"rho{k}_e6") for k, r in enumerate(rhos, 1)]
+    )
+    q = None
+    for k in range(1, max_lag + 1):
+        term = (
+            (F.col(f"rho{k}_e6").cast("double") / 1e6)
+            * (F.col(f"rho{k}_e6").cast("double") / 1e6)
+            / (n - k).cast("double")
+        )
+        q = term if q is None else q + term
+    q = (n * (n + 2)).cast("double") * q
+    return sel.select(
+        "n",
+        F.when(
+            (n > max_lag) & (F.col("den").cast("double") > 0),
+            F.round(q * 1e6).cast("long"),
+        ).alias("q_e6"),
+        *[f"rho{k}_e6" for k in range(1, max_lag + 1)],
+    )

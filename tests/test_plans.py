@@ -120,6 +120,8 @@ SINGLE_PARTITION_OK = {
     "mantel_haenszel",        # 1-row stratified-term combine
     "contingency_effects",    # 1-row statistic: cell-term combine
     "reconciliation",         # 1-row tie-out report combine
+    "ljung_box",              # lag windows over the calendar-bounded daily
+                              #   grid, 1-row statistic
     "conformal",              # 1-row q-hat / count scalars
     "table_fingerprint",      # 1-row checksum combine (map-side partials)
     "log_rank",               # 1-row statistic: O/E/V term combine
@@ -158,6 +160,7 @@ BNLJ_OK = {
     "wasserstein",            # 1-row cohort-totals broadcast cross join
     "changepoint",            # 1-row totals broadcast cross join
     "grubbs",                 # 1-row moments broadcast cross join
+    "ljung_box",              # 1-row shift broadcast cross join
     "kfold_ols",              # 1-row totals broadcast cross join
     "abc_xyz",                # 1-row grand-total broadcast cross join
     "sketch_eval",            # 1-row x 1-row exact/sketch cross join

@@ -174,3 +174,44 @@ def test_contingency_effects_independent_zero(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     r = contingency_effects(df, "x", "y").collect()[0]
     assert r.chi2_e6 == 0 and r.g_e6 == 0 and r.cramers_v_e6 == 0
+
+
+def test_kish_ess_uniform_weights_full(spark):
+    from smartpy_arc_spark.operators.stats import kish_ess
+
+    df = spark.createDataFrame([("g", 5.0)] * 8, "g string, w double")
+    r = kish_ess(df, "g", "w").collect()[0]
+    assert r.n == 8 and r.ess_e2 == 800 and r.deff_e6 == 1_000_000
+
+
+def test_kish_ess_concentrated_weights_shrink(spark):
+    from smartpy_arc_spark.operators.stats import kish_ess
+
+    # one dominant weight: ESS -> ~1
+    rows = [("g", 1000.0)] + [("g", 1.0)] * 9
+    df = spark.createDataFrame(rows, "g string, w double")
+    r = kish_ess(df, "g", "w").collect()[0]
+    assert r.ess_e2 < 110 and r.deff_e6 > 9_000_000
+
+
+def test_ljung_box_alternating_series(spark):
+    from smartpy_arc_spark.operators.stats import ljung_box
+
+    # strong negative lag-1 autocorrelation
+    vals = [10.0 if i % 2 else 20.0 for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    r = ljung_box(df, "t", "v", max_lag=3, scale=1).collect()[0]
+    assert r.rho1_e6 < -900000 and r.rho2_e6 > 900000
+    assert r.q_e6 > 50_000_000  # wildly non-white
+
+
+def test_ljung_box_constant_series_null(spark):
+    from smartpy_arc_spark.operators.stats import ljung_box
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(30)], "t int, v double"
+    )
+    r = ljung_box(df, "t", "v", max_lag=3, scale=1).collect()[0]
+    assert r.q_e6 is None  # zero variance -> undefined
