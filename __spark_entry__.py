@@ -7811,6 +7811,16 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box(daily, "d", "rev", max_lag=7, scale=100)
 
 
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label agreement (purity + NMI) between document
+    source groupings and language labels — the external clustering
+    scorecard with nanonat-exact information terms."""
+    from smartpy_arc_spark.operators.stats import cluster_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_agreement(docs, "source", "lang")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8244,6 +8254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconciliation": q_reconciliation,
         "kish_ess": q_kish_ess,
         "ljung_box": q_ljung_box,
+        "cluster_agreement": q_cluster_agreement,
     })
 
 
@@ -17764,4 +17775,61 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "ljung_box": _ljung_sql(),
+        "cluster_agreement": """
+            WITH base AS (
+                SELECT source AS c, lang AS l FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ), cells AS (
+                SELECT c, l, CAST(count(*) AS BIGINT) AS n_cl
+                FROM base GROUP BY c, l
+            ), mc AS (
+                SELECT c, CAST(SUM(n_cl) AS BIGINT) AS n_c
+                FROM cells GROUP BY c
+            ), ml AS (
+                SELECT l, CAST(SUM(n_cl) AS BIGINT) AS n_l
+                FROM cells GROUP BY l
+            ), tot AS (
+                SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM cells
+            ), best AS (
+                SELECT CAST(SUM(n_cl) AS BIGINT) AS pure_sum FROM (
+                    SELECT n_cl, row_number() OVER (PARTITION BY c
+                        ORDER BY n_cl DESC, l) AS rk
+                    FROM cells
+                ) WHERE rk = 1
+            ), mi AS (
+                SELECT CAST(SUM(CAST(round(
+                    CAST(n_cl AS DOUBLE) / CAST(n AS DOUBLE)
+                    * ln(CAST(n AS DOUBLE) * CAST(n_cl AS DOUBLE)
+                         / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_e9
+                FROM cells JOIN mc USING (c) JOIN ml USING (l), tot
+            ), hc AS (
+                SELECT CAST(SUM(CAST(round(
+                    -(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_c_e9,
+                       CAST(count(*) AS BIGINT) AS n_clusters
+                FROM mc, tot
+            ), hl AS (
+                SELECT CAST(SUM(CAST(round(
+                    -(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_l_e9,
+                       CAST(count(*) AS BIGINT) AS n_labels
+                FROM ml, tot
+            )
+            SELECT n, n_clusters, n_labels,
+                   CAST(round(CAST(pure_sum AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS purity_e6,
+                   mi_e9, h_c_e9, h_l_e9,
+                   CASE WHEN h_c_e9 > 0 AND h_l_e9 > 0 THEN
+                       CAST(round((CAST(mi_e9 AS DOUBLE) / 1000000000.0)
+                                  / sqrt((CAST(h_c_e9 AS DOUBLE)
+                                          / 1000000000.0)
+                                         * (CAST(h_l_e9 AS DOUBLE)
+                                            / 1000000000.0))
+                                  * 1000000.0) AS BIGINT)
+                   END AS nmi_e6
+            FROM tot, best, mi, hc, hl
+        """,
     }

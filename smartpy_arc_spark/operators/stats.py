@@ -5748,3 +5748,105 @@ def ljung_box(
         ).alias("q_e6"),
         *[f"rho{k}_e6" for k in range(1, max_lag + 1)],
     )
+
+
+def cluster_agreement(
+    df: DataFrame, cluster_col: str, label_col: str
+) -> DataFrame:
+    """External cluster-evaluation metrics between a cluster assignment
+    and ground-truth labels: purity and normalized mutual information
+
+        purity = Σ_c max_l n_cl / N,
+        NMI = I(C;L) / √(H(C)·H(L))
+
+    — the standard "did the clustering recover the classes" scorecard.
+
+    Exactness: purity's numerator is an exact integer (per-cluster max
+    via a deterministic window); MI and both entropies use per-cell /
+    per-margin nanonat pre-rounds (the ``mutual_information``
+    contract); NMI is one fixed double expression over the three
+    integer sums.
+
+    Returns one row ``(n, n_clusters, n_labels, purity_e6, mi_e9,
+    h_c_e9, h_l_e9, nmi_e6)``.
+    """
+    base = df.select(
+        F.col(cluster_col).alias("c"), F.col(label_col).alias("l")
+    ).where(F.col("c").isNotNull() & F.col("l").isNotNull())
+    cells = base.groupBy("c", "l").agg(F.count("*").cast("long").alias("n_cl"))
+    mc = cells.groupBy("c").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    ml = cells.groupBy("l").agg(F.sum("n_cl").cast("long").alias("n_l"))
+    tot = cells.agg(F.sum("n_cl").cast("long").alias("n"))
+    # purity: per-cluster max cell
+    w = W.partitionBy("c").orderBy(F.col("n_cl").desc(), F.col("l"))
+    best = (
+        cells.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .agg(F.sum("n_cl").cast("long").alias("pure_sum"))
+    )
+    # MI terms
+    j = (
+        cells.join(F.broadcast(mc), "c")
+        .join(F.broadcast(ml), "l")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        F.col("n_cl").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_cl").cast("double")
+            / (F.col("n_c").cast("double") * F.col("n_l").cast("double"))
+        )
+        * 1e9
+    ).cast("long")
+    mi_sum = j.agg(F.sum(mi_term).cast("long").alias("mi_e9"))
+
+    def entropy(margins, cnt_col):
+        t = F.round(
+            -(F.col(cnt_col).cast("double") / F.col("n").cast("double"))
+            * F.log(
+                F.col(cnt_col).cast("double") / F.col("n").cast("double")
+            )
+            * 1e9
+        ).cast("long")
+        return margins.crossJoin(F.broadcast(tot)).agg(
+            F.sum(t).cast("long").alias("h"),
+            F.count("*").cast("long").alias("k"),
+        )
+
+    hc = entropy(mc, "n_c").select(
+        F.col("h").alias("h_c_e9"), F.col("k").alias("n_clusters")
+    )
+    hl = entropy(ml, "n_l").select(
+        F.col("h").alias("h_l_e9"), F.col("k").alias("n_labels")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(mi_sum))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+    )
+    nmi = F.when(
+        (F.col("h_c_e9") > 0) & (F.col("h_l_e9") > 0),
+        (F.col("mi_e9").cast("double") / 1e9)
+        / F.sqrt(
+            (F.col("h_c_e9").cast("double") / 1e9)
+            * (F.col("h_l_e9").cast("double") / 1e9)
+        ),
+    )
+    return out.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        F.round(
+            F.col("pure_sum").cast("double") / F.col("n").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("purity_e6"),
+        "mi_e9",
+        "h_c_e9",
+        "h_l_e9",
+        F.round(nmi * 1e6).cast("long").alias("nmi_e6"),
+    )

@@ -119,6 +119,7 @@ SINGLE_PARTITION_OK = {
     "simpson_check",          # 1-row stratum-sign combine
     "mantel_haenszel",        # 1-row stratified-term combine
     "contingency_effects",    # 1-row statistic: cell-term combine
+    "cluster_agreement",      # 1-row purity/MI/entropy combines
     "reconciliation",         # 1-row tie-out report combine
     "ljung_box",              # lag windows over the calendar-bounded daily
                               #   grid, 1-row statistic
@@ -173,6 +174,7 @@ BNLJ_OK = {
     "fleiss_kappa",           # 1-row modal-n / totals broadcast cross joins
     "chi_square_residuals",   # 1-row total broadcast cross join
     "contingency_effects",    # 1-row total broadcast cross join
+    "cluster_agreement",      # 1-row total/term broadcast cross joins
     "feature_mi_ranking",     # 1-row total broadcast cross joins
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)

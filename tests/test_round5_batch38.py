@@ -215,3 +215,33 @@ def test_ljung_box_constant_series_null(spark):
     )
     r = ljung_box(df, "t", "v", max_lag=3, scale=1).collect()[0]
     assert r.q_e6 is None  # zero variance -> undefined
+
+
+def test_cluster_agreement_perfect(spark):
+    from smartpy_arc_spark.operators.stats import cluster_agreement
+
+    rows = [("c1", "x")] * 5 + [("c2", "y")] * 5
+    df = spark.createDataFrame(rows, "c string, l string")
+    r = cluster_agreement(df, "c", "l").collect()[0]
+    assert r.purity_e6 == 1_000_000 and r.nmi_e6 == 1_000_000
+
+
+def test_cluster_agreement_independent_zero(spark):
+    from smartpy_arc_spark.operators.stats import cluster_agreement
+
+    rows = []
+    for c in ("c1", "c2"):
+        rows += [(c, "x")] * 3 + [(c, "y")] * 3
+    df = spark.createDataFrame(rows, "c string, l string")
+    r = cluster_agreement(df, "c", "l").collect()[0]
+    assert r.mi_e9 == 0 and r.nmi_e6 == 0
+    assert r.purity_e6 == 500000  # best label covers half of each cluster
+
+
+def test_cluster_agreement_single_label_null_nmi(spark):
+    from smartpy_arc_spark.operators.stats import cluster_agreement
+
+    rows = [("c1", "x")] * 3 + [("c2", "x")] * 3
+    df = spark.createDataFrame(rows, "c string, l string")
+    r = cluster_agreement(df, "c", "l").collect()[0]
+    assert r.purity_e6 == 1_000_000 and r.nmi_e6 is None  # H(L) = 0
