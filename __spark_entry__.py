@@ -7821,6 +7821,22 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_agreement(docs, "source", "lang")
 
 
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of order values with the between/within
+    market-segment decomposition (nanonat per-term pre-rounds; total =
+    between + within to the rounding unit)."""
+    from smartpy_arc_spark.operators.stats import theil_index
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    return theil_index(j, "c_mktsegment", "o_totalprice")
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8255,6 +8271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kish_ess": q_kish_ess,
         "ljung_box": q_ljung_box,
         "cluster_agreement": q_cluster_agreement,
+        "theil_index": q_theil_index,
     })
 
 
@@ -17831,5 +17848,51 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000.0) AS BIGINT)
                    END AS nmi_e6
             FROM tot, best, mi, hc, hl
+        """,
+        "theil_index": """
+            WITH base AS (
+                SELECT c.c_mktsegment AS g,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                WHERE o.o_totalprice IS NOT NULL
+                  AND round(o.o_totalprice * 100) > 0
+                  AND c.c_mktsegment IS NOT NULL
+            ), gtot AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                       CAST(SUM(x) AS BIGINT) AS x_g
+                FROM base GROUP BY g
+            ), tot AS (
+                SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                       CAST(SUM(x_g) AS BIGINT) AS x_tot,
+                       CAST(count(*) AS BIGINT) AS n_groups
+                FROM gtot
+            ), t_total AS (
+                SELECT CAST(SUM(CAST(round(
+                    CAST(x AS DOUBLE) / CAST(x_tot AS DOUBLE)
+                    * ln(CAST(n AS DOUBLE) * CAST(x AS DOUBLE)
+                         / CAST(x_tot AS DOUBLE))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT) AS t_total_e9
+                FROM base, tot
+            ), t_between AS (
+                SELECT CAST(SUM(CAST(round(
+                    CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE)
+                    * ln((CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT)
+                    AS t_between_e9
+                FROM gtot, tot
+            ), t_within AS (
+                SELECT CAST(SUM(CAST(round(
+                    (CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                    * (CAST(x AS DOUBLE) / CAST(x_g AS DOUBLE)
+                       * ln(CAST(n_g AS DOUBLE) * CAST(x AS DOUBLE)
+                            / CAST(x_g AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT)) AS BIGINT)
+                    AS t_within_e9
+                FROM base JOIN gtot USING (g), tot
+            )
+            SELECT n, n_groups, t_total_e9, t_between_e9, t_within_e9
+            FROM tot, t_total, t_between, t_within
         """,
     }

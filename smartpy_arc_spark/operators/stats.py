@@ -5850,3 +5850,108 @@ def cluster_agreement(
         "h_l_e9",
         F.round(nmi * 1e6).cast("long").alias("nmi_e6"),
     )
+
+
+def theil_index(
+    df: DataFrame, group_col: str, value_col: str, *, scale: int = 100
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within-group
+    decomposition (the property Gini lacks):
+
+        T = Σᵢ (xᵢ/X)·ln(n·xᵢ/X) = T_between + Σ_g (X_g/X)·T_g
+
+    — how much inequality lives BETWEEN segments vs INSIDE them.
+
+    Exactness: values pre-round to integer ticks; every ln argument is
+    a ratio of exact integers and every term pre-rounds to integer
+    nanonats (the ``mutual_information`` contract), so all three
+    reported indices are order-free integer sums (one division each at
+    the end).  Non-positive values drop (Theil is defined on x > 0).
+
+    Returns one row ``(n, n_groups, t_total_e9, t_between_e9,
+    t_within_e9)`` — total = between + within to the rounding unit.
+    """
+    x = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("g"), x.alias("x")).where(
+        F.col("x").isNotNull() & (F.col("x") > 0) & F.col("g").isNotNull()
+    )
+    gtot = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("x_g"),
+    )
+    tot = gtot.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("x_g").cast("long").alias("x_tot"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    # total: per-row terms against the global mean
+    rows_t = base.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("x").cast("double")
+            / F.col("x_tot").cast("double")
+            * F.log(
+                F.col("n").cast("double")
+                * F.col("x").cast("double")
+                / F.col("x_tot").cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("t")
+    )
+    t_total = rows_t.agg(F.sum("t").cast("long").alias("t_total_e9"))
+    # between: group shares vs group population shares
+    between_t = gtot.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("x_g").cast("double")
+            / F.col("x_tot").cast("double")
+            * F.log(
+                (
+                    F.col("x_g").cast("double")
+                    / F.col("x_tot").cast("double")
+                )
+                / (
+                    F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("t")
+    )
+    t_between = between_t.agg(F.sum("t").cast("long").alias("t_between_e9"))
+    # within: per-row terms against the OWN group mean, share-weighted
+    within_rows = (
+        base.join(F.broadcast(gtot), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (
+                    F.col("x_g").cast("double")
+                    / F.col("x_tot").cast("double")
+                )
+                * (
+                    F.col("x").cast("double")
+                    / F.col("x_g").cast("double")
+                    * F.log(
+                        F.col("n_g").cast("double")
+                        * F.col("x").cast("double")
+                        / F.col("x_g").cast("double")
+                    )
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    t_within = within_rows.agg(F.sum("t").cast("long").alias("t_within_e9"))
+    return (
+        tot.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(t_between))
+        .crossJoin(F.broadcast(t_within))
+        .select(
+            "n", "n_groups", "t_total_e9", "t_between_e9", "t_within_e9"
+        )
+    )

@@ -120,6 +120,7 @@ SINGLE_PARTITION_OK = {
     "mantel_haenszel",        # 1-row stratified-term combine
     "contingency_effects",    # 1-row statistic: cell-term combine
     "cluster_agreement",      # 1-row purity/MI/entropy combines
+    "theil_index",            # 1-row total/between/within term combines
     "reconciliation",         # 1-row tie-out report combine
     "ljung_box",              # lag windows over the calendar-bounded daily
                               #   grid, 1-row statistic
@@ -175,6 +176,7 @@ BNLJ_OK = {
     "chi_square_residuals",   # 1-row total broadcast cross join
     "contingency_effects",    # 1-row total broadcast cross join
     "cluster_agreement",      # 1-row total/term broadcast cross joins
+    "theil_index",            # 1-row totals broadcast cross joins
     "feature_mi_ranking",     # 1-row total broadcast cross joins
     "knn_classify",           # bounded-test-side broadcast inequality join
                               #   (by contract: window the scoring set at scale)

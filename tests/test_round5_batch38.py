@@ -245,3 +245,40 @@ def test_cluster_agreement_single_label_null_nmi(spark):
     df = spark.createDataFrame(rows, "c string, l string")
     r = cluster_agreement(df, "c", "l").collect()[0]
     assert r.purity_e6 == 1_000_000 and r.nmi_e6 is None  # H(L) = 0
+
+
+def test_theil_equal_values_zero(spark):
+    from smartpy_arc_spark.operators.stats import theil_index
+
+    rows = [("a", 10.0)] * 4 + [("b", 10.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = theil_index(df, "g", "v").collect()[0]
+    assert r.t_total_e9 == 0 and r.t_between_e9 == 0 and r.t_within_e9 == 0
+
+
+def test_theil_decomposition_adds_up(spark):
+    import math
+
+    from smartpy_arc_spark.operators.stats import theil_index
+
+    rows = [("a", 10.0), ("a", 30.0), ("b", 20.0), ("b", 60.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = theil_index(df, "g", "v").collect()[0]
+    vals = [10.0, 30.0, 20.0, 60.0]
+    mu = sum(vals) / 4
+    t_ref = sum(v / sum(vals) * math.log(v / mu) for v in vals)
+    assert abs(r.t_total_e9 / 1e9 - t_ref) < 1e-6
+    # decomposition identity to the rounding unit
+    assert abs(r.t_total_e9 - (r.t_between_e9 + r.t_within_e9)) <= 5
+    assert r.t_between_e9 > 0 and r.t_within_e9 > 0
+
+
+def test_theil_between_only(spark):
+    from smartpy_arc_spark.operators.stats import theil_index
+
+    # no within-group inequality: all inequality is between groups
+    rows = [("a", 10.0)] * 3 + [("b", 40.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = theil_index(df, "g", "v").collect()[0]
+    assert r.t_within_e9 == 0 and r.t_between_e9 > 0
+    assert abs(r.t_between_e9 - r.t_total_e9) <= 1  # nanonat rounding
