@@ -1438,7 +1438,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-duplicate pairs above a threshold (bounded query side)."""
+    """Cosine near-duplicate pairs above a threshold (bounded query side).
+
+    Routing rule (the 100 TB contract): an exact threshold join like this
+    is correct ONLY when one side is bounded — here the broadcast query
+    side is ``vec_id < 300``, so cost is linear in the corpus with no
+    corpus×corpus pairs.  When BOTH sides are the unbounded corpus (true
+    all-pairs near-dup), this operator is the wrong tool: route through
+    ``operators.semdedup.semdedup`` (cluster-then-intra-cluster) or
+    ``operators.similarity.ann_lsh_topk`` (SRP-LSH buckets), which bound
+    the candidate set by construction.  ``tests/test_pipeline_ops.py``
+    asserts the bounded filter stays in this query."""
     from smartpy_arc_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -10,6 +10,16 @@ Two tiers:
     path: the corpus is hashed once (shuffle on bucket key), queries touch
     only their buckets instead of the full corpus.
 
+Routing rule for near-duplicate / threshold-join jobs: a bounded query
+side (broadcastable, ≤~1e5 rows) may use the exact tier (broadcast
+threshold join / ``knn_cosine_bruteforce`` / ``knn_classify``) — cost is
+linear in the corpus.  An UNBOUNDED-×-unbounded job must go through the
+candidate-bounding tiers instead: ``ann_lsh_topk`` (SRP buckets),
+``ivf_search``/``ivfpq_search`` (trained coarse quantizer), or
+``semdedup.semdedup`` (cluster-then-intra-cluster).  The exact tiers
+fail fast on oversized sides (``_assert_bounded``) rather than OOMing
+the driver.
+
 All dot products are built-in higher-order functions (``zip_with`` +
 ``aggregate``) over ``array<double>`` — JVM-side, no Python, no UDF.
 Cosine uses ``dot / sqrt(norm_a² · norm_b²)`` — the same association order
@@ -30,6 +40,25 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _assert_bounded(df: DataFrame, limit: int, what: str) -> None:
+    """Fail fast before collecting/broadcasting an unbounded side.
+
+    ``limit(n+1).count()`` touches at most ``limit+1`` rows (Spark stops the
+    scan at the limit), so the guard itself stays cheap even when the caller
+    accidentally hands us the 100 TB corpus.  Raising here turns a silent
+    driver OOM into an actionable routing error: oversized scoring sets
+    belong on the distributed paths (``ivf_search`` / ``ann_lsh_topk``).
+    """
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"{what} has more than {limit} rows; this operator collects/"
+            f"broadcasts that side to the driver by contract. Route the "
+            f"oversized side through the distributed tier instead "
+            f"(ivf_search / ivfpq_search / ann_lsh_topk), or window it."
+        )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -475,12 +504,17 @@ def pq_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: each query precomputes its
     (m × n_centroids) distance table — a per-row literal-shaped array —
     then every corpus row's distance is ``sum_s table[s][code_s]``: a pure
     HOF over the broadcast query side and the compact code column.  No
-    shuffle on the corpus; TakeOrdered per query yields top-k."""
+    shuffle on the corpus; TakeOrdered per query yields top-k.
+
+    The query side broadcasts, so it must be bounded: ``max_queries``
+    is enforced up front (fail fast, not a driver OOM mid-job)."""
+    _assert_bounded(queries, max_queries, "pq_search query side")
     m = len(books)
     sub_d = len(books[0][0])
     qv = F.col(vec_col).cast("array<double>")
@@ -761,6 +795,7 @@ def knn_classify(
     k: int = 5,
     test_pred=None,
     scale: int = 1_000_000,
+    max_test: int = 100_000,
 ) -> DataFrame:
     """k-nearest-neighbor classification by majority vote over exact
     integer squared-L2 distances — the label-propagation baseline every
@@ -801,7 +836,8 @@ def knn_classify(
     test = base.where(pred)
     train = base.where(~pred)
 
-    trows = test.collect()  # bounded scoring set by contract
+    _assert_bounded(test, max_test, "knn_classify test side")
+    trows = test.collect()  # bounded scoring set, enforced above
     t_ids = np.array([r["id"] for r in trows], dtype=np.int64)
     t_labels = np.array([r["label"] for r in trows], dtype=np.int64)
     t_mat = np.array([r["q"] for r in trows], dtype=np.int64)
