@@ -1942,9 +1942,11 @@ def q_geom_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → metadata via mapInPandas decode stub; the
-    deterministic fake dims let the oracle recompute them from length."""
+    deterministic fake dims let the oracle recompute them from length.
+    (Stub variant kept for stamp continuity; the contract name
+    ``multimodal_decode`` now runs the real codecs.)"""
     from smartpy_arc_spark.multimodal.binary import attach_payload, decode_image_meta
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1954,16 +1956,115 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(payloads)
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: synthesize genuine JPEG/PNG/BMP/GIF
+    containers (pure-Python encoders, format = doc_id % 4), then recover
+    dimensions + format through ``decode_image_meta(stub=False)`` — the
+    magic-byte-sniffed full decode path (Huffman+IDCT for JPEG, zlib
+    inflate for PNG, LZW for GIF).  Dims are closed-form in doc_id, so
+    the SQL oracle recomputes them without touching bytes."""
+    from smartpy_arc_spark.multimodal.binary import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 160").select(
+        F.col("doc_id").alias("item_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_bmp, make_png
+        from smartpy_arc_spark.multimodal.gif import make_gif
+        from smartpy_arc_spark.multimodal.jpeg import make_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["item_id"]:
+                d = int(d)
+                color = ((d * 37 + 11) % 256, (d * 59 + 5) % 256,
+                         (d * 23 + 101) % 256)
+                k = d % 4
+                if k == 0:  # JPEG needs MCU-aligned dims (the jpeg_decode combo)
+                    img = np.full((8 * (1 + d % 2), 16, 3), color, dtype=np.uint8)
+                    payloads.append(
+                        make_jpeg(img, quality=100, subsample=(d % 3 == 0))
+                    )
+                else:
+                    w, h = 8 + (d % 5) * 4, 4 + (d % 3) * 4
+                    img = np.full((h, w, 3), color, dtype=np.uint8)
+                    payloads.append(
+                        make_png(img) if k == 1
+                        else make_bmp(img) if k == 2
+                        else make_gif(img)
+                    )
+            yield pd.DataFrame({"item_id": pdf["item_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    return decode_image_meta(blobs, stub=False).select(
+        "item_id", "width", "height", "format"
+    )
+
+
+def q_multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub over binary payloads (mapInPandas →
     array<float>), exploded to (item, dim, value) rows so the oracle can
-    recompute the deterministic fake arithmetically."""
+    recompute the deterministic fake arithmetically.  (Stub variant kept
+    for stamp continuity; the contract name ``multimodal_features`` now
+    runs the real decode-based features.)"""
     from smartpy_arc_spark.multimodal.binary import attach_payload, extract_features
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("item_id"), "text"
     )
     feats = extract_features(attach_payload(docs, "text"), dim=8)
+    return feats.select(
+        "item_id", F.posexplode_outer("features").alias("dim", "feat")
+    ).where(F.col("feat").isNotNull()).select(
+        "item_id", "dim", F.round(F.col("feat").cast("double"), 4).alias("feat")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction: constant-color PNG/BMP payloads decode
+    through the pure-Python codecs and yield classical features (channel
+    means/stds, bounded aspect, top-left region luminance) via
+    ``extract_features(stub=False)``.  Pixel counts are powers of two and
+    the output passes through float32, so every feature is bit-identical
+    to the closed-form doc_id expression the SQL oracle evaluates
+    (constant image ⇒ mean = c/255, std = 0, luminance =
+    0.299·r/255 + 0.587·g/255 + 0.114·b/255)."""
+    from smartpy_arc_spark.multimodal.binary import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400").select(
+        F.col("doc_id").alias("item_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.codecs import make_bmp, make_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["item_id"]:
+                d = int(d)
+                color = ((d * 37 + 11) % 256, (d * 59 + 5) % 256,
+                         (d * 23 + 101) % 256)
+                w = 8 << (d % 2)           # 8 or 16
+                h = 4 << (d % 3)           # 4, 8 or 16: h·w a power of two
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                payloads.append(make_png(img) if d % 2 == 0 else make_bmp(img))
+            yield pd.DataFrame({"item_id": pdf["item_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    feats = extract_features(blobs, dim=8, stub=False)
     return feats.select(
         "item_id", F.posexplode_outer("features").alias("dim", "feat")
     ).where(F.col("feat").isNotNull()).select(
@@ -2659,12 +2760,14 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload exact dedup — the media-pipeline variant of
     dedup_exact: digest the opaque payload bytes (sha2-256 in codegen,
     content-defined, format-agnostic), group identical blobs, keep the
     lowest item id.  Payloads here are deterministic fakes (lang-source
-    bytes) so duplicates exist and the oracle can re-derive digests."""
+    bytes) so duplicates exist and the oracle can re-derive digests.
+    (Text-payload variant kept for stamp continuity; the contract name
+    ``multimodal_dedup`` now digests + decodes real PNG containers.)"""
     from smartpy_arc_spark.multimodal.binary import attach_payload
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2678,6 +2781,68 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_copies"),
             F.min("item_id").alias("keeper_id"),
         )
+    )
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal exact dedup: every document synthesizes a genuine
+    8×8 PNG whose color is a deterministic function of (lang, source), so
+    distinct colors ↔ distinct PNG bytes (the encoder is injective for
+    fixed dims).  Dedup groups on sha2-256 of the real container bytes
+    (JVM codegen digest — no Python in the shuffle), then ONE real
+    ``parse_png`` decode per surviving group recovers the color the SQL
+    oracle recomputes from (lang, source) arithmetic.  Scale shape: one
+    hash-keyed exchange on the digest; decode cost is per-group, not
+    per-row."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), "lang", "source"
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from smartpy_arc_spark.multimodal.codecs import make_png
+
+        for pdf in batches:
+            payloads = []
+            for lang, source in zip(pdf["lang"], pdf["source"]):
+                color = (
+                    (ord(lang[0]) * 7 + len(source) * 31) % 256,
+                    (ord(lang[0]) * 13 + len(lang) * 17) % 256,
+                    (len(lang) * 29 + len(source) * 5) % 256,
+                )
+                payloads.append(
+                    make_png(np.full((8, 8, 3), color, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"item_id": pdf["item_id"], "payload": payloads})
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    blobs = docs.mapInPandas(synth, "item_id long, payload binary")
+    groups = blobs.groupBy(F.sha2(F.col("payload"), 256).alias("digest")).agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("item_id").alias("keeper_id"),
+        F.min("payload").alias("_rep"),
+    )
+
+    def decode(batches):
+        from smartpy_arc_spark.multimodal.codecs import parse_png
+
+        for pdf in batches:
+            rs, gs, bs = [], [], []
+            for p in pdf["_rep"]:
+                px = parse_png(bytes(p))[0, 0]
+                rs.append(int(px[0])); gs.append(int(px[1])); bs.append(int(px[2]))
+            yield pd.DataFrame(
+                {"r": rs, "g": gs, "b": bs,
+                 "n_copies": pdf["n_copies"], "keeper_id": pdf["keeper_id"]}
+            )
+
+    return groups.mapInPandas(
+        decode, "r int, g int, b int, n_copies long, keeper_id long"
     )
 
 
@@ -8282,6 +8447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "cluster_agreement": q_cluster_agreement,
         "theil_index": q_theil_index,
+        # round-6 stub-variant renames (the contract names above now run
+        # the real codecs); declared last so they never displace older
+        # unstamped queries from the driver's stamp prefix
+        "multimodal_decode_stub": q_multimodal_decode_stub,
+        "multimodal_features_stub": q_multimodal_features_stub,
+        "multimodal_dedup_text": q_multimodal_dedup_text,
     })
 
 
@@ -9373,6 +9544,20 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
         """,
         "multimodal_dedup": """
+            WITH c AS (
+                SELECT doc_id,
+                       (ascii(lang) * 7 + length(source) * 31) % 256 AS r,
+                       (ascii(lang) * 13 + length(lang) * 17) % 256 AS g,
+                       (length(lang) * 29 + length(source) * 5) % 256 AS b
+                FROM documents
+            )
+            SELECT CAST(r AS INTEGER) AS r, CAST(g AS INTEGER) AS g,
+                   CAST(b AS INTEGER) AS b,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM c GROUP BY r, g, b
+        """,
+        "multimodal_dedup_text": """
             SELECT sha256(concat(lang, '-', source)) AS digest,
                    CAST(count(*) AS BIGINT) AS n_copies,
                    min(doc_id) AS keeper_id
@@ -10895,6 +11080,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             SELECT doc_id AS item_id,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 16
+                             ELSE 8 + (doc_id % 5) * 4 END AS INTEGER)
+                       AS width,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 8 * (1 + doc_id % 2)
+                             ELSE 4 + (doc_id % 3) * 4 END AS INTEGER)
+                       AS height,
+                   CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'bmp' ELSE 'gif' END AS format
+            FROM documents WHERE doc_id < 160
+        """,
+        "multimodal_features": """
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id * 37 + 11) % 256 AS r,
+                       (doc_id * 59 + 5) % 256 AS g,
+                       (doc_id * 23 + 101) % 256 AS b,
+                       CASE doc_id % 2 WHEN 0 THEN 8 ELSE 16 END AS w,
+                       CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                            ELSE 16 END AS h
+                FROM documents WHERE doc_id < 400
+            ), feats AS (
+                SELECT doc_id,
+                       [CAST(r AS DOUBLE) / 255.0,
+                        CAST(g AS DOUBLE) / 255.0,
+                        CAST(b AS DOUBLE) / 255.0,
+                        0.0, 0.0, 0.0,
+                        least(CAST(w AS DOUBLE) / h, 4.0) / 4.0,
+                        0.299 * (r / 255.0) + 0.587 * (g / 255.0)
+                            + 0.114 * (b / 255.0)] AS v
+                FROM base
+            )
+            SELECT doc_id AS item_id, CAST(j - 1 AS INTEGER) AS dim,
+                   round(CAST(CAST(v[CAST(j AS INTEGER)] AS REAL)
+                              AS DOUBLE), 4) AS feat
+            FROM feats, unnest(generate_series(1, 8)) AS t(j)
+        """,
+        "multimodal_decode_stub": """
+            SELECT doc_id AS item_id,
                    CAST(length(text) AS INTEGER) AS n_bytes,
                    CAST(length(text) % 640 AS INTEGER) AS width,
                    CAST((length(text) * 7) % 480 AS INTEGER) AS height,
@@ -10902,7 +11125,7 @@ def oracle_sql() -> dict[str, str]:
                        AS format
             FROM documents
         """,
-        "multimodal_features": """
+        "multimodal_features_stub": """
             SELECT doc_id AS item_id, CAST(j AS INTEGER) AS dim,
                    round(CAST((length(text) * (2 * j + 3) + 7 * j) % 1000
                               AS DOUBLE) / 1000.0, 4) AS feat
