@@ -47,6 +47,33 @@ def char_trigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _tri_exploded(
+    df: DataFrame, keep_cols: list, text_col: str, hash_grams: bool
+) -> DataFrame:
+    """(keep_cols…, tri) rows — one row per trigram occurrence.
+
+    The normalized text is STAGED as a real column before the transform
+    lambda indexes into it: substring over the raw regexp_replace
+    EXPRESSION re-evaluates the whole normalization per element (no CSE
+    inside HOF lambdas — the ``ngram_novelty`` discovery), which is
+    O(len²) per document.  With ``hash_grams`` each trigram compresses
+    to an int64 xxhash64 inside the array pre-explode, so the LM join
+    probes 8-byte keys instead of strings."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    staged = df.select(*keep_cols, t.alias("_t"))
+    tt = F.col("_t")
+    tris = F.when(
+        F.length(tt) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(tt) - 2),
+            lambda i: F.substring(tt, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if hash_grams:
+        tris = F.transform(tris, lambda g: F.xxhash64(g))
+    return staged.select(*keep_cols, F.explode(tris).alias("tri"))
+
+
 def perplexity_buckets(
     corpus: DataFrame,
     reference: DataFrame,
@@ -55,6 +82,7 @@ def perplexity_buckets(
     text_col: str = "text",
     head: float = 1.0 / 3.0,
     tail: float = 2.0 / 3.0,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under a reference char-trigram LM, with
     CCNet head/middle/tail bucketing at the ``head``/``tail`` quantiles.
@@ -64,11 +92,16 @@ def perplexity_buckets(
     (rounded to 4), lower = more reference-like; ``bucket`` is
     'head' | 'middle' | 'tail' (ties at a cut point go to the better
     bucket, matching SQL ``<=`` semantics).
+
+    ``hash_grams=True`` (default) keys the LM and the probe side on
+    xxhash64(trigram) int64s (the ``ngram_novelty`` pattern): counts and
+    log-probs are identical unless two distinct corpus trigrams collide
+    in 64 bits (~m²/2⁶⁵ for m ≤ |charset|³ — immaterial), so the exact
+    oracle contract holds while the broadcast table and probe keys drop
+    from ~20-byte strings to 8 bytes.
     """
     lm = (
-        reference.select(
-            F.explode(char_trigrams(F.col(text_col))).alias("tri")
-        )
+        _tri_exploded(reference, [], text_col, hash_grams)
         .groupBy("tri")
         .agg(F.count("*").alias("n"))
     )
@@ -86,10 +119,7 @@ def perplexity_buckets(
         ).alias("logp"),
     )
 
-    per_tri = corpus.select(
-        F.col(id_col),
-        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
-    )
+    per_tri = _tri_exploded(corpus, [F.col(id_col)], text_col, hash_grams)
     scored = (
         per_tri.join(F.broadcast(lm_probs), "tri", "left")
         .crossJoin(F.broadcast(vocab_total))
