@@ -13,7 +13,20 @@ the closest observable to the true cost.  Medians of all runs remain
 derivable from "runs" for drift analysis.
 
 The headline set is frozen as of round 1 — do not add/remove entries, so
-BENCH_r{N}.json stays comparable query-for-query across rounds.
+BENCH_r{N}.json stays comparable query-for-round across rounds.
+
+A second recorded block, "heavy_tail" (added round 6), times the ten
+heaviest non-headline queries with ONE timed run after one warm-up —
+these jobs are multi-second, so single-run noise is small relative to
+signal, and it keeps the bench under budget.  The heavy-tail set is
+frozen as of round 6.  "value" remains headline-only for round-over-round
+comparability.
+
+Drift protocol (round-5 lesson: a +9%% total recorded at 06:24 turned out
+to be machine contention): re-run on an idle machine before reading a
+total movement as real — compare per-query "runs" spreads first; a
+contended run shows inflated max/min ratios across MANY queries at once,
+a real regression moves one query's MIN.
 """
 
 from __future__ import annotations
@@ -51,6 +64,21 @@ BENCH_QUERIES = [
     "geom_split",
 ]
 
+# The ten heaviest non-headline queries at sf0.1 (frozen round 6): tail
+# regressions become provable round-over-round instead of ad-hoc prose.
+HEAVY_TAIL_QUERIES = [
+    "perplexity_buckets",
+    "embedding_near_dup",
+    "mst",
+    "ngram_novelty",
+    "embedding_whiten",
+    "knn_classify",
+    "semdedup",
+    "duplicate_spans",
+    "set_similarity",
+    "louvain",
+]
+
 
 def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -80,6 +108,14 @@ def main() -> None:
         runs[name] = trials
         timings[name] = round(min(trials), 3)
 
+    heavy: dict[str, float] = {}
+    for name in HEAVY_TAIL_QUERIES:
+        fn = qs[name]
+        run(fn(spark, sf_dir))  # warm-up
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
+        heavy[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +125,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "heavy_tail": heavy,
+                "heavy_tail_total": round(sum(heavy.values()), 3),
                 "sf": sf,
             }
         )

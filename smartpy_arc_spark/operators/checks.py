@@ -752,26 +752,42 @@ def duplicate_charges(
     accounts-payable / double-charge fraud test.
 
     Scale shape: the self-join blocks on the exact (entity, amount-
-    cents) key — never all-pairs per entity — and each qualifying pair
-    meets once (``id_a < id_b``).  Amount equality is integer-cent
+    cents, coarse-time-bucket) key — never all-pairs per entity, and
+    bounded by LOCAL temporal density even for an entity with years of
+    identical-amount charges (a fixed subscription fee): the bucket is
+    ``epoch_day div window_days``, one side exploded to its adjacent
+    buckets, so any in-window pair meets in exactly one bucket cell and
+    candidates per cell are capped by how many charges land within
+    ~2·window_days of each other.  Amount equality is integer-cent
     equality; the window predicate is exact day arithmetic.
 
     Returns ``(entity, amount_units, id_a, id_b, days_apart)`` —
     amounts in integer ``scale`` units.
     """
+    wd = max(int(window_days), 1)
     cents = F.round(F.col(amount_col).cast("double") * scale).cast("long")
+    bucket = F.floor(F.unix_date(F.col(ts_col).cast("date")) / wd)
     base = df.select(
         F.col(entity_col).alias("e"),
         cents.alias("c"),
         F.col(ts_col).cast("date").alias("d"),
         F.col(id_col).alias("rid"),
+        bucket.alias("bk"),
     ).where(F.col("c").isNotNull())
+    # a keeps its own bucket; b explodes to {bk−1, bk, bk+1}: a pair with
+    # |day_a − day_b| ≤ window_days always differs by ≤1 bucket, and for
+    # a given (a, b) exactly ONE exploded value equals a.bk — no dedup
+    # pass needed
     a = base.alias("a")
-    b = base.alias("b")
+    b = base.withColumn(
+        "bk", F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1))
+    ).alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.e") == F.col("b.e")) & (F.col("a.c") == F.col("b.c")),
+            (F.col("a.e") == F.col("b.e"))
+            & (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.bk") == F.col("b.bk")),
         )
         .where(F.col("a.rid") < F.col("b.rid"))
         .select(

@@ -1140,15 +1140,27 @@ def bollinger_bands(
     Returns ``(ts, n_window, mid_e4, sd_e4, upper_e4, lower_e4,
     outside)``.
     """
+    if 10000 % scale != 0:
+        raise ValueError(
+            f"scale must divide 10000 (a power of 10 <= 10000); got {scale}"
+        )
     x = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
     w = W.orderBy("t").rowsBetween(-(window - 1), 0)
     n = F.count("*").over(w)
     s = F.sum("x").over(w)
-    q = F.sum(F.col("x") * F.col("x")).over(w)
+    # second moment and n·q − s² in DECIMAL(38,0) (the market_beta
+    # pattern): Σx² in plain int64 wraps silently in non-ANSI mode (or
+    # errors under ANSI) once ticks reach ~1e8·sf magnitudes
+    xd = F.col("x").cast("decimal(19,0)")
+    q = F.sum(xd * xd).over(w)
     mid = s.cast("double") / n.cast("double") / scale * 10000
+    var_n2 = (
+        n.cast("decimal(19,0)") * q
+        - s.cast("decimal(19,0)") * s.cast("decimal(19,0)")
+    )
     sd = (
-        F.sqrt((n * q - s * s).cast("double"))
+        F.sqrt(var_n2.cast("double"))
         / n.cast("double")
         / scale
         * 10000

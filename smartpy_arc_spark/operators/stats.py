@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _check_e4_scale(scale: int) -> None:
+    """Operators that rescale e-``scale`` ticks to e4 output with the
+    integer factor ``10000 // scale`` require scale to divide 10000
+    exactly (in practice: a power of 10 ≤ 10000) — any other value would
+    silently mis-scale the output."""
+    if scale <= 0 or 10000 % scale != 0:
+        raise ValueError(
+            f"scale must divide 10000 (a power of 10 <= 10000); got {scale}"
+        )
+
+
 def chi_square_independence(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:
@@ -4308,6 +4319,7 @@ def var_cvar(
     Returns ``(key, n_changes, k_tail, var_e4, cvar_e4)`` in original
     value units (negative = loss).
     """
+    _check_e4_scale(scale)
     x = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(
         F.col(key_col).alias("k"), F.col(ts_col).alias("t"), x.alias("x")
@@ -4358,6 +4370,7 @@ def grubbs_statistic(
     Returns one row ``(n, mean_e4, sd_e4, g_e6, outlier_ts,
     outlier_e4)``.
     """
+    _check_e4_scale(scale)
     x = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
     xd = F.col("x").cast("decimal(19,0)")
@@ -4537,6 +4550,7 @@ def percentile_bands(
     window over the same exchange; each requested q becomes a
     conditional aggregate column.  Returns ``(group, n, p{q}_e4...)``.
     """
+    _check_e4_scale(scale)
     x = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(F.col(group_col).alias("g"), x.alias("x")).where(
         F.col("x").isNotNull() & F.col("g").isNotNull()
