@@ -1278,8 +1278,10 @@ def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only; recall vs brute force asserted in
-    tests)."""
+    """IVF approximate top-k.  Oracle-backed (round 6): the default
+    codebook is deterministic (lowest-16-id vectors), so assignment +
+    probe + exact rerank mirror in SQL (``_ivf_ann_sql``); recall vs
+    brute force additionally asserted in tests."""
     from smartpy_arc_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1427,8 +1429,11 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (rows-only; recall vs exact asserted in
-    tests/test_pipeline_ops.py)."""
+    """SRP-LSH approximate top-k.  Oracle-backed (round 6): the
+    deterministic seeded hyperplanes + exact-fold cosine make the
+    approximate result a cross-engine-reproducible function —
+    ``_ann_lsh_sql`` mirrors the same ``_hyperplanes`` literals; recall
+    vs exact additionally asserted in tests/test_pipeline_ops.py."""
     from smartpy_arc_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3131,8 +3136,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the supplier co-order graph (iterative peel; rows-only:
-    data-dependent round count — pinned by exact small-graph tests)."""
+    """3-core of the supplier co-order graph (iterative peel).
+    Oracle-backed (round 6): the bounded fixture (<=30 vertices) peels to
+    fixpoint within 30 rounds, so ``_k_core_sql`` unrolls exactly that
+    many — extra rounds at fixpoint are identity, matching the
+    operator's early exit."""
     from smartpy_arc_spark.operators.components import k_core
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -4101,9 +4109,10 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label-propagation communities over the
-    co-order supplier graph (same bounded fixture as bfs_hops).  No SQL
-    oracle (iterative grouped mode per round); determinism + community
-    structure pinned by unit tests."""
+    co-order supplier graph (same bounded fixture as bfs_hops).
+    Oracle-backed (round 6): ``_label_propagation_sql`` unrolls the same
+    6 synchronous rounds with the same self-vote and smallest-label
+    tie-break — all-integer, so no float brittleness."""
     from smartpy_arc_spark.operators.components import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
@@ -5440,9 +5449,9 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test Naive Bayes language ID on a deterministic split: the
     even-doc half trains per-language token models, the odd half scores;
     output is the (true, predicted) confusion table with mean margins.
-    Rows-only: log-likelihood floats make cross-engine argmax brittle in
-    principle; accuracy and exact small-case likelihoods are pinned by
-    unit tests."""
+    Oracle-backed (round 6): ``nb_score`` pre-rounds every log term to
+    integer nanonats, so totals/argmax/margins are exact bigint sums
+    mirrored by ``_nb_langid_sql``."""
     from smartpy_arc_spark.operators.text import nb_score, nb_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -8927,6 +8936,291 @@ def _ljung_sql(max_lag: int = 7) -> str:
                END AS q_e6,
                {rho_cols}
         FROM sel
+    """
+
+
+def _dot_fold_sql(a: str, b: str, dim: int = 64) -> str:
+    """Sequential left-fold dot product over two DOUBLE[] expressions —
+    the exact association order of the Spark HOF
+    (``aggregate(zip_with(a,b,*), 0.0, +)``), so doubles match
+    bit-for-bit."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_fold_sql(a: str, b: str, dim: int = 64) -> str:
+    """Mirror of ``operators.similarity.cosine``: dot/sqrt(daa·dbb),
+    NULL for zero-norm (same guard, same op order)."""
+    dab = _dot_fold_sql(a, b, dim)
+    daa = _dot_fold_sql(a, a, dim)
+    dbb = _dot_fold_sql(b, b, dim)
+    return (
+        f"CASE WHEN sqrt(({daa}) * ({dbb})) > 0 "
+        f"THEN ({dab}) / sqrt(({daa}) * ({dbb})) END"
+    )
+
+
+def _ann_lsh_sql(n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                 k: int = 5, dim: int = 64) -> str:
+    """Generated mirror of ``operators.similarity.ann_lsh_topk``: the
+    hyperplane literals come from the SAME ``_hyperplanes()`` RNG the
+    Spark plan inlines (one source of truth), the SRP bit-packing uses
+    the same MSB-first plane order, and candidate selection / exact
+    cosine rerank mirror the operator exactly — so the *approximate*
+    result is a deterministic function both engines agree on."""
+    from smartpy_arc_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        for p_idx in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[p_idx])
+            rows.append(f"({t}, {p_idx}, [{vec}])")
+    values = ",\n                ".join(rows)
+    cos = _cos_fold_sql("qe.v", "ce.v", dim)
+    return f"""
+        WITH planes(tbl, pidx, pv) AS (
+            VALUES {values}
+        ), corp AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cb AS (
+            SELECT c.vec_id, p.tbl,
+                   CAST(sum(CASE WHEN ({_dot_fold_sql('c.v', 'p.pv', dim)})
+                                      >= 0
+                            THEN 1 << ({n_planes - 1} - p.pidx)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM corp c CROSS JOIN planes p
+            GROUP BY c.vec_id, p.tbl
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM cb c JOIN (SELECT * FROM cb WHERE vec_id < 5) q
+                 ON c.tbl = q.tbl AND c.bucket = q.bucket
+            WHERE c.vec_id <> q.vec_id
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id, {cos} AS _cos
+            FROM cand
+            JOIN corp qe ON qe.vec_id = cand.query_id
+            JOIN corp ce ON ce.vec_id = cand.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, _cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY _cos DESC NULLS LAST, neighbor_id ASC
+                   ) AS INTEGER) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(_cos, 6) AS cos_sim, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+def _ivf_ann_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                 dim: int = 64) -> str:
+    """Mirror of ``operators.similarity.ivf_topk`` with the default
+    deterministic codebook (the ``n_centroids`` lowest-id corpus
+    vectors): nearest-list assignment, n_probe query probes, exact
+    cosine rerank — all in the operator's op order."""
+    cos_assign = _cos_fold_sql("s.v", "ct.v", dim)
+    cos_rerank = _cos_fold_sql("qe.v", "ce.v", dim)
+    return f"""
+        WITH corp AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v FROM corp
+            ORDER BY vec_id LIMIT {n_centroids}
+        ), assign AS (
+            SELECT s.vec_id, ct.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY ({cos_assign}) DESC NULLS LAST,
+                                ct.centroid_id ASC
+                   ) AS rn
+            FROM corp s CROSS JOIN cents ct
+        ), c_assigned AS (
+            SELECT vec_id AS neighbor_id, centroid_id FROM assign
+            WHERE rn = 1
+        ), q_assigned AS (
+            SELECT vec_id AS query_id, centroid_id FROM assign
+            WHERE vec_id < 5 AND rn <= {n_probe}
+        ), cand AS (
+            SELECT DISTINCT q.query_id, c.neighbor_id
+            FROM c_assigned c JOIN q_assigned q USING (centroid_id)
+            WHERE c.neighbor_id <> q.query_id
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id, {cos_rerank} AS _cos
+            FROM cand
+            JOIN corp qe ON qe.vec_id = cand.query_id
+            JOIN corp ce ON ce.vec_id = cand.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, _cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY _cos DESC NULLS LAST, neighbor_id ASC
+                   ) AS INTEGER) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(_cos, 6) AS cos_sim, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+def _k_core_sql(k: int = 3, cap: int = 30, rounds: int = 30) -> str:
+    """Generated mirror of ``operators.components.k_core`` over the
+    bounded supplier co-order graph: ``rounds`` unrolled peel rounds.
+    The subgraph has ≤ ``cap`` vertices and every non-fixpoint round
+    permanently removes ≥ 1 vertex, so ``rounds = cap`` reaches the
+    fixpoint and further rounds are identity — exactly the operator's
+    early-exit semantics."""
+    ctes = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT la.l_suppkey AS va, lb.l_suppkey AS vb
+            FROM lineitem la JOIN lineitem lb
+                 ON la.l_orderkey = lb.l_orderkey
+            WHERE la.l_suppkey < lb.l_suppkey
+              AND la.l_suppkey <= {cap} AND lb.l_suppkey <= {cap}
+        )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT v, count(*) AS c FROM (
+                SELECT va AS v FROM e{p} UNION ALL SELECT vb FROM e{p}
+            ) t GROUP BY v
+        ), e{r} AS MATERIALIZED (
+            SELECT va, vb FROM e{p}
+            JOIN d{r} da ON da.v = va JOIN d{r} db ON db.v = vb
+            WHERE da.c >= {k} AND db.c >= {k}
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT v AS vertex, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT va AS v FROM e{rounds} UNION ALL SELECT vb FROM e{rounds}
+        ) t GROUP BY v
+    """
+
+
+def _label_propagation_sql(cap: int = 40, rounds: int = 6) -> str:
+    """Generated mirror of ``operators.components.label_propagation``
+    (synchronous, self-vote, smallest-label tie-break) over the bounded
+    supplier co-order graph: exactly ``rounds`` unrolled rounds — the
+    operator's early exit only fires at a fixpoint, where further
+    synchronous rounds are identity, so a fixed unroll matches."""
+    ctes = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT la.l_suppkey AS s, lb.l_suppkey AS d
+            FROM lineitem la JOIN lineitem lb
+                 ON la.l_orderkey = lb.l_orderkey
+            WHERE la.l_suppkey < lb.l_suppkey
+              AND la.l_suppkey <= {cap} AND lb.l_suppkey <= {cap}
+        ), edges AS MATERIALIZED (
+            SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+        ), l0 AS MATERIALIZED (
+            SELECT DISTINCT s AS node, s AS label FROM edges
+        )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+        l{r} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC
+                ) AS rn
+                FROM (
+                    SELECT node, label, count(*) AS c FROM (
+                        SELECT e.s AS node, l.label
+                        FROM edges e JOIN l{p} l ON l.node = e.d
+                        UNION ALL SELECT node, label FROM l{p}
+                    ) votes GROUP BY node, label
+                ) m
+            ) w WHERE rn = 1
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT node, label AS community FROM l{rounds}
+    """
+
+
+def _nb_langid_sql() -> str:
+    """Mirror of ``q_nb_langid`` (train on even docs, score odd docs):
+    exact-integer Laplace counts, per-term nanonat log pre-rounds (the
+    same e9 rounding ``operators.text.nb_score`` applies), bigint
+    totals, integer argmax/margin — fully order-free."""
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '')"
+    )
+    return f"""
+        WITH train AS (
+            SELECT lang, text FROM documents WHERE doc_id % 2 = 0
+        ), test AS (
+            SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+        ), ttoks AS (
+            SELECT lang AS label, unnest({toks}) AS token FROM train
+        ), counts AS (
+            SELECT label, token, CAST(count(*) AS BIGINT) AS n_tok
+            FROM ttoks GROUP BY label, token
+        ), ltot AS (
+            SELECT label, CAST(sum(n_tok) AS BIGINT) AS n_label_tokens
+            FROM counts GROUP BY label
+        ), ldocs AS (
+            SELECT lang AS label, count(*) AS n_label_docs
+            FROM train GROUP BY lang
+        ), nd AS (SELECT count(*) AS n_docs FROM train),
+        voc AS (SELECT count(DISTINCT token) AS vocab FROM counts),
+        weights AS (
+            SELECT c.label, c.token,
+                   CAST(round((
+                       ln(CAST(c.n_tok + 1 AS DOUBLE)
+                          / CAST(l.n_label_tokens + voc.vocab AS DOUBLE))
+                       - ln(CAST(1 AS DOUBLE)
+                            / CAST(l.n_label_tokens + voc.vocab AS DOUBLE))
+                   ) * 1e9) AS BIGINT) AS w_gain
+            FROM counts c JOIN ltot l USING (label), voc
+        ), labelstats AS (
+            SELECT l.label,
+                   CAST(round(ln(CAST(d.n_label_docs AS DOUBLE)
+                                 / CAST(nd.n_docs AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS prior,
+                   CAST(round(ln(CAST(1 AS DOUBLE)
+                                 / CAST(l.n_label_tokens + voc.vocab
+                                        AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS floor_w
+            FROM ltot l JOIN ldocs d USING (label), nd, voc
+        ), stoks AS (
+            SELECT doc_id, {toks} AS tk FROM test
+        ), exp AS (
+            SELECT doc_id, unnest(tk) AS token FROM stoks
+        ), seen AS (
+            SELECT e.doc_id, w.label, CAST(sum(w.w_gain) AS BIGINT) AS gain
+            FROM exp e JOIN weights w USING (token)
+            GROUP BY e.doc_id, w.label
+        ), ll AS (
+            SELECT s.doc_id, ls.label,
+                   ls.prior + len(s.tk) * ls.floor_w
+                       + coalesce(sn.gain, 0) AS ll
+            FROM stoks s CROSS JOIN labelstats ls
+            LEFT JOIN seen sn
+                 ON sn.doc_id = s.doc_id AND sn.label = ls.label
+        ), ranked AS (
+            SELECT doc_id, label, ll, row_number() OVER (
+                PARTITION BY doc_id ORDER BY ll DESC, label ASC
+            ) AS rn FROM ll
+        ), pred AS (
+            SELECT r1.doc_id, r1.label AS predicted_label,
+                   (r1.ll - coalesce(r2.ll, r1.ll)) // 1000 AS margin_e6
+            FROM ranked r1 LEFT JOIN ranked r2
+                 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+            WHERE r1.rn = 1
+        )
+        SELECT t.lang AS true_lang, p.predicted_label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(avg(p.margin_e6)) AS BIGINT) AS avg_margin_e6
+        FROM test t JOIN pred p USING (doc_id)
+        GROUP BY t.lang, p.predicted_label
     """
 
 
@@ -18128,4 +18422,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, n_groups, t_total_e9, t_between_e9, t_within_e9
             FROM tot, t_total, t_between, t_within
         """,
+        # round-6 rows-only → oracle-backed conversions (generated
+        # mirrors; deterministic approximate/iterative results)
+        "ann_lsh": _ann_lsh_sql(),
+        "ivf_ann": _ivf_ann_sql(),
+        "k_core": _k_core_sql(),
+        "label_propagation": _label_propagation_sql(),
+        "nb_langid": _nb_langid_sql(),
     }

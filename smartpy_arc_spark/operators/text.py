@@ -907,26 +907,37 @@ def nb_score(
     than the doc id.  Ties break to the lexicographically smallest
     label, so predictions are deterministic.
 
+    Exactness (round 6): every log term pre-rounds ONCE to integer
+    nanonats (e9), so per-document totals are exact bigint sums —
+    order-free across partitions and bit-identical in any engine that
+    rounds the same double logs (the ``mutual_information`` nanonat
+    contract).  The argmax and margin are therefore exact integer
+    comparisons, not float ones.
+
     Returns ``(id, predicted_label, margin_e6)`` where margin is the
-    log-likelihood gap to the runner-up (confidence proxy).
+    log-likelihood gap to the runner-up (confidence proxy), in integer
+    micronats (``diff_e9 div 1000``).
     """
     labels = model.select(
         "label", "n_label_tokens", "n_label_docs", "n_docs", "vocab", "alpha_num"
     ).distinct()
     weights = model.select(
         "label", "token",
-        (
-            F.log(
-                (F.col("n_tok") + F.col("alpha_num")).cast("double")
-                / (F.col("n_label_tokens")
-                   + F.col("alpha_num") * F.col("vocab")).cast("double")
-            )
-            - F.log(
-                F.col("alpha_num").cast("double")
-                / (F.col("n_label_tokens")
-                   + F.col("alpha_num") * F.col("vocab")).cast("double")
-            )
-        ).alias("w_gain"),  # log-lift of a SEEN token over the unseen floor
+        F.round(
+            (
+                F.log(
+                    (F.col("n_tok") + F.col("alpha_num")).cast("double")
+                    / (F.col("n_label_tokens")
+                       + F.col("alpha_num") * F.col("vocab")).cast("double")
+                )
+                - F.log(
+                    F.col("alpha_num").cast("double")
+                    / (F.col("n_label_tokens")
+                       + F.col("alpha_num") * F.col("vocab")).cast("double")
+                )
+            ) * 1e9
+        ).cast("long")
+        .alias("w_gain"),  # nanonat log-lift of a SEEN token over the floor
     )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")
@@ -948,15 +959,19 @@ def nb_score(
             F.broadcast(
                 labels.select(
                     "label",
-                    F.log(
-                        F.col("n_label_docs").cast("double")
-                        / F.col("n_docs").cast("double")
-                    ).alias("prior"),
-                    F.log(
-                        F.col("alpha_num").cast("double")
-                        / (F.col("n_label_tokens")
-                           + F.col("alpha_num") * F.col("vocab")).cast("double")
-                    ).alias("floor"),
+                    F.round(
+                        F.log(
+                            F.col("n_label_docs").cast("double")
+                            / F.col("n_docs").cast("double")
+                        ) * 1e9
+                    ).cast("long").alias("prior"),
+                    F.round(
+                        F.log(
+                            F.col("alpha_num").cast("double")
+                            / (F.col("n_label_tokens")
+                               + F.col("alpha_num") * F.col("vocab")).cast("double")
+                        ) * 1e9
+                    ).cast("long").alias("floor"),
                 )
             )
         )
@@ -969,7 +984,7 @@ def nb_score(
         base.join(seen, [id_col, "label"], "left")
         .select(
             id_col, "label",
-            (F.col("base") + F.coalesce("gain", F.lit(0.0))).alias("ll"),
+            (F.col("base") + F.coalesce("gain", F.lit(0))).alias("ll"),
         )
     )
     # bounded per-doc list: one struct per LABEL (languages — a handful),
@@ -983,10 +998,12 @@ def nb_score(
     return top2.select(
         F.col(id_col),
         F.col("ranked")[0]["label"].alias("predicted_label"),
-        F.round(
+        # exact integer gap in nanonats, floor-divided to micronats
+        # (diff >= 0, so floor == div == //; mirrors SQL integer //)
+        F.floor(
             (F.coalesce(
                 F.col("ranked")[1]["nll"], F.col("ranked")[0]["nll"]
-            ) - F.col("ranked")[0]["nll"]) * 1e6
+            ) - F.col("ranked")[0]["nll"]) / F.lit(1000)
         ).cast("long").alias("margin_e6"),
     )
 
