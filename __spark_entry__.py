@@ -6488,8 +6488,10 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-DP Laplace-noised event-type counts with deterministic
-    md5-derived noise (reproducible release).  Rows-only: ln is not
-    bit-portable; determinism and ε-scaling pinned by tests."""
+    md5-derived noise (reproducible release).  Oracle-backed (round 6):
+    sign(u) is ±1 so float multiply association is exact, and the
+    round-to-integer release absorbs any ulp gap in ln between engines;
+    determinism and ε-scaling additionally pinned by tests."""
     from smartpy_arc_spark.operators.checks import dp_counts
 
     ev = _t(spark, sf_dir, "events")
@@ -18429,4 +18431,32 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "label_propagation": _label_propagation_sql(),
         "nb_langid": _nb_langid_sql(),
+        # deterministic md5-derived Laplace noise (seed 7, eps 0.5,
+        # sensitivity 1): u and the noise expression mirror
+        # operators/checks.py:dp_counts op-for-op; sign(u) is +-1 so the
+        # float multiply association is exact, and round-to-integer
+        # absorbs any ulp gap in ln between engines
+        "dp_counts": """
+            WITH true_c AS (
+                SELECT event_type, count(*) AS n
+                FROM events GROUP BY event_type
+            ), uni AS (
+                SELECT event_type, n,
+                       CAST(CAST(concat('0x', substr(md5(concat_ws(
+                                chr(31), '7', CAST(event_type AS VARCHAR)
+                            )), 1, 13)) AS BIGINT) AS DOUBLE)
+                           / 4503599627370496.0 AS u52
+                FROM true_c
+            ), lap AS (
+                SELECT event_type, n,
+                       (u52 * 0.999998 + 0.000001) - 0.5 AS u
+                FROM uni
+            )
+            SELECT event_type,
+                   CAST(n + CAST(round(
+                       -2.0 * sign(u) * ln(1.0 - 2.0 * abs(u))
+                   ) AS BIGINT) AS BIGINT) AS noisy_count,
+                   CAST(500000 AS BIGINT) AS epsilon_e6
+            FROM lap
+        """,
     }
