@@ -9146,6 +9146,75 @@ def _label_propagation_sql(cap: int = 40, rounds: int = 6) -> str:
     """
 
 
+def _textrank_sql(top_k: int = 20, iterations: int = 5,
+                  damping: float = 0.85) -> str:
+    """Generated mirror of ``q_textrank`` (``textrank_keywords`` →
+    shared ``pagerank``): same tokenization (the stopword literal comes
+    from the SAME ``RAKE_STOPWORDS`` constant), same adjacent-pair
+    symmetrized-distinct graph, ``iterations`` unrolled power-iteration
+    rounds in the ``personalized_pagerank`` oracle shape.  The
+    symmetrized graph has no dangling nodes (every node appears as src),
+    so the operator's dangling-mass term is exactly 0.0 and adding it is
+    a bit-exact no-op — the mirror omits it.  Intermediate ranks stay
+    full doubles in both engines; only the final e9 rounding compares."""
+    from smartpy_arc_spark.operators.text import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(set(RAKE_STOPWORDS)))
+    d = repr(float(damping))
+    ctes = [f"""
+        stoks AS MATERIALIZED (
+            SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t <> ''
+                                    AND NOT list_contains([{stops}], t))
+                   AS tk
+            FROM documents
+        ), edges0 AS (
+            SELECT pr.a AS src, pr.b AS dst FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(tk) - 1),
+                    i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS pr
+                FROM stoks WHERE len(tk) >= 2
+            ) t WHERE pr.a <> pr.b
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT src AS s, dst AS d FROM (
+                SELECT src, dst FROM edges0
+                UNION ALL SELECT dst AS src, src AS dst FROM edges0
+            ) u
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT s AS node FROM e
+        ), nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS MATERIALIZED (
+            SELECT s, count(*) AS deg FROM e GROUP BY s
+        ), r0 AS MATERIALIZED (
+            SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+        )"""]
+    for r in range(1, iterations + 1):
+        p = r - 1
+        ctes.append(f"""
+        r{r} AS MATERIALIZED (
+            SELECT n.node,
+                   (1.0 - {d}) / nn.n
+                       + {d} * coalesce(c.c, 0.0) AS rank
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.d AS node, sum(r.rank / dg.deg) AS c
+                FROM e JOIN r{p} r ON r.node = e.s
+                       JOIN deg dg ON dg.s = e.s
+                GROUP BY e.d
+            ) c ON c.node = n.node
+            CROSS JOIN nn
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT node AS word,
+               CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
+        FROM r{iterations}
+        ORDER BY rank_e9 DESC, word ASC
+        LIMIT {top_k}
+    """
+
+
 def _nb_langid_sql() -> str:
     """Mirror of ``q_nb_langid`` (train on even docs, score odd docs):
     exact-integer Laplace counts, per-term nanonat log pre-rounds (the
@@ -18431,6 +18500,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "label_propagation": _label_propagation_sql(),
         "nb_langid": _nb_langid_sql(),
+        "textrank": _textrank_sql(),
         # deterministic md5-derived Laplace noise (seed 7, eps 0.5,
         # sensitivity 1): u and the noise expression mirror
         # operators/checks.py:dp_counts op-for-op; sign(u) is +-1 so the
