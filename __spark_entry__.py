@@ -5346,10 +5346,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords over the corpus word co-occurrence graph
     (adjacent-token edges, stopwords removed, 5 PageRank iterations).
-    Rows-only: the power iteration over a text-derived graph has no
-    tractable SQL form; determinism and ranking behavior are pinned by
-    unit tests and the shared pagerank operator's own oracle-backed
-    queries."""
+    Oracle-backed (round 6): ``_textrank_sql`` unrolls the same 5
+    power-iteration rounds over the same tokenization (stopword literal
+    shared with RAKE_STOPWORDS) in the personalized_pagerank oracle
+    shape; the symmetrized graph has no dangling nodes, so that term is
+    exactly 0.0 and the mirror omits it bit-exactly."""
     from smartpy_arc_spark.operators.text import textrank_keywords
 
     docs = _t(spark, sf_dir, "documents")
