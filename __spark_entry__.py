@@ -15951,10 +15951,12 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
                 SELECT CAST(sum(n) AS BIGINT) AS nt,
                        CAST(count(*) AS BIGINT) AS k,
-                       CAST(sum(CAST(round(
+                       -- HUGEINT term sum, mirroring the Spark side's
+                       -- DECIMAL(38,0): per-group terms are ~n*ticks^2
+                       -- and a bigint SUM wraps at larger sf
+                       sum(CAST(round(
                            CAST(n * ss - s * s AS DOUBLE)
-                           / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
-                           AS ssw_x
+                           / CAST(n AS DOUBLE)) AS HUGEINT)) AS ssw_x
                 FROM m
             )
             SELECT a.g AS group_a, b.g AS group_b,

@@ -2908,15 +2908,18 @@ def pairwise_mean_diffs(
         F.count("*").cast("long").alias("k"),
         # within-group sum of squares: Σ_g (ss_g − s_g²/n_g); each term
         # one division, pre-summed in fixed double order is NOT safe —
-        # keep each term and sum the rounded e6 units instead
+        # keep each term and sum the rounded units instead.  Terms are
+        # ~n·ticks² (≈3e18 per group at sf0.1/scale=100), so the SUM
+        # runs in DECIMAL(38,0) — a long sum overflows 2⁶³ with a
+        # handful of groups (caught by the r6 sf0.1 scale smoke)
         F.sum(
             F.round(
                 (dec(F.col("n")) * F.col("ss") - F.col("s") * F.col("s"))
                 .cast("double")
                 / F.col("n").cast("double")
-            ).cast("long")
+            ).cast("decimal(38,0)")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("ssw_x"),
     )
     a = m.alias("a")
