@@ -1454,22 +1454,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.similarity.ann_lsh_topk`` (SRP-LSH buckets), which bound
     the candidate set by construction.  ``tests/test_pipeline_ops.py``
     asserts the bounded filter stays in this query."""
-    from smartpy_arc_spark.operators.similarity import cosine
+    from smartpy_arc_spark.operators.similarity import _dot
 
     emb = _t(spark, sf_dir, "embeddings")
+    # per-row norms staged ONCE per side: cosine() would re-fold
+    # dot(a,a) and dot(b,b) per PAIR (3 folds/pair); staging cuts the
+    # pair work to one dot fold — same doubles, same op order
+    # (denom = sqrt(na2 * nb2) exactly as cosine() computes it)
+    va = F.col("embedding").cast("array<double>")
     q = emb.where("vec_id < 300").select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("_va"),
+        va.alias("_va"),
+        _dot(va, va).alias("_na2"),
     )
     c = emb.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("_vb"),
+        va.alias("_vb"),
+        _dot(va, va).alias("_nb2"),
     )
     pairs = c.join(F.broadcast(q), F.col("id_b") > F.col("id_a"))
+    denom = F.sqrt(F.col("_na2") * F.col("_nb2"))
+    cos = F.when(denom > 0, _dot(F.col("_va"), F.col("_vb")) / denom)
     return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
-        )
+        pairs.select("id_a", "id_b", cos.alias("_cos"))
         .where("_cos > 0.45")
         .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
     )

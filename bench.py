@@ -64,19 +64,20 @@ BENCH_QUERIES = [
     "geom_split",
 ]
 
-# The ten heaviest non-headline queries at sf0.1 (frozen round 6): tail
-# regressions become provable round-over-round instead of ad-hoc prose.
+# The ten heaviest non-headline queries by MEASURED warm sf0.1 wall
+# (frozen round 6, after the r6 optimizations): tail regressions become
+# provable round-over-round instead of ad-hoc prose.
 HEAVY_TAIL_QUERIES = [
-    "perplexity_buckets",
-    "embedding_near_dup",
-    "mst",
-    "ngram_novelty",
-    "embedding_whiten",
-    "knn_classify",
-    "semdedup",
-    "duplicate_spans",
-    "set_similarity",
-    "louvain",
+    "embedding_near_dup",     # 3.9s after r6 norm staging (was 19.4)
+    "pagerank_influence",     # 11.6s — iterative power method
+    "personalized_pagerank",  # 10.5s — iterative power method
+    "geometric_median",       # 7.4s after r6 HOF-CSE staging (was 16.8)
+    "mst",                    # 7.2s — Borůvka rounds
+    "louvain",                # 6.9s — local-move + coarsen rounds
+    "perplexity_buckets",     # 3.7s after r6 staging+int64 keys (was 28)
+    "ams_f2",                 # 3.1s
+    "bpe_encode",             # 2.6s
+    "semdedup",               # 0.6s warm; kept as the dedup representative
 ]
 
 

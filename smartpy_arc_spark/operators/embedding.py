@@ -338,9 +338,15 @@ def geometric_median(
             )
         )
         d = F.greatest(d, F.lit(float(eps)))
-        agg = base.select(
-            F.transform(F.col("v"), lambda x: x / d).alias("w"),
-            (F.lit(1.0) / d).alias("iw"),
+        # STAGE d behind a projection boundary before the transform
+        # lambda divides by it: an expression inside a HOF lambda gets
+        # re-evaluated PER ELEMENT (the ngram_novelty discovery), so the
+        # un-staged form recomputed the dim-wide distance fold 64× per
+        # row per round — O(dim²) for an O(dim) job
+        staged = base.select("v", d.alias("_d"))
+        agg = staged.select(
+            F.transform(F.col("v"), lambda x: x / F.col("_d")).alias("w"),
+            (F.lit(1.0) / F.col("_d")).alias("iw"),
         ).agg(
             *[
                 F.sum(F.element_at(F.col("w"), i + 1)).alias(f"s{i}")
