@@ -68,16 +68,19 @@ BENCH_QUERIES = [
 # (frozen round 6, after the r6 optimizations): tail regressions become
 # provable round-over-round instead of ad-hoc prose.
 HEAVY_TAIL_QUERIES = [
-    "embedding_near_dup",     # 3.9s after r6 norm staging (was 19.4)
-    "pagerank_influence",     # 11.6s — iterative power method
-    "personalized_pagerank",  # 10.5s — iterative power method
-    "geometric_median",       # 7.4s after r6 HOF-CSE staging (was 16.8)
-    "mst",                    # 7.2s — Borůvka rounds
-    "louvain",                # 6.9s — local-move + coarsen rounds
-    "perplexity_buckets",     # 3.7s after r6 staging+int64 keys (was 28)
-    "ams_f2",                 # 3.1s
-    "bpe_encode",             # 2.6s
-    "semdedup",               # 0.6s warm; kept as the dedup representative
+    # r6 idle-machine noop-sink timings (count()-based probes
+    # under-measure projection-heavy queries — the noop write is the
+    # honest number)
+    "embedding_near_dup",     # 2.9s after r6 norm staging (was ~19 warm)
+    "pagerank_influence",     # 9.7s — iterative power method
+    "personalized_pagerank",  # 7.7s — iterative power method
+    "geometric_median",       # 5.0s after r6 HOF-CSE staging (was ~17)
+    "mst",                    # 5.3s — Borůvka rounds
+    "louvain",                # 5.6s — local-move + coarsen rounds
+    "perplexity_buckets",     # 3.5s after r6 staging+int64 keys (was ~28)
+    "ams_f2",                 # 12.6s — sketch counters + exact combine
+    "bpe_encode",             # 15.8s — merge-table application
+    "semdedup",               # 8.1s — cluster + intra-cluster pairs
 ]
 
 
