@@ -1421,11 +1421,15 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style min/max shingle-hash fingerprint (rows-only)."""
+    """Winnowing-style min/max shingle-hash fingerprint.  Oracle-backed
+    (round 6) via ``portable_hash=True`` (md5-derived 60-bit hash, the
+    dp_counts pattern) — the winnowing logic is hash-family-agnostic,
+    so this verifies it cross-engine while the xxhash64 default remains
+    the production fast path (pinned by unit tests)."""
     from smartpy_arc_spark.operators.text import rolling_hash_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return rolling_hash_fingerprint(docs)
+    return rolling_hash_fingerprint(docs, portable_hash=True)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3698,12 +3702,16 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed hashing-trick encoding of (lang, source) into 256 buckets,
-    rolled up to bucket mass.  Rows-only (xxhash64 has no DuckDB
-    equivalent); collision-noise and determinism pinned by tests."""
+    rolled up to bucket mass.  Oracle-backed (round 6) via
+    ``portable_hash=True`` (md5-derived hash) — bucketing/sign semantics
+    verified cross-engine; the xxhash64 default remains the production
+    fast path (collision-noise and determinism pinned by tests)."""
     from smartpy_arc_spark.operators.features import feature_hash
 
     docs = _t(spark, sf_dir, "documents")
-    fh = feature_hash(docs, ["lang", "source"], n_features=256)
+    fh = feature_hash(
+        docs, ["lang", "source"], n_features=256, portable_hash=True
+    )
     return fh.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("sign").cast("long").alias("net_sign"),
@@ -18511,6 +18519,39 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _label_propagation_sql(),
         "nb_langid": _nb_langid_sql(),
         "textrank": _textrank_sql(),
+        # portable_hash64 mirrors (md5 15-hex-digit prefix, base-16):
+        # the operators run portable_hash=True in their contract queries
+        "rolling_fingerprint": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(length(text) - 7, 1)),
+                           i -> substr(text, CAST(i AS INTEGER), 8)))
+                           AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   min(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                       AS min_shingle_hash,
+                   max(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                       AS max_shingle_hash
+            FROM sh GROUP BY doc_id
+        """,
+        "feature_hash": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                            c.name, c.val)), 1, 15)) AS BIGINT) AS hv
+                FROM documents,
+                     LATERAL (SELECT * FROM (VALUES
+                        ('lang', lang), ('source', source)) t(name, val)) c
+            )
+            SELECT CAST(hv % 256 AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN (hv // 4294967296) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS net_sign
+            FROM h GROUP BY hv % 256
+        """,
         # deterministic md5-derived Laplace noise (seed 7, eps 0.5,
         # sensitivity 1): u and the noise expression mirror
         # operators/checks.py:dp_counts op-for-op; sign(u) is +-1 so the

@@ -14,6 +14,17 @@ from pyspark.sql import types as T
 
 from smartpy_arc_spark.meta import tag_oid
 
+def portable_hash64(c) -> "F.Column":
+    """Engine-portable 60-bit hash of a string column: the first 15 hex
+    digits of md5, parsed base-16 — deterministic, non-negative, and
+    reproducible in any engine with md5 + hex parsing (DuckDB:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``).  The dp_counts
+    pattern, shared so every hash-keyed operator can offer an
+    oracle-comparable mode next to its xxhash64 fast path (xxhash64 has
+    no cross-engine equivalent)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # The reference's pandas-representable timestamp range (arc_utils.py:717-718):
 # values outside are coerced to null on scan.
 TS_CLAMP_LO = "1677-09-22"

@@ -98,15 +98,27 @@ def feature_hash(
     *,
     n_features: int = 1024,
     id_col: str = "doc_id",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Hashing-trick encoder: each (column, value) pair maps to a stable
-    bucket ``pmod(xxhash64(col_name, value), n_features)`` with a ±1 sign
+    bucket ``pmod(hash(col_name, value), n_features)`` with a ±1 sign
     from one extra hash bit (the standard signed hashing that keeps
     collision noise zero-mean).  Output is the sparse long form
-    ``(id, bucket, sign)`` — pivot downstream if a dense row is needed."""
+    ``(id, bucket, sign)`` — pivot downstream if a dense row is needed.
+
+    ``portable_hash=True`` keys on the md5-derived ``portable_hash64``
+    of ``col_name \\x1f value`` (engine-reproducible, the oracle mode);
+    default stays xxhash64 — bucketing semantics are identical."""
+    from smartpy_arc_spark.functions.scalar import portable_hash64
+
     parts = []
     for c in cat_cols:
-        h = F.xxhash64(F.lit(c), F.col(c).cast("string"))
+        if portable_hash:
+            h = portable_hash64(
+                F.concat_ws("\x1f", F.lit(c), F.col(c).cast("string"))
+            )
+        else:
+            h = F.xxhash64(F.lit(c), F.col(c).cast("string"))
         parts.append(
             df.select(
                 F.col(id_col),

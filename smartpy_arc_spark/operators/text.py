@@ -143,16 +143,25 @@ def rolling_hash_fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """Winnowing-style fingerprint: min xxhash64 over character shingles —
+    """Winnowing-style fingerprint: min hash over character shingles —
     a robust near-canonical document signature computed with built-ins
-    (sequence → transform → substring → min over hashes)."""
+    (sequence → transform → substring → min over hashes).
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived
+    ``portable_hash64`` so the signature is reproducible in any engine
+    (the oracle mode); the default xxhash64 stays the production fast
+    path — the winnowing logic is hash-family-agnostic either way."""
+    from smartpy_arc_spark.functions.scalar import portable_hash64
+
     text = F.col(text_col)
     n = F.greatest(F.length(text) - F.lit(window - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(text, i, window)
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hfn = portable_hash64 if portable_hash else F.xxhash64
+    hashes = F.transform(shingles, lambda s: hfn(s))
     return df.select(
         id_col,
         F.array_min(hashes).alias("min_shingle_hash"),
