@@ -1402,14 +1402,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (rows-only: xxhash64 family has
-    no DuckDB equivalent)."""
+    """MinHash-LSH near-dup candidate pairs.  Oracle-backed (round 6) via
+    ``portable_hash=True``: md5-derived base hashes + the shared
+    ``_FAMILY_SEEDS`` xorshift scrambles make the full banded candidate
+    set engine-reproducible (``_minhash_pairs_sql`` mirrors every stage,
+    scrambles verified bit-exact); the xxhash64 default remains the
+    production fast path, pinned by unit/recall tests."""
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
     # word trigram shingles: ~10× fewer hashes than char shingles at equal
     # near-dup quality on prose — the corpus-scale configuration
-    return minhash_lsh_candidates(docs, shingle_mode="word", shingle_size=3)
+    return minhash_lsh_candidates(
+        docs, shingle_mode="word", shingle_size=3, portable_hash=True
+    )
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5030,14 +5036,16 @@ def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a min-id representative before banding, and any (band, bucket) above
     64 members spills to representative star edges instead of quadratic
     pairs — so one boilerplate-heavy hot bucket can no longer dominate the
-    stage.  Rows-only (xxhash64 family); `minhash_pairs` is the uncapped
+    stage.  Oracle-backed (round 6) via ``portable_hash=True``
+    (``_minhash_pairs_sql(capped=64)`` mirrors collapse, banding, cap
+    spill and the jaccard estimates); `minhash_pairs` is the uncapped
     classic-LSH reference output."""
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         docs, shingle_mode="word", shingle_size=3,
-        collapse_exact=True, max_bucket_size=64,
+        collapse_exact=True, max_bucket_size=64, portable_hash=True,
     )
 
 
@@ -9159,6 +9167,161 @@ def _label_propagation_sql(cap: int = 40, rounds: int = 6) -> str:
     return f"""
         WITH {body}
         SELECT node, label AS community FROM l{rounds}
+    """
+
+
+_PHASH_SQL = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _shr_sql(x: str, n: int) -> str:
+    """Java ``>>>`` (logical right shift) on a signed 64-bit value, via a
+    HUGEINT reinterpret — DuckDB's BIGINT ``>>`` is arithmetic and its
+    UBIGINT cast rejects negatives."""
+    return (
+        f"CAST(((CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT)"
+        f" + 18446744073709551616 ELSE CAST(({x}) AS HUGEINT) END)"
+        f" // {1 << n}) AS BIGINT)"
+    )
+
+
+def _shl21_sql(x: str) -> str:
+    """Java ``<< 21`` with 64-bit wraparound (DuckDB's ``<<`` raises on
+    overflow): multiply in HUGEINT, mod 2⁶⁴, reinterpret signed."""
+    u = (
+        f"((CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT)"
+        f" + 18446744073709551616 ELSE CAST(({x}) AS HUGEINT) END)"
+        f" * 2097152) % 18446744073709551616"
+    )
+    return (
+        f"CAST(CASE WHEN ({u}) >= 9223372036854775808 THEN ({u})"
+        f" - 18446744073709551616 ELSE ({u}) END AS BIGINT)"
+    )
+
+
+def _scramble_sql(h: str, j: int) -> str:
+    """Mirror of ``operators.dedup._scramble`` (xorshift family member j,
+    same ``_FAMILY_SEEDS`` constants — verified bit-exact against the
+    Spark column expression for positive/negative/extreme inputs)."""
+    from smartpy_arc_spark.operators.dedup import _FAMILY_SEEDS
+
+    x1 = f"xor({h}, CAST({_FAMILY_SEEDS[j]} AS BIGINT))"
+    x2 = f"xor({x1}, {_shr_sql(x1, 33)})"
+    x3 = f"xor({x2}, {_shl21_sql(x2)})"
+    return f"xor({x3}, {_shr_sql(x3, 17)})"
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
+                       capped: int | None = None) -> str:
+    """Generated mirror of ``q_minhash_pairs`` (word-trigram banded
+    MinHash-LSH in ``portable_hash`` mode): md5-derived base hashes (the
+    ``portable_hash64`` contract), the SAME ``_FAMILY_SEEDS`` xorshift
+    scrambles (bit-exact — see ``_scramble_sql``), ':'-joined band
+    buckets, bucket self-join, distinct pairs, signature-agreement
+    Jaccard estimate.  The whole approximate candidate set is a
+    deterministic function both engines agree on.
+
+    ``capped=m`` mirrors the corpus-scale configuration
+    (``collapse_exact=True, max_bucket_size=m``): byte-identical texts
+    collapse to min-id representatives (star edges at jaccard 1.0),
+    banding runs on representatives only, and any (band, bucket) above
+    m spills to representative star edges instead of quadratic pairs."""
+    rpb = num_hashes // bands
+    ph = _PHASH_SQL.format
+    tok_parts = ", ".join(
+        f"CAST(th[i + {j}] AS VARCHAR)" for j in range(1, k + 1)
+    )
+    mins = ",\n                   ".join(
+        f"min({_scramble_sql('h', j)}) AS s{j}" for j in range(num_hashes)
+    )
+    sig_src = "rsigs" if capped is not None else "sigs"
+    band_rows = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        bucket = ph(s=f"concat_ws(':', '{b}', {cols})")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM {sig_src}"
+        )
+    banded = "\n            UNION ALL ".join(band_rows)
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    core = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  t -> {ph(s='t')}) AS th
+            FROM documents
+        ), shing AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(0,
+                           greatest(len(th) - {k - 1}, 1) - 1),
+                       i -> {ph(s=f"concat_ws(':', {tok_parts})")})) AS base
+            FROM toks
+        ), hs AS (
+            SELECT doc_id, unnest(base) AS h FROM shing
+        ), sigs AS MATERIALIZED (
+            SELECT doc_id,
+                   {mins}
+            FROM hs GROUP BY doc_id
+        )"""
+    if capped is None:
+        return core + f""", banded AS MATERIALIZED (
+            {banded}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(({agree}) * 1.0 / {num_hashes}, 4) AS jaccard_est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    """
+    return core + f""", reps AS MATERIALIZED (
+            SELECT doc_id,
+                   min(doc_id) OVER (
+                       PARTITION BY {ph(s='text')}) AS rep
+            FROM documents
+        ), star_exact AS (
+            SELECT rep AS id_a, doc_id AS id_b FROM reps
+            WHERE doc_id <> rep
+        ), rsigs AS MATERIALIZED (
+            SELECT s.* FROM sigs s JOIN reps r
+                 ON r.doc_id = s.doc_id AND r.doc_id = r.rep
+        ), banded AS MATERIALIZED (
+            {banded}
+        ), sized AS MATERIALIZED (
+            SELECT doc_id, band, bucket,
+                   count(*) OVER (PARTITION BY band, bucket) AS m,
+                   min(doc_id) OVER (PARTITION BY band, bucket) AS brep
+            FROM banded
+        ), star_capped AS (
+            SELECT brep AS id_a, doc_id AS id_b FROM sized
+            WHERE m > {capped} AND doc_id <> brep
+        ), kept AS (
+            SELECT doc_id, band, bucket FROM sized WHERE m <= {capped}
+        ), pairs AS (
+            SELECT DISTINCT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept a JOIN kept b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                WHERE a.doc_id < b.doc_id
+                UNION ALL SELECT id_a, id_b FROM star_capped
+            ) u
+        )
+        SELECT p.id_a, p.id_b,
+               round(({agree}) * 1.0 / {num_hashes}, 4) AS jaccard_est
+        FROM pairs p
+        JOIN rsigs sa ON sa.doc_id = p.id_a
+        JOIN rsigs sb ON sb.doc_id = p.id_b
+        UNION ALL
+        SELECT id_a, id_b, 1.0 AS jaccard_est FROM star_exact
     """
 
 
@@ -18521,6 +18684,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_sql(),
         # portable_hash64 mirrors (md5 15-hex-digit prefix, base-16):
         # the operators run portable_hash=True in their contract queries
+        "minhash_pairs": _minhash_pairs_sql(),
+        "minhash_pairs_capped": _minhash_pairs_sql(capped=64),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,

@@ -62,14 +62,17 @@ def exact_dedup(
 # shingling + minhash
 
 
-def _char_shingle_hashes(text: Column, k: int) -> Column:
+def _char_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column:
     """array<long> of hashed character k-shingles — each shingle is hashed
     straight off a substring slice, no intermediate string array."""
+    from smartpy_arc_spark.functions.scalar import portable_hash64
+
+    hfn = portable_hash64 if portable else F.xxhash64
     n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(text, i, k)))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: hfn(F.substring(text, i, k)))
 
 
-def _word_shingle_hashes(text: Column, k: int) -> Column:
+def _word_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column:
     """array<long> of hashed k-word shingles — ~word-count many, an order of
     magnitude fewer than char shingles on prose; the standard choice for
     whole-document near-dup at corpus scale.
@@ -78,24 +81,40 @@ def _word_shingle_hashes(text: Column, k: int) -> Column:
     multi-arg ``xxhash64`` of its k token hashes — pure numeric combining,
     no per-shingle string concatenation (the concat_ws version allocated a
     k-word string per shingle and was the hot spot of the whole pipeline).
+
+    ``portable=True`` (the oracle mode) swaps both levels for the
+    md5-derived ``portable_hash64``; the shingle combine becomes the
+    portable hash of the ':'-joined token-hash digits — ``concat_ws``
+    skips NULLs exactly as multi-arg ``xxhash64`` does, so short-document
+    overhang produces the same equivalence classes.
     """
+    from smartpy_arc_spark.functions.scalar import portable_hash64
+
     tokens = F.split(text, " ", -1)
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    hfn = portable_hash64 if portable else F.xxhash64
+    th = F.transform(tokens, lambda t: hfn(t))
     n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
 
     def combine(i: Column) -> Column:
         # try_element_at: a doc shorter than k tokens still yields one
         # shingle (nulls hash as absent); plain element_at throws under ANSI
-        return F.xxhash64(*[F.try_element_at(th, i + j) for j in range(1, k + 1)])
+        parts = [F.try_element_at(th, i + j) for j in range(1, k + 1)]
+        if portable:
+            return portable_hash64(
+                F.concat_ws(":", *[p.cast("string") for p in parts])
+            )
+        return F.xxhash64(*parts)
 
     return F.transform(F.sequence(F.lit(0), n - 1), combine)
 
 
-def _shingle_hashes(text: Column, k: int, mode: str) -> Column:
+def _shingle_hashes(
+    text: Column, k: int, mode: str, portable: bool = False
+) -> Column:
     if mode == "char":
-        return _char_shingle_hashes(text, k)
+        return _char_shingle_hashes(text, k, portable)
     if mode == "word":
-        return _word_shingle_hashes(text, k)
+        return _word_shingle_hashes(text, k, portable)
     raise ValueError(f"shingle mode {mode!r} (expected 'char' or 'word')")
 
 
@@ -134,6 +153,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 5,
     shingle_mode: str = "char",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: for each of ``num_hashes`` seeded hash
     functions, the min hash over the document's character shingles.
@@ -144,8 +164,14 @@ def minhash_signatures(
     :func:`_word_shingle_hashes`); the ``num_hashes`` family members are
     cheap bitwise scrambles of that base hash (16× fewer string hashes than
     a per-seed rehash — measured 62 s → 12 s on 50k docs).
+
+    ``portable_hash=True`` swaps the base hash for the md5-derived
+    ``portable_hash64`` (engine-reproducible, the oracle mode); the
+    xorshift scramble family is pure bitwise either way.
     """
-    base = F.array_distinct(_shingle_hashes(F.col(text_col), shingle_size, shingle_mode))
+    base = F.array_distinct(
+        _shingle_hashes(F.col(text_col), shingle_size, shingle_mode, portable_hash)
+    )
     with_hashes = df.select(id_col, base.alias("_base"))
 
     def min_member(j: int) -> Column:
@@ -169,6 +195,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     collapse_exact: bool = False,
     max_bucket_size: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -208,6 +235,7 @@ def minhash_lsh_candidates(
         num_hashes=num_hashes,
         shingle_size=shingle_size,
         shingle_mode=shingle_mode,
+        portable_hash=portable_hash,
     )
     star_exact = None
     if collapse_exact:
@@ -215,8 +243,14 @@ def minhash_lsh_candidates(
         # computed FIRST (row-local, scan-speed) so the collapse window
         # shuffles (id, text-hash, signature) — ~136 bytes/row — instead
         # of the raw document text (measured 5.1 s → 1.3 s at sf0.1)
+        if portable_hash:
+            from smartpy_arc_spark.functions.scalar import portable_hash64
+
+            _text_hash = portable_hash64(F.col(text_col))
+        else:
+            _text_hash = F.xxhash64(F.col(text_col))
         keyed = df.select(
-            F.col(id_col), F.xxhash64(F.col(text_col)).alias("_th")
+            F.col(id_col), _text_hash.alias("_th")
         ).join(sigs, id_col)
         keyed = keyed.withColumn("_rep", F.min(id_col).over(W.partitionBy("_th")))
         star_exact = (
@@ -228,22 +262,27 @@ def minhash_lsh_candidates(
         )
     sigs = sigs.cache()  # read twice: banding pass + signature re-attach
     # per-band bucket id: multi-arg xxhash64 over the band's signature rows
-    # plus the band index — numeric hashing, no string building
+    # plus the band index — numeric hashing, no string building.  Portable
+    # mode hashes the ':'-joined digits instead (same bucket equivalence).
+    def band_bucket(b: int) -> Column:
+        cols = [
+            F.col("minhash_sig")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if portable_hash:
+            from smartpy_arc_spark.functions.scalar import portable_hash64
+
+            return portable_hash64(
+                F.concat_ws(
+                    ":", F.lit(str(b)), *[c.cast("string") for c in cols]
+                )
+            )
+        return F.xxhash64(F.lit(b), *cols)
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col("minhash_sig")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_bucket(b) for b in range(bands)])
         ).alias("band", "bucket"),
     )
     # the bucket self-join carries ONLY ids: at corpus scale the shuffle is
