@@ -2184,14 +2184,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-batch MinHash LSH: new docs (doc_id % 10 >= 8) vs the
-    historical corpus — never corpus-vs-corpus (rows-only: xxhash64)."""
+    historical corpus — never corpus-vs-corpus.  Oracle-backed (round 6)
+    via ``portable_hash=True`` (``_minhash_incremental_sql`` mirrors the
+    new×(corpus ∪ new) bucket join and jaccard estimates)."""
     from smartpy_arc_spark.operators.dedup import minhash_incremental_candidates
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where("doc_id % 10 < 8")
     new = docs.where("doc_id % 10 >= 8")
     return minhash_incremental_candidates(
-        corpus, new, shingle_mode="word", shingle_size=3
+        corpus, new, shingle_mode="word", shingle_size=3, portable_hash=True
     )
 
 
@@ -5053,12 +5055,15 @@ def q_lsh_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band LSH bucket diagnostics for the capped configuration: bucket
     counts, hottest bucket, docs in oversized buckets, and quadratic-vs-
     star-spilled pair counts — the no-silent-truncation audit companion of
-    `minhash_pairs_capped` (rows-only)."""
+    `minhash_pairs_capped`.  Oracle-backed (round 6) via
+    ``portable_hash=True`` (``_lsh_bucket_report_sql`` mirrors banding +
+    rollup)."""
     from smartpy_arc_spark.operators.dedup import minhash_lsh_bucket_stats
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_bucket_stats(
-        docs, shingle_mode="word", shingle_size=3, max_bucket_size=64
+        docs, shingle_mode="word", shingle_size=3, max_bucket_size=64,
+        portable_hash=True,
     )
 
 
@@ -9210,22 +9215,10 @@ def _scramble_sql(h: str, j: int) -> str:
     return f"xor({x3}, {_shr_sql(x3, 17)})"
 
 
-def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
-                       capped: int | None = None) -> str:
-    """Generated mirror of ``q_minhash_pairs`` (word-trigram banded
-    MinHash-LSH in ``portable_hash`` mode): md5-derived base hashes (the
-    ``portable_hash64`` contract), the SAME ``_FAMILY_SEEDS`` xorshift
-    scrambles (bit-exact — see ``_scramble_sql``), ':'-joined band
-    buckets, bucket self-join, distinct pairs, signature-agreement
-    Jaccard estimate.  The whole approximate candidate set is a
-    deterministic function both engines agree on.
-
-    ``capped=m`` mirrors the corpus-scale configuration
-    (``collapse_exact=True, max_bucket_size=m``): byte-identical texts
-    collapse to min-id representatives (star edges at jaccard 1.0),
-    banding runs on representatives only, and any (band, bucket) above
-    m spills to representative star edges instead of quadratic pairs."""
-    rpb = num_hashes // bands
+def _minhash_core_cte(num_hashes: int = 16, k: int = 3) -> str:
+    """Shared CTE prefix of the MinHash mirrors: token hashes → distinct
+    word-k-shingle hashes → per-doc signature columns (one ``min`` per
+    scrambled family member)."""
     ph = _PHASH_SQL.format
     tok_parts = ", ".join(
         f"CAST(th[i + {j}] AS VARCHAR)" for j in range(1, k + 1)
@@ -9233,23 +9226,7 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
     mins = ",\n                   ".join(
         f"min({_scramble_sql('h', j)}) AS s{j}" for j in range(num_hashes)
     )
-    sig_src = "rsigs" if capped is not None else "sigs"
-    band_rows = []
-    for b in range(bands):
-        cols = ", ".join(
-            f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
-        )
-        bucket = ph(s=f"concat_ws(':', '{b}', {cols})")
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM {sig_src}"
-        )
-    banded = "\n            UNION ALL ".join(band_rows)
-    agree = " + ".join(
-        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
-        for j in range(num_hashes)
-    )
-    core = f"""
-        WITH toks AS MATERIALIZED (
+    return f"""toks AS MATERIALIZED (
             SELECT doc_id,
                    list_transform(string_split(text, ' '),
                                   t -> {ph(s='t')}) AS th
@@ -9268,6 +9245,48 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
                    {mins}
             FROM hs GROUP BY doc_id
         )"""
+
+
+def _minhash_banded_sql(num_hashes: int, bands: int, sig_src: str) -> str:
+    """UNION ALL of the per-band bucket projections over ``sig_src``."""
+    rpb = num_hashes // bands
+    ph = _PHASH_SQL.format
+    rows = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        bucket = ph(s=f"concat_ws(':', '{b}', {cols})")
+        rows.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM {sig_src}"
+        )
+    return "\n            UNION ALL ".join(rows)
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
+                       capped: int | None = None) -> str:
+    """Generated mirror of ``q_minhash_pairs`` (word-trigram banded
+    MinHash-LSH in ``portable_hash`` mode): md5-derived base hashes (the
+    ``portable_hash64`` contract), the SAME ``_FAMILY_SEEDS`` xorshift
+    scrambles (bit-exact — see ``_scramble_sql``), ':'-joined band
+    buckets, bucket self-join, distinct pairs, signature-agreement
+    Jaccard estimate.  The whole approximate candidate set is a
+    deterministic function both engines agree on.
+
+    ``capped=m`` mirrors the corpus-scale configuration
+    (``collapse_exact=True, max_bucket_size=m``): byte-identical texts
+    collapse to min-id representatives (star edges at jaccard 1.0),
+    banding runs on representatives only, and any (band, bucket) above
+    m spills to representative star edges instead of quadratic pairs."""
+    ph = _PHASH_SQL.format
+    sig_src = "rsigs" if capped is not None else "sigs"
+    banded = _minhash_banded_sql(num_hashes, bands, sig_src)
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    core = f"""
+        WITH {_minhash_core_cte(num_hashes, k)}"""
     if capped is None:
         return core + f""", banded AS MATERIALIZED (
             {banded}
@@ -9322,6 +9341,71 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
         JOIN rsigs sb ON sb.doc_id = p.id_b
         UNION ALL
         SELECT id_a, id_b, 1.0 AS jaccard_est FROM star_exact
+    """
+
+
+def _lsh_bucket_report_sql(num_hashes: int = 16, k: int = 3,
+                           bands: int = 4, cap: int = 64) -> str:
+    """Mirror of ``q_lsh_bucket_report`` (``minhash_lsh_bucket_stats`` in
+    portable mode): same core + banding, per-bucket sizes, per-band
+    rollup of the capping diagnostics."""
+    banded = _minhash_banded_sql(num_hashes, bands, "sigs")
+    return f"""
+        WITH {_minhash_core_cte(num_hashes, k)}, banded AS (
+            {banded}
+        ), per_bucket AS (
+            SELECT band, bucket, count(*) AS m
+            FROM banded GROUP BY band, bucket
+        )
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(m) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN m > {cap} THEN m ELSE 0 END) AS BIGINT)
+                   AS docs_in_capped_buckets,
+               CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pairs_uncapped,
+               CAST(sum(CASE WHEN m > {cap} THEN m - 1
+                             ELSE m * (m - 1) // 2 END) AS BIGINT)
+                   AS pairs_after_cap
+        FROM per_bucket GROUP BY band
+    """
+
+
+def _minhash_incremental_sql(num_hashes: int = 16, k: int = 3,
+                             bands: int = 4) -> str:
+    """Mirror of ``q_minhash_incremental`` (new batch doc_id%10>=8 vs the
+    historical corpus, portable mode): same core signatures, banding on
+    both sides, new×(corpus ∪ new) bucket join with the double-count
+    guard, signature-agreement jaccard."""
+    banded = _minhash_banded_sql(num_hashes, bands, "sigs")
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+        WITH {_minhash_core_cte(num_hashes, k)}, banded AS MATERIALIZED (
+            {banded}
+        ), new_b AS (
+            SELECT doc_id AS id_new, band, bucket FROM banded
+            WHERE doc_id % 10 >= 8
+        ), other_b AS (
+            SELECT doc_id AS id_match, band, bucket,
+                   false AS match_is_new
+            FROM banded WHERE doc_id % 10 < 8
+            UNION ALL
+            SELECT doc_id AS id_match, band, bucket, true AS match_is_new
+            FROM banded WHERE doc_id % 10 >= 8
+        ), pairs AS (
+            SELECT DISTINCT n.id_new, o.id_match, o.match_is_new
+            FROM new_b n JOIN other_b o
+                 ON n.band = o.band AND n.bucket = o.bucket
+            WHERE (NOT o.match_is_new AND n.id_new <> o.id_match)
+               OR (n.id_new < o.id_match)
+        )
+        SELECT p.id_new, p.id_match, p.match_is_new,
+               round(({agree}) * 1.0 / {num_hashes}, 4) AS jaccard_est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_new
+        JOIN sigs sb ON sb.doc_id = p.id_match
     """
 
 
@@ -18686,6 +18770,8 @@ def oracle_sql() -> dict[str, str]:
         # the operators run portable_hash=True in their contract queries
         "minhash_pairs": _minhash_pairs_sql(),
         "minhash_pairs_capped": _minhash_pairs_sql(capped=64),
+        "lsh_bucket_report": _lsh_bucket_report_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,

@@ -133,6 +133,25 @@ _FAMILY_SEEDS: list[int] = [
 ]
 
 
+def _band_bucket_expr(b: int, rows_per_band: int, portable: bool) -> Column:
+    """Bucket id for band ``b`` over the ``minhash_sig`` column: multi-arg
+    xxhash64 over the band's signature rows plus the band index (numeric,
+    no string building), or — in portable mode — the md5-derived
+    ``portable_hash64`` of the ':'-joined digits (same bucket equivalence,
+    engine-reproducible)."""
+    cols = [
+        F.col("minhash_sig")[b * rows_per_band + r]
+        for r in range(rows_per_band)
+    ]
+    if portable:
+        from smartpy_arc_spark.functions.scalar import portable_hash64
+
+        return portable_hash64(
+            F.concat_ws(":", F.lit(str(b)), *[c.cast("string") for c in cols])
+        )
+    return F.xxhash64(F.lit(b), *cols)
+
+
 def _scramble(h: Column, j: int) -> Column:
     """j-th member of a 64-bit hash family from one base hash: XOR a fixed
     random constant then xorshift-mix.  Pure bitwise ops — no multiplies
@@ -261,28 +280,15 @@ def minhash_lsh_candidates(
             id_col, "minhash_sig"
         )
     sigs = sigs.cache()  # read twice: banding pass + signature re-attach
-    # per-band bucket id: multi-arg xxhash64 over the band's signature rows
-    # plus the band index — numeric hashing, no string building.  Portable
-    # mode hashes the ':'-joined digits instead (same bucket equivalence).
-    def band_bucket(b: int) -> Column:
-        cols = [
-            F.col("minhash_sig")[b * rows_per_band + r]
-            for r in range(rows_per_band)
-        ]
-        if portable_hash:
-            from smartpy_arc_spark.functions.scalar import portable_hash64
-
-            return portable_hash64(
-                F.concat_ws(
-                    ":", F.lit(str(b)), *[c.cast("string") for c in cols]
-                )
-            )
-        return F.xxhash64(F.lit(b), *cols)
-
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(*[band_bucket(b) for b in range(bands)])
+            F.array(
+                *[
+                    _band_bucket_expr(b, rows_per_band, portable_hash)
+                    for b in range(bands)
+                ]
+            )
         ).alias("band", "bucket"),
     )
     # the bucket self-join carries ONLY ids: at corpus scale the shuffle is
@@ -346,6 +352,7 @@ def minhash_lsh_bucket_stats(
     shingle_mode: str = "char",
     bands: int = 4,
     max_bucket_size: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Per-band LSH bucket diagnostics — the report that makes
     ``max_bucket_size`` capping auditable rather than silent.
@@ -360,19 +367,14 @@ def minhash_lsh_bucket_stats(
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         shingle_size=shingle_size, shingle_mode=shingle_mode,
+        portable_hash=portable_hash,
     )
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col("minhash_sig")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                    _band_bucket_expr(b, rows_per_band, portable_hash)
                     for b in range(bands)
                 ]
             )
@@ -407,6 +409,7 @@ def minhash_incremental_candidates(
     shingle_size: int = 5,
     shingle_mode: str = "char",
     bands: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidates for an *incremental batch* against an
     already-deduplicated historical corpus.
@@ -436,13 +439,7 @@ def minhash_incremental_candidates(
             F.posexplode(
                 F.array(
                     *[
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("minhash_sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        _band_bucket_expr(b, rows_per_band, portable_hash)
                         for b in range(bands)
                     ]
                 )
@@ -455,6 +452,7 @@ def minhash_incremental_candidates(
         num_hashes=num_hashes,
         shingle_size=shingle_size,
         shingle_mode=shingle_mode,
+        portable_hash=portable_hash,
     )
     # BOTH sides cached: banding + re-attach each index into the signature
     # array, and an uncached signature column re-expands the whole 16-hash
