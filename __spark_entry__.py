@@ -1419,11 +1419,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming candidates (rows-only)."""
+    """SimHash banded Hamming candidates.  Oracle-backed (round 6) via
+    ``portable_hash=True``: 60-bit md5-derived token hashes make the
+    bit-vote signature, 16-bit chunk banding and popcount filter fully
+    SQL-mirrorable (``_simhash_candidates_sql``); xxhash64 stays the
+    production default."""
     from smartpy_arc_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, max_hamming=3)
+    return simhash_candidates(docs, max_hamming=3, portable_hash=True)
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9341,6 +9345,52 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
         JOIN rsigs sb ON sb.doc_id = p.id_b
         UNION ALL
         SELECT id_a, id_b, 1.0 AS jaccard_est FROM star_exact
+    """
+
+
+def _simhash_candidates_sql(max_hamming: int = 3, chunks: int = 4) -> str:
+    """Mirror of ``q_simhash_candidates`` (portable mode): per-doc bit
+    votes over md5-derived 60-bit token hashes (bit b of the signature
+    sets iff 2·count_set(b) > n_tokens — the sum>0 rule), 16-bit chunk
+    banding, bucket self-join, popcount-of-XOR exact filter.  All hashes
+    are non-negative, so plain // and % arithmetic extract bits and
+    chunks with no sign gymnastics."""
+    ph = _PHASH_SQL.format
+    width = 64 // chunks
+    sig = " + ".join(
+        f"CASE WHEN 2 * sum((h // {1 << b}) % 2) > count(*) "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(60)  # portable hashes are 60-bit: bits 60-63 never set
+    )
+    chunk_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS chunk_idx, "
+        f"(sig // {1 << (i * width)}) % {1 << width} AS chunk_val, sig "
+        f"FROM sigs"
+        for i in range(chunks)
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                                         t -> {ph(s='t')})) AS h
+            FROM documents
+        ), sigs AS MATERIALIZED (
+            SELECT doc_id, CAST({sig} AS BIGINT) AS sig
+            FROM toks GROUP BY doc_id
+        ), banded AS MATERIALIZED (
+            {chunk_rows}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+                 ON a.chunk_idx = b.chunk_idx
+                AND a.chunk_val = b.chunk_val
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
     """
 
 
@@ -18772,6 +18822,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_capped": _minhash_pairs_sql(capped=64),
         "lsh_bucket_report": _lsh_bucket_report_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
+        "simhash_candidates": _simhash_candidates_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,

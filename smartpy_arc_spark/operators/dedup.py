@@ -513,12 +513,21 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens, computed with higher-order
     functions (no explode, no shuffle): per bit, sum +1/-1 over token-hash
-    bits; the signature sets bits with positive sums."""
+    bits; the signature sets bits with positive sums.
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived 60-bit
+    ``portable_hash64`` (the oracle mode): bits 60–63 of every token hash
+    are then 0, so those signature bits never set — the banding and
+    Hamming logic are unchanged."""
+    from smartpy_arc_spark.functions.scalar import portable_hash64
+
     tokens = F.split(F.col(text_col), " ", -1)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hfn = portable_hash64 if portable_hash else F.xxhash64
+    hashes = F.transform(tokens, lambda t: hfn(t))
 
     # Single pass over the token hashes: the accumulator is a `bits`-long
     # array of per-bit +1/-1 sums — O(n_tokens · bits) work once, instead of
@@ -564,6 +573,7 @@ def simhash_candidates(
     chunks: int = 4,
     collapse_exact: bool = False,
     max_bucket_size: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance ≤ ``max_hamming`` via the
     pigeonhole banding trick: split the 64-bit signature into ``chunks``
@@ -591,7 +601,9 @@ def simhash_candidates(
             )
         )
         df = keyed.where(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
-    sigs = simhash(df, text_col=text_col, id_col=id_col)
+    sigs = simhash(
+        df, text_col=text_col, id_col=id_col, portable_hash=portable_hash
+    )
     width = 64 // chunks
     chunk_cols = F.array(
         *[
