@@ -2962,8 +2962,10 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned over the corpus (arXiv:1508.07909):
     per-round global pair count, deterministic tiebreak, row-local
-    HOF merge fold.  No SQL oracle (iterative, k-dependent rounds);
-    determinism + correctness pinned by unit tests on a known corpus."""
+    HOF merge fold.  Oracle-backed (round 6): ``_bpe_merges_sql``
+    unrolls the same 8 count-argmax-merge rounds, with the greedy
+    -leftmost merge fold reproduced as a DuckDB list_reduce —
+    all-integer/string, zero float risk."""
     from smartpy_arc_spark.operators.bpe import bpe_merges_df
 
     docs = _t(spark, sf_dir, "documents")
@@ -9345,6 +9347,64 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
         JOIN rsigs sb ON sb.doc_id = p.id_b
         UNION ALL
         SELECT id_a, id_b, 1.0 AS jaccard_est FROM star_exact
+    """
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    """Generated mirror of ``q_bpe_merges`` (``learn_bpe_merges``):
+    ``n_merges`` unrolled rounds of frequency-weighted adjacent-pair
+    counting (argmax on count desc, then lexical (left, right)) and the
+    greedy-leftmost merge fold (``_merge_pair`` semantics, reproduced as
+    a DuckDB list_reduce with the list-prepend init trick — verified on
+    the 'aaa'→['aa','a'] overlap case).  The operator's n<2 early stop
+    is not mirrored: any prose corpus yields ≥ ``n_merges`` viable
+    merges, which the row-count compare would catch if violated."""
+    ctes = ["""wf AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '')) AS word
+                FROM documents) t
+            GROUP BY word
+        ), w0 AS MATERIALIZED (
+            SELECT list_transform(generate_series(1, length(word)),
+                       i -> substr(word, CAST(i AS INTEGER), 1)) AS syms,
+                   freq
+            FROM wf
+        )"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""
+        t{r} AS MATERIALIZED (
+            SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS n
+            FROM (
+                SELECT freq, unnest(list_transform(
+                    generate_series(1, len(syms) - 1),
+                    i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+                FROM w{p} WHERE len(syms) >= 2
+            ) q GROUP BY pr.l, pr.r
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ), w{r} AS MATERIALIZED (
+            SELECT list_reduce(
+                       list_prepend(CAST([] AS VARCHAR[]),
+                                    list_transform(w.syms, s -> [s])),
+                       (acc, x) -> CASE
+                           WHEN len(acc) > 0 AND acc[-1] = t.l
+                                AND x[1] = t.r
+                           THEN list_append(acc[:-2], t.l || t.r)
+                           ELSE list_append(acc, x[1]) END) AS syms,
+                   w.freq
+            FROM w{p} w CROSS JOIN t{r} t
+        )""")
+    body = ",".join(ctes)
+    rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS \"round\", l AS \"left\", "
+        f"r AS \"right\", l || r AS merged, n AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {body}
+        {rows}
     """
 
 
@@ -18823,6 +18883,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_report": _lsh_bucket_report_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,
