@@ -4114,9 +4114,11 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: learn 8 merges on the corpus, then
     tokenize every document with the merge chain compiled into one
-    row-local HOF expression (map-only).  No SQL oracle (the merge
-    table comes from the iterative learner); greedy-fold semantics are
-    pinned by unit tests against a pure-Python reference encoder."""
+    row-local HOF expression (map-only).  Oracle-backed (round 6):
+    ``_bpe_encode_sql`` re-learns the same merges (the proven
+    ``_bpe_chain_ctes`` rounds) and applies them as nested list_reduce
+    folds; greedy-fold semantics additionally pinned by unit tests
+    against a pure-Python reference encoder."""
     from smartpy_arc_spark.operators.bpe import bpe_encode, learn_bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
@@ -9359,6 +9361,22 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
     the 'aaa'→['aa','a'] overlap case).  The operator's n<2 early stop
     is not mirrored: any prose corpus yields ≥ ``n_merges`` viable
     merges, which the row-count compare would catch if violated."""
+    body = ",".join(_bpe_chain_ctes(n_merges))
+    rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS \"round\", l AS \"left\", "
+        f"r AS \"right\", l || r AS merged, n AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {body}
+        {rows}
+    """
+
+
+def _bpe_chain_ctes(n_merges: int) -> list:
+    """The shared CTE chain of the BPE mirrors: corpus word frequencies,
+    char-split symbols, and ``n_merges`` rounds of (t{r}: winning pair,
+    w{r}: corpus re-merged with it)."""
     ctes = ["""wf AS MATERIALIZED (
             SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
                 SELECT unnest(list_filter(
@@ -9396,15 +9414,45 @@ def _bpe_merges_sql(n_merges: int = 8) -> str:
                    w.freq
             FROM w{p} w CROSS JOIN t{r} t
         )""")
-    body = ",".join(ctes)
-    rows = "\n            UNION ALL ".join(
-        f"SELECT CAST({r} AS INTEGER) AS \"round\", l AS \"left\", "
-        f"r AS \"right\", l || r AS merged, n AS pair_count FROM t{r}"
-        for r in range(1, n_merges + 1)
-    )
+    return ctes
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Mirror of ``q_bpe_encode``: re-learn the same ``n_merges`` merges
+    (the proven ``_bpe_chain_ctes`` chain), then tokenize every document
+    word through the full merge sequence — ``n_merges`` nested
+    list_reduce folds — and count tokens.  All integer/string."""
+    body = ",".join(_bpe_chain_ctes(n_merges))
+
+    def fold(inner: str, r: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform({inner}, s -> [s])), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 "
+            f"AND acc[-1] = t{r}.l AND x[1] = t{r}.r "
+            f"THEN list_append(acc[:-2], t{r}.l || t{r}.r) "
+            "ELSE list_append(acc, x[1]) END)"
+        )
+
+    tok = ("list_transform(generate_series(1, length(w)), "
+           "i -> substr(w, CAST(i AS INTEGER), 1))")
+    for r in range(1, n_merges + 1):
+        tok = fold(tok, r)
+    crosses = " ".join(f"CROSS JOIN t{r}" for r in range(1, n_merges + 1))
     return f"""
-        WITH {body}
-        {rows}
+        WITH {body}, dt AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t <> '') AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(ws,
+                        w -> length(w))), 0) AS BIGINT) AS n_chars_alpha,
+               CAST(coalesce(list_sum(list_transform(ws,
+                        w -> len({tok}))), 0) AS BIGINT) AS n_tokens
+        FROM dt {crosses}
     """
 
 
@@ -18884,6 +18932,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": _minhash_incremental_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,
