@@ -2172,9 +2172,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed first-fit-decreasing sequence packing (rows-only: the
-    sequential FFD inner loop is not SQL-expressible; invariants — capacity,
-    coverage, determinism — asserted in tests/test_pipeline_ops.py)."""
+    """Bucketed first-fit-decreasing sequence packing.  Oracle-backed
+    (round 6): ``_pack_sequences_sql`` mirrors the crc32 bucketing (byte
+    -table fold) and the sequential FFD loop as a flat-state
+    list_reduce — all integer; capacity/coverage/determinism invariants
+    additionally asserted in tests/test_pipeline_ops.py."""
     from smartpy_arc_spark.operators.pack import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
@@ -9453,6 +9455,88 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
                CAST(coalesce(list_sum(list_transform(ws,
                         w -> len({tok}))), 0) AS BIGINT) AS n_tokens
         FROM dt {crosses}
+    """
+
+
+def _crc32_table() -> list:
+    """The standard CRC-32 (IEEE 802.3) byte table — generated once so
+    the DuckDB mirror of Spark's ``crc32`` is a plain fold over it."""
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        tab.append(c)
+    return tab
+
+
+def _pack_sequences_sql(max_len: int = 128, num_buckets: int = 8) -> str:
+    """Mirror of ``q_pack_sequences``: crc32 bucketing (byte-table fold —
+    DuckDB has no crc32 built-in), then the sequential first-fit-
+    decreasing loop reproduced as a list_reduce over a FLAT bigint-list
+    state ``[k, fill_1..fill_k, assign_1..assign_m]`` (struct
+    accumulators miscompile in DuckDB lambdas) — all integer, the
+    operator's exact (length desc, id asc) order and first-fit rule."""
+    tab = ", ".join(str(x) for x in _crc32_table())
+    crc = (
+        "xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), "
+        "list_transform(generate_series(1, length(ds)), "
+        "i -> CAST(ord(substr(ds, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+        "(c, b) -> xor(ct.t[CAST(xor(c, b) % 256 AS INTEGER) + 1], "
+        "c // 256)), 4294967295)"
+    )
+    eff = f"least(x[1], CAST({max_len} AS BIGINT))"
+    kk = "CAST(acc[1] AS INTEGER)"
+    fills = f"acc[2:{kk} + 1]"
+    assigns = f"acc[{kk} + 2:len(acc)]"
+    pos = (
+        f"coalesce(list_position(list_transform({fills}, "
+        f"f -> f + {eff} <= {max_len}), true), 0)"
+    )
+    upd = (
+        "list_transform(generate_series(1, CAST(acc[1] AS BIGINT)), "
+        f"i -> CASE WHEN i = {pos} "
+        f"THEN acc[CAST(i AS INTEGER) + 1] + {eff} "
+        f"ELSE acc[CAST(i AS INTEGER) + 1] END)"
+    )
+    step = (
+        f"CASE WHEN {pos} = 0 "
+        f"THEN list_concat(list_concat(list_concat([acc[1] + 1], {fills}),"
+        f" [{eff}]), list_concat({assigns}, [acc[1]])) "
+        f"ELSE list_concat(list_concat([acc[1]], {upd}), "
+        f"list_concat({assigns}, [CAST({pos} AS BIGINT) - 1])) END"
+    )
+    kf = "CAST(st[1] AS INTEGER)"
+    assign_i = f"st[{kf} + 1 + CAST(i AS INTEGER)]"
+    return f"""
+        WITH ct AS (SELECT [{tab}] AS t),
+        bucketed AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS length,
+                   CAST({crc} % {num_buckets} AS INTEGER) AS bucket
+            FROM (SELECT doc_id, text,
+                         CAST(doc_id AS VARCHAR) AS ds FROM documents) d,
+                 ct
+        ), grouped AS (
+            SELECT bucket,
+                   list({{'doc_id': doc_id, 'length': length}}
+                        ORDER BY length DESC, doc_id ASC) AS items
+            FROM bucketed GROUP BY bucket
+        ), folded AS (
+            SELECT bucket, items,
+                   list_reduce(
+                       list_prepend(CAST([0] AS BIGINT[]),
+                           list_transform(items, it -> [it.length])),
+                       (acc, x) -> {step}) AS st
+            FROM grouped
+        )
+        SELECT items[CAST(i AS INTEGER)].doc_id AS doc_id,
+               items[CAST(i AS INTEGER)].length AS n_tokens,
+               bucket,
+               {assign_i} AS bin_in_bucket,
+               st[CAST({assign_i} AS INTEGER) + 2] AS bin_fill,
+               items[CAST(i AS INTEGER)].length > {max_len} AS truncated
+        FROM folded, unnest(generate_series(1, len(items))) AS u(i)
     """
 
 
@@ -18933,6 +19017,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _simhash_candidates_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,
