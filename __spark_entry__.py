@@ -4244,9 +4244,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: deterministic BMPs (50 distinct images,
     4 copies each via doc_id % 50) → real decode → integer aHash →
-    hash-groupBy duplicate clusters with min-id keepers.  No SQL oracle
-    (binary decode); the hash is pinned against a numpy reference and
-    the 4-copy structure is asserted in tests."""
+    hash-groupBy duplicate clusters with min-id keepers.  Oracle-backed
+    (round 6): the synthetic pixels are closed-form in the class id and
+    aHash is all-integer, so ``_image_dedup_sql`` recomputes every
+    class's 64-bit hash from scratch in SQL — the decode+hash pipeline
+    is value-verified cross-engine, not just row-counted."""
     from smartpy_arc_spark.multimodal.codecs import image_ahash
     from smartpy_arc_spark.session import ensure_worker_imports
 
@@ -9537,6 +9539,60 @@ def _pack_sequences_sql(max_len: int = 128, num_buckets: int = 8) -> str:
                st[CAST({assign_i} AS INTEGER) + 2] AS bin_fill,
                items[CAST(i AS INTEGER)].length > {max_len} AS truncated
         FROM folded, unnest(generate_series(1, len(items))) AS u(i)
+    """
+
+
+def _image_dedup_sql() -> str:
+    """Mirror of ``q_image_dedup``: the synthetic BMP pixels are a
+    closed-form function of the image class ``d = doc_id % 50``
+    (``pix(y,x,c) = (y·(13+11d) + x·(3+7d) + 5c) % 256``), and aHash
+    (``codecs.average_hash_array``) is all-integer — fixed-point luma,
+    floor-partition 8×8 cell means, integer-mean threshold, MSB-first
+    bit pack, two's-complement signing — so the oracle recomputes every
+    class's hash in SQL and groups the 200 items by it."""
+    lum = " + ".join(
+        f"(((y.y * (13 + 11 * d.d) + x.x * (3 + 7 * d.d) + {5 * c}) % 256)"
+        f" * {w})"
+        for c, w in ((0, 299), (1, 587), (2, 114))
+    )
+    return f"""
+        WITH ds AS (
+            SELECT DISTINCT doc_id % 50 AS d FROM documents
+            WHERE doc_id < 200
+        ), px AS (
+            SELECT d.d, y.y, x.x, {lum} AS luma
+            FROM ds d,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, 8 + d.d % 4 - 1)) AS y) y,
+                 (SELECT unnest(generate_series(0, 7)) AS x) x
+        ), cells AS (
+            SELECT d, (y * 8) // (8 + d % 4) AS cy, x AS cx,
+                   sum(luma) // count(*) AS mean
+            FROM px GROUP BY d, (y * 8) // (8 + d % 4), x
+        ), th AS (
+            SELECT d, sum(mean) // 64 AS thresh FROM cells GROUP BY d
+        ), ah AS (
+            SELECT c.d,
+                   sum(CASE WHEN c.mean >= t.thresh
+                       THEN CAST(1 AS HUGEINT)
+                            << CAST(63 - (c.cy * 8 + c.cx) AS INTEGER)
+                       ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM cells c JOIN th t USING (d)
+            GROUP BY c.d
+        ), signed AS (
+            SELECT d,
+                   CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                        THEN u - (CAST(1 AS HUGEINT) << 64)
+                        ELSE u END AS BIGINT) AS ahash
+            FROM ah
+        )
+        SELECT s.ahash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc.doc_id) AS keeper_id
+        FROM (SELECT doc_id, doc_id % 50 AS d FROM documents
+              WHERE doc_id < 200) doc
+        JOIN signed s USING (d)
+        GROUP BY s.ahash
     """
 
 
@@ -19018,6 +19074,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "image_dedup": _image_dedup_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,
