@@ -6194,11 +6194,24 @@ def _hilbert_oracle_sql(bits: int = 8) -> str:
 
 def _ams_f2_sql(k: int = 33, seed: int = 0) -> str:
     """Oracle generated with the SAME md5-parity sign derivation as
-    operators/sketch.py:ams_f2 (counter index inlined per branch)."""
+    operators/sketch.py:ams_f2 (round 6: one md5 per 32 counters,
+    parsed into three integers; counter j's sign is the low bit of
+    nibble ``j mod 32`` — shift+mask, mirrored exactly)."""
+    def parity(j: int) -> str:
+        b, d = j // 32, j % 32
+        h = f"md5(concat('{seed + b}:', CAST(l_orderkey AS VARCHAR)))"
+        if d <= 14:
+            v, sh = f"substr({h}, 1, 15)", 4 * (14 - d)
+        elif d <= 29:
+            v, sh = f"substr({h}, 16, 15)", 4 * (29 - d)
+        else:
+            v, sh = f"substr({h}, 31, 2)", 4 * (31 - d)
+        return (
+            f"(CAST(concat('0x', {v}) AS BIGINT) // {1 << sh}) % 2"
+        )
+
     cs = ", ".join(
-        "CAST(sum(1 - 2 * (CAST(concat('0x', substr(md5(concat("
-        f"'{seed}:{j}:', CAST(l_orderkey AS VARCHAR))), 1, 1)) AS BIGINT)"
-        f" % 2)) AS BIGINT) AS c{j}"
+        f"CAST(sum(1 - 2 * ({parity(j)})) AS BIGINT) AS c{j}"
         for j in range(k)
     )
     arr = ", ".join(f"c{j} * c{j}" for j in range(k))
