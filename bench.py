@@ -78,8 +78,9 @@ HEAVY_TAIL_QUERIES = [
     "mst",                    # 5.3s — Borůvka rounds
     "louvain",                # 5.6s — local-move + coarsen rounds
     "perplexity_buckets",     # 3.5s after r6 staging+int64 keys (was ~28)
-    "ams_f2",                 # 12.6s — sketch counters + exact combine
-    "bpe_encode",             # 15.8s — merge-table application
+    "ams_f2",                 # 2.3s after r6 shift-mask parities (was 12.6)
+    "bpe_encode",             # 2.7s after r6 distinct-vocab memoization
+                              #   (was 15.8)
     "semdedup",               # 8.1s — cluster + intra-cluster pairs
 ]
 
