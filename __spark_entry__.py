@@ -4305,8 +4305,10 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity-aware selection of 10 representatives from the
     embedding corpus: k distributed argmax rounds, selected vectors as
-    broadcast literals.  No SQL oracle (greedy k-round dependence);
-    pinned against a numpy greedy reference in tests."""
+    broadcast literals.  Oracle-backed (round 6): ``_mmr_select_sql``
+    unrolls the same 10 greedy rounds with exact-fold cosines and the
+    same (mmr desc, id asc) argmax; also pinned against a numpy greedy
+    reference in tests."""
     from smartpy_arc_spark.operators.embedding import mmr_select
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -9552,6 +9554,77 @@ def _pack_sequences_sql(max_len: int = 128, num_buckets: int = 8) -> str:
                st[CAST({assign_i} AS INTEGER) + 2] AS bin_fill,
                items[CAST(i AS INTEGER)].length > {max_len} AS truncated
         FROM folded, unnest(generate_series(1, len(items))) AS u(i)
+    """
+
+
+def _mmr_select_sql(k: int = 10, lam: float = 0.7, dim: int = 64) -> str:
+    """Generated mirror of ``q_mmr_select`` (``embedding.mmr_select``):
+    per-position centroid, exact-fold relevance cosine, then ``k``
+    unrolled greedy rounds — each round excludes prior picks, scores
+    ``λ·rel − (1−λ)·greatest(sims to picks)`` with the same literal
+    arithmetic ((1.0 − λ) evaluated as the expression, matching the
+    Python-float literal Spark inlines) and takes the (mmr desc, id asc)
+    argmax.  Float sums (centroid averages) may differ in ulps across
+    engines, but distinct vectors' scores differ by far more — the same
+    acceptance argument as the pagerank-family mirrors."""
+    lam_r = repr(float(lam))
+
+    def dot(a: str, b: str) -> str:
+        return _dot_fold_sql(a, b, dim)
+
+    ctes = [f"""base AS MATERIALIZED (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt({dot('CAST(embedding AS DOUBLE[])',
+                             'CAST(embedding AS DOUBLE[])')}) AS nrm
+            FROM embeddings
+            WHERE sqrt({dot('CAST(embedding AS DOUBLE[])',
+                            'CAST(embedding AS DOUBLE[])')}) > 0
+        ), cm AS MATERIALIZED (
+            SELECT list(m ORDER BY pos) AS c FROM (
+                SELECT i AS pos, avg(v[CAST(i AS INTEGER)]) AS m
+                FROM base, unnest(generate_series(1, {dim})) t(i)
+                GROUP BY i
+            ) q
+        ), cn AS (
+            SELECT sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(c, x -> x * x)),
+                       (a, b) -> a + b)) AS cnorm
+            FROM cm
+        ), scored AS MATERIALIZED (
+            SELECT b.id, b.v, b.nrm,
+                   ({dot('b.v', 'cm.c')}) / (b.nrm * cn.cnorm) AS rel
+            FROM base b, cm, cn
+        )"""]
+    for r in range(1, k + 1):
+        if r == 1:
+            excl = ""
+            ms = "0.0"
+        else:
+            excl = ("WHERE s.id NOT IN (" + " UNION ALL ".join(
+                f"SELECT id FROM pick{i}" for i in range(1, r)) + ")")
+            sims = ", ".join(
+                f"(({dot('s.v', f'pick{i}.v')}) / (s.nrm * pick{i}.nrm))"
+                for i in range(1, r)
+            )
+            ms = f"greatest({sims})" if r > 2 else sims
+        joins = "".join(f", pick{i}" for i in range(1, r))
+        ctes.append(f"""
+        pick{r} AS MATERIALIZED (
+            SELECT s.id, s.v, s.nrm,
+                   {lam_r} * s.rel - (1.0 - {lam_r}) * ({ms}) AS mmr
+            FROM scored s{joins}
+            {excl}
+            ORDER BY mmr DESC, s.id ASC LIMIT 1
+        )""")
+    body = ",".join(ctes)
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, id AS vec_id, "
+        f"round(mmr, 6) AS mmr_score FROM pick{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH {body}
+        {rows}
     """
 
 
@@ -19088,6 +19161,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "image_dedup": _image_dedup_sql(),
+        "mmr_select": _mmr_select_sql(),
         "rolling_fingerprint": """
             WITH sh AS (
                 SELECT doc_id,
