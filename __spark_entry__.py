@@ -6201,7 +6201,7 @@ def _ams_f2_sql(k: int = 33, seed: int = 0) -> str:
     nibble ``j mod 32`` — shift+mask, mirrored exactly)."""
     def parity(j: int) -> str:
         b, d = j // 32, j % 32
-        h = f"md5(concat('{seed + b}:', CAST(l_orderkey AS VARCHAR)))"
+        h = f"md5(concat('{seed}:{b}:', CAST(l_orderkey AS VARCHAR)))"
         if d <= 14:
             v, sh = f"substr({h}, 1, 15)", 4 * (14 - d)
         elif d <= 29:
@@ -9461,8 +9461,10 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     return f"""
         WITH {body}, dt AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               t -> t <> '') AS ws
+                   coalesce(list_filter(
+                               regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t <> ''),
+                            CAST([] AS VARCHAR[])) AS ws
             FROM documents
         )
         SELECT doc_id,
@@ -9564,9 +9566,12 @@ def _mmr_select_sql(k: int = 10, lam: float = 0.7, dim: int = 64) -> str:
     ``λ·rel − (1−λ)·greatest(sims to picks)`` with the same literal
     arithmetic ((1.0 − λ) evaluated as the expression, matching the
     Python-float literal Spark inlines) and takes the (mmr desc, id asc)
-    argmax.  Float sums (centroid averages) may differ in ulps across
-    engines, but distinct vectors' scores differ by far more — the same
-    acceptance argument as the pagerank-family mirrors."""
+    argmax.  Round 7: the centroid mean derives from an exact integer
+    e9-tick sum (order-free in both engines) divided in one fixed
+    expression, so the centroid — and therefore every relevance/pick
+    score, all folds over exact operands — is bit-identical across
+    engines; the float-avg ulp acceptance argument is no longer
+    needed."""
     lam_r = repr(float(lam))
 
     def dot(a: str, b: str) -> str:
@@ -9581,7 +9586,10 @@ def _mmr_select_sql(k: int = 10, lam: float = 0.7, dim: int = 64) -> str:
                             'CAST(embedding AS DOUBLE[])')}) > 0
         ), cm AS MATERIALIZED (
             SELECT list(m ORDER BY pos) AS c FROM (
-                SELECT i AS pos, avg(v[CAST(i AS INTEGER)]) AS m
+                SELECT i AS pos,
+                       CAST(sum(CAST(round(v[CAST(i AS INTEGER)] * 1e9)
+                                     AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e9 AS m
                 FROM base, unnest(generate_series(1, {dim})) t(i)
                 GROUP BY i
             ) q
@@ -9802,8 +9810,12 @@ def _textrank_sql(top_k: int = 20, iterations: int = 5,
     rounds in the ``personalized_pagerank`` oracle shape.  The
     symmetrized graph has no dangling nodes (every node appears as src),
     so the operator's dangling-mass term is exactly 0.0 and adding it is
-    a bit-exact no-op — the mirror omits it.  Intermediate ranks stay
-    full doubles in both engines; only the final e9 rounding compares."""
+    a bit-exact no-op — the mirror omits it.  Round 7: the contribution
+    sums fold in SORTED sequential order on both sides
+    (``aggregate(array_sort(collect_list))`` ↔
+    ``list_reduce(list_sort(list))``) — bit-deterministic regardless of
+    partition/thread scheduling, closing the last-ulp drift risk a
+    plain double SUM carries in both engines."""
     from smartpy_arc_spark.operators.text import RAKE_STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in sorted(set(RAKE_STOPWORDS)))
@@ -9844,7 +9856,11 @@ def _textrank_sql(top_k: int = 20, iterations: int = 5,
                        + {d} * coalesce(c.c, 0.0) AS rank
             FROM nodes n
             LEFT JOIN (
-                SELECT e.d AS node, sum(r.rank / dg.deg) AS c
+                SELECT e.d AS node,
+                       list_reduce(
+                           list_prepend(0.0,
+                               list_sort(list(r.rank / dg.deg))),
+                           (acc, x) -> acc + x) AS c
                 FROM e JOIN r{p} r ON r.node = e.s
                        JOIN deg dg ON dg.s = e.s
                 GROUP BY e.d

@@ -161,7 +161,9 @@ def bpe_encode(
 
     Returns per document: ``(id, n_words, n_chars_alpha, n_tokens)``
     where ``n_tokens`` is the post-merge token count (== characters when
-    ``merges`` is empty, decreasing as merges apply).
+    ``merges`` is empty, decreasing as merges apply).  NULL or empty
+    ``text`` yields ``(0, 0, 0)`` — null text tokenizes to no words, the
+    same contract the oracle mirrors by coalescing the split to ``[]``.
     """
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != F.lit("")

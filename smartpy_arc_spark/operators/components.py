@@ -111,6 +111,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    portable_sum: bool = False,
 ) -> DataFrame:
     """Distributed PageRank over an edge DataFrame: (node, rank).
 
@@ -127,6 +128,19 @@ def pagerank(
     Deterministic given the edge set: no sampling, no init randomness
     (uniform 1/N start), so a fixed-iteration run is oracle-comparable
     against the same power iteration unrolled in SQL.
+
+    ``portable_sum=True`` makes the per-node contribution sum (and the
+    dangling-mass sum) BIT-deterministic across engines: contributions
+    are collected per node, sorted, and folded sequentially
+    (``aggregate(array_sort(collect_list(c)), 0.0, +)``), which DuckDB
+    mirrors exactly with ``list_reduce(list_sort(list(c)))`` — the
+    "sequential folds are portable" contract.  The default ``F.sum``
+    is partition-order nondeterministic in the last ulp (fine for
+    ranking, not for an exact e9-rounded value compare).  The portable
+    path materializes each node's in-contribution list, so per-node
+    memory is bounded by max in-degree — use it for oracle-compared
+    fixed-iteration runs (vocabulary-sized graphs), keep the default
+    for hub-heavy web-scale graphs.
     """
     e = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
@@ -146,6 +160,15 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
+    if portable_sum:
+        ordered_sum = lambda c: F.aggregate(  # noqa: E731
+            F.array_sort(F.collect_list(c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        ordered_sum = F.sum
+
     for _ in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg["s"] == ranks["node"])
@@ -154,13 +177,13 @@ def pagerank(
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("c"))
+            .agg(ordered_sum("c").alias("c"))
         )
         # rank mass sitting on nodes with no out-edges is redistributed
         # uniformly (sum over an empty anti-join is null -> 0)
         dangling = (
             ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .agg(F.coalesce(ordered_sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
             nodes.join(contribs, "node", "left")

@@ -233,12 +233,24 @@ def mmr_select(
         F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm")
     ).where(F.col("nrm") > 0)
 
-    # corpus centroid: per-position mean via posexplode (dim-bounded agg)
+    # corpus centroid: per-position mean via posexplode (dim-bounded agg).
+    # The mean derives from an EXACT integer sum of e9 ticks (order-free;
+    # DECIMAL(38,0) so 1e9-row corpora cannot overflow) divided in one
+    # fixed expression — bit-reproducible across engines and runs, unlike
+    # a plain double avg whose partition accumulation order drifts ulps
     centroid = [
         r["m"]
         for r in base.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e9)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("x")
+                / F.lit(1e9)
+            ).alias("m")
+        )
         .orderBy("pos")
         .collect()
     ]

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from smartpy_arc_spark.operators.stats import _check_e4_scale
+
 
 def resample_ffill(
     df: DataFrame,
@@ -1140,10 +1142,7 @@ def bollinger_bands(
     Returns ``(ts, n_window, mid_e4, sd_e4, upper_e4, lower_e4,
     outside)``.
     """
-    if 10000 % scale != 0:
-        raise ValueError(
-            f"scale must divide 10000 (a power of 10 <= 10000); got {scale}"
-        )
+    _check_e4_scale(scale)
     x = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(F.col(ts_col).alias("t"), x.alias("x"))
     w = W.orderBy("t").rowsBetween(-(window - 1), 0)

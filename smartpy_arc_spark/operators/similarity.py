@@ -42,8 +42,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _assert_bounded(df: DataFrame, limit: int, what: str) -> None:
+def _assert_bounded(df: DataFrame, limit: int, what: str) -> DataFrame:
     """Fail fast before collecting/broadcasting an unbounded side.
+
+    NOTE: this runs an EAGER Spark job at plan-construction time — calling
+    an operator that guards a side triggers one job before the operator's
+    own action, a deliberate trade (a cheap bounded count now vs a silent
+    driver OOM later).  To avoid paying the guarded side's upstream plan
+    twice, the side is persisted (memory-and-disk) before the count, so
+    the later collect/broadcast reuses the partitions the guard already
+    computed; the returned (persisted) frame is what callers must use.
+    The cached side is ≤ ``limit`` rows by contract, so the footprint is
+    bounded and LRU-evictable.
 
     ``limit(n+1).count()`` touches at most ``limit+1`` rows (Spark stops the
     scan at the limit), so the guard itself stays cheap even when the caller
@@ -51,14 +61,19 @@ def _assert_bounded(df: DataFrame, limit: int, what: str) -> None:
     driver OOM into an actionable routing error: oversized scoring sets
     belong on the distributed paths (``ivf_search`` / ``ann_lsh_topk``).
     """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = df.limit(limit + 1).count()
     if n > limit:
+        df.unpersist()
         raise ValueError(
             f"{what} has more than {limit} rows; this operator collects/"
             f"broadcasts that side to the driver by contract. Route the "
             f"oversized side through the distributed tier instead "
             f"(ivf_search / ivfpq_search / ann_lsh_topk), or window it."
         )
+    return df
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -514,7 +529,7 @@ def pq_search(
 
     The query side broadcasts, so it must be bounded: ``max_queries``
     is enforced up front (fail fast, not a driver OOM mid-job)."""
-    _assert_bounded(queries, max_queries, "pq_search query side")
+    queries = _assert_bounded(queries, max_queries, "pq_search query side")
     m = len(books)
     sub_d = len(books[0][0])
     qv = F.col(vec_col).cast("array<double>")
@@ -836,8 +851,9 @@ def knn_classify(
     test = base.where(pred)
     train = base.where(~pred)
 
-    _assert_bounded(test, max_test, "knn_classify test side")
-    trows = test.collect()  # bounded scoring set, enforced above
+    test = _assert_bounded(test, max_test, "knn_classify test side")
+    trows = test.collect()  # bounded scoring set, from the guard's cache
+    test.unpersist()
     t_ids = np.array([r["id"] for r in trows], dtype=np.int64)
     t_labels = np.array([r["label"] for r in trows], dtype=np.int64)
     t_mat = np.array([r["q"] for r in trows], dtype=np.int64)

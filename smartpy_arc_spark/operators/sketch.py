@@ -155,7 +155,9 @@ def ams_f2(
     the quantity a join planner needs to predict skew/output size without
     running the join.  Counter ``j`` accumulates ``Σ_rows sign_j(key)``
     with a deterministic ±1 key hash — the parity of hex digit
-    ``j mod 32`` of ``md5("{seed + j//32}:key")``, so ⌈k/32⌉ md5s per
+    ``j mod 32`` of ``md5("{seed}:{j//32}:key")`` (seed and block index
+    are separate hash-input fields, so sketches built with adjacent
+    seeds never share block md5s), so ⌈k/32⌉ md5s per
     row serve all ``k`` counters (the per-counter-md5 form hashed every
     row k times — 10× the work for the same estimator; reproducible in
     any engine either way); ``E[counter²] = F₂``.
@@ -178,7 +180,7 @@ def ams_f2(
     # no per-counter string work at all
     parsed = []
     for b in range(n_blocks):
-        h = F.md5(F.concat(F.lit(f"{seed + b}:"), key))
+        h = F.md5(F.concat(F.lit(f"{seed}:{b}:"), key))
         parsed.append((
             F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
             F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),

@@ -33,12 +33,11 @@ from pyspark.sql import Window as W
 def _check_e4_scale(scale: int) -> None:
     """Operators that rescale e-``scale`` ticks to e4 output with the
     integer factor ``10000 // scale`` require scale to divide 10000
-    exactly (in practice: a power of 10 ≤ 10000) — any other value would
-    silently mis-scale the output."""
+    exactly (any divisor works — 1, 10, 100, 16, 625, … — though powers
+    of 10 are the conventional choice) — any other value would silently
+    mis-scale the output."""
     if scale <= 0 or 10000 % scale != 0:
-        raise ValueError(
-            f"scale must divide 10000 (a power of 10 <= 10000); got {scale}"
-        )
+        raise ValueError(f"scale must divide 10000; got {scale}")
 
 
 def chi_square_independence(

@@ -845,7 +845,13 @@ def textrank_keywords(
     und = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    ranks = pagerank(und, iterations=iterations, damping=damping)
+    # portable_sum: the rank-contribution sums fold in sorted order so
+    # the e9-rounded values are bit-stable across engines and runs (the
+    # vocabulary graph is small enough that per-node contribution lists
+    # are cheap); see pagerank's docstring
+    ranks = pagerank(
+        und, iterations=iterations, damping=damping, portable_sum=True
+    )
     return (
         ranks.select(
             F.col("node").alias("word"),

@@ -54,8 +54,12 @@ def test_assert_bounded_is_cheap_on_big_side(spark):
     big = spark.range(0, 10_000_000)  # would be slow to fully count per-row
     with pytest.raises(ValueError):
         _assert_bounded(big, 100, "test side")
-    # within bound: returns None, no raise
-    assert _assert_bounded(big.limit(50), 100, "test side") is None
+    # within bound: no raise; returns the persisted frame (r7: the guard
+    # caches the side so the caller's collect/broadcast reuses its scan)
+    small = _assert_bounded(big.limit(50), 100, "test side")
+    assert small.count() == 50
+    assert small.storageLevel.useMemory  # cached between guard and collect
+    small.unpersist()
 
 
 def test_embedding_near_dup_keeps_bounded_filter():
