@@ -2557,7 +2557,9 @@ def q_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(edges, iterations=3, damping=0.85)
+    # both directions of the distinct c↔s pairs have disjoint prefixed
+    # key spaces, so the union is already duplicate-free
+    pr = pagerank(edges, iterations=3, damping=0.85, assume_distinct=True)
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -4576,7 +4578,8 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ppr = personalized_pagerank(
-        edges, ["s1", "s2", "s3"], iterations=2, damping=0.85
+        edges, ["s1", "s2", "s3"], iterations=2, damping=0.85,
+        assume_distinct=True,
     )
     return ppr.select("node", F.round("rank", 6).alias("rank"))
 

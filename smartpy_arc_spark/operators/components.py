@@ -20,6 +20,7 @@ at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -112,8 +113,14 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     portable_sum: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Distributed PageRank over an edge DataFrame: (node, rank).
+
+    ``assume_distinct=True`` skips the defensive edge-dedup shuffle for
+    callers whose edge pipeline already ends in ``distinct()`` (most
+    graph builders do) — at web scale that is a full extra shuffle of
+    the edge set for nothing.
 
     Standard power iteration with dangling-mass redistribution:
 
@@ -142,19 +149,32 @@ def pagerank(
     fixed-iteration runs (vocabulary-sized graphs), keep the default
     for hub-heavy web-scale graphs.
     """
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).distinct()
+    # checkpoint the distinct edge set FIRST: nodes, degrees, and the
+    # degree-attached edges all derive from it, and the per-round
+    # dangling anti-join reads it too — without this, every consumer
+    # re-ran the caller's full upstream edge pipeline (r7: this was the
+    # dominant cost of pagerank_influence, not the iteration itself)
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not assume_distinct:
+        e = e.distinct()
+    # attach out-degree with ONE shuffle (count over a src-partitioned
+    # window) instead of groupBy + join (two), and checkpoint the result:
+    # nodes, every round's rank-attach join, and the dangling anti-join
+    # all read this single materialization instead of re-running the
+    # caller's upstream edge pipeline (r7: that recompute — ~5× per
+    # call — was the dominant cost of pagerank_influence)
+    e_deg = e.withColumn(
+        "deg", F.count("*").over(W.partitionBy("s"))
+    ).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
+        e_deg.select(F.col("s").alias("node"))
+        .union(e_deg.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    # pre-join degree onto edges once: each round then needs a single
-    # rank-attach join instead of rank + degree joins
-    e_deg = e.join(deg, "s").localCheckpoint(eager=True)
+    # out-node key set for the dangling anti-join: from the checkpointed
+    # e_deg, so rounds never touch pre-checkpoint lineage
+    out_nodes = e_deg.select("s")
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -182,7 +202,7 @@ def pagerank(
         # rank mass sitting on nodes with no out-edges is redistributed
         # uniformly (sum over an empty anti-join is null -> 0)
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            ranks.join(out_nodes, ranks["node"] == out_nodes["s"], "left_anti")
             .agg(F.coalesce(ordered_sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
@@ -504,6 +524,7 @@ def personalized_pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: random walks RESTART at the seed set
     instead of uniformly, so rank measures proximity TO the seeds — the
@@ -517,17 +538,23 @@ def personalized_pagerank(
     preference rides in as a broadcast-able literal flag.  Deterministic
     for a fixed iteration count.
     """
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).distinct()
+    # same checkpoint discipline as pagerank (r7): one-shuffle degree
+    # attach (src-partitioned window), one materialization that nodes,
+    # the per-round rank join, and the dangling anti-join all read —
+    # instead of re-running the caller's upstream edge pipeline
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if not assume_distinct:
+        e = e.distinct()
+    e_deg = e.withColumn(
+        "deg", F.count("*").over(W.partitionBy("s"))
+    ).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
+        e_deg.select(F.col("s").alias("node"))
+        .union(e_deg.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    e_deg = e.join(deg, "s").localCheckpoint(eager=True)
+    out_nodes = e_deg.select("s")
     n_seeds = len(seeds)
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed")
@@ -546,7 +573,7 @@ def personalized_pagerank(
             .agg(F.sum("c").alias("c"))
         )
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            ranks.join(out_nodes, ranks["node"] == out_nodes["s"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
@@ -805,6 +832,9 @@ def louvain_communities(
                     ).alias("k"),
                 )
             )
+        # loop-invariant per level but consumed twice per sweep — without
+        # this checkpoint every sweep re-ran the degree aggregate (r7)
+        deg = deg.localCheckpoint(eager=True)
         assign = deg.select(F.col("s").alias("node")).select(
             "node", F.col("node").alias("comm")
         ).localCheckpoint(eager=True)
@@ -1159,8 +1189,6 @@ def minimum_spanning_forest(
             )
             .where(F.col("cs") != F.col("cd"))
         )
-        if annotated.limit(1).count() == 0:
-            break
         pick = F.struct("w", "s", "d", "cs", "cd")
         incident = annotated.select(
             F.col("cs").alias("comp"), pick.alias("e")
@@ -1172,6 +1200,11 @@ def minimum_spanning_forest(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # convergence probe rides on the checkpoint just materialized
+        # (annotated empty ⇔ chosen empty) — no separate two-join probe
+        # job per round (r7)
+        if chosen.limit(1).count() == 0:
+            break
         sel = chosen.select("s", "d", "w")
         forest = sel if forest is None else forest.union(sel)
         merge_labels = connected_components(

@@ -40,7 +40,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smartpy_arc_spark.operators.similarity import cosine
 
 
 def assign_clusters(
@@ -54,20 +53,36 @@ def assign_clusters(
     vectors, broadcast; each row gets ``(cluster, cos_to_centroid)``.
 
     Ties in cosine break toward the lower centroid id (deterministic).
+
+    HOF-CSE staging (r7, the ``embedding_near_dup`` pattern): each side's
+    squared norm is computed ONCE — per row and per centroid — instead of
+    per (row × centroid) pair inside ``cosine()``; the pair stage then
+    evaluates a single dot fold.  ``sqrt(n2v * n2c)`` is the same double
+    as ``sqrt(dot(v,v) * dot(c,c))`` (identical op order), so scores are
+    bit-unchanged.
     """
+    from smartpy_arc_spark.operators.similarity import _dot
+
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).withColumn("__n2v", _dot(F.col("__v"), F.col("__v")))
     cents = (
         vecs.orderBy(id_col)
         .limit(k)
-        .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col("__v").alias("__c"),
+            F.col("__n2v").alias("__n2c"),
+        )
     )
+    denom = F.sqrt(F.col("__n2v") * F.col("__n2c"))
+    cos_c = F.when(denom > 0, _dot(F.col("__v"), F.col("__c")) / denom)
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col,
         "__v",
+        "__n2v",
         "cent_id",
-        F.coalesce(cosine(F.col("__v"), F.col("__c")), F.lit(-2.0)).alias("cos_c"),
+        F.coalesce(cos_c, F.lit(-2.0)).alias("cos_c"),
     )
     best = scored.groupBy(id_col).agg(
         F.max_by(
@@ -76,10 +91,11 @@ def assign_clusters(
             F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("neg")),
         ).alias("b"),
         F.first("__v").alias("__v"),
+        F.first("__n2v").alias("__n2v"),
     )
     return best.select(
         id_col, F.col("b.cluster").alias("cluster"),
-        F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"), "__v",
+        F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"), "__v", "__n2v",
     )
 
 
@@ -113,16 +129,28 @@ def semdedup(
         )
     assigned = assign_clusters(df, id_col=id_col, vec_col=vec_col, k=k)
     a = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        F.col("cluster"), F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"), F.col("__n2v").alias("__na2"),
     )
     b = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        F.col("cluster"), F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"), F.col("__n2v").alias("__nb2"),
     )
-    # co-partitioned equi-join on cluster; quadratic only within a cluster
+    # co-partitioned equi-join on cluster; quadratic only within a cluster.
+    # HOF-CSE staging (r7): per-row squared norms ride in from
+    # assign_clusters, so the quadratic pair stage evaluates ONE dot fold
+    # per pair instead of three; sqrt(na2*nb2) keeps cosine's exact double
+    # op order, so keep/drop decisions are bit-unchanged.
+    from smartpy_arc_spark.operators.similarity import _dot
+
+    pair_denom = F.sqrt(F.col("__na2") * F.col("__nb2"))
+    pair_cos = F.when(
+        pair_denom > 0, _dot(F.col("__va"), F.col("__vb")) / pair_denom
+    )
     dup_pairs = (
         a.join(b, "cluster")
         .where(F.col("__idb") < F.col("__ida"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(pair_cos >= threshold)
         .groupBy(F.col("__ida").alias(id_col))
         .agg(F.min("__idb").alias("dup_of"))
     )

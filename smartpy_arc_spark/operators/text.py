@@ -850,7 +850,8 @@ def textrank_keywords(
     # vocabulary graph is small enough that per-node contribution lists
     # are cheap); see pagerank's docstring
     ranks = pagerank(
-        und, iterations=iterations, damping=damping, portable_sum=True
+        und, iterations=iterations, damping=damping, portable_sum=True,
+        assume_distinct=True,  # und ends in .distinct() above
     )
     return (
         ranks.select(
