@@ -8082,6 +8082,112 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_index(j, "c_mktsegment", "o_totalprice")
 
 
+def q_minhash_prod_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production xxhash64 MinHash-LSH invariant fence (rows-only;
+    VERDICT r6 item 3).  Since round 6 the ``minhash_pairs`` contract
+    runs ``portable_hash=True`` so the driver can hash-verify it; this
+    twin runs the DEFAULT hash family (xxhash64 — the 100 TB fast path)
+    end-to-end, both plain and hot-bucket-capped, and ASSERTS the
+    hash-family-agnostic candidate-set invariants before returning a
+    summary row — a regression in the xxhash64 branch (seeds, xorshift
+    scrambles, banding, caps, exact-collapse) now fails a ``queries()``
+    entry, not just a unit test:
+
+      1. every byte-identical text group is fully linked: for each
+         group, (min-id → member) appears with ``jaccard_est = 1.0``
+         (identical text ⇒ identical signature ⇒ same band buckets);
+      2. ``0 ≤ jaccard_est ≤ 1`` and ``id_a < id_b`` on every pair;
+      3. the capped run emits no more pairs than the uncapped run and
+         preserves invariant 1 (star edges replace quadratic pairs but
+         never drop exact-dup connectivity).
+    """
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    plain = minhash_lsh_candidates(
+        docs, shingle_mode="word", shingle_size=3, collapse_exact=True
+    ).localCheckpoint(eager=True)
+    capped = minhash_lsh_candidates(
+        docs, shingle_mode="word", shingle_size=3, collapse_exact=True,
+        max_bucket_size=8,
+    ).localCheckpoint(eager=True)
+
+    expected = (
+        docs.select("doc_id", F.xxhash64("text").alias("_th"))
+        .withColumn("_rep", F.min("doc_id").over(W.partitionBy("_th")))
+        .where(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    n_expected = expected.count()
+    for name, out in (("plain", plain), ("capped", capped)):
+        missing = expected.join(
+            out.where(F.col("jaccard_est") == 1.0), ["id_a", "id_b"],
+            "left_anti",
+        ).count()
+        if missing:
+            raise AssertionError(
+                f"xxhash64 production path dropped {missing} exact-dup "
+                f"star edges in the {name} run — hash/banding regression"
+            )
+        bad = out.where(
+            (F.col("jaccard_est") < 0) | (F.col("jaccard_est") > 1)
+            | (F.col("id_a") >= F.col("id_b"))
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"{bad} pairs violate jaccard/ordering bounds ({name} run)"
+            )
+    n_plain, n_capped = plain.count(), capped.count()
+    if n_capped > n_plain:
+        raise AssertionError(
+            f"capped run emitted MORE pairs ({n_capped}) than uncapped "
+            f"({n_plain}) — cap spill regression"
+        )
+    return spark.createDataFrame(
+        [(n_plain, n_capped, n_expected)],
+        "n_pairs_plain long, n_pairs_capped long, n_exact_star_edges long",
+    )
+
+
+def q_simhash_prod_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production xxhash64 SimHash invariant fence (rows-only; VERDICT
+    r6 item 3) — the ``q_minhash_prod_path`` contract for the SimHash
+    tier: DEFAULT hash family, asserts byte-identical texts appear at
+    ``hamming = 0``, every pair respects ``0 ≤ hamming ≤ max_hamming``
+    and ``id_a < id_b``, then returns a summary row."""
+    from smartpy_arc_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    max_h = 3
+    out = simhash_candidates(
+        docs, max_hamming=max_h, collapse_exact=True
+    ).localCheckpoint(eager=True)
+    expected = (
+        docs.select("doc_id", F.xxhash64("text").alias("_th"))
+        .withColumn("_rep", F.min("doc_id").over(W.partitionBy("_th")))
+        .where(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    n_expected = expected.count()
+    missing = expected.join(
+        out.where(F.col("hamming") == 0), ["id_a", "id_b"], "left_anti"
+    ).count()
+    if missing:
+        raise AssertionError(
+            f"xxhash64 simhash path dropped {missing} exact-dup pairs"
+        )
+    bad = out.where(
+        (F.col("hamming") < 0) | (F.col("hamming") > max_h)
+        | (F.col("id_a") >= F.col("id_b"))
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} pairs violate hamming/ordering bounds")
+    return spark.createDataFrame(
+        [(out.count(), n_expected)],
+        "n_pairs long, n_exact_pairs long",
+    )
+
+
 def _stamp_order(q: dict) -> dict:
     """Unstamped entries first (the driver stamps a bounded prefix per
     round); within the unstamped head, oracle-backed queries precede
@@ -8523,6 +8629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "multimodal_features_stub": q_multimodal_features_stub,
         "multimodal_dedup_text": q_multimodal_dedup_text,
+        # r7: xxhash64 production-path invariant fences (VERDICT item 3)
+        # — rows-only twins of the portable-hash contract queries,
+        # declared last so they never displace older unstamped queries
+        "minhash_prod_path": q_minhash_prod_path,
+        "simhash_prod_path": q_simhash_prod_path,
     })
 
 
