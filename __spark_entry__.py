@@ -8082,6 +8082,67 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_index(j, "c_mktsegment", "o_totalprice")
 
 
+def q_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG video decode (r7 — closes the last multimodal
+    stub, VERDICT item 4): deterministic MJPG AVI clips — every frame a
+    genuine entropy-coded baseline JFIF image inside a RIFF ``00dc``
+    chunk (``multimodal/avi.py:make_avi(codec='MJPG')``) — decoded
+    back through the container sniff + the real JPEG Huffman/dequant/
+    IDCT path (``parse_avi`` → ``jpeg.parse_jpeg``).  Quality-100
+    constant-color frames survive the all-ones quantizer exactly, so
+    each decoded frame's color is the closed-form YCbCr↔RGB integer
+    roundtrip the SQL oracle mirrors (the ``jpeg_decode`` acceptance
+    argument, now per video frame; 4:2:0 subsampling of constant chroma
+    is exact too, so both layouts mix in).  Per-frame independent decode
+    is WHY MJPEG suits a Spark pipeline: frames parallelize with no
+    inter-frame state."""
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 120").select("doc_id")
+
+    def synth_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smartpy_arc_spark.multimodal.avi import make_avi, parse_avi
+
+        for pdf in batches:
+            out = {"item_id": [], "frame_idx": [], "n_frames": [],
+                   "r": [], "g": [], "b": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 3
+                frames = [
+                    np.full(
+                        (8, 16, 3),
+                        ((d * 7 + f * 31) % 256, (d * 13 + f * 11) % 256,
+                         (d * 5 + f * 3) % 256),
+                        dtype=np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                payload = make_avi(
+                    frames, fps=8, codec="MJPG", quality=100,
+                    subsample=(d % 3 == 0),
+                )
+                decoded, info = parse_avi(payload)
+                assert info["compression"] == "MJPG" and len(decoded) == n
+                for f, px in enumerate(decoded):
+                    out["item_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(n)
+                    out["r"].append(int(px[0, 0, 0]))
+                    out["g"].append(int(px[0, 0, 1]))
+                    out["b"].append(int(px[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    from smartpy_arc_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    return docs.mapInPandas(
+        synth_decode,
+        "item_id long, frame_idx int, n_frames int, r int, g int, b int",
+    ).orderBy("item_id", "frame_idx")
+
+
 def q_minhash_prod_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production xxhash64 MinHash-LSH invariant fence (rows-only;
     VERDICT r6 item 3).  Since round 6 the ``minhash_pairs`` contract
@@ -8634,6 +8695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared last so they never displace older unstamped queries
         "minhash_prod_path": q_minhash_prod_path,
         "simhash_prod_path": q_simhash_prod_path,
+        # r7: real MJPEG video decode (VERDICT item 4) — declared last
+        # for the same stamp-queue reason
+        "avi_mjpeg_frames": q_avi_mjpeg_frames,
     })
 
 
@@ -17030,6 +17094,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13 + f * 11) % 256 AS INTEGER) AS g,
                    CAST((doc_id * 5 + f * 3) % 256 AS INTEGER) AS b
             FROM picks ORDER BY item_id, frame_idx
+        """,
+        "avi_mjpeg_frames": """
+            -- closed-form mirror of the quality-100 constant-color MJPEG
+            -- decode: per (doc, frame) the synth color goes through the
+            -- YCbCr forward+inverse integer roundtrip (floor(x+0.5));
+            -- at quality 100 the all-ones quantizer passes constant
+            -- blocks exactly, and 4:2:0 averaging of constant chroma is
+            -- the identity, so both subsample layouts share the formula
+            WITH src AS (
+                SELECT doc_id, 2 + doc_id % 3 AS n
+                FROM documents WHERE doc_id < 120
+            ), fr AS (
+                SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS f
+                FROM src
+            ), rgb0 AS (
+                SELECT doc_id, n, f,
+                       (doc_id * 7 + f * 31) % 256 AS r,
+                       (doc_id * 13 + f * 11) % 256 AS g,
+                       (doc_id * 5 + f * 3) % 256 AS b
+                FROM fr
+            ), ycc AS (
+                SELECT doc_id, n, f,
+                       greatest(0, least(255, floor(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                       greatest(0, least(255, floor(128 - 0.168736*r - 0.331264*g + 0.5*b + 0.5))) AS cb,
+                       greatest(0, least(255, floor(128 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
+                FROM rgb0
+            )
+            SELECT doc_id AS item_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   CAST(n AS INTEGER) AS n_frames,
+                   CAST(greatest(0, least(255, floor(y + 1.402*(cr-128) + 0.5))) AS INTEGER) AS r,
+                   CAST(greatest(0, least(255, floor(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5))) AS INTEGER) AS g,
+                   CAST(greatest(0, least(255, floor(y + 1.772*(cb-128) + 0.5))) AS INTEGER) AS b
+            FROM ycc ORDER BY item_id, frame_idx
         """,
         "vwap": """
             WITH base AS (
