@@ -5752,8 +5752,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle space the signatures hash — at the banding's operating
     threshold (16 hashes / 4 bands targets s ≥ 0.8, where theory gives
     P(candidate) = 1−(1−s⁴)⁴ ≈ 0.88).  Precision / recall / F1 in
-    integer millionths, rows-only (xxhash64 candidates); the recall the
-    banding is tuned for is measured, not asserted."""
+    integer millionths.  Oracle-backed since r7: the candidate side runs
+    ``portable_hash=True`` (the ``minhash_pairs`` contract family), so
+    BOTH sides of the eval — exact-Jaccard truth and banded candidates —
+    are deterministic functions the ``_dedup_eval_sql`` mirror replays;
+    the xxhash64 production path is fenced by ``minhash_prod_path``."""
     from smartpy_arc_spark.operators.contamination import (
         _space_tokens,
         word_ngrams_of_tokens,
@@ -5792,7 +5795,9 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_t", F.lit(1))
     )
     cand = (
-        minhash_lsh_candidates(docs, shingle_mode="word", shingle_size=3)
+        minhash_lsh_candidates(
+            docs, shingle_mode="word", shingle_size=3, portable_hash=True
+        )
         .select("id_a", "id_b")
         .withColumn("_c", F.lit(1))
     )
@@ -7496,19 +7501,42 @@ def q_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy harness (the dedup_eval pattern for sketches):
-    approx_count_distinct and approx_percentile against their exact
-    counterparts, with relative errors and bound flags.  Rows-only —
-    sketch values are engine-specific by nature; the ERROR BOUNDS are
-    the assertable contract (tested)."""
+    approx_count_distinct and approx_percentile validated against their
+    exact counterparts.  Oracle-backed since r7 (VERDICT item 7): the
+    CONTRACT columns are the exact sides (engine-agnostic — distinct
+    count, integer-rank median over a grouped cumulative-count scan, no
+    interpolation conventions) plus the bound FLAGS; the oracle asserts
+    the flags are 1, so a sketch drifting out of its published error
+    bound flips a flag and fails the value compare.  The raw sketch
+    values are engine-specific by nature and deliberately stay out of
+    the cross-engine surface (they remain pinned by unit tests)."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    exact = li.agg(
-        F.count_distinct("l_partkey").cast("long").alias("nd_exact"),
-        F.expr(
-            "CAST(percentile(CAST(round(l_extendedprice * 100) AS BIGINT),"
-            " 0.5) AS DOUBLE)"
-        ).alias("p50_exact"),
+    # exact median by explicit integer rank over value-grouped counts:
+    # the `percentiles` allowlist shape (pre-aggregated single-partition
+    # cumsum) — both engines select the same VALUES, no percentile
+    # interpolation arithmetic ever runs
+    vals = li.select(cents.alias("v")).groupBy("v").agg(
+        F.count("*").alias("c")
     )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vals.select("v", F.sum("c").over(wcum).alias("cum"))
+    tot = cum.agg(F.max("cum").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+            ).alias("v_low"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col("v"))
+            ).alias("v_high"),
+        )
+        .select(F.expr("(v_low + v_high) div 2").alias("p50_exact_cents"))
+    )
+    exact = li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("nd_exact")
+    ).crossJoin(med)
     approx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02)
         .cast("long")
@@ -7522,17 +7550,13 @@ def q_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("nd_approx") - F.col("nd_exact")).cast("double")
         / F.col("nd_exact").cast("double")
     )
-    p_rel = F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col(
-        "p50_exact"
-    )
+    p_rel = F.abs(
+        F.col("p50_approx") - F.col("p50_exact_cents").cast("double")
+    ) / F.col("p50_exact_cents").cast("double")
     return j.select(
         "nd_exact",
-        "nd_approx",
-        F.round(nd_rel * 1e6).cast("long").alias("nd_rel_err_e6"),
+        "p50_exact_cents",
         (nd_rel <= 0.06).cast("int").alias("nd_within_3rsd"),
-        F.col("p50_exact").cast("long").alias("p50_exact_cents"),
-        F.col("p50_approx").cast("long").alias("p50_approx_cents"),
-        F.round(p_rel * 1e6).cast("long").alias("p50_rel_err_e6"),
         (p_rel <= 0.01).cast("int").alias("p50_within_1pct"),
     )
 
@@ -9420,10 +9444,12 @@ def _scramble_sql(h: str, j: int) -> str:
     return f"xor({x3}, {_shr_sql(x3, 17)})"
 
 
-def _minhash_core_cte(num_hashes: int = 16, k: int = 3) -> str:
+def _minhash_core_cte(num_hashes: int = 16, k: int = 3,
+                      where: str = "") -> str:
     """Shared CTE prefix of the MinHash mirrors: token hashes → distinct
     word-k-shingle hashes → per-doc signature columns (one ``min`` per
-    scrambled family member)."""
+    scrambled family member).  ``where`` optionally restricts the doc
+    set (e.g. ``"WHERE doc_id < 300"`` for the eval harness)."""
     ph = _PHASH_SQL.format
     tok_parts = ", ".join(
         f"CAST(th[i + {j}] AS VARCHAR)" for j in range(1, k + 1)
@@ -9435,7 +9461,7 @@ def _minhash_core_cte(num_hashes: int = 16, k: int = 3) -> str:
             SELECT doc_id,
                    list_transform(string_split(text, ' '),
                                   t -> {ph(s='t')}) AS th
-            FROM documents
+            FROM documents {where}
         ), shing AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(
@@ -9546,6 +9572,86 @@ def _minhash_pairs_sql(num_hashes: int = 16, k: int = 3, bands: int = 4,
         JOIN rsigs sb ON sb.doc_id = p.id_b
         UNION ALL
         SELECT id_a, id_b, 1.0 AS jaccard_est FROM star_exact
+    """
+
+
+def _dedup_eval_sql(num_hashes: int = 16, k: int = 3, bands: int = 4) -> str:
+    """Generated mirror of ``q_dedup_eval`` (r7 conversion, VERDICT item
+    7): BOTH sides of the eval are deterministic cross-engine — ground
+    truth is exact word-trigram Jaccard ≥ 0.8 (integer set sizes, one
+    double division), and the candidate set is the ``portable_hash``
+    MinHash banding (the proven ``_minhash_pairs_sql`` machinery,
+    restricted to ``doc_id < 300``).  tp/fn/fp are integer counts;
+    precision/recall/F1 are single fixed expressions over exact
+    operands, e6-rounded."""
+    core = _minhash_core_cte(num_hashes, k, where="WHERE doc_id < 300")
+    banded = _minhash_banded_sql(num_hashes, bands, "sigs")
+    return f"""
+        WITH {core}, banded AS MATERIALIZED (
+            {banded}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        ), tt AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               t -> t <> '') AS tk
+            FROM documents WHERE doc_id < 300
+        ), tgrams AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(tk) >= {k}
+                     THEN list_transform(
+                         generate_series(1, len(tk) - {k - 1}),
+                         i -> concat_ws(' ',
+                             {", ".join(f"tk[i + {j}]" for j in range(k))}))
+                     ELSE CAST([] AS VARCHAR[]) END)) AS g
+            FROM tt
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM tgrams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM tgrams a JOIN tgrams b
+                 ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), truth AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.id_a
+            JOIN sizes sb ON sb.doc_id = inter.id_b
+            WHERE CAST(i AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+        ), joined AS (
+            SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 END AS _t,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 END AS _c
+            FROM truth t FULL OUTER JOIN cand c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b
+        ), counts AS (
+            SELECT
+                CAST(coalesce(sum(CASE WHEN _t IS NOT NULL
+                    AND _c IS NOT NULL THEN 1 END), 0) AS BIGINT) AS tp,
+                CAST(coalesce(sum(CASE WHEN _t IS NOT NULL
+                    AND _c IS NULL THEN 1 END), 0) AS BIGINT) AS fn,
+                CAST(coalesce(sum(CASE WHEN _t IS NULL
+                    AND _c IS NOT NULL THEN 1 END), 0) AS BIGINT) AS fp
+            FROM joined
+        ), m AS (
+            SELECT tp, fn, fp,
+                   CAST(tp AS DOUBLE)
+                       / greatest(CAST(tp AS DOUBLE)
+                                  + CAST(fp AS DOUBLE), 1.0) AS prec,
+                   CAST(tp AS DOUBLE)
+                       / greatest(CAST(tp AS DOUBLE)
+                                  + CAST(fn AS DOUBLE), 1.0) AS rec
+            FROM counts
+        )
+        SELECT tp AS n_tp, fn AS n_fn, fp AS n_fp,
+               CAST(round(prec * 1e6) AS BIGINT) AS precision_e6,
+               CAST(round(rec * 1e6) AS BIGINT) AS recall_e6,
+               CAST(round(CASE WHEN prec + rec > 0
+                    THEN 2 * prec * rec / (prec + rec)
+                    ELSE 0.0 END * 1e6) AS BIGINT) AS f1_e6
+        FROM m
     """
 
 
@@ -19381,6 +19487,33 @@ def oracle_sql() -> dict[str, str]:
         # portable_hash64 mirrors (md5 15-hex-digit prefix, base-16):
         # the operators run portable_hash=True in their contract queries
         "minhash_pairs": _minhash_pairs_sql(),
+        "dedup_eval": _dedup_eval_sql(),
+        "sketch_eval": """
+            -- exact sides recomputed; the bound flags are the sketch
+            -- CONTRACT (asserted 1): Spark's side flips a flag if a
+            -- sketch leaves its published error bound
+            WITH vals AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1
+            ), cum AS (
+                SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vals
+            ), tot AS (SELECT max(cum) AS n FROM cum),
+            sel AS (
+                SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                           AS v_low,
+                       min(CASE WHEN cum >= n // 2 + 1 THEN v END)
+                           AS v_high
+                FROM cum, tot
+            )
+            SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+                    FROM lineitem) AS nd_exact,
+                   CAST((v_low + v_high) // 2 AS BIGINT)
+                       AS p50_exact_cents,
+                   CAST(1 AS INTEGER) AS nd_within_3rsd,
+                   CAST(1 AS INTEGER) AS p50_within_1pct
+            FROM sel
+        """,
         "minhash_pairs_capped": _minhash_pairs_sql(capped=64),
         "lsh_bucket_report": _lsh_bucket_report_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
