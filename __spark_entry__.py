@@ -5700,15 +5700,24 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation convex hull of deterministic customer point clouds
     (monotone chain in one grouped Arrow batch per nation; CCW WKT ring,
-    shoelace area).  Rows-only: hull extraction has no SQL form; the
-    chain is pinned against a brute-force all-triangles reference in
-    unit tests."""
+    shoelace area).  Oracle-backed since r7 (VERDICT item 7): the
+    fixture coordinates are DYADIC (k/16 — exactly representable
+    doubles), so every cross product the Python chain evaluates is
+    exact and agrees with integer arithmetic; the oracle rebuilds the
+    hull via a QuickHull recursive CTE over 16×-scaled integer points
+    (``_convex_hulls_sql``), orders the ring by the chain rule
+    (lex-min → below-line ascending → lex-max → above-line descending
+    — exactly the monotone-chain CCW ring), and mirrors area (exact
+    integer shoelace + Python's round-half-even) and perimeter (the
+    same sqrt(dx*dx+dy*dy) sequential fold, bit-identical doubles) and
+    the %g WKT formatting (≤6 significant digits — dyadic k/16 values
+    always print exactly)."""
     from smartpy_arc_spark.geometry.hull import convex_hulls
 
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("string").alias("nation"),
-        (((F.col("c_custkey") * 29) % 1000) / F.lit(10.0)).alias("x"),
-        (((F.col("c_custkey") * 53) % 1000) / F.lit(10.0)).alias("y"),
+        (((F.col("c_custkey") * 29) % 1000) / F.lit(16.0)).alias("x"),
+        (((F.col("c_custkey") * 53) % 1000) / F.lit(16.0)).alias("y"),
     )
     return convex_hulls(cust, "nation", "x", "y").orderBy("nation")
 
@@ -9652,6 +9661,131 @@ def _dedup_eval_sql(num_hashes: int = 16, k: int = 3, bands: int = 4) -> str:
                     THEN 2 * prec * rec / (prec + rec)
                     ELSE 0.0 END * 1e6) AS BIGINT) AS f1_e6
         FROM m
+    """
+
+
+def _convex_hulls_sql() -> str:
+    """Mirror of ``q_convex_hulls`` (r7 conversion): QuickHull as a
+    recursive CTE over 16×-scaled INTEGER coordinates.  Each recursion
+    level maps every active segment (a,b) to its farthest strictly-left
+    point c (max integer cross, lex-max tie-break — ties pick a true
+    vertex because a boundary-collinear point's cross is a strict convex
+    combination of its edge endpoints') and emits (a,c),(c,b); the
+    vertex set is every segment's left endpoint.  The CCW ring is the
+    monotone-chain order (lex-min, below-line ascending, lex-max,
+    above-line descending); area is the exact integer shoelace with
+    Python's round-half-even mirrored in integer arithmetic
+    (|T|·625/32); the perimeter fold replays sqrt(dx*dx+dy*dy) over the
+    identical doubles in the identical order.  The dyadic k/16 fixture
+    makes the operator's double crosses exact, so both engines make
+    identical pop/keep decisions."""
+    fmt_x = ("(CASE WHEN p[1] % 16 = 0 THEN CAST(p[1] // 16 AS VARCHAR) "
+             "ELSE CAST(p[1] // 16 AS VARCHAR) || '.' || "
+             "rtrim(lpad(CAST(p[1] % 16 * 625 AS VARCHAR), 4, '0'), '0') "
+             "END)")
+    fmt_y = fmt_x.replace("p[1]", "p[2]")
+    return f"""
+        WITH RECURSIVE pts AS MATERIALIZED (
+            SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS nation,
+                   (c_custkey * 29) % 1000 AS xi,
+                   (c_custkey * 53) % 1000 AS yi
+            FROM customer
+        ), npts AS (
+            SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+                   count(*) AS n_points
+            FROM customer GROUP BY 1
+        ), emin AS (
+            SELECT nation, xi AS x0, yi AS y0 FROM (
+                SELECT nation, xi, yi, row_number() OVER (
+                    PARTITION BY nation ORDER BY xi, yi) AS rn
+                FROM pts) q WHERE rn = 1
+        ), emax AS (
+            SELECT nation, xi AS x1, yi AS y1 FROM (
+                SELECT nation, xi, yi, row_number() OVER (
+                    PARTITION BY nation ORDER BY xi DESC, yi DESC) AS rn
+                FROM pts) q WHERE rn = 1
+        ), ext AS (
+            SELECT emin.nation, x0, y0, x1, y1
+            FROM emin JOIN emax USING (nation)
+        ), seg AS (
+            SELECT nation, x0 AS ax, y0 AS ay, x1 AS bx, y1 AS by FROM ext
+            UNION ALL SELECT nation, x1, y1, x0, y0 FROM ext
+            UNION ALL
+            SELECT picked.nation,
+                   CASE WHEN side.i = 0 THEN picked.ax ELSE picked.cx END,
+                   CASE WHEN side.i = 0 THEN picked.ay ELSE picked.cy END,
+                   CASE WHEN side.i = 0 THEN picked.cx ELSE picked.bx END,
+                   CASE WHEN side.i = 0 THEN picked.cy ELSE picked.by END
+            FROM (
+                SELECT nation, ax, ay, bx, by, cx, cy FROM (
+                    SELECT s.nation, s.ax, s.ay, s.bx, s.by,
+                           p.xi AS cx, p.yi AS cy,
+                           row_number() OVER (
+                               PARTITION BY s.nation, s.ax, s.ay,
+                                            s.bx, s.by
+                               ORDER BY (s.bx - s.ax) * (p.yi - s.ay)
+                                      - (s.by - s.ay) * (p.xi - s.ax)
+                                      DESC, p.xi DESC, p.yi DESC) AS rn
+                    FROM seg s JOIN pts p ON p.nation = s.nation
+                    WHERE (s.bx - s.ax) * (p.yi - s.ay)
+                        - (s.by - s.ay) * (p.xi - s.ax) > 0
+                ) q WHERE rn = 1
+            ) picked CROSS JOIN (VALUES (0), (1)) side(i)
+        ), verts AS (
+            SELECT DISTINCT nation, ax AS xi, ay AS yi FROM seg
+        ), chainv AS (
+            SELECT v.nation, v.xi, v.yi,
+                   CASE WHEN v.xi = e.x0 AND v.yi = e.y0 THEN 0
+                        WHEN v.xi = e.x1 AND v.yi = e.y1 THEN 2
+                        WHEN (e.x1 - e.x0) * (v.yi - e.y0)
+                           - (e.y1 - e.y0) * (v.xi - e.x0) < 0 THEN 1
+                        ELSE 3 END AS chain
+            FROM verts v JOIN ext e ON e.nation = v.nation
+        ), ringl AS (
+            SELECT nation,
+                   list([xi, yi] ORDER BY chain,
+                        CASE WHEN chain = 3 THEN -xi ELSE xi END,
+                        CASE WHEN chain = 3 THEN -yi ELSE yi END) AS r0
+            FROM chainv GROUP BY nation
+        ), closed AS (
+            SELECT nation, list_append(r0, r0[1]) AS r, len(r0) AS k
+            FROM ringl
+        ), meas AS (
+            SELECT nation, k,
+                   abs(coalesce(list_sum(list_transform(
+                       generate_series(1, len(r) - 1),
+                       i -> r[i][1] * r[i + 1][2]
+                          - r[i + 1][1] * r[i][2])), 0)) AS t_abs,
+                   list_reduce(list_prepend(0.0, list_transform(
+                       generate_series(1, len(r) - 1),
+                       i -> sqrt(
+                           (CAST(r[i + 1][1] AS DOUBLE) / 16.0
+                            - CAST(r[i][1] AS DOUBLE) / 16.0)
+                           * (CAST(r[i + 1][1] AS DOUBLE) / 16.0
+                              - CAST(r[i][1] AS DOUBLE) / 16.0)
+                           + (CAST(r[i + 1][2] AS DOUBLE) / 16.0
+                              - CAST(r[i][2] AS DOUBLE) / 16.0)
+                           * (CAST(r[i + 1][2] AS DOUBLE) / 16.0
+                              - CAST(r[i][2] AS DOUBLE) / 16.0)))),
+                       (a, b) -> a + b) AS perim,
+                   array_to_string(list_transform(r, p ->
+                       {fmt_x} || ' ' || {fmt_y}), ', ') AS ring_s
+            FROM closed
+        )
+        SELECT m.nation AS nation,
+               CAST(np.n_points AS BIGINT) AS n_points,
+               CAST(m.k AS INTEGER) AS n_vertices,
+               CASE WHEN m.k >= 3 THEN 'POLYGON ((' || ring_s || '))'
+                    WHEN m.k = 2 THEN 'LINESTRING (' || ring_s || ')'
+                    ELSE 'POINT (' || ring_s || ')' END AS hull_wkt,
+               CAST(t_abs * 625 // 32
+                    + CASE WHEN t_abs * 625 % 32 > 16 THEN 1
+                           WHEN t_abs * 625 % 32 = 16
+                                THEN (t_abs * 625 // 32) % 2
+                           ELSE 0 END AS BIGINT) AS area_e4,
+               CAST(round(perim * 1e4) AS BIGINT) AS perimeter_e4
+        FROM meas m JOIN npts np ON np.nation = m.nation
+        ORDER BY nation
     """
 
 
@@ -19488,6 +19622,7 @@ def oracle_sql() -> dict[str, str]:
         # the operators run portable_hash=True in their contract queries
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_eval": _dedup_eval_sql(),
+        "convex_hulls": _convex_hulls_sql(),
         "sketch_eval": """
             -- exact sides recomputed; the bound flags are the sketch
             -- CONTRACT (asserted 1): Spark's side flips a flag if a

@@ -31,7 +31,8 @@ def convex_hulls(
 
     Hull vertices are emitted counter-clockwise starting from the
     lexicographically smallest point, so the WKT is deterministic."""
-    import numpy as np
+    import math
+
     import pandas as pd
 
     from smartpy_arc_spark.session import ensure_worker_imports
@@ -67,7 +68,13 @@ def convex_hulls(
                 x1, y1 = h[i]
                 x2, y2 = h[(i + 1) % k]
                 area += x1 * y2 - x2 * y1
-                perim += float(np.hypot(x2 - x1, y2 - y1))
+                # explicit sqrt(dx*dx + dy*dy), NOT np.hypot: hypot's
+                # correctly-rounded-composite algorithm can differ from
+                # the naive form by 1 ulp, and the naive form is what a
+                # SQL mirror (sqrt over the same doubles) reproduces
+                # bit-exactly (r7 — convex_hulls oracle conversion)
+                dx, dy = x2 - x1, y2 - y1
+                perim += math.sqrt(dx * dx + dy * dy)
             area = abs(area) / 2.0
         ring = ", ".join(f"{x:g} {y:g}" for x, y in h + h[:1])
         wkt = f"POLYGON (({ring}))" if k >= 3 else (
