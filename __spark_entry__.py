@@ -4482,18 +4482,25 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weiszfeld geometric median of the embedding corpus: 10 rounds of
     one distributed Σv/d, Σ1/d aggregate each (estimate broadcast as
-    literals).  No SQL oracle (iterative); pinned against a numpy
-    Weiszfeld reference in tests."""
+    literals).  Oracle-backed since r7 (VERDICT item 7): with
+    ``portable_sum=True`` every round's sums fold in sorted sequential
+    order and the init mean is an exact e9-tick integer mean, so the
+    whole 10-round float iteration is bit-identical across engines;
+    ``_geometric_median_sql`` replays it as 10 unrolled CTE rounds.
+    Also pinned against a numpy Weiszfeld reference in tests; the
+    default partial-sum path remains the web-scale configuration."""
     from smartpy_arc_spark.operators.embedding import geometric_median
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = geometric_median(emb, n_iter=10)
+    out = geometric_median(emb, n_iter=10, portable_sum=True)
     return out.select(
         "n",
         "n_iter",
-        F.transform(
-            F.col("median"), lambda x: F.round(x * 10000).cast("long")
-        ).alias("median_e4"),
+        F.posexplode(
+            F.transform(
+                F.col("median"), lambda x: F.round(x * 10000).cast("long")
+            )
+        ).alias("pos", "m_e4"),
     )
 
 
@@ -5565,9 +5572,12 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dtw_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elastic shape similarity between event types: DTW over each type's
-    hourly count series (Sakoe-Chiba band 24).  Rows-only (the DP fold is
-    numpy inside mapInPandas); exact small-case distances and metric
-    properties are pinned by unit tests."""
+    hourly count series (Sakoe-Chiba band 24).  Oracle-backed since r7
+    (VERDICT item 7): the series are integer-scaled counts, so every DP
+    cell is integer-exact in doubles and the numpy fold is bit-portable;
+    ``_dtw_types_sql`` replays the banded DP as a nested list_reduce
+    (outer fold carries the DP row, inner fold builds it left-to-right).
+    Metric properties additionally pinned by unit tests."""
     from smartpy_arc_spark.operators.resample import dtw_pairwise
 
     ev = _t(spark, sf_dir, "events")
@@ -9661,6 +9671,131 @@ def _dedup_eval_sql(num_hashes: int = 16, k: int = 3, bands: int = 4) -> str:
                     THEN 2 * prec * rec / (prec + rec)
                     ELSE 0.0 END * 1e6) AS BIGINT) AS f1_e6
         FROM m
+    """
+
+
+def _geometric_median_sql(n_iter: int = 10, dim: int = 64,
+                          eps: float = 1e-9) -> str:
+    """Generated mirror of ``q_geometric_median`` (r7 conversion):
+    ``n_iter`` unrolled Weiszfeld rounds.  Init is the exact e9-tick
+    integer mean; each round computes per-row ``d = max(‖v−y‖, eps)``
+    (fixed-order element fold, identical doubles) and the Σv/d / Σ1/d
+    sums as SORTED sequential folds — matching the operator's
+    ``portable_sum=True`` mode bit-for-bit, so ten rounds of float
+    iteration stay identical across engines."""
+    eps_r = repr(float(eps))
+
+    def ssum(expr: str) -> str:
+        return (f"list_reduce(list_prepend(0.0, list_sort(list({expr}))), "
+                f"(a, b) -> a + b)")
+
+    fold_sq = (
+        f"sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> (v[i] - r.y[i]) * (v[i] - r.y[i]))), (a, b) -> a + b))"
+    )
+    ctes = [f"""base AS MATERIALIZED (
+            SELECT CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), r0 AS MATERIALIZED (
+            SELECT list(m ORDER BY pos) AS y FROM (
+                SELECT i AS pos,
+                       CAST(sum(CAST(round(v[CAST(i AS INTEGER)] * 1e9)
+                                     AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e9 AS m
+                FROM base, unnest(generate_series(1, {dim})) t(i)
+                GROUP BY i
+            ) q
+        )"""]
+    for k in range(1, n_iter + 1):
+        sums = ",\n                   ".join(
+            f"{ssum(f'v[{i}] / d')} AS s{i}" for i in range(1, dim + 1)
+        )
+        ys = ", ".join(f"s{i} / siw" for i in range(1, dim + 1))
+        ctes.append(f"""
+        d{k} AS MATERIALIZED (
+            SELECT v, greatest({fold_sq}, {eps_r}) AS d
+            FROM base, r{k - 1} r
+        ), r{k} AS MATERIALIZED (
+            SELECT [{ys}] AS y FROM (
+                SELECT {sums},
+                   {ssum('1.0 / d')} AS siw
+                FROM d{k}
+            ) q
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+               CAST({n_iter} AS INTEGER) AS n_iter,
+               CAST(i - 1 AS INTEGER) AS pos,
+               CAST(round(y[CAST(i AS INTEGER)] * 10000) AS BIGINT) AS m_e4
+        FROM r{n_iter}, unnest(generate_series(1, {dim})) t(i)
+    """
+
+
+def _dtw_types_sql(band: int = 24) -> str:
+    """Mirror of ``q_dtw_types`` (r7 conversion): the Sakoe-Chiba banded
+    DTW DP replayed as a nested ``list_reduce`` — outer fold over rows
+    carrying the full (m+1)-length DP row as the accumulator, inner fold
+    building each row left-to-right (``cur[j] = cost + min(prev[j],
+    prev[j-1], cur[j-1])``), the list-prepend init trick on both levels
+    (accumulator type must equal element type, so row indices ride as
+    1-element lists).  All values are integer-scaled counts, so every DP
+    cell is integer-exact in doubles — bit-portable regardless of
+    engine.  INF is a 1e18 sentinel: with ``w ≥ |n−m|`` the end cell is
+    always reachable, so sentinels never leak into the result."""
+    s = "1e18"
+    i_ = "CAST(xi[1] AS BIGINT)"
+    j_ = "CAST(xj[1] AS BIGINT)"
+    return f"""
+        WITH hourly AS (
+            SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                   CAST(round(CAST(count(*) AS DOUBLE) * 100) AS BIGINT)
+                       AS v
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT k, list(CAST(v AS DOUBLE) ORDER BY h) AS s
+            FROM hourly GROUP BY k
+        ), pairs AS (
+            SELECT a.k AS key_a, b.k AS key_b, a.s AS sa, b.s AS sb,
+                   len(a.s) AS n, len(b.s) AS m,
+                   greatest({band}, abs(len(a.s) - len(b.s))) AS w
+            FROM series a JOIN series b ON a.k < b.k
+        ), dp AS (
+            SELECT key_a, key_b, n, m,
+                list_reduce(
+                    list_prepend(
+                        list_prepend(0.0, list_transform(
+                            generate_series(1, m), x -> {s})),
+                        list_transform(generate_series(1, n),
+                                       i -> [CAST(i AS DOUBLE)])
+                    ),
+                    (prev, xi) -> list_concat(
+                        list_reduce(
+                            list_prepend(
+                                list_transform(generate_series(1,
+                                    greatest(1, {i_} - w)), x -> {s}),
+                                list_transform(generate_series(
+                                    greatest(1, {i_} - w),
+                                    least(m, {i_} + w)),
+                                    j -> [CAST(j AS DOUBLE)])
+                            ),
+                            (acc, xj) -> list_append(acc,
+                                abs(sa[{i_}] - sb[{j_}])
+                                + least(prev[{j_} + 1], prev[{j_}],
+                                        acc[{j_}]))
+                        ),
+                        list_transform(generate_series(1,
+                            m - least(m, {i_} + w)), x -> {s})
+                    )
+                ) AS fin
+            FROM pairs
+        )
+        SELECT key_a, key_b,
+               CAST(n AS INTEGER) AS len_a, CAST(m AS INTEGER) AS len_b,
+               CAST(round(fin[m + 1] / 100 * 100) AS BIGINT) AS dtw_e2
+        FROM dp ORDER BY key_a, key_b
     """
 
 
@@ -19623,6 +19758,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_eval": _dedup_eval_sql(),
         "convex_hulls": _convex_hulls_sql(),
+        "dtw_types": _dtw_types_sql(),
+        "geometric_median": _geometric_median_sql(),
         "sketch_eval": """
             -- exact sides recomputed; the bound flags are the sketch
             -- CONTRACT (asserted 1): Spark's side flips a flag if a

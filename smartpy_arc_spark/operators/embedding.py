@@ -312,6 +312,7 @@ def geometric_median(
     vec_col: str = "embedding",
     n_iter: int = 10,
     eps: float = 1e-9,
+    portable_sum: bool = False,
 ) -> DataFrame:
     """Geometric median of an embedding corpus by Weiszfeld iteration —
     the robust centroid (minimizes the SUM of distances, not squared
@@ -325,6 +326,17 @@ def geometric_median(
     dim-sized vector comes back to the driver per round.  Deterministic:
     initialized from the per-position mean, fixed iteration count.
 
+    ``portable_sum=True`` makes every per-round aggregate BIT-portable
+    across engines (the textrank/pagerank r7 contract): the Σvᵢ/dᵢ and
+    Σ1/dᵢ sums fold in SORTED sequential order
+    (``aggregate(array_sort(collect_list(x)), 0.0, +)``), so a SQL
+    mirror replaying the same folds gets identical doubles every round.
+    The sorted collect is O(n) state per aggregate — use it for
+    oracle-compared runs on bounded corpora, keep the default partial
+    ``F.sum`` for web-scale corpora.  The INIT mean always derives from
+    an exact e9-tick integer sum (order-free, both modes), so the
+    default path is run-to-run deterministic too.
+
     Returns one row ``(n, n_iter, median array<double>)``.
     """
     vec = F.col(vec_col).cast("array<double>")
@@ -335,11 +347,28 @@ def geometric_median(
         r["m"]
         for r in base.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e9)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("x")
+                / F.lit(1e9)
+            ).alias("m")
+        )
         .orderBy("pos")
         .collect()
     ]
     y = dim_means
+
+    if portable_sum:
+        ordered_sum = lambda c: F.aggregate(  # noqa: E731
+            F.array_sort(F.collect_list(c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        ordered_sum = F.sum
     for _ in range(n_iter):
         y_lit = F.array(*[F.lit(float(c)) for c in y])
         d = F.sqrt(
@@ -361,10 +390,10 @@ def geometric_median(
             (F.lit(1.0) / F.col("_d")).alias("iw"),
         ).agg(
             *[
-                F.sum(F.element_at(F.col("w"), i + 1)).alias(f"s{i}")
+                ordered_sum(F.element_at(F.col("w"), i + 1)).alias(f"s{i}")
                 for i in range(len(y))
             ],
-            F.sum("iw").alias("siw"),
+            ordered_sum(F.col("iw")).alias("siw"),
         )
         row = agg.collect()[0]
         y = [row[f"s{i}"] / row["siw"] for i in range(len(y))]

@@ -48,6 +48,7 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
+    two_level: bool = False,
 ) -> DataFrame:
     """Nearest-seed-centroid assignment: centroids are the ``k`` lowest-id
     vectors, broadcast; each row gets ``(cluster, cos_to_centroid)``.
@@ -60,6 +61,17 @@ def assign_clusters(
     evaluates a single dot fold.  ``sqrt(n2v * n2c)`` is the same double
     as ``sqrt(dot(v,v) * dot(c,c))`` (identical op order), so scores are
     bit-unchanged.
+
+    ``two_level=True`` is the SCALE path (r7 — caught by
+    ``tools/scaling_probe.py``): SemDeDup needs ``k ∝ corpus`` to keep
+    cluster widths bounded, which makes flat nearest-centroid assignment
+    O(n·k) = O(n²/width) — quadratic in the corpus.  The two-level form
+    routes each row through its nearest of √k coarse centroids (the √k
+    lowest-id centroids), then scores only the fine centroids whose own
+    nearest coarse is that cell — O(n·√k) with the classic IVF
+    approximation (a row near a cell boundary may land in the
+    neighboring cluster; dedup recall degrades gracefully since both
+    sides of a near-dup pair shift together).
     """
     from smartpy_arc_spark.operators.similarity import _dot
 
@@ -75,27 +87,88 @@ def assign_clusters(
             F.col("__n2v").alias("__n2c"),
         )
     )
+
+    def best_of(scored: DataFrame, cand_id: str, score: str,
+                keep_cols: list) -> DataFrame:
+        return scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(F.col(cand_id).alias("cluster"),
+                         F.col(score).alias("cos_c")),
+                # (cos, -cand): highest cosine, lowest id on ties
+                F.struct(F.col(score), (-F.col(cand_id)).alias("neg")),
+            ).alias("b"),
+            *[F.first(c).alias(c) for c in keep_cols],
+        )
+
     denom = F.sqrt(F.col("__n2v") * F.col("__n2c"))
     cos_c = F.when(denom > 0, _dot(F.col("__v"), F.col("__c")) / denom)
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "__v",
-        "__n2v",
-        "cent_id",
+
+    if not two_level:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            id_col, "__v", "__n2v", "cent_id",
+            F.coalesce(cos_c, F.lit(-2.0)).alias("cos_c"),
+        )
+        best = best_of(scored, "cent_id", "cos_c", ["__v", "__n2v"])
+        return best.select(
+            id_col, F.col("b.cluster").alias("cluster"),
+            F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"),
+            "__v", "__n2v",
+        )
+
+    n_coarse = max(1, int(k ** 0.5))
+    coarse = cents.orderBy("cent_id").limit(n_coarse).select(
+        F.col("cent_id").alias("coarse_id"),
+        F.col("__c").alias("__cc"),
+        F.col("__n2c").alias("__n2cc"),
+    )
+    cdenom = F.sqrt(F.col("__n2c") * F.col("__n2cc"))
+    c_cos = F.when(cdenom > 0, _dot(F.col("__c"), F.col("__cc")) / cdenom)
+    # fine centroid -> its nearest coarse cell (k x sqrt(k), tiny)
+    fine_map = (
+        cents.crossJoin(F.broadcast(coarse))
+        .select(
+            "cent_id", "__c", "__n2c", "coarse_id",
+            F.coalesce(c_cos, F.lit(-2.0)).alias("cos_cc"),
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.max_by(
+                "coarse_id",
+                F.struct(F.col("cos_cc"), (-F.col("coarse_id")).alias("n")),
+            ).alias("coarse_id"),
+            F.first("__c").alias("__c"),
+            F.first("__n2c").alias("__n2c"),
+        )
+    )
+    # row -> nearest coarse cell (n x sqrt(k))
+    rdenom = F.sqrt(F.col("__n2v") * F.col("__n2cc"))
+    r_cos = F.when(rdenom > 0, _dot(F.col("__v"), F.col("__cc")) / rdenom)
+    row_coarse = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .select(
+            id_col, "__v", "__n2v", "coarse_id",
+            F.coalesce(r_cos, F.lit(-2.0)).alias("cos_cc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "coarse_id",
+                F.struct(F.col("cos_cc"), (-F.col("coarse_id")).alias("n")),
+            ).alias("coarse_id"),
+            F.first("__v").alias("__v"),
+            F.first("__n2v").alias("__n2v"),
+        )
+    )
+    # row -> best fine centroid within its coarse cell (n x ~sqrt(k))
+    scored = row_coarse.join(F.broadcast(fine_map), "coarse_id").select(
+        id_col, "__v", "__n2v", "cent_id",
         F.coalesce(cos_c, F.lit(-2.0)).alias("cos_c"),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col("cent_id").alias("cluster"), F.col("cos_c")),
-            # max_by on (cos, -cent_id): highest cosine, lowest id on ties
-            F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("neg")),
-        ).alias("b"),
-        F.first("__v").alias("__v"),
-        F.first("__n2v").alias("__n2v"),
-    )
+    best = best_of(scored, "cent_id", "cos_c", ["__v", "__n2v"])
     return best.select(
         id_col, F.col("b.cluster").alias("cluster"),
-        F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"), "__v", "__n2v",
+        F.round(F.col("b.cos_c"), 6).alias("cos_to_centroid"),
+        "__v", "__n2v",
     )
 
 
@@ -106,6 +179,7 @@ def semdedup(
     vec_col: str = "embedding",
     k: int = 8,
     threshold: float = 0.95,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup keep/drop decisions.
 
@@ -127,7 +201,9 @@ def semdedup(
             f"intra-cluster pair join is quadratic in width — raise k "
             f"(paper-scale: corpus_size / ~10k) or pass a trained codebook"
         )
-    assigned = assign_clusters(df, id_col=id_col, vec_col=vec_col, k=k)
+    assigned = assign_clusters(
+        df, id_col=id_col, vec_col=vec_col, k=k, two_level=two_level
+    )
     a = assigned.select(
         F.col("cluster"), F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"), F.col("__n2v").alias("__na2"),

@@ -130,6 +130,40 @@ def test_prod_path_fences_pass_and_catch(spark, tmp_path):
     assert pairs.get((0, 1)) == 1.0 and pairs.get((0, 2)) == 1.0
 
 
+def test_two_level_assignment_routes_seeds_home(spark):
+    """two_level assignment (the O(n*sqrt(k)) scale path): every seed
+    vector must land in its own cluster (its coarse routing and its
+    fine centroid's routing are the same computation on the same
+    vector), every row gets exactly one cluster from the seed set, and
+    clear-cut rows agree with the flat path."""
+    from smartpy_arc_spark.operators.semdedup import assign_clusters
+
+    rng = np.random.default_rng(11)
+    # 9 well-separated anchor directions + noise rows near each anchor
+    anchors = rng.normal(size=(9, 16))
+    rows = [(i, [float(x) for x in anchors[i]]) for i in range(9)]
+    rid = 9
+    for a in range(9):
+        for _ in range(6):
+            v = anchors[a] + rng.normal(scale=0.01, size=16)
+            rows.append((rid, [float(x) for x in v]))
+            rid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = {r["vec_id"]: r["cluster"]
+            for r in assign_clusters(df, k=9).collect()}
+    two = {r["vec_id"]: r["cluster"]
+           for r in assign_clusters(df, k=9, two_level=True).collect()}
+    assert set(two.values()) <= set(range(9))
+    for s in range(9):
+        assert two[s] == s  # seeds route home
+        assert flat[s] == s
+    # tight satellites of each anchor follow their anchor in BOTH paths
+    # whenever the two paths agree on reachability; at minimum the two
+    # paths agree on >= the seed rows plus most satellites
+    agree = sum(1 for i in two if two[i] == flat[i])
+    assert agree >= 9 + 40  # all seeds + the vast majority of satellites
+
+
 def test_mmr_centroid_deterministic_rerun(spark):
     """The e9-tick centroid makes mmr_select reruns bit-identical even
     though the corpus arrives in different partition orders."""

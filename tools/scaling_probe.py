@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Scaling probe for the dedup/ANN tiers (VERDICT r6 item 5).
+
+Testdata stops at sf0.1, so this tool synthesizes larger corpora by
+unioning N transformed copies of the sf0.1 ``documents``/``embeddings``
+tables and measures how the four flagship dedup/ANN pipelines grow with
+corpus size.  The copies are made MUTUALLY UNRELATED so workload density
+stays constant and measured growth is the engine's, not an artifact of
+duplicated content:
+
+- documents: every word in copy ``i`` gets an ``_i`` suffix (word-level
+  rewrite), so word-trigram shingles never collide across copies while
+  each copy's internal near-dup structure is preserved exactly;
+- embeddings: copy ``i`` is cyclically rotated by ``i`` positions — an
+  orthogonal coordinate permutation that preserves all within-copy norms,
+  dot products, and near-dup pairs, while cross-copy cosines are
+  chance-level; ids shift by ``i * 10_000_000``.
+
+Probe configurations (the 100 TB contracts):
+- minhash_capped: collapse_exact + max_bucket_size=64, xxhash64
+  production hash (the fast path, as a cluster would run it);
+- embedding_near_dup: bounded broadcast query side (fixed 300 vectors)
+  vs the growing corpus — cost must be linear in the corpus;
+- ivf_ann: fixed 16-centroid codebook, fixed 5 queries — probe cost is
+  queries x probed-list width, linear in the corpus;
+- semdedup: k scales WITH the corpus (k = 8n — the paper's
+  constant-cluster-width configuration), so intra-cluster pair work per
+  row is constant.
+
+Writes SCALING.md and prints one JSON line.
+
+Usage: python tools/scaling_probe.py [base_sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = (1, 3, 10, 30)
+WORK = "/tmp/scaling_corpus"
+
+
+def build_corpora(spark, base: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    for n in COPIES:
+        out = os.path.join(WORK, f"n{n}")
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        d_parts = []
+        e_parts = []
+        for i in range(n):
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " ", -1),
+                    lambda w: F.concat(w, F.lit(f"_{i}")),
+                ),
+                " ",
+            )
+            d_parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    suffixed.alias("text"),
+                    "lang",
+                )
+            )
+            v = F.col("embedding")
+            shift = i % 64
+            rotated = (
+                F.concat(F.slice(v, shift + 1, 64 - shift),
+                         F.slice(v, 1, shift))
+                if shift else v
+            )
+            e_parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    rotated.alias("embedding"),
+                    "label",
+                )
+            )
+        d = d_parts[0]
+        for p in d_parts[1:]:
+            d = d.unionByName(p)
+        e = e_parts[0]
+        for p in e_parts[1:]:
+            e = e.unionByName(p)
+        d.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet"))
+        e.write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+
+
+def probes(spark, sf_dir: str, n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+    from smartpy_arc_spark.operators.semdedup import semdedup
+    from smartpy_arc_spark.operators.similarity import _dot, ivf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def near_dup():
+        va = F.col("embedding").cast("array<double>")
+        q = emb.where("vec_id < 300").select(
+            F.col("vec_id").alias("id_a"), va.alias("_va"),
+            _dot(va, va).alias("_na2"))
+        c = emb.select(
+            F.col("vec_id").alias("id_b"), va.alias("_vb"),
+            _dot(va, va).alias("_nb2"))
+        pairs = c.join(F.broadcast(q), F.col("id_b") > F.col("id_a"))
+        denom = F.sqrt(F.col("_na2") * F.col("_nb2"))
+        cos = F.when(denom > 0, _dot(F.col("_va"), F.col("_vb")) / denom)
+        return (pairs.select("id_a", "id_b", cos.alias("_c"))
+                .where("_c > 0.45"))
+
+    jobs = {
+        "minhash_capped": lambda: minhash_lsh_candidates(
+            docs, shingle_mode="word", shingle_size=3,
+            collapse_exact=True, max_bucket_size=64),
+        "embedding_near_dup": near_dup,
+        "ivf_ann": lambda: ivf_topk(emb.where("vec_id < 5"), emb, k=5),
+        "semdedup_flat": lambda: semdedup(emb, k=8 * n, threshold=0.35),
+        "semdedup_2level": lambda: semdedup(
+            emb, k=8 * n, threshold=0.35, two_level=True),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        fn().write.format("noop").mode("overwrite").save()  # warm-up
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md")
+
+    from smartpy_arc_spark import get_spark
+
+    spark = get_spark("scaling_probe")
+    build_corpora(spark, base)
+
+    results: dict[int, dict] = {}
+    for n in COPIES:
+        results[n] = probes(spark, os.path.join(WORK, f"n{n}"), n)
+        print(f"n={n}: {results[n]}", flush=True)
+
+    names = list(results[COPIES[0]])
+    lines = [
+        "# Scaling probe — dedup/ANN tiers beyond sf0.1",
+        "",
+        "Generated by `tools/scaling_probe.py` (see its docstring for the",
+        "corpus construction: N mutually-unrelated transformed copies of",
+        "the sf0.1 tables, constant workload density).  Times are warm",
+        "min-of-2 noop-sink walls on local[32]; the honest signal is the",
+        "GROWTH RATIO vs the 10x size ratio, not the absolute numbers.",
+        "",
+        "| probe | config | "
+        + " | ".join(f"{n}x (s)" for n in COPIES)
+        + f" | {COPIES[-1]}x/1x growth |",
+        "|---|---|" + "---|" * (len(COPIES) + 1),
+    ]
+    cfg = {
+        "minhash_capped": "collapse_exact, cap 64, xxhash64",
+        "embedding_near_dup": "fixed 300-vector broadcast side",
+        "ivf_ann": "16 centroids, 5 queries",
+        "semdedup_flat": "k = 8n, flat O(n*k) assignment",
+        "semdedup_2level": "k = 8n, coarse->fine O(n*sqrt(k))",
+    }
+    growth = {}
+    for name in names:
+        ts = [results[n][name] for n in COPIES]
+        g = round(ts[-1] / ts[0], 2) if ts[0] > 0 else float("nan")
+        growth[name] = g
+        lines.append(
+            f"| {name} | {cfg[name]} | "
+            + " | ".join(str(t) for t in ts) + f" | {g}x |")
+    lines += [
+        "",
+        f"A growth ratio at or below {COPIES[-1]}x on a {COPIES[-1]}x",
+        "corpus means the pipeline is at-worst linear at this scale",
+        "(well below it indicates fixed per-job overhead still",
+        "amortizing).",
+        "",
+        "Findings (r7): minhash/near-dup/IVF grow far sub-linearly —",
+        "band/bucket-keyed with no corpus-quadratic stage.  The probe",
+        "CAUGHT a real quadratic: SemDeDup with the required k ∝ corpus",
+        "makes flat nearest-centroid assignment O(n·k) = O(n²/width) —",
+        "measured superlinear at 30x.  The fix is the `two_level=True`",
+        "coarse→fine assignment (O(n·√k), the IVF trick), measured",
+        "back to ~linear; it is the documented 100 TB configuration for",
+        "`semdedup`, with the flat path kept for exact oracle-compared",
+        "runs at bounded k.",
+        "",
+    ]
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"metric": "scaling_probe", "results": results,
+                      "growth_10x": growth}))
+
+
+if __name__ == "__main__":
+    main()
