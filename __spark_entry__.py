@@ -7341,9 +7341,13 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest of the supplier co-order graph
     (bounded slice, weight = min co-occurrence linenumber sum): strict
-    (w, s, d) total order makes the forest unique under ties.  Rows-only
-    (iterative halving; no SQL oracle) — pinned against a Kruskal
-    reference in tests."""
+    (w, s, d) total order makes the forest unique under ties.
+    Oracle-backed since r7 (VERDICT item 7): all-integer, so
+    ``_mst_sql`` replays Borůvka exactly — 7 unrolled rounds (≤60 nodes
+    halve in ≤6), each with the per-component (w,s,d)-min edge pick and
+    an 8-step min-hook + pointer-jump label merge; post-convergence
+    rounds are the identity, matching the operator's early break.  Also
+    pinned against a Kruskal reference in tests."""
     from smartpy_arc_spark.operators.components import (
         minimum_spanning_forest,
     )
@@ -9964,6 +9968,88 @@ def _louvain_sql(max_levels=2, max_sweeps=4, cap=40):
     return f"""
         WITH {body}
         SELECT node, community FROM {prev_map} ORDER BY node
+    """
+
+
+def _mst_sql(rounds=7, jumps=8, cap=60):
+    """Generated mirror of ``q_mst`` (r7 conversion, VERDICT item 7):
+    unrolled Borůvka over the bounded supplier co-order fixture.
+    Integer-only: strict (w, s, d) total order makes the forest unique;
+    per round every component picks its min cross edge, and components
+    merge via ``jumps`` unrolled min-hook + pointer-jump label steps
+    (converges in O(log n), n <= 60 here).  Extra rounds after
+    convergence are the identity (no cross-component edges -> empty
+    chosen set -> labels unchanged), matching the operator's early
+    break."""
+    ctes = [f"""li AS MATERIALIZED (
+        SELECT l_orderkey, l_suppkey, l_linenumber FROM lineitem
+        WHERE l_suppkey <= {cap}
+    ), e AS MATERIALIZED (
+        SELECT a.l_suppkey AS s, b.l_suppkey AS d,
+               CAST(min(a.l_linenumber + b.l_linenumber) AS BIGINT) AS w
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), comp_0 AS MATERIALIZED (
+        SELECT node, node AS c FROM (
+            SELECT DISTINCT s AS node FROM e
+            UNION SELECT DISTINCT d FROM e
+        ) n
+    )"""]
+    forest_parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+    ann_{r} AS MATERIALIZED (
+        SELECT e.w, e.s, e.d, x.c AS cs, y.c AS cd
+        FROM e JOIN comp_{p} x ON x.node = e.s
+               JOIN comp_{p} y ON y.node = e.d
+        WHERE x.c <> y.c
+    ),
+    chosen_{r} AS MATERIALIZED (
+        SELECT DISTINCT w, s, d, cs, cd FROM (
+            SELECT w, s, d, cs, cd, row_number() OVER (
+                PARTITION BY comp ORDER BY w, s, d) AS rn
+            FROM (
+                SELECT cs AS comp, w, s, d, cs, cd FROM ann_{r}
+                UNION ALL SELECT cd AS comp, w, s, d, cs, cd FROM ann_{r}
+            ) inc
+        ) q WHERE rn = 1
+    ),
+    ids_{r} AS MATERIALIZED (SELECT DISTINCT c FROM comp_{p}),
+    g_{r} AS MATERIALIZED (
+        SELECT cs AS a, cd AS b FROM chosen_{r}
+        UNION SELECT cd AS a, cs AS b FROM chosen_{r}
+    ),
+    l_{r}_0 AS MATERIALIZED (SELECT c AS x, c AS lx FROM ids_{r})""")
+        for t in range(jumps):
+            ctes.append(f"""
+    l_{r}_{t + 1} AS MATERIALIZED (
+        SELECT l.x,
+               least(l.lx,
+                     coalesce(nb.m, l.lx),
+                     coalesce(ll.lx, l.lx)) AS lx
+        FROM l_{r}_{t} l
+        LEFT JOIN (
+            SELECT g.a AS x, min(l2.lx) AS m
+            FROM g_{r} g JOIN l_{r}_{t} l2 ON l2.x = g.b
+            GROUP BY g.a
+        ) nb ON nb.x = l.x
+        LEFT JOIN l_{r}_{t} ll ON ll.x = l.lx
+    )""")
+        ctes.append(f"""
+    comp_{r} AS MATERIALIZED (
+        SELECT cp.node, lf.lx AS c
+        FROM comp_{p} cp JOIN l_{r}_{jumps} lf ON lf.x = cp.c
+    )""")
+        forest_parts.append(f"SELECT s, d, w FROM chosen_{r}")
+    body = ",".join(ctes)
+    union = "\n            UNION ALL ".join(forest_parts)
+    return f"""
+        WITH {body}
+        SELECT s, d, CAST(min(w) AS BIGINT) AS w FROM (
+            {union}
+        ) f GROUP BY s, d ORDER BY s, d
     """
 
 
@@ -19929,6 +20015,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_types": _dtw_types_sql(),
         "geometric_median": _geometric_median_sql(),
         "louvain": _louvain_sql(),
+        "mst": _mst_sql(),
         "sketch_eval": """
             -- exact sides recomputed; the bound flags are the sketch
             -- CONTRACT (asserted 1): Spark's side flips a flag if a
