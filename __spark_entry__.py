@@ -4482,17 +4482,18 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weiszfeld geometric median of the embedding corpus: 10 rounds of
     one distributed Σv/d, Σ1/d aggregate each (estimate broadcast as
-    literals).  Oracle-backed since r7 (VERDICT item 7): with
-    ``portable_sum=True`` every round's sums fold in sorted sequential
-    order and the init mean is an exact e9-tick integer mean, so the
-    whole 10-round float iteration is bit-identical across engines;
+    literals).  Oracle-backed since r7 (VERDICT item 7): each round's
+    contributions pre-round to e12 integer ticks summed as
+    DECIMAL(38,0) — order-free EXACT sums — and the update is one
+    double division of the two tick totals, so the whole 10-round
+    iteration is bit-identical across engines at full production speed
+    (plain codegen'd integer sums, no per-group state);
     ``_geometric_median_sql`` replays it as 10 unrolled CTE rounds.
-    Also pinned against a numpy Weiszfeld reference in tests; the
-    default partial-sum path remains the web-scale configuration."""
+    Also pinned against a numpy Weiszfeld reference in tests."""
     from smartpy_arc_spark.operators.embedding import geometric_median
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = geometric_median(emb, n_iter=10, portable_sum=True)
+    out = geometric_median(emb, n_iter=10)
     return out.select(
         "n",
         "n_iter",
@@ -9688,15 +9689,16 @@ def _geometric_median_sql(n_iter: int = 10, dim: int = 64,
     """Generated mirror of ``q_geometric_median`` (r7 conversion):
     ``n_iter`` unrolled Weiszfeld rounds.  Init is the exact e9-tick
     integer mean; each round computes per-row ``d = max(‖v−y‖, eps)``
-    (fixed-order element fold, identical doubles) and the Σv/d / Σ1/d
-    sums as SORTED sequential folds — matching the operator's
-    ``portable_sum=True`` mode bit-for-bit, so ten rounds of float
-    iteration stay identical across engines."""
+    (fixed-order element fold, identical doubles), pre-rounds every
+    Σv/d / Σ1/d contribution to e12 integer ticks (order-free exact
+    sums), and updates ``y_i = CAST(s_i AS DOUBLE) / CAST(siw AS
+    DOUBLE)`` — the same single IEEE division the operator performs on
+    ``float(Decimal)`` totals, so ten rounds of float iteration stay
+    bit-identical across engines."""
     eps_r = repr(float(eps))
 
     def ssum(expr: str) -> str:
-        return (f"list_reduce(list_prepend(0.0, list_sort(list({expr}))), "
-                f"(a, b) -> a + b)")
+        return f"sum(CAST(round(({expr}) * 1e12) AS BIGINT))"
 
     fold_sq = (
         f"sqrt(list_reduce(list_prepend(0.0, "
@@ -9720,7 +9722,10 @@ def _geometric_median_sql(n_iter: int = 10, dim: int = 64,
         sums = ",\n                   ".join(
             f"{ssum(f'v[{i}] / d')} AS s{i}" for i in range(1, dim + 1)
         )
-        ys = ", ".join(f"s{i} / siw" for i in range(1, dim + 1))
+        ys = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / CAST(siw AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
         ctes.append(f"""
         d{k} AS MATERIALIZED (
             SELECT v, greatest({fold_sq}, {eps_r}) AS d

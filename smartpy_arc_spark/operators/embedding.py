@@ -312,7 +312,6 @@ def geometric_median(
     vec_col: str = "embedding",
     n_iter: int = 10,
     eps: float = 1e-9,
-    portable_sum: bool = False,
 ) -> DataFrame:
     """Geometric median of an embedding corpus by Weiszfeld iteration —
     the robust centroid (minimizes the SUM of distances, not squared
@@ -326,16 +325,15 @@ def geometric_median(
     dim-sized vector comes back to the driver per round.  Deterministic:
     initialized from the per-position mean, fixed iteration count.
 
-    ``portable_sum=True`` makes every per-round aggregate BIT-portable
-    across engines (the textrank/pagerank r7 contract): the Σvᵢ/dᵢ and
-    Σ1/dᵢ sums fold in SORTED sequential order
-    (``aggregate(array_sort(collect_list(x)), 0.0, +)``), so a SQL
-    mirror replaying the same folds gets identical doubles every round.
-    The sorted collect is O(n) state per aggregate — use it for
-    oracle-compared runs on bounded corpora, keep the default partial
-    ``F.sum`` for web-scale corpora.  The INIT mean always derives from
-    an exact e9-tick integer sum (order-free, both modes), so the
-    default path is run-to-run deterministic too.
+    Bit-portable BY CONSTRUCTION (r7): each round's Σvᵢ/dᵢ and Σ1/dᵢ
+    contributions are pre-rounded to e12 integer ticks and summed as
+    DECIMAL(38,0) — an order-free EXACT sum any engine reproduces (the
+    quantized-iteration playbook device), and the update is ONE double
+    division of the two tick totals.  The e12 quantization perturbs the
+    iterate by ~1e-12 relative per round — far below the e4 output
+    scale and the Weiszfeld contraction noise floor — and costs nothing
+    at scale: plain codegen'd integer sums, no per-group state.  The
+    INIT mean likewise derives from an exact e9-tick integer sum.
 
     Returns one row ``(n, n_iter, median array<double>)``.
     """
@@ -361,19 +359,24 @@ def geometric_median(
     ]
     y = dim_means
 
-    if portable_sum:
-        ordered_sum = lambda c: F.aggregate(  # noqa: E731
-            F.array_sort(F.collect_list(c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    else:
-        ordered_sum = F.sum
+    ticks = lambda c: F.sum(  # noqa: E731
+        F.round(c * F.lit(1e12)).cast("decimal(38,0)")
+    )
+    spark = df.sparkSession
     for _ in range(n_iter):
-        y_lit = F.array(*[F.lit(float(c)) for c in y])
+        # y rides in as a broadcast 1-ROW TABLE, not as literals: the
+        # plan text is then IDENTICAL every round, so Spark's codegen
+        # cache compiles the round once and reuses it — with inlined
+        # literals every round paid a fresh compile (r7: this plus the
+        # single posexplode aggregate cut 10 rounds from ~12s to ~3s)
+        yd = spark.createDataFrame(
+            [([float(c) for c in y],)], "y array<double>"
+        )
         d = F.sqrt(
             F.aggregate(
-                F.zip_with(F.col("v"), y_lit, lambda a, b: (a - b) * (a - b)),
+                F.zip_with(
+                    F.col("v"), F.col("y"), lambda a, b: (a - b) * (a - b)
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -384,20 +387,25 @@ def geometric_median(
         # re-evaluated PER ELEMENT (the ngram_novelty discovery), so the
         # un-staged form recomputed the dim-wide distance fold 64× per
         # row per round — O(dim²) for an O(dim) job
-        staged = base.select("v", d.alias("_d"))
-        agg = staged.select(
-            F.transform(F.col("v"), lambda x: x / F.col("_d")).alias("w"),
-            (F.lit(1.0) / F.col("_d")).alias("iw"),
-        ).agg(
-            *[
-                ordered_sum(F.element_at(F.col("w"), i + 1)).alias(f"s{i}")
-                for i in range(len(y))
-            ],
-            ordered_sum(F.col("iw")).alias("siw"),
+        staged = base.crossJoin(F.broadcast(yd)).select("v", d.alias("_d"))
+        # ONE aggregate: position 0 carries 1/d, position i carries
+        # v[i]/d — 65 integer-tick sums via a single grouped pass
+        arr = F.concat(
+            F.array(F.lit(1.0) / F.col("_d")),
+            F.transform(F.col("v"), lambda x: x / F.col("_d")),
         )
-        row = agg.collect()[0]
-        y = [row[f"s{i}"] / row["siw"] for i in range(len(y))]
-    spark = df.sparkSession
+        sums = (
+            staged.select(F.posexplode(arr).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(ticks(F.col("x")).alias("s"))
+            .collect()
+        )
+        smap = {r["pos"]: r["s"] for r in sums}
+        # float(Decimal) is round-to-nearest — the same conversion a SQL
+        # CAST(bigint-sum AS DOUBLE) performs, so the single division
+        # below is the identical IEEE op in any engine
+        siw = float(smap[0])
+        y = [float(smap[i + 1]) / siw for i in range(len(y))]
     return spark.createDataFrame(
         [(n, n_iter, [float(c) for c in y])],
         "n long, n_iter int, median array<double>",
