@@ -68,20 +68,26 @@ BENCH_QUERIES = [
 # (frozen round 6, after the r6 optimizations): tail regressions become
 # provable round-over-round instead of ad-hoc prose.
 HEAVY_TAIL_QUERIES = [
-    # r6 idle-machine noop-sink timings (count()-based probes
-    # under-measure projection-heavy queries — the noop write is the
-    # honest number)
-    "embedding_near_dup",     # 2.9s after r6 norm staging (was ~19 warm)
-    "pagerank_influence",     # 9.7s — iterative power method
-    "personalized_pagerank",  # 7.7s — iterative power method
-    "geometric_median",       # 5.0s after r6 HOF-CSE staging (was ~17)
-    "mst",                    # 5.3s — Borůvka rounds
-    "louvain",                # 5.6s — local-move + coarsen rounds
-    "perplexity_buckets",     # 3.5s after r6 staging+int64 keys (was ~28)
-    "ams_f2",                 # 2.3s after r6 shift-mask parities (was 12.6)
-    "bpe_encode",             # 2.7s after r6 distinct-vocab memoization
-                              #   (was 15.8)
-    "semdedup",               # 8.1s — cluster + intra-cluster pairs
+    # Frozen set (r6); comments carry the r7 idle noop-sink timings
+    # (count()-based probes under-measure projection-heavy queries —
+    # the noop write is the honest number).  r7 total: 43.1s (r6: 53.6)
+    "embedding_near_dup",     # 3.1s (r6 norm staging; was ~19 warm)
+    "pagerank_influence",     # 5.4s after r7 checkpoint discipline
+                              #   (was 9.7 — e recomputed ~5x/call)
+    "personalized_pagerank",  # 3.7s after r7 checkpoint discipline
+                              #   (was 7.7)
+    "geometric_median",       # 9.0s — now ORACLE-BACKED (r7 e12-tick
+                              #   sums); the portability costs ~4s over
+                              #   the r6 free-float 5.0s
+    "mst",                    # 6.3s — Borůvka rounds (r7: probe folded
+                              #   into the chosen checkpoint)
+    "louvain",                # 5.5s — local-move + coarsen rounds
+                              #   (r7: per-level deg checkpointed)
+    "perplexity_buckets",     # 3.4s (r6 staging+int64 keys; was ~28)
+    "ams_f2",                 # 2.3s (r6 shift-mask parities; was 12.6)
+    "bpe_encode",             # 2.4s (r6 distinct-vocab memoization;
+                              #   was 15.8)
+    "semdedup",               # 2.6s after r7 norm CSE staging (was 8.1)
 ]
 
 
