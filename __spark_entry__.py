@@ -5757,8 +5757,13 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_explain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan introspection as data: the q3-style join-aggregate's physical
     plan summarized to assertable metric rows (CI's `.explain()`
-    replacement).  Deterministic given the plan; the oracle pins the
-    broadcast-join/pushdown shape this repo's scans guarantee."""
+    replacement).  Oracle-backed since r7: the oracle IS the pinned
+    contract — a literal row per metric asserting the plan shape this
+    repo's scans guarantee (one broadcast-hash join with the filtered
+    fact side broadcast, both filters pushed to the parquet scans, two
+    exchanges, zero sort-merge/BNLJ/cartesian) — verified invariant
+    across sf0.001/sf0.01/sf0.1.  A planner or scan regression changes
+    a metric value and fails the value compare."""
     from smartpy_arc_spark.operators.checks import explain_summary
 
     li = _t(spark, sf_dir, "lineitem").where("l_quantity < 10")
@@ -20018,6 +20023,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": _dedup_eval_sql(),
         "convex_hulls": _convex_hulls_sql(),
         "dtw_types": _dtw_types_sql(),
+        "explain_summary": """
+            -- the PINNED plan contract for the q3-style join-aggregate
+            -- (r7): literal expected values per metric; a planner/scan
+            -- regression on the Spark side flips a value and fails the
+            -- compare.  Verified sf-invariant (0.001/0.01/0.1).
+            SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+                ('broadcast_exchanges', 1),
+                ('broadcast_hash_joins', 1),
+                ('broadcast_nested_loop_joins', 0),
+                ('cartesian_products', 0),
+                ('exchanges_single_partition', 0),
+                ('exchanges_total', 2),
+                ('file_scans', 2),
+                ('pushed_filters', 2),
+                ('sort_merge_joins', 0),
+                ('sorts', 0),
+                ('wholestage_codegen_spans', 0),
+                ('windows', 0)
+            ) AS t(metric, value)
+        """,
         "geometric_median": _geometric_median_sql(),
         "louvain": _louvain_sql(),
         "mst": _mst_sql(),

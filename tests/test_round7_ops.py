@@ -164,6 +164,46 @@ def test_two_level_assignment_routes_seeds_home(spark):
     assert agree >= 9 + 40  # all seeds + the vast majority of satellites
 
 
+def test_convex_hull_degenerate_groups(spark):
+    """The hull operator's degenerate contracts (what the r7 QuickHull
+    oracle must also reproduce): collinear clouds collapse to a 2-vertex
+    LINESTRING with zero area and double-counted perimeter; a single
+    repeated point is a POINT with zero everything; duplicates don't
+    inflate n_vertices (but do count in n_points)."""
+    from smartpy_arc_spark.geometry.hull import convex_hulls
+
+    rows = (
+        # collinear diagonal (dyadic coords — exact doubles)
+        [("col", 0.0 + i * 0.25, 0.0 + i * 0.5) for i in range(5)]
+        # one point, repeated
+        + [("pt", 1.5, 2.5)] * 3
+        # square with an interior point and a duplicated corner
+        + [("sq", x, y) for x, y in
+           [(0.0, 0.0), (0.0, 2.0), (2.0, 0.0), (2.0, 2.0), (1.0, 1.0),
+            (0.0, 0.0)]]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in convex_hulls(df, "g", "x", "y").collect()}
+
+    c = out["col"]
+    assert c["n_points"] == 5 and c["n_vertices"] == 2
+    assert c["hull_wkt"].startswith("LINESTRING")
+    assert c["area_e4"] == 0
+    # perimeter double-counts the closed 2-vertex ring: 2 * |p0 - p1|
+    import math
+    assert c["perimeter_e4"] == round(2 * math.sqrt(1.0**2 + 2.0**2) * 1e4)
+
+    p = out["pt"]
+    assert p["n_points"] == 3 and p["n_vertices"] == 1
+    assert p["hull_wkt"].startswith("POINT")
+    assert p["area_e4"] == 0 and p["perimeter_e4"] == 0
+
+    s = out["sq"]
+    assert s["n_points"] == 6 and s["n_vertices"] == 4
+    assert s["area_e4"] == 4 * 10**4 and s["perimeter_e4"] == 8 * 10**4
+    assert s["hull_wkt"] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+
+
 def test_mmr_centroid_deterministic_rerun(spark):
     """The e9-tick centroid makes mmr_select reruns bit-identical even
     though the corpus arrives in different partition orders."""
