@@ -6485,9 +6485,13 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution over user event journeys with
     'purchase' as the absorbing conversion: distributed transition
-    counts, bounded-matrix absorption solve on the driver (same
-    bounded-solve pattern as logistic).  Rows-only: the matrix inversion
-    has no tractable SQL form; hand-computed chain tests pin the math."""
+    counts, bounded-matrix absorption solve on the driver.
+    Oracle-backed since r7: the solve is ALL-INTEGER e12 fixed-point —
+    the absorption series Σ Qᵏr via 13 matrix squarings with integer
+    half-away quantization, no float anywhere — so
+    ``_markov_attribution_sql`` replays the identical integer algebra
+    (variants ride as a column; one unrolled squaring chain serves base
+    + every removal).  Hand-computed chain tests still pin the math."""
     from smartpy_arc_spark.operators.funnel import markov_attribution
 
     ev = _t(spark, sf_dir, "events")
@@ -10061,6 +10065,143 @@ def _mst_sql(rounds=7, jumps=8, cap=60):
             {union}
         ) f GROUP BY s, d ORDER BY s, d
     """
+
+
+def _markov_attribution_sql(j_squarings: int = 13) -> str:
+    """Generated mirror of ``q_markov_attribution`` (r7 conversion):
+    the operator's ALL-INTEGER e12 fixed-point absorption solve replayed
+    relationally.  Transition counts come from the same user-ordered
+    lead window; every removal VARIANT (base + one per channel) rides as
+    a column on sparse (variant, i, j, ticks) matrix rows, so the
+    ``j_squarings`` matrix squarings (``S' = S + P·S``, ``P' = P²``,
+    HUGEINT products, floor-div rescale) unroll ONCE for all variants.
+    Probability quantization, effects, and shares all use the same
+    integer half-away division ``(2n + d) // (2d)`` as the operator —
+    no float exists anywhere in the solve, so equality is exact."""
+    S = 10**12
+
+    def mm(a: str, b: str) -> str:
+        """Sparse tick-matmul over (vid, i, j, v) with floor-div rescale."""
+        return f"""
+            SELECT a.vid, a.i, b.j,
+                   CAST(sum(CAST(a.v AS HUGEINT) * b.v) // {S} AS BIGINT)
+                       AS v
+            FROM {a} a JOIN {b} b ON b.vid = a.vid AND b.i = a.j
+            GROUP BY a.vid, a.i, b.j"""
+
+    def madd(a: str, b: str) -> str:
+        return f"""
+            SELECT vid, i, j, CAST(sum(v) AS BIGINT) AS v FROM (
+                SELECT vid, i, j, v FROM {a}
+                UNION ALL SELECT vid, i, j, v FROM {b}
+            ) u GROUP BY vid, i, j"""
+
+    ctes = [f"""steps AS MATERIALIZED (
+            SELECT user_id AS u, event_type AS ch,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ), counts AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT '__start__' AS src, ch AS dst FROM steps WHERE rn = 1
+                UNION ALL
+                SELECT ch AS src, coalesce(nxt, '__null__') AS dst
+                FROM steps
+            ) e GROUP BY src, dst
+        ), chans AS MATERIALIZED (
+            SELECT DISTINCT s FROM (
+                SELECT src AS s FROM counts WHERE src <> '__start__'
+                UNION SELECT dst FROM counts WHERE dst <> '__null__'
+            ) u WHERE s <> 'purchase'
+        ), states AS MATERIALIZED (
+            SELECT s, CAST(row_number() OVER (
+                ORDER BY CASE WHEN s = '__start__' THEN 0 ELSE 1 END, s)
+                - 1 AS BIGINT) AS i
+            FROM (SELECT '__start__' AS s UNION ALL SELECT s FROM chans) q
+        ), variants AS MATERIALIZED (
+            SELECT '__base__' AS rm
+            UNION ALL SELECT s FROM chans
+        ), tot AS MATERIALIZED (
+            SELECT st.s, greatest(coalesce(sum(c.n), 0), 1) AS total
+            FROM states st LEFT JOIN counts c ON c.src = st.s
+            GROUP BY st.s
+        ), q AS MATERIALIZED (
+            SELECT v.rm AS vid, si.i, sj.i AS j,
+                   CAST((2 * CAST(c.n AS HUGEINT) * {S} + t.total)
+                        // (2 * t.total) AS BIGINT) AS v
+            FROM counts c
+            JOIN states si ON si.s = c.src
+            JOIN states sj ON sj.s = c.dst
+            JOIN tot t ON t.s = c.src
+            CROSS JOIN variants v
+            WHERE c.src <> '__null__' AND c.src <> 'purchase'
+              AND c.dst <> 'purchase'
+              AND (v.rm = '__base__'
+                   OR (c.src <> v.rm AND c.dst <> v.rm))
+        ), rv AS MATERIALIZED (
+            SELECT v.rm AS vid, si.i,
+                   CAST((2 * CAST(sum(c.n) AS HUGEINT) * {S}
+                         + any_value(t.total))
+                        // (2 * any_value(t.total)) AS BIGINT) AS v
+            FROM counts c
+            JOIN states si ON si.s = c.src
+            JOIN tot t ON t.s = c.src
+            CROSS JOIN variants v
+            WHERE c.src <> '__null__' AND c.src <> 'purchase'
+              AND c.dst = 'purchase'
+              AND (v.rm = '__base__' OR c.src <> v.rm)
+            GROUP BY v.rm, si.i
+        ), ident AS (
+            SELECT v.rm AS vid, st.i, st.i AS j, CAST({S} AS BIGINT) AS v
+            FROM states st CROSS JOIN variants v
+        ), s_0 AS MATERIALIZED ({madd('ident', 'q')}
+        ), p_0 AS MATERIALIZED (SELECT vid, i, j, v FROM q)"""]
+    for k in range(j_squarings):
+        ctes.append(f"""
+        ps_{k} AS MATERIALIZED ({mm(f'p_{k}', f's_{k}')}
+        ), s_{k + 1} AS MATERIALIZED ({madd(f's_{k}', f'ps_{k}')}
+        ), p_{k + 1} AS MATERIALIZED ({mm(f'p_{k}', f'p_{k}')}
+        )""")
+    last = f"s_{j_squarings}"
+    ctes.append(f"""
+        pconv AS MATERIALIZED (
+            SELECT s.vid,
+                   CAST(coalesce(sum(CAST(s.v AS HUGEINT) * r.v), 0)
+                        // {S} AS BIGINT) AS p
+            FROM {last} s JOIN rv r ON r.vid = s.vid AND r.i = s.j
+            WHERE s.i = 0
+            GROUP BY s.vid
+        ), allp AS MATERIALIZED (
+            SELECT v.rm AS vid, coalesce(p.p, 0) AS p
+            FROM variants v LEFT JOIN pconv p ON p.vid = v.rm
+        ), basep AS (SELECT p FROM allp WHERE vid = '__base__'),
+        eff AS MATERIALIZED (
+            SELECT a.vid AS channel,
+                   CASE WHEN b.p <= 0 THEN 0
+                        ELSE (2 * greatest(b.p - a.p, 0) * 1000000
+                              + b.p) // (2 * b.p) END AS e
+            FROM allp a CROSS JOIN basep b
+            WHERE a.vid <> '__base__'
+        ), teff AS (
+            SELECT greatest(sum(e), 1) AS te FROM eff
+        ), touch AS (
+            SELECT c.s, coalesce(sum(n.n), 0) AS n_touches
+            FROM chans c LEFT JOIN counts n ON n.src = c.s
+            GROUP BY c.s
+        )
+        SELECT e.channel,
+               CAST(t.n_touches AS BIGINT) AS n_touches,
+               CAST(e.e AS BIGINT) AS removal_effect_e6,
+               CAST((2 * e.e * 1000000 + te.te) // (2 * te.te) AS BIGINT)
+                   AS credit_share_e6
+        FROM eff e
+        JOIN touch t ON t.s = e.channel
+        CROSS JOIN teff te
+        ORDER BY e.channel""")
+    body = ",".join(ctes)
+    return f"WITH {body}"
 
 
 def _convex_hulls_sql() -> str:
@@ -20023,6 +20164,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": _dedup_eval_sql(),
         "convex_hulls": _convex_hulls_sql(),
         "dtw_types": _dtw_types_sql(),
+        "markov_attribution": _markov_attribution_sql(),
         "explain_summary": """
             -- the PINNED plan contract for the q3-style join-aggregate
             -- (r7): literal expected values per metric; a planner/scan

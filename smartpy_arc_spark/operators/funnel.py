@@ -309,16 +309,23 @@ def markov_attribution(
     Distributed part: per-user ordered journeys and the (from, to)
     transition counts — one user-keyed window pass plus a bounded-key
     aggregate.  The chain itself is a |channels|² matrix (channel
-    vocabularies are bounded by contract), solved on the driver with
-    numpy absorption probabilities — the same bounded-solve pattern as
-    ``logistic_fit``.  Rows-only evidence: the matrix solve has no
-    tractable SQL form.
+    vocabularies are bounded by contract), solved on the driver.
+
+    Oracle-portable solve (r7): instead of a float ``(I−Q)⁻¹`` inverse,
+    the absorption series ``Σ Qᵏ r`` is evaluated in ALL-INTEGER e12
+    fixed-point — transition probabilities quantize to ticks with an
+    integer half-away division, and ``J = 13`` matrix squarings
+    (``S' = S + P·S``, ``P' = P²``, floor-div rescale after each
+    product) cover 2¹³ = 8192 series terms, geometrically past any
+    chain's mixing scale.  No float touches the solve, so every value
+    (effects, shares — also integer half-away divisions) is
+    bit-reproducible in any engine; ``_markov_attribution_sql`` replays
+    the identical integer algebra.
 
     Returns ``(channel, n_touches, removal_effect_e6, credit_share_e6)``
     ordered by channel; shares normalize the removal effects over
     channels (largest-remainder-free: one division each).
     """
-    import numpy as np
     from pyspark.sql import Window
 
     order = [F.col(ts_col)] + (
@@ -354,10 +361,29 @@ def markov_attribution(
     states = ["__start__"] + chans
     absorb_p = {}
 
-    def p_conv(removed: str | None) -> float:
+    SCALE = 10**12
+    J = 13  # 2^13 = 8192 series terms
+
+    def half_away(num: int, den: int) -> int:
+        """round(num/den) half-away-from-zero, pure integers (num ≥ 0)."""
+        return (2 * num + den) // (2 * den)
+
+    def matmul(a: list, b: list, m: int) -> list:
+        """(a·b) in e12 ticks with floor-div rescale — exact integers."""
+        return [
+            [
+                sum(a[i][k] * b[k][j] for k in range(m)) // SCALE
+                for j in range(m)
+            ]
+            for i in range(m)
+        ]
+
+    def p_conv(removed: str | None) -> int:
+        """Absorption probability at __start__, in e12 ticks (int)."""
         idx = {s: i for i, s in enumerate(states)}
-        t = np.zeros((len(states), len(states)))
-        r_conv = np.zeros(len(states))
+        m = len(states)
+        t = [[0] * m for _ in range(m)]
+        r_conv = [0] * m
         for r in rows:
             if r.src in ("__null__",) or r.src == conversion_value:
                 continue
@@ -370,38 +396,49 @@ def markov_attribution(
             elif r.dst in idx and not (
                 removed is not None and r.dst == removed
             ):
-                t[idx[r.src], idx[r.dst]] += r.n
+                t[idx[r.src]][idx[r.dst]] += r.n
             # else: edge into __null__ / removed state: absorbed at NULL
-        totals = np.array(
-            [
-                sum(rr.n for rr in rows if rr.src == s)
-                for s in states
-            ],
-            dtype=float,
-        )
-        totals[totals == 0] = 1.0
-        q = t / totals[:, None]
-        r_vec = r_conv / totals
-        a = np.linalg.solve(np.eye(len(states)) - q, r_vec)
-        return float(a[0])
+        totals = [
+            sum(rr.n for rr in rows if rr.src == s) or 1 for s in states
+        ]
+        q = [
+            [half_away(t[i][j] * SCALE, totals[i]) for j in range(m)]
+            for i in range(m)
+        ]
+        rv = [half_away(r_conv[i] * SCALE, totals[i]) for i in range(m)]
+        # S ≈ Σ_{k<2^J} Q^k, P ≈ Q^{2^j} via squaring, all in ticks
+        s_mat = [
+            [(SCALE if i == j else 0) + q[i][j] for j in range(m)]
+            for i in range(m)
+        ]
+        p_mat = q
+        for _ in range(J):
+            s_mat = [
+                [s_mat[i][j] + v for j, v in enumerate(row)]
+                for i, row in enumerate(matmul(p_mat, s_mat, m))
+            ]
+            p_mat = matmul(p_mat, p_mat, m)
+        return sum(s_mat[0][k] * rv[k] for k in range(m)) // SCALE
 
     base = p_conv(None)
     touches = {
         r.src: sum(rr.n for rr in rows if rr.src == r.src) for r in rows
     }
-    effects = {}
+    eff_e6 = {}
     for c in chans:
-        effects[c] = (
-            0.0 if base <= 0 else max(0.0, 1.0 - p_conv(c) / base)
-        )
-    total_eff = sum(effects.values()) or 1.0
+        if base <= 0:
+            eff_e6[c] = 0
+        else:
+            # removal can only lower conversion; clamp quantization dust
+            eff_e6[c] = half_away(max(0, base - p_conv(c)) * 10**6, base)
+    total_e6 = sum(eff_e6.values()) or 1
     spark = df.sparkSession
     out = [
         (
             c,
             int(touches.get(c, 0)),
-            int(round(effects[c] * 1e6)),
-            int(round(effects[c] / total_eff * 1e6)),
+            eff_e6[c],
+            half_away(eff_e6[c] * 10**6, total_e6),
         )
         for c in chans
     ]
