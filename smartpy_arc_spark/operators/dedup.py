@@ -72,28 +72,44 @@ def _char_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column
     return F.transform(F.sequence(F.lit(1), n), lambda i: hfn(F.substring(text, i, k)))
 
 
-def _word_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column:
-    """array<long> of hashed k-word shingles — ~word-count many, an order of
-    magnitude fewer than char shingles on prose; the standard choice for
-    whole-document near-dup at corpus scale.
+def _token_hashes(text: Column, portable: bool = False) -> Column:
+    """array<long> of per-token hashes — MUST be staged behind a
+    projection boundary before :func:`_word_shingles_of_hashes` folds it
+    (see that function's HOF-CSE warning)."""
+    from smartpy_arc_spark.functions.scalar import portable_hash64
 
-    Each token is string-hashed exactly once; a shingle's hash is then the
-    multi-arg ``xxhash64`` of its k token hashes — pure numeric combining,
-    no per-shingle string concatenation (the concat_ws version allocated a
-    k-word string per shingle and was the hot spot of the whole pipeline).
+    hfn = portable_hash64 if portable else F.xxhash64
+    return F.transform(F.split(text, " ", -1), lambda t: hfn(t))
 
-    ``portable=True`` (the oracle mode) swaps both levels for the
-    md5-derived ``portable_hash64``; the shingle combine becomes the
-    portable hash of the ':'-joined token-hash digits — ``concat_ws``
-    skips NULLs exactly as multi-arg ``xxhash64`` does, so short-document
-    overhang produces the same equivalence classes.
+
+def _word_shingles_of_hashes(
+    th: Column, k: int, portable: bool = False
+) -> Column:
+    """array<long> of hashed k-word shingles over a PRE-STAGED token-hash
+    array column — ~word-count many, an order of magnitude fewer than
+    char shingles on prose; the standard choice for whole-document
+    near-dup at corpus scale.
+
+    Each token is string-hashed exactly once; a shingle's hash is then
+    the multi-arg ``xxhash64`` of its k token hashes — pure numeric
+    combining, no per-shingle string concatenation.
+
+    HOF-CSE (r7): ``th`` MUST be a projected COLUMN, not an inline
+    transform expression — an expression referenced inside the shingle
+    lambda is re-evaluated PER SHINGLE (the ngram_novelty discovery), so
+    the inline form re-hashed every token once per shingle per k:
+    O(n²·k) hashes per document instead of O(n).  At sf0.1 that was the
+    difference between ~60 s and ~6 s for the portable-md5 contract
+    queries.
+
+    ``portable=True`` (the oracle mode) combines via the md5-derived
+    ``portable_hash64`` of the ':'-joined token-hash digits —
+    ``concat_ws`` skips NULLs exactly as multi-arg ``xxhash64`` does, so
+    short-document overhang produces the same equivalence classes.
     """
     from smartpy_arc_spark.functions.scalar import portable_hash64
 
-    tokens = F.split(text, " ", -1)
-    hfn = portable_hash64 if portable else F.xxhash64
-    th = F.transform(tokens, lambda t: hfn(t))
-    n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
+    n = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
 
     def combine(i: Column) -> Column:
         # try_element_at: a doc shorter than k tokens still yields one
@@ -106,6 +122,15 @@ def _word_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column
         return F.xxhash64(*parts)
 
     return F.transform(F.sequence(F.lit(0), n - 1), combine)
+
+
+def _word_shingle_hashes(text: Column, k: int, portable: bool = False) -> Column:
+    """Inline-expression form (token hashing + shingle combine in one
+    expression) — ONLY for one-off use on short strings: the combine
+    re-evaluates the token-hash array per shingle (no CSE inside HOF
+    lambdas).  Hot paths stage ``_token_hashes`` first and call
+    :func:`_word_shingles_of_hashes`."""
+    return _word_shingles_of_hashes(_token_hashes(text, portable), k, portable)
 
 
 def _shingle_hashes(
@@ -188,10 +213,27 @@ def minhash_signatures(
     ``portable_hash64`` (engine-reproducible, the oracle mode); the
     xorshift scramble family is pure bitwise either way.
     """
-    base = F.array_distinct(
-        _shingle_hashes(F.col(text_col), shingle_size, shingle_mode, portable_hash)
-    )
-    with_hashes = df.select(id_col, base.alias("_base"))
+    if shingle_mode == "word":
+        # stage token hashes behind a projection boundary FIRST — the
+        # shingle-combine lambda re-evaluates inline expressions per
+        # shingle (r7 HOF-CSE fix: O(n²·k) → O(n) hashes per doc)
+        staged = df.select(
+            F.col(id_col),
+            _token_hashes(F.col(text_col), portable_hash).alias("_th"),
+        )
+        base = F.array_distinct(
+            _word_shingles_of_hashes(
+                F.col("_th"), shingle_size, portable_hash
+            )
+        )
+        with_hashes = staged.select(id_col, base.alias("_base"))
+    else:
+        base = F.array_distinct(
+            _shingle_hashes(
+                F.col(text_col), shingle_size, shingle_mode, portable_hash
+            )
+        )
+        with_hashes = df.select(id_col, base.alias("_base"))
 
     def min_member(j: int) -> Column:
         # closure factory, NOT a default-arg lambda: pyspark treats a
