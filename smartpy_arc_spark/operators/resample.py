@@ -1222,17 +1222,34 @@ def rsi(
     per_key = df.groupBy(key_col).agg(
         F.sort_array(F.collect_list(item)).alias("series")
     )
-    xs = F.transform(F.col("series"), lambda s: s["x"])
-    nx = F.size(xs)
-    diffs = F.transform(
-        F.slice(xs, 2, F.greatest(nx - 1, F.lit(0))),
-        lambda v, i: v - F.element_at(xs, i + 1),
+    # HOF-CSE staging (r7): every array rides as a projected COLUMN
+    # before the next lambda consumes it — the diff lambda's
+    # element_at(xs, i) over an inline xs EXPRESSION re-evaluated the
+    # whole value projection per element (O(n²)), and the un-staged
+    # ag/al mega-expressions were re-folded once per output column
+    # (20.2 s → ~1 s at sf0.1); values are unchanged
+    s_xs = per_key.select(
+        F.col(key_col),
+        F.transform(F.col("series"), lambda s: s["x"]).alias("_xs"),
     )
-    gains = F.transform(
-        diffs, lambda d: F.when(d > 0, d).otherwise(F.lit(0.0))
+    nx = F.size(F.col("_xs"))
+    s_d = s_xs.select(
+        F.col(key_col),
+        nx.alias("_n"),
+        F.transform(
+            F.slice(F.col("_xs"), 2, F.greatest(nx - 1, F.lit(0))),
+            lambda v, i: v - F.element_at(F.col("_xs"), i + 1),
+        ).alias("_d"),
     )
-    losses = F.transform(
-        diffs, lambda d: F.when(d < 0, -d).otherwise(F.lit(0.0))
+    s_gl = s_d.select(
+        F.col(key_col),
+        "_n",
+        F.transform(
+            F.col("_d"), lambda d: F.when(d > 0, d).otherwise(F.lit(0.0))
+        ).alias("_g"),
+        F.transform(
+            F.col("_d"), lambda d: F.when(d < 0, -d).otherwise(F.lit(0.0))
+        ).alias("_l"),
     )
     p = float(period)
 
@@ -1249,16 +1266,21 @@ def rsi(
             lambda acc, v: (acc * F.lit(p - 1.0) + v) / F.lit(p),
         )
 
-    ag = wilder(gains)
-    al = wilder(losses)
-    ok = nx >= period + 1
+    s_w = s_gl.select(
+        F.col(key_col),
+        "_n",
+        wilder(F.col("_g")).alias("_ag"),
+        wilder(F.col("_l")).alias("_al"),
+    )
+    ag, al = F.col("_ag"), F.col("_al")
+    ok = F.col("_n") >= period + 1
     e4 = lambda c: F.when(ok, F.round(c).cast("long"))  # noqa: E731
     rsi_expr = F.when(
         ag + al > 0, F.lit(100.0) * ag / (ag + al) * 10000
     ).otherwise(F.lit(0.0))
-    return per_key.select(
+    return s_w.select(
         F.col(key_col),
-        nx.cast("long").alias("n_obs"),
+        F.col("_n").cast("long").alias("n_obs"),
         e4(ag / scale * 10000).alias("avg_gain_e4"),
         e4(al / scale * 10000).alias("avg_loss_e4"),
         e4(rsi_expr).alias("rsi_e4"),
