@@ -68,26 +68,26 @@ BENCH_QUERIES = [
 # (frozen round 6, after the r6 optimizations): tail regressions become
 # provable round-over-round instead of ad-hoc prose.
 HEAVY_TAIL_QUERIES = [
-    # Frozen set (r6); comments carry the r7 idle noop-sink timings
-    # (count()-based probes under-measure projection-heavy queries —
-    # the noop write is the honest number).  r7 total: 43.1s (r6: 53.6)
-    "embedding_near_dup",     # 3.1s (r6 norm staging; was ~19 warm)
-    "pagerank_influence",     # 5.4s after r7 checkpoint discipline
+    # Frozen set (r6); comments carry the r7-close idle noop-sink
+    # timings (count()-based probes under-measure projection-heavy
+    # queries — the noop write is the honest number).
+    # r7 total: 32.8s (r6: 53.6)
+    "embedding_near_dup",     # 2.6s (r6 norm staging; was ~19 warm)
+    "pagerank_influence",     # 4.2s after r7 checkpoint discipline
                               #   (was 9.7 — e recomputed ~5x/call)
-    "personalized_pagerank",  # 3.7s after r7 checkpoint discipline
+    "personalized_pagerank",  # 3.0s after r7 checkpoint discipline
                               #   (was 7.7)
-    "geometric_median",       # 9.0s — now ORACLE-BACKED (r7 e12-tick
-                              #   sums); the portability costs ~4s over
-                              #   the r6 free-float 5.0s
-    "mst",                    # 6.3s — Borůvka rounds (r7: probe folded
+    "geometric_median",       # 6.3s — now ORACLE-BACKED (r7 e12-tick
+                              #   sums, codegen-stable y-table rounds)
+    "mst",                    # 4.0s — Borůvka rounds (r7: probe folded
                               #   into the chosen checkpoint)
-    "louvain",                # 5.5s — local-move + coarsen rounds
+    "louvain",                # 4.1s — local-move + coarsen rounds
                               #   (r7: per-level deg checkpointed)
-    "perplexity_buckets",     # 3.4s (r6 staging+int64 keys; was ~28)
-    "ams_f2",                 # 2.3s (r6 shift-mask parities; was 12.6)
-    "bpe_encode",             # 2.4s (r6 distinct-vocab memoization;
+    "perplexity_buckets",     # 3.0s (r6 staging+int64 keys; was ~28)
+    "ams_f2",                 # 2.1s (r6 shift-mask parities; was 12.6)
+    "bpe_encode",             # 1.8s (r6 distinct-vocab memoization;
                               #   was 15.8)
-    "semdedup",               # 2.6s after r7 norm CSE staging (was 8.1)
+    "semdedup",               # 1.6s after r7 norm CSE staging (was 8.1)
 ]
 
 
