@@ -71,7 +71,17 @@ def chunk_documents(
     """
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != F.lit(""))
+    # stage the token array behind a projection boundary FIRST: the
+    # window lambdas below reference it per element, and an inline
+    # tokenizer expression would re-split the document once per chunk
+    # (the r7 HOF-CSE audit class — O(n²/stride) per doc)
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " ", -1), lambda t: t != F.lit("")
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # window starts 1, 1+stride, ... — keep a start unless the PREVIOUS
     # window already covered the end of the document (so every token is in
@@ -83,7 +93,7 @@ def chunk_documents(
         | (s - stride + (chunk_tokens - 1) < n),
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
-    chunked = df.select(
+    chunked = staged.select(
         F.col(id_col),
         F.when(n > 0, chunks)
         .otherwise(F.array().cast("array<array<string>>"))
