@@ -3524,19 +3524,22 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit count-min sketch over corpus tokens (depth 4 × width 512
     bounded state, one shuffle), point-queried for fixed probe terms.
-    Rows-only: DuckDB lacks xxhash64; the overestimate property and the
-    2n/width error bound are pinned by unit tests against exact counts."""
+    Runs the ``portable_hash`` (md5) bucketing so DuckDB rebuilds the
+    IDENTICAL sketch (``_cms_heavy_hitters_sql``) — converted from
+    rows-only in round 7; the xxhash64 production default keeps its
+    overestimate/error-bound unit tests against exact counts."""
     from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
     from smartpy_arc_spark.operators.text import alpha_tokens
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(alpha_tokens(F.col("text"))).alias("t"))
-    sk = cms_build(toks, "t", width=512, depth=4)
+    sk = cms_build(toks, "t", width=512, depth=4, portable_hash=True)
     return cms_estimate(
         sk,
         ["the", "and", "data", "spark", "shuffle", "join", "quality", "zz"],
         width=512,
         depth=4,
+        portable_hash=True,
     )
 
 
@@ -6230,6 +6233,43 @@ def _hilbert_oracle_sql(bits: int = 8) -> str:
         "WITH " + ", ".join(ctes)
         + f" SELECT okey, lineno, CAST(hd AS BIGINT) AS hcode FROM s{bits}"
     )
+
+
+def _cms_heavy_hitters_sql(width: int = 512, depth: int = 4) -> str:
+    """Oracle rebuilding the SAME count-min sketch as
+    operators/sketch.py:cms_build(portable_hash=True): bucket =
+    portable_hash64("{seed}:{token}") mod width, est = min over seeds of
+    the probed bucket count (absent bucket -> 0).  Bit-exact because the
+    md5 hash family and the integer mod are engine-independent."""
+    probes = ["the", "and", "data", "spark", "shuffle", "join", "quality", "zz"]
+    probe_list = ", ".join(f"'{t}'" for t in probes)
+    seed_list = ", ".join(str(i) for i in range(depth))
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', {t})),"
+        f" 1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       w -> w != '')) AS t
+            FROM documents
+        ), seeds AS (
+            SELECT unnest([{seed_list}]) AS seed
+        ), sk AS (
+            SELECT seed, {bucket.format(t='t')} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks CROSS JOIN seeds
+            GROUP BY 1, 2
+        ), probe AS (
+            SELECT term, seed, {bucket.format(t='term')} AS bucket
+            FROM (SELECT unnest([{probe_list}]) AS term)
+            CROSS JOIN seeds
+        )
+        SELECT term, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est
+        FROM probe LEFT JOIN sk USING (seed, bucket)
+        GROUP BY term
+    """
 
 
 def _ams_f2_sql(k: int = 33, seed: int = 0) -> str:
@@ -16990,6 +17030,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "smd_balance": _smd_balance_sql(),
         "ams_f2": _ams_f2_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "hilbert_code": _hilbert_oracle_sql(),
         "interval_merge": """
             WITH iv AS (

@@ -19,15 +19,28 @@ confidence 1 - (1/2)^depth — the standard CMS guarantee.
 Scale shape: building is ONE shuffle of depth×width bounded keys with
 map-side combine (each input row contributes `depth` bucket increments
 via posexplode — JVM-side, no Python); probing joins the query terms'
-buckets against the broadcast sketch table.  No counterpart in DuckDB
-(different hash), so the stamped query is rows-only; the overestimate
-property and error bound are pinned by unit tests against exact counts.
+buckets against the broadcast sketch table.  ``portable_hash=True``
+swaps xxhash64 for the md5-based ``portable_hash64`` on
+``"{seed}:{term}"`` so DuckDB can rebuild the identical sketch — the
+contract query runs that mode; xxhash64 stays the production default.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from smartpy_arc_spark.functions.scalar import portable_hash64
+
+
+def _cms_bucket(term: Column, seed: Column, width: int, portable: bool) -> Column:
+    """Bucket index for one (term, seed) pair.  Both families are
+    non-negative before the mod, so Spark ``pmod`` == DuckDB ``%``."""
+    if portable:
+        return portable_hash64(
+            F.concat(seed.cast("string"), F.lit(":"), term)
+        ) % F.lit(width)
+    return F.pmod(F.xxhash64(term, seed), F.lit(width))
 
 
 def cms_build(
@@ -37,14 +50,16 @@ def cms_build(
     width: int = 256,
     depth: int = 4,
     weight_col: str | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Aggregate a count-min sketch table ``(seed, bucket, c)``.
 
     ``weight_col`` switches from row counting to weighted sums (e.g.
-    bytes per URL).  xxhash64(term, seed) keeps the bucketing
+    bytes per URL).  Hashing (term, seed) keeps the bucketing
     deterministic and seed-independent across builds, so two sketch
-    tables built with the same (width, depth) merge by UNION ALL +
-    groupBy sum.
+    tables built with the same (width, depth, hash family) merge by
+    UNION ALL + groupBy sum.  ``portable_hash`` picks the
+    DuckDB-reproducible md5 bucketing over the xxhash64 default.
     """
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
     rows = df.select(
@@ -54,7 +69,7 @@ def cms_build(
     return (
         rows.select(
             "seed",
-            F.pmod(F.xxhash64(F.col("__t"), F.col("seed")), F.lit(width)).alias(
+            _cms_bucket(F.col("__t"), F.col("seed"), width, portable_hash).alias(
                 "bucket"
             ),
             "__w",
@@ -70,12 +85,14 @@ def cms_estimate(
     *,
     width: int = 256,
     depth: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Point-query the sketch for ``terms``: returns ``(term, est)`` with
     ``est`` the min bucket count over seeds — always >= the true count.
 
     The sketch table is depth×width rows, broadcast; absent buckets read
     as 0 (a term whose every bucket is empty truly never occurred).
+    ``portable_hash`` must match the build-side flag.
     """
     spark = sketch.sparkSession
     probe = (
@@ -87,7 +104,7 @@ def cms_estimate(
         .select(
             "term",
             "seed",
-            F.pmod(F.xxhash64(F.col("term"), F.col("seed")), F.lit(width)).alias(
+            _cms_bucket(F.col("term"), F.col("seed"), width, portable_hash).alias(
                 "bucket"
             ),
         )

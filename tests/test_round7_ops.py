@@ -220,3 +220,27 @@ def test_mmr_centroid_deterministic_rerun(spark):
     out2 = [(r["rank"], r["vec_id"], r["mmr_score"])
             for r in mmr_select(df2, k=5).collect()]
     assert out1 == out2
+
+
+def test_cms_portable_mode_overestimates_and_differs_only_in_buckets(spark):
+    """portable_hash=True keeps every CMS guarantee (est >= exact; est ==
+    exact when width >> vocabulary) while relocating buckets to the
+    md5 family the DuckDB oracle mirrors."""
+    from smartpy_arc_spark.operators.sketch import cms_build, cms_estimate
+
+    words = ["a", "b", "c", "d", "e"]
+    rows = [(w,) for i, w in enumerate(words) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "t string")
+    exact = {w: i + 1 for i, w in enumerate(words)}
+
+    for portable in (False, True):
+        sk = cms_build(df, "t", width=4096, depth=4, portable_hash=portable)
+        est = {
+            r["term"]: r["est"]
+            for r in cms_estimate(
+                sk, words + ["zz"], width=4096, depth=4, portable_hash=portable
+            ).collect()
+        }
+        # width 4096 >> 5 distinct terms: no collisions, so est is exact,
+        # and the never-seen probe reads 0 — in BOTH hash families.
+        assert est == {**exact, "zz": 0}, portable
