@@ -29,6 +29,17 @@ by reading whether the reference sits inside the lambda BODY.
 
 Usage: python tools/audit_hofcse.py [package_dir]
 Exits 0 always (advisory); prints one line per lead.
+
+Known-benign leads (triaged round 7 — all three are HOF *inputs*,
+evaluated once per call, and identical sibling expressions inside one
+projection are CSE'd by WholeStageCodegen subexpression elimination):
+
+- embedding.py mmr_select/cos: ``dot`` IS the aggregate's result,
+  used outside any lambda body;
+- similarity.py pq_encode/dists_for_sub: ``subv`` slice feeds
+  zip_with as its input argument (k sibling aggregates share it
+  within the one staged projection);
+- similarity.py pq_search/table_entry: ``subq`` — same shape.
 """
 
 from __future__ import annotations
