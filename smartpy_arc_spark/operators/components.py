@@ -172,9 +172,12 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # out-node key set for the dangling anti-join: from the checkpointed
-    # e_deg, so rounds never touch pre-checkpoint lineage
-    out_nodes = e_deg.select("s")
+    # out-node key set for the dangling anti-join: DISTINCT src values,
+    # materialized once — the anti-join's hash build side is then
+    # |out-nodes|, not |edges| (r7 scaling probe: the non-distinct
+    # projection rebuilt an edge-sized hash relation EVERY round; at
+    # 100 TB edges ≫ nodes makes that the round's dominant cost)
+    out_nodes = e_deg.select("s").distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -554,7 +557,9 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    out_nodes = e_deg.select("s")
+    # distinct out-node set, materialized once (same r7 anti-join
+    # build-side fix as pagerank: |out-nodes|, not |edges|, per round)
+    out_nodes = e_deg.select("s").distinct().localCheckpoint(eager=True)
     n_seeds = len(seeds)
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed")

@@ -27,6 +27,16 @@ Probe configurations (the 100 TB contracts):
   constant-cluster-width configuration), so intra-cluster pair work per
   row is constant.
 
+Round-7 additions cover the two tiers the dedup/ANN probe missed:
+- pagerank_3it (graph/iterative tier): the customer<->supplier trade
+  graph from sf0.1 orders |x| lineitem, scaled as N node-suffixed
+  DISJOINT copies (per-copy structure identical, so per-iteration work
+  must be linear in edges); 3 power iterations, both directions;
+- perplexity_buckets (text/gram tier): the CCNet head/middle/tail split
+  on the scaled documents — the word-suffixed copies keep gram space
+  growing with the corpus (no cross-copy gram collisions), the honest
+  configuration for a gram-keyed shuffle.
+
 Writes SCALING.md and prints one JSON line.
 
 Usage: python tools/scaling_probe.py [base_sf_dir] [out_md]
@@ -51,6 +61,7 @@ def build_corpora(spark, base: str) -> None:
 
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+
     for n in COPIES:
         out = os.path.join(WORK, f"n{n}")
         if os.path.exists(os.path.join(out, "_DONE")):
@@ -99,16 +110,57 @@ def build_corpora(spark, base: str) -> None:
             os.path.join(out, "embeddings.parquet"))
         open(os.path.join(out, "_DONE"), "w").close()
 
+    # trade-graph edges (r7, graph-tier probe): distinct c<->s pairs from
+    # orders |x| lineitem; copy i suffixes both endpoints so the scaled
+    # graph is N disjoint copies of the 1x graph
+    orders = spark.read.parquet(os.path.join(base, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(os.path.join(base, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    base_pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for n in COPIES:
+        out = os.path.join(WORK, f"n{n}")
+        if os.path.exists(os.path.join(out, "_EDGES_DONE")):
+            continue
+        parts = [
+            base_pairs.select(
+                F.concat(F.col("src"), F.lit(f"_{i}")).alias("src"),
+                F.concat(F.col("dst"), F.lit(f"_{i}")).alias("dst"),
+            )
+            for i in range(n)
+        ]
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        e.write.mode("overwrite").parquet(os.path.join(out, "edges.parquet"))
+        open(os.path.join(out, "_EDGES_DONE"), "w").close()
+
 
 def probes(spark, sf_dir: str, n: int) -> dict:
     from pyspark.sql import functions as F
 
+    from smartpy_arc_spark.operators.components import pagerank
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+    from smartpy_arc_spark.operators.perplexity import perplexity_buckets
     from smartpy_arc_spark.operators.semdedup import semdedup
     from smartpy_arc_spark.operators.similarity import _dot, ivf_topk
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    edges = spark.read.parquet(os.path.join(sf_dir, "edges.parquet"))
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
     def near_dup():
         va = F.col("embedding").cast("array<double>")
@@ -133,6 +185,10 @@ def probes(spark, sf_dir: str, n: int) -> dict:
         "semdedup_flat": lambda: semdedup(emb, k=8 * n, threshold=0.35),
         "semdedup_2level": lambda: semdedup(
             emb, k=8 * n, threshold=0.35, two_level=True),
+        "pagerank_3it": lambda: pagerank(
+            both, iterations=3, damping=0.85, assume_distinct=True),
+        "perplexity_buckets": lambda: perplexity_buckets(
+            docs, docs.where("lang = 'en'")),
     }
     out = {}
     for name, fn in jobs.items():
@@ -184,6 +240,8 @@ def main() -> None:
         "ivf_ann": "16 centroids, 5 queries",
         "semdedup_flat": "k = 8n, flat O(n*k) assignment",
         "semdedup_2level": "k = 8n, coarse->fine O(n*sqrt(k))",
+        "pagerank_3it": "trade graph, 3 power iterations",
+        "perplexity_buckets": "CCNet trigram LM + tertiles",
     }
     growth = {}
     for name in names:
@@ -212,6 +270,26 @@ def main() -> None:
         "is the documented 100 TB configuration for `semdedup`; the flat",
         "path remains for exact oracle-compared runs at bounded k, where",
         "its two fewer shuffle stages make it faster.",
+        "",
+        "Round-7 tier additions: `pagerank_3it` probes the iterative",
+        "graph tier (per-iteration cost must be linear in edges — the",
+        "scaled graph is N disjoint copies, so any super-linear growth",
+        "would expose a shuffle/skew defect in the power-iteration",
+        "join); `perplexity_buckets` probes the gram-keyed text tier",
+        "(gram space grows with the corpus by construction, so the LM",
+        "count shuffle and the per-doc scoring join both scale).",
+        "",
+        "Round-7 probe readings: `pagerank_3it`'s step at 3x followed",
+        "by a PLATEAU through 30x is a broadcast-threshold plan flip,",
+        "not a defect: at 1x the rank/degree joins ride under AQE's",
+        "broadcast cutoff; past it they become co-partitioned shuffle",
+        "joins — the configuration a real cluster runs from the start —",
+        "and from there growth is far sub-linear.  Probing the step",
+        "surfaced one real build-side bug, fixed in",
+        "`operators/components.py`: the dangling-mass anti-join's right",
+        "side was the NON-DISTINCT edge src projection (an edge-sized",
+        "hash relation rebuilt every round); it is now the distinct",
+        "out-node set, checkpointed once.",
         "",
     ]
     with open(out_md, "w") as f:
