@@ -61,11 +61,24 @@ def cms_build(
     UNION ALL + groupBy sum.  ``portable_hash`` picks the
     DuckDB-reproducible md5 bucketing over the xxhash64 default.
     """
+    # pre-aggregate to the DISTINCT term vocabulary first (the bpe_encode
+    # memoization): Zipf makes it orders of magnitude smaller than the
+    # occurrence stream, so each term is hashed depth times ONCE instead
+    # of once per occurrence — identical bucket sums by associativity,
+    # and the map-side combine of the groupBy does the heavy reduction
+    # before any hash is computed
+    vocab = (
+        df.select(
+            F.col(term_col).alias("__t"),
+            (F.col(weight_col) if weight_col else F.lit(1))
+            .cast("long")
+            .alias("__w"),
+        )
+        .groupBy("__t")
+        .agg(F.sum("__w").alias("__w"))
+    )
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
-    rows = df.select(
-        F.col(term_col).alias("__t"),
-        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("__w"),
-    ).select("__t", "__w", seeds)
+    rows = vocab.select("__t", "__w", seeds)
     return (
         rows.select(
             "seed",
