@@ -796,11 +796,16 @@ def edit_distance_pairs(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("_la") - F.col("_lb")) <= length_band),
     )
+    # bounded levenshtein (Spark >= 3.5): rejects early-terminate at
+    # max_distance (returning -1) instead of filling the full O(n*m)
+    # matrix; retained pairs carry the identical exact distance
     return (
         pairs.select(
-            "id_a", "id_b", F.levenshtein("_ta", "_tb").alias("edit_dist")
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", max_distance).alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= max_distance)
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_distance))
     )
 
 

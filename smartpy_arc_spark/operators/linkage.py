@@ -78,10 +78,16 @@ def fuzzy_link(
         )
         .dropDuplicates(["left_id", "right_id"])
     )
-    dist = F.levenshtein(F.col("left_key"), F.col("right_key"))
+    # bounded levenshtein (Spark >= 3.5): early-terminates any pair whose
+    # distance exceeds max_edit (returns -1), turning the O(n*m) fill into
+    # O(max_edit * n) on the reject path — the common case in a block join;
+    # retained pairs get the identical exact distance
+    dist = F.levenshtein(F.col("left_key"), F.col("right_key"), max_edit)
     return (
         cand.withColumn("edit_distance", dist.cast("int"))
-        .where(F.col("edit_distance") <= max_edit)
+        .where(
+            (F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_edit)
+        )
         .select("left_id", "right_id", "left_key", "right_key", "edit_distance")
     )
 
