@@ -641,12 +641,17 @@ def hits(
         F.lit(1.0 / n_nodes).alias("authority"),
     )
     for _ in range(iterations):
+        # each stage is materialized once (r7 checkpoint discipline, as
+        # pagerank): the norm scalar, the normalize join, and the next
+        # half-round all READ the node-sized checkpoint instead of
+        # re-expanding the edge-join subtree inside one action
         auth_raw = (
             e.join(
                 scores.select(F.col("node").alias("s"), "hub"), "s"
             )
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
         a_norm = auth_raw.agg(F.sum("a_raw").alias("za"))
         auth = (
@@ -658,6 +663,7 @@ def hits(
                     F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("za")
                 ).alias("authority"),
             )
+            .localCheckpoint(eager=True)
         )
         hub_raw = (
             e.join(
@@ -665,6 +671,7 @@ def hits(
             )
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("authority").alias("h_raw"))
+            .localCheckpoint(eager=True)
         )
         h_norm = hub_raw.agg(F.sum("h_raw").alias("zh"))
         scores = (
