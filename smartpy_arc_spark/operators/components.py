@@ -73,20 +73,19 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("_root"), F.col("component")).alias("component"),
             )
-            # checkpoint BEFORE the convergence probe so the round's plan
-            # executes once, not once for the count and again for the
-            # checkpoint
+            # fold the convergence probe INTO the round's one checkpoint
+            # action (r7, the MST trick): carry a _changed flag from a
+            # node-sized join against the previous labels, so the probe
+            # below is a filter+limit over already-materialized data
+            # instead of its own join job every round
+            .join(labels.select("node", F.col("component").alias("_old")), "node")
+            .withColumn("_changed", F.col("component") != F.col("_old"))
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
         # converged when no node's label shrank this round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
