@@ -27,6 +27,16 @@ to be machine contention): re-run on an idle machine before reading a
 total movement as real — compare per-query "runs" spreads first; a
 contended run shows inflated max/min ratios across MANY queries at once,
 a real regression moves one query's MIN.
+
+Second drift mode measured r7: the VM's per-JOB dispatch latency itself
+drifts (a 30-task count on a checkpointed 1000-row frame measured
+~110-200 ms/job at different hours of the same day, AQE on or off).
+Queries that are driver-loop-shaped (geometric_median ~11 jobs,
+mst/louvain/pagerank one-plus jobs per round) scale their wall time with
+that latency, so the heavy_tail block swings ±50%% with zero code change
+while scan-shaped headline queries move far less.  Before reading a
+heavy-tail movement as real, compare against a same-process trivial-job
+baseline (the two-liner above), not just against an earlier recording.
 """
 
 from __future__ import annotations
@@ -71,14 +81,19 @@ HEAVY_TAIL_QUERIES = [
     # Frozen set (r6); comments carry the r7-close idle noop-sink
     # timings (count()-based probes under-measure projection-heavy
     # queries — the noop write is the honest number).
-    # r7 total: 32.8s (r6: 53.6)
+    # r7 total: 32.8s (r6: 53.6) measured mid-round; a late-r7 re-run on
+    # the same code landed at 48.7s with ~2x per-job dispatch latency
+    # (see the second drift mode above) — the per-query comments keep
+    # the faster recording since the delta is fleet noise, not code.
     "embedding_near_dup",     # 2.6s (r6 norm staging; was ~19 warm)
     "pagerank_influence",     # 4.2s after r7 checkpoint discipline
                               #   (was 9.7 — e recomputed ~5x/call)
     "personalized_pagerank",  # 3.0s after r7 checkpoint discipline
                               #   (was 7.7)
     "geometric_median",       # 6.3s — now ORACLE-BACKED (r7 e12-tick
-                              #   sums, codegen-stable y-table rounds)
+                              #   sums, codegen-stable y-table rounds);
+                              #   ~11 driver-loop jobs, so the most
+                              #   dispatch-latency-sensitive entry
     "mst",                    # 4.0s — Borůvka rounds (r7: probe folded
                               #   into the chosen checkpoint)
     "louvain",                # 4.1s — local-move + coarsen rounds
