@@ -318,32 +318,43 @@ def geometric_median(
     distances, so a few wild vectors cannot drag it the way the mean
     lets them).
 
-    Each iteration is ONE distributed aggregate: with the current
-    estimate ``y`` broadcast as literals, accumulate ``Σ vᵢ/dᵢ`` and
-    ``Σ 1/dᵢ`` (dᵢ = ‖vᵢ − y‖, clamped by ``eps`` so exact hits don't
-    divide by zero) and update ``y``.  The corpus never moves; only a
-    dim-sized vector comes back to the driver per round.  Deterministic:
-    initialized from the per-position mean, fixed iteration count.
+    The whole fixed-iteration recursion is ONE declarative plan (r7):
+    the estimate ``y`` lives as a 1-row array DataFrame that each round
+    broadcast-joins onto the checkpointed corpus, accumulates
+    ``Σ vᵢ/dᵢ`` and ``Σ 1/dᵢ`` (dᵢ = ‖vᵢ − y‖ clamped by ``eps``) in a
+    single grouped pass, and re-derives the next ``y`` — so ``y`` never
+    returns to the driver and the 10 rounds execute as one job instead
+    of ten collect round-trips (the per-JOB dispatch latency the r7
+    bench drift notes measure is paid once, which also matters on a
+    busy 1000-executor cluster's scheduler).  Deterministic: init from
+    the per-position mean, fixed iteration count.
 
-    Bit-portable BY CONSTRUCTION (r7): each round's Σvᵢ/dᵢ and Σ1/dᵢ
-    contributions are pre-rounded to e12 integer ticks and summed as
-    DECIMAL(38,0) — an order-free EXACT sum any engine reproduces (the
-    quantized-iteration playbook device), and the update is ONE double
-    division of the two tick totals.  The e12 quantization perturbs the
+    Bit-portable BY CONSTRUCTION (r7): each round's contributions are
+    pre-rounded to e12 integer ticks and summed as DECIMAL(38,0) — an
+    order-free EXACT sum any engine reproduces (the quantized-iteration
+    playbook device) — and the update divides the two tick totals once
+    in doubles (``CAST(decimal AS DOUBLE)`` is the same round-to-nearest
+    conversion as Python ``float(Decimal)``, so the chained form is
+    bit-identical to the former driver-loop form — verified at sf0.01
+    and sf0.1 before the swap).  The e12 quantization perturbs the
     iterate by ~1e-12 relative per round — far below the e4 output
-    scale and the Weiszfeld contraction noise floor — and costs nothing
-    at scale: plain codegen'd integer sums, no per-group state.  The
-    INIT mean likewise derives from an exact e9-tick integer sum.
+    scale.  The INIT mean likewise derives from an exact e9-tick sum.
 
     Returns one row ``(n, n_iter, median array<double>)``.
     """
+    spark = df.sparkSession
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
     base = base.localCheckpoint()
     n = base.count()
-    dim_means = [
-        r["m"]
-        for r in base.select(F.posexplode("v").alias("pos", "x"))
+
+    ticks = lambda c: F.sum(  # noqa: E731
+        F.round(c * F.lit(1e12)).cast("decimal(38,0)")
+    )
+    # init: exact e9-tick per-position mean, reassembled into ONE array
+    # row (sort_array on (pos, m) structs orders by pos)
+    y = (
+        base.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
         .agg(
             (
@@ -354,24 +365,11 @@ def geometric_median(
                 / F.lit(1e9)
             ).alias("m")
         )
-        .orderBy("pos")
-        .collect()
-    ]
-    y = dim_means
-
-    ticks = lambda c: F.sum(  # noqa: E731
-        F.round(c * F.lit(1e12)).cast("decimal(38,0)")
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.expr("transform(pm, x -> x.m)").alias("y"))
     )
-    spark = df.sparkSession
     for _ in range(n_iter):
-        # y rides in as a broadcast 1-ROW TABLE, not as literals: the
-        # plan text is then IDENTICAL every round, so Spark's codegen
-        # cache compiles the round once and reuses it — with inlined
-        # literals every round paid a fresh compile (r7: this plus the
-        # single posexplode aggregate cut 10 rounds from ~12s to ~3s)
-        yd = spark.createDataFrame(
-            [([float(c) for c in y],)], "y array<double>"
-        )
         d = F.sqrt(
             F.aggregate(
                 F.zip_with(
@@ -385,11 +383,14 @@ def geometric_median(
         # STAGE d behind a projection boundary before the transform
         # lambda divides by it: an expression inside a HOF lambda gets
         # re-evaluated PER ELEMENT (the ngram_novelty discovery), so the
-        # un-staged form recomputed the dim-wide distance fold 64× per
-        # row per round — O(dim²) for an O(dim) job
-        staged = base.crossJoin(F.broadcast(yd)).select("v", d.alias("_d"))
-        # ONE aggregate: position 0 carries 1/d, position i carries
-        # v[i]/d — 65 integer-tick sums via a single grouped pass
+        # un-staged form recomputed the dim-wide distance fold 64x per
+        # row per round — O(dim^2) for an O(dim) job
+        staged = base.crossJoin(F.broadcast(y)).select("v", d.alias("_d"))
+        # ONE grouped aggregate: position 0 carries 1/d, position i
+        # carries v[i]/d — dim+1 integer-tick sums in a single pass,
+        # then reassembled into the next y without leaving the plan
+        # (slice is 1-based, bracket indexing 0-based: ps[0] is the
+        # 1/d total, slice(ps, 2, ...) the per-position totals)
         arr = F.concat(
             F.array(F.lit(1.0) / F.col("_d")),
             F.transform(F.col("v"), lambda x: x / F.col("_d")),
@@ -398,17 +399,21 @@ def geometric_median(
             staged.select(F.posexplode(arr).alias("pos", "x"))
             .groupBy("pos")
             .agg(ticks(F.col("x")).alias("s"))
-            .collect()
         )
-        smap = {r["pos"]: r["s"] for r in sums}
-        # float(Decimal) is round-to-nearest — the same conversion a SQL
-        # CAST(bigint-sum AS DOUBLE) performs, so the single division
-        # below is the identical IEEE op in any engine
-        siw = float(smap[0])
-        y = [float(smap[i + 1]) / siw for i in range(len(y))]
-    return spark.createDataFrame(
-        [(n, n_iter, [float(c) for c in y])],
-        "n long, n_iter int, median array<double>",
+        y = (
+            sums.groupBy()
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+            .select(
+                F.expr(
+                    "transform(slice(ps, 2, size(ps) - 1),"
+                    " x -> CAST(x.s AS DOUBLE) / CAST(ps[0].s AS DOUBLE))"
+                ).alias("y")
+            )
+        )
+    return y.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(n_iter).cast("int").alias("n_iter"),
+        F.col("y").alias("median"),
     )
 
 
