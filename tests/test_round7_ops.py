@@ -244,3 +244,40 @@ def test_cms_portable_mode_overestimates_and_differs_only_in_buckets(spark):
         # width 4096 >> 5 distinct terms: no collisions, so est is exact,
         # and the never-seen probe reads 0 — in BOTH hash families.
         assert est == {**exact, "zz": 0}, portable
+
+
+def test_bounded_levenshtein_keeps_exact_distances(spark):
+    """The threshold form must return the identical pair set and exact
+    distances for every retained pair (rejects become -1 and are
+    filtered) — fuzzy_link/edit_distance_pairs rely on this."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.linkage import fuzzy_link
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "flaw"), (3, "gumbo"), (4, "abcdefgh")],
+        "lid int, lname string",
+    )
+    right = spark.createDataFrame(
+        [(11, "sitting"), (12, "lawn"), (13, "gambol"), (14, "abcdefgh"),
+         (15, "zzzzzzzz")],
+        "rid int, rname string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in fuzzy_link(
+            left, right, left_id="lid", right_id="rid",
+            left_key="lname", right_key="rname",
+            max_edit=2, block_prefix=0, length_band=1000,
+        ).collect()
+    }
+    # unbounded reference over the same cross product
+    ref = {
+        (r["lid"], r["rid"]): r["d"]
+        for r in left.crossJoin(right)
+        .select("lid", "rid", F.levenshtein("lname", "rname").alias("d"))
+        .collect()
+        if r["d"] <= 2
+    }
+    assert got == ref
+    assert got[(4, 14)] == 0 and (4, 15) not in got
