@@ -38,6 +38,10 @@ SINGLE_PARTITION_OK = {
     "tfidf_top_terms",      # broadcast corpus-size scalar
     "theta_segment_overlap",  # global sketch merge: KB-sized partials
     "approx_topk_terms",      # global frequency sketch: bounded state
+    "geometric_median",       # per-round (dim+1)-row -> 1-row sort_array
+                              #   collect_list combines (r7 chained plan;
+                              #   the loop used to run eagerly so fences
+                              #   never saw it)
     "croston",                # 1-row global calendar min/max bounds
     "ams_f2",                 # 1-row sketch counters + 1-row exact combine
     "rmst",                   # 1-row statistic over the bounded KM curve
@@ -155,6 +159,8 @@ SINGLE_PARTITION_OK = {
 # bounded by construction (scalar subqueries, fenced candidate tiers,
 # broadcast dims under non-equi conditions) — each documented in place.
 BNLJ_OK = {
+    "geometric_median",       # 1-row estimate-array broadcast cross join
+                              #   per Weiszfeld round (r7 chained plan)
     "dsir_weights",           # 1-row corpus-total broadcast cross joins
     "kruskal_wallis",         # 1-row tie-term broadcast cross join
     "runs_test",              # 1-row median broadcast cross join
