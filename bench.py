@@ -85,6 +85,10 @@ HEAVY_TAIL_QUERIES = [
     # the same code landed at 48.7s with ~2x per-job dispatch latency
     # (see the second drift mode above) — the per-query comments keep
     # the faster recording since the delta is fleet noise, not code.
+    # r7-close, same slow regime (155 ms/trivial-job measured in the
+    # same hour): 40.98s — the late-r7 job-count work (chained
+    # geometric_median 10.6->7.1, hits/cc fold) claws back ~8s of what
+    # the latency regime costs.
     "embedding_near_dup",     # 2.6s (r6 norm staging; was ~19 warm)
     "pagerank_influence",     # 4.2s after r7 checkpoint discipline
                               #   (was 9.7 — e recomputed ~5x/call)
