@@ -347,6 +347,15 @@ def geometric_median(
     base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
     base = base.localCheckpoint()
     n = base.count()
+    # data-proportional partitioning: every round scans `base` once, so
+    # partition count should track rows (target ~500k doubles per task),
+    # not inherit the scan's layout — at corpus scale this is a no-op,
+    # at test scale it stops 10 rounds from dispatching 32 near-empty
+    # tasks each (the r7 dispatch-latency drift mode).  Tick sums are
+    # order-free, so repartitioning cannot change a single output bit.
+    target = max(1, -(-n // 8192))  # ~8k vectors (a few MB) per task
+    if target < base.rdd.getNumPartitions():
+        base = base.coalesce(target).localCheckpoint()
 
     ticks = lambda c: F.sum(  # noqa: E731
         F.round(c * F.lit(1e12)).cast("decimal(38,0)")
