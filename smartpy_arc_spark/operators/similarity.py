@@ -528,7 +528,11 @@ def pq_search(
     shuffle on the corpus; TakeOrdered per query yields top-k.
 
     The query side broadcasts, so it must be bounded: ``max_queries``
-    is enforced up front (fail fast, not a driver OOM mid-job)."""
+    is enforced up front (fail fast, not a driver OOM mid-job).  NOTE:
+    the guard is an EAGER job — calling ``pq_search`` runs the query
+    side once at plan-construction time and returns it persisted (see
+    ``_assert_bounded``), so lazy-plan callers pay that job early, not
+    twice."""
     queries = _assert_bounded(queries, max_queries, "pq_search query side")
     m = len(books)
     sub_d = len(books[0][0])
@@ -829,7 +833,10 @@ def knn_classify(
     numpy-matmul pass over the reference set emits only each
     partition's local top-k per test point (k·n_test rows per
     partition, never the full pairs matrix), then a global top-k merge
-    and the vote.  The big side never shuffles.
+    and the vote.  The big side never shuffles.  NOTE: the
+    ``max_test`` guard is an EAGER job — calling ``knn_classify`` runs
+    the test split once at plan-construction time and reuses it
+    persisted (see ``_assert_bounded``).
 
     Returns ``(id, true_label, pred_label, correct)`` per test row.
     """
