@@ -33,7 +33,7 @@ drifts (a 30-task count on a checkpointed 1000-row frame measured
 ~110-200 ms/job at different hours of the same day, AQE on or off).
 Queries that are driver-loop-shaped (geometric_median ~11 jobs,
 mst/louvain/pagerank one-plus jobs per round) scale their wall time with
-that latency, so the heavy_tail block swings ±50%% with zero code change
+that latency, so the heavy_tail block swings ±50% with zero code change
 while scan-shaped headline queries move far less.  Before reading a
 heavy-tail movement as real, compare against a same-process trivial-job
 baseline (the two-liner above), not just against an earlier recording.

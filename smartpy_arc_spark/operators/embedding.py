@@ -347,6 +347,12 @@ def geometric_median(
     base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
     base = base.localCheckpoint()
     n = base.count()
+    if n == 0:
+        # without this the nested plan fails deep inside
+        # slice(ps, 2, size(ps)-1) with an opaque executor-side error
+        raise ValueError(
+            "geometric_median: input has no non-null vectors"
+        )
     # data-proportional partitioning: every round scans `base` once, so
     # partition count should track rows (target ~500k doubles per task),
     # not inherit the scan's layout — at corpus scale this is a no-op,

@@ -16,13 +16,21 @@ which upper-bounds the true count (every occurrence of t lands in all of
 its d buckets; collisions only ever ADD) with error <= 2n/width at
 confidence 1 - (1/2)^depth — the standard CMS guarantee.
 
-Scale shape: building is ONE shuffle of depth×width bounded keys with
-map-side combine (each input row contributes `depth` bucket increments
-via posexplode — JVM-side, no Python); probing joins the query terms'
-buckets against the broadcast sketch table.  ``portable_hash=True``
-swaps xxhash64 for the md5-based ``portable_hash64`` on
-``"{seed}:{term}"`` so DuckDB can rebuild the identical sketch — the
-contract query runs that mode; xxhash64 stays the production default.
+Scale shape: by default building is ONE shuffle of depth×width bounded
+keys with map-side combine (each input row contributes `depth` bucket
+increments — JVM-side, no Python); probing joins the query terms'
+buckets against the broadcast sketch table.  ``vocab_preagg=True``
+inserts a distinct-term pre-aggregation FIRST — a second shuffle keyed
+on the unbounded term domain.  That trade is right for Zipf token
+streams (vocabulary ≪ occurrence stream, each term hashed depth times
+once) and wrong for near-unique keys (e.g. bytes-per-URL weighting),
+where it shuffles the full occurrence stream; hence it is opt-in, and
+defaults on only for ``portable_hash=True`` (the contract path, whose
+md5 hashing is the expensive part worth memoizing).  Bucket sums are
+identical either way by associativity.  ``portable_hash=True`` swaps
+xxhash64 for the md5-based ``portable_hash64`` on ``"{seed}:{term}"``
+so DuckDB can rebuild the identical sketch — the contract query runs
+that mode; xxhash64 stays the production default.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ def cms_build(
     depth: int = 4,
     weight_col: str | None = None,
     portable_hash: bool = False,
+    vocab_preagg: bool | None = None,
 ) -> DataFrame:
     """Aggregate a count-min sketch table ``(seed, bucket, c)``.
 
@@ -60,23 +69,22 @@ def cms_build(
     tables built with the same (width, depth, hash family) merge by
     UNION ALL + groupBy sum.  ``portable_hash`` picks the
     DuckDB-reproducible md5 bucketing over the xxhash64 default.
+
+    ``vocab_preagg`` collapses to the distinct term vocabulary before
+    hashing (the bpe_encode memoization) — identical bucket sums by
+    associativity, a big win for Zipf term streams but an extra
+    unbounded-key shuffle that is a LOSS for near-unique keys.  Default
+    (``None``) enables it only alongside ``portable_hash``, where the
+    per-(term,seed) md5 is the dominant cost.
     """
-    # pre-aggregate to the DISTINCT term vocabulary first (the bpe_encode
-    # memoization): Zipf makes it orders of magnitude smaller than the
-    # occurrence stream, so each term is hashed depth times ONCE instead
-    # of once per occurrence — identical bucket sums by associativity,
-    # and the map-side combine of the groupBy does the heavy reduction
-    # before any hash is computed
-    vocab = (
-        df.select(
-            F.col(term_col).alias("__t"),
-            (F.col(weight_col) if weight_col else F.lit(1))
-            .cast("long")
-            .alias("__w"),
-        )
-        .groupBy("__t")
-        .agg(F.sum("__w").alias("__w"))
+    if vocab_preagg is None:
+        vocab_preagg = portable_hash
+    vocab = df.select(
+        F.col(term_col).alias("__t"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("__w"),
     )
+    if vocab_preagg:
+        vocab = vocab.groupBy("__t").agg(F.sum("__w").alias("__w"))
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
     rows = vocab.select("__t", "__w", seeds)
     return (

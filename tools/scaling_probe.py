@@ -227,7 +227,7 @@ def main() -> None:
         "corpus construction: N mutually-unrelated transformed copies of",
         "the sf0.1 tables, constant workload density).  Times are warm",
         "min-of-2 noop-sink walls on local[32]; the honest signal is the",
-        "GROWTH RATIO vs the 10x size ratio, not the absolute numbers.",
+        f"GROWTH RATIO vs the {COPIES[-1]}x size ratio, not the absolute numbers.",
         "",
         "| probe | config | "
         + " | ".join(f"{n}x (s)" for n in COPIES)
@@ -295,7 +295,7 @@ def main() -> None:
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({"metric": "scaling_probe", "results": results,
-                      "growth_10x": growth}))
+                      f"growth_{COPIES[-1]}x": growth}))
 
 
 if __name__ == "__main__":
