@@ -346,12 +346,22 @@ def geometric_median(
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
     base = base.localCheckpoint()
-    n = base.count()
+    meta = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("v")).alias("lo"),
+        F.max(F.size("v")).alias("hi"),
+    ).first()
+    n = meta["n"]
     if n == 0:
-        # without this the nested plan fails deep inside
-        # slice(ps, 2, size(ps)-1) with an opaque executor-side error
+        # fail fast with a clear message instead of an opaque
+        # executor-side error from the nested iteration plan
         raise ValueError(
             "geometric_median: input has no non-null vectors"
+        )
+    if meta["lo"] != meta["hi"]:
+        raise ValueError(
+            "geometric_median: ragged vector lengths "
+            f"({meta['lo']}..{meta['hi']}) — embeddings must share one dim"
         )
     # data-proportional partitioning: every round scans `base` once, so
     # partition count should track rows (target ~500k doubles per task),
@@ -367,7 +377,15 @@ def geometric_median(
         F.round(c * F.lit(1e12)).cast("decimal(38,0)")
     )
     # init: exact e9-tick per-position mean, reassembled into ONE array
-    # row (sort_array on (pos, m) structs orders by pos)
+    # row (sort_array on (pos, m) structs orders by pos).  NOTE (r8): a
+    # wide dim-column aggregate (one ticks column per position, no
+    # explode) was measured as a round-8 candidate and REJECTED — 65
+    # decimal agg expressions cost ~1.1s/round in plan+codegen overhead
+    # vs 0.54s for this posexplode shape, and chaining them multiplies
+    # Catalyst analysis superlinearly (32s for the 10-round plan).  The
+    # explode manufactures n×(dim+1) rows, but those are codegen'd
+    # columnar rows — cheap at any n — while per-round plan width is
+    # what the driver (and a busy cluster scheduler) actually pays.
     y = (
         base.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")

@@ -54,3 +54,15 @@ def test_geometric_median_empty_input_raises(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "v array<double>")
     with pytest.raises(ValueError, match="no non-null vectors"):
         geometric_median(nulls, vec_col="v", n_iter=2)
+
+
+def test_geometric_median_ragged_input_raises(spark):
+    """Mixed vector lengths fail fast instead of producing a median
+    over positions only some vectors have."""
+    from smartpy_arc_spark.operators.embedding import geometric_median
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "v array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        geometric_median(ragged, vec_col="v", n_iter=2)
