@@ -34,9 +34,13 @@ drifts (a 30-task count on a checkpointed 1000-row frame measured
 Queries that are driver-loop-shaped (geometric_median ~11 jobs,
 mst/louvain/pagerank one-plus jobs per round) scale their wall time with
 that latency, so the heavy_tail block swings ±50% with zero code change
-while scan-shaped headline queries move far less.  Before reading a
-heavy-tail movement as real, compare against a same-process trivial-job
-baseline (the two-liner above), not just against an earlier recording.
+while scan-shaped headline queries move far less.  Since round 8 the
+bench RECORDS that baseline itself: "dispatch_ms" holds the measured
+ms/job of a 30-task count on a checkpointed 1000-row frame, taken
+before the headline block ("pre") and again after the heavy tail
+("post") — read heavy_tail_total against those numbers (the r7
+recordings: ~33s at ~110 ms/job, ~41-49s at ~155-200 ms/job, same
+code), not against an earlier round in an unknown regime.
 """
 
 from __future__ import annotations
@@ -114,6 +118,17 @@ def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def dispatch_ms(spark, n: int = 20) -> float:
+    """Per-job dispatch latency: ms/job over n trivial 30-task counts on
+    a checkpointed 1000-row frame (the r7 drift-mode probe)."""
+    probe = spark.range(1000).repartition(30).localCheckpoint()
+    probe.count()  # warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        probe.count()
+    return round((time.perf_counter() - t0) / n * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -125,6 +140,7 @@ def main() -> None:
     spark = get_spark("bench")
     qs = mod.queries()
 
+    dispatch_pre = dispatch_ms(spark)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -157,6 +173,10 @@ def main() -> None:
                 "runs": runs,
                 "heavy_tail": heavy,
                 "heavy_tail_total": round(sum(heavy.values()), 3),
+                "dispatch_ms": {
+                    "pre": dispatch_pre,
+                    "post": dispatch_ms(spark),
+                },
                 "sf": sf,
             }
         )
