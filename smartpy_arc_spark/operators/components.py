@@ -30,21 +30,31 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
     Input: undirected edges (one row per pair, either orientation).
     Output: (node, component) — component = min id in the node's component.
+
+    ``dedup_edges=False`` skips the symmetrize+distinct checkpoint job:
+    the min-label aggregate is idempotent to duplicate edges, so a caller
+    whose pairs are ALREADY materialized and small (e.g. Borůvka's
+    per-round chosen-edge set, ≤1 edge per component) re-evaluates the
+    map-side symmetrization per round instead of paying a shuffle job to
+    dedup it.  Leave True when pairs come from an expensive pipeline.
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
-        # materialize once: every iteration joins against edges, and without
-        # this the full upstream pair pipeline (e.g. shingle explode +
-        # self-join) would re-execute twice per round
-        .localCheckpoint(eager=True)
-    )
+    edges = pairs.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    if dedup_edges:
+        edges = (
+            edges.distinct()
+            # materialize once: every iteration joins against edges, and
+            # without this the full upstream pair pipeline (e.g. shingle
+            # explode + self-join) would re-execute twice per round
+            .localCheckpoint(eager=True)
+        )
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
@@ -819,16 +829,22 @@ def louvain_communities(
         .agg(F.sum("w").alias("w"))
         .localCheckpoint(eager=True)
     )
-    # node -> final community, threaded through levels
+    # node -> final community, threaded through levels.  Kept LAZY: every
+    # level's canonicalized assign is checkpointed, so the final mapping is
+    # a ≤max_levels-deep join chain over materialized inputs, executed once
+    # at the caller's action instead of eagerly re-materialized per level.
     mapping = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
-    ).localCheckpoint(eager=True)
+    )
     selfw = None  # (node, sw): collapsed internal weight (2×internal edges)
 
     for _level in range(max_levels):
-        two_m = edges.agg(F.sum("w")).first()[0] or 0.0
+        # one action for 2m even when self-loops exist (was two .first()
+        # jobs per level; per-job dispatch latency dominates small levels)
+        two_m_src = edges.select(F.sum("w").alias("x"))
         if selfw is not None:
-            two_m += selfw.agg(F.sum("sw")).first()[0] or 0.0
+            two_m_src = two_m_src.unionAll(selfw.select(F.sum("sw").alias("x")))
+        two_m = two_m_src.agg(F.sum("x")).first()[0] or 0.0
         if two_m == 0:
             break
         deg = edges.groupBy("s").agg(F.sum("w").alias("k"))
@@ -846,16 +862,19 @@ def louvain_communities(
         # loop-invariant per level but consumed twice per sweep — without
         # this checkpoint every sweep re-ran the degree aggregate (r7)
         deg = deg.localCheckpoint(eager=True)
-        assign = deg.select(F.col("s").alias("node")).select(
-            "node", F.col("node").alias("comm")
-        ).localCheckpoint(eager=True)
+        # assign CARRIES the node degree k (r8): the sweep formerly joined
+        # assign⋈deg twice per sweep (for `tot` and `cur`); under AQE every
+        # such join is its own broadcast-materialization sub-job, and on a
+        # latency-bound scheduler (busy cluster, or the measured 110–430 ms
+        # local dispatch regimes) exchange count is what the wall clock
+        # pays.  Trivial projection of the just-checkpointed deg — no
+        # checkpoint job of its own.
+        assign = deg.select(
+            F.col("s").alias("node"), F.col("s").alias("comm"), "k"
+        )
         moved_any = False
         for sweep in range(max_sweeps):
-            tot = (
-                assign.join(deg.withColumnRenamed("s", "node"), "node")
-                .groupBy("comm")
-                .agg(F.sum("k").alias("tot"))
-            )
+            tot = assign.groupBy("comm").agg(F.sum("k").alias("tot"))
             # k_{i -> c}: weight from node i into community c
             k_to = (
                 edges.join(
@@ -867,7 +886,7 @@ def louvain_communities(
                 .groupBy(F.col("s").alias("node"), "cand")
                 .agg(F.sum("w").alias("k_in"))
             )
-            cur = assign.join(deg.withColumnRenamed("s", "node"), "node")
+            cur = assign
             # candidate set = neighbor communities ∪ the current community
             cands = (
                 k_to.unionByName(
@@ -884,6 +903,7 @@ def louvain_communities(
                 .join(tot.withColumnRenamed("comm", "cand"), "cand")
                 .select(
                     "node",
+                    "k",
                     "cand",
                     "comm",
                     (
@@ -899,30 +919,27 @@ def louvain_communities(
                     ).alias("gain"),
                 )
             )
-            best = (
-                scored.groupBy("node")
+            # argmax + parity-gated move in ONE grouped aggregate (r8):
+            # every node carries a self candidate in `cands`, so the old
+            # best⋈assign left join (another per-sweep exchange sub-job)
+            # is exactly this groupBy — `best` is never null
+            nxt = (
+                scored.groupBy("node", "k", "comm")
                 .agg(
                     F.max(
                         F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))
                     ).alias("top")
                 )
-                .select("node", (-F.col("top.nc")).alias("best"))
-            )
-            nxt = (
-                assign.join(best, "node", "left")
                 .select(
                     "node",
+                    "k",
                     F.when(
-                        (F.col("node") % 2 == F.lit(sweep % 2))
-                        & F.col("best").isNotNull(),
-                        F.col("best"),
+                        F.col("node") % 2 == F.lit(sweep % 2),
+                        -F.col("top.nc"),
                     )
                     .otherwise(F.col("comm"))
                     .alias("comm"),
-                    (
-                        F.coalesce(F.col("best"), F.col("comm"))
-                        != F.col("comm")
-                    ).alias("__chg"),
+                    (-F.col("top.nc") != F.col("comm")).alias("__chg"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -944,7 +961,6 @@ def louvain_communities(
                 assign.withColumnRenamed("node", "community"), "community"
             )
             .select("node", F.col("comm").alias("community"))
-            .localCheckpoint(eager=True)
         )
         if not moved_any:
             break
@@ -1218,8 +1234,12 @@ def minimum_spanning_forest(
             break
         sel = chosen.select("s", "d", "w")
         forest = sel if forest is None else forest.union(sel)
+        # chosen is checkpointed just above and tiny (≤1 edge/component):
+        # skip the inner CC's symmetrize+distinct checkpoint job (min-label
+        # spreading is idempotent to the duplicate orientations)
         merge_labels = connected_components(
-            chosen.select("cs", "cd"), src_col="cs", dst_col="cd"
+            chosen.select("cs", "cd"), src_col="cs", dst_col="cd",
+            dedup_edges=False,
         ).select(F.col("node").alias("c"), F.col("component").alias("c_new"))
         comp = (
             comp.join(merge_labels, "c", "left")

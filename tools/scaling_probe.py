@@ -37,6 +37,13 @@ Round-7 additions cover the two tiers the dedup/ANN probe missed:
   growing with the corpus (no cross-copy gram collisions), the honest
   configuration for a gram-keyed shuffle.
 
+Round-8 addition:
+- sessionize_agg (window-function tier): 30-minute-gap sessionization +
+  per-session aggregate over events scaled as N disjoint user
+  populations (ids shifted by i * 10M, identical per-user streams) — the
+  user-keyed sort-within-partition shuffle shape none of the other
+  probes exercise.
+
 Writes SCALING.md and prints one JSON line.
 
 Usage: python tools/scaling_probe.py [base_sf_dir] [out_md]
@@ -145,6 +152,33 @@ def build_corpora(spark, base: str) -> None:
         e.write.mode("overwrite").parquet(os.path.join(out, "edges.parquet"))
         open(os.path.join(out, "_EDGES_DONE"), "w").close()
 
+    # events (r8, window-function tier): copy i shifts user_id/event_id by
+    # i * 10M — disjoint user populations with identical per-user event
+    # streams, so per-user window work is constant and total work must be
+    # linear in events
+    events = spark.read.parquet(os.path.join(base, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for n in COPIES:
+        out = os.path.join(WORK, f"n{n}")
+        if os.path.exists(os.path.join(out, "_EVENTS_DONE")):
+            continue
+        parts = [
+            events.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            for i in range(n)
+        ]
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionByName(p)
+        ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+        open(os.path.join(out, "_EVENTS_DONE"), "w").close()
+
 
 def probes(spark, sf_dir: str, n: int) -> dict:
     from pyspark.sql import functions as F
@@ -153,11 +187,13 @@ def probes(spark, sf_dir: str, n: int) -> dict:
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
     from smartpy_arc_spark.operators.perplexity import perplexity_buckets
     from smartpy_arc_spark.operators.semdedup import semdedup
+    from smartpy_arc_spark.operators.sessionize import sessionize
     from smartpy_arc_spark.operators.similarity import _dot, ivf_topk
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     edges = spark.read.parquet(os.path.join(sf_dir, "edges.parquet"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -189,6 +225,11 @@ def probes(spark, sf_dir: str, n: int) -> dict:
             both, iterations=3, damping=0.85, assume_distinct=True),
         "perplexity_buckets": lambda: perplexity_buckets(
             docs, docs.where("lang = 'en'")),
+        "sessionize_agg": lambda: (
+            sessionize(events, gap_minutes=30, tiebreak_col="event_id")
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        ),
     }
     out = {}
     for name, fn in jobs.items():
@@ -242,6 +283,7 @@ def main() -> None:
         "semdedup_2level": "k = 8n, coarse->fine O(n*sqrt(k))",
         "pagerank_3it": "trade graph, 3 power iterations",
         "perplexity_buckets": "CCNet trigram LM + tertiles",
+        "sessionize_agg": "30-min gap windows + session agg",
     }
     growth = {}
     for name in names:
