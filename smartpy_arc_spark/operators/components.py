@@ -61,36 +61,50 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
+    comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iterations):
-        # candidate labels: own label + each neighbor's current label
+        # candidate labels: own label + each neighbor's current label.
+        # The previous label rides the SAME aggregate as a second min
+        # (non-null only on the own-label arm, and every node has one),
+        # so the convergence flag below needs no third join against
+        # labels — one fewer exchange sub-job per round (r8)
         neighbor_labels = (
             edges.join(labels, edges["d"] == labels["node"])
-            .select(F.col("s").alias("node"), F.col("component"))
+            .select(
+                F.col("s").alias("node"),
+                F.col("component"),
+                F.lit(None).cast(comp_type).alias("_old"),
+            )
         )
-        new_labels = (
-            labels.union(neighbor_labels)
+        merged = (
+            labels.select(
+                "node", "component", F.col("component").alias("_old")
+            )
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
         )
         # pointer jumping: resolve label(label(node)) so chains collapse in
         # O(log diameter) rounds instead of O(diameter) one-hop spreading
-        as_parent = new_labels.select(
+        as_parent = merged.select(
             F.col("node").alias("component"), F.col("component").alias("_root")
         )
         new_labels = (
-            new_labels.join(as_parent, on="component", how="left")
+            merged.join(as_parent, on="component", how="left")
             .select(
                 "node",
                 F.coalesce(F.col("_root"), F.col("component")).alias("component"),
+                # fold the convergence probe INTO the round's one
+                # checkpoint action (r7, the MST trick): the probe below
+                # is a filter+limit over already-materialized data
+                (
+                    F.coalesce(F.col("_root"), F.col("component"))
+                    != F.col("_old")
+                ).alias("_changed"),
             )
-            # fold the convergence probe INTO the round's one checkpoint
-            # action (r7, the MST trick): carry a _changed flag from a
-            # node-sized join against the previous labels, so the probe
-            # below is a filter+limit over already-materialized data
-            # instead of its own join job every round
-            .join(labels.select("node", F.col("component").alias("_old")), "node")
-            .withColumn("_changed", F.col("component") != F.col("_old"))
-            .drop("_old")
             .localCheckpoint(eager=True)
         )
         # converged when no node's label shrank this round
