@@ -853,14 +853,6 @@ def louvain_communities(
     selfw = None  # (node, sw): collapsed internal weight (2×internal edges)
 
     for _level in range(max_levels):
-        # one action for 2m even when self-loops exist (was two .first()
-        # jobs per level; per-job dispatch latency dominates small levels)
-        two_m_src = edges.select(F.sum("w").alias("x"))
-        if selfw is not None:
-            two_m_src = two_m_src.unionAll(selfw.select(F.sum("sw").alias("x")))
-        two_m = two_m_src.agg(F.sum("x")).first()[0] or 0.0
-        if two_m == 0:
-            break
         deg = edges.groupBy("s").agg(F.sum("w").alias("k"))
         if selfw is not None:
             deg = (
@@ -873,9 +865,16 @@ def louvain_communities(
                     ).alias("k"),
                 )
             )
-        # loop-invariant per level but consumed twice per sweep — without
+        # loop-invariant per level but consumed every sweep — without
         # this checkpoint every sweep re-ran the degree aggregate (r7)
         deg = deg.localCheckpoint(eager=True)
+        # 2m = Σ_i k_i exactly (the symmetrized edge list counts every
+        # edge twice and selfw carries internal weight), so the scalar
+        # rides a cheap scan of the just-materialized deg instead of its
+        # own union-of-aggregates action over edges+selfw (r8)
+        two_m = deg.agg(F.sum("k")).first()[0] or 0.0
+        if two_m == 0:
+            break
         # assign CARRIES the node degree k (r8): the sweep formerly joined
         # assign⋈deg twice per sweep (for `tot` and `cur`); under AQE every
         # such join is its own broadcast-materialization sub-job, and on a
