@@ -189,21 +189,23 @@ def pagerank(
     e_deg = e.withColumn(
         "deg", F.count("*").over(W.partitionBy("s"))
     ).localCheckpoint(eager=True)
+    # the dangling flag rides the node table (r8): danglingness is
+    # round-invariant, so ONE setup join against the distinct out-node
+    # set (|out-nodes| build side, the r7 scaling-probe fix) replaces the
+    # per-round anti-join — each round's dangling mass is then a filter +
+    # aggregate over the already-materialized ranks, no join job at all
+    out_nodes = e_deg.select(F.col("s").alias("node")).distinct()
     nodes = (
         e_deg.select(F.col("s").alias("node"))
         .union(e_deg.select(F.col("d").alias("node")))
         .distinct()
+        .join(out_nodes.withColumn("_out", F.lit(1)), "node", "left")
+        .select("node", F.col("_out").isNull().alias("is_dangling"))
         .localCheckpoint(eager=True)
     )
-    # out-node key set for the dangling anti-join: DISTINCT src values,
-    # materialized once — the anti-join's hash build side is then
-    # |out-nodes|, not |edges| (r7 scaling probe: the non-distinct
-    # projection rebuilt an edge-sized hash relation EVERY round; at
-    # 100 TB edges ≫ nodes makes that the round's dominant cost)
-    out_nodes = e_deg.select("s").distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     if portable_sum:
@@ -226,16 +228,16 @@ def pagerank(
             .agg(ordered_sum("c").alias("c"))
         )
         # rank mass sitting on nodes with no out-edges is redistributed
-        # uniformly (sum over an empty anti-join is null -> 0)
-        dangling = (
-            ranks.join(out_nodes, ranks["node"] == out_nodes["s"], "left_anti")
-            .agg(F.coalesce(ordered_sum("rank"), F.lit(0.0)).alias("dm"))
+        # uniformly (sum over an empty filter is null -> 0)
+        dangling = ranks.where("is_dangling").agg(
+            F.coalesce(ordered_sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dangling",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
@@ -244,7 +246,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_count(
@@ -574,15 +576,18 @@ def personalized_pagerank(
     e_deg = e.withColumn(
         "deg", F.count("*").over(W.partitionBy("s"))
     ).localCheckpoint(eager=True)
+    # dangling flag on the node table (r8, same as pagerank): one setup
+    # join against the distinct out-node set replaces the per-round
+    # anti-join — dangling mass becomes a filter over materialized ranks
+    out_nodes = e_deg.select(F.col("s").alias("node")).distinct()
     nodes = (
         e_deg.select(F.col("s").alias("node"))
         .union(e_deg.select(F.col("d").alias("node")))
         .distinct()
+        .join(out_nodes.withColumn("_out", F.lit(1)), "node", "left")
+        .select("node", F.col("_out").isNull().alias("is_dangling"))
         .localCheckpoint(eager=True)
     )
-    # distinct out-node set, materialized once (same r7 anti-join
-    # build-side fix as pagerank: |out-nodes|, not |edges|, per round)
-    out_nodes = e_deg.select("s").distinct().localCheckpoint(eager=True)
     n_seeds = len(seeds)
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed")
@@ -600,15 +605,15 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        dangling = (
-            ranks.join(out_nodes, ranks["node"] == out_nodes["s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.where("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dangling",
                 (
                     F.lit(1.0 - damping) * pref
                     + F.lit(damping)
@@ -620,7 +625,7 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def hits(
