@@ -28,6 +28,22 @@ def test_connected_components_long_chain_converges(spark):
     assert comp.count() == 41
 
 
+def test_connected_components_dedup_edges_false_equivalent(spark):
+    # min-label spreading is idempotent to duplicate orientations, so the
+    # no-dedup fast path (Boruvka's per-round merge) must label identically
+    # even when both orientations and repeats are fed in
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (10, 11), (10, 11), (11, 10)],
+        "id_a long, id_b long",
+    )
+    a = {r.node: r.component for r in connected_components(pairs).collect()}
+    b = {
+        r.node: r.component
+        for r in connected_components(pairs, dedup_edges=False).collect()
+    }
+    assert a == b == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_dedup_clusters_keeper_flags(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
     rows = {r.node: r for r in dedup_clusters(pairs).collect()}

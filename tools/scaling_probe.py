@@ -155,9 +155,14 @@ def build_corpora(spark, base: str) -> None:
     # events (r8, window-function tier): copy i shifts user_id/event_id by
     # i * 10M — disjoint user populations with identical per-user event
     # streams, so per-user window work is constant and total work must be
-    # linear in events
-    events = spark.read.parquet(os.path.join(base, "events.parquet")).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # linear in events.  The base table is parquet TIMESTAMP(NANOS): go
+    # through the engine scan (nanos -> µs timestamps) like the contract
+    # queries do, so the written corpus carries a plain timestamp.
+    from smartpy_arc_spark.sources.scan import scan
+
+    events = scan(spark, base, "events", nanos_ts_cols=["ts"]).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
     )
     for n in COPIES:
         out = os.path.join(WORK, f"n{n}")
@@ -193,7 +198,9 @@ def probes(spark, sf_dir: str, n: int) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     edges = spark.read.parquet(os.path.join(sf_dir, "edges.parquet"))
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
