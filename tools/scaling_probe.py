@@ -340,6 +340,17 @@ def main() -> None:
         "hash relation rebuilt every round); it is now the distinct",
         "out-node set, checkpointed once.",
         "",
+        "Round-8 tier addition: `sessionize_agg` probes the",
+        "window-function tier — a user-keyed sort-within-partition",
+        "shuffle none of the other probes exercise.  With N disjoint",
+        "user populations (identical per-user streams) total work must",
+        "be linear in events; the measured sub-3x growth on a 30x",
+        "corpus confirms the gap-flag + cumulative-sum window plan has",
+        "no cross-user term, and the dangling-mass redistribution in",
+        "pagerank now rides a round-invariant is_dangling flag on the",
+        "checkpointed rank table (r8) — a filter instead of a per-round",
+        "anti-join, with identical probe growth.",
+        "",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
