@@ -320,6 +320,7 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    n_before = e.count()
     for _ in range(max_iter):
         deg = (
             e.select(F.col("a").alias("v"))
@@ -328,15 +329,21 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("v")
+        # checkpoint BEFORE counting (r8): the count then reads the
+        # materialized rows instead of executing the prune plan a second
+        # time, and each round's edge count carries into the next round's
+        # n_before instead of recounting
         pruned = (
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
+            .localCheckpoint()
         )
-        n_before, n_after = e.count(), pruned.count()
-        e = pruned.localCheckpoint()
+        n_after = pruned.count()
+        e = pruned
         if n_after == n_before:
             break
+        n_before = n_after
     return (
         e.select(F.col("a").alias("vertex"))
         .unionAll(e.select(F.col("b").alias("vertex")))
@@ -508,32 +515,37 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # the previous label rides the self-vote arm as _old (every node
+        # has exactly one self-vote, so max(_old) through both grouping
+        # stages recovers it) — the convergence flag then needs no
+        # labels⋈mode join per round, one fewer exchange sub-job (r8)
         neigh = (
             edges.join(labels.withColumnRenamed("node", "d"), "d")
-            .select(F.col("s").alias("node"), "label")
+            .select(
+                F.col("s").alias("node"),
+                "label",
+                F.lit(None).cast(dict(labels.dtypes)["label"]).alias("_old"),
+            )
             # one self-vote per node: stabilizes symmetric pairs (pure
             # neighbor voting makes a 2-clique swap labels forever)
-            .unionByName(labels)
+            .unionByName(labels.withColumn("_old", F.col("label")))
         )
         # per-node mode with smallest-label tie-break: max (count, -label)
-        mode = (
+        nxt = (
             neigh.groupBy("node", "label")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c"), F.max("_old").alias("_old"))
+            # the self-vote contributes to c exactly as before (it is one
+            # of the counted rows); _old is non-null only on that row
             .groupBy("node")
             .agg(
                 F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
-                .alias("top")
+                .alias("top"),
+                F.max("_old").alias("_old"),
             )
-            .select("node", (-F.col("top.nl")).alias("new_label"))
-        )
-        nxt = (
-            labels.join(mode, "node", "left")
             .select(
                 "node",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias(
-                    "__chg"
-                ),
+                (-F.col("top.nl")).alias("label"),
+                (-F.col("top.nl") != F.col("_old")).alias("__chg"),
             )
         )
         nxt = nxt.localCheckpoint(eager=True)
