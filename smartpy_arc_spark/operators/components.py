@@ -1253,8 +1253,7 @@ def minimum_spanning_forest(
         chosen = (
             incident.groupBy("comp")
             .agg(F.min("e").alias("e"))
-            .select("e.w", "e.s", "e.d", "e.cs", "e.cd")
-            .distinct()
+            .select("comp", "e.w", "e.s", "e.d", "e.cs", "e.cd")
             .localCheckpoint(eager=True)
         )
         # convergence probe rides on the checkpoint just materialized
@@ -1262,15 +1261,66 @@ def minimum_spanning_forest(
         # job per round (r7)
         if chosen.limit(1).count() == 0:
             break
+        # an edge picked by both endpoints appears twice here; the final
+        # (s, d) groupBy dedups, so no per-round distinct exchange
         sel = chosen.select("s", "d", "w")
         forest = sel if forest is None else forest.union(sel)
-        # chosen is checkpointed just above and tiny (≤1 edge/component):
-        # skip the inner CC's symmetrize+distinct checkpoint job (min-label
-        # spreading is idempotent to the duplicate orientations)
-        merge_labels = connected_components(
-            chosen.select("cs", "cd"), src_col="cs", dst_col="cd",
-            dedup_edges=False,
-        ).select(F.col("node").alias("c"), F.col("component").alias("c_new"))
+        # Borůvka hook + pointer doubling (r8): every comp points at the
+        # other endpoint of ITS chosen edge — a functional parent graph
+        # whose only cycles are mutual picks of the SAME edge (following
+        # strictly-minimum edges around a longer cycle would force all
+        # weights equal, impossible under the strict (w, s, d) order) —
+        # so rooting each 2-cycle at its smaller id and pointer-doubling
+        # converges in log(depth) ONE-JOIN rounds.  Labels are tree
+        # roots, not min ids, but labels only ever partition comps
+        # (cs != cd and equality classes); the forest is label-invariant,
+        # which is why this is cheaper than the general min-label CC it
+        # replaces (no union + grouped-min exchange per round).
+        par = chosen.select(
+            "comp",
+            F.when(F.col("cs") == F.col("comp"), F.col("cd"))
+            .otherwise(F.col("cs"))
+            .alias("p"),
+        )
+        par = (
+            par.join(
+                par.select(F.col("comp").alias("p"), F.col("p").alias("gp")),
+                "p",
+            )
+            .select(
+                "comp",
+                F.when(
+                    (F.col("gp") == F.col("comp"))
+                    & (F.col("comp") < F.col("p")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_rounds + 20):
+            jumped = (
+                par.join(
+                    par.select(
+                        F.col("comp").alias("p"), F.col("p").alias("gp")
+                    ),
+                    "p",
+                )
+                .select(
+                    "comp",
+                    F.col("gp").alias("p"),
+                    (F.col("gp") != F.col("p")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            done = jumped.where("_chg").limit(1).count() == 0
+            par = jumped.drop("_chg")
+            if done:
+                break
+        merge_labels = par.select(
+            F.col("comp").alias("c"), F.col("p").alias("c_new")
+        )
         comp = (
             comp.join(merge_labels, "c", "left")
             .select(

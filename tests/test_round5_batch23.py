@@ -45,6 +45,20 @@ def test_mst_matches_kruskal_random_graphs(spark):
         assert got == _kruskal(nodes, edges)
 
 
+def test_mst_chain_exercises_pointer_doubling(spark):
+    # strictly increasing weights along a 48-node path: every component's
+    # min edge hooks toward node 0, so the round-1 hook tree is a maximal-
+    # depth chain — the worst case for the parent pointer-doubling merge
+    from smartpy_arc_spark.operators.components import (
+        minimum_spanning_forest,
+    )
+
+    edges = [(i, i + 1, 100 + i) for i in range(48)]
+    df = spark.createDataFrame(edges, "s long, d long, w long")
+    got = sorted((r.s, r.d, r.w) for r in minimum_spanning_forest(df).collect())
+    assert got == sorted(edges)  # a path IS its own spanning tree
+
+
 def test_mst_forest_on_disconnected_graph(spark):
     from smartpy_arc_spark.operators.components import (
         minimum_spanning_forest,
