@@ -917,16 +917,17 @@ def louvain_communities(
                 .agg(F.sum("w").alias("k_in"))
             )
             cur = assign
-            # candidate set = neighbor communities ∪ the current community
-            cands = (
-                k_to.unionByName(
-                    cur.select(
-                        "node", F.col("comm").alias("cand"),
-                        F.lit(0.0).alias("k_in"),
-                    )
+            # candidate set = neighbor communities ∪ the current community.
+            # NOT deduped (r8): when cand == comm appears in both arms the
+            # self row scores with k_in = 0, and gain is strictly
+            # increasing in k_in with everything else fixed per (node,
+            # cand) — so the argmax in nxt picks the true-k_in row and the
+            # old per-sweep (node, cand) max-k_in shuffle was an identity
+            cands = k_to.unionByName(
+                cur.select(
+                    "node", F.col("comm").alias("cand"),
+                    F.lit(0.0).alias("k_in"),
                 )
-                .groupBy("node", "cand")
-                .agg(F.max("k_in").alias("k_in"))
             )
             scored = (
                 cands.join(cur, "node")
