@@ -675,33 +675,30 @@ def hits(
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
             "authority", F.lit(0.0)
         )
-    scores = nodes.select(
-        "node",
-        F.lit(1.0 / n_nodes).alias("hub"),
-        F.lit(1.0 / n_nodes).alias("authority"),
-    )
+    hub = nodes.select("node", F.lit(1.0 / n_nodes).alias("hub"))
+    auth = None
     for _ in range(iterations):
         # each stage is materialized once (r7 checkpoint discipline, as
-        # pagerank): the norm scalar, the normalize join, and the next
+        # pagerank): the norm scalar, the normalize step, and the next
         # half-round all READ the node-sized checkpoint instead of
-        # re-expanding the edge-join subtree inside one action
+        # re-expanding the edge-join subtree inside one action.
+        # Zero-score nodes stay OUT of the half-round tables (r8): every
+        # edge endpoint the next join needs is covered by construction
+        # (e.d is always an in-edge target; e.s always has an out-edge),
+        # and the dropped rows contributed exact 0.0 terms to the sums —
+        # so values are bit-identical while each half-round loses its
+        # node-table left join; zeros rejoin once at the end.
         auth_raw = (
-            e.join(
-                scores.select(F.col("node").alias("s"), "hub"), "s"
-            )
+            e.join(hub.select(F.col("node").alias("s"), "hub"), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("hub").alias("a_raw"))
             .localCheckpoint(eager=True)
         )
         a_norm = auth_raw.agg(F.sum("a_raw").alias("za"))
         auth = (
-            nodes.join(auth_raw, "node", "left")
-            .crossJoin(F.broadcast(a_norm))
+            auth_raw.crossJoin(F.broadcast(a_norm))
             .select(
-                "node",
-                (
-                    F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("za")
-                ).alias("authority"),
+                "node", (F.col("a_raw") / F.col("za")).alias("authority")
             )
             .localCheckpoint(eager=True)
         )
@@ -714,23 +711,25 @@ def hits(
             .localCheckpoint(eager=True)
         )
         h_norm = hub_raw.agg(F.sum("h_raw").alias("zh"))
-        scores = (
-            nodes.join(hub_raw, "node", "left")
-            .crossJoin(F.broadcast(h_norm))
-            .join(auth, "node")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("zh")
-                ).alias("hub"),
-                "authority",
-            )
+        hub = (
+            hub_raw.crossJoin(F.broadcast(h_norm))
+            .select("node", (F.col("h_raw") / F.col("zh")).alias("hub"))
             .localCheckpoint(eager=True)
         )
-    return scores.select(
-        "node",
-        F.round("hub", 6).alias("hub"),
-        F.round("authority", 6).alias("authority"),
+    if auth is None:  # iterations == 0: uniform init for both scores
+        auth = nodes.select(
+            "node", F.lit(1.0 / n_nodes).alias("authority")
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias(
+                "authority"
+            ),
+        )
     )
 
 
