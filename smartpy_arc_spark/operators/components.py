@@ -454,25 +454,32 @@ def shortest_paths(
     for _ in range(max_iters):
         relaxed = (
             dist.join(e, dist["node"] == e["src"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
             .where(F.col("dist") <= max_dist)
+            .withColumn("_old", F.lit(None).cast("long"))
         )
+        # the previous distance rides the same min-aggregate as _old
+        # (non-null only on the own-distance arm, one per settled node),
+        # so the improvement probe below is a filter + limit over the
+        # just-materialized checkpoint — not its own two-join job per
+        # round (r8, the connected_components pattern)
         new_dist = (
-            dist.unionAll(relaxed)
+            dist.select("node", "dist", F.col("dist").alias("_old"))
+            .unionAll(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("_old").alias("_old"))
+            .withColumn(
+                "_chg",
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old")),
+            )
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), F.col("n.node") == F.col("o.node"), "left")
-            .where(
-                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-            )
-            .isEmpty()
-        )
-        prev, dist = dist, new_dist
-        if improved:
+        improved = new_dist.where("_chg").limit(1).count() > 0
+        dist = new_dist.drop("_old", "_chg")
+        if not improved:
             break
     return dist
 
