@@ -402,7 +402,14 @@ def geometric_median(
         .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.expr("transform(pm, x -> x.m)").alias("y"))
     )
-    for _ in range(n_iter):
+    for _round in range(n_iter):
+        # cap plan depth (r8): Catalyst analysis of the chained iteration
+        # grows superlinearly with rounds, so materialize the 1-row
+        # estimate every 5 rounds — one tiny extra job buys back the
+        # driver-side plan-compile time; values are bit-identical (the
+        # checkpoint stores exactly the doubles the plan computed)
+        if _round and _round % 5 == 0:
+            y = y.localCheckpoint(eager=True)
         d = F.sqrt(
             F.aggregate(
                 F.zip_with(
