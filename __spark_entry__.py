@@ -1144,8 +1144,15 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, MERGED per flag, quantiles read from the merged sketch — the
     same store-partial/merge-at-query-time pattern as the HLL rollup, for
     percentiles.  At 100 TB this replaces a full re-sort per quantile query
-    with fixed-size sketch state.  Rows-only (no DuckDB KLL); rank-error
-    tolerance vs exact percentiles asserted in tests/test_ops.py."""
+    with fixed-size sketch state.  Rows-only (no DuckDB KLL), but FENCED
+    (VERDICT r8 item 4, the ``minhash_prod_path`` pattern): before
+    returning, the query computes each returned quantile value's EXACT
+    rank within its flag group (one aggregate over lineitem) and raises
+    unless it is within the KLL rank-error bound of the target rank
+    (k=200 sketch: normalized rank error ~1.65% at 99% confidence; the
+    fence allows 2.5%) — so the driver's rows-only stamp asserts sketch
+    semantics, not just row shape.  Rank-error is also unit-asserted in
+    tests/test_ops.py."""
     li = _t(spark, sf_dir, "lineitem")
     sketches = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk")
@@ -1165,7 +1172,7 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sk"),
         )
     )
-    return merged.select(
+    out = merged.select(
         "l_returnflag",
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias(
             "approx_median_price"
@@ -1173,7 +1180,37 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2).alias(
             "approx_p90_price"
         ),
+    ).localCheckpoint(eager=True)
+    # rank-error fence: exact rank of each sketch quantile via ONE
+    # aggregate over lineitem (avg of an indicator = fraction ≤ value)
+    bad = (
+        out.join(li, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("approx_median_price"))
+                .cast("double")
+            ).alias("r50"),
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("approx_p90_price"))
+                .cast("double")
+            ).alias("r90"),
+        )
+        .where(
+            (F.abs(F.col("r50") - 0.5) > 0.025)
+            | (F.abs(F.col("r90") - 0.9) > 0.025)
+        )
+        .collect()
     )
+    if bad:
+        raise AssertionError(
+            "KLL quantile outside the 2.5% rank-error fence: "
+            + ", ".join(
+                f"{r['l_returnflag']}: rank(q50)={r['r50']:.4f} "
+                f"rank(q90)={r['r90']:.4f}" for r in bad
+            )
+        )
+    return out
 
 
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1201,8 +1238,17 @@ def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches Theta set algebra across segments: distinct-part
     estimates for returnflag A and R plus their INTERSECTION and
     difference — the segment-overlap question HLL cannot answer (HLL only
-    unions).  Mergeable fixed-size state, one scan.  Rows-only; accuracy
-    vs exact set ops asserted in tests/test_ops.py."""
+    unions).  Mergeable fixed-size state, one scan.  Rows-only, but FENCED
+    (VERDICT r8 item 4): before returning, the query computes the EXACT
+    union / intersection / difference cardinalities (one two-way
+    count-distinct aggregate over the same filtered scan) and raises
+    unless every theta estimate is within 5% of the exact union plus a
+    small absolute slack — the documented error envelope for default
+    theta sketches (lgK=12: RSE ≈ 1.6% on the union; intersection and
+    difference errors are proportional to the UNION size, not their own
+    size, per the Datasketches error model).  The driver's rows-only
+    stamp therefore asserts sketch semantics, not just row shape.
+    Accuracy is also unit-asserted in tests/test_ops.py."""
     li = _t(spark, sf_dir, "lineitem")
     per_flag = (
         li.where(F.col("l_returnflag").isin("A", "R"))
@@ -1220,11 +1266,41 @@ def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  max_by(sk, CASE l_returnflag WHEN 'R' THEN 1 ELSE 0 END)))"
         ).alias("est_a_only"),
     )
-    return both.select(
+    out = both.select(
         F.round("est_union", 0).alias("est_union"),
         F.round("est_common", 0).alias("est_common"),
         F.round("est_a_only", 0).alias("est_a_only"),
+    ).localCheckpoint(eager=True)
+    # exact set algebra from one aggregate: per-partkey flag presence,
+    # then count the union / intersection / A-only partitions
+    exact = (
+        li.where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_partkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_a"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_r"),
+        )
+        .agg(
+            F.count("*").alias("x_union"),
+            F.sum(F.col("in_a") * F.col("in_r")).alias("x_common"),
+            F.sum(F.col("in_a") * (1 - F.col("in_r"))).alias("x_a_only"),
+        )
+        .collect()[0]
     )
+    est = out.collect()[0]
+    tol = 0.05 * exact["x_union"] + 16
+    for k_est, k_exact in (
+        ("est_union", "x_union"),
+        ("est_common", "x_common"),
+        ("est_a_only", "x_a_only"),
+    ):
+        if abs(est[k_est] - exact[k_exact]) > tol:
+            raise AssertionError(
+                f"theta {k_est}={est[k_est]} vs exact "
+                f"{exact[k_exact]} exceeds the ±{tol:.0f} fence "
+                f"(5% of union + 16)"
+            )
+    return out
 
 
 def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8358,7 +8434,13 @@ def _stamp_order(q: dict) -> dict:
     rows-only checks."""
     done = _previously_stamped() - _FORCE_RESTAMP
     with_oracle = set(oracle_sql())
-    head = {k: v for k, v in q.items() if k not in done and k in with_oracle}
+    # r9: the two newly-FENCED sketch queries (VERDICT r8 item 4) jump the
+    # oracle-backed backlog so their stamps-on-record assert the fence
+    priority = {"kll_quantile_rollup", "theta_segment_overlap"}
+    head = {k: v for k, v in q.items() if k not in done and k in priority}
+    head.update(
+        {k: v for k, v in q.items() if k not in done and k in with_oracle}
+    )
     head.update({k: v for k, v in q.items() if k not in done and k not in with_oracle})
     tail = {k: v for k, v in q.items() if k in done}
     return {**head, **tail}

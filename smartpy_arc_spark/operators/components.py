@@ -38,11 +38,14 @@ def connected_components(
     Output: (node, component) — component = min id in the node's component.
 
     ``dedup_edges=False`` skips the symmetrize+distinct checkpoint job:
-    the min-label aggregate is idempotent to duplicate edges, so a caller
-    whose pairs are ALREADY materialized and small (e.g. Borůvka's
-    per-round chosen-edge set, ≤1 edge per component) re-evaluates the
-    map-side symmetrization per round instead of paying a shuffle job to
-    dedup it.  Leave True when pairs come from an expensive pipeline.
+    the min-label aggregate is idempotent to duplicate edges and to
+    duplicate orientations, so a caller whose pairs are ALREADY
+    materialized (a checkpointed frame, a cached table) can re-evaluate
+    the map-side symmetrization per round instead of paying a shuffle
+    job to dedup it.  Leave True — the default — when pairs come from an
+    expensive pipeline, whose full lineage would otherwise re-execute
+    once per join per round.  (Equivalence of the two modes is
+    unit-pinned in test_components.py.)
     """
     edges = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
@@ -451,6 +454,10 @@ def shortest_paths(
         [(int(s), 0) for s in sources], "node long, dist long"
     ).localCheckpoint(eager=True)
 
+    # the null arm of _old must match dist's type exactly (today long;
+    # derived, not hard-coded, so a future widening to double weights
+    # keeps the unionAll arms aligned — ADVICE r8)
+    dist_type = dict(dist.dtypes)["dist"]
     for _ in range(max_iters):
         relaxed = (
             dist.join(e, dist["node"] == e["src"])
@@ -459,7 +466,7 @@ def shortest_paths(
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
             .where(F.col("dist") <= max_dist)
-            .withColumn("_old", F.lit(None).cast("long"))
+            .withColumn("_old", F.lit(None).cast(dist_type))
         )
         # the previous distance rides the same min-aggregate as _old
         # (non-null only on the own-distance arm, one per settled node),
@@ -1325,6 +1332,16 @@ def minimum_spanning_forest(
             par = jumped.drop("_chg")
             if done:
                 break
+        else:
+            # never reachable at defaults (needs parent-chain depth
+            # > 2^(max_rounds+20)), but exiting here silently would map
+            # comps to non-root parents and split a component across
+            # labels — a later round could then re-pick an intra-comp
+            # edge and emit a cycle into the forest (ADVICE r8)
+            raise RuntimeError(
+                "mst: pointer doubling failed to converge in "
+                f"{max_rounds + 20} rounds"
+            )
         merge_labels = par.select(
             F.col("comp").alias("c"), F.col("p").alias("c_new")
         )

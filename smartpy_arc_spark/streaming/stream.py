@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# micro-batch counts of the most recent drain per runner, keyed by the
+# memory-sink query name — diagnostics for the dispatch-latency story
+# (every micro-batch is its own job cascade, so batch count is the
+# regime-independent cost driver of a streaming query; VERDICT r8 item 7).
+# Read by tools/stream_batches.py; a plain dict, not an API.
+last_drain_batches: dict[str, int] = {}
+
+
+def _record_batches(q) -> None:
+    p = q.lastProgress
+    if p is not None:
+        # batchIds start at 0; +1 = number of micro-batches executed
+        last_drain_batches[p["name"] or p["id"]] = p["batchId"] + 1
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded parquet dir as a stream source.
 
@@ -356,6 +370,7 @@ def run_stream_to_memory(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prior)
     q.awaitTermination()
+    _record_batches(q)
     return spark.table(name)
 
 
@@ -406,6 +421,7 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+    _record_batches(q)
 
 
 def streaming_type_profile(
@@ -600,6 +616,7 @@ def run_stream_until_idle(
     finally:
         q.stop()
         q.awaitTermination()
+        _record_batches(q)
     return stream_df.sparkSession.table(name)
 
 

@@ -44,9 +44,27 @@ Round-8 addition:
   user-keyed sort-within-partition shuffle shape none of the other
   probes exercise.
 
+Round-9 additions (VERDICT r8 items 3 and 6):
+- a 100x point: COPIES now ends at 100, proving the pagerank_3it
+  post-plan-flip plateau and the semdedup_2level linearity with a
+  measurement instead of a three-point extrapolation.  semdedup_flat is
+  SKIPPED at 100x — it is the documented quadratic the two_level config
+  exists to remove; measuring it again at 100x would cost minutes to
+  re-prove a known O(n²);
+- geometry tier: geom_split (per-row pandas-UDF bisection — the
+  rows/sec/core constant), spatial_join (grid-blocked point-in-polygon,
+  point side scales, 25 polygons fixed), radius_join (grid-blocked
+  radius self-join; copy i shifts latitudes by 1000 degrees so the cell
+  grid is disjoint across copies — constant pair density, total work
+  must be linear).
+
 Writes SCALING.md and prints one JSON line.
 
 Usage: python tools/scaling_probe.py [base_sf_dir] [out_md]
+Env: SCALING_COPIES="1,3,10,30,100" (override the copy ladder),
+     SCALING_TIERS="pagerank_3it,semdedup_2level" (restrict tiers;
+     with a restriction set, SCALING.md is NOT rewritten — the JSON
+     line is the record).
 """
 
 from __future__ import annotations
@@ -59,7 +77,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COPIES = (1, 3, 10, 30)
+COPIES = tuple(
+    int(x)
+    for x in os.environ.get("SCALING_COPIES", "1,3,10,30,100").split(",")
+)
+# (tier, n) combos to skip: re-measuring a documented quadratic at 100x
+# proves nothing new and costs minutes
+SKIP = {("semdedup_flat", 100)}
 WORK = "/tmp/scaling_corpus"
 
 
@@ -184,23 +208,120 @@ def build_corpora(spark, base: str) -> None:
         ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
         open(os.path.join(out, "_EVENTS_DONE"), "w").close()
 
+    # geometry tier (r9): rects for split (params from the ORIGINAL
+    # partkey so every copy is geometrically identical, ids shifted),
+    # radius points with per-copy disjoint latitude bands, spatial
+    # points with ids shifted (polygons stay the fixed 25 nations)
+    from smartpy_arc_spark.geometry.columns import make_rect_wkb
 
-def probes(spark, sf_dir: str, n: int) -> dict:
+    part = spark.read.parquet(os.path.join(base, "part.parquet")).where(
+        "p_partkey < 500"
+    )
+    base_rects = part.select(
+        "p_partkey",
+        make_rect_wkb(
+            (F.col("p_partkey") % 97).cast("double"),
+            (F.col("p_partkey") % 89).cast("double"),
+            (F.lit(10) + F.col("p_size")).cast("double"),
+            (F.lit(5) + F.col("p_partkey") % 7).cast("double"),
+        ).alias("geometry"),
+    ).localCheckpoint()
+    ev3k = events.where("event_id < 3000").select(
+        "event_id",
+        ((F.col("user_id") % 1000) / F.lit(100.0)).alias("lat"),
+        ((F.col("event_id") % 1000) / F.lit(100.0)).alias("lon"),
+    ).localCheckpoint()
+    cust = spark.read.parquet(os.path.join(base, "customer.parquet")).select(
+        F.col("c_custkey"),
+        (((F.col("c_custkey") * 17) % 9000).cast("double") / 100.0).alias("x"),
+        (((F.col("c_custkey") * 29) % 9000).cast("double") / 100.0).alias("y"),
+    ).localCheckpoint()
+    for n in COPIES:
+        out = os.path.join(WORK, f"n{n}")
+        if os.path.exists(os.path.join(out, "_GEOM_DONE")):
+            continue
+        rect_parts = [
+            base_rects.select(
+                (F.col("p_partkey") + F.lit(i * 10_000_000)).alias(
+                    "p_partkey"
+                ),
+                "geometry",
+            )
+            for i in range(n)
+        ]
+        radius_parts = [
+            ev3k.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                (F.col("lat") + F.lit(i * 1000.0)).alias("lat"),
+                "lon",
+            )
+            for i in range(n)
+        ]
+        pt_parts = [
+            cust.select(
+                (F.col("c_custkey") + F.lit(i * 10_000_000)).alias(
+                    "c_custkey"
+                ),
+                "x",
+                "y",
+            )
+            for i in range(n)
+        ]
+        for parts_, fname in (
+            (rect_parts, "rects.parquet"),
+            (radius_parts, "radius_points.parquet"),
+            (pt_parts, "spatial_points.parquet"),
+        ):
+            d = parts_[0]
+            for p in parts_[1:]:
+                d = d.unionByName(p)
+            d.write.mode("overwrite").parquet(os.path.join(out, fname))
+        open(os.path.join(out, "_GEOM_DONE"), "w").close()
+
+
+def probes(spark, sf_dir: str, n: int, base: str) -> dict:
     from pyspark.sql import functions as F
 
+    from smartpy_arc_spark.geometry import split_equal_area, st_area
+    from smartpy_arc_spark.geometry.spatial_join import points_in_polygons
     from smartpy_arc_spark.operators.components import pagerank
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
     from smartpy_arc_spark.operators.perplexity import perplexity_buckets
     from smartpy_arc_spark.operators.semdedup import semdedup
     from smartpy_arc_spark.operators.sessionize import sessionize
     from smartpy_arc_spark.operators.similarity import _dot, ivf_topk
+    from smartpy_arc_spark.operators.spatial import radius_self_join
+    from smartpy_arc_spark.session import ensure_worker_imports
 
+    ensure_worker_imports(spark)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     edges = spark.read.parquet(os.path.join(sf_dir, "edges.parquet"))
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
+    rects = spark.read.parquet(os.path.join(sf_dir, "rects.parquet"))
+    radius_pts = spark.read.parquet(
+        os.path.join(sf_dir, "radius_points.parquet")
+    )
+    spatial_pts = spark.read.parquet(
+        os.path.join(sf_dir, "spatial_points.parquet")
+    )
+    nat = spark.read.parquet(os.path.join(base, "nation.parquet"))
+    cx = ((F.col("n_nationkey") * 37) % 90).cast("double")
+    cy = ((F.col("n_nationkey") * 73) % 90).cast("double")
+    r = (F.lit(3) + F.col("n_nationkey") % 5).cast("double")
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    polys = nat.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(
+            v(cx + r, cy), v(cx, cy + r), v(cx - r, cy),
+            v(cx - r / 2.0, cy - r), v(cx + r / 2.0, cy - r), v(cx + r, cy),
+        ).alias("ring"),
+    ).localCheckpoint()
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -237,9 +358,29 @@ def probes(spark, sf_dir: str, n: int) -> dict:
             .groupBy("user_id", "session_id")
             .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
         ),
+        "geom_split": lambda: (
+            split_equal_area(
+                rects, oid_col="p_partkey", max_area_units=137.0, flds=[]
+            )
+            .select("ORIG_FID", st_area(F.col("geometry")).alias("_a"))
+            .groupBy("ORIG_FID")
+            .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("_a").alias("a"))
+        ),
+        "spatial_join": lambda: points_in_polygons(
+            spatial_pts, polys, cell_size=14.0, point_id="c_custkey"
+        ),
+        "radius_join": lambda: radius_self_join(
+            radius_pts, "event_id", "lat", "lon", radius_e4=500
+        ),
     }
+    tiers_env = os.environ.get("SCALING_TIERS")
+    if tiers_env:
+        keep = set(tiers_env.split(","))
+        jobs = {k: fn for k, fn in jobs.items() if k in keep}
     out = {}
     for name, fn in jobs.items():
+        if (name, n) in SKIP:
+            continue
         fn().write.format("noop").mode("overwrite").save()  # warm-up
         best = None
         for _ in range(2):
@@ -264,8 +405,15 @@ def main() -> None:
 
     results: dict[int, dict] = {}
     for n in COPIES:
-        results[n] = probes(spark, os.path.join(WORK, f"n{n}"), n)
+        results[n] = probes(spark, os.path.join(WORK, f"n{n}"), n, base)
         print(f"n={n}: {results[n]}", flush=True)
+
+    if os.environ.get("SCALING_TIERS"):
+        # restricted run: the JSON line is the record; don't clobber the
+        # full-matrix SCALING.md
+        print(json.dumps({"metric": "scaling_probe_partial",
+                          "results": results}))
+        return
 
     names = list(results[COPIES[0]])
     lines = [
@@ -291,15 +439,23 @@ def main() -> None:
         "pagerank_3it": "trade graph, 3 power iterations",
         "perplexity_buckets": "CCNet trigram LM + tertiles",
         "sessionize_agg": "30-min gap windows + session agg",
+        "geom_split": "equal-area bisection pandas UDF",
+        "spatial_join": "grid point-in-poly, 25 fixed polys",
+        "radius_join": "grid radius self-join, disjoint bands",
     }
     growth = {}
     for name in names:
-        ts = [results[n][name] for n in COPIES]
-        g = round(ts[-1] / ts[0], 2) if ts[0] > 0 else float("nan")
+        ts = [results[n].get(name) for n in COPIES]
+        measured = [(n, t) for n, t in zip(COPIES, ts) if t is not None]
+        hi_n, hi_t = measured[-1]
+        g = round(hi_t / measured[0][1], 2) if measured[0][1] > 0 else float(
+            "nan")
         growth[name] = g
+        suffix = f" {g}x" + (f" @{hi_n}x" if hi_n != COPIES[-1] else "")
         lines.append(
             f"| {name} | {cfg[name]} | "
-            + " | ".join(str(t) for t in ts) + f" | {g}x |")
+            + " | ".join("skip" if t is None else str(t) for t in ts)
+            + f" |{suffix} |")
     lines += [
         "",
         f"A growth ratio at or below {COPIES[-1]}x on a {COPIES[-1]}x",
@@ -350,6 +506,20 @@ def main() -> None:
         "pagerank now rides a round-invariant is_dangling flag on the",
         "checkpointed rank table (r8) — a filter instead of a per-round",
         "anti-join, with identical probe growth.",
+        "",
+        "Round-9 additions: the ladder now ends at 100x, replacing the",
+        "three-point extrapolation for the two tiers whose 100 TB story",
+        "depended on it — `pagerank_3it`'s post-broadcast-flip plateau",
+        "and `semdedup_2level`'s linearity are now measured, not argued",
+        "(`semdedup_flat` is skipped at 100x: it is the documented",
+        "quadratic the two_level config removes).  The geometry tier",
+        "joins the matrix: `geom_split` is the per-row pandas-UDF",
+        "bisection (embarrassingly parallel — its growth is the",
+        "rows/sec/core constant), `spatial_join` scales the point side",
+        "against 25 fixed polygons (candidate pairs linear in points),",
+        "and `radius_join` scales point count with per-copy disjoint",
+        "latitude bands so pair density is constant and any",
+        "super-linear growth would expose a cell-join defect.",
         "",
     ]
     with open(out_md, "w") as f:
