@@ -22,6 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _ckpt_edges(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint for EDGE-SIZED (O(E)) tables, stored
+    serialized (MEMORY_AND_DISK) instead of the deserialized default.
+
+    Deserialized row blocks cost ~150+ bytes per (string, string) edge;
+    at the 100x scaling-probe rung (120M directed edges) that is ~18 GB
+    of live objects and 32 concurrently-unrolling tasks OOMed a 16 GiB
+    JVM (r9).  Serialized Tungsten rows are a fraction of that and spill
+    cleanly; the per-round deserialization cost is amortized across the
+    whole iteration's scans of the same blocks.  Small per-round state
+    (ranks, labels — O(V)) keeps the default deserialized level: those
+    tables are re-read every round and stay tiny relative to edges.
+    """
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def connected_components(
@@ -51,12 +68,11 @@ def connected_components(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
     if dedup_edges:
-        edges = (
+        edges = _ckpt_edges(
             edges.distinct()
             # materialize once: every iteration joins against edges, and
             # without this the full upstream pair pipeline (e.g. shingle
             # explode + self-join) would re-execute twice per round
-            .localCheckpoint(eager=True)
         )
     labels = (
         edges.select(F.col("s").alias("node"))
@@ -189,9 +205,9 @@ def pagerank(
     # all read this single materialization instead of re-running the
     # caller's upstream edge pipeline (r7: that recompute — ~5× per
     # call — was the dominant cost of pagerank_influence)
-    e_deg = e.withColumn(
-        "deg", F.count("*").over(W.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    e_deg = _ckpt_edges(
+        e.withColumn("deg", F.count("*").over(W.partitionBy("s")))
+    )
     # the dangling flag rides the node table (r8): danglingness is
     # round-invariant, so ONE setup join against the distinct out-node
     # set (|out-nodes| build side, the r7 scaling-probe fix) replaces the
@@ -384,7 +400,7 @@ def bfs_distances(
     )
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = _ckpt_edges(e.distinct())
 
     spark = edges.sparkSession
     visited = spark.createDataFrame(
@@ -445,9 +461,7 @@ def shortest_paths(
             )
         )
     # parallel edges: only the lightest can ever matter
-    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(
-        eager=True
-    )
+    e = _ckpt_edges(e.groupBy("src", "dst").agg(F.min("w").alias("w")))
 
     spark = edges.sparkSession
     dist = spark.createDataFrame(
@@ -517,10 +531,9 @@ def label_propagation(
     e0 = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).where(F.col("s") != F.col("d"))
-    edges = (
+    edges = _ckpt_edges(
         e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("s").alias("node"))
@@ -599,9 +612,9 @@ def personalized_pagerank(
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     if not assume_distinct:
         e = e.distinct()
-    e_deg = e.withColumn(
-        "deg", F.count("*").over(W.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    e_deg = _ckpt_edges(
+        e.withColumn("deg", F.count("*").over(W.partitionBy("s")))
+    )
     # dangling flag on the node table (r8, same as pagerank): one setup
     # join against the distinct out-node set replaces the per-round
     # anti-join — dangling mass becomes a filter over materialized ranks
@@ -675,9 +688,9 @@ def hits(
 
     Returns ``(node, hub, authority)`` rounded to 6.
     """
-    e = edges.select(
+    e = _ckpt_edges(edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct())
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -780,12 +793,11 @@ def modularity(
     e0 = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).where(F.col("s") != F.col("d"))
-    edges = (
+    edges = _ckpt_edges(
         e0.select(
             F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     asg = assignment.select(
         F.col(node_col).alias("n"), F.col(community_col).alias("c")
@@ -865,13 +877,12 @@ def louvain_communities(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"), w.alias("w")
     ).where(F.col("s") != F.col("d"))
     # undirected, both directions, parallel edges collapsed by weight-sum
-    edges = (
+    edges = _ckpt_edges(
         e0.unionByName(
             e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
         )
         .groupBy("s", "d")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
     # node -> final community, threaded through levels.  Kept LAZY: every
     # level's canonicalized assign is checkpointed, so the final mapping is
@@ -1237,8 +1248,8 @@ def minimum_spanning_forest(
         .where(F.col("s") != F.col("d"))
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
+    e = _ckpt_edges(e)
     comp = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))

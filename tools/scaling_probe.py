@@ -392,20 +392,85 @@ def probes(spark, sf_dir: str, n: int, base: str) -> dict:
     return out
 
 
+def rung_partitions(n: int) -> int:
+    """Shuffle-partition count for a ladder rung — the spill-aware rule
+    from the engine's design guidance applied to the probe: size
+    partitions so post-shuffle hash/sort state fits task memory.  32
+    (the CPU count) up to 10x; 64 at 30x; 128 at 100x — the same knob a
+    cluster operator turns as data grows, so the probe measures the
+    engine's scaling, not an artificially-frozen partitioning's.  (The
+    r9 100x run under a frozen 32 proved the point by failing:
+    pagerank's 240M-row distinct put ~7.5M string keys in each map-side
+    hash aggregate and died with AGGREGATE_OUT_OF_MEMORY.)"""
+    return 32 if n <= 10 else (64 if n <= 30 else 128)
+
+
+def run_rung(n: int, base: str) -> dict:
+    """One ladder rung in its OWN subprocess → fresh JVM: no checkpoint
+    blocks or codegen caches accumulated from smaller rungs (the r9 100x
+    failure was partly prior-rung storage pressure), and per-rung
+    driver-memory/partition sizing."""
+    env = dict(os.environ)
+    env["SCALING_RUNG"] = str(n)
+    # uniform heap across rungs: growth ratios must compare like JVMs
+    # (a 48g heap measurably DOUBLES per-job dispatch latency vs 16g on
+    # this host — measured 501/933 vs 261/290 ms under the same storm —
+    # so outsized heaps poison the iterative tiers).  100x fits in the
+    # default 16g BECAUSE rung_partitions scales to 128 there: per-task
+    # hash state is ~4x smaller than the 32-partition run that OOMed.
+    out = __import__("subprocess").run(
+        [sys.executable, os.path.abspath(__file__), base],
+        capture_output=True, text=True, env=env,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"rung {n} failed (rc={out.returncode})")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md")
 
-    from smartpy_arc_spark import get_spark
+    rung = os.environ.get("SCALING_RUNG")
+    if rung is not None:
+        # child mode: build (idempotent), probe ONE rung, print JSON
+        from bench import dispatch_ms
 
-    spark = get_spark("scaling_probe")
-    build_corpora(spark, base)
+        from smartpy_arc_spark import get_spark
+
+        n = int(rung)
+        spark = get_spark(
+            f"scaling_probe_n{n}", shuffle_partitions=rung_partitions(n)
+        )
+        build_corpora(spark, base)
+        pre = dispatch_ms(spark)
+        out = probes(spark, os.path.join(WORK, f"n{n}"), n, base)
+        out["_dispatch_ms"] = {"pre": pre, "post": dispatch_ms(spark)}
+        print(json.dumps(out))
+        return
 
     results: dict[int, dict] = {}
     for n in COPIES:
-        results[n] = probes(spark, os.path.join(WORK, f"n{n}"), n, base)
+        # the host's per-job dispatch latency drifts hour-to-hour; a rung
+        # measured in a degraded regime poisons the growth column, so
+        # retry (fresh JVM each time) until the rung's own dispatch probe
+        # reads idle-ish, keeping the best-regime attempt
+        best = None
+        for attempt in range(3):
+            r = run_rung(n, base)
+            d = max(r["_dispatch_ms"]["pre"], r["_dispatch_ms"]["post"])
+            if best is None or d < max(
+                best["_dispatch_ms"]["pre"], best["_dispatch_ms"]["post"]
+            ):
+                best = r
+            if d <= 150:
+                break
+            print(f"n={n}: degraded regime ({d} ms/job), retrying",
+                  flush=True)
+        results[n] = best
         print(f"n={n}: {results[n]}", flush=True)
 
     if os.environ.get("SCALING_TIERS"):
@@ -415,14 +480,24 @@ def main() -> None:
                           "results": results}))
         return
 
-    names = list(results[COPIES[0]])
+    names = [k for k in results[COPIES[0]] if not k.startswith("_")]
+    disp = ", ".join(
+        f"{n}x: {results[n]['_dispatch_ms']['pre']}/"
+        f"{results[n]['_dispatch_ms']['post']}"
+        for n in COPIES
+    )
     lines = [
         "# Scaling probe — dedup/ANN tiers beyond sf0.1",
         "",
         "Generated by `tools/scaling_probe.py` (see its docstring for the",
         "corpus construction: N mutually-unrelated transformed copies of",
         "the sf0.1 tables, constant workload density).  Times are warm",
-        "min-of-2 noop-sink walls on local[32]; the honest signal is the",
+        "min-of-2 noop-sink walls; each rung runs in its OWN fresh JVM",
+        "with shuffle partitions sized to the rung (32/64/128 — the",
+        "spill-aware knob a cluster operator turns as data grows) and is",
+        "retried when its dispatch probe reads a degraded host regime.",
+        f"Per-rung dispatch ms/job (pre/post): {disp}.",
+        "The honest signal is the",
         f"GROWTH RATIO vs the {COPIES[-1]}x size ratio, not the absolute numbers.",
         "",
         "| probe | config | "
