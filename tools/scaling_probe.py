@@ -453,7 +453,20 @@ def main() -> None:
         return
 
     results: dict[int, dict] = {}
+    prior_path = os.environ.get("SCALING_FROM")
+    redo = {int(x) for x in os.environ.get("SCALING_REDO", "").split(",")
+            if x}
+    if prior_path:
+        # regenerate the md from a saved results JSON (the line main()
+        # prints / the file it drops), re-probing only SCALING_REDO
+        # rungs — lets a storm-hit rung be re-measured without paying
+        # for the whole ladder again
+        with open(prior_path) as f:
+            saved = json.load(f)
+        results = {int(k): v for k, v in saved["results"].items()}
     for n in COPIES:
+        if n in results and n not in redo:
+            continue
         # the host's per-job dispatch latency drifts hour-to-hour; a rung
         # measured in a degraded regime poisons the growth column, so
         # retry (fresh JVM each time) until the rung's own dispatch probe
@@ -472,6 +485,8 @@ def main() -> None:
                   flush=True)
         results[n] = best
         print(f"n={n}: {results[n]}", flush=True)
+    with open("/tmp/scaling_results.json", "w") as f:
+        json.dump({"results": {str(k): v for k, v in results.items()}}, f)
 
     if os.environ.get("SCALING_TIERS"):
         # restricted run: the JSON line is the record; don't clobber the
