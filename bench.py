@@ -68,6 +68,31 @@ plus 32 GB memory churn ``minhash_pairs`` min is 1.8 s vs 1.38 s idle
 reproducible under any synthetic regime and reads as a transient host
 storm; the normalized reading exists so such a recording adjudicates
 itself next time.
+
+Output shape (round 10, VERDICT r9 item 1): the driver records only the
+last ~2000 chars of stdout, and the r9 single-line output (~3 KB,
+dominated by ``runs``) outgrew that window — BENCH_r09.json carries
+``parsed: null``.  bench.py now emits THREE things:
+
+- ``BENCH_LAST.json`` at the repo root: the full result (runs,
+  per-query reference ratios, everything), pretty-printed.
+- an earlier stdout line with that same full JSON (greppable in logs),
+- the FINAL stdout line: a compact summary (< ``MAX_FINAL_LINE`` chars,
+  asserted) with the driver-contract keys (metric/value/unit/queries/
+  sf) plus the gate verdict (regime_factor, tail_regime_factor,
+  normalized totals, regressed) — everything the judge needs to
+  adjudicate the round from the driver artifact alone.
+
+Heavy-tail normalization (round 10, VERDICT r9 item 2): the dispatch
+regime drifts BETWEEN the headline and heavy-tail phases (r9 driver
+run: pre 327 ms/job, post 149), so the tail is normalized by the median
+of its OWN per-query ratios (``tail_regime_factor``), not the headline
+factor; a ``mid`` dispatch probe taken between the two phases records
+the hand-off regime.  ``regressed`` / ``tail_regressed`` compare each
+ratio against 2x the UNCLAMPED median (ADVICE r9: a uniformly-faster
+run must still flag a single query regressing relative to its peers);
+the >=1.0 clamp applies only to the normalization divisors so a faster
+regime is never normalized upward.
 """
 
 from __future__ import annotations
@@ -145,6 +170,38 @@ def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# The driver keeps only the last ~2000 chars of stdout; the final line
+# must fit in that window with margin or the round's official record
+# loses its own headline (BENCH_r09.json `parsed: null`).
+MAX_FINAL_LINE = 1900
+
+# Keys kept on the final compact stdout line: the driver contract
+# (metric/value/unit/queries/sf) plus the gate verdict.  Everything else
+# (runs, per-query ratios, reference meta) lives in BENCH_LAST.json and
+# the earlier full-JSON stdout line.
+FINAL_LINE_KEYS = [
+    "metric", "value", "unit", "queries", "heavy_tail_total",
+    "dispatch_ms", "sf", "regime_factor", "tail_regime_factor",
+    "normalized_total", "normalized_heavy_tail_total", "regressed",
+    "tail_regressed", "detail",
+]
+
+
+def compact_summary_line(out: dict) -> str:
+    """Render the final stdout line; raises if it would outgrow the
+    driver's capture window (tested in test_round10_bench.py)."""
+    keep = {k: out[k] for k in FINAL_LINE_KEYS if k in out}
+    keep["detail"] = "BENCH_LAST.json"
+    line = json.dumps(keep, separators=(",", ":"))
+    if len(line) > MAX_FINAL_LINE:
+        raise AssertionError(
+            f"final bench line is {len(line)} chars > {MAX_FINAL_LINE}; "
+            "it would be truncated in the driver artifact — trim "
+            "FINAL_LINE_KEYS"
+        )
+    return line
+
+
 def dispatch_ms(spark, n: int = 20) -> float:
     """Per-job dispatch latency: ms/job over n trivial 30-task counts on
     a checkpointed 1000-row frame (the r7 drift-mode probe)."""
@@ -181,6 +238,8 @@ def main() -> None:
         runs[name] = trials
         timings[name] = round(min(trials), 3)
 
+    dispatch_mid = dispatch_ms(spark)
+
     heavy: dict[str, float] = {}
     for name in HEAVY_TAIL_QUERIES:
         fn = qs[name]
@@ -200,12 +259,21 @@ def main() -> None:
         "heavy_tail_total": round(sum(heavy.values()), 3),
         "dispatch_ms": {
             "pre": dispatch_pre,
+            "mid": dispatch_mid,
             "post": dispatch_ms(spark),
         },
         "sf": sf,
     }
     out.update(normalize_against_reference(out))
-    print(json.dumps(out))
+    full = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"), "w",
+    ) as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(full)
+    print(compact_summary_line(out))
 
 
 def normalize_against_reference(out: dict) -> dict:
@@ -228,8 +296,14 @@ def normalize_against_reference(out: dict) -> dict:
     }
     if not ratios:
         return {}
-    factor = max(statistics.median(ratios.values()), 1.0)
-    regressed = sorted(q for q, r in ratios.items() if r > 2 * factor)
+    # regressed compares each query to 2x the UNCLAMPED median: on a run
+    # uniformly faster than the reference (median 0.5) a query at 1.2x
+    # is a 2.4x relative slowdown and must still be flagged (ADVICE r9).
+    # The >=1.0 clamp applies only to the normalization divisor so a
+    # faster-than-reference regime never inflates the normalized total.
+    median = statistics.median(ratios.values())
+    factor = max(median, 1.0)
+    regressed = sorted(q for q, r in ratios.items() if r > 2 * median)
     block = {
         "vs_reference": ratios,
         "regime_factor": round(factor, 3),
@@ -243,14 +317,26 @@ def normalize_against_reference(out: dict) -> dict:
     }
     ht_ref = ref.get("heavy_tail") or {}
     if ht_ref and out.get("heavy_tail"):
-        block["normalized_heavy_tail_total"] = round(
-            out["heavy_tail_total"] / factor, 3
-        )
-        block["heavy_tail_vs_reference"] = {
+        tail_ratios = {
             q: round(out["heavy_tail"][q] / ht_ref[q], 3)
             for q in out["heavy_tail"]
             if ht_ref.get(q)
         }
+        block["heavy_tail_vs_reference"] = tail_ratios
+        if tail_ratios:
+            # The dispatch regime drifts BETWEEN phases (r9 driver run:
+            # pre 327 ms/job, post 149), so the tail gets its OWN factor
+            # from its own ratios — the headline factor over- or
+            # under-corrects it by the inter-phase drift.
+            tail_median = statistics.median(tail_ratios.values())
+            tail_factor = max(tail_median, 1.0)
+            block["tail_regime_factor"] = round(tail_factor, 3)
+            block["normalized_heavy_tail_total"] = round(
+                out["heavy_tail_total"] / tail_factor, 3
+            )
+            block["tail_regressed"] = sorted(
+                q for q, r in tail_ratios.items() if r > 2 * tail_median
+            )
     return block
 
 

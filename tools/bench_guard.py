@@ -45,7 +45,17 @@ def record(n: int = 3) -> None:
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
         )
-        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        # bench.py prints the full JSON on an earlier line and a compact
+        # summary last (round 10); take the newest line that carries the
+        # per-query heavy_tail block record() needs.
+        parsed = [
+            j for j in (
+                json.loads(ln) for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")
+            )
+            if "heavy_tail" in j
+        ]
+        runs.append(parsed[-1])
     dispatch = min(
         min(r["dispatch_ms"]["pre"], r["dispatch_ms"]["post"]) for r in runs
     )
@@ -68,7 +78,12 @@ def record(n: int = 3) -> None:
         "dispatch_ms": dispatch,
         "sf": runs[0]["sf"],
         "n_runs": n,
-        "recorded": "round 9 idle host (best-of-%d per query)" % n,
+        # self-describing provenance (ADVICE r9: no baked-in round label)
+        "recorded": os.environ.get(
+            "BENCH_REF_LABEL",
+            "idle host, dispatch %.0f ms/job (best-of-%d per query)"
+            % (dispatch, n),
+        ),
     }
     with open(REF_PATH, "w") as f:
         json.dump(ref, f, indent=1, sort_keys=True)
@@ -93,11 +108,13 @@ def check(path: str) -> None:
             "raw_total": bench["value"],
             "dispatch_ms": bench.get("dispatch_ms"),
             "regime_factor": block["regime_factor"],
+            "tail_regime_factor": block.get("tail_regime_factor"),
             "normalized_total": block["normalized_total"],
             "normalized_heavy_tail_total": block.get(
                 "normalized_heavy_tail_total"
             ),
             "regressed": block["regressed"],
+            "tail_regressed": block.get("tail_regressed"),
         },
         indent=1,
     ))
