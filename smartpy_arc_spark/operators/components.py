@@ -62,7 +62,7 @@ def connected_components(
     job to dedup it.  Leave True — the default — when pairs come from an
     expensive pipeline, whose full lineage would otherwise re-execute
     once per join per round.  (Equivalence of the two modes is
-    unit-pinned in test_components.py.)
+    unit-pinned in tests/test_components_merge.py.)
     """
     edges = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
@@ -1006,10 +1006,13 @@ def louvain_communities(
                 moved_any = True
             elif sweep % 2 == 1:
                 break  # both parities converged
-        # canonical community id: smallest member node id
-        canon = assign.groupBy("comm").agg(F.min("node").alias("cid"))
-        assign = assign.join(canon, "comm").select(
-            "node", F.col("cid").alias("comm")
+        # canonical community id: smallest member node id — one
+        # comm-partitioned window (a single exchange) instead of the
+        # former groupBy + join, which paid an aggregate exchange plus
+        # a join materialization per level (r10 job-count cut)
+        assign = assign.select(
+            "node",
+            F.min("node").over(W.partitionBy("comm")).alias("comm"),
         ).localCheckpoint(eager=True)
         mapping = (
             mapping.join(
@@ -1019,9 +1022,24 @@ def louvain_communities(
         )
         if not moved_any:
             break
-        # coarsen: communities -> supernodes
-        ec = (
-            edges.join(
+        # coarsen: communities -> supernodes in ONE grouped pass (r10):
+        # prior-level selfw rides in as self-loop edges, so the
+        # intra-community weight (cs == cd, absorbing old selfw via its
+        # own cs == cd rows) and the coarse edge list (cs != cd) both
+        # fall out of a single edges⋈assign⋈assign + aggregate — the
+        # former shape evaluated that double join TWICE (once per
+        # output) plus a third join for the old-selfw merge.  Values
+        # identical: grouping (cs, cd) then filtering is the same
+        # partition of the same terms.
+        ein = edges if selfw is None else edges.unionByName(
+            selfw.select(
+                F.col("node").alias("s"),
+                F.col("node").alias("d"),
+                F.col("sw").alias("w"),
+            )
+        )
+        grouped = (
+            ein.join(
                 assign.select(F.col("node").alias("s"), F.col("comm").alias("cs")),
                 "s",
             )
@@ -1029,28 +1047,15 @@ def louvain_communities(
                 assign.select(F.col("node").alias("d"), F.col("comm").alias("cd")),
                 "d",
             )
-        )
-        new_selfw = (
-            ec.where(F.col("cs") == F.col("cd"))
-            .groupBy(F.col("cs").alias("node"))
-            .agg(F.sum("w").alias("sw"))
-        )
-        if selfw is not None:
-            old = selfw.join(
-                assign.withColumnRenamed("node", "node0"), 
-                selfw["node"] == F.col("node0"),
-            ).groupBy(F.col("comm").alias("node")).agg(F.sum("sw").alias("sw"))
-            new_selfw = (
-                new_selfw.unionByName(old)
-                .groupBy("node")
-                .agg(F.sum("sw").alias("sw"))
-            )
-        selfw = new_selfw.localCheckpoint(eager=True)
-        edges = (
-            ec.where(F.col("cs") != F.col("cd"))
-            .groupBy(F.col("cs").alias("s"), F.col("cd").alias("d"))
+            .groupBy("cs", "cd")
             .agg(F.sum("w").alias("w"))
             .localCheckpoint(eager=True)
+        )
+        selfw = grouped.where(F.col("cs") == F.col("cd")).select(
+            F.col("cs").alias("node"), F.col("w").alias("sw")
+        )
+        edges = grouped.where(F.col("cs") != F.col("cd")).select(
+            F.col("cs").alias("s"), F.col("cd").alias("d"), "w"
         )
     return mapping.select("node", "community")
 

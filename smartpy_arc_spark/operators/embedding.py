@@ -398,6 +398,13 @@ def geometric_median(
                 / F.lit(1e9)
             ).alias("m")
         )
+        # coalesce(1), not an exchange (r10): the per-position frame is
+        # always dim+1 rows, so merging its shuffle partitions narrowly
+        # satisfies the global agg's SinglePartition requirement and
+        # drops one AQE stage job per reassembly — at 11 reassemblies
+        # per call this is the dispatch-latency lever the r9 verdict
+        # asked for, and a no-op on values (order-free tick sums)
+        .coalesce(1)
         .groupBy()
         .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(F.expr("transform(pm, x -> x.m)").alias("y"))
@@ -441,7 +448,8 @@ def geometric_median(
             .agg(ticks(F.col("x")).alias("s"))
         )
         y = (
-            sums.groupBy()
+            sums.coalesce(1)  # dim+1 rows; see the init reassembly note
+            .groupBy()
             .agg(F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps"))
             .select(
                 F.expr(
