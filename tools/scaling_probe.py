@@ -86,6 +86,18 @@ COPIES = tuple(
 SKIP = {("semdedup_flat", 100)}
 WORK = "/tmp/scaling_corpus"
 
+# Every tier the full matrix carries (must match probes()'s jobs dict;
+# asserted there).  Used to detect tiers missing from a saved results
+# file so a new tier can be merged into an existing matrix without
+# re-paying the whole ladder (round 10: louvain + mst_boruvka probe the
+# round-structured iterative tiers pagerank_3it alone generalized for).
+TIERS = (
+    "minhash_capped", "embedding_near_dup", "ivf_ann", "semdedup_flat",
+    "semdedup_2level", "pagerank_3it", "perplexity_buckets",
+    "sessionize_agg", "geom_split", "spatial_join", "radius_join",
+    "louvain", "mst_boruvka",
+)
+
 
 def build_corpora(spark, base: str) -> None:
     from pyspark.sql import functions as F
@@ -175,6 +187,50 @@ def build_corpora(spark, base: str) -> None:
             e = e.unionByName(p)
         e.write.mode("overwrite").parquet(os.path.join(out, "edges.parquet"))
         open(os.path.join(out, "_EDGES_DONE"), "w").close()
+
+    # weighted long-keyed edges (r10, louvain + MST tiers): the trade
+    # graph BLOCKED into ~2000 components per copy (customer block
+    # custkey % 2000, suppliers re-keyed per block) — Borůvka's round
+    # count and louvain's coarsening depth are logarithmic in COMPONENT
+    # size, so bounding components (≤ ~16 nodes) pins the per-copy
+    # round count at every rung and the ladder measures pure
+    # data-volume growth (a giant single component measures ~14 rounds
+    # of dispatch latency instead: ~700 stages at ANY scale).  Copy i
+    # shifts both endpoints by i * 10M — N disjoint copies with
+    # IDENTICAL weights and structure.
+    wbase = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("s"),
+            (
+                F.lit(1_000_000)
+                + (F.col("l_suppkey") % 8)
+                + (F.col("o_custkey") % 2000) * 100
+            ).cast("long").alias("d"),
+            ((F.col("o_custkey") * 31 + F.col("l_suppkey") * 17) % 100_000)
+            .cast("long").alias("w"),
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    for n in COPIES:
+        out = os.path.join(WORK, f"n{n}")
+        if os.path.exists(os.path.join(out, "_WEDGES_DONE")):
+            continue
+        parts = [
+            wbase.select(
+                (F.col("s") + F.lit(i * 10_000_000)).alias("s"),
+                (F.col("d") + F.lit(i * 10_000_000)).alias("d"),
+                "w",
+            )
+            for i in range(n)
+        ]
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        e.write.mode("overwrite").parquet(os.path.join(out, "wedges.parquet"))
+        open(os.path.join(out, "_WEDGES_DONE"), "w").close()
 
     # events (r8, window-function tier): copy i shifts user_id/event_id by
     # i * 10M — disjoint user populations with identical per-user event
@@ -284,7 +340,11 @@ def probes(spark, sf_dir: str, n: int, base: str) -> dict:
 
     from smartpy_arc_spark.geometry import split_equal_area, st_area
     from smartpy_arc_spark.geometry.spatial_join import points_in_polygons
-    from smartpy_arc_spark.operators.components import pagerank
+    from smartpy_arc_spark.operators.components import (
+        louvain_communities,
+        minimum_spanning_forest,
+        pagerank,
+    )
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
     from smartpy_arc_spark.operators.perplexity import perplexity_buckets
     from smartpy_arc_spark.operators.semdedup import semdedup
@@ -307,6 +367,7 @@ def probes(spark, sf_dir: str, n: int, base: str) -> dict:
     spatial_pts = spark.read.parquet(
         os.path.join(sf_dir, "spatial_points.parquet")
     )
+    wedges = spark.read.parquet(os.path.join(sf_dir, "wedges.parquet"))
     nat = spark.read.parquet(os.path.join(base, "nation.parquet"))
     cx = ((F.col("n_nationkey") * 37) % 90).cast("double")
     cy = ((F.col("n_nationkey") * 73) % 90).cast("double")
@@ -372,7 +433,22 @@ def probes(spark, sf_dir: str, n: int, base: str) -> dict:
         "radius_join": lambda: radius_self_join(
             radius_pts, "event_id", "lat", "lon", radius_e4=500
         ),
+        # r10: round-structured iterative graph tiers (VERDICT r9 item
+        # 4) — louvain's sweep count is fixed by config but its
+        # coarsening depends on community structure; Borůvka's round
+        # count depends on component structure.  Disjoint copies keep
+        # both per-copy constant, so super-linear growth would expose a
+        # per-round shuffle defect pagerank's fixed 3 iterations can't.
+        # Both run on the long-keyed weighted corpus: louvain's
+        # smallest-community tie-break and parity gating are arithmetic
+        # on node ids (numeric by contract, like q_louvain's graph).
+        "louvain": lambda: louvain_communities(
+            wedges, src_col="s", dst_col="d", weight_col="w",
+            max_levels=2, max_sweeps=2,
+        ),
+        "mst_boruvka": lambda: minimum_spanning_forest(wedges),
     }
+    assert set(jobs) == set(TIERS), sorted(set(jobs) ^ set(TIERS))
     tiers_env = os.environ.get("SCALING_TIERS")
     if tiers_env:
         keep = set(tiers_env.split(","))
@@ -405,13 +481,16 @@ def rung_partitions(n: int) -> int:
     return 32 if n <= 10 else (64 if n <= 30 else 128)
 
 
-def run_rung(n: int, base: str) -> dict:
+def run_rung(n: int, base: str, tiers: list[str] | None = None) -> dict:
     """One ladder rung in its OWN subprocess → fresh JVM: no checkpoint
     blocks or codegen caches accumulated from smaller rungs (the r9 100x
     failure was partly prior-rung storage pressure), and per-rung
-    driver-memory/partition sizing."""
+    driver-memory/partition sizing.  ``tiers`` restricts the child to a
+    subset (merging a new tier into a saved matrix)."""
     env = dict(os.environ)
     env["SCALING_RUNG"] = str(n)
+    if tiers is not None:
+        env["SCALING_TIERS"] = ",".join(tiers)
     # uniform heap across rungs: growth ratios must compare like JVMs
     # (a 48g heap measurably DOUBLES per-job dispatch latency vs 16g on
     # this host — measured 501/933 vs 261/290 ms under the same storm —
@@ -459,21 +538,32 @@ def main() -> None:
     if prior_path:
         # regenerate the md from a saved results JSON (the line main()
         # prints / the file it drops), re-probing only SCALING_REDO
-        # rungs — lets a storm-hit rung be re-measured without paying
-        # for the whole ladder again
+        # rungs and any tiers a saved rung is missing — lets a storm-hit
+        # rung be re-measured, or a new tier merged into the matrix,
+        # without paying for the whole ladder again
         with open(prior_path) as f:
             saved = json.load(f)
+        if "results" not in saved:
+            raise SystemExit(
+                f"{prior_path} has no 'results' key — expected the file "
+                "this tool writes (/tmp/scaling_results.json)"
+            )
         results = {int(k): v for k, v in saved["results"].items()}
-    for n in COPIES:
-        if n in results and n not in redo:
-            continue
-        # the host's per-job dispatch latency drifts hour-to-hour; a rung
-        # measured in a degraded regime poisons the growth column, so
-        # retry (fresh JVM each time) until the rung's own dispatch probe
-        # reads idle-ish, keeping the best-regime attempt
+        absent = [n for n in COPIES if n not in results]
+        if absent:
+            # ADVICE r9: a saved rung set that doesn't cover COPIES is a
+            # plan, not an error — the loop below probes them fresh
+            print(f"saved results lack rungs {absent}; probing fresh",
+                  flush=True)
+
+    def measure(n: int, tiers: list[str] | None = None) -> dict:
+        # the host's per-job dispatch latency drifts hour-to-hour; a
+        # rung measured in a degraded regime poisons the growth column,
+        # so retry (fresh JVM each time) until the rung's own dispatch
+        # probe reads idle-ish, keeping the best-regime attempt
         best = None
-        for attempt in range(3):
-            r = run_rung(n, base)
+        for _attempt in range(3):
+            r = run_rung(n, base, tiers)
             d = max(r["_dispatch_ms"]["pre"], r["_dispatch_ms"]["post"])
             if best is None or d < max(
                 best["_dispatch_ms"]["pre"], best["_dispatch_ms"]["post"]
@@ -483,10 +573,31 @@ def main() -> None:
                 break
             print(f"n={n}: degraded regime ({d} ms/job), retrying",
                   flush=True)
-        results[n] = best
+        return best
+
+    for n in COPIES:
+        if n in results and n not in redo:
+            missing = [
+                t for t in TIERS
+                if t not in results[n] and (t, n) not in SKIP
+            ]
+            if missing:
+                print(f"n={n}: probing missing tiers {missing}",
+                      flush=True)
+                r = measure(n, tiers=missing)
+                results[n].update(
+                    {k: v for k, v in r.items() if not k.startswith("_")})
+            continue
+        results[n] = measure(n)
         print(f"n={n}: {results[n]}", flush=True)
+    payload = {"results": {str(k): v for k, v in results.items()}}
     with open("/tmp/scaling_results.json", "w") as f:
-        json.dump({"results": {str(k): v for k, v in results.items()}}, f)
+        json.dump(payload, f)
+    # durable copy (SCALING_FROM source for future rounds; /tmp is not)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scaling_results.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
 
     if os.environ.get("SCALING_TIERS"):
         # restricted run: the JSON line is the record; don't clobber the
@@ -495,7 +606,8 @@ def main() -> None:
                           "results": results}))
         return
 
-    names = [k for k in results[COPIES[0]] if not k.startswith("_")]
+    seen = {k for r in results.values() for k in r if not k.startswith("_")}
+    names = [k for k in TIERS if k in seen] + sorted(seen - set(TIERS))
     disp = ", ".join(
         f"{n}x: {results[n]['_dispatch_ms']['pre']}/"
         f"{results[n]['_dispatch_ms']['post']}"
@@ -532,6 +644,8 @@ def main() -> None:
         "geom_split": "equal-area bisection pandas UDF",
         "spatial_join": "grid point-in-poly, 25 fixed polys",
         "radius_join": "grid radius self-join, disjoint bands",
+        "louvain": "2 levels x 2 sweeps + coarsen",
+        "mst_boruvka": "Borůvka rounds to convergence",
     }
     growth = {}
     for name in names:
@@ -543,7 +657,7 @@ def main() -> None:
         growth[name] = g
         suffix = f" {g}x" + (f" @{hi_n}x" if hi_n != COPIES[-1] else "")
         lines.append(
-            f"| {name} | {cfg[name]} | "
+            f"| {name} | {cfg.get(name, '')} | "
             + " | ".join("skip" if t is None else str(t) for t in ts)
             + f" |{suffix} |")
     lines += [
@@ -610,6 +724,26 @@ def main() -> None:
         "and `radius_join` scales point count with per-copy disjoint",
         "latitude bands so pair density is constant and any",
         "super-linear growth would expose a cell-join defect.",
+        "",
+        "Round-10 additions (VERDICT r9 items 4/6): `louvain` and",
+        "`mst_boruvka` probe the ROUND-STRUCTURED iterative graph tiers",
+        "that 3-iteration pagerank generalized for — louvain's",
+        "coarsening depth and Borůvka's round count depend on graph",
+        "structure, so each runs on a BLOCKED trade graph (~2000",
+        "components per copy, components ≤ ~16 nodes): round counts are",
+        "logarithmic in COMPONENT size, so bounding components pins the",
+        "per-copy round count at every rung and the ladder measures",
+        "data-volume growth (on the unblocked single giant component",
+        "both algorithms execute ~700 dispatch-bound stages at ANY",
+        "scale — measured before choosing the blocked corpus).  Both",
+        "came back strongly sub-linear on the 100x corpus (louvain",
+        "~19x, mst ~13x).  The 3x rung was re-measured under the",
+        "<150 ms dispatch gate; note the sub-second tiers",
+        "(sessionize/geometry/radius) remain non-monotone ACROSS rungs",
+        "because each rung's absolute wall is dominated by that rung's",
+        "dispatch regime (post-probe 97-177 ms across columns) — the",
+        "growth column against the matched 1x/100x regimes is the",
+        "honest signal, as the header says.",
         "",
     ]
     with open(out_md, "w") as f:
