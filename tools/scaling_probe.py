@@ -587,6 +587,12 @@ def main() -> None:
                 r = measure(n, tiers=missing)
                 results[n].update(
                     {k: v for k, v in r.items() if not k.startswith("_")})
+                # merged tiers ran under their OWN dispatch regime, not
+                # the one in the rung's original _dispatch_ms header —
+                # keep their provenance separate so the md's per-rung
+                # regime row stays honest for the original columns
+                results[n].setdefault("_dispatch_ms_merged", {}).update(
+                    {t: r["_dispatch_ms"] for t in missing if t in r})
             continue
         results[n] = measure(n)
         print(f"n={n}: {results[n]}", flush=True)
@@ -613,6 +619,16 @@ def main() -> None:
         f"{results[n]['_dispatch_ms']['post']}"
         for n in COPIES
     )
+    merged_notes = [
+        f"{n}x {tier}: {d['pre']}/{d['post']}"
+        for n in COPIES
+        for tier, d in sorted(results[n].get("_dispatch_ms_merged", {}).items())
+    ]
+    merge_line = (
+        "Tiers merged into a saved matrix ran under their own regime: "
+        + "; ".join(merged_notes) + "."
+        if merged_notes else ""
+    )
     lines = [
         "# Scaling probe — dedup/ANN tiers beyond sf0.1",
         "",
@@ -624,6 +640,7 @@ def main() -> None:
         "spill-aware knob a cluster operator turns as data grows) and is",
         "retried when its dispatch probe reads a degraded host regime.",
         f"Per-rung dispatch ms/job (pre/post): {disp}.",
+        *([merge_line] if merge_line else []),
         "The honest signal is the",
         f"GROWTH RATIO vs the {COPIES[-1]}x size ratio, not the absolute numbers.",
         "",
