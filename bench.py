@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The LAST
+stdout line is a compact JSON summary {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ..., plus the
+gate verdict}; the full result (runs, per-query reference ratios) is
+printed on the line before it and written to BENCH_LAST.json — see
+"Output shape" below.
 
 Each query executes its full plan into the no-op sink (no driver-side
 collect), after one warm-up pass to amortize JVM/codegen warmup; the

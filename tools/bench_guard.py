@@ -57,7 +57,7 @@ def record(n: int = 3) -> None:
         ]
         runs.append(parsed[-1])
     dispatch = min(
-        min(r["dispatch_ms"]["pre"], r["dispatch_ms"]["post"]) for r in runs
+        min(r["dispatch_ms"].values()) for r in runs  # pre/mid/post
     )
     if dispatch > DEGRADED_MS:
         raise SystemExit(
