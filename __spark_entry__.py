@@ -3586,14 +3586,23 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of embeddings onto the top-4 principal components
     (driver-side d×d eigh on the distributed covariance; sign-normalized
     deterministic components).  Rows-only: eigendecomposition is not
-    SQL-expressible; numerics pinned by unit tests against numpy."""
+    SQL-expressible; numerics pinned by unit tests against numpy.
+    The ``pc`` array is projected to scalar columns (pc0..pc3 + norm, the
+    ``q_lsa_embeddings`` pattern) so the driver canonicalizer — which
+    sorts/hashes every cell — never sees an unhashable array cell."""
     from smartpy_arc_spark.operators.embedding import pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
     out = pca_project(emb, k=4)
     return out.select(
         "vec_id",
-        F.transform(F.col("pc"), lambda x: F.round(x, 4)).alias("pc_r4"),
+        F.round(F.col("pc").getItem(0), 4).alias("pc0"),
+        F.round(F.col("pc").getItem(1), 4).alias("pc1"),
+        F.round(F.col("pc").getItem(2), 4).alias("pc2"),
+        F.round(F.col("pc").getItem(3), 4).alias("pc3"),
+        F.round(
+            F.sqrt(F.aggregate("pc", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("norm"),
     )
 
 

@@ -60,8 +60,18 @@ can adjudicate from the artifact alone:
   divided by the regime factor — the idle-regime-equivalent estimate.
   A single-query code regression SURVIVES this normalization (it is
   division by the median, not per-query clamping to the reference).
-- ``regressed``: queries whose ratio exceeds 2x the regime factor —
-  the candidates for a real (non-regime) slowdown.
+- ``regressed``: the real-regression candidates.  Since round 11
+  (VERDICT r10 item 6) the flag uses DISPATCH-ADJUSTED ratios when the
+  reference carries per-query job counts: a degraded regime inflates
+  job-heavy and single-task queries far more than the median query
+  (wall ≈ jobs x dispatch + compute), so the gate first folds the
+  regime into each query's expectation — ``expected_q = ref_q +
+  jobs_q x (dispatch_now − dispatch_ref)`` — and then flags
+  ``measured_q / expected_q`` above 2x the UNCLAMPED median of those
+  adjusted ratios (``adj_vs_reference`` / ``adj_heavy_tail_vs_reference``
+  in the output; headline uses the pre/mid dispatch probes, the tail
+  mid/post).  Raw ratios stay recorded either way; references without
+  ``jobs`` fall back to the raw-ratio > 2x-median rule.
 
 Measured r9 while building the gate: under 32 half-duty busy-loop
 processes the whole headline block inflates ~1.3-2x uniformly
@@ -279,11 +289,11 @@ def main() -> None:
     print(compact_summary_line(out))
 
 
-def normalize_against_reference(out: dict) -> dict:
+def normalize_against_reference(out: dict, ref_path: str | None = None) -> dict:
     """Dispatch-normalized reading against the committed idle-regime
     reference (see module docstring, 'Provenance gate').  Returns {} when
     no reference is committed or the scale factors differ."""
-    ref_path = os.path.join(
+    ref_path = ref_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
     )
     if not os.path.exists(ref_path):
@@ -299,25 +309,63 @@ def normalize_against_reference(out: dict) -> dict:
     }
     if not ratios:
         return {}
-    # regressed compares each query to 2x the UNCLAMPED median: on a run
-    # uniformly faster than the reference (median 0.5) a query at 1.2x
-    # is a 2.4x relative slowdown and must still be flagged (ADVICE r9).
-    # The >=1.0 clamp applies only to the normalization divisor so a
-    # faster-than-reference regime never inflates the normalized total.
+    # Normalization (regime_factor, normalized totals) keeps its r9/r10
+    # semantics: median of the RAW ratios, >=1.0 clamp on the divisor only.
     median = statistics.median(ratios.values())
     factor = max(median, 1.0)
-    regressed = sorted(q for q, r in ratios.items() if r > 2 * median)
     block = {
         "vs_reference": ratios,
         "regime_factor": round(factor, 3),
         "normalized_total": round(out["value"] / factor, 3),
-        "regressed": regressed,
         "reference_meta": {
             "dispatch_ms": ref.get("dispatch_ms"),
             "recorded": ref.get("recorded"),
             "total": ref.get("total"),
         },
     }
+    # regressed (VERDICT r10 item 6): a degraded dispatch regime inflates
+    # job-heavy / single-task queries far more than the median query, so a
+    # raw ratio > 2x median fabricates flags with zero code change (r10
+    # geom_split at 3.96x under 246-300 ms/job; r9 q3).  When the committed
+    # reference carries per-query JOB counts (bench_guard record, r11), the
+    # gate models that out: expected_q = ref_q + jobs_q x (dispatch_now -
+    # dispatch_ref), and flags on measured/expected relative to the
+    # UNCLAMPED median of those adjusted ratios (ADVICE r9 semantics kept:
+    # a uniformly faster run still flags a relative straggler).  Without
+    # job counts it falls back to the raw-ratio rule.
+    ref_jobs = ref.get("jobs") or {}
+    ref_dispatch = ref.get("dispatch_ms")
+    d = out.get("dispatch_ms") or {}
+
+    def adjusted(block_times: dict, ref_times: dict, now_ms) -> dict:
+        if not (ref_jobs and ref_dispatch and now_ms):
+            return {}
+        delta_s = (now_ms - ref_dispatch) / 1000.0
+        adj = {}
+        for q, t in block_times.items():
+            if not (ref_times.get(q) and ref_jobs.get(q)):
+                continue
+            expected = max(ref_times[q] + ref_jobs[q] * delta_s, 1e-3)
+            adj[q] = round(t / expected, 3)
+        return adj
+
+    def flag(rmap: dict) -> list[str]:
+        if not rmap:
+            return []
+        med = statistics.median(rmap.values())
+        return sorted(q for q, r in rmap.items() if r > 2 * med)
+
+    head_ms = [v for v in (d.get("pre"), d.get("mid")) if v]
+    adj_head = adjusted(
+        out["queries"], ref["queries"],
+        sum(head_ms) / len(head_ms) if head_ms else None,
+    )
+    if adj_head:
+        block["adj_vs_reference"] = adj_head
+        block["regressed"] = flag(adj_head)
+    else:
+        block["regressed"] = flag(ratios)
+
     ht_ref = ref.get("heavy_tail") or {}
     if ht_ref and out.get("heavy_tail"):
         tail_ratios = {
@@ -337,9 +385,16 @@ def normalize_against_reference(out: dict) -> dict:
             block["normalized_heavy_tail_total"] = round(
                 out["heavy_tail_total"] / tail_factor, 3
             )
-            block["tail_regressed"] = sorted(
-                q for q, r in tail_ratios.items() if r > 2 * tail_median
+            tail_ms = [v for v in (d.get("mid"), d.get("post")) if v]
+            adj_tail = adjusted(
+                out["heavy_tail"], ht_ref,
+                sum(tail_ms) / len(tail_ms) if tail_ms else None,
             )
+            if adj_tail:
+                block["adj_heavy_tail_vs_reference"] = adj_tail
+                block["tail_regressed"] = flag(adj_tail)
+            else:
+                block["tail_regressed"] = flag(tail_ratios)
     return block
 
 

@@ -148,6 +148,17 @@ def split_equal_area(
         c for c in df.columns if c not in (geom_col, oid_col)
     ]
 
+    # The bisection UDF is CPU-heavy per polygon; a small input that arrives
+    # in one (or few) scan partitions would run it as single-task stages,
+    # idling every other core (observed at sf0.1: 500 rows / 1 partition /
+    # (0+1)/1 stages).  Spread tiny inputs across the cluster parallelism —
+    # the round-robin shuffle of a few hundred raw rows is ~free, and at
+    # scale the input already has >= defaultParallelism partitions so this
+    # branch never fires (no shuffle added to the 100 TB path).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        df = df.repartition(parallelism)
+
     @F.pandas_udf(T.ArrayType(T.BinaryType()))
     def parts_udf(wkb: pd.Series, oid: pd.Series) -> pd.Series:
         out = []

@@ -17,8 +17,9 @@ Two subcommands:
     Adjudicate a recorded driver bench against the committed reference:
     print the regime factor (median per-query ratio — contention moves
     many ratios at once, a real regression moves one), the
-    dispatch-normalized totals, and any queries whose ratio exceeds 2x
-    the regime factor (the real-regression candidates).  This is the
+    dispatch-normalized totals, and the real-regression candidates
+    (dispatch-adjusted per-query ratios > 2x their unclamped median when
+    the reference carries job counts — see bench.py).  This is the
     same computation ``bench.py`` embeds in its own output
     (``normalize_against_reference``); the subcommand exists to re-read
     historical artifacts that predate the gate.
@@ -47,14 +48,23 @@ def record(n: int = 3) -> None:
         )
         # bench.py prints the full JSON on an earlier line and a compact
         # summary last (round 10); take the newest line that carries the
-        # per-query heavy_tail block record() needs.
-        parsed = [
-            j for j in (
-                json.loads(ln) for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")
+        # per-query heavy_tail block record() needs.  Non-JSON stdout
+        # lines that happen to start with "{" (log4j/progress noise) are
+        # skipped rather than aborting the whole recording (ADVICE r10).
+        parsed = []
+        for ln in out.stdout.strip().splitlines():
+            if not ln.startswith("{"):
+                continue
+            try:
+                j = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if "heavy_tail" in j:
+                parsed.append(j)
+        if not parsed:
+            raise SystemExit(
+                f"bench run {i + 1} produced no parseable full-JSON line"
             )
-            if "heavy_tail" in j
-        ]
         runs.append(parsed[-1])
     dispatch = min(
         min(r["dispatch_ms"].values()) for r in runs  # pre/mid/post
@@ -70,11 +80,28 @@ def record(n: int = 3) -> None:
     heavy = {
         q: min(r["heavy_tail"][q] for r in runs) for q in runs[0]["heavy_tail"]
     }
+    # Per-query JOB counts (r11, VERDICT r10 item 6): recorded alongside
+    # the idle mins so bench.py's regressed gate can model dispatch-regime
+    # inflation per query (wall ≈ jobs x dispatch + compute) instead of
+    # flagging job-heavy queries whenever the regime degrades.
+    print("job census ...", file=sys.stderr)
+    census_out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "job_census.py"),
+         *queries, *heavy],
+        capture_output=True, text=True, check=True,
+    )
+    jobs = {
+        q: rec["jobs"]
+        for q, rec in json.loads(
+            census_out.stdout.strip().splitlines()[-1]
+        ).items()
+    }
     ref = {
         "queries": queries,
         "total": round(sum(queries.values()), 3),
         "heavy_tail": heavy,
         "heavy_tail_total": round(sum(heavy.values()), 3),
+        "jobs": jobs,
         "dispatch_ms": dispatch,
         "sf": runs[0]["sf"],
         "n_runs": n,
@@ -103,6 +130,15 @@ def check(path: str) -> None:
     block = normalize_against_reference(bench)
     if not block:
         raise SystemExit("no committed reference (or sf mismatch)")
+    if "tail_regime_factor" not in block and "tail_regime_factor" in bench:
+        # A post-r10 compact-line artifact has no per-query heavy_tail
+        # block to recompute from, but it EMBEDS the tail verdict bench.py
+        # computed at run time — use those keys instead of printing nulls
+        # (ADVICE r10).
+        for k in ("tail_regime_factor", "normalized_heavy_tail_total",
+                  "tail_regressed"):
+            if k in bench:
+                block[k] = bench[k]
     print(json.dumps(
         {
             "raw_total": bench["value"],

@@ -45,6 +45,21 @@ def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
     return out.reset_index(drop=True), order
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the DRIVER's canonicalization: sort the RAW frame by all
+    columns (no stringify-first pass).  The driver runs this on EVERY result
+    — including rows-only ones — before hashing, so any cell type pandas
+    can't factorize (e.g. an ``array<double>`` column arriving as ndarray
+    cells) raises here exactly as it does in the driver
+    (r10 ``pca_embeddings``: ``TypeError: unhashable type: 'numpy.ndarray'``).
+    Run it on rows-only results too so that class of bug fails LOCALLY."""
+    out = df.copy().reset_index(drop=True)
+    out = out[sorted(out.columns)]
+    if len(out.columns):
+        out = out.sort_values(by=list(out.columns))
+    return out.reset_index(drop=True)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -112,6 +127,17 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        # Driver-style canonicalization on EVERY result, rows-only included:
+        # the driver sorts/hashes the raw frame before the rows-only
+        # short-circuit, so a frame it can't canonicalize is a FAIL even
+        # when no oracle exists (r10 pca_embeddings).
+        try:
+            driver_canon(spark_pdf)
+        except Exception as e:
+            print(f"FAIL  {name}: driver canonicalization would crash: "
+                  f"{type(e).__name__}: {e} [{time.time()-t0:.1f}s]")
             failures += 1
             continue
         if name not in oracles:

@@ -32,8 +32,13 @@ DEFAULT = [
 
 
 def job_count(ui: str, app_id: str) -> int:
+    """Highest jobId seen so far (+1), NOT len() of the /jobs list: the
+    list is capped by spark.ui.retainedJobs, so once cumulative jobs pass
+    the cap a length-based after-before silently undercounts toward 0
+    (ADVICE r10).  jobIds are monotonic, so the max survives eviction."""
     with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/jobs") as r:
-        return len(json.load(r))
+        jobs = json.load(r)
+    return max((j["jobId"] for j in jobs), default=-1) + 1
 
 
 def main() -> None:
@@ -45,7 +50,14 @@ def main() -> None:
 
     spark = get_spark(
         "job_census",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4047"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4047",
+            # belt-and-braces with the max-jobId counting: keep the whole
+            # run's jobs visible anyway (default retention is 1000, which a
+            # 10-query x 2-pass census can exceed)
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
