@@ -1115,28 +1115,95 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL++ distinct counts and quantile-sketch
     percentiles.  Rows-only check (sketch internals differ across engines);
     tests/test_ops.py asserts ≤5%% error vs the exact values.  These are the
-    100 TB scale path: fixed-size mergeable state instead of exact shuffles."""
+    100 TB scale path: fixed-size mergeable state instead of exact shuffles.
+    FENCED (VERDICT r10 item 4): the sketches run at rsd 0.01 (the
+    default 0.05 rsd admits ~9% misses — observed at sf0.01) and the
+    distinct estimates are compared against exact COUNT(DISTINCT) per
+    flag (±5% = 5σ) while each returned quantile's exact rank is
+    checked against its target (frac_lt/frac_le bounds, ±2% — tie-mass
+    aware for the integer quantity column), raising on violation so the
+    rows-only stamp asserts sketch semantics, not just row shape."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.percentile_approx("l_quantity", 0.9).alias("approx_p90_qty"),
+    ).localCheckpoint(eager=True)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("xo"),
+        F.count_distinct("l_partkey").alias("xp"),
     )
+    bad = out.join(exact, "l_returnflag").where(
+        (F.abs(F.col("approx_orders") / F.col("xo") - 1) > 0.05)
+        | (F.abs(F.col("approx_parts") / F.col("xp") - 1) > 0.05)
+    ).collect()
+    if bad:
+        raise AssertionError(
+            "approx_count_distinct outside the 5% fence: "
+            + ", ".join(
+                f"{r['l_returnflag']}: orders {r['approx_orders']}/{r['xo']} "
+                f"parts {r['approx_parts']}/{r['xp']}" for r in bad
+            )
+        )
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    med, p90 = F.col("approx_median_price"), F.col("approx_p90_qty")
+    bad = (
+        out.join(li, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg((price <= med).cast("double")).alias("r50le"),
+            F.avg((price < med).cast("double")).alias("r50lt"),
+            F.avg((qty <= p90).cast("double")).alias("r90le"),
+            F.avg((qty < p90).cast("double")).alias("r90lt"),
+        )
+        .where(
+            (F.col("r50le") < 0.5 - 0.02) | (F.col("r50lt") > 0.5 + 0.02)
+            | (F.col("r90le") < 0.9 - 0.02) | (F.col("r90lt") > 0.9 + 0.02)
+        )
+        .collect()
+    )
+    if bad:
+        raise AssertionError(
+            "approx quantile outside the 2% rank fence: "
+            + ", ".join(
+                f"{r['l_returnflag']}: r50∈[{r['r50lt']:.4f},{r['r50le']:.4f}] "
+                f"r90∈[{r['r90lt']:.4f},{r['r90le']:.4f}]" for r in bad
+            )
+        )
+    return out
 
 
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Datasketches HLL: per-(flag,status) sketches built in one
     pass, then UNIONED to per-flag estimates — the re-aggregatable-rollup
     pattern (store sketches per partition/day, merge at query time without
-    rescanning).  Rows-only; recombination accuracy asserted in tests."""
+    rescanning).  Rows-only; recombination accuracy asserted in tests.
+    FENCED (VERDICT r10 item 4): the union estimates are checked against
+    exact per-flag COUNT(DISTINCT) within ±5% (Datasketches HLL lg_k=12
+    rse ≈1.6%; 5% is the 3σ envelope), raising on violation."""
     li = _t(spark, sf_dir, "lineitem")
     sketches = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk")
     )
-    return sketches.groupBy("l_returnflag").agg(
+    out = sketches.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    ).localCheckpoint(eager=True)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("xo")
     )
+    bad = out.join(exact, "l_returnflag").where(
+        F.abs(F.col("approx_orders") / F.col("xo") - 1) > 0.05
+    ).collect()
+    if bad:
+        raise AssertionError(
+            "HLL union estimate outside the 5% fence: "
+            + ", ".join(
+                f"{r['l_returnflag']}: {r['approx_orders']} vs exact {r['xo']}"
+                for r in bad
+            )
+        )
+    return out
 
 
 def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4738,11 +4805,48 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio (RefinedWeb-style redundancy
     signal) via Arrow-batched mapInPandas + stdlib zlib.  No SQL oracle
-    (library codec); determinism + band behavior pinned in tests."""
+    (library codec); determinism + band behavior pinned in tests.
+    FENCED (VERDICT r10 item 4): in-query asserts that (a) every row's
+    ``n_bytes`` equals the source text's UTF-8 octet length and
+    ``ratio_e4`` is consistent with n_compressed/n_bytes, (b) compressed
+    output is non-empty for non-empty input, and (c) byte-identical texts
+    compress to byte-identical sizes (determinism) — raising on any
+    violation so the rows-only stamp asserts codec semantics."""
     from smartpy_arc_spark.operators.quality import compression_ratio
 
     docs = _t(spark, sf_dir, "documents")
-    return compression_ratio(docs)
+    out = compression_ratio(docs).localCheckpoint(eager=True)
+    joined = out.join(docs.select("doc_id", "text"), "doc_id")
+    bad = joined.where(
+        (F.col("n_bytes") != F.octet_length("text"))
+        | ((F.col("n_bytes") > 0) & (F.col("n_compressed") <= 0))
+        | (
+            (F.col("n_bytes") > 0)
+            & (
+                F.col("ratio_e4")
+                != F.round(
+                    F.col("n_compressed") * 10000 / F.col("n_bytes")
+                ).cast("long")
+            )
+        )
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"compression_ratio fence: {bad} rows with inconsistent "
+            "n_bytes/n_compressed/ratio_e4"
+        )
+    nondet = (
+        joined.groupBy("text")
+        .agg(F.count_distinct("n_compressed").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    if nondet:
+        raise AssertionError(
+            f"compression_ratio fence: {nondet} identical texts with "
+            "differing compressed sizes (non-deterministic codec)"
+        )
+    return out
 
 
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4927,7 +5031,12 @@ def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio features over deterministic pure-tone WAVs
     (tone frequency varies with doc_id): dominant/centroid/bandwidth Hz
     via numpy rFFT in mapInPandas.  No SQL oracle (FFT); pinned by
-    closed-form pure-tone expectations in tests."""
+    closed-form pure-tone expectations in tests.  FENCED (VERDICT r10
+    item 4): the tones are synthesized at 250·(1+doc_id%8) Hz on exact
+    rFFT bins (25·(1+k) cycles in 1600 samples at 16 kHz), so in-query
+    the dominant frequency must equal the synthesized tone within 1 Hz
+    and the centroid within 10 Hz (int16 quantization noise) — raising
+    on violation so the rows-only stamp asserts spectral semantics."""
     from smartpy_arc_spark.multimodal.codecs import wav_spectral_features
     from smartpy_arc_spark.session import ensure_worker_imports
 
@@ -4954,7 +5063,23 @@ def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_worker_imports(spark)
     blobs = docs.mapInPandas(synth, "item_id long, payload binary")
-    return wav_spectral_features(blobs)
+    out = wav_spectral_features(blobs).localCheckpoint(eager=True)
+    expected = (250 * (1 + F.col("item_id") % 8) * 100).cast("long")
+    bad = out.where(
+        (F.abs(F.col("dominant_hz_e2") - expected) > 100)
+        | (F.abs(F.col("centroid_hz_e2") - expected) > 1000)
+        | (F.col("sample_rate") != 16000)
+        | (F.col("n_samples") != 1600)
+    ).collect()
+    if bad:
+        raise AssertionError(
+            "wav_spectral fence: dominant/centroid off the synthesized "
+            "tone: " + ", ".join(
+                f"id={r['item_id']}: dom={r['dominant_hz_e2']} "
+                f"cen={r['centroid_hz_e2']}" for r in bad[:5]
+            )
+        )
+    return out
 
 
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5112,9 +5237,13 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffered aggregate — partials combine map-side, no single-node
     percentile buffer.  Rows-only check: the sketch is engine-specific,
     so no bit-exact DuckDB oracle exists by construction; the exact
-    variant (`percentiles`) carries the value-hash evidence."""
+    variant (`percentiles`) carries the value-hash evidence.  FENCED
+    (VERDICT r10 item 4): each returned quantile's exact rank is checked
+    in-query against its target via frac_lt/frac_le bounds (±0.5%; the
+    sketch's guarantee at accuracy 10000 is 0.01%, the slack covers the
+    4-decimal display rounding), raising on violation."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    out = (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
@@ -5131,7 +5260,37 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p25_qty",
         )
         .orderBy("l_returnflag")
+    ).localCheckpoint(eager=True)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    tol = 0.005
+    checks = (
+        out.join(li, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg((price <= F.col("median_price")).cast("double")).alias("m_le"),
+            F.avg((price < F.col("median_price")).cast("double")).alias("m_lt"),
+            F.avg((price <= F.col("p90_price")).cast("double")).alias("p_le"),
+            F.avg((price < F.col("p90_price")).cast("double")).alias("p_lt"),
+            F.avg((qty <= F.col("p25_qty")).cast("double")).alias("q_le"),
+            F.avg((qty < F.col("p25_qty")).cast("double")).alias("q_lt"),
+        )
+        .where(
+            (F.col("m_le") < 0.5 - tol) | (F.col("m_lt") > 0.5 + tol)
+            | (F.col("p_le") < 0.9 - tol) | (F.col("p_lt") > 0.9 + tol)
+            | (F.col("q_le") < 0.25 - tol) | (F.col("q_lt") > 0.25 + tol)
+        )
+        .collect()
     )
+    if checks:
+        raise AssertionError(
+            "approx_percentile outside the 0.5% rank fence: "
+            + ", ".join(
+                f"{r['l_returnflag']}: m∈[{r['m_lt']:.4f},{r['m_le']:.4f}] "
+                f"p90∈[{r['p_lt']:.4f},{r['p_le']:.4f}] "
+                f"q25∈[{r['q_lt']:.4f},{r['q_le']:.4f}]" for r in checks
+            )
+        )
+    return out
 
 
 def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5139,11 +5298,41 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HLL++) replaces the exact multi-distinct, eliminating the Expand
     stage — one sketch per column, map-side mergeable.  Rows-only: HLL
     estimates are engine-specific; the exact variant (`profile`) carries
-    the value-hash evidence."""
+    the value-hash evidence.  FENCED (VERDICT r10 item 4): the approx
+    profile is joined per column against the exact profile — every
+    non-sketch column (n_rows/n_null/min/max/mean) must match EXACTLY
+    (approx swaps only the distinct estimator) and ``n_distinct`` must
+    land within ±5% of the exact count — raising on violation."""
     from smartpy_arc_spark.operators.checks import profile_table
 
     orders = _t(spark, sf_dir, "orders")
-    return profile_table(orders, approx=True)
+    out = profile_table(orders, approx=True).localCheckpoint(eager=True)
+    exact = profile_table(orders, approx=False).select(
+        "column",
+        F.col("n_rows").alias("xn"), F.col("n_null").alias("xnul"),
+        F.col("n_distinct").alias("xdis"),
+        F.col("min_value").alias("xmin"), F.col("max_value").alias("xmax"),
+        F.col("mean_e4").alias("xavg"),
+    )
+    bad = out.join(exact, "column").where(
+        (F.col("n_rows") != F.col("xn"))
+        | (F.col("n_null") != F.col("xnul"))
+        | (F.col("min_value") != F.col("xmin"))
+        | (F.col("max_value") != F.col("xmax"))
+        | ~(
+            F.col("mean_e4").eqNullSafe(F.col("xavg"))
+        )
+        | (F.abs(F.col("n_distinct") / F.col("xdis") - 1) > 0.05)
+    ).collect()
+    if bad:
+        raise AssertionError(
+            "profile_approx fence: columns diverging from the exact "
+            "profile: " + ", ".join(
+                f"{r['column']} (dis {r['n_distinct']} vs {r['xdis']})"
+                for r in bad
+            )
+        )
+    return out
 
 
 def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5346,15 +5535,35 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     week) customer sketches union into per-priority totals — the re-scan-
     free pattern for distincts at 100 TB.  Rows-only (HLL estimates are
     library-specific); exactness on small cardinalities and the
-    union ≤ sum inequality are pinned by unit tests."""
+    union ≤ sum inequality are pinned by unit tests.  FENCED (VERDICT
+    r10 item 4): in-query, the union estimate must land within ±5% of
+    the exact per-priority COUNT(DISTINCT) and must not exceed the sum
+    of the per-week estimates (the inequality the rollup exists to
+    beat), raising on violation."""
     from smartpy_arc_spark.operators.sketch import hll_rollup
 
     orders = _t(spark, sf_dir, "orders").withColumn(
         "wk", F.date_trunc("week", F.col("o_orderdate"))
     )
-    return hll_rollup(
+    out = hll_rollup(
         orders, ["o_orderpriority"], "o_custkey", "wk"
-    ).orderBy("o_orderpriority")
+    ).orderBy("o_orderpriority").localCheckpoint(eager=True)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("xd")
+    )
+    bad = out.join(exact, "o_orderpriority").where(
+        (F.abs(F.col("distinct_est") / F.col("xd") - 1) > 0.05)
+        | (F.col("distinct_est") > F.col("sum_fine_est"))
+    ).collect()
+    if bad:
+        raise AssertionError(
+            "hll_rollup fence: union estimate off exact distinct or "
+            "above the per-cell sum: " + ", ".join(
+                f"{r['o_orderpriority']}: est {r['distinct_est']} vs "
+                f"exact {r['xd']} (sum {r['sum_fine_est']})" for r in bad
+            )
+        )
+    return out
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5622,7 +5831,13 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer balance predict 'order finalized'?  One (d+1)²-moment
     aggregate per iteration, bounded driver solve.  Rows-only (IRLS
     floats); coefficient recovery vs a numpy IRLS of the same spec is
-    pinned to 1e-6 by unit tests."""
+    pinned to 1e-6 by unit tests.  FENCED (VERDICT r10 item 4):
+    in-query, every coefficient must be finite and the reported train
+    log-loss must be finite and no worse than the null model's
+    base-rate entropy (a fit that fails to beat predicting the mean is
+    a broken fit), raising on violation."""
+    import math as _math
+
     from smartpy_arc_spark.operators.stats import logistic_fit
 
     orders = _t(spark, sf_dir, "orders")
@@ -5631,7 +5846,21 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("y"),
         F.col("o_totalprice"), F.col("c_acctbal"),
     )
-    return logistic_fit(base, "y", ["o_totalprice", "c_acctbal"]).orderBy("term")
+    out = logistic_fit(
+        base, "y", ["o_totalprice", "c_acctbal"]
+    ).orderBy("term").localCheckpoint(eager=True)
+    rows = out.collect()  # bounded: one row per term (3)
+    pbar = base.agg(F.avg("y")).first()[0]
+    null_ll = -(pbar * _math.log(pbar) + (1 - pbar) * _math.log(1 - pbar))
+    for r in rows:
+        if not (_math.isfinite(r["coef"]) and _math.isfinite(r["log_loss"])):
+            raise AssertionError(f"logistic fence: non-finite fit: {r}")
+        if r["log_loss"] > null_ll + 1e-9:
+            raise AssertionError(
+                f"logistic fence: log_loss {r['log_loss']:.6f} worse than "
+                f"null model {null_ll:.6f} — fit did not converge"
+            )
+    return out
 
 
 _SHARED_WORKSPACE_SQL = """
@@ -6813,11 +7042,36 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant activity cycles per event type: per-group FFT of the
     dense daily count series via applyInPandas (numpy on executors,
     calendar-bounded series).  Rows-only; sinusoid recovery pinned by
-    tests."""
+    tests.  FENCED (VERDICT r10 item 4): the (bounded, n_types × 3)
+    result must have contiguous ranks 1..k per key, non-increasing
+    power with rank, non-negative power, and periods ≥ 2 days (the
+    Nyquist bound of a daily series) — raising on violation so the
+    rows-only stamp asserts spectral-ordering semantics."""
     from smartpy_arc_spark.operators.resample import periodogram_topk
 
     ev = _t(spark, sf_dir, "events")
-    return periodogram_topk(ev, "event_type", "ts", top_k=3)
+    out = periodogram_topk(ev, "event_type", "ts", top_k=3).localCheckpoint(
+        eager=True
+    )
+    rows = out.collect()  # bounded: n_event_types x 3
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    for k, grp in by_key.items():
+        grp.sort(key=lambda r: r["rank"])
+        if [g["rank"] for g in grp] != list(range(1, len(grp) + 1)):
+            raise AssertionError(f"periodogram fence: ranks not 1..k for {k}")
+        powers = [g["power_e3"] for g in grp]
+        if any(p < 0 for p in powers) or powers != sorted(powers, reverse=True):
+            raise AssertionError(
+                f"periodogram fence: power not non-increasing for {k}: {powers}"
+            )
+        if any(g["period_days_e3"] < 2000 for g in grp):
+            raise AssertionError(
+                f"periodogram fence: period below the 2-day Nyquist bound "
+                f"for {k}"
+            )
+    return out
 
 
 def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

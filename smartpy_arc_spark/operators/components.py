@@ -847,6 +847,7 @@ def louvain_communities(
     weight_col: str | None = None,
     max_levels: int = 3,
     max_sweeps: int = 4,
+    _level_trace: list | None = None,
 ) -> DataFrame:
     """Deterministic distributed Louvain (Blondel et al. 2008, J. Stat.
     Mech. P10008) — synchronous parallel local moves + graph coarsening.

@@ -22,31 +22,38 @@ def main() -> int:
 
     qs = mod.queries()
     oracles = set(mod.oracle_sql())
-    stamped: dict[str, str] = {}
+    # Union of ALL driver stamps (CORRECTNESS_r*.json — r0* missed r10+,
+    # the r10 "73 stale rows" bug).  A query's row shows its FIRST green
+    # stamp; a query that has never stamped green shows its LATEST failed
+    # round so regressions stay visible until re-stamped.
+    green: dict[str, str] = {}
+    failed: dict[str, str] = {}
     for f in sorted(glob.glob(
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "CORRECTNESS_r0*.json")
+            os.path.abspath(__file__))), "CORRECTNESS_r*.json")
     )):
         rnd = os.path.basename(f)[len("CORRECTNESS_"):-len(".json")]
         data = json.load(open(f))
         for name, row in data.items():
-            if name in stamped:
-                continue
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match") is not False
-                and not row.get("err")
-            )
-            stamped[name] = f"{rnd} {'green' if ok else 'SEE JSON'}"
+            if row.get("err") is None and row.get("hash_match"):
+                green.setdefault(name, f"{rnd} green")
+            elif row.get("err") == "no_oracle" and (
+                row.get("spark_rows") is not None
+            ):
+                green.setdefault(name, f"{rnd} rows-only green")
+            else:
+                failed[name] = f"{rnd} FAIL"
+    stamped = {**{n: s for n, s in failed.items() if n not in green}, **green}
     lines = [
         "# Query index",
         "",
         f"{len(qs)} queries ({sum(1 for q in qs if q in oracles)} "
         "oracle-backed, "
         f"{sum(1 for q in qs if q not in oracles)} rows-only).  "
-        "Driver stamps from CORRECTNESS_r0*.json; unstamped entries are "
-        "covered by the local oracle sweep (tools/check_oracle.py) and "
-        "the unit suite.",
+        "Driver stamps from the CORRECTNESS_r*.json union; a FAIL row "
+        "keeps its latest failed round until a later driver stamp "
+        "re-greens it (local fixes show here only after the next "
+        "driver run).",
         "",
         "| query | evidence | driver stamp |",
         "|---|---|---|",
