@@ -997,16 +997,37 @@ def louvain_communities(
                     .alias("comm"),
                     (-F.col("top.nc") != F.col("comm")).alias("__chg"),
                 )
-                .localCheckpoint(eager=True)
             )
-            changed = nxt.where(
-                F.col("__chg") & (F.col("node") % 2 == F.lit(sweep % 2))
-            ).limit(1).count()
+            # materialize at ODD sweeps only (r11 job cut): the even
+            # sweep's nxt has multiple consumers inside the odd sweep's
+            # single query (tot, k_to, cands, scored), but they all hang
+            # off the same final-aggregate exchange, which AQE's
+            # exchange reuse materializes once — so the even checkpoint
+            # job bought nothing.  Odd checkpoints still truncate
+            # lineage once per parity pair.
+            if sweep % 2 == 1:
+                nxt = nxt.localCheckpoint(eager=True)
             assign = nxt.drop("__chg")
-            if changed:
-                moved_any = True
-            elif sweep % 2 == 1:
-                break  # both parities converged
+            # convergence probe only after ODD sweeps (r11 job cut): the
+            # even-sweep count fed nothing but moved_any, and an
+            # even-parity move is still detected — either its odd-sweep
+            # revert counts here, or it sticks and the final
+            # non-identity probe below sees it.  One count job per
+            # parity PAIR instead of per sweep.
+            if sweep % 2 == 1:
+                changed = nxt.where(
+                    F.col("__chg") & (F.col("node") % 2 == F.lit(sweep % 2))
+                ).limit(1).count()
+                if changed:
+                    moved_any = True
+                else:
+                    break  # odd parity converged; evens checked below
+        if not moved_any:
+            # comm ids are member node ids, so "some node ever kept a
+            # move" ⟺ the final assignment is non-identity
+            moved_any = bool(
+                assign.where(F.col("node") != F.col("comm")).limit(1).count()
+            )
         # canonical community id: smallest member node id — one
         # comm-partitioned window (a single exchange) instead of the
         # former groupBy + join, which paid an aggregate exchange plus
@@ -1023,6 +1044,13 @@ def louvain_communities(
         )
         if not moved_any:
             break
+        if _level_trace is not None:
+            # test hook (ADVICE r10): records which coarsening path each
+            # level takes — `selfw_riding` True means this coarsen folds
+            # the prior level's self-loop weights through the union branch
+            _level_trace.append(
+                {"level": _level, "selfw_riding": selfw is not None}
+            )
         # coarsen: communities -> supernodes in ONE grouped pass (r10):
         # prior-level selfw rides in as self-loop edges, so the
         # intra-community weight (cs == cd, absorbing old selfw via its

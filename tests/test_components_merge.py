@@ -191,3 +191,68 @@ def test_modularity_exact_values(spark):
     for c in (0, 1):
         assert rows[c].internal_edges == 3 and rows[c].total_degree == 6
         assert rows[c].contribution_e9 == 250_000_000
+
+
+def test_louvain_multilevel_selfw_coarsen(spark):
+    """ADVICE r10: a nested clique-of-cliques that coarsens through >=2
+    levels, exercising the coarsen branch where the prior level's selfw
+    rides as self-loop edges (the r10 single-grouped-pass rewrite).
+    Assignments and modularity are pinned to the pre-rewrite values so
+    any future sweep/coarsen refactor that changes semantics fails here
+    instead of only in the sf0.1 contract run."""
+    from smartpy_arc_spark.operators.components import (
+        louvain_communities,
+        modularity,
+    )
+
+    edges = []
+    for sg in (0, 100):
+        cl = [[sg + 10 * c + i for i in range(5)] for c in range(3)]
+        for c in cl:
+            edges += [
+                (a, b) for i, a in enumerate(c) for b in c[i + 1:]
+            ]
+        # 8 inter-clique edges per clique pair: strong enough that the
+        # supergroup merge is profitable at the SUPERNODE level (level 1)
+        # but not at the node level (level 0)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                for t in range(8):
+                    edges.append((cl[i][t % 5], cl[j][(t * 2) % 5]))
+    edges.append((0, 100))  # bridge between supergroups
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    trace = []
+    got = {
+        r.node: r.community
+        for r in louvain_communities(e, _level_trace=trace).collect()
+    }
+    # three coarsens; the 2nd and 3rd fold prior selfw through the union
+    assert [t["selfw_riding"] for t in trace] == [False, True, True]
+
+    # pinned pre-rewrite partition (deterministic parity sweeps; the two
+    # supergroups coarsen-merge, each leaving one supernode behind — a
+    # synchronous-sweep artifact, pinned as-is)
+    parts = {}
+    for n, c in got.items():
+        parts.setdefault(c, set()).add(n)
+    expected = {
+        frozenset({0, 1, 2, 3, 4, 10, 11, 12, 13, 14, 21, 22, 23, 24}),
+        frozenset({20}),
+        frozenset(
+            {100, 101, 102, 103, 104, 110, 111, 112, 113, 114,
+             121, 122, 123, 124}
+        ),
+        frozenset({120}),
+    }
+    assert {frozenset(v) for v in parts.values()} == expected
+
+    a = spark.createDataFrame(list(got.items()), "node long, community long")
+    q = sum(r.contribution_e9 for r in modularity(e, a).collect())
+    assert q == 418729622
+
+    # determinism: a second run is bit-identical
+    again = {
+        r.node: r.community for r in louvain_communities(e).collect()
+    }
+    assert again == got

@@ -410,3 +410,38 @@ def test_convex_hull_matches_bruteforce(spark):
     )
     r2 = convex_hulls(df2, "g", "x", "y").collect()[0]
     assert r2.area_e4 == 0 and r2.n_vertices == 2
+
+
+def test_split_equal_area_spreads_tiny_inputs(spark):
+    """VERDICT r10 item 2: a small input arriving in ONE partition must
+    be spread across the cluster before the CPU-heavy bisection UDF
+    (observed at sf0.1: 500 rows / 1 partition ran the whole split as
+    single-task stages).  A big-partition-count input must pass through
+    untouched — no shuffle added to the at-scale path."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.geometry import split_equal_area
+
+    rows = [
+        (i, bytearray(encode_polygon(rect(0, 0, 10, 10))), "x")
+        for i in range(1, 41)
+    ]
+    one_part = spark.createDataFrame(
+        rows, "OBJECTID long, geometry binary, land_use string"
+    ).coalesce(1)
+    assert one_part.rdd.getNumPartitions() == 1
+    out = split_equal_area(one_part, max_area_units=25.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert out.count() == 160  # 40 polygons x 4 parts — values unaffected
+
+    n_wide = max(2, spark.sparkContext.defaultParallelism)
+    wide = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_wide),
+        "OBJECTID long, geometry binary, land_use string",
+    )
+    assert wide.rdd.getNumPartitions() == n_wide
+    out_wide = split_equal_area(wide, max_area_units=25.0)
+    plan_wide = out_wide._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan_wide
+    assert out_wide.count() == 160
