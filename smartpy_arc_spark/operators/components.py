@@ -124,10 +124,12 @@ def connected_components(
                     != F.col("_old")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # converged when no node's label shrank this round
-        changed = new_labels.where("_changed").limit(1).count()
+        # converged when no node's label shrank this round; the FULL
+        # count is the lazy checkpoint's materializing job (r11) — one
+        # job per round instead of checkpoint + probe
+        changed = new_labels.where("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -337,9 +339,9 @@ def k_core(
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_before = e.count()
+    n_before = e.count()  # materializes the lazy checkpoint (r11)
     for _ in range(max_iter):
         deg = (
             e.select(F.col("a").alias("v"))
@@ -356,9 +358,9 @@ def k_core(
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        n_after = pruned.count()
+        n_after = pruned.count()  # one job: materialize + count (r11)
         e = pruned
         if n_after == n_before:
             break
@@ -415,9 +417,11 @@ def bfs_distances(
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # full count, not isEmpty(): the limit(1) probe would
+        # materialize the lazy checkpoint only partially (r11)
+        if nxt.count() == 0:
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -496,9 +500,10 @@ def shortest_paths(
                 "_chg",
                 F.col("_old").isNull() | (F.col("dist") < F.col("_old")),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        improved = new_dist.where("_chg").limit(1).count() > 0
+        # full-count probe doubles as the materializing job (r11)
+        improved = new_dist.where("_chg").count() > 0
         dist = new_dist.drop("_old", "_chg")
         if not improved:
             break
@@ -575,8 +580,8 @@ def label_propagation(
                 (-F.col("top.nl") != F.col("_old")).alias("__chg"),
             )
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        changed = nxt.where("__chg").limit(1).count()
+        nxt = nxt.localCheckpoint(eager=False)
+        changed = nxt.where("__chg").count()  # materialize + probe (r11)
         labels = nxt.drop("__chg")
         if changed == 0:
             break
@@ -1004,9 +1009,11 @@ def louvain_communities(
             # off the same final-aggregate exchange, which AQE's
             # exchange reuse materializes once — so the even checkpoint
             # job bought nothing.  Odd checkpoints still truncate
-            # lineage once per parity pair.
+            # lineage once per parity pair, and they are LAZY: the
+            # convergence probe below is a full count, which doubles as
+            # the checkpoint's materializing job (one job, not two).
             if sweep % 2 == 1:
-                nxt = nxt.localCheckpoint(eager=True)
+                nxt = nxt.localCheckpoint(eager=False)
             assign = nxt.drop("__chg")
             # convergence probe only after ODD sweeps (r11 job cut): the
             # even-sweep count fed nothing but moved_any, and an
@@ -1017,7 +1024,7 @@ def louvain_communities(
             if sweep % 2 == 1:
                 changed = nxt.where(
                     F.col("__chg") & (F.col("node") % 2 == F.lit(sweep % 2))
-                ).limit(1).count()
+                ).count()
                 if changed:
                     moved_any = True
                 else:
@@ -1313,12 +1320,14 @@ def minimum_spanning_forest(
             incident.groupBy("comp")
             .agg(F.min("e").alias("e"))
             .select("comp", "e.w", "e.s", "e.d", "e.cs", "e.cd")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # convergence probe rides on the checkpoint just materialized
-        # (annotated empty ⇔ chosen empty) — no separate two-join probe
-        # job per round (r7)
-        if chosen.limit(1).count() == 0:
+        # convergence probe IS the materializing action (r11): the LAZY
+        # checkpoint materializes on its first job, and a full count
+        # computes every partition — so checkpoint + probe collapse from
+        # two jobs per round to one.  (A limit(1) probe would materialize
+        # the checkpoint only partially — full count is required here.)
+        if chosen.count() == 0:
             break
         # an edge picked by both endpoints appears twice here; the final
         # (s, d) groupBy dedups, so no per-round distinct exchange
@@ -1371,9 +1380,12 @@ def minimum_spanning_forest(
                     F.col("gp").alias("p"),
                     (F.col("gp") != F.col("p")).alias("_chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            done = jumped.where("_chg").limit(1).count() == 0
+            # full-count probe doubles as the lazy checkpoint's
+            # materializing job (r11) — one job per doubling iteration
+            # instead of checkpoint + probe
+            done = jumped.where("_chg").count() == 0
             par = jumped.drop("_chg")
             if done:
                 break
