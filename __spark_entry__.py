@@ -1700,16 +1700,23 @@ def q_geom_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geom_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area split over rect geometry: part counts + area conservation,
     verified arithmetically (n_parts = max(floor(area/max_units), 1))."""
-    from smartpy_arc_spark.geometry import split_equal_area, st_area
+    from smartpy_arc_spark.geometry import split_equal_area
     from smartpy_arc_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)
     rects = _rect_table(spark, sf_dir)
+    # with_area=True folds the former st_area(geometry) pass INTO the
+    # split UDF (r11, guide §4.1): part_area is the exact st_area kernel
+    # run on the exact part bytes inside the same Python stage, so the
+    # plan drops from 3 ArrowEvalPython boundaries to 2 and every part
+    # geometry crosses the JVM↔Python boundary once less.  Values are
+    # bit-identical by construction (oracle-verified).
     parts = split_equal_area(
-        rects, oid_col="p_partkey", max_area_units=137.0, flds=[]
+        rects, oid_col="p_partkey", max_area_units=137.0, flds=[],
+        with_area=True,
     )
     return (
-        parts.select("ORIG_FID", st_area(F.col("geometry")).alias("_a"))
+        parts.select("ORIG_FID", F.col("part_area").alias("_a"))
         .groupBy("ORIG_FID")
         .agg(
             F.count(F.lit(1)).cast(T.IntegerType()).alias("n_parts"),

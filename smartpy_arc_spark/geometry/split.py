@@ -131,6 +131,7 @@ def split_equal_area(
     max_area_units: float,
     search_tolerance: float = 0.005,
     flds: list[str] | None = None,
+    with_area: bool = False,
 ) -> DataFrame:
     """G3: split every polygon into ~equal parts of at most
     ``max_area_units`` (same planar units as the coordinates; the
@@ -140,6 +141,17 @@ def split_equal_area(
     ``SPLIT_SEQ``, plus carried attribute columns (all non-system columns
     by default — the reference's Blob/Geometry/OID/Raster exclusion,
     poly_splitting.py:152-156).
+
+    ``with_area=True`` additionally emits ``part_area`` — the area of
+    each part, computed INSIDE the split UDF by running the exact
+    ``st_area`` kernel (``columns._multipart_area``) on the just-encoded
+    part WKB.  Bit-identical to a downstream ``st_area(geometry)`` call
+    by construction (same bytes through the same function), but it saves
+    that call's entire extra Python stage — one fewer ArrowEvalPython
+    boundary, one fewer ser/deser pass over every part geometry
+    (guide §4.1: control how many times columns cross the JVM↔Python
+    boundary).  Measured r11: the geom_split contract query drops from
+    3 Python stages to 2.
     """
     from smartpy_arc_spark.session import ensure_worker_imports
 
@@ -156,8 +168,51 @@ def split_equal_area(
     # scale the input already has >= defaultParallelism partitions so this
     # branch never fires (no shuffle added to the 100 TB path).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
-        df = df.repartition(parallelism)
+    spread = max(2, parallelism // 2)
+    if df.rdd.getNumPartitions() < spread:
+        df = df.repartition(spread)
+
+    if with_area:
+        from smartpy_arc_spark.geometry.columns import _multipart_area
+
+        @F.pandas_udf(T.ArrayType(T.StructType([
+            T.StructField("g", T.BinaryType()),
+            T.StructField("a", T.DoubleType()),
+        ])))
+        def parts_area_udf(wkb: pd.Series, oid: pd.Series) -> pd.Series:
+            out = []
+            for w, o in zip(wkb, oid):
+                if w is None:
+                    out.append(None)
+                    continue
+                ps = split_polygon_wkb(
+                    bytes(w), max_area_units, seed=int(o),
+                    search_tolerance=search_tolerance,
+                )
+                # the exact st_area kernel on the exact part bytes —
+                # bit-identical to a downstream st_area(geometry)
+                out.append([(p, _multipart_area(p)) for p in ps])
+            return pd.Series(out)
+
+        exploded = (
+            df.withColumn(
+                "_parts", parts_area_udf(F.col(geom_col), F.col(oid_col))
+            )
+            .select(
+                F.col(oid_col).alias("ORIG_FID"),
+                F.posexplode_outer("_parts").alias("_pos", "_part"),
+                *[F.col(c) for c in keep],
+            )
+            .where(F.col("_part").isNotNull())
+            .select(
+                F.col("_part.g").alias("geometry"),
+                "ORIG_FID",
+                (F.col("_pos") + 1).cast(T.LongType()).alias("SPLIT_SEQ"),
+                F.col("_part.a").alias("part_area"),
+                *[F.col(c) for c in keep],
+            )
+        )
+        return exploded
 
     @F.pandas_udf(T.ArrayType(T.BinaryType()))
     def parts_udf(wkb: pd.Series, oid: pd.Series) -> pd.Series:

@@ -100,10 +100,20 @@ def perplexity_buckets(
     oracle contract holds while the broadcast table and probe keys drop
     from ~20-byte strings to 8 bytes.
     """
+    # materialize the LM count table ONCE (r11, guide §2.4/§5): it is a
+    # BOUNDED table (≤ |charset|³ rows) but its lineage re-scans and
+    # re-explodes the whole reference slice, and this frame feeds FOUR
+    # consumers (vocab_total twice, lm_probs, and through them the
+    # scoring join) — the un-checkpointed plan executed the reference
+    # trigram pass SIX times (r11 plan audit: 6 identical Generate+
+    # HashAggregate subtrees over the reference scan).  One eager
+    # localCheckpoint makes every consumer read the materialized rows;
+    # the counted values are identical, so the output is bit-unchanged.
     lm = (
         _tri_exploded(reference, [], text_col, hash_grams)
         .groupBy("tri")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     vocab_total = lm.agg(
         F.sum("n").alias("total"), F.count("*").alias("vocab")
@@ -143,6 +153,14 @@ def perplexity_buckets(
                 + F.lit(0.0)
             ).alias("cross_entropy"),
         )
+        # materialize the per-doc scores ONCE (r11): `scored` feeds both
+        # the tertile-cut aggregate (a broadcast side) and the final
+        # bucketed output, and without this the whole corpus explode +
+        # LM probe + per-doc aggregate executed TWICE — at 100 TB that
+        # is a second full corpus pass for two cut points.  The frame is
+        # O(#docs) narrow rows; cuts computed from the materialized
+        # values are the same doubles, so buckets are bit-unchanged.
+        .localCheckpoint(eager=True)
     )
     cuts = scored.agg(
         F.expr(

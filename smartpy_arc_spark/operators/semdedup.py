@@ -201,9 +201,19 @@ def semdedup(
             f"intra-cluster pair join is quadratic in width — raise k "
             f"(paper-scale: corpus_size / ~10k) or pass a trained codebook"
         )
+    # materialize the assignment ONCE (r11, guide §2.4/§5): `assigned`
+    # feeds three consumers (both sides of the intra-cluster pair join
+    # and the final left join), and without this the whole assignment
+    # pass — corpus scan + centroid broadcast + nearest-centroid
+    # aggregate — executed three times per run (r11 plan audit: 6
+    # embeddings scans in one plan).  Serialized storage, the edge-table
+    # discipline from components._ckpt_edges: rows carry the full
+    # vector, so deserialized row blocks would be memory-heavy at scale.
+    from pyspark.storagelevel import StorageLevel
+
     assigned = assign_clusters(
         df, id_col=id_col, vec_col=vec_col, k=k, two_level=two_level
-    )
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         F.col("cluster"), F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"), F.col("__n2v").alias("__na2"),

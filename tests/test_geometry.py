@@ -445,3 +445,40 @@ def test_split_equal_area_spreads_tiny_inputs(spark):
     plan_wide = out_wide._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" not in plan_wide
     assert out_wide.count() == 160
+
+
+def test_split_equal_area_with_area_matches_st_area(spark):
+    """r11 optimization: with_area=True folds the st_area pass into the
+    split UDF — the emitted part_area must be BIT-identical to running
+    st_area over the emitted geometry (same bytes, same kernel)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.geometry import split_equal_area, st_area
+
+    rows = [
+        (1, bytearray(encode_polygon(rect(0, 0, 10, 10))), "big"),
+        (2, bytearray(encode_polygon(rect(0, 0, 5, 4))), "small"),
+        (3, None, "nullgeom"),
+    ]
+    df = spark.createDataFrame(
+        rows, "OBJECTID long, geometry binary, land_use string"
+    )
+    fused = split_equal_area(df, max_area_units=25.0, with_area=True)
+    assert "part_area" in fused.columns
+    two_pass = (
+        split_equal_area(df, max_area_units=25.0)
+        .withColumn("part_area", st_area(F.col("geometry")))
+    )
+    a = sorted(
+        (r.ORIG_FID, r.SPLIT_SEQ, bytes(r.geometry),
+         struct.pack("<d", r.part_area))
+        for r in fused.collect()
+    )
+    b = sorted(
+        (r.ORIG_FID, r.SPLIT_SEQ, bytes(r.geometry),
+         struct.pack("<d", r.part_area))
+        for r in two_pass.collect()
+    )
+    assert a == b and len(a) == 5
