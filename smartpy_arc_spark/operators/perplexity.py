@@ -83,6 +83,7 @@ def perplexity_buckets(
     head: float = 1.0 / 3.0,
     tail: float = 2.0 / 3.0,
     hash_grams: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under a reference char-trigram LM, with
     CCNet head/middle/tail bucketing at the ``head``/``tail`` quantiles.
@@ -109,12 +110,16 @@ def perplexity_buckets(
     # HashAggregate subtrees over the reference scan).  One eager
     # localCheckpoint makes every consumer read the materialized rows;
     # the counted values are identical, so the output is bit-unchanged.
+    # ``materialize=False`` (tests / plan inspection) skips both
+    # checkpoints so the full lineage — including the broadcast LM join —
+    # stays visible in one explain; the computed values are identical.
     lm = (
         _tri_exploded(reference, [], text_col, hash_grams)
         .groupBy("tri")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        lm = lm.localCheckpoint(eager=True)
     vocab_total = lm.agg(
         F.sum("n").alias("total"), F.count("*").alias("vocab")
     )
@@ -160,8 +165,9 @@ def perplexity_buckets(
         # is a second full corpus pass for two cut points.  The frame is
         # O(#docs) narrow rows; cuts computed from the materialized
         # values are the same doubles, so buckets are bit-unchanged.
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
     cuts = scored.agg(
         F.expr(
             f"percentile(cross_entropy, array({head}, {tail}))"

@@ -268,11 +268,20 @@ def test_perplexity_lm_is_broadcast(spark, sf_dir):
     from smartpy_arc_spark.operators.perplexity import perplexity_buckets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = _plan(perplexity_buckets(docs, docs.where("lang = 'en'")))
+    # materialize=False exposes the full lineage in one explain (the
+    # default eagerly checkpoints the LM and per-doc scores, so the
+    # final plan only shows the post-checkpoint tail)
+    plan = _plan(
+        perplexity_buckets(docs, docs.where("lang = 'en'"), materialize=False)
+    )
     # trigram LM lookup must be a broadcast hash join, never a shuffle of
     # the exploded corpus against the LM
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the default (materialized) path must read checkpointed rows — the
+    # r11 single-pass property: LM and per-doc scores computed once
+    default_plan = _plan(perplexity_buckets(docs, docs.where("lang = 'en'")))
+    assert "Scan ExistingRDD" in default_plan
 
 
 def test_bloom_probe_filters_before_join(spark, sf_dir):
