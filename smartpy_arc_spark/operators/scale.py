@@ -279,6 +279,7 @@ def partitioned_cumsum(
     *,
     prefix: str = "cum_",
     inclusive: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Global running sums over ``order_cols`` WITHOUT a single-partition
     window.
@@ -301,6 +302,17 @@ def partitioned_cumsum(
     "sum of everything strictly before this row's frame").  Rows that tie
     on ``order_cols`` are ordered arbitrarily among themselves — pass a
     unique tiebreaker as the last order col when that matters.
+
+    ``materialize=True`` (default since r11, guide §2.4/§5)
+    localCheckpoints the range-partitioned sorted frame BEFORE the
+    per-partition-totals collect: the input is sampled once (range
+    boundaries) and sorted ONCE, with both the totals job and the
+    windowed output reading the materialized partitions — the
+    un-materialized form re-executed the full exchange+sort for the
+    totals collect AND again for every downstream action, and its
+    correctness silently relied on ``repartitionByRange`` re-executing
+    deterministically between those passes.  ``materialize=False``
+    restores the recompute form (plan-inspection/tests).
     """
     from pyspark.sql import Window
 
@@ -309,6 +321,8 @@ def partitioned_cumsum(
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
+    if materialize:
+        part = part.localCheckpoint()
     totals = part.groupBy("__pid").agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     ).collect()

@@ -364,26 +364,38 @@ def theil_sen(
         .localCheckpoint()
     )
     n_row = ranked.agg(F.count("*").cast("long").alias("n"))
+    # pair rank r with rank r+h in ONE grouped pass (r11, guide §2.4):
+    # both pair members come from the same checkpointed frame, so the
+    # former lo⋈hi self-join (two exchanges + SMJ) collapses to a single
+    # groupBy(pr) with conditional aggregates — each pr group holds
+    # exactly one lo (r = pr) and one hi (r = pr + h) row.
     half = ranked.crossJoin(F.broadcast(n_row)).withColumn(
         "h", F.floor(F.col("n") / 2).cast("long")
     )
-    lo = half.where(F.col("r") <= F.col("h")).select(
-        "n", F.col("r").alias("pr"), F.col("x").alias("x1"), F.col("y").alias("y1")
-    )
-    hi = half.select(
-        (F.col("r") - F.col("h")).alias("pr"),
-        F.col("x").alias("x2"),
-        F.col("y").alias("y2"),
-    ).where(F.col("pr") >= 1)
+    tagged = half.select(
+        "n",
+        F.when(F.col("r") <= F.col("h"), F.col("r"))
+        .otherwise(F.col("r") - F.col("h"))
+        .alias("pr"),
+        (F.col("r") <= F.col("h")).alias("is_lo"),
+        "x",
+        "y",
+        "h",
+    ).where((F.col("pr") >= 1) & (F.col("pr") <= F.col("h")))
     pairs = (
-        lo.join(hi, "pr")
-        .where(F.col("x2") != F.col("x1"))
+        tagged.groupBy("pr")
+        .agg(
+            F.max(F.when(F.col("is_lo"), F.struct("x", "y"))).alias("_lo"),
+            F.max(F.when(~F.col("is_lo"), F.struct("x", "y"))).alias("_hi"),
+            F.first("n").alias("n"),
+        )
+        .where(F.col("_hi.x") != F.col("_lo.x"))
         .select(
             "n",
             "pr",
             (
-                (F.col("y2") - F.col("y1")).cast("double")
-                / (F.col("x2") - F.col("x1")).cast("double")
+                (F.col("_hi.y") - F.col("_lo.y")).cast("double")
+                / (F.col("_hi.x") - F.col("_lo.x")).cast("double")
             ).alias("m"),
         )
         .localCheckpoint()
