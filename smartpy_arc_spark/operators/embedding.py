@@ -268,22 +268,24 @@ def mmr_select(
     scored = base.withColumn("rel", cos(F.col("v"), c_lit, c_norm))
     scored = scored.localCheckpoint()
 
+    # incremental max-sim (r11, guide §2.4): round r only needs
+    # max(sim to the r−1 already-selected) — carrying it as a running
+    # ``greatest(prev, cos(v, newest))`` column makes each round compute
+    # ONE new cosine instead of re-evaluating all r−1 (O(k) total HOF
+    # folds per row instead of O(k²)).  ``max`` over doubles is exact
+    # (no rounding), so the running form is bit-identical to the
+    # recomputed ``greatest(*sims)``.
+    # _msim starts NULL (not 0.0): the legacy per-round greatest ranged
+    # over the selected-vector cosines ONLY, which can be negative; a 0.0
+    # seed would clamp it.  greatest() skips nulls, coalesce supplies the
+    # round-1 "no selected yet" zero.
     selected: list[Row] = []
-    remaining = scored
+    remaining = scored.withColumn("_msim", F.lit(None).cast("double"))
     for rank in range(1, k + 1):
-        if selected:
-            sims = [
-                cos(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in s["v"]]),
-                    s["nrm"],
-                )
-                for s in selected
-            ]
-            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        else:
-            max_sim = F.lit(0.0)
-        mmr = F.lit(float(lam)) * F.col("rel") - F.lit(1.0 - float(lam)) * max_sim
+        mmr = (
+            F.lit(float(lam)) * F.col("rel")
+            - F.lit(1.0 - float(lam)) * F.coalesce(F.col("_msim"), F.lit(0.0))
+        )
         top = (
             remaining.withColumn("mmr", mmr)
             .orderBy(F.desc("mmr"), F.col("id"))
@@ -294,7 +296,17 @@ def mmr_select(
             break
         pick = top[0]
         selected.append(pick)
-        remaining = remaining.where(F.col("id") != pick["id"])
+        remaining = remaining.where(F.col("id") != pick["id"]).withColumn(
+            "_msim",
+            F.greatest(
+                F.col("_msim"),
+                cos(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in pick["v"]]),
+                    pick["nrm"],
+                ),
+            ),
+        )
 
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -29,7 +29,10 @@ bit-for-bit before rounding.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -281,6 +284,57 @@ def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _srp_buckets_vectorized(planes_all: np.ndarray, n_tables: int, dim: int):
+    """All ``n_tables`` SRP bucket ids in ONE vectorized pass (r11, guide
+    §4.2): a pandas UDF ``array<double> → array<long>`` whose inner loop
+    accumulates ``acc += v[j]·p[j]`` over dimensions — the SAME IEEE ops in
+    the SAME left-fold order as the ``_dot`` higher-order function, so
+    every projection (and therefore every sign bit and bucket id) is
+    bit-identical to the interpreted HOF form, while the work runs as
+    ``dim`` NumPy array ops per batch instead of
+    ``n_tables·n_planes`` interpreted fold evaluations per row.
+
+    Rows whose vector length differs from ``dim`` keep the legacy
+    semantics (``zip_with`` null-padding poisons the fold → every sign
+    test fails → bucket 0 in every table).
+    """
+    n_planes = planes_all.shape[0] // n_tables
+    pt = planes_all.T.copy()  # (dim, n_tables*n_planes)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        zeros = np.zeros(n_tables, dtype=np.int64)
+        for s in batches:
+            vals = s.to_numpy()
+            lens = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                               count=len(vals))
+            ok = lens == dim
+            out = np.empty(len(vals), dtype=object)
+            if ok.any():
+                V = np.stack(vals[ok]).astype(np.float64, copy=False)
+                acc = np.zeros((V.shape[0], pt.shape[1]))
+                for j in range(dim):
+                    # mul then add as two separately-rounded float64 ops —
+                    # exactly _dot's acc = acc + (x*y) fold step
+                    acc += V[:, j : j + 1] * pt[j][None, :]
+                bits = (acc >= 0).astype(np.int64)
+                buckets = np.zeros((V.shape[0], n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    b = buckets[:, t]
+                    for p in range(n_planes):
+                        b *= 2
+                        b += bits[:, t * n_planes + p]
+                rows = list(buckets)
+            else:
+                rows = []
+            it = iter(rows)
+            for i in range(len(vals)):
+                out[i] = next(it) if ok[i] else zeros
+            yield pd.Series(out)
+
+    return _buckets
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -319,30 +373,22 @@ def ann_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    c_buckets = []
-    q_buckets = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        c_buckets.append(
-            c.select(
-                "neighbor_id", "_cv",
-                F.lit(t).alias("tbl"),
-                srp_bucket(F.col("_cv"), planes).alias("bucket"),
-            )
-        )
-        q_buckets.append(
-            q.select(
-                "query_id", "_qv",
-                F.lit(t).alias("tbl"),
-                srp_bucket(F.col("_qv"), planes).alias("bucket"),
-            )
-        )
-    c_all = c_buckets[0]
-    for extra in c_buckets[1:]:
-        c_all = c_all.unionByName(extra)
-    q_all = q_buckets[0]
-    for extra in q_buckets[1:]:
-        q_all = q_all.unionByName(extra)
+    # one vectorized pass computes every table's bucket id (r11, guide
+    # §4.1/§4.2): the former per-table ``srp_bucket`` union scanned the
+    # corpus n_tables times and evaluated n_tables·n_planes interpreted
+    # HOF dot-products per row; this hashes each side ONCE (single scan,
+    # single ArrowEvalPython) and posexplodes the n_tables bucket ids —
+    # bit-identical bucket values (see _srp_buckets_vectorized).
+    planes_all = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    buckets_udf = _srp_buckets_vectorized(planes_all, n_tables, dim)
+    c_all = c.withColumn("_b", buckets_udf(F.col("_cv"))).select(
+        "neighbor_id", "_cv", F.posexplode("_b").alias("tbl", "bucket")
+    )
+    q_all = q.withColumn("_b", buckets_udf(F.col("_qv"))).select(
+        "query_id", "_qv", F.posexplode("_b").alias("tbl", "bucket")
+    )
 
     cands = (
         c_all.join(F.broadcast(q_all), on=["tbl", "bucket"])
