@@ -822,10 +822,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
+    # join order (r11, guide §3.2): the two nation-filtered dims keep
+    # ~2/25 of suppliers/customers, so (a) the supp join FIRST prunes
+    # lineitem ~12× before any wide exchange, and (b) orders⋈cust
+    # shrinks the orders side the same way before the orderkey join —
+    # the former shape shuffled the full lineitem⋈orders rows.  Inner
+    # joins + filter commute: identical rows out.
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(oc, li["l_orderkey"] == orders["o_orderkey"])
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .select(
             "supp_nation",
@@ -858,9 +864,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'"
     )
     li = _t(spark, sf_dir, "lineitem")
+    # r11 (guide §3.2): apply the EUROPE-customer semi-join to orders
+    # BEFORE the orderkey join — the former shape exchanged the full
+    # lineitem⋈orders output and only then semi-filtered it; the
+    # left_semi on o_custkey commutes with the inner join on o_orderkey
+    # (it filters order keys, never changes multiplicity), so the wide
+    # exchange now carries ~1/5 of the orders side.  Identical rows out.
+    orders = orders.join(
+        cust_n, orders["o_custkey"] == cust_n["c_custkey"], "left_semi"
+    )
     vol = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"], "left_semi")
         .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -1611,31 +1625,33 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.similarity.ann_lsh_topk`` (SRP-LSH buckets), which bound
     the candidate set by construction.  ``tests/test_pipeline_ops.py``
     asserts the bounded filter stays in this query."""
-    from smartpy_arc_spark.operators.similarity import _dot
+    from smartpy_arc_spark.operators.similarity import (
+        cosine_threshold_pairs_bounded,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # per-row norms staged ONCE per side: cosine() would re-fold
-    # dot(a,a) and dot(b,b) per PAIR (3 folds/pair); staging cuts the
-    # pair work to one dot fold — same doubles, same op order
-    # (denom = sqrt(na2 * nb2) exactly as cosine() computes it)
+    # r11 (guide §4.2): the bounded query side collects (≤300 rows by the
+    # routing contract below) and the pair scoring runs as ONE vectorized
+    # mapInPandas pass over the corpus — replacing the BNLJ that evaluated
+    # an interpreted 64-term HOF fold per candidate pair.  The kernel's
+    # per-dimension accumulation is bit-identical to the staged-norm
+    # _dot form (see cosine_threshold_pairs_bounded; equivalence pinned
+    # by tests/test_round11_opt.py), and rounding stays in Spark.
     va = F.col("embedding").cast("array<double>")
-    q = emb.where("vec_id < 300").select(
-        F.col("vec_id").alias("id_a"),
-        va.alias("_va"),
-        _dot(va, va).alias("_na2"),
+    q_rows = (
+        emb.where("vec_id < 300")
+        .select(F.col("vec_id").alias("id_a"), va.alias("_va"))
+        .collect()
     )
-    c = emb.select(
-        F.col("vec_id").alias("id_b"),
-        va.alias("_vb"),
-        _dot(va, va).alias("_nb2"),
+    hits = cosine_threshold_pairs_bounded(
+        emb.select(F.col("vec_id").alias("id_a"), va.alias("_va")),
+        q_rows,
+        vec_col="_va",
+        id_col="id_a",
+        threshold=0.45,
     )
-    pairs = c.join(F.broadcast(q), F.col("id_b") > F.col("id_a"))
-    denom = F.sqrt(F.col("_na2") * F.col("_nb2"))
-    cos = F.when(denom > 0, _dot(F.col("_va"), F.col("_vb")) / denom)
-    return (
-        pairs.select("id_a", "id_b", cos.alias("_cos"))
-        .where("_cos > 0.45")
-        .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+    return hits.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
     )
 
 
@@ -4560,10 +4576,14 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
+    # the cumsum's per-partition-totals collect already summed rev_c —
+    # the former separate rev.agg(sum) re-ran the whole lineitem groupBy
+    # a second time for one scalar (r11, guide §2.1/§5.3)
+    gt: dict = {}
     cum = partitioned_cumsum(
-        rev.withColumn("neg", -F.col("rev_c")), ["neg", "l_partkey"], ["rev_c"]
+        rev.withColumn("neg", -F.col("rev_c")), ["neg", "l_partkey"], ["rev_c"],
+        grand_totals=gt,
     )
-    total = rev.agg(F.sum("rev_c").cast("long").alias("total"))
     c = F.col("cum_rev_c").cast("decimal(38,0)")
     t = F.col("total").cast("decimal(38,0)")
     cls = (
@@ -4572,7 +4592,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
     )
     return (
-        cum.crossJoin(F.broadcast(total))
+        cum.withColumn("total", F.lit(int(gt["rev_c"])).cast("long"))
         .select(
             "l_partkey",
             "rev_c",
@@ -5849,12 +5869,16 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # one eager materialization of the joined projection (r11, guide §5):
+    # the fit's stats/iteration aggregates AND the fence's base-rate pass
+    # all read these rows — the join used to execute three times (fit
+    # stats, fit checkpoint, fence pbar)
     base = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
         (F.col("o_orderstatus") == "F").cast("int").alias("y"),
         F.col("o_totalprice"), F.col("c_acctbal"),
-    )
+    ).localCheckpoint(eager=True)
     out = logistic_fit(
-        base, "y", ["o_totalprice", "c_acctbal"]
+        base, "y", ["o_totalprice", "c_acctbal"], materialize=False
     ).orderBy("term").localCheckpoint(eager=True)
     rows = out.collect()  # bounded: one row per term (3)
     pbar = base.agg(F.avg("y")).first()[0]
@@ -8610,15 +8634,26 @@ def q_minhash_prod_path(spark: SparkSession, sf_dir: str) -> DataFrame:
          preserves invariant 1 (star edges replace quadratic pairs but
          never drop exact-dup connectivity).
     """
-    from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
+    from smartpy_arc_spark.operators.dedup import (
+        minhash_band_candidates,
+        minhash_prepare,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    plain = minhash_lsh_candidates(
-        docs, shingle_mode="word", shingle_size=3, collapse_exact=True
-    ).localCheckpoint(eager=True)
-    capped = minhash_lsh_candidates(
+    # the plain and capped runs differ only in banding/cap handling —
+    # compute the dominant shingling/MinHash/collapse prefix ONCE
+    # (r11, guide §2.4; materialized so both variants read rows, not
+    # lineage); identical output to two full minhash_lsh_candidates
+    # calls, pinned by tests/test_round11_opt.py
+    sigs, star_exact = minhash_prepare(
         docs, shingle_mode="word", shingle_size=3, collapse_exact=True,
-        max_bucket_size=8,
+        materialize=True,
+    )
+    plain = minhash_band_candidates(sigs, star_exact).localCheckpoint(
+        eager=True
+    )
+    capped = minhash_band_candidates(
+        sigs, star_exact, max_bucket_size=8
     ).localCheckpoint(eager=True)
 
     expected = (

@@ -285,10 +285,48 @@ def minhash_lsh_candidates(
 
     Defaults keep both off, making the output bit-identical to classic LSH.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
+    sigs, star_exact = minhash_prepare(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingle_mode=shingle_mode,
+        collapse_exact=collapse_exact,
+        portable_hash=portable_hash,
+    )
+    return minhash_band_candidates(
+        sigs,
+        star_exact,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        portable_hash=portable_hash,
+    )
 
+
+def minhash_prepare(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+    shingle_mode: str = "char",
+    collapse_exact: bool = False,
+    portable_hash: bool = False,
+    materialize: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The signature + exact-collapse prefix of
+    :func:`minhash_lsh_candidates`, split out (r11, guide §2.4) so
+    callers running SEVERAL banding variants over the same corpus (e.g.
+    capped and uncapped) compute the dominant shingling/MinHash pass and
+    the collapse shuffle ONCE.  Returns ``(sigs, star_exact)`` —
+    exactly the frames the banding stage consumes;
+    ``materialize=True`` localCheckpoints the collapse output so each
+    variant reads materialized rows instead of re-executing the prefix.
+    """
     sigs = minhash_signatures(
         df,
         text_col=text_col,
@@ -314,6 +352,8 @@ def minhash_lsh_candidates(
             F.col(id_col), _text_hash.alias("_th")
         ).join(sigs, id_col)
         keyed = keyed.withColumn("_rep", F.min(id_col).over(W.partitionBy("_th")))
+        if materialize:
+            keyed = keyed.localCheckpoint(eager=True)
         star_exact = (
             keyed.where(F.col(id_col) != F.col("_rep"))
             .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
@@ -321,6 +361,29 @@ def minhash_lsh_candidates(
         sigs = keyed.where(F.col(id_col) == F.col("_rep")).select(
             id_col, "minhash_sig"
         )
+    elif materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+    return sigs, star_exact
+
+
+def minhash_band_candidates(
+    sigs: DataFrame,
+    star_exact: DataFrame | None,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The banding/bucket-join stage of :func:`minhash_lsh_candidates`,
+    over a prepared ``(sigs, star_exact)`` pair from
+    :func:`minhash_prepare`.  Identical output to the one-shot
+    composition — pinned by unit test."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
     sigs = sigs.cache()  # read twice: banding pass + signature re-attach
     banded = sigs.select(
         F.col(id_col),

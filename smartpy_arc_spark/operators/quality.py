@@ -390,15 +390,23 @@ def quantile_normalize(
     vals = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.count("*").alias("__c")
     )
-    cum = partitioned_cumsum(vals, ["__v"], ["__c"]).select(
+    # the cumsum's totals collect already counted the rows — the grid
+    # ranks become literals instead of an extra agg job + broadcast
+    # (r11, guide §2.1/§5.3)
+    gt: dict = {}
+    cum = partitioned_cumsum(
+        vals, ["__v"], ["__c"], grand_totals=gt
+    ).select(
         "__v", "__c", F.col("cum___c").cast("long").alias("__cu")
     )
-    total = cum.agg(F.sum("__c").cast("long").alias("__n"))
+    n_total = int(gt["__c"])
     ranks = (
         spark.range(0, grid + 1)
         .withColumnRenamed("id", "__i")
-        .crossJoin(F.broadcast(total))
-        .selectExpr("__i", "1 + ((__n - 1) * __i) div " + str(grid) + " as __r")
+        .selectExpr(
+            "__i",
+            f"1 + (({n_total} - 1) * __i) div {grid} as __r",
+        )
     )
     grid_map = (
         cum.join(

@@ -280,6 +280,7 @@ def partitioned_cumsum(
     prefix: str = "cum_",
     inclusive: bool = True,
     materialize: bool = True,
+    grand_totals: dict | None = None,
 ) -> DataFrame:
     """Global running sums over ``order_cols`` WITHOUT a single-partition
     window.
@@ -347,6 +348,8 @@ def partitioned_cumsum(
             prefix + c,
             F.coalesce(local, F.lit(0)) + off_map[F.col("__pid")],
         )
+    if grand_totals is not None:
+        grand_totals.update(acc)
     return out.drop("__pid")
 
 

@@ -90,6 +90,107 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom)
 
 
+def cosine_threshold_pairs_bounded(
+    corpus: DataFrame,
+    query_rows: list,
+    *,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All ``(id_a, id_b, cos)`` pairs with ``id_b > id_a`` and
+    ``cos > threshold`` between a BOUNDED collected query side
+    (``query_rows``: Rows with ``id_col``/``vec_col``, vectors already
+    double) and the distributed corpus — bit-identical to the staged-norm
+    HOF broadcast-join form (``corpus ⋈ broadcast(q)`` with
+    ``_dot``-folded cosines), pinned by
+    tests/test_round11_opt.py.
+
+    The r11 replacement (guide §4.2) for the BNLJ + interpreted-HOF pair
+    scoring: one ``mapInPandas`` pass over the corpus computes the whole
+    |q|-vector of cosines per corpus row via the per-dimension
+    accumulation ``D += C[:, j] ⊗ Q[:, j]`` — the SAME two
+    separately-rounded IEEE float64 ops in the SAME j-ascending fold
+    order as ``_dot``'s ``acc = acc + (x·y)``, so every dot, norm,
+    denominator and cosine is the identical double.  Legacy edge
+    semantics preserved exactly:
+
+    - pairs whose vector lengths differ fold over ``zip_with`` null
+      padding → null cosine → dropped by the threshold; here each corpus
+      row only scores against query vectors of ITS OWN length;
+    - zero-norm vectors: ``denom > 0`` gate → dropped;
+    - null/NaN elements poison the fold → dropped (NaN comparisons are
+      false in both engines; Arrow surfaces element nulls as NaN).
+
+    Emits RAW cosines — callers apply their own rounding in Spark so the
+    rounding mode stays Spark's HALF_UP, never numpy's HALF_EVEN.
+    """
+    by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    grouped: dict[int, list] = {}
+    for r in query_rows:
+        v = r[vec_col]
+        if v is None:
+            continue  # null vector → null cosine with everything → dropped
+        grouped.setdefault(len(v), []).append((r[id_col], v))
+    for length, items in grouped.items():
+        qids = np.array([i for i, _ in items], dtype=np.int64)
+        Q = np.array([v for _, v in items], dtype=np.float64)
+        na2 = np.zeros(len(items))
+        for j in range(length):
+            na2 += Q[:, j] * Q[:, j]
+        by_len[length] = (qids, Q, na2)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vals = pdf[vec_col].to_numpy()
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in vals),
+                dtype=np.int64,
+                count=len(vals),
+            )
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for length, (qids, Q, na2) in by_len.items():
+                sel = lens == length
+                if not sel.any():
+                    continue
+                C = np.stack(vals[sel]).astype(np.float64, copy=False)
+                cids = ids[sel].astype(np.int64)
+                D = np.zeros((C.shape[0], Q.shape[0]))
+                nb2 = np.zeros(C.shape[0])
+                for j in range(length):
+                    # mul then add: two separately-rounded float64 ops —
+                    # exactly _dot's acc = acc + (x*y) fold step
+                    D += C[:, j : j + 1] * Q[:, j][None, :]
+                    nb2 += C[:, j] * C[:, j]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    denom = np.sqrt(na2[None, :] * nb2[:, None])
+                    cos = D / denom
+                    mask = (
+                        (denom > 0)
+                        & (cos > threshold)
+                        & (cids[:, None] > qids[None, :])
+                    )
+                bi, qi = np.nonzero(mask)
+                out_a.append(qids[qi])
+                out_b.append(cids[bi])
+                out_c.append(cos[bi, qi])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(score, "id_a long, id_b long, cos double")
+
+
 def knn_cosine_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

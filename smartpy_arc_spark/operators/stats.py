@@ -356,42 +356,43 @@ def theil_sen(
     # checkpoint between the three ranking passes: each median_select's
     # offset/count jobs would otherwise re-execute every upstream pass
     # (the same lineage blowup fixed in rfm_segments)
+    gt: dict = {}
     ranked = (
         partitioned_cumsum(
-            base.withColumn("__one", F.lit(1)), ["x", "y", "i"], ["__one"]
+            base.withColumn("__one", F.lit(1)),
+            ["x", "y", "i"],
+            ["__one"],
+            grand_totals=gt,
         )
         .select("x", "y", F.col("cum___one").cast("long").alias("r"))
         .localCheckpoint()
     )
-    n_row = ranked.agg(F.count("*").cast("long").alias("n"))
+    # the cumsum's per-partition-totals collect already told the driver
+    # the row count — n/h become plan literals instead of a count job +
+    # broadcast exchange (r11, guide §2.1/§5.3)
+    n = int(gt["__one"])
+    h = n // 2
     # pair rank r with rank r+h in ONE grouped pass (r11, guide §2.4):
     # both pair members come from the same checkpointed frame, so the
     # former lo⋈hi self-join (two exchanges + SMJ) collapses to a single
     # groupBy(pr) with conditional aggregates — each pr group holds
     # exactly one lo (r = pr) and one hi (r = pr + h) row.
-    half = ranked.crossJoin(F.broadcast(n_row)).withColumn(
-        "h", F.floor(F.col("n") / 2).cast("long")
-    )
-    tagged = half.select(
-        "n",
-        F.when(F.col("r") <= F.col("h"), F.col("r"))
-        .otherwise(F.col("r") - F.col("h"))
+    tagged = ranked.select(
+        F.when(F.col("r") <= h, F.col("r"))
+        .otherwise(F.col("r") - h)
         .alias("pr"),
-        (F.col("r") <= F.col("h")).alias("is_lo"),
+        (F.col("r") <= h).alias("is_lo"),
         "x",
         "y",
-        "h",
-    ).where((F.col("pr") >= 1) & (F.col("pr") <= F.col("h")))
+    ).where((F.col("pr") >= 1) & (F.col("pr") <= h))
     pairs = (
         tagged.groupBy("pr")
         .agg(
             F.max(F.when(F.col("is_lo"), F.struct("x", "y"))).alias("_lo"),
             F.max(F.when(~F.col("is_lo"), F.struct("x", "y"))).alias("_hi"),
-            F.first("n").alias("n"),
         )
         .where(F.col("_hi.x") != F.col("_lo.x"))
         .select(
-            "n",
             "pr",
             (
                 (F.col("_hi.y") - F.col("_lo.y")).cast("double")
@@ -403,20 +404,20 @@ def theil_sen(
 
     def median_select(sdf, val_col, order_extra):
         """Row at rank (k+1) div 2 under (val, tiebreak) order — the
-        deterministic lower-median selection."""
+        deterministic lower-median selection.  The selection rank is a
+        literal: the cumsum's totals collect already counted the rows."""
+        mgt: dict = {}
         r = partitioned_cumsum(
             sdf.withColumn("__one", F.lit(1)),
             [val_col, order_extra],
             ["__one"],
+            grand_totals=mgt,
         )
-        k = r.agg(F.count("*").cast("long").alias("k"))
-        return (
-            r.crossJoin(F.broadcast(k))
-            .where(
-                F.col("cum___one").cast("long")
-                == F.floor((F.col("k") + 1) / 2).cast("long")
-            )
-            .select(F.col(val_col).alias("med"), "k")
+        k = int(mgt["__one"])
+        return r.where(
+            F.col("cum___one").cast("long") == F.lit((k + 1) // 2)
+        ).select(
+            F.col(val_col).alias("med"), F.lit(k).cast("long").alias("k")
         )
 
     m_med = median_select(pairs, "m", "pr")
@@ -434,12 +435,11 @@ def theil_sen(
     )
     b_med = median_select(resid, "res", "r")
     out = (
-        n_row.crossJoin(F.broadcast(slope))
-        .crossJoin(
+        slope.crossJoin(
             F.broadcast(b_med.select(F.col("med").alias("b")))
         )
         .select(
-            "n",
+            F.lit(n).cast("long").alias("n"),
             "n_pairs",
             F.round(F.col("m") * 1000000).cast("long").alias("slope_e6"),
             F.round(F.col("b") / scale * 10000).cast("long").alias(
@@ -611,6 +611,7 @@ def logistic_fit(
     *,
     iterations: int = 8,
     ridge: float = 1e-8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Binary logistic regression by distributed Newton-Raphson (IRLS) —
     the standard classifier/propensity/quality-filter fit:
@@ -634,24 +635,38 @@ def logistic_fit(
     import numpy as np
 
     d = len(feature_cols)
-    stats = df.agg(
+    # materialize the (projected, double-cast) input ONCE, BEFORE the
+    # standardization stats pass (r11, guide §5): the former order —
+    # stats over the raw lineage, then a checkpoint of the standardized
+    # projection — executed every upstream join/filter twice.  With
+    # ``materialize=False`` the caller guarantees ``df`` is already
+    # materialized (e.g. an entry-level localCheckpoint shared with its
+    # fence passes) and no extra copy is written.
+    raw = df.select(
+        F.col(y_col).cast("double").alias("y"),
+        *[F.col(c).cast("double").alias(f"f{j}")
+          for j, c in enumerate(feature_cols)],
+    )
+    if materialize:
+        raw = raw.localCheckpoint(eager=True)
+    stats = raw.agg(
         F.count("*").alias("n"),
-        *[F.avg(F.col(c).cast("double")).alias(f"m{j}")
-          for j, c in enumerate(feature_cols)],
-        *[F.stddev_pop(F.col(c).cast("double")).alias(f"s{j}")
-          for j, c in enumerate(feature_cols)],
+        *[F.avg(F.col(f"f{j}")).alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(F.col(f"f{j}")).alias(f"s{j}") for j in range(d)],
     ).first()
     n = stats["n"]
     mu = np.array([stats[f"m{j}"] for j in range(d)])
     sd = np.array([stats[f"s{j}"] or 1.0 for j in range(d)])
     sd[sd == 0] = 1.0
 
+    # standardization stays a lazy projection over the materialized rows:
+    # the per-iteration aggregates re-evaluate only this arithmetic, never
+    # the upstream lineage
     xs = [
-        ((F.col(c).cast("double") - float(mu[j])) / float(sd[j])).alias(f"x{j}")
-        for j, c in enumerate(feature_cols)
+        ((F.col(f"f{j}") - float(mu[j])) / float(sd[j])).alias(f"x{j}")
+        for j in range(d)
     ]
-    base = df.select(F.col(y_col).cast("double").alias("y"), *xs)
-    base = base.localCheckpoint(eager=True)
+    base = raw.select(F.col("y"), *xs)
 
     beta = np.zeros(d + 1)  # [intercept, std-features...]
     for _ in range(iterations):

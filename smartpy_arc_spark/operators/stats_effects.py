@@ -142,40 +142,69 @@ def conformal_interval(
         bucket.alias("b"),
     ).where(F.col("v").isNotNull())
     base = base.localCheckpoint()
-    train = base.where("b < 60").groupBy("g").agg(
-        F.count("*").cast("long").alias("c"),
-        F.sum("v").cast("long").alias("s"),
+    # the per-group train stats were already broadcast-scale by contract
+    # (two F.broadcast(train) joins); collecting them once (r11, guide
+    # §2.1/§5.3) turns both joins into map-literal lookups and derives
+    # n_train from the same rows — dropping the separate full-base count
+    # job and both broadcast-exchange materializations
+    train_rows = (
+        base.where("b < 60")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("v").cast("long").alias("s"),
+        )
+        .collect()
     )
+    n_train = sum(r["c"] for r in train_rows)
+    kv_c = [
+        x
+        for r in train_rows
+        if r["g"] is not None
+        for x in (F.lit(r["g"]), F.lit(int(r["c"])).cast("long"))
+    ]
+    kv_s = [
+        x
+        for r in train_rows
+        if r["g"] is not None
+        for x in (F.lit(r["g"]), F.lit(int(r["s"])).cast("long"))
+    ]
+    if kv_c:
+        cc = F.create_map(*kv_c)[F.col("g")]
+        ss = F.create_map(*kv_s)[F.col("g")]
+    else:
+        cc = F.lit(None).cast("long")
+        ss = F.lit(None).cast("long")
     resid = F.abs(
-        F.col("v").cast("decimal(38,0)") * F.col("c") - F.col("s")
-    ).cast("double") / F.col("c").cast("double")
+        F.col("v").cast("decimal(38,0)") * cc - ss
+    ).cast("double") / cc.cast("double")
     cal = (
         base.where("b >= 60 AND b < 80")
-        .join(F.broadcast(train), "g")
+        .where(cc.isNotNull())
         .select(resid.alias("r"), "k")
     )
+    gt: dict = {}
     ranked = partitioned_cumsum(
-        cal.withColumn("__one", F.lit(1)), ["r", "k"], ["__one"]
+        cal.withColumn("__one", F.lit(1)), ["r", "k"], ["__one"],
+        grand_totals=gt,
     )
-    n_cal = ranked.agg(F.count("*").cast("long").alias("n_cal"))
+    # selection rank as a literal: the cumsum's totals collect already
+    # counted the calibration rows
+    n_cal = int(gt["__one"])
     a_n, a_d = alpha_num, alpha_den
-    target = F.least(
-        F.floor(
-            ((F.col("n_cal") + 1) * (a_d - a_n) + a_d - 1) / a_d
-        ).cast("long"),
-        F.col("n_cal"),
-    )
+    target = min(((n_cal + 1) * (a_d - a_n) + a_d - 1) // a_d, n_cal)
     qhat = (
-        ranked.crossJoin(F.broadcast(n_cal))
-        .where(F.col("cum___one").cast("long") == target)
-        .select(F.col("r").alias("qhat"), "n_cal")
+        ranked.where(F.col("cum___one").cast("long") == F.lit(target))
+        .select(
+            F.col("r").alias("qhat"),
+            F.lit(n_cal).cast("long").alias("n_cal"),
+        )
     )
     test = (
         base.where("b >= 80")
-        .join(F.broadcast(train), "g")
+        .where(cc.isNotNull())
         .select(resid.alias("r"))
     )
-    n_train = base.where("b < 60").count()
     return (
         test.crossJoin(F.broadcast(qhat))
         .agg(

@@ -194,12 +194,18 @@ def ks_test_2samp(
             F.count(F.when(F.col(group_col) == group_b, 1)).alias("nb_v"),
         )
     )
-    cum = partitioned_cumsum(vals, ["v"], ["na_v", "nb_v"])
-    totals = cum.agg(
-        F.sum("na_v").cast("long").alias("n_a"),
-        F.sum("nb_v").cast("long").alias("n_b"),
+    # group totals come from the cumsum's per-partition-totals collect —
+    # no separate agg job + broadcast (r11, guide §2.1/§5.3)
+    gt: dict = {}
+    cum = partitioned_cumsum(
+        vals, ["v"], ["na_v", "nb_v"], grand_totals=gt
     )
-    scored = cum.crossJoin(F.broadcast(totals)).select(
+    scored = cum.withColumns(
+        {
+            "n_a": F.lit(int(gt["na_v"])).cast("long"),
+            "n_b": F.lit(int(gt["nb_v"])).cast("long"),
+        }
+    ).select(
         "n_a",
         "n_b",
         F.abs(

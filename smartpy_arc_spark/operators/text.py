@@ -1172,8 +1172,15 @@ def heaps_law(
         F.col(id_col).alias("doc"), words.alias("w")
     ).where(F.size("w") > 0)
     sized = docs.select("doc", "w", F.size("w").alias("len"))
+    # the cumsum's totals collect already summed len — and the global
+    # positions are dense (each doc occupies [off+1, off+len]), so
+    # max(gpos) ≡ Σ len: the former separate toks.agg(max, count) pass
+    # re-ran the whole tokenize-explode for two scalars (r11, guide
+    # §2.1/§5.3)
+    gt: dict = {}
     offs = partitioned_cumsum(
-        sized.select("doc", "len"), ["doc"], ["len"], inclusive=False
+        sized.select("doc", "len"), ["doc"], ["len"], inclusive=False,
+        grand_totals=gt,
     )
     toks = (
         sized.join(offs.select("doc", "cum_len"), "doc")
@@ -1184,13 +1191,11 @@ def heaps_law(
         .select("word", (F.col("off") + F.col("pos") + 1).alias("gpos"))
     )
     firsts = toks.groupBy("word").agg(F.min("gpos").alias("first_pos"))
-    total = toks.agg(
-        F.max("gpos").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_all"),
-    )
     # checkpoint c_k = ceil(k·N/n_checkpoints); vocab(c) = words with
     # first_pos <= c — a bounded conditional aggregate
-    pts = firsts.crossJoin(F.broadcast(total))
+    pts = firsts.withColumn(
+        "n_tokens", F.lit(int(gt["len"])).cast("long")
+    )
     aggs = [F.max("n_tokens").alias("n_tokens"), F.count("*").cast("long").alias("vocab")]
     for k in range(1, n_checkpoints + 1):
         ck = F.expr(f"(n_tokens * {k} + {n_checkpoints - 1}) div {n_checkpoints}")

@@ -563,9 +563,10 @@ def run_stream_until_idle(
     *,
     output_mode: str = "complete",
     name: str | None = None,
-    idle_polls: int = 5,
-    poll_sec: float = 0.3,
+    idle_polls: int = 4,
+    poll_sec: float = 0.075,
     timeout_sec: float = 120.0,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a BOUNDED custom streaming source to a memory sink.
 
@@ -576,6 +577,17 @@ def run_stream_until_idle(
     once ``lastProgress`` reports zero input rows ``idle_polls`` times in
     a row (the source's offset has stopped advancing — for a bounded
     source that is exhaustion, deterministically).
+
+    Both in-repo sources (seqgen, eventgen) are MONOTONE deterministic
+    generators — ``latestOffset`` advances on every trigger until the
+    bound, so a single no-data progress event already proves exhaustion;
+    the poll cadence (r11) holds ~0.3 s of observed idleness (≥ one
+    250 ms-cadence no-data event) instead of the former 1.5 s tail.
+    ``state_partitions`` scopes the stateful-shuffle width exactly like
+    :func:`run_stream_to_memory` (every state partition instantiates a
+    state store PER MICRO-BATCH, and the continuous-trigger drain runs
+    several batches) — size it to key cardinality, ``None`` keeps the
+    session value.
     """
     import time
 
@@ -586,7 +598,11 @@ def run_stream_until_idle(
     # is observed promptly (value captured at stream start)
     conf_key = "spark.sql.streaming.noDataProgressEventInterval"
     prior = spark.conf.get(conf_key, None)
+    part_key = "spark.sql.shuffle.partitions"
+    prior_parts = spark.conf.get(part_key)
     spark.conf.set(conf_key, "250ms")
+    if state_partitions is not None:
+        spark.conf.set(part_key, str(state_partitions))
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -599,6 +615,8 @@ def run_stream_until_idle(
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prior)
+        if state_partitions is not None:
+            spark.conf.set(part_key, prior_parts)
     try:
         idle = 0
         deadline = time.time() + timeout_sec
