@@ -4981,13 +4981,17 @@ def q_recs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # one eager materialization of the joined projection (r11, guide §5):
+    # train feeds BOTH the similarity fit and the profile pass, and test
+    # the scoring join — the lineitem⋈orders join used to execute once
+    # per consumer (the logistic pattern)
     purchases = li.join(
         orders, li["l_orderkey"] == orders["o_orderkey"]
     ).select(
         F.col("o_custkey").alias("cust"),
         F.col("l_orderkey").alias("okey"),
         (F.col("l_partkey") % 100).alias("item"),
-    )
+    ).localCheckpoint(eager=True)
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("okey").cast("string")), 1, 8), 16, 10

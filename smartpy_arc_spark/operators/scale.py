@@ -371,21 +371,26 @@ def distributed_ntile(
     for reproducible output (the oracle-facing queries always do).
     """
     with_one = df.withColumn("__one", F.lit(1))
-    cum = partitioned_cumsum(with_one, order_cols, ["__one"])
-    n_row = cum.agg(F.count("*").cast("long").alias("__n"))
+    # n comes from the cumsum's own per-partition-totals collect (r11,
+    # guide §2.1/§5.3) — the former count-agg job + crossJoin(broadcast)
+    # re-read the whole cumsum output for one scalar
+    gt: dict = {}
+    cum = partitioned_cumsum(with_one, order_cols, ["__one"], grand_totals=gt)
+    n = int(gt["__one"])
     rank = F.col("cum___one").cast("long")
-    n = F.col("__n")
-    q = F.floor(n / F.lit(k)).cast("long")
-    r = (n - q * k).cast("long")
+    q = n // k
+    r = n - q * k
     head = r * (q + 1)
+    q_div = F.lit(q).cast("long") if q > 0 else F.lit(None).cast("long")
     bucket = F.when(
-        rank <= head,
-        F.ceil(rank / (q + 1)),
-    ).otherwise(r + F.ceil((rank - head) / F.when(q > 0, q)))
+        rank <= F.lit(head).cast("long"),
+        F.ceil(rank / F.lit(q + 1).cast("long")),
+    ).otherwise(
+        F.lit(r).cast("long") + F.ceil((rank - F.lit(head).cast("long")) / q_div)
+    )
     return (
-        cum.crossJoin(F.broadcast(n_row))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("__one", "cum___one", "__n")
+        cum.withColumn(out_col, bucket.cast("int"))
+        .drop("__one", "cum___one")
     )
 
 

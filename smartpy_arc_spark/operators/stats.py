@@ -489,6 +489,11 @@ def pareto_frontier_2d(
         .repartitionByRange("nx")
         .sortWithinPartitions("nx")
         .withColumn("__pid", F.spark_partition_id())
+        # materialize the sorted layout ONCE (r11, guide §5 — the same
+        # single-sort discipline partitioned_cumsum got): the totals
+        # collect and the windowed pass below both read these rows, and
+        # the two passes must agree on the partition layout anyway
+        .localCheckpoint(eager=True)
     )
     totals = part.groupBy("__pid").agg(F.max("y").alias("pmax")).collect()
     offsets: dict[int, int] = {}
@@ -1504,11 +1509,13 @@ def abc_xyz(
     keyed = per_item.select(
         "i", "m", "rev", "q", (-F.col("rev")).alias("neg_rev")
     )
-    cum = partitioned_cumsum(keyed, ["neg_rev", "i"], ["rev"])
-    total = cum.agg(F.sum("rev").cast("long").alias("tot"))
-    scored = cum.crossJoin(F.broadcast(total))
+    # revenue total from the cumsum's own per-partition-totals collect
+    # (r11, guide §2.1/§5.3) — no second aggregate pass + broadcast
+    gt: dict = {}
+    cum = partitioned_cumsum(keyed, ["neg_rev", "i"], ["rev"], grand_totals=gt)
+    scored = cum
     share = F.round(
-        F.col("cum_rev").cast("double") / F.col("tot").cast("double") * 1e6
+        F.col("cum_rev").cast("double") / float(int(gt["rev"])) * 1e6
     ).cast("long")
     m = F.col("m")
     mean = F.col("rev").cast("double") / m.cast("double")

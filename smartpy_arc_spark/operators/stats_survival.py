@@ -148,12 +148,18 @@ def log_rank_test(
             F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("rb"),
         )
     )
-    cum = partitioned_cumsum(per_t, ["t"], ["ra", "rb"], inclusive=False)
-    totals = cum.agg(
-        F.sum("ra").cast("long").alias("n_a"),
-        F.sum("rb").cast("long").alias("n_b"),
+    # cohort sizes from the cumsum's own per-partition-totals collect
+    # (r11, guide §2.1/§5.3) — no second aggregate pass + broadcast
+    gt: dict = {}
+    cum = partitioned_cumsum(
+        per_t, ["t"], ["ra", "rb"], inclusive=False, grand_totals=gt
     )
-    j = cum.crossJoin(F.broadcast(totals))
+    j = cum.withColumns(
+        {
+            "n_a": F.lit(int(gt["ra"])).cast("long"),
+            "n_b": F.lit(int(gt["rb"])).cast("long"),
+        }
+    )
     na_t = (F.col("n_a") - F.col("cum_ra").cast("long")).cast("double")
     nb_t = (F.col("n_b") - F.col("cum_rb").cast("long")).cast("double")
     n_t = na_t + nb_t

@@ -650,14 +650,20 @@ def kruskal_wallis(
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
-    vals = base.groupBy("v").agg(F.count("*").alias("n_v"))
-    cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
-    d2 = 2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1
-    cells = (
+    # ONE detail pass (r11, guide §2.1): the former shape aggregated the
+    # detail table twice (per-v for ranks, per-(g,v) for cells) and a
+    # third time for the tie term; the per-v counts now roll up from the
+    # materialized per-(g,v) cells (count per v ≡ Σ_g count per (g,v))
+    # and the tie term reads the cumsum's materialized output
+    cells0 = (
         base.groupBy("g", "v")
         .agg(F.count("*").alias("n_gv"))
-        .join(cum.select("v", d2.alias("d2"), "n_v"), "v")
+        .localCheckpoint(eager=True)
     )
+    vals = cells0.groupBy("v").agg(F.sum("n_gv").alias("n_v"))
+    cum = partitioned_cumsum(vals, ["v"], ["n_v"], inclusive=False)
+    d2 = 2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1
+    cells = cells0.join(cum.select("v", d2.alias("d2"), "n_v"), "v")
     per_g = cells.groupBy("g").agg(
         F.sum("n_gv").cast("long").alias("n_g"),
         F.sum(F.col("n_gv") * F.col("d2")).cast("long").alias("r2"),
@@ -671,7 +677,7 @@ def kruskal_wallis(
         / F.col("n_g").cast("double")
         / 4
     ).cast("decimal(38,0)")
-    ties = vals.agg(
+    ties = cum.agg(
         F.sum(
             F.col("n_v").cast("long") * F.col("n_v") * F.col("n_v")
             - F.col("n_v")
@@ -932,15 +938,28 @@ def wilcoxon_signed_rank(
     da = F.round(F.col(a_col).cast("double") * scale).cast("long")
     db = F.round(F.col(b_col).cast("double") * scale).cast("long")
     diffs = df.select((da - db).alias("d")).where(F.col("d").isNotNull())
-    n_pairs = diffs.count()
-    nz = diffs.where(F.col("d") != 0).select(
-        F.abs(F.col("d")).alias("ad"),
-        (F.col("d") > 0).cast("int").alias("pos"),
+    # ONE detail pass (r11, guide §2.1): the former separate
+    # diffs.count() job re-read the full detail input just for n_pairs;
+    # the zero-diff group now rides the same per-|d| aggregate (pos of a
+    # zero diff never counts — d > 0 is false), and n_pairs = zeros +
+    # the cumsum's grand total of nonzero counts
+    vals_all = (
+        diffs.select(
+            F.abs(F.col("d")).alias("ad"),
+            (F.col("d") > 0).cast("int").alias("pos"),
+        )
+        .groupBy("ad")
+        .agg(F.count("*").alias("n_v"), F.sum("pos").alias("n_pos_v"))
+        .localCheckpoint(eager=True)
     )
-    vals = nz.groupBy("ad").agg(
-        F.count("*").alias("n_v"), F.sum("pos").alias("n_pos_v")
+    zero_rows = vals_all.where(F.col("ad") == 0).select("n_v").collect()
+    n_zero = int(zero_rows[0]["n_v"]) if zero_rows else 0
+    gt: dict = {}
+    cum = partitioned_cumsum(
+        vals_all.where(F.col("ad") != 0), ["ad"], ["n_v"],
+        inclusive=False, grand_totals=gt,
     )
-    cum = partitioned_cumsum(vals, ["ad"], ["n_v"], inclusive=False)
+    n_pairs = int(gt["n_v"]) + n_zero
     d2 = 2 * F.col("cum_n_v").cast("long") + F.col("n_v") + 1
     agg = cum.agg(
         F.sum("n_v").cast("long").alias("n"),
@@ -1009,10 +1028,11 @@ def wasserstein_1d(
             F.count(F.when(F.col("g") == group_b, 1)).alias("nb_v"),
         )
     )
-    cum = partitioned_cumsum(vals, ["v"], ["na_v", "nb_v"])
-    totals = cum.agg(
-        F.sum("na_v").cast("long").alias("n_a"),
-        F.sum("nb_v").cast("long").alias("n_b"),
+    # cohort totals from the cumsum's own per-partition-totals collect
+    # (r11, guide §2.1/§5.3) — no second aggregate pass + broadcast
+    gt: dict = {}
+    cum = partitioned_cumsum(
+        vals, ["v"], ["na_v", "nb_v"], grand_totals=gt
     )
     gap = F.lead("v").over(W.orderBy("v")) - F.col("v")
     seg = cum.select(
@@ -1021,7 +1041,12 @@ def wasserstein_1d(
         "v",
         gap.alias("gap"),
     ).where(F.col("gap").isNotNull())
-    scored = seg.crossJoin(F.broadcast(totals))
+    scored = seg.withColumns(
+        {
+            "n_a": F.lit(int(gt["na_v"])).cast("long"),
+            "n_b": F.lit(int(gt["nb_v"])).cast("long"),
+        }
+    )
     d = F.abs(
         F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
     ).cast("decimal(19,0)")
