@@ -340,13 +340,19 @@ def partitioned_cumsum(
     )
     out = part
     for c in sum_cols:
-        off_map = F.create_map(
-            *[F.lit(v) for kv in offsets[c].items() for v in kv]
-        )
+        if offsets[c]:
+            off = F.create_map(
+                *[F.lit(v) for kv in offsets[c].items() for v in kv]
+            )[F.col("__pid")]
+        else:
+            # empty input: zero partitions collected — an argless
+            # create_map() types its keys VOID and map()[__pid] fails
+            # analysis; the offset of nothing is 0
+            off = F.lit(0)
         local = F.sum(F.col(c)).over(w)
         out = out.withColumn(
             prefix + c,
-            F.coalesce(local, F.lit(0)) + off_map[F.col("__pid")],
+            F.coalesce(local, F.lit(0)) + off,
         )
     if grand_totals is not None:
         grand_totals.update(acc)

@@ -1063,6 +1063,8 @@ def woe_iv(
 
     Returns per bin ``(bin, n, n_good, n_bad, woe_e9, iv_term_e9)``.
     """
+    from smartpy_arc_spark.operators.scale import partitioned_cumsum
+
     x = F.round(F.col(score_col).cast("double") * scale).cast("long")
     t = F.col(target_col).cast("int")
     base = df.select(
@@ -1070,13 +1072,26 @@ def woe_iv(
     ).where(
         F.col("x").isNotNull() & F.col("y").isNotNull()
     )
-    n_tot = base.count()
-    binned = base.select(
+    # r11 (guide §2.2/§2.1): the global rank came from
+    # ``row_number() OVER (ORDER BY x, rid)`` — a single-task sort of
+    # the whole detail table — plus a separate count job for n.  The
+    # distributed-CDF rank (partitioned_cumsum over the SAME unique
+    # (x, rid) order) is the identical integer, n and the good total
+    # ride the cumsum's own totals collect, and the bad total is their
+    # difference — same bins, same G/B, no one-task stage.
+    gt: dict = {}
+    ranked = partitioned_cumsum(
+        base.withColumn("__one", F.lit(1)), ["x", "rid"], ["__one", "y"],
+        grand_totals=gt,
+    )
+    n_tot = int(gt["__one"])
+    g_tot = int(gt["y"])
+    b_tot = n_tot - g_tot
+    binned = ranked.select(
         "x",
         "y",
         F.expr(
-            f"((row_number() over (order by x, rid) - 1) * {n_bins})"
-            f" div {n_tot}"
+            f"((cast(cum___one as bigint) - 1) * {n_bins}) div {n_tot}"
         ).alias("bin"),
     )
     per_bin = binned.groupBy("bin").agg(
@@ -1084,11 +1099,12 @@ def woe_iv(
         F.sum("y").cast("long").alias("n_good"),
         (F.count("*") - F.sum("y")).cast("long").alias("n_bad"),
     )
-    totals = per_bin.agg(
-        F.sum("n_good").cast("long").alias("g"),
-        F.sum("n_bad").cast("long").alias("b"),
+    j = per_bin.withColumns(
+        {
+            "g": F.lit(g_tot).cast("long"),
+            "b": F.lit(b_tot).cast("long"),
+        }
     )
-    j = per_bin.crossJoin(F.broadcast(totals))
     pg = F.col("n_good").cast("double") / F.col("g").cast("double")
     pb = F.col("n_bad").cast("double") / F.col("b").cast("double")
     ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)

@@ -285,12 +285,29 @@ def collocations(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).where(F.col("p").isNotNull())
-    pair_counts = pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("n_pair"))
-
-    unigrams = base.select(F.explode("w").alias("t"))
-    uni_counts = unigrams.groupBy("t").agg(F.count("*").alias("c"))
-    n1 = unigrams.count()
-    n2 = pairs.count()
+    # r11 (guide §2.1/§5): the scalar totals used to come from separate
+    # unigrams.count()/pairs.count() jobs — two MORE full
+    # tokenize-explode passes on top of the two aggregation passes, and
+    # the un-materialized uni_counts re-ran its explode under each of
+    # the two broadcast joins below.  Materialize the two
+    # vocabulary-sized count tables once and derive the totals from
+    # them: #exploded tokens ≡ Σ c and #pair rows ≡ Σ n_pair, exactly.
+    pair_counts = (
+        pairs.groupBy("p.w1", "p.w2")
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    uni_counts = (
+        base.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n1 = uni_counts.agg(F.sum("c").cast("long").alias("n")).first()["n"] or 0
+    n2 = (
+        pair_counts.agg(F.sum("n_pair").cast("long").alias("n")).first()["n"]
+        or 0
+    )
 
     scored = (
         pair_counts.where(F.col("n_pair") >= min_count)

@@ -179,3 +179,39 @@ def test_partitioned_cumsum_grand_totals(spark):
     # and the cumsum output itself is unchanged by the out-param
     top = out.orderBy(F.desc("k")).limit(1).collect()[0]
     assert top["cum_one"] == 50
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    """All-zero diffs: the folded single-pass form must report
+    n_pairs = #rows with an EMPTY nonzero rank table (the cumsum's
+    grand total is 0 and the zero group carries the whole count)."""
+    from smartpy_arc_spark.operators.stats import wilcoxon_signed_rank
+
+    rows = [(10.0, 10.0), (20.0, 20.0), (30.0, 30.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r.n_pairs == 3
+    # no nonzero diffs: rank aggregate is the empty-aggregate row
+    assert r.n_nonzero is None or r.n_nonzero == 0
+
+
+def test_distributed_ntile_literal_n_matches_window(spark):
+    """The literal-n NTILE arithmetic (grand_totals path) must equal
+    SQL NTILE over a single global ordering, including the uneven
+    remainder split."""
+    from pyspark.sql import Window as W
+
+    from smartpy_arc_spark.operators.scale import distributed_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(23)], "v int")
+    got = {
+        r["v"]: r["bucket"]
+        for r in distributed_ntile(df, ["v"], 4).collect()
+    }
+    want = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", F.ntile(4).over(W.orderBy("v")).alias("b")
+        ).collect()
+    }
+    assert got == want
