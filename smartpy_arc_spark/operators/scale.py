@@ -458,9 +458,19 @@ def compact_small_files(
     directory into ``ceil(total_bytes / target_bytes)`` files.
 
     The driver only LISTS the directory (names + sizes — metadata, never
-    data); the rewrite itself is a distributed read → repartition →
-    write.  Returns a 1-row DataFrame ``(n_files_before, n_files_after,
-    n_rows)`` for the maintenance log.
+    data); the rewrite itself is a distributed read → coalesce → write.
+    ``coalesce(n_out)`` is a narrow dependency: each output task
+    concatenates whole scan splits locally, so compaction moves ZERO
+    bytes across the network, where ``repartition(n_out)`` would shuffle
+    the entire table once (plus the sort-before-repartition every
+    keyless repartition pays).  Scan splits are bounded by
+    ``spark.sql.files.maxPartitionBytes`` (128 MB default), finer than
+    any sane ``target_bytes``, so the scan always has >= ``n_out``
+    partitions for coalesce to land on exactly; the repartition fallback
+    guards the degenerate case (splitting fewer-than-``n_out``
+    partitions can only be done by a shuffle).  Returns a 1-row
+    DataFrame ``(n_files_before, n_files_after, n_rows)`` for the
+    maintenance log.
     """
     import glob as _glob
     import math as _math
@@ -474,7 +484,11 @@ def compact_small_files(
     total = sum(_os.path.getsize(p) for p in files)
     n_out = max(1, _math.ceil(total / target_bytes))
     df = spark.read.format(fmt).load(src_dir)
-    df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst_dir)
+    if df.rdd.getNumPartitions() >= n_out:
+        sized = df.coalesce(n_out)
+    else:  # more output files than scan splits: only a shuffle can split
+        sized = df.repartition(n_out)
+    sized.write.mode("overwrite").format(fmt).save(dst_dir)
     after = [
         p for p in _glob.glob(_os.path.join(dst_dir, f"*{ext}"))
         if _os.path.isfile(p)

@@ -283,6 +283,36 @@ def test_compact_small_files_rewrites(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
 
 
+def test_compact_small_files_coalesces_not_shuffles(spark, sf_dir, tmp_path):
+    """r11: the compaction rewrite must be a narrow coalesce (zero bytes
+    shuffled), falling back to repartition only when asked for MORE
+    output files than the scan has splits (a split, not a compaction).
+    Exact (before, after, rows) stays pinned on both paths."""
+    from smartpy_arc_spark.operators.scale import compact_small_files
+
+    src = str(tmp_path / "src")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.repartition(6).write.parquet(src)
+
+    # compaction path: 6 splits -> 1 file must plan as Coalesce, no Exchange
+    df = spark.read.parquet(src)
+    plan = df.coalesce(1)._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan and "Exchange" not in plan
+
+    dst1 = str(tmp_path / "dst1")
+    r = compact_small_files(spark, src, dst1, target_bytes=1 << 30).collect()[0]
+    assert (r.n_files_before, r.n_files_after, r.n_rows) == (6, 1, 25)
+
+    # split path: target so small every row-group outgrows it -> n_out
+    # exceeds the scan's split count and only a shuffle can widen
+    dst2 = str(tmp_path / "dst2")
+    r2 = compact_small_files(spark, src, dst2, target_bytes=1).collect()[0]
+    assert r2.n_files_before == 6 and r2.n_rows == 25
+    assert r2.n_files_after > 6  # genuinely widened past the split count
+    back = spark.read.parquet(dst2)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
 def test_dbscan_core_border_noise(spark):
     """Hand-built set: a 5-point dense blob (cores), one border point
     within eps of a single core, one isolated noise point."""
