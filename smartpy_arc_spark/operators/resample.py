@@ -1455,16 +1455,19 @@ def forecast_eval(
         a.alias("a"),
         f.alias("f"),
     ).where(F.col("a").isNotNull())
+    # r11 (guide §2.4): one pass, one shuffle.  The naive lag-1 window
+    # and the scored aggregate are both keyed by k; running the window
+    # first and aggregating on the same key reuses its exchange, and
+    # every scored term null-propagates on a null forecast (ae/sse/mape/
+    # smape become NULL and drop out of sum/count; pin10's greatest()
+    # skips the NULL operand and contributes exact 0), so one grouped
+    # pass over the lagged frame replaces the former
+    # window-pass + aggregate-pass + per-key join — and any expensive
+    # upstream executes once instead of twice.  Keys with zero scored
+    # rows are dropped by the n > 0 guard, exactly the rows the former
+    # inner side of the left join never produced.
     w = W.partitionBy("k").orderBy("t")
-    naive_err = F.abs(F.col("a") - F.lag("a").over(w))
-    naive = base.select("k", naive_err.alias("ne")).where(
-        F.col("ne").isNotNull()
-    )
-    naive_mae = naive.groupBy("k").agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("ne").cast("long").alias("ns"),
-    )
-    scored = base.where(F.col("f").isNotNull())
+    lagged = base.withColumn("ne", F.abs(F.col("a") - F.lag("a").over(w)))
     e = F.col("a") - F.col("f")
     ae = F.abs(e)
     aed = ae.cast("decimal(19,0)")
@@ -1482,17 +1485,19 @@ def forecast_eval(
         ).cast("long"),
     )
     pin10 = 9 * F.greatest(e, F.lit(0)) + F.greatest(-e, F.lit(0))
-    agg = scored.groupBy("k").agg(
-        F.count("*").cast("long").alias("n"),
+    j = lagged.groupBy("k").agg(
+        F.count("f").cast("long").alias("n"),
         F.sum(ae).cast("long").alias("sae"),
         F.sum(aed * aed).cast("decimal(38,0)").alias("sse"),
         F.count(mape_t).cast("long").alias("n_mape"),
         F.sum(mape_t).cast("long").alias("s_mape"),
         F.count(smape_t).cast("long").alias("n_smape"),
         F.sum(smape_t).cast("long").alias("s_smape"),
-        F.sum(pin10).cast("long").alias("s_pin10"),
-    )
-    j = agg.join(naive_mae, "k", "left")
+        F.sum(F.when(F.col("f").isNotNull(), pin10)).cast("long")
+        .alias("s_pin10"),
+        F.count("ne").cast("long").alias("m"),
+        F.sum("ne").cast("long").alias("ns"),
+    ).where(F.col("n") > 0)
     n = F.col("n").cast("double")
     mae = F.col("sae").cast("double") / n
     rmse = F.sqrt(F.col("sse").cast("double") / n)

@@ -548,12 +548,19 @@ def cohens_kappa(
     One contingency aggregate + broadcast marginals — chi-square's
     shape; all counts exact, one float combine.  Returns one row
     ``(n, n_agree, po_e6, pe_e6, kappa_e6)``.
+
+    The contingency table is materialized once (bounded by the label
+    vocabulary squared): it feeds THREE consumers (both marginals and
+    the agreement aggregate), and without the checkpoint each one
+    re-executes the full upstream (r11: the contract query's
+    lang-id + join subtree appeared 12× in the plan).
     """
     cells = (
         df.select(F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     ma = cells.groupBy("a").agg(F.sum("c").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("c").alias("nb"))

@@ -44,6 +44,34 @@ def test_forecast_eval_null_forecasts_excluded(spark):
     assert r.n_scored == 1 and r.mae_e4 == 50000
 
 
+def test_forecast_eval_single_pass_and_key_drop(spark):
+    """r11: the merged one-pass form must (a) drop keys with zero scored
+    rows exactly as the former aggregate-side join did, (b) keep the
+    mixed-key numbers identical, and (c) plan without any join."""
+    from smartpy_arc_spark.operators.resample import forecast_eval
+
+    rows = [
+        # key "u": every forecast null -> must NOT appear in the output
+        ("u", 0, 10.0, None),
+        ("u", 1, 12.0, None),
+        # key "k": one scored row among nulls (n_scored=1), naive from
+        # the FULL actual series (lag errs 10, 10 -> naive MAE 10)
+        ("k", 0, 10.0, None),
+        ("k", 1, 20.0, 25.0),
+        ("k", 2, 30.0, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, a double, f double")
+    out = forecast_eval(df, "k", "t", "a", "f", scale=1)
+    got = {r.k: r for r in out.collect()}
+    assert set(got) == {"k"}
+    r = got["k"]
+    assert r.n_scored == 1 and r.mae_e4 == 50000
+    # MASE = 5 / 10 (naive MAE over the whole series incl. unscored rows)
+    assert r.mase_e6 == 500000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one grouped pass, no per-key join
+
+
 def test_grubbs_flags_planted_outlier(spark):
     from smartpy_arc_spark.operators.stats import grubbs_statistic
 
