@@ -1606,24 +1606,42 @@ def theil_index(
     base = df.select(F.col(group_col).alias("g"), x.alias("x")).where(
         F.col("x").isNotNull() & (F.col("x") > 0) & F.col("g").isNotNull()
     )
+    # r11 (guide §2.4/§5): base feeds THREE term passes and gtot/tot feed
+    # every one of them — unmaterialized, the upstream (a join in the
+    # contract query) executed 8× (16 scans, 28 Exchanges, 6 BNLJ in
+    # the before-plan).  Materialize the 2-column projection once (the
+    # logistic/recs_eval pattern), the group table once (bounded by the
+    # group cardinality), and fold the 1-row totals into plan literals
+    # (the conformal pattern) — same longs through the same arithmetic,
+    # bit-identical terms.
+    base = base.localCheckpoint(eager=True)
     gtot = base.groupBy("g").agg(
         F.count("*").cast("long").alias("n_g"),
         F.sum("x").cast("long").alias("x_g"),
-    )
-    tot = gtot.agg(
+    ).localCheckpoint(eager=True)
+    trow = gtot.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("x_g").cast("long").alias("x_tot"),
         F.count("*").cast("long").alias("n_groups"),
-    )
+    ).first()
+    tot_lit = {
+        "n": F.lit(trow["n"]).cast("long"),
+        "x_tot": F.lit(trow["x_tot"]).cast("long"),
+        "n_groups": F.lit(trow["n_groups"]).cast("long"),
+    }
+
+    def tot(name):  # literal stand-in for the former crossJoin(broadcast)
+        return tot_lit[name]
+
     # total: per-row terms against the global mean
-    rows_t = base.crossJoin(F.broadcast(tot)).select(
+    rows_t = base.select(
         F.round(
             F.col("x").cast("double")
-            / F.col("x_tot").cast("double")
+            / tot("x_tot").cast("double")
             * F.log(
-                F.col("n").cast("double")
+                tot("n").cast("double")
                 * F.col("x").cast("double")
-                / F.col("x_tot").cast("double")
+                / tot("x_tot").cast("double")
             )
             * 1e9
         )
@@ -1632,18 +1650,18 @@ def theil_index(
     )
     t_total = rows_t.agg(F.sum("t").cast("long").alias("t_total_e9"))
     # between: group shares vs group population shares
-    between_t = gtot.crossJoin(F.broadcast(tot)).select(
+    between_t = gtot.select(
         F.round(
             F.col("x_g").cast("double")
-            / F.col("x_tot").cast("double")
+            / tot("x_tot").cast("double")
             * F.log(
                 (
                     F.col("x_g").cast("double")
-                    / F.col("x_tot").cast("double")
+                    / tot("x_tot").cast("double")
                 )
                 / (
                     F.col("n_g").cast("double")
-                    / F.col("n").cast("double")
+                    / tot("n").cast("double")
                 )
             )
             * 1e9
@@ -1653,37 +1671,36 @@ def theil_index(
     )
     t_between = between_t.agg(F.sum("t").cast("long").alias("t_between_e9"))
     # within: per-row terms against the OWN group mean, share-weighted
-    within_rows = (
-        base.join(F.broadcast(gtot), "g")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.round(
-                (
-                    F.col("x_g").cast("double")
-                    / F.col("x_tot").cast("double")
-                )
-                * (
-                    F.col("x").cast("double")
-                    / F.col("x_g").cast("double")
-                    * F.log(
-                        F.col("n_g").cast("double")
-                        * F.col("x").cast("double")
-                        / F.col("x_g").cast("double")
-                    )
-                )
-                * 1e9
+    within_rows = base.join(F.broadcast(gtot), "g").select(
+        F.round(
+            (
+                F.col("x_g").cast("double")
+                / tot("x_tot").cast("double")
             )
-            .cast("long")
-            .alias("t")
+            * (
+                F.col("x").cast("double")
+                / F.col("x_g").cast("double")
+                * F.log(
+                    F.col("n_g").cast("double")
+                    * F.col("x").cast("double")
+                    / F.col("x_g").cast("double")
+                )
+            )
+            * 1e9
         )
+        .cast("long")
+        .alias("t")
     )
     t_within = within_rows.agg(F.sum("t").cast("long").alias("t_within_e9"))
     return (
-        tot.crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(t_between))
+        t_total.crossJoin(F.broadcast(t_between))
         .crossJoin(F.broadcast(t_within))
         .select(
-            "n", "n_groups", "t_total_e9", "t_between_e9", "t_within_e9"
+            tot("n").alias("n"),
+            tot("n_groups").alias("n_groups"),
+            "t_total_e9",
+            "t_between_e9",
+            "t_within_e9",
         )
     )
 

@@ -553,7 +553,7 @@ def cohens_kappa(
     vocabulary squared): it feeds THREE consumers (both marginals and
     the agreement aggregate), and without the checkpoint each one
     re-executes the full upstream (r11: the contract query's
-    lang-id + join subtree appeared 12× in the plan).
+    lang-id + join subtree appeared 3× in the plan).
     """
     cells = (
         df.select(F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b"))

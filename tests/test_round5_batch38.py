@@ -282,3 +282,18 @@ def test_theil_between_only(spark):
     r = theil_index(df, "g", "v").collect()[0]
     assert r.t_within_e9 == 0 and r.t_between_e9 > 0
     assert abs(r.t_between_e9 - r.t_total_e9) <= 1  # nanonat rounding
+
+
+def test_theil_single_upstream_pass(spark, sf_dir):
+    """r11: all three term passes must read the materialized base — the
+    upstream may appear ZERO times in the final plan (it used to run 8×)."""
+    from pyspark.sql import functions as F
+
+    from smartpy_arc_spark.operators.stats import theil_index
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_mktsegment").alias("g"), F.col("c_acctbal").alias("v")
+    )
+    out = theil_index(cust, "g", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
