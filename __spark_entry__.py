@@ -6146,6 +6146,9 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartpy_arc_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    # the exploded trigram table feeds the per-doc sizes AND both sides
+    # of the intersection self-join — materialize once so the tokenize/
+    # explode pass runs once instead of three times (r11, guide §2.4)
     grams = (
         docs.select("doc_id", _space_tokens(F.col("text")).alias("_toks"))
         .select(
@@ -6154,8 +6157,12 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(word_ngrams_of_tokens(F.col("_toks"), 3))
             ).alias("g"),
         )
+        .localCheckpoint(eager=True)
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # O(#docs) rows, read by both endpoint joins of the truth table
+    sizes = grams.groupBy("doc_id").agg(
+        F.count("*").alias("sz")
+    ).localCheckpoint(eager=True)
     inter = (
         grams.select(F.col("doc_id").alias("id_a"), "g")
         .join(grams.select(F.col("doc_id").alias("id_b"), "g"), "g")
@@ -7972,7 +7979,11 @@ def q_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c")
     )
     wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = vals.select("v", F.sum("c").over(wcum).alias("cum"))
+    # the single-partition cumsum feeds the total AND the rank probe —
+    # materialize once so the allowlisted global window runs once (r11)
+    cum = vals.select(
+        "v", F.sum("c").over(wcum).alias("cum")
+    ).localCheckpoint(eager=True)
     tot = cum.agg(F.max("cum").alias("n"))
     med = (
         cum.crossJoin(F.broadcast(tot))

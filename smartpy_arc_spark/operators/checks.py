@@ -229,11 +229,15 @@ def population_stability_index(
 
     e = bucketed(df_expected, "expected")
     a = bucketed(df_actual, "actual")
+    # materialized once (≤ n_buckets + 2 rows): cells feed the totals
+    # aggregate and the scored join, and scored feeds the PSI total and
+    # the output — without the checkpoint each consumer re-executes
+    # both full-slice bucket aggregates (r11, guide §2.4)
     cells = e.join(a, "bucket", "full").select(
         F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
         F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
         F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum("n_expected").alias("__te"), F.sum("n_actual").alias("__ta")
     )
@@ -618,9 +622,12 @@ def t_closeness(
     Returns per class: ``(quasi columns..., n, t_e6, close)``.
     """
     qi = [F.col(c) for c in quasi_cols]
+    # materialized once (bounded by QI classes × sensitive domain): cells
+    # feed the domain rollup, the group distinct and the densification
+    # join — three consumers that otherwise re-scan the detail (r11)
     cells = df.groupBy(*qi, F.col(sensitive_col).alias("sv")).agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     domain = (
         cells.groupBy("sv")
         .agg(F.sum("c").cast("long").alias("gc"))

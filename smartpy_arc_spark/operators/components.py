@@ -290,7 +290,9 @@ def triangle_count(
     Two shuffled equi-joins on vertex ids; no windows, no iteration.
     Returns a 1-row DataFrame ``(n_triangles)``.
     """
-    e = (
+    # e feeds the two path-join sides AND the closing semi-join — without
+    # a checkpoint the caller's edge pipeline executes 3× (r11, §2.4)
+    e = _ckpt_edges(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -1128,7 +1130,12 @@ def link_predict(
     cap: a celebrity node contributes deg² pairs but near-zero RA
     weight ``1/deg``, so capping loses almost no signal).
     """
-    e = (
+    # Materialize the canonical edge table once (r11, guide §2.4/§5): it
+    # feeds the adjacency (twice, via the union), the existing-edge
+    # anti-join and — through deg — three more consumers; without the
+    # checkpoint every one re-executes the caller's full edge pipeline
+    # (the contract query's lineitem self-join appeared 26× in the plan).
+    e = _ckpt_edges(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -1139,10 +1146,15 @@ def link_predict(
     adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("z")).unionByName(
         e.select(F.col("hi").alias("u"), F.col("lo").alias("z"))
     )
-    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("deg_z"))
+    # O(V) degree table: read by adjz and both scored-join sides
+    deg = adj.groupBy("z").agg(
+        F.count("*").cast("long").alias("deg_z")
+    ).localCheckpoint(eager=True)
     adjz = adj.join(deg, "z")
     if max_neighbor_degree is not None:
         adjz = adjz.where(F.col("deg_z") <= F.lit(max_neighbor_degree))
+    # O(E) rows read by BOTH sides of the shared-neighbor pair join
+    adjz = _ckpt_edges(adjz)
     a = adjz.select("z", F.col("u").alias("u"), "deg_z")
     b = adjz.select("z", F.col("u").alias("v"))
     pairs = (
@@ -1205,7 +1217,10 @@ def clustering_coefficient(
     exact integer operands, portable bit-for-bit.  Nodes with deg < 2
     report 0.  Two shuffled joins + one node-keyed aggregate.
     """
-    e = (
+    # e feeds the two path-join sides, the closing semi-join and the
+    # degree union (×2) — checkpoint so the caller's edge pipeline runs
+    # once instead of 5× (r11, guide §2.4)
+    e = _ckpt_edges(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -1427,11 +1442,18 @@ def assortativity(
 
     Returns one row ``(n_edges, r_e6)``.
     """
-    und = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).where(F.col("a") != F.col("b"))
+    # und feeds both orientations of the union, and — through deg — both
+    # endpoint-degree joins: checkpoint so the caller's edge pipeline
+    # runs once instead of 6× (r11, guide §2.4)
+    und = _ckpt_edges(
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        ).where(F.col("a") != F.col("b"))
+    )
     both = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = both.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    deg = both.groupBy("a").agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint(eager=True)
     j = (
         both.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
         .join(

@@ -127,8 +127,16 @@ def dsir_importance_weights(
     hash comparison across engines).  Ties in top-k break on ``id_col``
     so the cut is deterministic.
     """
-    p = _bucket_log_probs(target, text_col, m=m, prefix="p")
-    q = _bucket_log_probs(raw, text_col, m=m, prefix="q")
+    # each bucket model is a ≤ m-row table feeding three consumers (the
+    # full-outer join, its own total aggregate and the smoothing floor);
+    # without materialization every consumer re-executes the full corpus
+    # explode+aggregate behind it (r11, guide §2.4)
+    p = _bucket_log_probs(target, text_col, m=m, prefix="p").localCheckpoint(
+        eager=True
+    )
+    q = _bucket_log_probs(raw, text_col, m=m, prefix="q").localCheckpoint(
+        eager=True
+    )
     # m-row table: bucket -> (log p_b - log q_b), smoothed floor for
     # buckets unseen on either side.  Broadcast for the scoring join.
     weights = (

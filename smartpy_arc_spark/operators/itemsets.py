@@ -26,6 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.storagelevel import StorageLevel
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager serialized localCheckpoint for O(input)-sized intermediates
+    (deduped baskets, pruned basket-item rows): they feed several
+    consumers, and without materialization each consumer re-executes the
+    distinct/prune shuffle over the full detail input (r11, guide §2.4).
+    Serialized storage is the components._ckpt_edges discipline."""
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def frequent_pairs(
@@ -44,12 +56,19 @@ def frequent_pairs(
     Baskets wider than ``max_basket`` distinct frequent items are
     dropped (quadratic fan-out guard — the standard miner knob).
     """
-    baskets = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # deduped baskets feed the universe count, the item-frequency pass
+    # and the prune join; item_freq feeds the frequent filter and both
+    # lift sides — materialize each once (r11, guide §2.4)
+    baskets = _ckpt(
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
     n_baskets = baskets.select("__b").distinct().count()
 
-    item_freq = baskets.groupBy("__i").agg(F.count("*").alias("__if"))
+    item_freq = baskets.groupBy("__i").agg(
+        F.count("*").alias("__if")
+    ).localCheckpoint(eager=True)
     frequent_items = item_freq.where(F.col("__if") >= min_support)
 
     pruned = baskets.join(F.broadcast(frequent_items), "__i")
@@ -123,9 +142,13 @@ def item_similarity(
     """
     from pyspark.sql import Window
 
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    # deduped (basket, item) rows feed the supports aggregate and both
+    # co-occurrence self-join sides — materialize once (r11, guide §2.4)
+    bi = _ckpt(
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        ).distinct()
+    )
     supports = bi.groupBy("i").agg(F.count("*").alias("n"))
     co = (
         bi.alias("x")
@@ -201,12 +224,17 @@ def association_rules(
     pair emits both directions and joins broadcast item supports.  The
     basket-universe size is a 1-row scalar reused as a literal.
     """
-    baskets = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # the frequent_pairs materialization discipline (r11, guide §2.4)
+    baskets = _ckpt(
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
     n_tx = baskets.select("__b").distinct().count()
 
-    item_freq = baskets.groupBy("__i").agg(F.count("*").cast("long").alias("__if"))
+    item_freq = baskets.groupBy("__i").agg(
+        F.count("*").cast("long").alias("__if")
+    ).localCheckpoint(eager=True)
     frequent_items = item_freq.where(F.col("__if") >= min_support)
 
     pruned = baskets.join(F.broadcast(frequent_items.select("__i")), "__i")
@@ -379,39 +407,43 @@ def frequent_triples(
     Returns ``(item_a, item_b, item_c, support)`` with ``item_a <
     item_b < item_c``, ordered by support desc then items.
     """
-    items = df.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    # deduped (basket, item) rows feed the level-1 frequency pass and —
+    # as the pruned table f — both sides of the pair join, the candidate
+    # join and the closing third-item join: materialize each once (r11,
+    # guide §2.4; the deduped distinct otherwise re-executed 6×)
+    items = _ckpt(
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct()
+    )
     freq1 = (
         items.groupBy("it")
         .agg(F.count("*").alias("n1"))
         .where(F.col("n1") >= min_support)
         .select("it")
     )
-    f = items.join(F.broadcast(freq1), "it").select("bk", "it")
+    f = _ckpt(items.join(F.broadcast(freq1), "it").select("bk", "it"))
     a, b = f.alias("a"), f.alias("b")
-    pairs = (
+    # the basket-keyed pair expansion feeds BOTH the level-2 support
+    # aggregate and (filtered by freq2) the level-3 candidate set — run
+    # the expensive join once and materialize it (r11: it ran twice)
+    ab = _ckpt(
         a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.it") < F.col("b.it"))
-        .groupBy(
-            F.col("a.it").alias("ia"), F.col("b.it").alias("ib")
-        )
-        .agg(F.count("*").alias("n2"))
-    )
-    freq2 = pairs.where(F.col("n2") >= min_support).select("ia", "ib")
-    cand = (
-        a.join(b, F.col("a.bk") == F.col("b.bk"))
-        .where(F.col("a.it") < F.col("b.it"))
-        .join(
-            F.broadcast(freq2),
-            (F.col("a.it") == F.col("ia")) & (F.col("b.it") == F.col("ib")),
-        )
         .select(
             F.col("a.bk").alias("cbk"),
             F.col("a.it").alias("it_a"),
             F.col("b.it").alias("it_b"),
         )
     )
+    pairs = ab.groupBy(
+        F.col("it_a").alias("ia"), F.col("it_b").alias("ib")
+    ).agg(F.count("*").alias("n2"))
+    freq2 = pairs.where(F.col("n2") >= min_support).select("ia", "ib")
+    cand = ab.join(
+        F.broadcast(freq2),
+        (F.col("it_a") == F.col("ia")) & (F.col("it_b") == F.col("ib")),
+    ).select("cbk", "it_a", "it_b")
     c = f.alias("c")
     triples = (
         cand.join(c, F.col("cbk") == F.col("c.bk"))

@@ -26,10 +26,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from smartpy_arc_spark.operators.contamination import ngram_decontaminate
 from smartpy_arc_spark.operators.quality import gopher_flags
 from smartpy_arc_spark.operators.sample import stratified_hash_sample
+
+
+def _ckpt_stage(df: DataFrame) -> DataFrame:
+    """Eager serialized localCheckpoint for a pipeline stage's survivor
+    frame: each stage's output feeds BOTH the next stage's key
+    computation and the semi-join that applies it, so an unmaterialized
+    stage re-executes everything upstream twice per level — the funnel's
+    docs scan appeared 9× in the r11 plan.  Serialized storage
+    (components._ckpt_edges discipline) since rows carry document text."""
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def curate_corpus(
@@ -50,12 +63,12 @@ def curate_corpus(
     quality_ids = gopher_flags(docs, text_col=text_col, id_col=id_col).where(
         "keep"
     ).select(id_col)
-    qdocs = docs.join(quality_ids, id_col, "left_semi")
+    qdocs = _ckpt_stage(docs.join(quality_ids, id_col, "left_semi"))
 
     keepers = qdocs.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     ).select(id_col)
-    survivors = qdocs.join(keepers, id_col, "left_semi")
+    survivors = _ckpt_stage(qdocs.join(keepers, id_col, "left_semi"))
 
     clean_ids = (
         ngram_decontaminate(

@@ -244,25 +244,29 @@ def peak_concurrency(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     curve = deltas.withColumn("c", F.sum("d").over(w))
-    # peak + earliest peak instant in one pass over the same window
-    # partitioning: rank each group's curve points by (-c, t)
-    stats = curve.groupBy("g").agg(
-        (F.count("*") / 2).cast("long").alias("n_intervals"),
-        F.max("c").cast("long").alias("peak_concurrency"),
+    # peak + earliest peak instant in ONE pass (r11, guide §2.4): the
+    # group-max rides a second window over the SAME partitioning (no
+    # extra exchange), so the aggregate reads the curve once instead of
+    # the former stats-join-back shape that re-executed the windowed
+    # curve three times (min(t | c = max) ≡ the old join-filter-min)
+    curve = curve.withColumn(
+        "_pk", F.max("c").over(Window.partitionBy("g"))
     )
-    at = (
-        curve.join(
-            stats.select("g", F.col("peak_concurrency").alias("_pk")), "g"
+    return (
+        curve.groupBy("g")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+            F.max("c").cast("long").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("c") == F.col("_pk"), F.col("t"))
+            ).alias("peak_at"),
         )
-        .where(F.col("c") == F.col("_pk"))
-        .groupBy("g")
-        .agg(F.min("t").alias("peak_at"))
-    )
-    return stats.join(at, "g").select(
-        F.col("g").alias(group_col),
-        "n_intervals",
-        "peak_concurrency",
-        "peak_at",
+        .select(
+            F.col("g").alias(group_col),
+            "n_intervals",
+            "peak_concurrency",
+            "peak_at",
+        )
     )
 
 

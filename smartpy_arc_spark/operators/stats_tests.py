@@ -16,8 +16,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.storagelevel import StorageLevel
 
 from smartpy_arc_spark.operators._stats_common import _check_e4_scale
+
+
+def _ckpt_big(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint for O(n)-keyed intermediate tables (per-item
+    sizes, per-item cells), stored serialized so the materialized copy
+    costs Tungsten-row bytes, not deserialized-object bytes — the
+    components._ckpt_edges storage discipline."""
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 def chi_square_independence(
     df: DataFrame, col_a: str, col_b: str
@@ -28,8 +39,15 @@ def chi_square_independence(
     Cells and margins are hash aggregates over the (bounded) category
     key spaces; expected counts come from broadcast margins, so the
     detail table is read exactly once.
+
+    The cell table is materialized once (bounded by |A|·|B|): it feeds
+    both margins, the total, the scored join AND the two driver-side
+    dof counts — without the checkpoint each consumer re-executes the
+    full detail aggregate (r11, guide §2.4).
     """
-    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count("*").alias("o")
+    ).localCheckpoint(eager=True)
     ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
     rb = cells.groupBy(col_b).agg(F.sum("o").alias("rb"))
     n = cells.agg(F.sum("o").alias("n"))
@@ -423,11 +441,14 @@ def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
 
     from smartpy_arc_spark.operators.scale import partitioned_cumsum
 
+    # the detail aggregate feeds both axis-domain distincts and the
+    # densification join — materialize once (bounded |X|·|Y|; r11 §2.4)
     cells = (
         df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     gx = cells.select("x").distinct()
     gy = cells.select("y").distinct()
@@ -438,10 +459,13 @@ def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     )
     wy = Window.partitionBy("x").orderBy("y")
     wx = Window.partitionBy("y").orderBy("x")
+    # the windowed grid feeds the per-x totals, the scored join and the
+    # per-y tie totals — materialize once (bounded |X|·|Y|; r11 §2.4)
     dense = (
         dense.withColumn("rowcum", F.sum("n").over(wy))
         .withColumn("colcum", F.sum("n").over(wx))
         .withColumn("p_incl", F.sum("rowcum").over(wx))
+        .localCheckpoint(eager=True)
     )
     xtot = dense.groupBy("x").agg(F.max("rowcum").alias("t"))
     xcum = partitioned_cumsum(xtot, ["x"], ["t"]).select(
@@ -502,12 +526,18 @@ def mutual_information(
     ``rake_keywords``).
 
     Returns one row ``(n, n_cells, mi_e9)``.
+
+    The cell table is materialized once (bounded by |A|·|B|, the
+    cohens_kappa discipline): it feeds both margins, the total and the
+    scored join — without the checkpoint each of the four consumers
+    re-executes the full detail aggregate (r11, guide §2.4).
     """
     cells = (
         df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").alias("nab"))
+        .localCheckpoint(eager=True)
     )
     ma = cells.groupBy("a").agg(F.sum("nab").alias("na"))
     mb = cells.groupBy("b").agg(F.sum("nab").alias("nb"))
@@ -1087,7 +1117,11 @@ def js_divergence(
     base = df.select(
         F.col(group_col).alias("g"), F.col(cat_col).alias("c")
     ).where(F.col("g").isNotNull() & F.col("c").isNotNull())
-    cells = base.groupBy("g", "c").agg(F.count("*").alias("n_gc"))
+    # materialized once (bounded by groups × categories): feeds both
+    # margins, the total and the densification join (r11, guide §2.4)
+    cells = base.groupBy("g", "c").agg(
+        F.count("*").alias("n_gc")
+    ).localCheckpoint(eager=True)
     gtot = cells.groupBy("g").agg(F.sum("n_gc").cast("long").alias("n_g"))
     ctot = cells.groupBy("c").agg(F.sum("n_gc").cast("long").alias("n_c"))
     tot = cells.agg(F.sum("n_gc").cast("long").alias("n_tot"))
@@ -1335,7 +1369,11 @@ def fleiss_kappa(
     base = df.select(
         F.col(item_col).alias("i"), F.col(rating_col).alias("r")
     ).where(F.col("i").isNotNull() & F.col("r").isNotNull())
-    sizes = base.groupBy("i").agg(F.count("*").cast("long").alias("n_i"))
+    # per-item sizes feed the modal-count aggregate, the kept join AND
+    # the driver-side n_excluded count — materialize once (r11, §2.4)
+    sizes = _ckpt_big(
+        base.groupBy("i").agg(F.count("*").cast("long").alias("n_i"))
+    )
     # modal rater count = the design's n (count desc, n asc tiebreak)
     n_mode = (
         sizes.groupBy("n_i")
@@ -1346,7 +1384,9 @@ def fleiss_kappa(
     )
     kept = sizes.join(F.broadcast(n_mode), sizes["n_i"] == F.col("n_raters"))
     n_excluded = sizes.count()
-    cells = (
+    # per-(item, rating) cells feed the per-item and per-category
+    # aggregates — materialize once so the base join runs once (r11)
+    cells = _ckpt_big(
         base.join(kept.select("i", "n_raters"), "i")
         .groupBy("i", "r", "n_raters")
         .agg(F.count("*").cast("long").alias("n_ij"))
@@ -1412,6 +1452,9 @@ def chi_square_residuals(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("o"))
+        # materialized once (bounded by |A|·|B|): feeds both margins,
+        # the total and the residual join (r11, guide §2.4)
+        .localCheckpoint(eager=True)
     )
     ma = cells.groupBy("a").agg(F.sum("o").cast("long").alias("n_a"))
     mb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("n_b"))
@@ -1667,12 +1710,16 @@ def contingency_effects(
 
     Returns one row ``(n, n_rows, n_cols, dof, chi2_e6, g_e6,
     cramers_v_e6)``.
+
+    The cell table is materialized once (bounded by |A|·|B|): it feeds
+    both margins, the totals row and the scored join (r11, guide §2.4).
     """
     cells = (
         df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
     )
     ma = cells.groupBy("a").agg(F.sum("o").cast("long").alias("n_a"))
     mb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("n_b"))
@@ -1756,7 +1803,12 @@ def cluster_agreement(
     base = df.select(
         F.col(cluster_col).alias("c"), F.col(label_col).alias("l")
     ).where(F.col("c").isNotNull() & F.col("l").isNotNull())
-    cells = base.groupBy("c", "l").agg(F.count("*").cast("long").alias("n_cl"))
+    # materialized once (bounded by clusters × labels): feeds both
+    # margins, the total, the purity window and the MI join — five
+    # consumers that otherwise re-execute the detail aggregate (r11)
+    cells = base.groupBy("c", "l").agg(
+        F.count("*").cast("long").alias("n_cl")
+    ).localCheckpoint(eager=True)
     mc = cells.groupBy("c").agg(F.sum("n_cl").cast("long").alias("n_c"))
     ml = cells.groupBy("l").agg(F.sum("n_cl").cast("long").alias("n_l"))
     tot = cells.agg(F.sum("n_cl").cast("long").alias("n"))

@@ -524,6 +524,9 @@ def source_similarity(
 
     Returns ``(group_a, group_b, dot, cos_e6)`` with group_a < group_b.
     """
+    # the sparse TF table (bounded by groups × vocabulary) feeds the
+    # norms aggregate and both self-join sides — materialize once so the
+    # corpus tokenize/explode pass runs once, not 3× (r11, guide §2.4)
     tf = (
         df.select(
             F.col(group_col).alias("g"),
@@ -531,6 +534,7 @@ def source_similarity(
         )
         .groupBy("g", "t")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     norms = tf.groupBy("g").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("ss")

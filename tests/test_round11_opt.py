@@ -215,3 +215,184 @@ def test_distributed_ntile_literal_n_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Single-upstream-pass pins for the r11 repeated-subtree materializations
+# (the theil_index test pattern: feed the operator a parquet scan; when the
+# bounded intermediate is checkpointed, the FINAL plan must contain no — or
+# exactly the declared number of — parquet scans).
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contingency_family_single_detail_pass(spark, sf_dir):
+    """cells is materialized once: margins/totals/scored joins read the
+    checkpoint, so no consumer re-executes the detail aggregate (the
+    contract plans used to scan the detail 4-10x)."""
+    from smartpy_arc_spark.operators.stats import (
+        chi_square_independence,
+        chi_square_residuals,
+        cluster_agreement,
+        contingency_effects,
+        mutual_information,
+    )
+    from smartpy_arc_spark.operators.stats_tests import js_divergence
+
+    orders = _orders(spark, sf_dir)
+    for fn in (
+        chi_square_independence,
+        chi_square_residuals,
+        contingency_effects,
+        mutual_information,
+        cluster_agreement,
+        js_divergence,
+    ):
+        plan = _plan(fn(orders, "o_orderpriority", "o_orderstatus"))
+        assert "Scan parquet" not in plan, fn.__name__
+
+
+def test_kendall_single_detail_pass(spark, sf_dir):
+    from smartpy_arc_spark.operators.stats import kendall_tau_b
+
+    orders = _orders(spark, sf_dir).select(
+        (F.col("o_orderkey") % 7).alias("x"),
+        (F.col("o_custkey") % 5).alias("y"),
+    )
+    assert "Scan parquet" not in _plan(kendall_tau_b(orders, "x", "y"))
+
+
+def test_fleiss_psi_t_closeness_single_detail_pass(spark, sf_dir):
+    from smartpy_arc_spark.operators.checks import (
+        population_stability_index,
+        t_closeness,
+    )
+    from smartpy_arc_spark.operators.stats import fleiss_kappa
+
+    orders = _orders(spark, sf_dir)
+    assert "Scan parquet" not in _plan(
+        fleiss_kappa(orders, "o_custkey", "o_orderstatus")
+    )
+    assert "Scan parquet" not in _plan(
+        population_stability_index(
+            orders.where("o_custkey % 2 = 0"),
+            orders.where("o_custkey % 2 = 1"),
+            "o_totalprice",
+            lo=0.0,
+            hi=500000.0,
+            n_buckets=10,
+        )
+    )
+    assert "Scan parquet" not in _plan(
+        t_closeness(orders, ["o_orderpriority"], "o_orderstatus")
+    )
+
+
+def test_graph_ops_single_edge_pass(spark, sf_dir):
+    """The canonical edge table is checkpointed, so the caller's edge
+    pipeline appears zero times in the final plan (link_predict's
+    contract plan used to scan lineitem 26x)."""
+    from smartpy_arc_spark.operators.components import (
+        assortativity,
+        clustering_coefficient,
+        link_predict,
+        triangle_count,
+    )
+
+    orders = _orders(spark, sf_dir)
+    edges = orders.select(
+        (F.col("o_orderkey") % 13).alias("src"),
+        (F.col("o_custkey") % 13).alias("dst"),
+    )
+    for out in (
+        link_predict(edges, top_k=10),
+        clustering_coefficient(edges),
+        triangle_count(edges),
+        assortativity(edges, src_col="src", dst_col="dst"),
+    ):
+        assert "Scan parquet" not in _plan(out)
+
+
+def test_itemsets_single_detail_pass(spark, sf_dir):
+    from smartpy_arc_spark.operators.itemsets import (
+        association_rules,
+        frequent_pairs,
+        frequent_triples,
+        item_similarity,
+    )
+
+    orders = _orders(spark, sf_dir).select(
+        (F.col("o_custkey") % 50).alias("b"),
+        (F.col("o_orderkey") % 11).alias("i"),
+    )
+    for out in (
+        frequent_pairs(orders, basket_col="b", item_col="i"),
+        association_rules(orders, basket_col="b", item_col="i"),
+        frequent_triples(orders, "b", "i", min_support=2),
+        item_similarity(orders, basket_col="b", item_col="i"),
+    ):
+        assert "Scan parquet" not in _plan(out)
+
+
+def test_dsir_single_pass_per_corpus(spark, sf_dir):
+    """With both bucket models checkpointed, the only remaining parquet
+    scan is the scoring pass over raw (it used to run each corpus
+    explode 3x)."""
+    from smartpy_arc_spark.operators.importance import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        dsir_importance_weights(docs, docs.where("lang = 'en'"), m=64)
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_curate_corpus_stage_materialization(spark, sf_dir):
+    """Each funnel stage reads the previous stage's checkpoint: the only
+    parquet scan left in the final plan is the BENCHMARK side of the
+    decontamination join (the corpus used to be scanned 9x)."""
+    from smartpy_arc_spark.operators.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where("doc_id % 17 = 0").select("doc_id", "text")
+    plan = _plan(curate_corpus(docs, bench))
+    assert plan.count("Scan parquet") == 1
+    assert "(doc_id#" in plan and "% 17" in plan  # it IS the benchmark scan
+
+
+def test_source_similarity_single_tokenize_pass(spark, sf_dir):
+    from smartpy_arc_spark.operators.text import source_similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Scan parquet" not in _plan(source_similarity(docs))
+
+
+def test_peak_concurrency_single_pass_values(spark):
+    """The one-pass (group-max window) form must reproduce the sweep-line
+    semantics exactly, including the end-before-start tie at one instant
+    and the EARLIEST peak timestamp when the peak recurs."""
+    from smartpy_arc_spark.operators.sessionize import peak_concurrency
+
+    rows = [
+        # g=1: [0,10) [5,15) [10,20) — at t=10 one ends as one starts:
+        # peak 2, first reached at t=5; peak recurs at t=10
+        (1, 0, 10), (1, 5, 15), (1, 10, 20),
+        # g=2: nested intervals, peak 3 at t=4
+        (2, 0, 100), (2, 2, 50), (2, 4, 30),
+        # g=3: disjoint, peak 1 at t=0
+        (3, 0, 1), (3, 5, 6),
+    ]
+    df = spark.createDataFrame(rows, "g int, s long, e long")
+    got = {
+        r["g"]: (r["n_intervals"], r["peak_concurrency"], r["peak_at"])
+        for r in peak_concurrency(df, "s", "e", group_col="g").collect()
+    }
+    assert got == {1: (3, 2, 5), 2: (3, 3, 4), 3: (2, 1, 0)}
+    plan = _plan(peak_concurrency(df, "s", "e", group_col="g"))
+    assert "Join" not in plan  # the old stats-join-back shape is gone
