@@ -1505,22 +1505,28 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (median / p90)."""
+    """Exact interpolated percentiles per group (median / p90).
+
+    r12 (guide §5): computed via ``distributed_exact_percentiles`` — the
+    former ``percentile(col, array(...))`` was an ObjectHashAggregate
+    whose buffer holds EVERY value of the column in one final aggregation
+    task (an executor OOM at 100 TB); the replacement shuffles only the
+    distinct-value count table and interpolates from distributed ranks
+    with bit-identical arithmetic (equality pinned by
+    tests/test_round12_opt.py and the oracle hash)."""
+    from smartpy_arc_spark.operators.scale import distributed_exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    # one percentile(col, array(...)) per source column: the exact-percentile
-    # buffer for l_extendedprice is collected once, not once per quantile
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p"),
-            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_p")[0], 4).alias("median_price"),
-            F.round(F.col("_p")[1], 4).alias("p90_price"),
-            "p25_qty",
-        )
+    p = distributed_exact_percentiles(
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        [("l_extendedprice", [0.5, 0.9], "_p"), ("l_quantity", [0.25], "_q")],
+        group_col="l_returnflag",
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("median_price"),
+        F.round(F.col("_p")[1], 4).alias("p90_price"),
+        F.round(F.col("_q")[0], 4).alias("p25_qty"),
     )
 
 

@@ -400,6 +400,194 @@ def distributed_ntile(
     )
 
 
+def distributed_exact_percentiles(
+    df: DataFrame,
+    specs: list[tuple[str, list[float], str]],
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Bit-exact replica of ``percentile(col, array(*fracs))`` [per
+    ``group_col``] WITHOUT the exact-percentile buffer (guide §5).
+
+    The builtin exact ``percentile()`` is an ObjectHashAggregate whose
+    per-group buffer holds a counts-map of EVERY distinct value of the
+    column, merged through ONE final exchange — at 100 TB the final
+    aggregation task for a hot group materializes the whole column's
+    value domain in memory: an executor OOM, not a slow query.  This
+    primitive keeps the same exact semantics with the state distributed:
+
+      1. melt the requested columns and aggregate per-(group, column,
+         value) counts — map-side partial aggregation means the shuffle
+         carries the distinct-value domain, never the row count;
+      2. ``partitioned_cumsum`` turns the counts into distributed
+         cumulative ranks (range exchange, per-partition windows only);
+      3. ONE bounded per-(group, column) stats collect (N plus the
+         group's global rank base) sizes the rank targets driver-side;
+      4. ONE conditional-min aggregate over the materialized cumsum
+         resolves the two bracketing values for every requested fraction;
+      5. the interpolation replicates ``Percentile.getPercentile``'s
+         arithmetic exactly:
+
+             position = (N-1).toDouble * frac            (Long * Double)
+             lower, higher = floor(position), ceil(position)
+             lowerKey  = first value with cum count >= lower + 1
+             higherKey = first value with cum count >= higher + 1
+             result = lowerKey                      if higher == lower
+                      lowerKey                      if higherKey == lowerKey
+                      (higher-position)*lowerKey + (position-lower)*higherKey
+
+         with every float op the same separately-rounded IEEE double the
+         builtin performs: the two coefficients are computed driver-side
+         from the identical Long→Double conversions, and the
+         multiply-add runs in codegen in the same order.  Bit-equality
+         vs the builtin is pinned by tests/test_round12_opt.py.
+
+    ``specs`` is a list of ``(value_col, fracs, out_col)``; the output has
+    one row per group present in ``df`` (groups whose values are all NULL
+    yield NULL, like the builtin) and one ``array<double>`` column per
+    spec.  EAGER: collects one bounded stats row per (group, column) at
+    construction time (the partitioned_cumsum/grand_totals discipline) —
+    group cardinality must be bounded, exactly as the builtin's own
+    per-group final buffers already require.  NULL group keys are
+    rejected (create_map literals cannot key on NULL); ±0.0 / NaN values
+    follow Spark SQL grouping normalization rather than the builtin's
+    raw-key map, which only diverges on data containing both -0.0 and
+    +0.0 or NaNs.
+    """
+    import math
+
+    if group_col is not None:
+        sel = df.select(F.col(group_col).alias("__g"), *[
+            F.col(c).alias(f"__v{i}") for i, (c, _, _) in enumerate(specs)
+        ])
+    else:
+        sel = df.select(F.lit(0).alias("__g"), *[
+            F.col(c).alias(f"__v{i}") for i, (c, _, _) in enumerate(specs)
+        ])
+    # melt: one scan feeds every requested column's count table
+    melted = sel.select(
+        "__g",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("__wc"),
+                    F.col(f"__v{i}").cast("double").alias("__v"),
+                )
+                for i in range(len(specs))
+            ])
+        ).alias("__e"),
+    ).select("__g", F.col("__e.__wc").alias("__wc"), F.col("__e.__v").alias("__v"))
+    counts = (
+        melted.where(F.col("__v").isNotNull())
+        .groupBy("__g", "__wc", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cum = partitioned_cumsum(counts, ["__g", "__wc", "__v"], ["__cnt"])
+    # per-(group, column) N and global rank base — the base is the
+    # cumulative count just before the group's first row, read off the
+    # materialized cumsum itself (no driver-side ordering assumption)
+    stats = (
+        cum.groupBy("__g", "__wc")
+        .agg(
+            F.sum("__cnt").alias("n"),
+            F.min(F.col("cum___cnt") - F.col("__cnt")).alias("base"),
+        )
+        .collect()
+    )
+    if any(r["__g"] is None for r in stats):
+        raise ValueError(
+            "distributed_exact_percentiles: NULL group keys unsupported"
+        )
+
+    def _lit_map(d: dict, cast: str) -> F.Column:
+        return F.create_map(
+            *[
+                x
+                for k, v in d.items()
+                for x in (F.lit(k), F.lit(v).cast(cast))
+            ]
+        )
+
+    gcol = F.col("__g")
+    mins, val_exprs = [], []
+    for i, (_, fracs, out_col) in enumerate(specs):
+        rows_i = [r for r in stats if r["__wc"] == i]
+        base_i = {r["__g"]: int(r["base"]) for r in rows_i}
+        if base_i:
+            cig = F.col("cum___cnt") - _lit_map(base_i, "long")[gcol]
+        else:
+            cig = F.col("cum___cnt")  # no non-null rows anywhere: unused
+        elems = []
+        for j, p in enumerate(fracs):
+            lo_r, hi_r, c_lo, c_hi, interp = {}, {}, {}, {}, {}
+            for r in rows_i:
+                n = int(r["n"])
+                pos = float(n - 1) * float(p)
+                lo, hi = math.floor(pos), math.ceil(pos)
+                lo_r[r["__g"]] = lo + 1
+                hi_r[r["__g"]] = hi + 1
+                interp[r["__g"]] = 1 if hi != lo else 0
+                c_lo[r["__g"]] = float(hi) - pos
+                c_hi[r["__g"]] = pos - float(lo)
+            lo_v = F.col(f"__lo_{i}_{j}")
+            hi_v = F.col(f"__hi_{i}_{j}")
+            if rows_i:
+                mins.append(
+                    F.min(
+                        F.when(
+                            (F.col("__wc") == i)
+                            & (cig >= _lit_map(lo_r, "long")[gcol]),
+                            F.col("__v"),
+                        )
+                    ).alias(f"__lo_{i}_{j}")
+                )
+                mins.append(
+                    F.min(
+                        F.when(
+                            (F.col("__wc") == i)
+                            & (cig >= _lit_map(hi_r, "long")[gcol]),
+                            F.col("__v"),
+                        )
+                    ).alias(f"__hi_{i}_{j}")
+                )
+                elems.append(
+                    F.when(_lit_map(interp, "int")[gcol] == 0, lo_v)
+                    .when(lo_v == hi_v, lo_v)
+                    .otherwise(
+                        _lit_map(c_lo, "double")[gcol] * lo_v
+                        + _lit_map(c_hi, "double")[gcol] * hi_v
+                    )
+                )
+            else:
+                mins.append(F.min(F.lit(None).cast("double")).alias(f"__lo_{i}_{j}"))
+                mins.append(F.min(F.lit(None).cast("double")).alias(f"__hi_{i}_{j}"))
+                elems.append(F.lit(None).cast("double"))
+        # a group with zero non-null values in THIS column yields NULL
+        # (not an array of NULLs), exactly like the builtin's empty buffer
+        if rows_i:
+            present = _lit_map({r["__g"]: 1 for r in rows_i}, "int")
+            val_exprs.append(
+                F.when(present[gcol] == 1, F.array(*elems))
+                .otherwise(F.lit(None).cast("array<double>"))
+                .alias(out_col)
+            )
+        else:
+            val_exprs.append(F.lit(None).cast("array<double>").alias(out_col))
+    brackets = cum.groupBy("__g").agg(*mins)
+    resolved = brackets.select("__g", *val_exprs)
+    # every group present in df appears in the output, even all-NULL ones;
+    # the ungrouped form emits exactly one row even on empty input, like
+    # a global agg
+    if group_col is not None:
+        groups = sel.select("__g").distinct()
+    else:
+        groups = df.sparkSession.range(1).select(F.lit(0).alias("__g"))
+    out = groups.join(resolved, "__g", "left")
+    if group_col is not None:
+        return out.withColumnRenamed("__g", group_col)
+    return out.drop("__g")
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

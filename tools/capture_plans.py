@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named queries into plans/r11/<q>_<tag>.txt.
+"""Capture .explain("formatted") for named queries into
+plans/$SPARK_GRAFT_PLAN_DIR (default r12)/<q>_<tag>.txt.
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 With no query list, captures the 31 bench queries (headline + heavy tail).
@@ -31,7 +32,7 @@ def main() -> int:
     qs = mod.queries()
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
