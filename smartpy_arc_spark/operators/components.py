@@ -1135,7 +1135,13 @@ def link_predict(
     # anti-join and — through deg — three more consumers; without the
     # checkpoint every one re-executes the caller's full edge pipeline
     # (the contract query's lineitem self-join appeared 26× in the plan).
-    e = _ckpt_edges(
+    # Both e and adjz are O(E) full-input frames, so the materialization
+    # is size-capped (r12, VERDICT r11 item 1): above
+    # $SMARTPY_ARC_CKPT_CAP_BYTES they recompute from lineage instead of
+    # pinning an edge-sized copy in non-replicated storage.
+    from smartpy_arc_spark.operators._ckpt import sized_local_checkpoint
+
+    e = sized_local_checkpoint(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -1153,8 +1159,9 @@ def link_predict(
     adjz = adj.join(deg, "z")
     if max_neighbor_degree is not None:
         adjz = adjz.where(F.col("deg_z") <= F.lit(max_neighbor_degree))
-    # O(E) rows read by BOTH sides of the shared-neighbor pair join
-    adjz = _ckpt_edges(adjz)
+    # O(E) rows read by BOTH sides of the shared-neighbor pair join;
+    # scale=4: the adjacency doubles the edge rows and carries deg_z
+    adjz = sized_local_checkpoint(adjz, scale=4.0)
     a = adjz.select("z", F.col("u").alias("u"), "deg_z")
     b = adjz.select("z", F.col("u").alias("v"))
     pairs = (

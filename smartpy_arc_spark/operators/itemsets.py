@@ -26,18 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
-from pyspark.storagelevel import StorageLevel
+
+from smartpy_arc_spark.operators._ckpt import sized_local_checkpoint
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Eager serialized localCheckpoint for O(input)-sized intermediates
-    (deduped baskets, pruned basket-item rows): they feed several
-    consumers, and without materialization each consumer re-executes the
-    distinct/prune shuffle over the full detail input (r11, guide §2.4).
-    Serialized storage is the components._ckpt_edges discipline."""
-    return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+def _ckpt(df: DataFrame, *, scale: float = 1.0) -> DataFrame:
+    """Size-guarded eager serialized localCheckpoint for O(input)-sized
+    intermediates (deduped baskets, pruned basket-item rows): they feed
+    several consumers, and without materialization each consumer
+    re-executes the distinct/prune shuffle over the full detail input
+    (r11, guide §2.4).  Serialized storage is the components._ckpt_edges
+    discipline.  Above ``$SMARTPY_ARC_CKPT_CAP_BYTES`` the frame
+    recomputes from lineage instead of pinning an input-sized copy in
+    non-replicated storage (r12, VERDICT r11 item 1); ``scale`` carries
+    known super-linear expansion (the basket pair explosion is bounded
+    by ``max_basket/2`` rows per surviving basket-item row)."""
+    return sized_local_checkpoint(df, scale=scale)
 
 
 def frequent_pairs(
@@ -426,7 +430,10 @@ def frequent_triples(
     a, b = f.alias("a"), f.alias("b")
     # the basket-keyed pair expansion feeds BOTH the level-2 support
     # aggregate and (filtered by freq2) the level-3 candidate set — run
-    # the expensive join once and materialize it (r11: it ran twice)
+    # the expensive join once and materialize it (r11: it ran twice).
+    # scale=32: the expansion is super-linear (about half the mean
+    # frequent-basket width per surviving item row) — the guard prices
+    # that in before pinning it in non-replicated storage
     ab = _ckpt(
         a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.it") < F.col("b.it"))
@@ -434,7 +441,8 @@ def frequent_triples(
             F.col("a.bk").alias("cbk"),
             F.col("a.it").alias("it_a"),
             F.col("b.it").alias("it_b"),
-        )
+        ),
+        scale=32.0,
     )
     pairs = ab.groupBy(
         F.col("it_a").alias("ia"), F.col("it_b").alias("ib")

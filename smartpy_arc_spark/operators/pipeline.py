@@ -26,23 +26,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from smartpy_arc_spark.operators._ckpt import sized_local_checkpoint
 from smartpy_arc_spark.operators.contamination import ngram_decontaminate
 from smartpy_arc_spark.operators.quality import gopher_flags
 from smartpy_arc_spark.operators.sample import stratified_hash_sample
 
 
 def _ckpt_stage(df: DataFrame) -> DataFrame:
-    """Eager serialized localCheckpoint for a pipeline stage's survivor
+    """Size-guarded eager localCheckpoint for a pipeline stage's survivor
     frame: each stage's output feeds BOTH the next stage's key
     computation and the semi-join that applies it, so an unmaterialized
     stage re-executes everything upstream twice per level — the funnel's
     docs scan appeared 9× in the r11 plan.  Serialized storage
-    (components._ckpt_edges discipline) since rows carry document text."""
-    return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    (components._ckpt_edges discipline) since rows carry document text.
+
+    The survivor frames are O(input) WITH the full document text, so the
+    materialization is capped (r12, VERDICT r11 item 1): above
+    ``$SMARTPY_ARC_CKPT_CAP_BYTES`` the stage recomputes from lineage —
+    a column-pruned corpus re-scan per consumer instead of pinning the
+    whole corpus text in non-replicated storage."""
+    return sized_local_checkpoint(df)
 
 
 def curate_corpus(

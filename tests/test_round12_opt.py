@@ -102,3 +102,59 @@ def test_percentiles_query_plan_has_no_exact_percentile_buffer(spark, sf_dir):
     df = mod.queries()["percentiles"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "percentile(" not in plan
+
+
+def _baskets(spark):
+    rows = []
+    for b in range(30):
+        for i in range(2 + b % 5):
+            rows.append((b, (b * 7 + i * 3) % 11))
+    return spark.createDataFrame(rows, "bk long, it long")
+
+
+def test_sized_checkpoint_keeps_small_frames_and_skips_big(spark, monkeypatch):
+    """The size guard: under the cap the frame is materialized (LogicalRDD
+    leaf, single-pass property kept); over the cap it is returned
+    untouched (recompute-from-lineage, no non-replicated O(input) pin)."""
+    from smartpy_arc_spark.operators._ckpt import (
+        leaf_input_bytes,
+        sized_local_checkpoint,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag"
+    )
+    est = leaf_input_bytes(df)
+    assert est is not None and est > 0
+
+    kept = sized_local_checkpoint(df)
+    assert "LogicalRDD" in kept._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setenv("SMARTPY_ARC_CKPT_CAP_BYTES", "1")
+    skipped = sized_local_checkpoint(df)
+    assert skipped is df  # untouched: lineage preserved
+
+    # unsized leaves (createDataFrame locals) keep the status-quo checkpoint
+    local = spark.createDataFrame([(1, "a")], "id int, s string")
+    assert leaf_input_bytes(local) is None
+    kept2 = sized_local_checkpoint(local)
+    assert "LogicalRDD" in kept2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_itemsets_identical_on_both_checkpoint_paths(spark, monkeypatch):
+    """frequent_pairs / frequent_triples rows must be identical whether the
+    intermediates materialize (default) or recompute (cap exceeded)."""
+    from smartpy_arc_spark.operators import itemsets
+
+    df = _baskets(spark)
+    want_pairs = sorted(map(tuple, itemsets.frequent_pairs(
+        df, basket_col="bk", item_col="it", min_support=2).collect()))
+    want_triples = sorted(map(tuple, itemsets.frequent_triples(
+        df, "bk", "it", min_support=2).collect()))
+    monkeypatch.setenv("SMARTPY_ARC_CKPT_CAP_BYTES", "1")
+    got_pairs = sorted(map(tuple, itemsets.frequent_pairs(
+        df, basket_col="bk", item_col="it", min_support=2).collect()))
+    got_triples = sorted(map(tuple, itemsets.frequent_triples(
+        df, "bk", "it", min_support=2).collect()))
+    assert got_pairs == want_pairs
+    assert got_triples == want_triples
