@@ -405,6 +405,9 @@ def distributed_exact_percentiles(
     specs: list[tuple[str, list[float], str]],
     *,
     group_col: str | None = None,
+    n_buckets: int = 4096,
+    refine_cap: int = 1 << 22,
+    max_refine: int = 3,
 ) -> DataFrame:
     """Bit-exact replica of ``percentile(col, array(*fracs))`` [per
     ``group_col``] WITHOUT the exact-percentile buffer (guide §5).
@@ -414,24 +417,42 @@ def distributed_exact_percentiles(
     column, merged through ONE final exchange — at 100 TB the final
     aggregation task for a hot group materializes the whole column's
     value domain in memory: an executor OOM, not a slow query.  This
-    primitive keeps the same exact semantics with the state distributed:
+    primitive keeps the same exact semantics with BOUNDED state
+    everywhere, via driver-coordinated histogram bisection:
 
-      1. melt the requested columns and aggregate per-(group, column,
-         value) counts — map-side partial aggregation means the shuffle
-         carries the distinct-value domain, never the row count;
-      2. ``partitioned_cumsum`` turns the counts into distributed
-         cumulative ranks (range exchange, per-partition windows only);
-      3. ONE bounded per-(group, column) stats collect (N plus the
-         group's global rank base) sizes the rank targets driver-side;
-      4. ONE conditional-min aggregate over the materialized cumsum
-         resolves the two bracketing values for every requested fraction;
-      5. the interpolation replicates ``Percentile.getPercentile``'s
+      1. one pass melts the requested columns and histograms each
+         (group, column) on a FIXED order-preserving bucket map — the
+         float's binary octave ``floor(log2|v|)`` (the JVM guarantees
+         ``log`` is semi-monotonic, so the octave is non-decreasing in
+         ``|v|``) refined 16-way by mantissa slice, sign-mirrored, with
+         dedicated buckets for ±0/±Inf/NaN/NULL — all codegen, no
+         Python, no sort, no prior min/max pass, no range-exchange
+         sampling.  The bounded collect (#groups × #cols × occupied
+         octave-slices) gives the driver every group's N (→ the rank
+         targets ``position = (N-1)·frac``), the group list (NULL rows
+         carry all-NULL groups), and the exact in-group rank range of
+         every bucket, locating the ≤ 2 buckets that bracket each
+         requested fraction;
+      2. buckets still holding more than ``refine_cap`` rows are
+         re-histogrammed into ``n_buckets`` equal-width sub-buckets
+         within their own bounds (≤ ``max_refine`` filtered passes; each
+         round multiplies the resolution, so mass that stays over the
+         cap is tie-mass, which collapses at step 3 anyway);
+      3. one final pass keeps ONLY rows in bracketing buckets (for
+         continuous data a few octave-slices of the input): a row_number
+         window over the survivor set plus a literal
+         count-of-skipped-rows map restores exact global in-group ranks
+         and one conditional-min aggregate resolves the brackets and
+         directly emits the one-row-per-group output (a driver-collect
+         variant of this step measured SLOWER — createDataFrame of the
+         literal result alone cost ~0.28 s — and was removed);
+      4. the interpolation replicates ``Percentile.getPercentile``'s
          arithmetic exactly:
 
              position = (N-1).toDouble * frac            (Long * Double)
              lower, higher = floor(position), ceil(position)
-             lowerKey  = first value with cum count >= lower + 1
-             higherKey = first value with cum count >= higher + 1
+             lowerKey  = first value with in-group rank >= lower + 1
+             higherKey = first value with in-group rank >= higher + 1
              result = lowerKey                      if higher == lower
                       lowerKey                      if higherKey == lowerKey
                       (higher-position)*lowerKey + (position-lower)*higherKey
@@ -439,23 +460,32 @@ def distributed_exact_percentiles(
          with every float op the same separately-rounded IEEE double the
          builtin performs: the two coefficients are computed driver-side
          from the identical Long→Double conversions, and the
-         multiply-add runs in codegen in the same order.  Bit-equality
-         vs the builtin is pinned by tests/test_round12_opt.py.
+         multiply-add runs in codegen in the same order.  Bucket
+         boundaries only steer which rows reach the final pass — the
+         bracket VALUES come from exact integer ranks, so neither
+         boundary rounding nor the off-by-an-octave a 1-ulp ``log2``
+         can produce may change a result bit.  Bit-equality vs the
+         builtin is pinned by tests/test_round12_opt.py.
 
-    ``specs`` is a list of ``(value_col, fracs, out_col)``; the output has
-    one row per group present in ``df`` (groups whose values are all NULL
-    yield NULL, like the builtin) and one ``array<double>`` column per
-    spec.  EAGER: collects one bounded stats row per (group, column) at
-    construction time (the partitioned_cumsum/grand_totals discipline) —
-    group cardinality must be bounded, exactly as the builtin's own
-    per-group final buffers already require.  NULL group keys are
-    rejected (create_map literals cannot key on NULL); ±0.0 / NaN values
-    follow Spark SQL grouping normalization rather than the builtin's
-    raw-key map, which only diverges on data containing both -0.0 and
-    +0.0 or NaNs.
+    Scale shape: 2 + #refine column-pruned scans, every shuffle bounded
+    by #groups × #cols × #occupied buckets, driver state likewise, and
+    no checkpoint / cache of anything input-sized.  ``specs`` is a list
+    of ``(value_col, fracs, out_col)``; the output has one row per group
+    present in ``df`` (groups whose values are all NULL yield NULL, like
+    the builtin) and one ``array<double>`` column per spec.  EAGER:
+    collects the bounded histogram rows at construction time (the
+    grand_totals discipline) — group cardinality must be bounded,
+    exactly as the builtin's own per-group final buffers already
+    require.  NULL group keys are rejected (create_map literals cannot
+    key on NULL); ±0.0 values follow Spark SQL grouping normalization
+    rather than the builtin's raw-key map, which only diverges on data
+    containing both -0.0 and +0.0.
     """
     import math
 
+    from pyspark.sql import Window
+
+    ncols = len(specs)
     if group_col is not None:
         sel = df.select(F.col(group_col).alias("__g"), *[
             F.col(c).alias(f"__v{i}") for i, (c, _, _) in enumerate(specs)
@@ -464,7 +494,7 @@ def distributed_exact_percentiles(
         sel = df.select(F.lit(0).alias("__g"), *[
             F.col(c).alias(f"__v{i}") for i, (c, _, _) in enumerate(specs)
         ])
-    # melt: one scan feeds every requested column's count table
+    # melt: one scan feeds every requested column's histogram
     melted = sel.select(
         "__g",
         F.explode(
@@ -477,27 +507,93 @@ def distributed_exact_percentiles(
             ])
         ).alias("__e"),
     ).select("__g", F.col("__e.__wc").alias("__wc"), F.col("__e.__v").alias("__v"))
-    counts = (
-        melted.where(F.col("__v").isNotNull())
-        .groupBy("__g", "__wc", "__v")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+
+    # ---- fixed order-preserving double → bucket map (sign-mirrored
+    # octave × 16 mantissa slices).  MAG ≤ (1075+1024)·16; buckets:
+    #   -NULLB (null marker, kept only for group presence)
+    #   -INFB < -mag-1 < 0 (±0.0) < mag+1 < INFB < NANB (NaN is Spark's
+    #   largest double).  A 1-ulp-low log2 at an octave boundary only
+    #   shifts the value into the adjacent lower slice — the map stays
+    #   non-decreasing, which is all correctness needs.
+    MSUB = 16
+    INFB = (1075 + 1025) * MSUB + 2
+    NANB = INFB + 1
+    NULLB = -(NANB + 1)
+    KB = 2 * NANB + 3  # bucket values span (-NANB-1, NANB]
+    vcol = F.col("__v")
+    av = F.abs(vcol)
+    e = F.floor(F.log2(av))
+    m = F.floor(
+        (av * F.pow(F.lit(2.0), (-e).cast("double")) - F.lit(1.0))
+        * F.lit(float(MSUB))
     )
-    cum = partitioned_cumsum(counts, ["__g", "__wc", "__v"], ["__cnt"])
-    # per-(group, column) N and global rank base — the base is the
-    # cumulative count just before the group's first row, read off the
-    # materialized cumsum itself (no driver-side ordering assumption)
-    stats = (
-        cum.groupBy("__g", "__wc")
-        .agg(
-            F.sum("__cnt").alias("n"),
-            F.min(F.col("cum___cnt") - F.col("__cnt")).alias("base"),
-        )
+    m = F.greatest(F.lit(0).cast("long"), F.least(m, F.lit(MSUB - 1).cast("long")))
+    mag = F.greatest((e + F.lit(1075)).cast("long"), F.lit(0).cast("long")) * MSUB + m
+    fixed_b = (
+        F.when(vcol.isNull(), F.lit(NULLB).cast("long"))
+        .when(F.isnan(vcol), F.lit(NANB).cast("long"))
+        .when(vcol == F.lit(float("inf")), F.lit(INFB).cast("long"))
+        .when(vcol == F.lit(float("-inf")), F.lit(-INFB).cast("long"))
+        .when(vcol == F.lit(0.0), F.lit(0).cast("long"))
+        .when(vcol > 0, mag + 1)
+        .otherwise(-(mag + 1))
+    )
+
+    def _fixed_bounds(b: int) -> tuple[float, float]:
+        """Approximate [lo, hi] of a fixed bucket — only steers the
+        refinement sub-map (clamped), never the resolved values."""
+        if b == 0:
+            return (0.0, 0.0)
+        neg, magv = b < 0, abs(b) - 1
+        if magv >= INFB - 1:
+            return (0.0, 0.0)  # ±Inf / NaN buckets: single value, no split
+        ex, sl = magv // MSUB - 1075, magv % MSUB
+        lo = math.ldexp(1.0 + sl / MSUB, ex)
+        hi = math.ldexp(1.0 + (sl + 1) / MSUB, ex)
+        return (-hi, -lo) if neg else (lo, hi)
+
+    # ---- pass 1: the fixed histogram (the ONLY unfiltered pass) ----
+    hist1 = (
+        melted.groupBy("__g", "__wc", fixed_b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
         .collect()
     )
-    if any(r["__g"] is None for r in stats):
+    if any(r["__g"] is None for r in hist1):
         raise ValueError(
             "distributed_exact_percentiles: NULL group keys unsupported"
         )
+    if not hist1 and group_col is None:
+        # the ungrouped form emits exactly one row even on empty input,
+        # like a global agg
+        return df.sparkSession.range(1).select(*[
+            F.lit(None).cast("array<double>").alias(out_col)
+            for (_, _, out_col) in specs
+        ])
+
+    groups: list = []
+    seen: set = set()
+    b1: dict[tuple, dict[int, int]] = {}  # (g, wc) -> bucket -> count
+    for r in hist1:
+        if r["__g"] not in seen:
+            seen.add(r["__g"])
+            groups.append(r["__g"])
+        if r["__b"] != NULLB:
+            b1.setdefault((r["__g"], r["__wc"]), {})[int(r["__b"])] = int(
+                r["__cnt"]
+            )
+    gid = {g: i for i, g in enumerate(groups)}
+    n_gw = {gw: sum(bs.values()) for gw, bs in b1.items()}
+
+    def _imap(d: dict, vcast: str) -> F.Column | None:
+        """int64-keyed literal map (None for empty — an argless
+        create_map() types its keys VOID and fails analysis)."""
+        if not d:
+            return None
+        return F.create_map(*[
+            x
+            for k, v in d.items()
+            for x in (F.lit(k).cast("long"), F.lit(v).cast(vcast))
+        ])
 
     def _lit_map(d: dict, cast: str) -> F.Column:
         return F.create_map(
@@ -508,27 +604,211 @@ def distributed_exact_percentiles(
             ]
         )
 
+    # rank targets per (group, column): the integer ranks (1-based) of the
+    # two values bracketing every requested fraction
+    targets: dict[tuple, list] = {}
+    for gw, n in n_gw.items():
+        ts: set = set()
+        for p in specs[gw[1]][1]:
+            pos = float(n - 1) * float(p)
+            ts.add(math.floor(pos) + 1)
+            ts.add(math.ceil(pos) + 1)
+        if ts:
+            targets[gw] = sorted(ts)
+
+    if gid:
+        gmap = _lit_map(gid, "long")
+
+    # refinement item keys: key1 = (gid·ncols + wc)·KB + (b + NANB + 1),
+    # then key_{r+1} = key_r·n_buckets + sub-bucket — membership at any
+    # depth is recomputable in codegen from per-round (lo, scale) maps
+    round_maps: list[tuple[dict, dict]] = []
+
+    def key_expr(depth: int) -> F.Column:
+        k = (
+            gmap[F.col("__g")] * F.lit(ncols).cast("long") + F.col("__wc")
+        ) * KB + (fixed_b + F.lit(NANB + 1).cast("long"))
+        for lo_m, sc_m in round_maps[:depth]:
+            lo_l = _imap(lo_m, "double")[k]
+            sc_l = _imap(sc_m, "double")[k]
+            idx = F.floor((F.col("__v") - lo_l) * sc_l)
+            idx = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(idx, F.lit(n_buckets - 1).cast("long")),
+            )
+            idx = F.when(
+                F.isnan(F.col("__v")), F.lit(n_buckets - 1).cast("long")
+            ).otherwise(idx)
+            k = k * n_buckets + idx
+        return k
+
+    def _scale(width: float) -> float:
+        if width > 0 and math.isfinite(width):
+            return float(n_buckets) / width
+        return 0.0  # unsplittable segment: one bucket
+
+    # walk the fixed histogram: group each (group, column)'s targets by
+    # the bucket containing them; fat splittable buckets become
+    # refinement items, the rest resolve directly
+    items = []  # active segments: (key, g, wc, lo, width, before, targets)
+    finals = []  # resolved buckets: (key, depth, g, wc, before, cnt)
+    for gw, ts in targets.items():
+        bs = b1[gw]
+        blist = sorted(bs)
+        cum_before: dict[int, int] = {}
+        acc = 0
+        for b in blist:
+            cum_before[b] = acc
+            acc += bs[b]
+        by_bucket: dict[int, list] = {}
+        bi = 0
+        for t in ts:
+            while bi < len(blist) and (
+                cum_before[blist[bi]] + bs[blist[bi]] < t
+            ):
+                bi += 1
+            by_bucket.setdefault(blist[bi], []).append(t)
+        key0 = gid[gw[0]] * ncols + gw[1]
+        for b, bts in by_bucket.items():
+            key1 = key0 * KB + (b + NANB + 1)
+            lo, hi = _fixed_bounds(b)
+            if max_refine >= 1 and bs[b] > refine_cap and hi > lo:
+                items.append({
+                    "key": key1, "g": gw[0], "wc": gw[1],
+                    "lo": lo, "width": hi - lo,
+                    "before": cum_before[b], "targets": bts,
+                })
+            else:
+                finals.append({
+                    "key": key1, "depth": 0, "g": gw[0], "wc": gw[1],
+                    "before": cum_before[b], "cnt": bs[b],
+                })
+
+    # ---- refinement rounds (rare: only buckets over refine_cap) ----
+    depth = 0
+    while items:
+        depth += 1
+        lo_m = {it["key"]: it["lo"] for it in items}
+        sc_m = {it["key"]: _scale(it["width"]) for it in items}
+        round_maps.append((lo_m, sc_m))
+        active = _imap({it["key"]: 1 for it in items}, "int")
+        hist = (
+            melted.where(
+                F.col("__v").isNotNull()
+                & active[key_expr(depth - 1)].isNotNull()
+            )
+            .groupBy(key_expr(depth).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .collect()
+        )
+        buckets: dict[int, dict[int, int]] = {}
+        for r in hist:
+            k = int(r["__k"])
+            buckets.setdefault(k // n_buckets, {})[k % n_buckets] = int(
+                r["__cnt"]
+            )
+        nxt = []
+        for it in items:
+            bs = buckets.get(it["key"], {})
+            blist = sorted(bs)
+            cum_before = {}
+            acc = 0
+            for b in blist:
+                cum_before[b] = acc
+                acc += bs[b]
+            by_bucket = {}
+            bi = 0
+            for t in it["targets"]:
+                t_local = t - it["before"]
+                while bi < len(blist) and (
+                    cum_before[blist[bi]] + bs[blist[bi]] < t_local
+                ):
+                    bi += 1
+                by_bucket.setdefault(blist[bi], []).append(t)
+            sub_w = it["width"] / n_buckets if _scale(it["width"]) else 0.0
+            for b, bts in by_bucket.items():
+                gb = it["before"] + cum_before[b]
+                sub_lo = it["lo"] + b * sub_w
+                sub_hi = it["lo"] + (b + 1) * sub_w
+                if (
+                    depth < max_refine
+                    and bs[b] > refine_cap
+                    and sub_hi > sub_lo
+                ):
+                    nxt.append({
+                        "key": it["key"] * n_buckets + b,
+                        "g": it["g"], "wc": it["wc"],
+                        "lo": sub_lo, "width": sub_hi - sub_lo,
+                        "before": gb, "targets": bts,
+                    })
+                else:
+                    finals.append({
+                        "key": it["key"] * n_buckets + b, "depth": depth,
+                        "g": it["g"], "wc": it["wc"],
+                        "before": gb, "cnt": bs[b],
+                    })
+        items = nxt
+
+    # count-of-skipped-rows offset per final bucket: global rank of a
+    # surviving row = its rank among SURVIVING rows of its (group,
+    # column) + the number of dropped rows ordered before its bucket
+    miss: dict[int, dict[int, int]] = {}
+    bygw: dict[tuple, list] = {}
+    for fb in finals:
+        bygw.setdefault((fb["g"], fb["wc"]), []).append(fb)
+    for gw, fbs in bygw.items():
+        fbs.sort(key=lambda fb: fb["before"])
+        kept = 0
+        for fb in fbs:
+            miss.setdefault(fb["depth"], {})[fb["key"]] = fb["before"] - kept
+            kept += fb["cnt"]
+    miss_exprs = [
+        _imap(m_, "long")[key_expr(d)] for d, m_ in sorted(miss.items())
+    ]
+    if miss_exprs:
+        miss_col = (
+            F.coalesce(*miss_exprs) if len(miss_exprs) > 1 else miss_exprs[0]
+        )
+    else:
+        miss_col = F.lit(None).cast("long")
+
+    # ---- final pass: survivors only, exact in-group ranks, brackets.
+    # Ranks come from a row_number over the RAW survivor rows — no
+    # per-value collapse needed, because every row of a tied value sits
+    # in one bucket, so the first row whose running count reaches a
+    # target rank already carries exactly the bracket VALUE (later tie
+    # rows repeat it and cannot win the min).  The window partition is
+    # one (group, column)'s surviving rows: bounded by #targets ×
+    # refine_cap, and a sort window spills rather than buffering (never
+    # the builtin's in-memory value map).
+    survivors = (
+        melted.where(F.col("__v").isNotNull())
+        .withColumn("__miss", miss_col)
+        .where(F.col("__miss").isNotNull())
+    )
+    w = Window.partitionBy("__g", "__wc").orderBy("__v")
+    cum = survivors.withColumn(
+        "cum___cnt", F.row_number().over(w) + F.col("__miss")
+    )
+
     gcol = F.col("__g")
+    cig = F.col("cum___cnt")  # already the exact in-group rank
     mins, val_exprs = [], []
     for i, (_, fracs, out_col) in enumerate(specs):
-        rows_i = [r for r in stats if r["__wc"] == i]
-        base_i = {r["__g"]: int(r["base"]) for r in rows_i}
-        if base_i:
-            cig = F.col("cum___cnt") - _lit_map(base_i, "long")[gcol]
-        else:
-            cig = F.col("cum___cnt")  # no non-null rows anywhere: unused
+        rows_i = [
+            (g, n_gw[(g, i)]) for g in groups if n_gw.get((g, i), 0) > 0
+        ]
         elems = []
         for j, p in enumerate(fracs):
             lo_r, hi_r, c_lo, c_hi, interp = {}, {}, {}, {}, {}
-            for r in rows_i:
-                n = int(r["n"])
+            for g, n in rows_i:
                 pos = float(n - 1) * float(p)
                 lo, hi = math.floor(pos), math.ceil(pos)
-                lo_r[r["__g"]] = lo + 1
-                hi_r[r["__g"]] = hi + 1
-                interp[r["__g"]] = 1 if hi != lo else 0
-                c_lo[r["__g"]] = float(hi) - pos
-                c_hi[r["__g"]] = pos - float(lo)
+                lo_r[g] = lo + 1
+                hi_r[g] = hi + 1
+                interp[g] = 1 if hi != lo else 0
+                c_lo[g] = float(hi) - pos
+                c_hi[g] = pos - float(lo)
             lo_v = F.col(f"__lo_{i}_{j}")
             hi_v = F.col(f"__hi_{i}_{j}")
             if rows_i:
@@ -565,7 +845,7 @@ def distributed_exact_percentiles(
         # a group with zero non-null values in THIS column yields NULL
         # (not an array of NULLs), exactly like the builtin's empty buffer
         if rows_i:
-            present = _lit_map({r["__g"]: 1 for r in rows_i}, "int")
+            present = _lit_map({g: 1 for g, _ in rows_i}, "int")
             val_exprs.append(
                 F.when(present[gcol] == 1, F.array(*elems))
                 .otherwise(F.lit(None).cast("array<double>"))
@@ -574,15 +854,30 @@ def distributed_exact_percentiles(
         else:
             val_exprs.append(F.lit(None).cast("array<double>").alias(out_col))
     brackets = cum.groupBy("__g").agg(*mins)
-    resolved = brackets.select("__g", *val_exprs)
-    # every group present in df appears in the output, even all-NULL ones;
-    # the ungrouped form emits exactly one row even on empty input, like
-    # a global agg
-    if group_col is not None:
-        groups = sel.select("__g").distinct()
-    else:
-        groups = df.sparkSession.range(1).select(F.lit(0).alias("__g"))
-    out = groups.join(resolved, "__g", "left")
+    out = brackets.select("__g", *val_exprs)
+
+    # groups whose every value in every column is NULL have no surviving
+    # rows; their one all-NULL output row is appended from the (bounded)
+    # pass-1 group list
+    absent = [
+        g for g in groups
+        if all(n_gw.get((g, i), 0) == 0 for i in range(ncols))
+    ]
+    if absent:
+        from pyspark.sql.types import StructField, StructType
+
+        g_field = StructField("__g", sel.schema[0].dataType)
+        extra = df.sparkSession.createDataFrame(
+            [(g,) for g in absent], StructType([g_field])
+        ).select(
+            "__g",
+            *[
+                F.lit(None).cast("array<double>").alias(out_col)
+                for (_, _, out_col) in specs
+            ],
+        )
+        out = out.unionByName(extra)
+
     if group_col is not None:
         return out.withColumnRenamed("__g", group_col)
     return out.drop("__g")

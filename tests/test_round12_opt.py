@@ -12,7 +12,8 @@ def _bits(x):
 
 def _check_percentiles(spark, rows, fracs_a, fracs_b):
     """distributed_exact_percentiles must match the builtin exact
-    percentile() BIT-FOR-BIT (same IEEE doubles, not just approximately)."""
+    percentile() BIT-FOR-BIT (same IEEE doubles, not just approximately)
+    on the default shape AND with forced bucket refinement rounds."""
     from smartpy_arc_spark.operators.scale import distributed_exact_percentiles
 
     df = spark.createDataFrame(rows, "g string, a double, b double")
@@ -25,20 +26,27 @@ def _check_percentiles(spark, rows, fracs_a, fracs_b):
             F.expr(f"percentile(b, array({fb}))").alias("pb"),
         ).collect()
     }
-    new = {
-        r["g"]: (r["pa"], r["pb"])
-        for r in distributed_exact_percentiles(
-            df, [("a", fracs_a, "pa"), ("b", fracs_b, "pb")], group_col="g"
-        ).collect()
-    }
-    assert set(ref) == set(new)
-    for g in ref:
-        for k in (0, 1):
-            ra, na = ref[g][k], new[g][k]
-            if ra is None or na is None:
-                assert ra == na, (g, k, ra, na)
-                continue
-            assert [_bits(x) for x in ra] == [_bits(x) for x in na], (g, k)
+    for kw in (
+        {},                                  # default: fixed octave map only
+        {"refine_cap": 4, "n_buckets": 8},   # forced refinement rounds
+    ):
+        new = {
+            r["g"]: (r["pa"], r["pb"])
+            for r in distributed_exact_percentiles(
+                df, [("a", fracs_a, "pa"), ("b", fracs_b, "pb")],
+                group_col="g", **kw
+            ).collect()
+        }
+        assert set(ref) == set(new), kw
+        for g in ref:
+            for k in (0, 1):
+                ra, na = ref[g][k], new[g][k]
+                if ra is None or na is None:
+                    assert ra == na, (kw, g, k, ra, na)
+                    continue
+                assert [_bits(x) for x in ra] == [_bits(x) for x in na], (
+                    kw, g, k,
+                )
 
 
 def test_exact_percentiles_bit_equal_ties(spark):
