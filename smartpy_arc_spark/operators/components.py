@@ -884,7 +884,12 @@ def louvain_communities(
     e0 = pairs.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"), w.alias("w")
     ).where(F.col("s") != F.col("d"))
-    # undirected, both directions, parallel edges collapsed by weight-sum
+    # undirected, both directions, parallel edges collapsed by weight-sum.
+    # (r12 measured negative: re-keying this exchange to hash(s) so deg
+    # and k_to free-ride is defeated by localCheckpoint — the PySpark
+    # checkpoint scan comes back as an ExistingRDD with UNKNOWN
+    # partitioning, so every downstream aggregate re-exchanges anyway;
+    # plan-verified, keep the natural (s, d) keying.)
     edges = _ckpt_edges(
         e0.unionByName(
             e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
@@ -915,8 +920,11 @@ def louvain_communities(
                 )
             )
         # loop-invariant per level but consumed every sweep — without
-        # this checkpoint every sweep re-ran the degree aggregate (r7)
-        deg = deg.localCheckpoint(eager=True)
+        # this checkpoint every sweep re-ran the degree aggregate (r7).
+        # LAZY (r12): the 2m scalar read right below is the
+        # materializing job (the graph-loop probe pattern) — one job
+        # per level instead of checkpoint-then-aggregate
+        deg = deg.localCheckpoint(eager=False)
         # 2m = Σ_i k_i exactly (the symmetrized edge list counts every
         # edge twice and selfw carries internal weight), so the scalar
         # rides a cheap scan of the just-materialized deg instead of its
@@ -937,18 +945,23 @@ def louvain_communities(
         moved_any = False
         for sweep in range(max_sweeps):
             tot = assign.groupBy("comm").agg(F.sum("k").alias("tot"))
+            cur = assign
+            # ONE broadcast of the whole (node, comm, k) assignment
+            # serves BOTH per-sweep probes (r12): the d-side community
+            # lookup inside k_to and the node-side (k, comm) attach in
+            # scored formerly broadcast two *different projections* of
+            # the same frame — identical children and the identical join
+            # key (node) let ReuseExchange ship one broadcast per sweep
+            # instead of two
+            a = F.broadcast(cur)
             # k_{i -> c}: weight from node i into community c
             k_to = (
-                edges.join(
-                    assign.select(
-                        F.col("node").alias("d"), F.col("comm").alias("cand")
-                    ),
-                    "d",
+                edges.join(a, edges["d"] == a["node"])
+                .groupBy(
+                    F.col("s").alias("node"), F.col("comm").alias("cand")
                 )
-                .groupBy(F.col("s").alias("node"), "cand")
                 .agg(F.sum("w").alias("k_in"))
             )
-            cur = assign
             # candidate set = neighbor communities ∪ the current community.
             # NOT deduped (r8): when cand == comm appears in both arms the
             # self row scores with k_in = 0, and gain is strictly
@@ -962,7 +975,7 @@ def louvain_communities(
                 )
             )
             scored = (
-                cands.join(cur, "node")
+                cands.join(a, "node")
                 .join(tot.withColumnRenamed("comm", "cand"), "cand")
                 .select(
                     "node",
@@ -1040,11 +1053,14 @@ def louvain_communities(
         # canonical community id: smallest member node id — one
         # comm-partitioned window (a single exchange) instead of the
         # former groupBy + join, which paid an aggregate exchange plus
-        # a join materialization per level (r10 job-count cut)
+        # a join materialization per level (r10 job-count cut).  LAZY
+        # (r12): the next consumer — the coarsened-edge checkpoint of
+        # the following level, or the caller's final action — is the
+        # materializing job; later consumers read the persisted rows
         assign = assign.select(
             "node",
             F.min("node").over(W.partitionBy("comm")).alias("comm"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         mapping = (
             mapping.join(
                 assign.withColumnRenamed("node", "community"), "community"
