@@ -357,7 +357,9 @@ def geometric_median(
     spark = df.sparkSession
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(vec.alias("v")).where(F.col("v").isNotNull())
-    base = base.localCheckpoint()
+    # lazy: the meta aggregate right below is the materializing job
+    # (r12, the graph-loop probe pattern) — one job instead of two
+    base = base.localCheckpoint(eager=False)
     meta = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.size("v")).alias("lo"),
@@ -383,7 +385,9 @@ def geometric_median(
     # order-free, so repartitioning cannot change a single output bit.
     target = max(1, -(-n // 8192))  # ~8k vectors (a few MB) per task
     if target < base.rdd.getNumPartitions():
-        base = base.coalesce(target).localCheckpoint()
+        # lazy: the init-mean aggregate below materializes the narrowed
+        # layout in the same job (r12)
+        base = base.coalesce(target).localCheckpoint(eager=False)
 
     ticks = lambda c: F.sum(  # noqa: E731
         F.round(c * F.lit(1e12)).cast("decimal(38,0)")

@@ -119,6 +119,10 @@ def perplexity_buckets(
         .agg(F.count("*").alias("n"))
     )
     if materialize:
+        # EAGER on purpose (r12 re-measure): the consumers are broadcast
+        # builds that run CONCURRENTLY inside one query — with a lazy
+        # checkpoint each racing broadcast recomputes the reference pass
+        # before any of them manages to persist it (+0.8 s at sf0.1)
         lm = lm.localCheckpoint(eager=True)
     vocab_total = lm.agg(
         F.sum("n").alias("total"), F.count("*").alias("vocab")
@@ -167,7 +171,17 @@ def perplexity_buckets(
         # values are the same doubles, so buckets are bit-unchanged.
     )
     if materialize:
-        scored = scored.localCheckpoint(eager=True)
+        # lazy (r12): the cut-point broadcast inside the final query is
+        # the materializing job (it completes before the main scan
+        # probes it — broadcasts build first), so the eager checkpoint
+        # job is free.  NOTE the exact percentile below is NOT the
+        # full-column buffer cliff the headline percentiles query had:
+        # cross_entropy is rounded to 4 decimals over a bounded range
+        # (≤ ln(total+vocab+1)·1e4 ≈ 3·10⁵ grid points), so the
+        # builtin's distinct-value counts map is bounded at ANY corpus
+        # size; swapping in distributed_exact_percentiles was measured
+        # at +1.1 s for no scale risk removed and reverted.
+        scored = scored.localCheckpoint(eager=False)
     cuts = scored.agg(
         F.expr(
             f"percentile(cross_entropy, array({head}, {tail}))"
