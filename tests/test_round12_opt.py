@@ -166,3 +166,42 @@ def test_itemsets_identical_on_both_checkpoint_paths(spark, monkeypatch):
         df, "bk", "it", min_support=2).collect()))
     assert got_pairs == want_pairs
     assert got_triples == want_triples
+
+
+def test_stream_drain_idle_counts_distinct_events_only():
+    """The until-idle drain must count DISTINCT no-data progress events,
+    not wall-clock polls of a possibly-stale lastProgress (VERDICT r11
+    item 3: on a slow host the same stale no-data event re-polled N
+    times must never end the drain while a data batch is in flight)."""
+    from smartpy_arc_spark.streaming.stream import _drain_step
+
+    def ev(ts, rows):
+        return {"timestamp": ts, "numInputRows": rows}
+
+    # stale no-data event re-polled 10x: idle must stay 0 past the first
+    idle, ts, seen = 0, None, False
+    idle, ts, seen = _drain_step(ev("t1", 5), ts, seen, idle,
+                                 data_available=True)
+    assert (idle, seen) == (0, True)
+    for _ in range(10):
+        idle, ts, seen = _drain_step(ev("t2", 0), ts, seen, idle,
+                                     data_available=False)
+    assert idle == 1  # one distinct event -> exactly one unit of evidence
+
+    # a fresh no-data event while the engine still reports data
+    # available contributes nothing
+    idle, ts, seen = _drain_step(ev("t3", 0), ts, seen, idle,
+                                 data_available=True)
+    assert idle == 1
+    # new data resets the evidence
+    idle, ts, seen = _drain_step(ev("t4", 3), ts, seen, idle,
+                                 data_available=True)
+    assert idle == 0
+    # exhaustion: fresh no-data event with nothing available counts
+    idle, ts, seen = _drain_step(ev("t5", 0), ts, seen, idle,
+                                 data_available=False)
+    assert idle == 1
+    # no-data events BEFORE any data never count (startup grace)
+    idle2, ts2, seen2 = _drain_step(ev("s1", 0), None, False, 0,
+                                    data_available=False)
+    assert (idle2, seen2) == (0, False)
