@@ -8657,24 +8657,28 @@ def q_minhash_prod_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from smartpy_arc_spark.operators.dedup import (
         minhash_band_candidates,
+        minhash_banded,
         minhash_prepare,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # the plain and capped runs differ only in banding/cap handling —
-    # compute the dominant shingling/MinHash/collapse prefix ONCE
-    # (r11, guide §2.4; materialized so both variants read rows, not
-    # lineage); identical output to two full minhash_lsh_candidates
-    # calls, pinned by tests/test_round11_opt.py
+    # the plain and capped runs differ only in cap handling — compute
+    # the dominant shingling/MinHash/collapse prefix ONCE (r11, guide
+    # §2.4; materialized so both variants read rows, not lineage) and
+    # the band explode ONCE (r12): the capped run windows the SAME
+    # materialized (id, band, bucket) rows the plain run joins.
+    # Identical output to two full minhash_lsh_candidates calls, pinned
+    # by tests/test_round11_opt.py and tests/test_round12_opt.py
     sigs, star_exact = minhash_prepare(
         docs, shingle_mode="word", shingle_size=3, collapse_exact=True,
         materialize=True,
     )
-    plain = minhash_band_candidates(sigs, star_exact).localCheckpoint(
-        eager=True
-    )
+    banded = minhash_banded(sigs, materialize=True)
+    plain = minhash_band_candidates(
+        sigs, star_exact, banded=banded
+    ).localCheckpoint(eager=True)
     capped = minhash_band_candidates(
-        sigs, star_exact, max_bucket_size=8
+        sigs, star_exact, max_bucket_size=8, banded=banded
     ).localCheckpoint(eager=True)
 
     expected = (

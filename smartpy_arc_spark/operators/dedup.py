@@ -366,25 +366,23 @@ def minhash_prepare(
     return sigs, star_exact
 
 
-def minhash_band_candidates(
+def minhash_banded(
     sigs: DataFrame,
-    star_exact: DataFrame | None,
     *,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
     portable_hash: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
-    """The banding/bucket-join stage of :func:`minhash_lsh_candidates`,
-    over a prepared ``(sigs, star_exact)`` pair from
-    :func:`minhash_prepare`.  Identical output to the one-shot
-    composition — pinned by unit test."""
+    """The band-explode stage — ``(id, band, bucket)`` rows — split out
+    (r12, guide §2.4) so callers running SEVERAL banding variants over
+    one prepared signature frame (e.g. capped and uncapped) explode and
+    hash the bands ONCE; ``materialize=True`` localCheckpoints the
+    bands× id-sized frame so each variant reads rows, not lineage."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-
-    sigs = sigs.cache()  # read twice: banding pass + signature re-attach
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -396,6 +394,34 @@ def minhash_band_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    return banded
+
+
+def minhash_band_candidates(
+    sigs: DataFrame,
+    star_exact: DataFrame | None,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    portable_hash: bool = False,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """The banding/bucket-join stage of :func:`minhash_lsh_candidates`,
+    over a prepared ``(sigs, star_exact)`` pair from
+    :func:`minhash_prepare`.  Identical output to the one-shot
+    composition — pinned by unit test.  Pass ``banded`` (from
+    :func:`minhash_banded` over the same ``sigs``/``bands``) to share
+    one band explode across several cap variants."""
+    sigs = sigs.cache()  # read twice: banding pass + signature re-attach
+    if banded is None:
+        banded = minhash_banded(
+            sigs, id_col=id_col, num_hashes=num_hashes, bands=bands,
+            portable_hash=portable_hash,
+        )
     # the bucket self-join carries ONLY ids: at corpus scale the shuffle is
     # bands× the id column, not bands× a num_hashes-long signature array.
     # Signatures re-attach afterwards to the (far smaller) candidate set.

@@ -205,3 +205,30 @@ def test_stream_drain_idle_counts_distinct_events_only():
     idle2, ts2, seen2 = _drain_step(ev("s1", 0), None, False, 0,
                                     data_available=False)
     assert (idle2, seen2) == (0, False)
+
+
+def test_minhash_shared_band_explode_identical(spark):
+    """Passing a shared materialized band explode into both cap variants
+    must produce exactly the rows of the unshared composition."""
+    from smartpy_arc_spark.operators.dedup import (
+        minhash_band_candidates,
+        minhash_banded,
+        minhash_prepare,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over dog {i % 3}")
+         for i in range(60)] + [(100, "dup text"), (101, "dup text")],
+        "doc_id long, text string",
+    )
+    sigs, star = minhash_prepare(
+        docs, shingle_mode="word", shingle_size=3, collapse_exact=True,
+        materialize=True,
+    )
+    banded = minhash_banded(sigs, materialize=True)
+    for cap in (None, 8):
+        want = sorted(map(tuple, minhash_band_candidates(
+            sigs, star, max_bucket_size=cap).collect()))
+        got = sorted(map(tuple, minhash_band_candidates(
+            sigs, star, max_bucket_size=cap, banded=banded).collect()))
+        assert got == want, cap
