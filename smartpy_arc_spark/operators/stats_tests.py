@@ -9,6 +9,16 @@ Split out of ``stats.py`` in round 9 (VERDICT r8 item 8): the module had
 grown to ~6,000 lines.  Public API is unchanged — ``stats.py`` re-exports
 everything, so ``from smartpy_arc_spark.operators.stats import X`` keeps
 working for every operator.  Design notes live on each function.
+
+EAGER-CONSTRUCTION CONTRACT (ADVICE r11): operators in this module that
+materialize bounded intermediates via ``localCheckpoint(eager=True)``
+(chi-square cells, kendall grids, agreement tables, …) run Spark jobs
+AT CONSTRUCTION TIME — calling the function executes the counting
+passes, input errors surface immediately rather than at the caller's
+action, and filters composed on the returned frame no longer push past
+the materialized aggregate.  Do not construct these speculatively; the
+returned frame is small (bounded cells), so the lost pushdown is the
+already-aggregated table, never the input scan.
 """
 
 from __future__ import annotations
@@ -442,13 +452,14 @@ def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     from smartpy_arc_spark.operators.scale import partitioned_cumsum
 
     # the detail aggregate feeds both axis-domain distincts and the
-    # densification join — materialize once (bounded |X|·|Y|; r11 §2.4)
-    cells = (
+    # densification join — materialize once (bounded |X|·|Y|; r11 §2.4),
+    # SERIALIZED (ADVICE r11): high-cardinality inputs that ignore the
+    # pre-bucket guidance should pin Tungsten bytes, not object graphs
+    cells = _ckpt_big(
         df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
     gx = cells.select("x").distinct()
     gy = cells.select("y").distinct()
@@ -460,12 +471,12 @@ def kendall_tau_b(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     wy = Window.partitionBy("x").orderBy("y")
     wx = Window.partitionBy("y").orderBy("x")
     # the windowed grid feeds the per-x totals, the scored join and the
-    # per-y tie totals — materialize once (bounded |X|·|Y|; r11 §2.4)
-    dense = (
+    # per-y tie totals — materialize once (bounded |X|·|Y|; r11 §2.4),
+    # serialized like `cells` above (this is the larger of the two)
+    dense = _ckpt_big(
         dense.withColumn("rowcum", F.sum("n").over(wy))
         .withColumn("colcum", F.sum("n").over(wx))
         .withColumn("p_incl", F.sum("rowcum").over(wx))
-        .localCheckpoint(eager=True)
     )
     xtot = dense.groupBy("x").agg(F.max("rowcum").alias("t"))
     xcum = partitioned_cumsum(xtot, ["x"], ["t"]).select(

@@ -362,8 +362,10 @@ def test_curate_corpus_stage_materialization(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.where("doc_id % 17 = 0").select("doc_id", "text")
     plan = _plan(curate_corpus(docs, bench))
+    # exactly one parquet scan — the benchmark side (ADVICE r11: pin the
+    # stable marker only; raw plan-string fragments like expression ids
+    # break on Spark formatting changes)
     assert plan.count("Scan parquet") == 1
-    assert "(doc_id#" in plan and "% 17" in plan  # it IS the benchmark scan
 
 
 def test_source_similarity_single_tokenize_pass(spark, sf_dir):
