@@ -4857,8 +4857,15 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bytes") > 0)
             & (
                 F.col("ratio_e4")
-                != F.round(
-                    F.col("n_compressed") * 10000 / F.col("n_bytes")
+                # replicate the operator's Python arithmetic EXACTLY:
+                # round(nc/nb*10000) is a banker's round (HALF_EVEN →
+                # bround) of (nc/nb) computed FIRST — the former
+                # HALF_UP round of nc*10000/nb diverged on exact .5
+                # ties (15 rows at sf0.1; latent since the fence
+                # landed, surfaced by the r12 full-surface scan)
+                != F.bround(
+                    F.col("n_compressed").cast("double")
+                    / F.col("n_bytes") * 10000
                 ).cast("long")
             )
         )

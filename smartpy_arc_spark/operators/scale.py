@@ -520,24 +520,32 @@ def distributed_exact_percentiles(
     NANB = INFB + 1
     NULLB = -(NANB + 1)
     KB = 2 * NANB + 3  # bucket values span (-NANB-1, NANB]
-    vcol = F.col("__v")
-    av = F.abs(vcol)
-    e = F.floor(F.log2(av))
-    m = F.floor(
-        (av * F.pow(F.lit(2.0), (-e).cast("double")) - F.lit(1.0))
-        * F.lit(float(MSUB))
-    )
-    m = F.greatest(F.lit(0).cast("long"), F.least(m, F.lit(MSUB - 1).cast("long")))
-    mag = F.greatest((e + F.lit(1075)).cast("long"), F.lit(0).cast("long")) * MSUB + m
-    fixed_b = (
-        F.when(vcol.isNull(), F.lit(NULLB).cast("long"))
-        .when(F.isnan(vcol), F.lit(NANB).cast("long"))
-        .when(vcol == F.lit(float("inf")), F.lit(INFB).cast("long"))
-        .when(vcol == F.lit(float("-inf")), F.lit(-INFB).cast("long"))
-        .when(vcol == F.lit(0.0), F.lit(0).cast("long"))
-        .when(vcol > 0, mag + 1)
-        .otherwise(-(mag + 1))
-    )
+
+    def _bucket(vcol: F.Column) -> F.Column:
+        av = F.abs(vcol)
+        e = F.floor(F.log2(av))
+        m = F.floor(
+            (av * F.pow(F.lit(2.0), (-e).cast("double")) - F.lit(1.0))
+            * F.lit(float(MSUB))
+        )
+        m = F.greatest(
+            F.lit(0).cast("long"), F.least(m, F.lit(MSUB - 1).cast("long"))
+        )
+        mag = (
+            F.greatest((e + F.lit(1075)).cast("long"), F.lit(0).cast("long"))
+            * MSUB + m
+        )
+        return (
+            F.when(vcol.isNull(), F.lit(NULLB).cast("long"))
+            .when(F.isnan(vcol), F.lit(NANB).cast("long"))
+            .when(vcol == F.lit(float("inf")), F.lit(INFB).cast("long"))
+            .when(vcol == F.lit(float("-inf")), F.lit(-INFB).cast("long"))
+            .when(vcol == F.lit(0.0), F.lit(0).cast("long"))
+            .when(vcol > 0, mag + 1)
+            .otherwise(-(mag + 1))
+        )
+
+    fixed_b = _bucket(F.col("__v"))
 
     def _fixed_bounds(b: int) -> tuple[float, float]:
         """Approximate [lo, hi] of a fixed bucket — only steers the
@@ -552,9 +560,18 @@ def distributed_exact_percentiles(
         hi = math.ldexp(1.0 + (sl + 1) / MSUB, ex)
         return (-hi, -lo) if neg else (lo, hi)
 
-    # ---- pass 1: the fixed histogram (the ONLY unfiltered pass) ----
+    # ---- pass 1: the fixed histogram (the ONLY unfiltered pass).
+    # Grouped on the direct numeric (wc·KB + bucket) key per column —
+    # no struct melt on this pass, just an explode of ncols longs.
+    wbs = [
+        F.lit(i * KB).cast("long")
+        + _bucket(F.col(f"__v{i}").cast("double"))
+        + F.lit(NANB + 1).cast("long")
+        for i in range(ncols)
+    ]
     hist1 = (
-        melted.groupBy("__g", "__wc", fixed_b.alias("__b"))
+        sel.select("__g", F.explode(F.array(*wbs)).alias("__wb"))
+        .groupBy("__g", "__wb")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .collect()
     )
@@ -577,10 +594,10 @@ def distributed_exact_percentiles(
         if r["__g"] not in seen:
             seen.add(r["__g"])
             groups.append(r["__g"])
-        if r["__b"] != NULLB:
-            b1.setdefault((r["__g"], r["__wc"]), {})[int(r["__b"])] = int(
-                r["__cnt"]
-            )
+        wc, b = divmod(int(r["__wb"]), KB)
+        b -= NANB + 1
+        if b != NULLB:
+            b1.setdefault((r["__g"], wc), {})[b] = int(r["__cnt"])
     gid = {g: i for i, g in enumerate(groups)}
     n_gw = {gw: sum(bs.values()) for gw, bs in b1.items()}
 
@@ -749,19 +766,28 @@ def distributed_exact_percentiles(
                     })
         items = nxt
 
-    # count-of-skipped-rows offset per final bucket: global rank of a
-    # surviving row = its rank among SURVIVING rows of its (group,
-    # column) + the number of dropped rows ordered before its bucket
+    # rank-restoring offset per final bucket: the final window below
+    # numbers ALL of a group's surviving rows in (column, value) order,
+    # so a row's exact in-(group, column) rank = row_number − (surviving
+    # rows of earlier columns in this group) + (dropped rows of this
+    # column ordered before its bucket) — both per-bucket constants the
+    # driver folds into one literal map
     miss: dict[int, dict[int, int]] = {}
-    bygw: dict[tuple, list] = {}
+    byg: dict = {}
     for fb in finals:
-        bygw.setdefault((fb["g"], fb["wc"]), []).append(fb)
-    for gw, fbs in bygw.items():
-        fbs.sort(key=lambda fb: fb["before"])
-        kept = 0
-        for fb in fbs:
-            miss.setdefault(fb["depth"], {})[fb["key"]] = fb["before"] - kept
-            kept += fb["cnt"]
+        byg.setdefault(fb["g"], {}).setdefault(fb["wc"], []).append(fb)
+    for g, bywc in byg.items():
+        surv_before_wc = 0
+        for wc in sorted(bywc):
+            fbs = bywc[wc]
+            fbs.sort(key=lambda fb: fb["before"])
+            kept = 0
+            for fb in fbs:
+                miss.setdefault(fb["depth"], {})[fb["key"]] = (
+                    fb["before"] - kept - surv_before_wc
+                )
+                kept += fb["cnt"]
+            surv_before_wc += kept
     miss_exprs = [
         _imap(m_, "long")[key_expr(d)] for d, m_ in sorted(miss.items())
     ]
@@ -777,16 +803,20 @@ def distributed_exact_percentiles(
     # per-value collapse needed, because every row of a tied value sits
     # in one bucket, so the first row whose running count reaches a
     # target rank already carries exactly the bracket VALUE (later tie
-    # rows repeat it and cannot win the min).  The window partition is
-    # one (group, column)'s surviving rows: bounded by #targets ×
-    # refine_cap, and a sort window spills rather than buffering (never
-    # the builtin's in-memory value map).
+    # rows repeat it and cannot win the min).  The window partitions by
+    # GROUP only (ordered by column, then value — the per-column rank
+    # base is folded into the miss map above), so the brackets aggregate
+    # keyed by group reuses the window's hash(group) exchange: one
+    # exchange for the whole tail.  A partition is one group's surviving
+    # rows — bounded by #cols × #targets × refine_cap — and a sort
+    # window spills rather than buffering (never the builtin's in-memory
+    # value map).
     survivors = (
         melted.where(F.col("__v").isNotNull())
         .withColumn("__miss", miss_col)
         .where(F.col("__miss").isNotNull())
     )
-    w = Window.partitionBy("__g", "__wc").orderBy("__v")
+    w = Window.partitionBy("__g").orderBy("__wc", "__v")
     cum = survivors.withColumn(
         "cum___cnt", F.row_number().over(w) + F.col("__miss")
     )
